@@ -1,13 +1,61 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.TopK
+import graft.sources.Tables
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /**
+   * Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+   *
+   * The SURVEY §7.2 minimum end-to-end slice re-expressed over the testdata:
+   * two "orgs" (customers split by custkey parity) → top-100 by account
+   * balance per org (candidate cap, reference: pipeline.py:335-336) →
+   * blocked pair join within nation (reference: entity_resolution.py:287-294)
+   * → pair-feature columns → rule score → ranked recommendations
+   * (reference: pipeline.py:300-371).
+   */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val cust = Tables.load(spark, dir, "customer")
+      .withColumn("_org_id", when(col("c_custkey") % 2 === 0, "org_a").otherwise("org_b"))
+    // candidate cap: top-100 per org by balance (A2/W3)
+    val top = TopK.topKPerGroup(cust, Seq(col("_org_id")),
+      Seq(col("c_acctbal").desc, col("c_custkey").asc), 100)
+    val a = top.filter(col("_org_id") === "org_a").select(
+      col("c_custkey").as("a_key"), col("c_name").as("a_name"),
+      col("c_acctbal").as("a_bal"), col("c_mktsegment").as("a_seg"),
+      col("c_nationkey").as("a_nation"))
+    val b = top.filter(col("_org_id") === "org_b").select(
+      col("c_custkey").as("b_key"), col("c_name").as("b_name"),
+      col("c_acctbal").as("b_bal"), col("c_mktsegment").as("b_seg"),
+      col("c_nationkey").as("b_nation"))
+    // blocked pair join (J3) + pair features (F14) + rule score (F16)
+    val pairs = a.join(b, col("a_nation") === col("b_nation"))
+    val sizeCompat = lit(1.0) / (lit(1.0) +
+      abs(log(greatest(col("a_bal"), lit(1.0)) / greatest(col("b_bal"), lit(1.0)))))
+    val segMatch = (col("a_seg") === col("b_seg")).cast("double")
+    val nameSim = TextFunctions.jaroWinkler(col("a_name"), col("b_name"))
+    val score = segMatch * 0.4 + sizeCompat * 0.4 + nameSim * 0.2
+    val scored = pairs.select(col("a_key"), col("b_key"),
+      round(score, 6).as("score"),
+      when(segMatch === 1.0, "Industry Expansion").otherwise("Market Development")
+        .as("recommendation_type"))
+      .filter(col("score") > 0.5)
+    TopK.globalTopK(scored, Seq(col("score").desc, col("a_key").asc, col("b_key").asc), 100)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.CoreQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    graft.queries.CoreQueries.oracleSql
 }

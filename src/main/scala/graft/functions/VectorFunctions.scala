@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Embedding-vector column functions for similarity search
+ * (beyond-reference: LLM-pipeline operators over
+ * `embeddings.parquet` — `embedding: array<float>`).
+ *
+ * Built from higher-order functions (`zip_with` / `aggregate`) — evaluated
+ * per row without serialization boundaries. Accumulation is in DOUBLE
+ * regardless of input element type so results are stable across engines and
+ * partitionings (no float-order sensitivity beyond the fixed element order).
+ *
+ * Scale note: brute-force cosine over N rows × D dims is O(N·D) per query —
+ * fine fanned out over executors for one-off queries; for repeated queries
+ * use SimilaritySearch.lsh* which buckets candidates first.
+ */
+object VectorFunctions {
+
+  /** Σ aᵢ·bᵢ in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Cosine similarity; null-safe on zero norms (returns null). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val na = norm(a)
+    val nb = norm(b)
+    when(na === 0.0 || nb === 0.0, lit(null)).otherwise(d / (na * nb))
+  }
+
+  /** Squared euclidean distance. */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val diff = x.cast("double") - y.cast("double")
+        diff * diff
+      }),
+      lit(0.0), (acc, x) => acc + x)
+}
