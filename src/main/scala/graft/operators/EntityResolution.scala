@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/**
+ * Cross-org entity resolution (reference: src/ml/entity_resolution.py
+ * EntityResolver :255-485 — blocking :287-294, pair features :296-350,
+ * rule score :352-396, exact shortcut + threshold :408-446).
+ *
+ * Spark-first shape: the reference's per-pair Python loop over blocked
+ * groups IS a hash equi-join on the blocking key — we declare it as such and
+ * Catalyst plans the join (broadcast if one side is small, SMJ otherwise,
+ * AQE splits skewed blocks). All nine pair features and the rule score are
+ * codegen'd Column expressions over the joined frame; nothing leaves the
+ * executors until the final threshold filter.
+ *
+ * Scale notes (100 TB):
+ *  - The blocking key (3-char name prefix + 3-char country) gives ~36k²
+ *    theoretical buckets but real names skew heavily ("the"/"glo"/"acm").
+ *    With AQE skew-join on (default in our sessions) hot blocks split
+ *    automatically; for extreme skew pre-salt: add `pmod(hash(id), S)` to
+ *    the key of the big side and explode a salt array on the small side.
+ *  - `resolve` emits one row per candidate pair ≥ threshold — output is
+ *    orders of magnitude smaller than the blocked pair space, and the
+ *    filter sits directly on the join output (no materialization between).
+ */
+object EntityResolution {
+
+  /** Column layout expected of an "accounts" frame (Salesforce-shaped,
+    * reference: src/models/database.py:49-65). Remap via `as`/`select`. */
+  case class AccountCols(
+      id: String = "Id",
+      name: String = "Name",
+      website: String = "Website",
+      country: String = "BillingCountry",
+      industry: String = "Industry",
+      employees: String = "NumberOfEmployees")
+
+  case class Config(
+      domainWeight: Double = 0.4,
+      nameWeight: Double = 0.4,
+      metadataWeight: Double = 0.2,
+      matchThreshold: Double = 0.7,
+      useBlocking: Boolean = true)
+
+  /** Project an accounts frame to the prefixed canonical shape used in pair
+    * joins, with normalized/derived columns computed ONCE before the join
+    * (the reference recomputes normalize per pair — here each side is
+    * normalized pre-shuffle, a strictly better plan). */
+  def prepSide(df: DataFrame, cols: AccountCols, prefix: String): DataFrame = {
+    val d = extractDomain(col(cols.website))
+    df.select(
+      col(cols.id).cast("string").as(s"${prefix}_id"),
+      col(cols.name).as(s"${prefix}_name"),
+      nameNormalize(col(cols.name)).as(s"${prefix}_norm"),
+      nameTokens(col(cols.name)).as(s"${prefix}_tokens"),
+      d.as(s"${prefix}_domain"),
+      rootDomain(d).as(s"${prefix}_root"),
+      col(cols.country).as(s"${prefix}_country"),
+      col(cols.industry).as(s"${prefix}_industry"),
+      col(cols.employees).cast("double").as(s"${prefix}_employees"),
+      blockingKey(col(cols.name), col(cols.country)).as(s"${prefix}_block"))
+  }
+
+  /** The 9 ER pair features (reference: entity_resolution.py:296-350) as
+    * named Columns over a prepped a_/b_ pair frame. */
+  def pairFeatures: Seq[(String, Column)] = {
+    val bothDomains = col("a_domain").isNotNull && col("b_domain").isNotNull
+    Seq(
+      "domain_exact_match" -> when(bothDomains && col("a_root") === col("b_root"), 1.0)
+        .otherwise(0.0),
+      "domain_similarity" -> when(bothDomains,
+        jaroWinkler(col("a_domain"), col("b_domain"))).otherwise(0.0),
+      "name_exact_match" -> when(col("a_norm") === col("b_norm"), 1.0).otherwise(0.0),
+      "name_jaro_winkler" -> jaroWinkler(col("a_norm"), col("b_norm")),
+      "name_levenshtein" -> levenshteinSim(col("a_norm"), col("b_norm")),
+      "name_jaccard" -> jaccardTokens(col("a_tokens"), col("b_tokens")),
+      // non-null guarded equality (reference: `and account1.get(...)`)
+      "same_country" -> when(col("a_country") === col("b_country") &&
+        col("a_country").isNotNull && col("a_country") =!= "", 1.0).otherwise(0.0),
+      "same_industry" -> when(col("a_industry") === col("b_industry") &&
+        col("a_industry").isNotNull && col("a_industry") =!= "", 1.0).otherwise(0.0),
+      "size_ratio" -> when(col("a_employees") > 0 && col("b_employees") > 0,
+        least(col("a_employees"), col("b_employees")) /
+          greatest(col("a_employees"), col("b_employees"))).otherwise(0.5))
+  }
+
+  /** Rule-based score (reference: entity_resolution.py:352-396):
+    * domain/name/metadata components weighted 0.4/0.4/0.2. */
+  def ruleScore(cfg: Config = Config()): Column = {
+    val domainScore = when(col("domain_exact_match") > 0, 1.0)
+      .otherwise(col("domain_similarity"))
+    val nameScore = when(col("name_exact_match") > 0, 1.0)
+      .otherwise(greatest(col("name_jaro_winkler"), col("name_jaccard"),
+        col("name_levenshtein")))
+    val metadataScore = col("same_country") * 0.4 +
+      col("same_industry") * 0.3 + col("size_ratio") * 0.3
+    domainScore * cfg.domainWeight + nameScore * cfg.nameWeight +
+      metadataScore * cfg.metadataWeight
+  }
+
+  /** Human-readable match reasons (reference: entity_resolution.py:358-385)
+    * as an array column, nulls filtered. */
+  def matchReasons: Column = {
+    val domainScore = when(col("domain_exact_match") > 0, 1.0)
+      .otherwise(col("domain_similarity"))
+    val nameScore = when(col("name_exact_match") > 0, 1.0)
+      .otherwise(greatest(col("name_jaro_winkler"), col("name_jaccard"),
+        col("name_levenshtein")))
+    filter(array(
+      when(col("domain_exact_match") > 0, lit("Exact domain match"))
+        .otherwise(when(domainScore > 0.8,
+          concat(lit("Similar domain ("), format_number(domainScore, 2), lit(")")))),
+      when(col("name_exact_match") > 0, lit("Exact name match"))
+        .otherwise(when(col("name_exact_match") === 0.0 && nameScore > 0.8,
+          concat(lit("Similar name ("), format_number(nameScore, 2), lit(")")))),
+      when(col("same_country") > 0, lit("Same country")),
+      when(col("same_industry") > 0, lit("Same industry"))),
+      r => r.isNotNull)
+  }
+
+  /** Candidate pair space: blocked equi-join (reference :459-478) or full
+    * cross join fallback (reference :480-485, flag-gated). `blockOn`
+    * overrides the join condition — blocking is a pluggable query shape, and
+    * when the default 3+3-prefix key degenerates (uninformative names → one
+    * hot block = accidental cross join) callers swap in a finer key. */
+  def candidatePairs(a: DataFrame, b: DataFrame, cfg: Config = Config(),
+                     blockOn: Option[Column] = None): DataFrame =
+    if (cfg.useBlocking)
+      a.join(b, blockOn.getOrElse(col("a_block") === col("b_block")))
+    else a.crossJoin(b)
+
+  /**
+   * Full resolve: pair space → 9 features → exact-shortcut OR rule score ≥
+   * threshold (reference match_pair :403-446). Returns
+   * (account1_id, account2_id, match_score, match_type, confidence,
+   *  match_reasons) — the MatchResult shape (reference :29-38).
+   */
+  def resolve(accounts1: DataFrame, accounts2: DataFrame,
+              cols: AccountCols = AccountCols(),
+              cfg: Config = Config(),
+              blockOn: Option[Column] = None): DataFrame = {
+    val a = prepSide(accounts1, cols, "a")
+    val b = prepSide(accounts2, cols, "b")
+    val feats = pairFeatures.foldLeft(candidatePairs(a, b, cfg, blockOn)) {
+      case (df, (name, c)) => df.withColumn(name, c)
+    }
+    val exact = col("domain_exact_match") > 0 && col("name_exact_match") > 0
+    val score = ruleScore(cfg)
+    feats.select(
+        col("a_id").as("account1_id"), col("b_id").as("account2_id"),
+        when(exact, 1.0).otherwise(score).as("match_score"),
+        when(exact, "exact").otherwise("fuzzy").as("match_type"),
+        when(exact, "high").otherwise(
+          when(score > 0.9, "high").when(score > 0.8, "medium").otherwise("low"))
+          .as("confidence"),
+        when(exact, array(lit("Exact domain and name match")))
+          .otherwise(matchReasons).as("match_reasons"))
+      .filter(col("match_type") === "exact" || col("match_score") >= cfg.matchThreshold)
+  }
+
+  /** ER confusion metrics at a threshold (reference:
+    * entity_resolution.py:554-613, SURVEY A14): one agg pass over a frame
+    * with boolean `pred` and `label` columns. */
+  def confusionMetrics(df: DataFrame, pred: Column, label: Column): DataFrame = {
+    val agged = df.agg(
+      sum(when(pred && label, 1L).otherwise(0L)).as("tp"),
+      sum(when(pred && !label, 1L).otherwise(0L)).as("fp"),
+      sum(when(!pred && label, 1L).otherwise(0L)).as("fn"))
+    agged.select(col("tp"), col("fp"), col("fn"),
+      (col("tp") / greatest(col("tp") + col("fp"), lit(1L))).as("precision"),
+      (col("tp") / greatest(col("tp") + col("fn"), lit(1L))).as("recall"))
+      .withColumn("f1",
+        when(col("precision") + col("recall") > 0,
+          lit(2) * col("precision") * col("recall") / (col("precision") + col("recall")))
+          .otherwise(0.0))
+  }
+}

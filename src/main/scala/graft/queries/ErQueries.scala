@@ -1,0 +1,335 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Candidates, EntityResolution, Features}
+import graft.operators.EntityResolution.AccountCols
+import graft.sources.Tables
+
+/**
+ * Entity-resolution / feature-engineering / candidate-generation queries
+ * (SURVEY §2 J1-J3, F9-F20, A14) over the testdata, exercised on an
+ * "accounts" view derived deterministically from `customer` ⋈ `nation`
+ * (same derivation written in both engines, so oracles stay exact):
+ *
+ *   website   = 'www.corp' || (c_custkey % 50) || '.com'
+ *   employees = (c_custkey % 7) * 150     (zeros exercise the 0.5 default)
+ *   created   = DATE '1992-01-01' + (c_custkey % 2000) days
+ *   last_act  = NULL when c_custkey % 11 = 0 else created + (c_custkey % 300)
+ *   revenue   = greatest(c_acctbal, 0) * 1000
+ *   asOf      = DATE '1998-12-01' (frozen, never now() — SURVEY §7.4.3)
+ *
+ * Jaro-Winkler-bearing outputs are NOT oracle-checked: DuckDB's
+ * jaro_similarity counts transpositions differently from the reference
+ * algorithm on some pairs (verified empirically), so those queries are
+ * declared without oracleSql → the driver records a rows-only check, and JW
+ * fidelity is enforced by reference-derived goldens in JaroWinklerSpec.
+ */
+object ErQueries {
+
+  /** The shared accounts view (Spark side). */
+  def accounts(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+    val nat = Tables.load(s, dir, "nation")
+    val created = date_add(lit("1992-01-01").cast("date"),
+      (col("c_custkey") % 2000).cast("int"))
+    cust.join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .select(
+        col("c_custkey").as("Id"),
+        col("c_name").as("Name"),
+        concat(lit("www.corp"), (col("c_custkey") % 50).cast("string"), lit(".com"))
+          .as("Website"),
+        col("n_name").as("BillingCountry"),
+        col("c_mktsegment").as("Industry"),
+        ((col("c_custkey") % 7) * 150.0).as("NumberOfEmployees"),
+        created.as("CreatedDate"),
+        when(col("c_custkey") % 11 === 0, lit(null).cast("date"))
+          .otherwise(date_add(created, (col("c_custkey") % 300).cast("int")))
+          .as("LastActivityDate"),
+        (greatest(col("c_acctbal"), lit(0.0)) * 1000).as("AnnualRevenue"),
+        col("n_regionkey").as("_region"))
+  }
+
+  private val cols = AccountCols()
+  private val asOf = lit("1998-12-01").cast("timestamp")
+
+  /** Blocked a/b pair space over parity-split orgs, with ER prep columns.
+    * Blocks on FULL country: the testdata's synthetic names all normalize to
+    * the same 3-char prefix ("cus") and nations to "nat", so the reference's
+    * 3+3 key degenerates to one hot block (= accidental cross join). The
+    * 3+3 key itself is oracle-covered by q17. */
+  private def blockedPairs(s: SparkSession, dir: String): DataFrame = {
+    val acc = accounts(s, dir)
+    val a = EntityResolution.prepSide(acc.filter(col("Id") % 2 === 0), cols, "a")
+    val b = EntityResolution.prepSide(acc.filter(col("Id") % 2 === 1), cols, "b")
+    EntityResolution.candidatePairs(a, b,
+      blockOn = Some(col("a_country") === col("b_country")))
+  }
+
+  // DuckDB fragments for the same derivations.
+  private val accSql =
+    """acc AS (
+      |  SELECT c_custkey AS id,
+      |    array_to_string(list_filter(string_split_regex(
+      |      regexp_replace(lower(trim(c_name)), '[^\w\s&]', ' ', 'g'), '\s+'),
+      |      x -> len(x) > 0), ' ') AS norm,
+      |    'corp' || (c_custkey % 50) || '.com' AS dom,
+      |    n_name AS country, c_mktsegment AS industry,
+      |    (c_custkey % 7) * 150.0 AS employees,
+      |    DATE '1992-01-01' + CAST(c_custkey % 2000 AS INTEGER) AS created,
+      |    CASE WHEN c_custkey % 11 = 0 THEN NULL
+      |      ELSE DATE '1992-01-01' + CAST(c_custkey % 2000 AS INTEGER)
+      |           + CAST(c_custkey % 300 AS INTEGER) END AS last_act,
+      |    greatest(c_acctbal, 0) * 1000 AS revenue,
+      |    n_regionkey AS region
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey)""".stripMargin
+
+  private val pairSql =
+    """pairs AS (
+      |  SELECT a.id AS a_id, b.id AS b_id,
+      |    a.norm AS a_norm, b.norm AS b_norm, a.dom AS a_dom, b.dom AS b_dom,
+      |    a.country AS a_country, b.country AS b_country,
+      |    a.industry AS a_industry, b.industry AS b_industry,
+      |    a.employees AS a_emp, b.employees AS b_emp
+      |  FROM acc a JOIN acc b
+      |    ON a.country = b.country
+      |   AND a.id % 2 = 0 AND b.id % 2 = 1)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_er_features" -> ((s, dir) => {
+      // 7 SQL-exact of the 9 ER pair features (reference:
+      // entity_resolution.py:296-350); JW features covered by q32 rows-only.
+      blockedPairs(s, dir)
+        .select(Seq(col("a_id").cast("long").as("a_id"),
+          col("b_id").cast("long").as("b_id")) ++
+          EntityResolution.pairFeatures.collect {
+            case (n, c) if n != "domain_similarity" && n != "name_jaro_winkler" =>
+              round(c, 6).as(n)
+          }: _*)
+        .orderBy("a_id", "b_id")
+    }),
+
+    "q32_er_resolve" -> ((s, dir) => {
+      // Full resolve(): exact-shortcut ∪ fuzzy ≥ 0.7 with reasons
+      // (reference: entity_resolution.py:403-446). JW inside → rows-only.
+      val acc = accounts(s, dir)
+      EntityResolution.resolve(
+          acc.filter(col("Id") % 2 === 0), acc.filter(col("Id") % 2 === 1), cols,
+          EntityResolution.Config(matchThreshold = 0.85),
+          blockOn = Some(col("a_country") === col("b_country")))
+        .select(col("account1_id"), col("account2_id"),
+          round(col("match_score"), 6).as("match_score"),
+          col("match_type"), col("confidence"),
+          array_join(col("match_reasons"), "|").as("reasons"))
+        .orderBy("account1_id", "account2_id")
+    }),
+
+    "q33_pair_features" -> ((s, dir) => {
+      // 6 cross-org pair features (reference: pipeline.py:108-157 F14) over
+      // candidate pairs: region=org, top-50 by revenue per org (A2/J1/J2).
+      val acc = accounts(s, dir).withColumnRenamed("_region", "org")
+        .select(col("Id").as("id"), col("org"), col("Industry").as("industry"),
+          col("BillingCountry").as("country"),
+          col("NumberOfEmployees").as("employees"),
+          col("CreatedDate").as("created"),
+          col("LastActivityDate").as("last_activity"),
+          col("AnnualRevenue").as("revenue"))
+      val pairs = Candidates.candidatePairs(acc, "org",
+        Seq(col("revenue").desc, col("id").asc), 50)
+      Features.withFeatures(pairs, Features.pairFeatures(asOf))
+        .select(Seq(col("a_id"), col("b_id")) ++
+          Features.pairFeatures(asOf).map { case (n, _) => round(col(n), 6).as(n) }: _*)
+        .orderBy("a_id", "b_id")
+    }),
+
+    "q34_account_features" -> ((s, dir) => {
+      // account features (reference: pipeline.py:65-106 F9-F13)
+      val acc = accounts(s, dir)
+      val feats = Features.accountFeatures(col("AnnualRevenue"),
+        col("NumberOfEmployees"), col("CreatedDate"), col("LastActivityDate"), asOf)
+      acc.select(Seq(col("Id").as("id")) ++
+          feats.map { case (n, c) => round(c, 6).as(n) }: _*)
+        .orderBy("id")
+    }),
+
+    "q35_recommendations" -> ((s, dir) => {
+      // deterministic scoring path E3/F17-F20 (reference: pipeline.py:375-415,
+      // api/main.py:589-641): weighted feature vote → confidence bucket →
+      // type → estimated value → next action, pruned and ranked.
+      val acc = accounts(s, dir).withColumnRenamed("_region", "org")
+        .select(col("Id").as("id"), col("org"), col("Industry").as("industry"),
+          col("BillingCountry").as("country"),
+          col("NumberOfEmployees").as("employees"),
+          col("CreatedDate").as("created"),
+          col("LastActivityDate").as("last_activity"),
+          col("AnnualRevenue").as("revenue"))
+      val pairs = Candidates.candidatePairs(acc, "org",
+        Seq(col("revenue").desc, col("id").asc), 50)
+      val feats = Features.withFeatures(pairs, Features.pairFeatures(asOf))
+      val score = col("industry_match") * 0.35 + col("size_compatibility") * 0.30 +
+        col("geo_proximity") * 0.20 + col("maturity_alignment") * 0.15
+      val scored = feats.withColumn("score", score)
+      Candidates.prune(scored, col("score"), 0.5)
+        .select(col("a_id"), col("b_id"), round(col("score"), 6).as("score"),
+          when(col("score") > 0.8, "High").when(col("score") > 0.6, "Medium")
+            .otherwise("Low").as("confidence"),
+          when(col("industry_match") === 1.0, "Industry Expansion")
+            .otherwise("Market Development").as("recommendation_type"),
+          round((col("a_revenue") + col("b_revenue")) / 2 * 0.1, 2)
+            .as("estimated_value"),
+          when(col("score") > 0.8, "Schedule executive introduction call immediately")
+            .when(col("score") > 0.7, "Prepare joint value proposition and reach out")
+            .when(col("score") > 0.6, "Add to nurture campaign and monitor engagement")
+            .otherwise("Review quarterly for status changes").as("next_best_action"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    "q36_er_confusion" -> ((s, dir) => {
+      // confusion metrics at a threshold (reference:
+      // entity_resolution.py:554-613 A14) on a JW-free score vs synthetic label
+      val p = blockedPairs(s, dir)
+      val feats = EntityResolution.pairFeatures.toMap
+      val score = feats("domain_exact_match") * 0.4 +
+        greatest(feats("name_jaccard"), feats("name_levenshtein")) * 0.4 +
+        (feats("same_country") * 0.4 + feats("same_industry") * 0.3 +
+          feats("size_ratio") * 0.3) * 0.2
+      val labeled = p.withColumn("pred", score >= 0.75)
+        .withColumn("label", feats("same_industry") === 1.0 && feats("size_ratio") > 0.5)
+      EntityResolution.confusionMetrics(labeled, col("pred"), col("label"))
+        .select(col("tp"), col("fp"), col("fn"),
+          round(col("precision"), 6).as("precision"),
+          round(col("recall"), 6).as("recall"), round(col("f1"), 6).as("f1"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q31_er_features" ->
+      s"""WITH $accSql, $pairSql,
+        |toks AS (SELECT p.*,
+        |  list_distinct(list_filter(string_split(a_norm, ' '), x -> len(x) > 2)) AS a_toks,
+        |  list_distinct(list_filter(string_split(b_norm, ' '), x -> len(x) > 2)) AS b_toks
+        |  FROM pairs p)
+        |SELECT a_id, b_id,
+        |  CASE WHEN a_dom = b_dom THEN 1.0 ELSE 0.0 END AS domain_exact_match,
+        |  CASE WHEN a_norm = b_norm THEN 1.0 ELSE 0.0 END AS name_exact_match,
+        |  round(CASE WHEN len(a_norm)=0 OR len(b_norm)=0 THEN 0.0
+        |    ELSE 1.0 - levenshtein(a_norm, b_norm) /
+        |      CAST(greatest(len(a_norm), len(b_norm)) AS DOUBLE) END, 6) AS name_levenshtein,
+        |  round(CASE WHEN len(a_toks)=0 OR len(b_toks)=0 THEN 0.0
+        |    ELSE CAST(len(list_intersect(a_toks, b_toks)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a_toks, b_toks))) END, 6) AS name_jaccard,
+        |  CASE WHEN a_country = b_country AND a_country <> '' THEN 1.0 ELSE 0.0 END AS same_country,
+        |  CASE WHEN a_industry = b_industry AND a_industry <> '' THEN 1.0 ELSE 0.0 END AS same_industry,
+        |  round(CASE WHEN a_emp > 0 AND b_emp > 0
+        |    THEN least(a_emp, b_emp) / greatest(a_emp, b_emp) ELSE 0.5 END, 6) AS size_ratio
+        |FROM toks ORDER BY a_id, b_id""".stripMargin,
+
+    // q32_er_resolve: intentionally no oracle (Jaro-Winkler not exactly
+    // expressible in DuckDB SQL — see scaladoc); driver rows-only check.
+
+    "q33_pair_features" ->
+      s"""WITH $accSql,
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY region
+        |    ORDER BY revenue DESC, id ASC) AS rn FROM acc),
+        |top AS (SELECT * FROM ranked WHERE rn <= 50),
+        |cp AS (SELECT a.id AS a_id, b.id AS b_id,
+        |    a.industry AS ai, b.industry AS bi, a.country AS ac, b.country AS bc,
+        |    a.employees AS ae, b.employees AS be,
+        |    a.created AS acr, b.created AS bcr, a.last_act AS ala, b.last_act AS bla
+        |  FROM top a JOIN top b ON a.region < b.region)
+        |SELECT a_id, b_id,
+        |  CASE WHEN ai = bi THEN 1.0 ELSE 0.0 END AS industry_match,
+        |  round(CASE WHEN ae > 0 AND be > 0
+        |    THEN 1.0 / (1.0 + abs(ln(ae / be))) ELSE 0.0 END, 6) AS size_compatibility,
+        |  CASE WHEN ac = bc THEN 1.0 ELSE 0.3 END AS geo_proximity,
+        |  0.5 AS product_complementarity,
+        |  round(CAST(least(date_diff('day', acr, DATE '1998-12-01'),
+        |                   date_diff('day', bcr, DATE '1998-12-01')) AS DOUBLE) /
+        |        greatest(date_diff('day', acr, DATE '1998-12-01'),
+        |                 date_diff('day', bcr, DATE '1998-12-01')), 6) AS maturity_alignment,
+        |  round(2.0 / (1.0 +
+        |    coalesce(date_diff('day', ala, DATE '1998-12-01'), 365) / 30.0 +
+        |    coalesce(date_diff('day', bla, DATE '1998-12-01'), 365) / 30.0), 6)
+        |    AS activity_alignment
+        |FROM cp ORDER BY a_id, b_id""".stripMargin,
+
+    "q34_account_features" ->
+      s"""WITH $accSql
+        |SELECT id, round(ln(1 + revenue), 6) AS revenue_log,
+        |  round(revenue / (CASE WHEN employees = 0 THEN 1 ELSE employees END), 6)
+        |    AS revenue_per_employee,
+        |  round(ln(1 + employees), 6) AS employees_log,
+        |  CAST(employees > 1000 AS INTEGER) AS is_enterprise,
+        |  round(CAST(date_diff('day', created, DATE '1998-12-01') AS DOUBLE), 6)
+        |    AS company_age_days,
+        |  round(coalesce(CAST(date_diff('day', last_act, DATE '1998-12-01') AS DOUBLE),
+        |    365.0), 6) AS days_since_last_activity,
+        |  round(1.0 / (1.0 + coalesce(CAST(date_diff('day', last_act, DATE '1998-12-01')
+        |    AS DOUBLE), 365.0) / 30.0), 6) AS activity_recency_score
+        |FROM acc ORDER BY id""".stripMargin,
+
+    "q35_recommendations" ->
+      s"""WITH $accSql,
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY region
+        |    ORDER BY revenue DESC, id ASC) AS rn FROM acc),
+        |top AS (SELECT * FROM ranked WHERE rn <= 50),
+        |cp AS (SELECT a.id AS a_id, b.id AS b_id, a.revenue AS arv, b.revenue AS brv,
+        |    CASE WHEN a.industry = b.industry THEN 1.0 ELSE 0.0 END AS im,
+        |    CASE WHEN a.employees > 0 AND b.employees > 0
+        |      THEN 1.0 / (1.0 + abs(ln(a.employees / b.employees))) ELSE 0.0 END AS sc,
+        |    CASE WHEN a.country = b.country THEN 1.0 ELSE 0.3 END AS gp,
+        |    CAST(least(date_diff('day', a.created, DATE '1998-12-01'),
+        |               date_diff('day', b.created, DATE '1998-12-01')) AS DOUBLE) /
+        |      greatest(date_diff('day', a.created, DATE '1998-12-01'),
+        |               date_diff('day', b.created, DATE '1998-12-01')) AS ma
+        |  FROM top a JOIN top b ON a.region < b.region),
+        |scored AS (SELECT *, im*0.35 + sc*0.30 + gp*0.20 + ma*0.15 AS score FROM cp)
+        |SELECT a_id, b_id, round(score, 6) AS score,
+        |  CASE WHEN score > 0.8 THEN 'High' WHEN score > 0.6 THEN 'Medium'
+        |    ELSE 'Low' END AS confidence,
+        |  CASE WHEN im = 1.0 THEN 'Industry Expansion'
+        |    ELSE 'Market Development' END AS recommendation_type,
+        |  round((arv + brv) / 2 * 0.1, 2) AS estimated_value,
+        |  CASE WHEN score > 0.8 THEN 'Schedule executive introduction call immediately'
+        |    WHEN score > 0.7 THEN 'Prepare joint value proposition and reach out'
+        |    WHEN score > 0.6 THEN 'Add to nurture campaign and monitor engagement'
+        |    ELSE 'Review quarterly for status changes' END AS next_best_action
+        |FROM scored WHERE score > 0.5 ORDER BY a_id, b_id""".stripMargin,
+
+    "q36_er_confusion" ->
+      s"""WITH $accSql, $pairSql,
+        |toks AS (SELECT p.*,
+        |  list_distinct(list_filter(string_split(a_norm, ' '), x -> len(x) > 2)) AS a_toks,
+        |  list_distinct(list_filter(string_split(b_norm, ' '), x -> len(x) > 2)) AS b_toks
+        |  FROM pairs p),
+        |f AS (SELECT
+        |  CASE WHEN a_dom = b_dom THEN 1.0 ELSE 0.0 END AS de,
+        |  CASE WHEN len(a_toks)=0 OR len(b_toks)=0 THEN 0.0
+        |    ELSE CAST(len(list_intersect(a_toks, b_toks)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a_toks, b_toks))) END AS jac,
+        |  CASE WHEN len(a_norm)=0 OR len(b_norm)=0 THEN 0.0
+        |    ELSE 1.0 - levenshtein(a_norm, b_norm) /
+        |      CAST(greatest(len(a_norm), len(b_norm)) AS DOUBLE) END AS lev,
+        |  CASE WHEN a_country = b_country AND a_country <> '' THEN 1.0 ELSE 0.0 END AS scn,
+        |  CASE WHEN a_industry = b_industry AND a_industry <> '' THEN 1.0 ELSE 0.0 END AS si,
+        |  CASE WHEN a_emp > 0 AND b_emp > 0
+        |    THEN least(a_emp, b_emp) / greatest(a_emp, b_emp) ELSE 0.5 END AS sr
+        |  FROM toks),
+        |lab AS (SELECT
+        |  (de*0.4 + greatest(jac, lev)*0.4 + (scn*0.4 + si*0.3 + sr*0.3)*0.2) >= 0.75 AS pred,
+        |  (si = 1.0 AND sr > 0.5) AS label FROM f),
+        |m AS (SELECT
+        |  sum(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS tp,
+        |  sum(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END) AS fp,
+        |  sum(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END) AS fn FROM lab)
+        |SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+        |  round(CAST(tp AS DOUBLE) / greatest(tp + fp, 1), 6) AS precision,
+        |  round(CAST(tp AS DOUBLE) / greatest(tp + fn, 1), 6) AS recall,
+        |  round(CASE WHEN CAST(tp AS DOUBLE)/greatest(tp+fp,1) + CAST(tp AS DOUBLE)/greatest(tp+fn,1) > 0
+        |    THEN 2 * (CAST(tp AS DOUBLE)/greatest(tp+fp,1)) * (CAST(tp AS DOUBLE)/greatest(tp+fn,1)) /
+        |      (CAST(tp AS DOUBLE)/greatest(tp+fp,1) + CAST(tp AS DOUBLE)/greatest(tp+fn,1))
+        |    ELSE 0.0 END, 6) AS f1
+        |FROM m""".stripMargin
+  )
+}
