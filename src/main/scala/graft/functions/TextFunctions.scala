@@ -125,12 +125,14 @@ object TextFunctions {
     array_distinct(transform(idx, i => text.substr(i, lit(n))))
   }
 
-  /** Word n-grams (space-tokenized), distinct. */
+  /** Word n-grams (space-tokenized), distinct. Texts with < n words give an
+    * EMPTY array (guarded: sequence(1,0) would count downward). */
   def wordNgrams(text: Column, n: Int): Column = {
     val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
-    val count = greatest(size(toks) - (n - 1), lit(0))
-    array_distinct(
-      transform(sequence(lit(1), count),
-        i => array_join(slice(toks, i, lit(n)), " ")))
+    val count = size(toks) - (n - 1)
+    when(count < 1, array().cast("array<string>")).otherwise(
+      array_distinct(
+        transform(sequence(lit(1), count),
+          i => array_join(slice(toks, i, lit(n)), " "))))
   }
 }

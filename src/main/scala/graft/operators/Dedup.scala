@@ -1,0 +1,221 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/**
+ * Deduplication operators for large-scale document corpora
+ * (beyond-reference: the LLM-data-pipeline generalization the reference's
+ * ER blocking+similarity machinery points at — SURVEY §7.5; reference
+ * analogues: blocking entity_resolution.py:287-294, Jaccard :157-164).
+ *
+ * Hashing discipline: every hash is md5 over explicit string material and
+ * minima are taken LEXICOGRAPHICALLY on the hex strings. That keeps
+ * signatures engine-portable (any engine with md5 reproduces them
+ * bit-for-bit — the DuckDB oracles do) and avoids engine-specific integer
+ * hash functions. md5-as-string costs ~2× an int hash; swap
+ * `xxhash64` in `hashStr` for a faster non-portable variant.
+ *
+ * Scale notes (100 TB):
+ *  - exact dedup = one shuffle on the key; with pre-bucketed storage on the
+ *    key it's shuffle-free.
+ *  - MinHash/LSH: signature computation is embarrassingly parallel
+ *    (scan-local). The band-bucket join shuffles `bands × N` rows of
+ *    (band_key, id) — pairs only materialize within buckets, which is the
+ *    whole point; a hot bucket (all-identical boilerplate docs) is the skew
+ *    risk → cap bucket size (`maxBucketSize`) like production dedup
+ *    pipelines do, dropping degenerate buckets to a side channel.
+ *  - SimHash: fingerprint is scan-local; near-dup candidates via banding on
+ *    fingerprint segments (exact-match join), then Hamming verify.
+ */
+object Dedup {
+
+  private def hashStr(c: Column): Column = md5(c)
+
+  // ---------------- exact ----------------
+
+  /** Exact dedup on a key expression: keeps the row with the smallest
+    * tiebreaker per key (deterministic, unlike dropDuplicates which keeps
+    * an arbitrary first). One shuffle. */
+  def exactDedup(df: DataFrame, key: Column, tiebreak: Column): DataFrame =
+    TopK.topKPerGroup(df, Seq(key), Seq(tiebreak.asc), 1).drop("rn")
+
+  /** Groups of exact duplicates (size > 1) by key expression. */
+  def exactDupGroups(df: DataFrame, key: Column): DataFrame =
+    df.groupBy(key.as("dup_key")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+
+  // ---------------- MinHash + LSH ----------------
+
+  /**
+   * MinHash signature of a shingle-set column: `numHashes` independent
+   * permutations simulated by seeded md5; each signature element is the
+   * lexicographic min of md5(seed:shingle) over the set.
+   * Returns array<string> of length `numHashes`; null/empty shingles →
+   * signature of nulls (filtered by callers).
+   */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingles,
+        s => hashStr(concat(i.cast("string"), lit(":"), s)))))
+
+  /** LSH band keys: signature split into `bands` bands of
+    * `numHashes/bands` rows; band key = md5 of the concatenated band slice.
+    * Returns array<struct<band:int, key:string>> for exploding. */
+  def lshBandKeys(signature: Column, numHashes: Int, bands: Int): Column = {
+    val rows = numHashes / bands
+    require(rows * bands == numHashes, "bands must divide numHashes")
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        hashStr(array_join(slice(signature, b * rows + 1, lit(rows)), "|")).as("key")))
+  }
+
+  /**
+   * Near-duplicate candidate pairs via MinHash LSH over a document frame:
+   * docs(idCol, textCol) → (a_id, b_id, jaccard) for verified pairs with
+   * shingle-set Jaccard ≥ `threshold`.
+   *
+   * Plan shape: scan-local shingling+signature → explode bands (bands×N
+   * rows) → self-join on (band, key) → distinct pairs → broadcast-free
+   * verify join back to shingle sets → exact Jaccard filter.
+   */
+  def minhashNearDups(docs: DataFrame, idCol: Column, textCol: Column,
+                      shingleSize: Int = 5, numHashes: Int = 16,
+                      bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val shingled = docs.select(idCol.as("id"),
+        TextFunctions.charShingles(lower(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = shingled.withColumn("sig",
+      minhashSignature(col("sh"), numHashes))
+    val banded = sig.select(col("id"),
+        explode(lshBandKeys(col("sig"), numHashes, bands)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id")).distinct()
+    val withSets = cand
+      .join(shingled.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(shingled.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
+    withSets.select(col("a_id"), col("b_id"),
+        TextFunctions.jaccardTokens(col("a_sh"), col("b_sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ---------------- SimHash ----------------
+
+  /**
+   * SimHash fingerprint over a token array, `bits` wide (≤ 32 keeps int
+   * math portable; the hot path at 64 bits would use two 32-bit halves).
+   * Bit j = sign of Σ_tokens (bit j of md5(token) ? +1 : -1).
+   * Nibble extraction is arithmetic on hex chars — portable to any engine
+   * with md5 + string ops (the DuckDB oracle reproduces it exactly).
+   */
+  def simhash(tokens: Column, bits: Int = 32): Column = {
+    require(bits % 4 == 0 && bits <= 32, "bits must be a multiple of 4, ≤ 32")
+    val hexDigits = bits / 4
+    // per token: first `hexDigits` chars of md5 (one shared subexpression;
+    // codegen's subexpression elimination keeps md5 evaluated once/token)
+    val hashes = transform(tokens, t => substring(hashStr(t), 1, hexDigits))
+    val bitCols = (0 until bits).map { j =>
+      val d = j / 4 + 1                // 1-based hex digit index
+      val bit = j % 4
+      val s = aggregate(hashes, lit(0), (acc, h) => {
+        val nibble = locate_digit(substring(h, d, 1))
+        acc + when(shiftright(nibble, bit) % 2 === 1, 1).otherwise(-1)
+      })
+      when(s > 0, lit(1 << j)).otherwise(lit(0))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** hex char → 0..15 (portable: position arithmetic, no conv()). */
+  private def locate_digit(ch: Column): Column =
+    when(ch.rlike("[0-9]"), ch.cast("int"))
+      .otherwise(ascii(ch) - ascii(lit("a")) + 10)
+
+  /** Hamming distance between two int fingerprints. */
+  def hammingDist(a: Column, b: Column, bits: Int = 32): Column =
+    bit_count(a.bitwiseXOR(b)).cast("int")
+
+  /** SimHash near-dup pairs within a blocking key: fingerprint both sides,
+    * pair within block, keep Hamming ≤ maxDist. */
+  def simhashNearDups(docs: DataFrame, idCol: Column, tokensCol: Column,
+                      blockCol: Column, bits: Int = 32,
+                      maxDist: Int = 3): DataFrame = {
+    val fp = docs.select(idCol.as("id"), blockCol.as("block"),
+      simhash(tokensCol, bits).as("fp"))
+    fp.as("x").join(fp.as("y"),
+        col("x.block") === col("y.block") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        hammingDist(col("x.fp"), col("y.fp"), bits).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
+  // ---------------- n-gram Jaccard ----------------
+
+  /** Word n-gram Jaccard near-dup pairs within a blocking key. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: Column, textCol: Column,
+                        blockCol: Column, n: Int = 3,
+                        threshold: Double = 0.3): DataFrame = {
+    val g = docs.select(idCol.as("id"), blockCol.as("block"),
+      TextFunctions.wordNgrams(textCol, n).as("ng"))
+    g.as("x").join(g.as("y"),
+        col("x.block") === col("y.block") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        TextFunctions.jaccardTokens(col("x.ng"), col("y.ng")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ---------------- embedding cosine ----------------
+
+  /** Embedding-cosine near-dup pairs within a blocking key (brute force
+    * within block; for unblocked corpora use SimilaritySearch.lshBuckets
+    * as the pre-filter). */
+  def cosineNearDups(embs: DataFrame, idCol: Column, vecCol: Column,
+                     blockCol: Column, threshold: Double = 0.95): DataFrame = {
+    import graft.functions.VectorFunctions
+    val e = embs.select(idCol.as("id"), blockCol.as("block"), vecCol.as("v"))
+    e.as("x").join(e.as("y"),
+        col("x.block") === col("y.block") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        VectorFunctions.cosine(col("x.v"), col("y.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  // ---------------- connected components (dup groups) ----------------
+
+  /**
+   * Connected components over an undirected edge list (a_id, b_id) →
+   * (id, component) where component = min reachable id. Iterative
+   * small-label propagation: each round joins current labels across edges
+   * and keeps the min; converges in O(diameter) rounds (dup clusters are
+   * near-cliques → 2-3 rounds). `maxIter` bounds runaway chains; each
+   * round is one shuffle. At 100 TB checkpoint every few rounds to cut
+   * lineage (done here via localCheckpoint).
+   */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 10): DataFrame = {
+    val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val viaEdges = sym
+        .join(labels.withColumnRenamed("id", "dst2"),
+          col("dst") === col("dst2"))
+        .select(col("src").as("id"), col("component"))
+      val next = labels.select(col("id"), col("component")).union(viaEdges)
+        .groupBy("id").agg(min("component").as("component"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), Seq("id"))
+        .filter(col("n.component") =!= col("o.component")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+}

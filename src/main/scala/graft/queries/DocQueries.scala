@@ -1,0 +1,346 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextAnalysis, TextFunctions, VectorFunctions}
+import graft.operators.{Dedup, SimilaritySearch, TopK}
+import graft.sources.Tables
+
+/**
+ * LLM-data-pipeline operator queries (SURVEY §7.5 north star): dedup
+ * (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding cosine),
+ * similarity search (brute-force + LSH-bucketed), and text analysis
+ * (language-ID / quality / token counts / fingerprint) over the
+ * `documents` and `embeddings` tables.
+ *
+ * Every hash in these operators is md5-over-strings with lexicographic
+ * minima precisely so the DuckDB oracles can replicate signatures
+ * bit-for-bit — the LSH band keys, simhash bit sums, and hyperplane signs
+ * below are the same numbers in both engines.
+ */
+object DocQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---- shared SQL fragments (DuckDB) ----
+
+  /** words(text): lowercased whitespace tokens, empties dropped. */
+  private val toksSql =
+    """list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"""
+
+  /** distinct char-5 shingles of lower(text). */
+  private val shinglesSql =
+    """list_distinct(list_transform(range(1, greatest(len(lower(text))-4, 1)+1),
+      | i -> substr(lower(text), i, 5)))""".stripMargin
+
+  /** 16-bit simhash over `toks` (expects CTE alias exposing `toks`). */
+  private def simhash16Sql: String = {
+    val bitTerms = (0 until 16).map { j =>
+      val d = j / 4 + 1
+      val p = 1 << (j % 4)
+      s"""(CASE WHEN coalesce(list_sum(list_transform(toks,
+         | t -> CASE WHEN ((strpos('0123456789abcdef', substr(md5(t), $d, 1))-1) // $p) % 2 = 1
+         |   THEN 1 ELSE -1 END)), 0) > 0 THEN ${1 << j} ELSE 0 END)""".stripMargin
+    }
+    bitTerms.mkString("(", " + ", ")")
+  }
+
+  /** LSH bucket id from hyperplane signs, weights baked as literals —
+    * identical numbers to SimilaritySearch.lshBucket(planes=4, dims=64). */
+  private def lshBucketSql(planes: Int, dims: Int): String = {
+    val planeTerms = (0 until planes).map { p =>
+      val dot = (0 until dims).map { d =>
+        val w = lshPlaneWeight(p, d)
+        s"CAST(embedding[${d + 1}] AS DOUBLE)*($w)"
+      }.mkString(" + ")
+      s"(CASE WHEN ($dot) > 0 THEN ${1 << p} ELSE 0 END)"
+    }
+    planeTerms.mkString("(", " + ", ")")
+  }
+
+  /** Mirror of SimilaritySearch.planeWeight (md5 first-nibble parity). */
+  private def lshPlaneWeight(p: Int, d: Int): Int = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$d".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 0xF) % 2 == 0) 1 else -1
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- exact dedup ----
+    "q40_dedup_first_order" -> ((s, dir) => {
+      // exact dedup by key keeping deterministic min tiebreak (CDC-style)
+      Dedup.exactDedup(t(s, dir, "orders"), col("o_custkey"),
+          struct(col("o_orderdate"), col("o_orderkey")))
+        .select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("first_order"))
+        .orderBy("o_custkey")
+    }),
+
+    "q41_dup_groups" -> ((s, dir) => {
+      // exact duplicate groups by value (hash-groupBy dedup census)
+      Dedup.exactDupGroups(t(s, dir, "part"), col("p_name"))
+        .orderBy("dup_key")
+    }),
+
+    // ---- MinHash + LSH ----
+    "q42_minhash_sig" -> ((s, dir) => {
+      // engine-portable MinHash signatures (md5 lexicographic minima)
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+          array_join(Dedup.minhashSignature(
+            TextFunctions.charShingles(lower(col("text")), 5), 8), ",").as("sig"))
+        .orderBy("doc_id")
+    }),
+
+    "q43_minhash_neardups" -> ((s, dir) => {
+      // banded LSH candidate pairs + exact-Jaccard verify
+      Dedup.minhashNearDups(t(s, dir, "documents"), col("doc_id"), col("text"),
+          shingleSize = 5, numHashes = 16, bands = 8, threshold = 0.25)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // ---- SimHash ----
+    "q44_simhash_fp" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Dedup.simhash(TextAnalysis.words(col("text")), 16).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    "q45_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashNearDups(t(s, dir, "documents"), col("doc_id"),
+          TextAnalysis.words(col("text")),
+          struct(col("lang"), col("source")), bits = 16, maxDist = 6)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // ---- n-gram Jaccard ----
+    "q46_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), col("doc_id"),
+          col("text"), struct(col("lang"), col("source")), n = 3, threshold = 0.05)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // ---- embedding cosine ----
+    "q47_cosine_neardups" -> ((s, dir) => {
+      Dedup.cosineNearDups(t(s, dir, "embeddings"), col("vec_id"),
+          col("embedding"), col("label"), threshold = 0.30)
+        .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    "q48_cosine_topk" -> ((s, dir) => {
+      // brute-force ANN baseline: top-20 by cosine against vec_id=0
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).map(_.toDouble)
+      SimilaritySearch.bruteForceTopK(e, col("vec_id"), col("embedding"), q, 20)
+        .select(col("id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy("rank")
+    }),
+
+    "q49_knn_block" -> ((s, dir) => {
+      // each vector's top-3 neighbors within its label block
+      SimilaritySearch.knnWithinBlock(t(s, dir, "embeddings"), col("vec_id"),
+          col("embedding"), col("label"), 3)
+        .select(col("id"), col("neighbor"),
+          round(col("cosine"), 6).as("cosine"), col("nn_rank"))
+        .orderBy("id", "nn_rank")
+    }),
+
+    "q50_lsh_buckets" -> ((s, dir) => {
+      // hyperplane LSH bucket histogram (the ANN scale path's partitioning)
+      SimilaritySearch.lshBuckets(t(s, dir, "embeddings"), col("vec_id"),
+          col("embedding"), dims = 64, planes = 4)
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+
+    // ---- text analysis ----
+    "q51_language_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    "q52_quality_score" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    "q53_token_counts" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
+          TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "q54_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.contentFingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q40_dedup_first_order" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS first_order
+        |FROM orders QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey) = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q41_dup_groups" ->
+      """SELECT p_name AS dup_key, count(*) AS n FROM part
+        |GROUP BY p_name HAVING count(*) > 1 ORDER BY dup_key""".stripMargin,
+
+    "q42_minhash_sig" ->
+      s"""WITH d AS (SELECT doc_id, $shinglesSql AS sh FROM documents)
+        |SELECT doc_id, array_to_string(list_transform(range(0, 8),
+        |  i -> list_min(list_transform(sh, x -> md5(i::VARCHAR || ':' || x)))), ',') AS sig
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q43_minhash_neardups" ->
+      s"""WITH d AS (SELECT doc_id, $shinglesSql AS sh FROM documents WHERE len(text) > 0),
+        |s AS (SELECT doc_id, sh, list_transform(range(0, 16),
+        |  i -> list_min(list_transform(sh, x -> md5(i::VARCHAR || ':' || x)))) AS sig FROM d),
+        |bands AS (SELECT doc_id, b,
+        |  md5(array_to_string(sig[(2*b+1):(2*b+2)], '|')) AS key
+        |  FROM s, range(0, 8) t(b)),
+        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        |  FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
+        |    AND x.doc_id < y.doc_id),
+        |j AS (SELECT a_id, b_id,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |  FROM cand JOIN d a ON a.doc_id = a_id JOIN d b ON b.doc_id = b_id)
+        |SELECT a_id, b_id, round(jaccard, 6) AS jaccard FROM j
+        |WHERE jaccard >= 0.25 ORDER BY a_id, b_id""".stripMargin,
+
+    "q44_simhash_fp" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents)
+        |SELECT doc_id, $simhash16Sql AS fp FROM d ORDER BY doc_id""".stripMargin,
+
+    "q45_simhash_pairs" ->
+      s"""WITH d AS (SELECT doc_id, lang, source, $toksSql AS toks FROM documents),
+        |f AS (SELECT doc_id, lang, source, $simhash16Sql AS fp FROM d)
+        |SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+        |  bit_count(xor(x.fp, y.fp)) AS hamming
+        |FROM f x JOIN f y ON x.lang = y.lang AND x.source = y.source
+        |  AND x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.fp, y.fp)) <= 6 ORDER BY a_id, b_id""".stripMargin,
+
+    "q46_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, lang, source,
+        |  list_distinct(list_transform(
+        |    range(1, greatest(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)) - 2, 0) + 1),
+        |    i -> array_to_string(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)[i:i+2], ' '))) AS ng
+        |  FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round(CASE WHEN len(a.ng) = 0 OR len(b.ng) = 0 THEN 0.0
+        |    ELSE CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.ng, b.ng))) END, 6) AS jaccard
+        |FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+        |  AND a.doc_id < b.doc_id
+        |WHERE CASE WHEN len(a.ng) = 0 OR len(b.ng) = 0 THEN 0.0
+        |  ELSE CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.ng, b.ng))) END >= 0.05
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q47_cosine_neardups" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.label = b.label
+        |  AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.30
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q48_cosine_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+        |scored AS (SELECT vec_id AS id,
+        |  list_cosine_similarity(embedding::DOUBLE[], qe) AS cosine FROM embeddings, q)
+        |SELECT id, round(cosine, 6) AS cosine,
+        |  CAST(row_number() OVER (ORDER BY cosine DESC, id ASC) AS INTEGER) AS rank
+        |FROM scored QUALIFY rank <= 20 ORDER BY rank""".stripMargin,
+
+    "q49_knn_block" ->
+      """WITH p AS (SELECT a.vec_id AS id, b.vec_id AS neighbor,
+        |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.label = b.label
+        |  AND a.vec_id <> b.vec_id)
+        |SELECT id, neighbor, round(cosine, 6) AS cosine,
+        |  CAST(row_number() OVER (PARTITION BY id ORDER BY cosine DESC, neighbor ASC)
+        |    AS INTEGER) AS nn_rank
+        |FROM p QUALIFY nn_rank <= 3 ORDER BY id, nn_rank""".stripMargin,
+
+    "q50_lsh_buckets" ->
+      s"""SELECT ${lshBucketSql(4, 64)} AS bucket, count(*) AS n
+        |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q51_language_id" ->
+      """WITH d AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |r AS (SELECT doc_id, text,
+        |  CASE WHEN len(toks)=0 THEN 0.0 ELSE CAST(len(list_filter(toks, t -> list_contains(
+        |    ['der','die','das','und','ist','von','nicht','mit','ein','zu'], t))) AS DOUBLE)/len(toks) END AS r_de,
+        |  CASE WHEN len(toks)=0 THEN 0.0 ELSE CAST(len(list_filter(toks, t -> list_contains(
+        |    ['the','and','of','to','a','in','is','that','for','it'], t))) AS DOUBLE)/len(toks) END AS r_en,
+        |  CASE WHEN len(toks)=0 THEN 0.0 ELSE CAST(len(list_filter(toks, t -> list_contains(
+        |    ['el','la','de','los','las','y','es','en','un','una'], t))) AS DOUBLE)/len(toks) END AS r_es,
+        |  CASE WHEN len(toks)=0 THEN 0.0 ELSE CAST(len(list_filter(toks, t -> list_contains(
+        |    ['le','la','les','et','de','est','un','une','dans','pour'], t))) AS DOUBLE)/len(toks) END AS r_fr
+        |  FROM d)
+        |SELECT doc_id,
+        |  CASE WHEN len(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) > 0
+        |         AND len(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) * 2 > len(text)
+        |    THEN 'zh'
+        |    WHEN greatest(r_de, r_en, r_es, r_fr) = 0 THEN 'und'
+        |    WHEN r_de = greatest(r_de, r_en, r_es, r_fr) THEN 'de'
+        |    WHEN r_en = greatest(r_de, r_en, r_es, r_fr) THEN 'en'
+        |    WHEN r_es = greatest(r_de, r_en, r_es, r_fr) THEN 'es'
+        |    ELSE 'fr' END AS lang_pred
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q52_quality_score" ->
+      """WITH d AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(text) AS DOUBLE) AS chars,
+        |  CAST(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) AS letters,
+        |  CAST(len(regexp_replace(text, '[\w\s]', '', 'g')) AS DOUBLE) AS punct,
+        |  CASE WHEN len(toks)=0 THEN 0.0
+        |    ELSE CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)/len(toks) END AS meanlen,
+        |  CASE WHEN len(toks)=0 THEN 0.0 ELSE CAST(len(list_filter(toks, t -> list_contains(
+        |    ['the','and','of','to','a','in','is','that','for','it'], t))) AS DOUBLE)/len(toks) END AS stopr
+        |  FROM d)
+        |SELECT doc_id, round(
+        |  least(chars/500.0, 1.0)*0.25 +
+        |  (CASE WHEN chars=0 THEN 0.0 ELSE letters/chars END)*0.25 +
+        |  (1.0 - CASE WHEN chars=0 THEN 1.0 ELSE punct/chars END)*0.20 +
+        |  (CASE WHEN meanlen >= 3.0 AND meanlen <= 10.0 THEN 1.0 ELSE 0.0 END)*0.15 +
+        |  least(stopr/0.3, 1.0)*0.15, 6) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q53_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS INTEGER)
+        |    AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]+')) AS INTEGER) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q54_fingerprint" ->
+      """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0))), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

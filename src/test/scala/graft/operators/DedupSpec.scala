@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.{TextAnalysis, TextFunctions}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactDedup keeps deterministic min-tiebreak row per key") {
+    val df = Seq(("a", 3, "x3"), ("a", 1, "x1"), ("b", 2, "y2"), ("a", 2, "x2"))
+      .toDF("k", "v", "payload")
+    val out = Dedup.exactDedup(df, col("k"), col("v")).orderBy("k").collect()
+    assert(out.map(r => (r.getString(0), r.getString(2))).toSeq ==
+      Seq(("a", "x1"), ("b", "y2")))
+  }
+
+  test("exactDupGroups finds only keys with count > 1") {
+    val df = Seq("x", "y", "x", "z", "x", "y").toDF("k")
+    val g = Dedup.exactDupGroups(df, col("k")).orderBy("dup_key").collect()
+    assert(g.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("x", 3L), ("y", 2L)))
+  }
+
+  test("minhash: identical text → identical signature, bands collide") {
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different content here with other words"))
+      .toDF("id", "text")
+    val pairs = Dedup.minhashNearDups(docs, col("id"), col("text"),
+      numHashes = 16, bands = 8, threshold = 0.9).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(pairs.head.getDouble(2) == 1.0)
+  }
+
+  test("simhash: identical tokens → identical fp; hamming 0") {
+    val docs = Seq((1L, "alpha beta gamma", "g"), (2L, "alpha beta gamma", "g"),
+      (3L, "delta epsilon zeta", "g")).toDF("id", "text", "grp")
+    val out = Dedup.simhashNearDups(docs, col("id"),
+      TextAnalysis.words(col("text")), col("grp"), bits = 16, maxDist = 0)
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq ==
+      Seq((1L, 2L, 0)))
+  }
+
+  test("simhash is order-insensitive over token multiset") {
+    val df = Seq(("alpha beta gamma alpha", "gamma alpha alpha beta")).toDF("a", "b")
+    val r = df.select(
+      Dedup.simhash(TextAnalysis.words(col("a")), 16).as("fa"),
+      Dedup.simhash(TextAnalysis.words(col("b")), 16).as("fb")).head
+    assert(r.getInt(0) == r.getInt(1))
+  }
+
+  test("connectedComponents labels dup clusters with min id") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 20L))
+      .toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L)
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+    assert(cc(20L) == 20L && cc(21L) == 20L && cc(22L) == 20L)
+  }
+
+  test("ngram jaccard: overlapping vs disjoint") {
+    val docs = Seq((1L, "a b c d e", "g"), (2L, "a b c d x", "g"),
+      (3L, "p q r s t", "g")).toDF("id", "text", "grp")
+    val out = Dedup.ngramJaccardPairs(docs, col("id"), col("text"), col("grp"),
+      n = 3, threshold = 0.1).collect()
+    // trigrams doc1: {abc,bcd,cde}, doc2: {abc,bcd,cdx} → J = 2/4 = 0.5
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(math.abs(out.head.getDouble(2) - 0.5) < 1e-9)
+  }
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val embs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f), 0),
+    (2L, Array(0.9f, 0.1f, 0.0f), 0),
+    (3L, Array(0.0f, 1.0f, 0.0f), 0),
+    (4L, Array(0.0f, 0.0f, 1.0f), 1),
+    (5L, Array(0.1f, 0.0f, 0.9f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("bruteForceTopK returns exact cosine ranking") {
+    val out = SimilaritySearch.bruteForceTopK(embs, col("vec_id"),
+      col("embedding"), Seq(1.0, 0.0, 0.0), 3).orderBy("rank").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 5L))
+    assert(out.head.getDouble(1) == 1.0)
+  }
+
+  test("lshTopK agrees with brute force when buckets align (self-query)") {
+    val q = Seq(1.0, 0.0, 0.0)
+    val brute = SimilaritySearch.bruteForceTopK(embs, col("vec_id"),
+      col("embedding"), q, 1).head.getLong(0)
+    val ann = SimilaritySearch.lshTopK(embs, col("vec_id"), col("embedding"),
+      q, dims = 3, planes = 2, k = 1).collect()
+    // the true NN shares the query's bucket by construction here
+    assert(ann.nonEmpty && ann.head.getLong(0) == brute)
+  }
+
+  test("lshBuckets is deterministic and stable across invocations") {
+    val b1 = SimilaritySearch.lshBuckets(embs, col("vec_id"), col("embedding"), 3, 4)
+      .select("id", "bucket").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b2 = SimilaritySearch.lshBuckets(embs, col("vec_id"), col("embedding"), 3, 4)
+      .select("id", "bucket").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(b1 == b2)
+    // near-identical vectors land in the same bucket
+    assert(b1(1L) == b1(2L))
+    assert(b1(4L) == b1(5L))
+  }
+
+  test("knnWithinBlock ranks neighbors per item within label") {
+    val out = SimilaritySearch.knnWithinBlock(embs, col("vec_id"),
+      col("embedding"), col("label"), 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 2L) // 1's nearest in label 0 is 2
+    assert(out(4L) == 5L)
+    assert(out(5L) == 4L)
+  }
+}
