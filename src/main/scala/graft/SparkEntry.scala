@@ -54,12 +54,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
       graft.queries.ErQueries.queries ++
-      graft.queries.DocQueries.queries
+      graft.queries.DocQueries.queries ++
+      graft.queries.MlQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++
       graft.queries.ErQueries.oracleSql ++
-      graft.queries.DocQueries.oracleSql
+      graft.queries.DocQueries.oracleSql ++
+      graft.queries.MlQueries.oracleSql
 }

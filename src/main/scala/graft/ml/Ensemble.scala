@@ -1,0 +1,147 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification.{
+  GBTClassifier, MultilayerPerceptronClassifier, RandomForestClassifier}
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Four-model cross-sell scoring ensemble (reference: src/ml/pipeline.py
+ * OpportunityScorer — model zoo :206-239, predict + weighted vote
+ * :269-290; configs config/ml_config.yaml).
+ *
+ * Model substitutions (documented per SURVEY §7.4.2 — MLlib has no
+ * torch/xgboost and the build is zero-egress):
+ *   - nn  (torch MLP 64/32/16, dropout .3, sigmoid)  → MultilayerPerceptronClassifier
+ *     layers [d,64,32,16,2] (no dropout/batchnorm in MLlib; softmax pair ≙ sigmoid)
+ *   - xgb (XGBClassifier 100/d6/lr.1)                → GBTClassifier(100, d6, step .1)
+ *   - rf  (RandomForestClassifier 100/d10)           → RandomForestClassifier(100, d10)
+ *   - gbt (GradientBoostingClassifier 100/d5/lr.1)   → GBTClassifier(100, d5, step .1)
+ * Ensemble weights stay the reference's 0.3/0.3/0.2/0.2; evaluation gates
+ * on seeded metric thresholds, not weight-identical outputs (SURVEY §5).
+ *
+ * Scale notes (100 TB): training data for this ensemble is the candidate
+ * pair table AFTER top-k pruning (reference caps at 100/org — BASELINE),
+ * so fit() input is bounded regardless of raw data size. scoreAll() is a
+ * pure transform: 4 model broadcasts + per-row math, no shuffle; MLlib
+ * tree/MLP transforms are executor-local and pipeline into the downstream
+ * rank window. Use `Scoring.weightedVote` columns so the vote fuses into
+ * codegen rather than materializing 4 intermediate frames.
+ */
+final class Ensemble(
+    featureCols: Seq[String],
+    numTrees: Int = 100,
+    rfDepth: Int = 10,
+    xgbIter: Int = 100,
+    gbtIter: Int = 100,
+    mlpIter: Int = 50,
+    seed: Long = 42L) extends Serializable {
+
+  private def assembler = new VectorAssembler()
+    .setInputCols(featureCols.toArray).setOutputCol("features")
+
+  /** (name, weight, estimator-pipeline) triples. Per-model prediction
+    * columns are suffixed so transforms compose on one frame. */
+  private def estimators(d: Int) = Seq(
+    ("nn", new MultilayerPerceptronClassifier()
+      .setLayers(Array(d, 64, 32, 16, 2)).setMaxIter(mlpIter)
+      .setSeed(seed).setLabelCol("label").setFeaturesCol("features")),
+    ("xgb", new GBTClassifier().setMaxIter(xgbIter).setMaxDepth(6)
+      .setStepSize(0.1).setSeed(seed).setLabelCol("label")
+      .setFeaturesCol("features")),
+    ("rf", new RandomForestClassifier().setNumTrees(numTrees)
+      .setMaxDepth(rfDepth).setSeed(seed).setLabelCol("label")
+      .setFeaturesCol("features")),
+    ("gbt", new GBTClassifier().setMaxIter(gbtIter).setMaxDepth(5)
+      .setStepSize(0.1).setSeed(seed).setLabelCol("label")
+      .setFeaturesCol("features")))
+
+  /** Train/validation split, reference: pipeline.py:202-204 (0.2, seed 42). */
+  def split(df: DataFrame): (DataFrame, DataFrame) = {
+    val Array(tr, va) = df.randomSplit(Array(0.8, 0.2), seed)
+    (tr, va)
+  }
+
+  /** Fit all four models on `train` (must contain featureCols + integer
+    * `label`). Small bounded input (post-top-k candidates) → single fit
+    * per model; MLlib distributes tree building over partitions. */
+  def fit(train: DataFrame): EnsembleModel = {
+    val d = featureCols.size
+    val models = estimators(d).map { case (name, est) =>
+      val pipe = new Pipeline().setStages(Array(assembler,
+        est.asInstanceOf[org.apache.spark.ml.PipelineStage]))
+      name -> pipe.fit(train)
+    }
+    new EnsembleModel(models, Scoring.referenceWeights.toMap)
+  }
+}
+
+/**
+ * Fitted ensemble: scoring transform + persistence
+ * (reference: predict pipeline.py:269-290; persistence M11
+ * orchestrator.py:355-373 — joblib pkl → PipelineModel.save dirs).
+ */
+final class EnsembleModel(
+    val models: Seq[(String, PipelineModel)],
+    val weights: Map[String, Double]) extends Serializable {
+
+  /** Per-model P(class=1) columns appended as score_<name>. */
+  def withModelScores(df: DataFrame): DataFrame =
+    models.foldLeft(df) { case (acc, (name, m)) =>
+      val scored = m.transform(acc)
+        .withColumn(s"score_$name", vector_to_array(col("probability"))(1))
+      scored.drop("features", "rawPrediction", "probability", "prediction")
+    }
+
+  private def scoreCols: Seq[(Column, Double)] =
+    models.map { case (name, _) => (col(s"score_$name"), weights(name)) }
+
+  /** Full scoring: per-model scores, weighted ensemble vote, consensus
+    * std-dev, confidence bucket (reference: pipeline.py:269-290,375-389). */
+  def scoreAll(df: DataFrame): DataFrame = {
+    val withScores = withModelScores(df)
+    withScores
+      .withColumn("score", Scoring.weightedVote(scoreCols))
+      .withColumn("score_std", Scoring.consensusStd(scoreCols.map(_._1)))
+      .withColumn("confidence",
+        Scoring.confidenceLevel(col("score"), col("score_std")))
+  }
+
+  /** RF/GBT impurity-based feature importances (reference M10: SHAP is
+    * imported but never invoked; api/main.py:882-890 returns constants —
+    * we return the real thing MLlib computes for free). */
+  def featureImportances(name: String): Option[org.apache.spark.ml.linalg.Vector] =
+    models.collectFirst {
+      case (`name`, m) => m.stages.last match {
+        case rf: org.apache.spark.ml.classification.RandomForestClassificationModel =>
+          rf.featureImportances
+        case gbt: org.apache.spark.ml.classification.GBTClassificationModel =>
+          gbt.featureImportances
+      }
+    }
+
+  def save(dir: String): Unit = {
+    models.foreach { case (name, m) => m.write.overwrite().save(s"$dir/$name") }
+    // weights as a tiny deterministic JSON (no external json dep)
+    val json = weights.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/weights.json"), json)
+  }
+}
+
+object EnsembleModel {
+  def load(dir: String): EnsembleModel = {
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/weights.json"))
+    val weights = "\"([a-z]+)\":([0-9.]+)".r.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val models = weights.keys.toSeq.sorted.map { name =>
+      name -> PipelineModel.load(s"$dir/$name")
+    }
+    new EnsembleModel(models, weights)
+  }
+}

@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.evaluate.RankingMetrics
+import graft.ml.Scoring
+import graft.sources.Tables
+
+/**
+ * Oracle-checked queries for the scoring/evaluation math (SURVEY §2
+ * M7/A12/F17 ensemble vote + confidence; A13 ranking metrics; F23
+ * baselines). Model TRAINING is gated by seeded-metric ScalaTest specs
+ * (EnsembleSpec), not DuckDB — per SURVEY §5; these queries make every
+ * deterministic part of the scoring path hash-checkable by deriving
+ * pseudo model scores from `orders` with plain modular arithmetic that
+ * both engines evaluate identically (no murmur hash, no RNG).
+ */
+object MlQueries {
+
+  /** Deterministic per-model pseudo-scores on orders. Distinct prime
+    * moduli give 4 de-correlated [0,1] streams. */
+  private def pseudoScored(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders").select(
+      col("o_orderkey"),
+      col("o_totalprice"),
+      col("o_orderstatus"),
+      (col("o_orderkey") % 97 / 96.0).as("score_nn"),
+      (col("o_orderkey") % 89 / 88.0).as("score_xgb"),
+      (col("o_orderkey") % 83 / 82.0).as("score_rf"),
+      (col("o_orderkey") % 79 / 78.0).as("score_gbt"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q55_ensemble_vote" -> ((s, dir) => {
+      // weighted vote + population-std consensus + confidence bucket
+      // (reference: pipeline.py:285-288, 375-389)
+      val scores = Seq("nn" -> 0.3, "xgb" -> 0.3, "rf" -> 0.2, "gbt" -> 0.2)
+        .map { case (n, w) => (col(s"score_$n"), w) }
+      pseudoScored(s, dir)
+        .withColumn("score", Scoring.weightedVote(scores))
+        .withColumn("score_std", Scoring.consensusStd(scores.map(_._1)))
+        .withColumn("confidence",
+          Scoring.confidenceLevel(col("score"), col("score_std")))
+        .select(col("o_orderkey"), round(col("score"), 6).as("score"),
+          round(col("score_std"), 6).as("score_std"), col("confidence"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q56_ranking_metrics" -> ((s, dir) => {
+      // P@K / R@K / NDCG@K / coverage over a deterministically scored,
+      // binary-labeled candidate list (reference: evaluate.py:73-98,207-254)
+      val scored = pseudoScored(s, dir)
+        .withColumn("score", col("o_orderkey") % 1000 / 1000.0)
+        .withColumn("label", (col("o_orderstatus") === "F").cast("int"))
+      val m = RankingMetrics.evaluate(scored, col("score"), col("label"),
+        tieBreak = Seq(col("o_orderkey")))
+      m.select(
+        round(col("precision_at_5"), 6).as("precision_at_5"),
+        round(col("precision_at_10"), 6).as("precision_at_10"),
+        round(col("precision_at_20"), 6).as("precision_at_20"),
+        round(col("recall_at_5"), 6).as("recall_at_5"),
+        round(col("recall_at_10"), 6).as("recall_at_10"),
+        round(col("recall_at_20"), 6).as("recall_at_20"),
+        round(col("ndcg_at_5"), 6).as("ndcg_at_5"),
+        round(col("ndcg_at_10"), 6).as("ndcg_at_10"),
+        round(col("ndcg_at_20"), 6).as("ndcg_at_20"),
+        round(col("coverage"), 6).as("coverage"),
+        col("total_recommendations"), col("relevant_items"))
+    }),
+
+    "q57_baseline_scores" -> ((s, dir) => {
+      // popularity (sigmoid of first feature), similarity (min-max feature
+      // sum), deterministic LCG pseudo-random (reference: evaluate.py:267-292;
+      // RNG replaced by replayable arithmetic — SURVEY §7.4.3)
+      val base = Tables.load(s, dir, "orders").select(
+        col("o_orderkey"),
+        (col("o_totalprice") / 100000.0).as("f0"),
+        (col("o_orderkey") % 13 / 13.0).as("f1"))
+      val withSim = RankingMetrics.withSimilarityScore(
+        base, Seq(col("f0"), col("f1")), "similarity_score")
+      withSim.select(
+        col("o_orderkey"),
+        round(RankingMetrics.popularityScore(col("f0")), 6).as("popularity_score"),
+        round(col("similarity_score"), 6).as("similarity_score"),
+        round(col("o_orderkey") * 48271 % 999983 / 999983.0, 6).as("random_score"))
+        .orderBy("o_orderkey")
+    })
+  )
+
+  private val pseudoSql =
+    """scored AS (SELECT o_orderkey, o_totalprice, o_orderstatus,
+      |  (o_orderkey % 97) / 96.0 AS score_nn,
+      |  (o_orderkey % 89) / 88.0 AS score_xgb,
+      |  (o_orderkey % 83) / 82.0 AS score_rf,
+      |  (o_orderkey % 79) / 78.0 AS score_gbt
+      | FROM orders)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q55_ensemble_vote" ->
+      s"""WITH $pseudoSql,
+        |v AS (SELECT o_orderkey,
+        |  0.3*score_nn + 0.3*score_xgb + 0.2*score_rf + 0.2*score_gbt AS score,
+        |  sqrt(((score_nn - m)*(score_nn - m) + (score_xgb - m)*(score_xgb - m)
+        |      + (score_rf - m)*(score_rf - m) + (score_gbt - m)*(score_gbt - m)) / 4.0)
+        |    AS score_std
+        |  FROM (SELECT *,
+        |    (score_nn + score_xgb + score_rf + score_gbt)/4.0 AS m FROM scored))
+        |SELECT o_orderkey, round(score, 6) AS score,
+        |  round(score_std, 6) AS score_std,
+        |  CASE WHEN score > 0.8 AND score_std < 0.1 THEN 'Very High'
+        |       WHEN score > 0.7 AND score_std < 0.15 THEN 'High'
+        |       WHEN score > 0.6 THEN 'Medium'
+        |       ELSE 'Low' END AS confidence
+        |FROM v ORDER BY o_orderkey""".stripMargin,
+
+    "q56_ranking_metrics" ->
+      """WITH s AS (SELECT o_orderkey, (o_orderkey % 1000)/1000.0 AS score,
+        |  CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS rel FROM orders),
+        |r AS (SELECT rel, score,
+        |  row_number() OVER (ORDER BY score DESC, o_orderkey) AS pos,
+        |  row_number() OVER (ORDER BY rel DESC) AS ideal_pos FROM s)
+        |SELECT
+        |  round(CASE WHEN count(*) >= 5 THEN sum(CASE WHEN pos <= 5 THEN rel ELSE 0 END)/5 ELSE 0 END, 6) AS precision_at_5,
+        |  round(CASE WHEN count(*) >= 10 THEN sum(CASE WHEN pos <= 10 THEN rel ELSE 0 END)/10 ELSE 0 END, 6) AS precision_at_10,
+        |  round(CASE WHEN count(*) >= 20 THEN sum(CASE WHEN pos <= 20 THEN rel ELSE 0 END)/20 ELSE 0 END, 6) AS precision_at_20,
+        |  round(CASE WHEN sum(rel) > 0 THEN sum(CASE WHEN pos <= 5 THEN rel ELSE 0 END)/sum(rel) ELSE 0 END, 6) AS recall_at_5,
+        |  round(CASE WHEN sum(rel) > 0 THEN sum(CASE WHEN pos <= 10 THEN rel ELSE 0 END)/sum(rel) ELSE 0 END, 6) AS recall_at_10,
+        |  round(CASE WHEN sum(rel) > 0 THEN sum(CASE WHEN pos <= 20 THEN rel ELSE 0 END)/sum(rel) ELSE 0 END, 6) AS recall_at_20,
+        |  round(sum(CASE WHEN pos <= 5 THEN rel/log2(pos+1) ELSE 0 END)
+        |      / nullif(sum(CASE WHEN ideal_pos <= 5 THEN rel/log2(ideal_pos+1) ELSE 0 END), 0), 6) AS ndcg_at_5,
+        |  round(sum(CASE WHEN pos <= 10 THEN rel/log2(pos+1) ELSE 0 END)
+        |      / nullif(sum(CASE WHEN ideal_pos <= 10 THEN rel/log2(ideal_pos+1) ELSE 0 END), 0), 6) AS ndcg_at_10,
+        |  round(sum(CASE WHEN pos <= 20 THEN rel/log2(pos+1) ELSE 0 END)
+        |      / nullif(sum(CASE WHEN ideal_pos <= 20 THEN rel/log2(ideal_pos+1) ELSE 0 END), 0), 6) AS ndcg_at_20,
+        |  round(avg(CASE WHEN score > 0.5 THEN 1.0 ELSE 0.0 END), 6) AS coverage,
+        |  count(*) AS total_recommendations,
+        |  CAST(sum(rel) AS BIGINT) AS relevant_items
+        |FROM r""".stripMargin,
+
+    "q57_baseline_scores" ->
+      """WITH b AS (SELECT o_orderkey, o_totalprice/100000.0 AS f0,
+        |  (o_orderkey % 13)/13.0 AS f1 FROM orders),
+        |mm AS (SELECT min(f0+f1) AS lo, max(f0+f1) AS hi FROM b)
+        |SELECT o_orderkey,
+        |  round(1.0/(1.0 + exp(-f0)), 6) AS popularity_score,
+        |  round((f0 + f1 - lo)/(hi - lo + 1e-8), 6) AS similarity_score,
+        |  round((o_orderkey * 48271 % 999983)/999983.0, 6) AS random_score
+        |FROM b, mm ORDER BY o_orderkey""".stripMargin
+  )
+}

@@ -1,0 +1,61 @@
+package graft.evaluate
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/**
+ * Hand-computed goldens for the ranking metrics, mirroring the reference
+ * formulas at scripts/evaluate.py:73-98 (DCG log2(i+2) discount, IDCG on
+ * the full sorted label list, P@k = 0 when n < k).
+ */
+class RankingMetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 6 candidates, scores descending by id for a fixed ranking:
+  // relevances in score order = [1, 0, 1, 1, 0, 0]
+  private lazy val df = Seq(
+    (1, 0.9, 1), (2, 0.8, 0), (3, 0.7, 1),
+    (4, 0.6, 1), (5, 0.4, 0), (6, 0.3, 0)
+  ).toDF("id", "score", "label")
+
+  private def log2d(x: Double) = math.log(x) / math.log(2)
+
+  test("precision/recall/ndcg/coverage match hand computation") {
+    val m = RankingMetrics.evaluate(df, col("score"), col("label"),
+      tieBreak = Seq(col("id")), ks = Seq(5, 10)).head
+
+    // P@5 = (1+0+1+1+0)/5 = 0.6 ; P@10 = 0 (only 6 rows)
+    assert(math.abs(m.getAs[Double]("precision_at_5") - 0.6) < 1e-9)
+    assert(m.getAs[Double]("precision_at_10") == 0.0)
+    // R@5 = 3/3 = 1.0
+    assert(math.abs(m.getAs[Double]("recall_at_5") - 1.0) < 1e-9)
+    // DCG@5 = 1/log2(2) + 1/log2(4) + 1/log2(5); IDCG@5 = 1/log2(2)+1/log2(3)+1/log2(4)
+    val dcg = 1 / log2d(2) + 1 / log2d(4) + 1 / log2d(5)
+    val idcg = 1 / log2d(2) + 1 / log2d(3) + 1 / log2d(4)
+    assert(math.abs(m.getAs[Double]("ndcg_at_5") - dcg / idcg) < 1e-9)
+    // coverage = 4/6 scores > 0.5
+    assert(math.abs(m.getAs[Double]("coverage") - 4.0 / 6) < 1e-9)
+    assert(m.getAs[Long]("total_recommendations") == 6L)
+    assert(m.getAs[Long]("relevant_items") == 3L)
+  }
+
+  test("empty-relevant edge: recall and ndcg are 0, not NaN") {
+    val none = df.withColumn("label", lit(0))
+    val m = RankingMetrics.evaluate(none, col("score"), col("label"),
+      tieBreak = Seq(col("id")), ks = Seq(5)).head
+    assert(m.getAs[Double]("recall_at_5") == 0.0)
+    assert(m.getAs[Double]("ndcg_at_5") == 0.0)
+  }
+
+  test("baselines: popularity sigmoid and similarity min-max") {
+    val b = df.select(col("id"), (col("id") * 1.0).as("f0"),
+      (col("id") * 2.0).as("f1"))
+    val sim = RankingMetrics.withSimilarityScore(b, Seq(col("f0"), col("f1")))
+      .orderBy("id").select("score").as[Double].collect()
+    // feature sums 3,6,9,12,15,18 → min-max ≈ 0 .. 1
+    assert(math.abs(sim.head - 0.0) < 1e-6 && math.abs(sim.last - 1.0) < 1e-6)
+    val pop = b.select(RankingMetrics.popularityScore(col("f0")))
+      .orderBy(col("f0")).as[Double].head()
+    assert(math.abs(pop - 1.0 / (1 + math.exp(-1.0))) < 1e-9)
+  }
+}
