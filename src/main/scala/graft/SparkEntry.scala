@@ -55,7 +55,8 @@ object SparkEntry {
     graft.queries.CoreQueries.queries ++
       graft.queries.ErQueries.queries ++
       graft.queries.DocQueries.queries ++
-      graft.queries.MlQueries.queries
+      graft.queries.MlQueries.queries ++
+      graft.queries.ServeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -63,5 +64,6 @@ object SparkEntry {
     graft.queries.CoreQueries.oracleSql ++
       graft.queries.ErQueries.oracleSql ++
       graft.queries.DocQueries.oracleSql ++
-      graft.queries.MlQueries.oracleSql
+      graft.queries.MlQueries.oracleSql ++
+      graft.queries.ServeQueries.oracleSql
 }

@@ -1,0 +1,112 @@
+package graft.serve
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Serving-path query compilation (reference: src/api/main.py —
+ * OpportunityFilter :156-168, dynamic predicate build :444-468, sort
+ * whitelist + pagination :471-478, insights aggregations :652-761,
+ * export :794-858; dashboard variants src/visualization/dashboard.py
+ * :107-120).
+ *
+ * The reference compiles a validated filter struct into a SQLAlchemy
+ * WHERE; here the same struct compiles into a `Column` conjunction that
+ * Catalyst pushes into the scan (PushedFilters) — the "optimizer" the
+ * reference delegated to Postgres is Catalyst. All functions are pure
+ * plan transformations: nothing executes until the caller acts.
+ *
+ * Scale notes (100 TB): a serving layer over parquet at this scale keys
+ * the recommendations dataset by date/org partitions so these predicates
+ * prune partitions, not just rows; `page` is sort + global limit —
+ * Spark's limit-after-sort only materializes the page via TakeOrdered.
+ */
+object Serve {
+
+  /** Filter struct (reference: api/main.py:156-168). All fields optional;
+    * present fields AND together (reference :444-468 — org lists OR). */
+  final case class RecFilter(
+      minScore: Option[Double] = None,
+      maxScore: Option[Double] = None,
+      confidenceLevels: Seq[String] = Nil,
+      recommendationTypes: Seq[String] = Nil,
+      orgIds: Seq[String] = Nil,
+      createdFrom: Option[java.sql.Timestamp] = None,
+      createdTo: Option[java.sql.Timestamp] = None)
+
+  /** Compile the filter struct into one Column predicate. */
+  def compile(f: RecFilter,
+              score: Column = col("score"),
+              confidence: Column = col("confidence"),
+              recType: Column = col("recommendation_type"),
+              org1: Column = col("org1_id"),
+              org2: Column = col("org2_id"),
+              createdAt: Column = col("created_at")): Column = {
+    val preds: Seq[Column] = Seq(
+      f.minScore.map(score >= _),
+      f.maxScore.map(score <= _),
+      Option.when(f.confidenceLevels.nonEmpty)(
+        confidence.isin(f.confidenceLevels: _*)),
+      Option.when(f.recommendationTypes.nonEmpty)(
+        recType.isin(f.recommendationTypes: _*)),
+      Option.when(f.orgIds.nonEmpty)(
+        org1.isin(f.orgIds: _*) || org2.isin(f.orgIds: _*)),
+      f.createdFrom.map(createdAt >= _),
+      f.createdTo.map(createdAt <= _)).flatten
+    preds.reduceOption(_ && _).getOrElse(lit(true))
+  }
+
+  /** Whitelisted dynamic sort + pagination (reference: api/main.py:167,
+    * 471-478 — unknown sort keys fall back to score; limit 1-1000). */
+  def page(df: DataFrame, sortBy: String, ascending: Boolean,
+           limit: Int, offset: Int,
+           whitelist: Set[String] = Set("score", "estimated_value", "created_at"))
+      : DataFrame = {
+    val key = if (whitelist.contains(sortBy)) sortBy else "score"
+    val sorted = df.orderBy(if (ascending) col(key).asc else col(key).desc)
+    val capped = math.min(math.max(limit, 1), 1000)
+    (if (offset > 0) sorted.offset(offset) else sorted).limit(capped)
+  }
+
+  /** Insights summary (reference: api/main.py:663-676 A3): one row of
+    * count / total value / avg score / high-value count / avg deal size. */
+  def insightsSummary(df: DataFrame, score: Column = col("score"),
+                      value: Column = col("estimated_value")): DataFrame =
+    df.agg(
+      count(lit(1)).as("total_recommendations"),
+      sum(value).as("total_estimated_value"),
+      avg(score).as("avg_score"),
+      sum((score > 0.8).cast("long")).as("high_value_count"),
+      avg(value).as("avg_deal_size"))
+
+  /** Per-dimension breakdown (reference: api/main.py:725-747 A4/A5). */
+  def breakdown(df: DataFrame, dim: Column, score: Column = col("score"),
+                value: Column = col("estimated_value")): DataFrame =
+    df.groupBy(dim).agg(
+      count(lit(1)).as("n"),
+      sum(value).as("total_value"),
+      avg(score).as("avg_score"))
+
+  /** Daily trend, last `days` days from `asOf` (reference:
+    * api/main.py:750-761 A6 — frozen asOf, not now(); SURVEY §7.4.3). */
+  def dailyTrend(df: DataFrame, createdAt: Column, asOf: Column,
+                 days: Int, value: Column = col("estimated_value")): DataFrame =
+    df.filter(createdAt >= date_sub(asOf, days))
+      .groupBy(to_date(createdAt).as("day"))
+      .agg(count(lit(1)).as("n"), sum(value).as("total_value"))
+      .orderBy("day")
+
+  /** Export (reference: api/main.py:794-858 S13; Excel declared
+    * unsupported per SURVEY §7.4.7). */
+  def exportCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def exportJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Point-scoring path (reference: api/main.py:589-641 E3): the same
+    * expression graph evaluated on a 1-row frame — correctness-identical
+    * to the batch path by construction. */
+  def scoreOne(pair: DataFrame, scoreExprs: Seq[(String, Column)]): DataFrame =
+    scoreExprs.foldLeft(pair) { case (d, (name, c)) => d.withColumn(name, c) }
+}

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/**
+ * Structured Streaming realizations of the reference's four
+ * incremental/micro-batch patterns (SURVEY §2.8):
+ *
+ *   T1 watermark incremental sync   (reference: data_contracts.py:235-275)
+ *   T2 scheduled micro-batch runs   (reference: orchestrator.py:471-495)
+ *   T3 buffered idempotent log sink (reference: feedback_logging.py:327-384)
+ *   T4 event-time daily rollups     (reference: dashboard.py:71-79,
+ *                                    api/main.py:750-761)
+ *
+ * Scale notes (100 TB / continuous ingest): the rollup state is bounded by
+ * the watermark horizon × group cardinality — state eviction is what makes
+ * a day-window aggregate run forever on an unbounded stream. File-source
+ * streams track seen files in the checkpoint; `maxFilesPerTrigger` bounds
+ * per-batch work. foreachBatch writes land in per-batch directories so a
+ * replayed batch overwrites itself (exactly-once on top of at-least-once
+ * delivery — same contract as the reference's session.merge upsert).
+ */
+object Streams {
+
+  /** events table schema for the streaming file source (streams require an
+    * explicit schema; ts arrives as parquet TIMESTAMP(NANOS) which Spark
+    * reads as long under the nanosAsLong conf that Tables.load sets). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos since epoch
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** T1 (stream form): file-source stream of events with an event-time
+    * watermark. `dir` must contain only events parquet files. */
+  def readEvents(spark: SparkSession, dir: String,
+                 watermark: String = "1 day",
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val reader = spark.readStream.schema(eventsRawSchema)
+    val tuned = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+    tuned.parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", watermark)
+  }
+
+  /** T4: event-time daily rollup — count + sum(value) per (day, type).
+    * On a stream the watermark bounds state; on a batch frame the same
+    * expression is the dashboard rollup (q25). */
+  def dailyRollup(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** T2: run a streaming query as a scheduled micro-batch drain —
+    * processes everything available, then stops (the Spark-native form of
+    * the reference's cron rerun loop). */
+  def runAvailableNow(writer: DataStreamWriter[org.apache.spark.sql.Row],
+                      checkpoint: String): StreamingQuery = {
+    val q = writer
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** T3: idempotent micro-batch sink. Each batch lands in its own
+    * `batch_id=<n>` directory with overwrite, so at-least-once replay of a
+    * batch after failure rewrites the same files instead of duplicating
+    * (reference's buffered flush + merge upsert semantics). Within-batch
+    * duplicates are collapsed on `keyCols` first. */
+  def idempotentBatchWriter(outDir: String, keyCols: Seq[String])
+      : (DataFrame, Long) => Unit = { (batch, id) =>
+    batch.dropDuplicates(keyCols)
+      .write.mode("overwrite")
+      .parquet(s"$outDir/batch_id=$id")
+  }
+
+  /** Drain an events directory through the streaming daily rollup into
+    * parquet and return the materialized result (complete mode via
+    * foreachBatch overwrite — each AvailableNow drain rewrites the rollup,
+    * which is the streaming equivalent of the dashboard's cached query). */
+  def rollupAvailableNow(spark: SparkSession, eventsDir: String,
+                         outDir: String, checkpoint: String): DataFrame = {
+    val rollup = dailyRollup(readEvents(spark, eventsDir))
+    val writer = rollup.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // update-mode emits changed windows per batch; a single
+        // AvailableNow drain emits each window once → plain append.
+        batch.write.mode("append").parquet(outDir)
+        ()
+      }
+    runAvailableNow(writer, checkpoint)
+    spark.read.parquet(outDir)
+  }
+}

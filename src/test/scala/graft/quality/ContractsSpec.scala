@@ -1,0 +1,72 @@
+package graft.quality
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.quality.Contracts._
+
+/** Severity + counter semantics vs the reference validator
+  * (data_contracts.py:103-192): errors for null/unique/range, warnings
+  * for allowed-set and missing optional columns. */
+class ContractsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val contract = DataContract(
+    name = "t",
+    requiredColumns = Seq("id", "name"),
+    columns = Seq(
+      ColumnContract("id", "string", nullable = false, unique = true),
+      ColumnContract("name", "string", nullable = false),
+      ColumnContract("rev", "numeric", minValue = Some(0), maxValue = Some(100)),
+      ColumnContract("rating", "string",
+        allowedValues = Some(Set("Hot", "Cold"))),
+      ColumnContract("extra", "string")),
+    minRows = 1)
+
+  test("clean frame validates with per-column null counts") {
+    val df = Seq(("a", "x", 5.0, "Hot"), ("b", "y", 10.0, "Cold"))
+      .toDF("id", "name", "rev", "rating")
+    val r = validate(df, contract)
+    assert(r.isValid)
+    assert(r.warnings.exists(_.contains("'extra' not found")))
+    assert(r.rowCount == 2 && r.nullCounts("rev") == 0)
+  }
+
+  test("null, duplicate, range and allowed-set violations classified") {
+    val df = Seq(
+      ("a", "x", -5.0, "Hot"),       // rev below min
+      ("a", "y", 150.0, "Tepid"),    // dup id, rev above max, bad rating
+      (null.asInstanceOf[String], "z", 50.0, "Cold")) // null id
+      .toDF("id", "name", "rev", "rating")
+    val r = validate(df, contract)
+    assert(!r.isValid)
+    assert(r.errors.exists(_.contains("'id' has 1 null")))
+    assert(r.errors.exists(_.contains("'id' has 1 duplicate")))
+    assert(r.errors.exists(_.contains("1 values below minimum 0.0")))
+    assert(r.errors.exists(_.contains("1 values above maximum 100.0")))
+    assert(r.warnings.exists(_.contains("'rating' has 1 values outside")))
+  }
+
+  test("row-count bounds: min is an error, max a warning") {
+    val empty = Seq.empty[(String, String)].toDF("id", "name")
+    val r = validate(empty, contract)
+    assert(r.errors.exists(_.contains("below minimum 1")))
+    val wide = validate(
+      Seq(("a", "x"), ("b", "y")).toDF("id", "name"),
+      contract.copy(maxRows = Some(1)))
+    assert(wide.warnings.exists(_.contains("exceeds maximum 1")))
+  }
+
+  test("missing required column is an error") {
+    val df = Seq(("a")).toDF("id")
+    val r = validate(df, contract)
+    assert(r.errors.exists(_.contains("Required column 'name' missing")))
+  }
+
+  test("quality summary rollup (A10)") {
+    val hist = Seq((true, 100L, 0L), (false, 50L, 3L))
+      .toDF("is_valid", "row_count", "error_count")
+    val row = qualitySummary(hist).head
+    assert(row.getDouble(0) == 0.5 && row.getDouble(1) == 75.0 &&
+      row.getLong(2) == 3L)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.serve
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.serve.Serve._
+
+/** Filter-compiler and pagination semantics vs the reference API
+  * (api/main.py:444-478). */
+class ServeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val recs = Seq(
+    (1, 0.9, "High", "Industry Expansion", "o1", "o2"),
+    (2, 0.7, "Medium", "Partner Referral", "o3", "o1"),
+    (3, 0.4, "Low", "Market Development", "o2", "o3"),
+    (4, 0.95, "Very High", "Industry Expansion", "o4", "o5")
+  ).toDF("id", "score", "confidence", "recommendation_type", "org1_id", "org2_id")
+
+  test("empty filter compiles to always-true") {
+    assert(recs.filter(compile(RecFilter())).count() == 4)
+  }
+
+  test("all predicate kinds AND together; org list ORs across both sides") {
+    val f = RecFilter(minScore = Some(0.5),
+      confidenceLevels = Seq("High", "Medium"), orgIds = Seq("o1"))
+    val got = recs.filter(compile(f)).select("id").as[Int].collect().sorted
+    assert(got.toSeq == Seq(1, 2)) // o1 matches via org1 (id 1) and org2 (id 2)
+  }
+
+  test("pagination: whitelist fallback, offset+limit, bounds clamp") {
+    val p = page(recs, "nonsense_column", ascending = false,
+      limit = 2, offset = 1)
+    // falls back to score desc → order 4, 1, 2, 3 → offset 1 limit 2 → 1, 2
+    assert(p.select("id").as[Int].collect().toSeq == Seq(1, 2))
+    assert(page(recs, "score", ascending = true, limit = 5000, offset = 0)
+      .count() == 4) // limit clamped to 1000, not an error
+  }
+
+  test("insights summary shape (A3)") {
+    val row = insightsSummary(
+      recs.withColumn("estimated_value", col("score") * 1000)).head
+    assert(row.getAs[Long]("total_recommendations") == 4L)
+    assert(row.getAs[Long]("high_value_count") == 2L)
+  }
+
+  test("point-score path applies expression graph to 1-row frame (E3)") {
+    val one = Seq((0.2, 0.6)).toDF("f1", "f2")
+    val scored = scoreOne(one, Seq(
+      "score" -> (col("f1") * 0.5 + col("f2") * 0.5),
+      "confidence" -> graft.ml.Scoring.confidenceLevelScoreOnly(col("score"))))
+    val r = scored.head
+    assert(math.abs(r.getAs[Double]("score") - 0.4) < 1e-9)
+    assert(r.getAs[String]("confidence") == "Low")
+  }
+}

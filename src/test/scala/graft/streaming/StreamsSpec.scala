@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** T1-T4 streaming semantics (SURVEY §2.8): stream==batch equivalence for
+  * the daily rollup, watermark late-data drop, idempotent batch sink. */
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("T2/T4: AvailableNow streaming rollup equals batch rollup") {
+    // stage events.parquet alone in a dir (file source reads a directory)
+    val dir = tmp("graft-events")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(s"$dir/events.parquet"))
+    val streamed = Streams.rollupAvailableNow(spark, dir,
+        tmp("graft-rollup-out"), tmp("graft-rollup-ckpt"))
+      .select("day", "event_type", "n", "total_value")
+    val batch = Streams.dailyRollup(
+        Tables.load(spark, "/root/testdata/sf0.001", "events"))
+      .select("day", "event_type", "n", "total_value")
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("T1: watermark drops late rows that arrive after horizon passes") {
+    val mem = MemoryStream[(Timestamp, String, Double)](spark)
+    val rollup = Streams.dailyRollup(
+      mem.toDF.toDF("ts", "event_type", "value").withWatermark("ts", "1 day"))
+    val q = rollup.writeStream.format("memory")
+      .queryName("wm_rollup").outputMode("update")
+      .option("checkpointLocation", tmp("graft-wm-ckpt"))
+      .start()
+    // batch 1: day 10 → watermark advances to day 9
+    mem.addData((Timestamp.valueOf("2024-01-10 12:00:00"), "click", 1.0))
+    q.processAllAvailable()
+    // batch 2: day 1 is far behind the watermark → must be dropped
+    mem.addData((Timestamp.valueOf("2024-01-01 12:00:00"), "late", 5.0))
+    q.processAllAvailable()
+    // batch 3: day 10 again → still aggregated (state alive)
+    mem.addData((Timestamp.valueOf("2024-01-10 13:00:00"), "click", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("wm_rollup")
+    assert(out.filter(col("event_type") === "late").isEmpty,
+      "late row beyond watermark must not produce output")
+    val day10 = out.filter(col("day") === "2024-01-10")
+      .agg(max("n")).head.getLong(0)
+    assert(day10 == 2L, "in-horizon updates keep aggregating")
+  }
+
+  test("T3: idempotent batch writer — replayed batch does not duplicate") {
+    val out = tmp("graft-sink")
+    val writer = Streams.idempotentBatchWriter(out, Seq("id"))
+    val batch = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("id", "v")
+    writer(batch, 7L)        // first delivery (with an in-batch duplicate)
+    writer(batch, 7L)        // at-least-once replay of the same batch
+    val persisted = spark.read.parquet(out)
+    assert(persisted.count() == 2, "replay must overwrite, not append")
+    writer(batch.withColumn("id", col("id") + 10), 8L) // next batch appends
+    assert(spark.read.parquet(out).count() == 4)
+  }
+}
