@@ -56,7 +56,8 @@ object SparkEntry {
       graft.queries.ErQueries.queries ++
       graft.queries.DocQueries.queries ++
       graft.queries.MlQueries.queries ++
-      graft.queries.ServeQueries.queries
+      graft.queries.ServeQueries.queries ++
+      graft.queries.MediaQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -65,5 +66,6 @@ object SparkEntry {
       graft.queries.ErQueries.oracleSql ++
       graft.queries.DocQueries.oracleSql ++
       graft.queries.MlQueries.oracleSql ++
-      graft.queries.ServeQueries.oracleSql
+      graft.queries.ServeQueries.oracleSql ++
+      graft.queries.MediaQueries.oracleSql
 }
