@@ -49,17 +49,49 @@ object Dedup {
 
   // ---------------- MinHash + LSH ----------------
 
+  /** Prime just above 2^32 — the modulus of the affine permutation family.
+    * All affine math stays < 2^41, far from long overflow (overflow
+    * semantics differ between engines; staying exact keeps the DuckDB
+    * oracle bit-identical). */
+  val MinhashPrime = 4294967311L
+
+  /** Base hash of one shingle: first 8 hex chars of md5 as a uint32-range
+    * long. Each shingle is hashed ONCE; every permutation derives from
+    * the integer (hashing per permutation × shingle would cost
+    * numHashes× more scan time for nothing). */
+  def shingleHash(shingle: Column): Column =
+    conv(substring(hashStr(shingle), 1, 8), 16, 10).cast("long")
+
+  /** Affine permutation i of a base hash: h → (h·(2i+1) + b_i) mod p.
+    * Factors stay < 2^41 — exact in long arithmetic on every engine. */
+  def permute(h: Column, i: Int): Column =
+    pmod(h * (2L * i + 1) + (i * 2654435761L) % MinhashPrime,
+      lit(MinhashPrime))
+
   /**
-   * MinHash signature of a shingle-set column: `numHashes` independent
-   * permutations simulated by seeded md5; each signature element is the
-   * lexicographic min of md5(seed:shingle) over the set.
-   * Returns array<string> of length `numHashes`; null/empty shingles →
-   * signature of nulls (filtered by callers).
+   * MinHash signatures as a DataFrame: docs(idCol, textCol) →
+   * (id, sig array<long> of length numHashes).
+   *
+   * Plan shape — explode shingles → shingleHash → numHashes min-aggregates
+   * → array. Catalyst's partial aggregation makes the mins SCAN-LOCAL
+   * (map-side combine); the shuffle carries numHashes longs per doc, not
+   * shingles, not text. This deliberately avoids nested array lambdas:
+   * CollapseProject inlines single-use projections, re-evaluating the
+   * per-shingle md5 once per permutation — the agg form pins the
+   * evaluate-once structure and stays inside whole-stage codegen.
+   * Duplicate shingles need no dedup (min over multiset = min over set).
    */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingles,
-        s => hashStr(concat(i.cast("string"), lit(":"), s)))))
+  def minhashSignatures(docs: DataFrame, idCol: Column, textCol: Column,
+                        shingleSize: Int, numHashes: Int): DataFrame = {
+    val exploded = docs
+      .select(idCol.as("id"),
+        explode(TextFunctions.charShingles(lower(textCol), shingleSize)).as("s"))
+      .select(col("id"), shingleHash(col("s")).as("h"))
+    val aggs = (0 until numHashes).map(i => min(permute(col("h"), i)).as(s"_m$i"))
+    exploded.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"_m$i")): _*).as("sig"))
+  }
 
   /** LSH band keys: signature split into `bands` bands of
     * `numHashes/bands` rows; band key = md5 of the concatenated band slice.
@@ -69,7 +101,9 @@ object Dedup {
     require(rows * bands == numHashes, "bands must divide numHashes")
     transform(sequence(lit(0), lit(bands - 1)),
       b => struct(b.as("band"),
-        hashStr(array_join(slice(signature, b * rows + 1, lit(rows)), "|")).as("key")))
+        hashStr(array_join(
+          transform(slice(signature, b * rows + 1, lit(rows)),
+            x => x.cast("string")), "|")).as("key")))
   }
 
   /**
@@ -80,27 +114,72 @@ object Dedup {
    * Plan shape: scan-local shingling+signature → explode bands (bands×N
    * rows) → self-join on (band, key) → distinct pairs → broadcast-free
    * verify join back to shingle sets → exact Jaccard filter.
+   *
+   * `maxBucketSize` drops degenerate buckets BEFORE pair generation —
+   * the self-join emits O(sz²) pairs per bucket, so one boilerplate
+   * bucket of 1k docs costs 500k verifications; measured at sf0.1 this
+   * cap is the difference between ~5s and ~8min. Dropped buckets are the
+   * all-near-identical template clusters; exact dedup (exactDupGroups)
+   * catches their identical cores, and production pipelines route them
+   * to a side channel rather than pairwise-verify them.
    */
   def minhashNearDups(docs: DataFrame, idCol: Column, textCol: Column,
                       shingleSize: Int = 5, numHashes: Int = 16,
-                      bands: Int = 4, threshold: Double = 0.5): DataFrame = {
-    val shingled = docs.select(idCol.as("id"),
-        TextFunctions.charShingles(lower(textCol), shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val sig = shingled.withColumn("sig",
-      minhashSignature(col("sh"), numHashes))
-    val banded = sig.select(col("id"),
+                      bands: Int = 4, threshold: Double = 0.5,
+                      maxBucketSize: Int = 100): DataFrame = {
+    // hashed shingle sets: verify runs on array<long>, not strings — long
+    // equality is ~3× cheaper inside array_intersect, and the 32-bit hash
+    // space makes per-doc collisions (~300 items) a ≤1e-5 event computed
+    // IDENTICALLY by the oracle (md5-derived, engine-portable)
+    // Both frames feed 2 joins each; without persist Spark recomputes the
+    // full shingle+md5 scan per join use (different join keys → no
+    // exchange reuse). MEMORY_AND_DISK: signatures are numHashes longs
+    // and hashes ~|text| longs per doc — far smaller than re-scanning.
+    val hashed = docs.select(idCol.as("id"),
+        array_distinct(transform(
+          TextFunctions.charShingles(lower(textCol), shingleSize),
+          s => shingleHash(s))).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = minhashSignatures(docs, idCol, textCol, shingleSize, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandedAll = sig.select(col("id"),
         explode(lshBandKeys(col("sig"), numHashes, bands)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // skew guard: drop buckets larger than the cap (window count over the
+    // bucket key — one shuffle, reused by the join's partitioning)
+    val bucketN = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("key"))
+    val banded = bandedAll
+      .withColumn("_sz", count(lit(1)).over(bucketN))
+      .filter(col("_sz") <= maxBucketSize)
+      .drop("_sz")
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id")).distinct()
-    val withSets = cand
-      .join(shingled.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
-      .join(shingled.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
+    // two-phase verify: (1) signature-agreement estimate — numHashes long
+    // compares, prunes the bulk of band-collision noise before touching
+    // shingle sets; (2) exact Jaccard on the hashed sets. The estimate
+    // gate (est ≥ threshold − 1/numHashes) makes recall approximate at
+    // the margin — inherent to LSH, and bit-reproduced by the oracle.
+    val sigEst = aggregate(
+      zip_with(col("a_sig"), col("b_sig"),
+        (x, y) => (x === y).cast("int")),
+      lit(0), (acc, v) => acc + v).cast("double") / numHashes
+    val estGate = threshold - 1.0 / numHashes
+    val withSigs = cand
+      .join(sig.select(col("id").as("a_id"), col("sig").as("a_sig")), "a_id")
+      .join(sig.select(col("id").as("b_id"), col("sig").as("b_sig")), "b_id")
+      .withColumn("_est", sigEst)
+      .filter(col("_est") >= estGate)
+      .select("a_id", "b_id")
+    val withSets = withSigs
+      .join(hashed.select(col("id").as("a_id"), col("hs").as("a_hs")), "a_id")
+      .join(hashed.select(col("id").as("b_id"), col("hs").as("b_hs")), "b_id")
     withSets.select(col("a_id"), col("b_id"),
-        TextFunctions.jaccardTokens(col("a_sh"), col("b_sh")).as("jaccard"))
+        (size(array_intersect(col("a_hs"), col("b_hs"))).cast("double") /
+          size(array_union(col("a_hs"), col("b_hs")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -147,13 +147,15 @@ object Contracts {
         if (dups > 0)
           errors += s"Column '${c.name}' has $dups duplicate values but should be unique"
       }
-      if (c.dtype == "numeric") {
+      c.minValue.foreach { lo =>
         val below = n(s"${c.name}__below")
         if (below > 0) errors +=
-          s"Column '${c.name}' has $below values below minimum ${c.minValue.get}"
+          s"Column '${c.name}' has $below values below minimum $lo"
+      }
+      c.maxValue.foreach { hi =>
         val above = n(s"${c.name}__above")
         if (above > 0) errors +=
-          s"Column '${c.name}' has $above values above maximum ${c.maxValue.get}"
+          s"Column '${c.name}' has $above values above maximum $hi"
       }
       if (c.allowedValues.isDefined) {
         val invalid = n(s"${c.name}__invalid")

@@ -86,11 +86,12 @@ object DocQueries {
 
     // ---- MinHash + LSH ----
     "q42_minhash_sig" -> ((s, dir) => {
-      // engine-portable MinHash signatures (md5 lexicographic minima)
-      val d = t(s, dir, "documents")
-      d.select(col("doc_id"),
-          array_join(Dedup.minhashSignature(
-            TextFunctions.charShingles(lower(col("text")), 5), 8), ",").as("sig"))
+      // engine-portable MinHash signatures: md5-base-hash each shingle
+      // once, affine-permute mod p (Dedup.minhashSignatures scaladoc)
+      Dedup.minhashSignatures(t(s, dir, "documents"),
+          col("doc_id"), col("text"), shingleSize = 5, numHashes = 8)
+        .select(col("id").as("doc_id"),
+          array_join(transform(col("sig"), x => x.cast("string")), ",").as("sig"))
         .orderBy("doc_id")
     }),
 
@@ -201,25 +202,42 @@ object DocQueries {
         |GROUP BY p_name HAVING count(*) > 1 ORDER BY dup_key""".stripMargin,
 
     "q42_minhash_sig" ->
-      s"""WITH d AS (SELECT doc_id, $shinglesSql AS sh FROM documents)
+      s"""WITH d AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+        |h AS (SELECT doc_id, list_transform(sh,
+        |  x -> CAST(CAST(('0x' || substring(md5(x), 1, 8)) AS UBIGINT) AS BIGINT)) AS hs
+        |  FROM d WHERE len(sh) > 0)
         |SELECT doc_id, array_to_string(list_transform(range(0, 8),
-        |  i -> list_min(list_transform(sh, x -> md5(i::VARCHAR || ':' || x)))), ',') AS sig
-        |FROM d ORDER BY doc_id""".stripMargin,
+        |  i -> list_min(list_transform(hs,
+        |    h -> (h * (2*i+1) + (i*2654435761) % 4294967311) % 4294967311))), ',') AS sig
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     "q43_minhash_neardups" ->
       s"""WITH d AS (SELECT doc_id, $shinglesSql AS sh FROM documents WHERE len(text) > 0),
-        |s AS (SELECT doc_id, sh, list_transform(range(0, 16),
-        |  i -> list_min(list_transform(sh, x -> md5(i::VARCHAR || ':' || x)))) AS sig FROM d),
-        |bands AS (SELECT doc_id, b,
+        |hh AS (SELECT doc_id, list_transform(sh,
+        |  x -> CAST(CAST(('0x' || substring(md5(x), 1, 8)) AS UBIGINT) AS BIGINT)) AS hs
+        |  FROM d),
+        |s AS (SELECT doc_id, list_transform(range(0, 16),
+        |  i -> list_min(list_transform(hs,
+        |    h -> (h * (2*i+1) + (i*2654435761) % 4294967311) % 4294967311))) AS sig
+        |  FROM hh),
+        |bands0 AS (SELECT doc_id, b,
         |  md5(array_to_string(sig[(2*b+1):(2*b+2)], '|')) AS key
         |  FROM s, range(0, 8) t(b)),
+        |bands AS (SELECT * FROM (SELECT doc_id, b, key,
+        |  count(*) OVER (PARTITION BY b, key) AS sz FROM bands0)
+        |  WHERE sz <= 100),
         |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
         |  FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
         |    AND x.doc_id < y.doc_id),
+        |est AS (SELECT a_id, b_id FROM cand
+        |  JOIN s sa ON sa.doc_id = a_id JOIN s sb ON sb.doc_id = b_id
+        |  WHERE len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i]))
+        |    / 16.0 >= 0.25 - 1.0/16),
+        |hset AS (SELECT doc_id, list_distinct(hs) AS hs FROM hh),
         |j AS (SELECT a_id, b_id,
-        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |    len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-        |  FROM cand JOIN d a ON a.doc_id = a_id JOIN d b ON b.doc_id = b_id)
+        |  CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.hs, b.hs))) AS jaccard
+        |  FROM est JOIN hset a ON a.doc_id = a_id JOIN hset b ON b.doc_id = b_id)
         |SELECT a_id, b_id, round(jaccard, 6) AS jaccard FROM j
         |WHERE jaccard >= 0.25 ORDER BY a_id, b_id""".stripMargin,
 

@@ -69,6 +69,27 @@ object MlQueries {
         col("total_recommendations"), col("relevant_items"))
     }),
 
+    "q66_summarize" -> ((s, dir) => {
+      // extractive summarizer stub + null/empty semantics (reference:
+      // summarizer.py:7-33 F24) over documents text
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        graft.functions.Summarize.summarize(col("text"), 2).as("summary"))
+        .orderBy("doc_id")
+    }),
+
+    "q67_ab_router" -> ((s, dir) => {
+      // consistent-hash A/B assignment, bit-exact 128-bit md5 mod 1000
+      // (reference: feedback_logging.py:546-571 M12/F22)
+      val session = concat(lit("sess-"), col("o_orderkey").cast("string"))
+      Tables.load(s, dir, "orders").select(
+        col("o_orderkey"),
+        graft.ml.AbRouter.bucket(session).as("bucket"),
+        graft.ml.AbRouter.assignVariant(session,
+          Seq("v1" -> 0.5, "v2" -> 0.3, "v3" -> 0.2)).as("variant"))
+        .orderBy("o_orderkey")
+    }),
+
     "q57_baseline_scores" -> ((s, dir) => {
       // popularity (sigmoid of first feature), similarity (min-max feature
       // sum), deterministic LCG pseudo-random (reference: evaluate.py:267-292;
@@ -138,6 +159,26 @@ object MlQueries {
         |  count(*) AS total_recommendations,
         |  CAST(sum(rel) AS BIGINT) AS relevant_items
         |FROM r""".stripMargin,
+
+    "q66_summarize" ->
+      """SELECT doc_id,
+        |  CASE WHEN text IS NULL OR len(text) = 0 THEN ''
+        |    ELSE array_to_string(list_slice(string_split(text, '. '), 1, 2), '. ')
+        |  END AS summary
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q67_ab_router" ->
+      """WITH h AS (SELECT o_orderkey,
+        |  md5('sess-' || CAST(o_orderkey AS VARCHAR)) AS hex FROM orders),
+        |b AS (SELECT o_orderkey,
+        |  (CAST(('0x' || substring(hex, 1, 16)) AS UBIGINT) % 1000 * 616
+        |   + CAST(('0x' || substring(hex, 17, 16)) AS UBIGINT) % 1000) % 1000
+        |    AS bucket FROM h)
+        |SELECT o_orderkey, CAST(bucket AS BIGINT) AS bucket,
+        |  CASE WHEN bucket/1000.0 < 0.5 THEN 'v1'
+        |       WHEN bucket/1000.0 < 0.8 THEN 'v2'
+        |       ELSE 'v3' END AS variant
+        |FROM b ORDER BY o_orderkey""".stripMargin,
 
     "q57_baseline_scores" ->
       """WITH b AS (SELECT o_orderkey, o_totalprice/100000.0 AS f0,
