@@ -177,10 +177,17 @@ object Dedup {
     val withSets = withSigs
       .join(hashed.select(col("id").as("a_id"), col("hs").as("a_hs")), "a_id")
       .join(hashed.select(col("id").as("b_id"), col("hs").as("b_hs")), "b_id")
-    withSets.select(col("a_id"), col("b_id"),
+    val result = withSets.select(col("a_id"), col("b_id"),
         (size(array_intersect(col("a_hs"), col("b_hs"))).cast("double") /
           size(array_union(col("a_hs"), col("b_hs")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    // Materialize the (corpus-tiny) result eagerly, then release the
+    // persisted intermediates — otherwise every call leaks two cached
+    // frames into the session for its remaining lifetime.
+    val out = result.localCheckpoint(true)
+    hashed.unpersist()
+    sig.unpersist()
+    out
   }
 
   // ---------------- SimHash ----------------
@@ -239,12 +246,20 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: Column, textCol: Column,
                         blockCol: Column, n: Int = 3,
                         threshold: Double = 0.3): DataFrame = {
+    // n-grams hashed to longs BELOW the join (per doc, not per pair):
+    // the O(block²) verify then intersects long arrays — ~3× cheaper than
+    // string sets and narrower shuffle rows. md5-derived (portable; the
+    // oracle reproduces the hashes bit-for-bit).
     val g = docs.select(idCol.as("id"), blockCol.as("block"),
-      TextFunctions.wordNgrams(textCol, n).as("ng"))
+      array_distinct(transform(TextFunctions.wordNgrams(textCol, n),
+        x => shingleHash(x))).as("ng"))
     g.as("x").join(g.as("y"),
         col("x.block") === col("y.block") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
-        TextFunctions.jaccardTokens(col("x.ng"), col("y.ng")).as("jaccard"))
+        when(size(col("x.ng")) === 0 || size(col("y.ng")) === 0, 0.0)
+          .otherwise(
+            size(array_intersect(col("x.ng"), col("y.ng"))).cast("double") /
+              size(array_union(col("x.ng"), col("y.ng")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

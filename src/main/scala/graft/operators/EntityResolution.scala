@@ -145,8 +145,32 @@ object EntityResolution {
               blockOn: Option[Column] = None): DataFrame = {
     val a = prepSide(accounts1, cols, "a")
     val b = prepSide(accounts2, cols, "b")
-    val feats = pairFeatures.foldLeft(candidatePairs(a, b, cfg, blockOn)) {
-      case (df, (name, c)) => df.withColumn(name, c)
+    // Two-phase scoring (the reference's exact-shortcut generalized into a
+    // sound upper-bound prune, SURVEY §4 "exact-match short-circuit"):
+    // phase 1 computes only the CHEAP features (domain JW over ~12-char
+    // hosts, equality checks) and drops every pair whose best possible
+    // score — domainScore·wd + 1·wn + 1·wm — can't reach the threshold.
+    // Name JW + Levenshtein + token Jaccard (the O(len²) work over long
+    // normalized names) run only on survivors: Catalyst pushes the
+    // phase-1 predicate below the collapsed projection, so pruned pairs
+    // never evaluate a name feature. Output is provably identical to
+    // single-phase scoring; the prune rate is data-dependent (real-world
+    // corpora with diverse domains prune hard, the synthetic testdata's
+    // near-uniform domains less so).
+    val featMap = pairFeatures.toMap
+    val cheapNames = Seq("domain_exact_match", "domain_similarity",
+      "name_exact_match", "same_country", "same_industry", "size_ratio")
+    val cheap = cheapNames.foldLeft(candidatePairs(a, b, cfg, blockOn)) {
+      case (df, name) => df.withColumn(name, featMap(name))
+    }
+    val domainScoreUb = when(col("domain_exact_match") > 0, 1.0)
+      .otherwise(col("domain_similarity")) * cfg.domainWeight +
+      lit(cfg.nameWeight + cfg.metadataWeight)
+    val exactCheap = col("domain_exact_match") > 0 && col("name_exact_match") > 0
+    val pruned = cheap.filter(exactCheap || domainScoreUb >= cfg.matchThreshold)
+    val feats = pairFeatures.foldLeft(pruned) {
+      case (df, (name, c)) =>
+        if (cheapNames.contains(name)) df else df.withColumn(name, c)
     }
     val exact = col("domain_exact_match") > 0 && col("name_exact_match") > 0
     val score = ruleScore(cfg)

@@ -163,8 +163,11 @@ object DocQueries {
 
     // ---- text analysis ----
     "q51_language_id" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_pred"))
+      // corpus-scale shape: explode + one agg (TextAnalysis.languageIdByDoc
+      // scaladoc); same math as the expression form
+      TextAnalysis.languageIdByDoc(t(s, dir, "documents"),
+          col("doc_id"), col("text"))
+        .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
 
@@ -255,13 +258,17 @@ object DocQueries {
         |WHERE bit_count(xor(x.fp, y.fp)) <= 6 ORDER BY a_id, b_id""".stripMargin,
 
     "q46_ngram_jaccard" ->
-      """WITH d AS (SELECT doc_id, lang, source,
+      """WITH d0 AS (SELECT doc_id, lang, source,
         |  list_distinct(list_transform(
         |    range(1, greatest(len(list_filter(string_split_regex(lower(text), '\s+'),
         |      x -> len(x) > 0)) - 2, 0) + 1),
         |    i -> array_to_string(list_filter(string_split_regex(lower(text), '\s+'),
-        |      x -> len(x) > 0)[i:i+2], ' '))) AS ng
-        |  FROM documents)
+        |      x -> len(x) > 0)[i:i+2], ' '))) AS ngs
+        |  FROM documents),
+        |d AS (SELECT doc_id, lang, source,
+        |  list_distinct(list_transform(ngs,
+        |    x -> CAST(CAST(('0x' || substring(md5(x), 1, 8)) AS UBIGINT) AS BIGINT))) AS ng
+        |  FROM d0)
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |  round(CASE WHEN len(a.ng) = 0 OR len(b.ng) = 0 THEN 0.0
         |    ELSE CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) /
