@@ -59,12 +59,20 @@ object ErQueries {
     * the same 3-char prefix ("cus") and nations to "nat", so the reference's
     * 3+3 key degenerates to one hot block (= accidental cross join). The
     * 3+3 key itself is oracle-covered by q17. */
+  /** Multi-attribute block: country AND employee-size bucket (width 300).
+    * Single-key country blocks are hot (600+ rows/side at sf0.1 → 90k+
+    * pairs each); the size bucket is the coarse-to-fine second key that
+    * production ER uses to split hot blocks (EntityResolution scaladoc
+    * scale note) — true matches rarely differ by a full size bucket. */
+  private val blockCond =
+    col("a_country") === col("b_country") &&
+      floor(col("a_employees") / 300) === floor(col("b_employees") / 300)
+
   private def blockedPairs(s: SparkSession, dir: String): DataFrame = {
     val acc = accounts(s, dir)
     val a = EntityResolution.prepSide(acc.filter(col("Id") % 2 === 0), cols, "a")
     val b = EntityResolution.prepSide(acc.filter(col("Id") % 2 === 1), cols, "b")
-    EntityResolution.candidatePairs(a, b,
-      blockOn = Some(col("a_country") === col("b_country")))
+    EntityResolution.candidatePairs(a, b, blockOn = Some(blockCond))
   }
 
   // DuckDB fragments for the same derivations.
@@ -94,6 +102,7 @@ object ErQueries {
       |    a.employees AS a_emp, b.employees AS b_emp
       |  FROM acc a JOIN acc b
       |    ON a.country = b.country
+      |   AND floor(a.employees / 300) = floor(b.employees / 300)
       |   AND a.id % 2 = 0 AND b.id % 2 = 1)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -117,7 +126,7 @@ object ErQueries {
       EntityResolution.resolve(
           acc.filter(col("Id") % 2 === 0), acc.filter(col("Id") % 2 === 1), cols,
           EntityResolution.Config(matchThreshold = 0.85),
-          blockOn = Some(col("a_country") === col("b_country")))
+          blockOn = Some(blockCond))
         .select(col("account1_id"), col("account2_id"),
           round(col("match_score"), 6).as("match_score"),
           col("match_type"), col("confidence"),

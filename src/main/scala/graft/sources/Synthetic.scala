@@ -109,4 +109,74 @@ object Synthetic {
     val pairU = u(concat_ws("|", col("account1_id"), col("account2_id")), 20, seed)
     pairs.withColumn("label", (pairU < p * probScale).cast("int"))
   }
+
+  /** ER test corpus (reference: entity_resolution.py:616-708
+    * `generate_synthetic_test_data`): org1 accounts from 5 base
+    * companies; org2 holds either a name/domain VARIANT of the org1
+    * account (match, rate `matchRate`) or a shifted non-match. Returns
+    * (accounts1, accounts2, labeledPairs). Variant selection and
+    * numerics are hash-derived (replayable; see object scaladoc). */
+  def erTestData(spark: SparkSession, n: Int, matchRate: Double = 0.15,
+                 seed: Int = 42): (DataFrame, DataFrame, DataFrame) = {
+    val bases = Seq(
+      ("Acme Corporation", "acme.com", "Technology", "USA"),
+      ("Global Finance Inc", "globalfinance.com", "Finance", "UK"),
+      ("HealthCare Plus", "healthcareplus.org", "Healthcare", "USA"),
+      ("TechStart Systems", "techstart.io", "Technology", "Germany"),
+      ("Retail Giants Ltd", "retailgiants.co.uk", "Retail", "UK"))
+    val id = col("id")
+    def base(f: ((String, String, String, String)) => String): Column =
+      element_at(array(bases.map(b => lit(f(b))): _*), (id % bases.size).cast("int") + 1)
+    def tld(domain: String): String = domain.split("\\.").last
+
+    val rows = spark.range(n)
+      .withColumn("is_match", u(id, 30, seed) < matchRate)
+    val name1 = concat(base(_._1), lit(" #"), id.cast("string"))
+    val a1 = rows.select(
+      format_string("ORG1_ACC_%04d", id).as("Id"),
+      name1.as("Name"),
+      concat(lit("company"), id.cast("string"), lit("."),
+        base(b => tld(b._2))).as("Website"),
+      base(_._3).as("Industry"),
+      base(_._4).as("BillingCountry"),
+      (u(id, 31, seed) * 4990 + 10).cast("int").cast("double")
+        .as("NumberOfEmployees"),
+      id.as("_idx"))
+
+    // variant pick 0..5 (reference create_variant): exact, " Inc" suffix,
+    // Corporation→Corp, www. prefix, UPPER, hyphenated
+    val v = (u(id, 32, seed) * 6).cast("int")
+    val dom1 = concat(lit("company"), id.cast("string"), lit("."), base(b => tld(b._2)))
+    val varName = when(v === 1, concat(name1, lit(" Inc")))
+      .when(v === 2, regexp_replace(name1, "Corporation", "Corp"))
+      .when(v === 4, upper(name1))
+      .when(v === 5, regexp_replace(name1, " ", "-"))
+      .otherwise(name1)
+    val varDomain = when(v === 3, concat(lit("www."), dom1)).otherwise(dom1)
+    val otherBaseIdx = (id + 1) % bases.size
+    def otherBase(f: ((String, String, String, String)) => String): Column =
+      element_at(array(bases.map(b => lit(f(b))): _*), otherBaseIdx.cast("int") + 1)
+    val a2 = rows.select(
+      format_string("ORG2_ACC_%04d", id).as("Id"),
+      when(col("is_match"), varName)
+        .otherwise(concat(otherBase(_._1), lit(" #"), (id + 100).cast("string")))
+        .as("Name"),
+      when(col("is_match"), varDomain)
+        .otherwise(concat(lit("other"), id.cast("string"), lit("."),
+          otherBase(b => tld(b._2)))).as("Website"),
+      when(col("is_match"), base(_._3)).otherwise(otherBase(_._3)).as("Industry"),
+      when(col("is_match"), base(_._4)).otherwise(otherBase(_._4))
+        .as("BillingCountry"),
+      when(col("is_match"),
+          (u(id, 31, seed) * 4990 + 10).cast("int") + (u(id, 33, seed) * 199).cast("int") - 99)
+        .otherwise((u(id, 34, seed) * 4990 + 10).cast("int"))
+        .cast("double").as("NumberOfEmployees"),
+      id.as("_idx"))
+    val pairs = rows.select(
+      format_string("ORG1_ACC_%04d", id).as("account1_id"),
+      format_string("ORG2_ACC_%04d", id).as("account2_id"),
+      col("is_match").cast("int").as("is_match"),
+      id.as("_idx"))
+    (a1, a2, pairs)
+  }
 }
