@@ -271,11 +271,15 @@ object Dedup {
   def cosineNearDups(embs: DataFrame, idCol: Column, vecCol: Column,
                      blockCol: Column, threshold: Double = 0.95): DataFrame = {
     import graft.functions.VectorFunctions
-    val e = embs.select(idCol.as("id"), blockCol.as("block"), vecCol.as("v"))
+    // unit-normalize per ROW (below the join); per-pair cosine is then one
+    // dot pass — see VectorFunctions.unit scaladoc
+    val e = embs.select(idCol.as("id"), blockCol.as("block"),
+        VectorFunctions.unit(vecCol).as("u"))
+      .filter(col("u").isNotNull)
     e.as("x").join(e.as("y"),
         col("x.block") === col("y.block") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
-        VectorFunctions.cosine(col("x.v"), col("y.v")).as("cosine"))
+        VectorFunctions.dot(col("x.u"), col("y.u")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 

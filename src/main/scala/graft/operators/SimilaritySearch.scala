@@ -85,11 +85,15 @@ object SimilaritySearch {
     * all-pairs + per-item window). */
   def knnWithinBlock(embs: DataFrame, idCol: Column, vecCol: Column,
                      blockCol: Column, k: Int): DataFrame = {
-    val e = embs.select(idCol.as("id"), blockCol.as("block"), vecCol.as("v"))
+    // per-row unit normalization below the join (VectorFunctions.unit
+    // scaladoc) — per-pair cosine = one dot pass
+    val e = embs.select(idCol.as("id"), blockCol.as("block"),
+        graft.functions.VectorFunctions.unit(vecCol).as("u"))
+      .filter(col("u").isNotNull)
     val pairs = e.as("x").join(e.as("y"),
         col("x.block") === col("y.block") && col("x.id") =!= col("y.id"))
       .select(col("x.id").as("id"), col("y.id").as("neighbor"),
-        cosine(col("x.v"), col("y.v")).as("cosine"))
+        graft.functions.VectorFunctions.dot(col("x.u"), col("y.u")).as("cosine"))
     TopK.topKPerGroup(pairs, Seq(col("id")),
       Seq(col("cosine").desc, col("neighbor").asc), k, "nn_rank")
   }
