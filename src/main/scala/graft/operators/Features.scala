@@ -17,6 +17,26 @@ import org.apache.spark.sql.functions._
  */
 object Features {
 
+  /** Categorical one-hot stages (reference: pipeline.py:92-103
+    * `pd.get_dummies` on Industry / BillingCountry; SURVEY A15 — MLlib
+    * inside the model pipeline, not an eager pivot). `handleInvalid=keep`
+    * mirrors get_dummies' tolerance of unseen categories at transform
+    * time (unseen → the extra "keep" bucket, not a crash — important when
+    * the model scores fresher data than it trained on). */
+  def oneHotStages(categoricalCols: Seq[String])
+      : Array[org.apache.spark.ml.PipelineStage] = {
+    val indexers = categoricalCols.map { c =>
+      new org.apache.spark.ml.feature.StringIndexer()
+        .setInputCol(c).setOutputCol(s"${c}_idx")
+        .setHandleInvalid("keep").setStringOrderType("alphabetAsc")
+    }
+    val encoder = new org.apache.spark.ml.feature.OneHotEncoder()
+      .setInputCols(categoricalCols.map(c => s"${c}_idx").toArray)
+      .setOutputCols(categoricalCols.map(c => s"${c}_vec").toArray)
+      .setHandleInvalid("keep")
+    (indexers :+ encoder).toArray
+  }
+
   /** Per-account features (reference: pipeline.py:65-106, F9-F13).
     * Null semantics match pandas fillna: revenue/employees null→0,
     * lastActivity null→365 days. One-hot encoding of categorical columns is

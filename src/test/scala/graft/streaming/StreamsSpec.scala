@@ -60,6 +60,57 @@ class StreamsSpec extends SparkSpec {
     assert(day10 == 2L, "in-horizon updates keep aggregating")
   }
 
+  test("T4: multi-batch drain (maxFilesPerTrigger=1) equals single-batch") {
+    // split events across two files → AvailableNow processes 2 batches;
+    // update-mode state must carry windows across batches
+    val src = tmp("graft-ev-multi")
+    // stage from the RAW file (ts stays a nanos long — the streaming
+    // source schema; Tables.load would convert it to timestamp)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    raw.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$src/p0")
+    raw.filter(col("event_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$src/p1")
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    // file source reads both dirs via glob into one stream dir layout
+    val flat = tmp("graft-ev-flat")
+    var i = 0
+    java.nio.file.Files.walk(java.nio.file.Paths.get(src)).iterator()
+      .forEachRemaining { p =>
+        if (p.toString.endsWith(".parquet") &&
+            !p.getFileName.toString.startsWith("_")) {
+          java.nio.file.Files.copy(p,
+            java.nio.file.Paths.get(s"$flat/part$i.parquet"))
+          i += 1
+        }
+      }
+    val out = tmp("graft-ev-out")
+    val rollup = Streams.dailyRollup(
+      Streams.readEvents(spark, flat, maxFilesPerTrigger = Some(1)))
+    val writer = rollup.writeStream.outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out); ()
+      }
+    Streams.runAvailableNow(writer, tmp("graft-ev-ckpt"))
+    // update mode re-emits a window per batch that touched it → take the
+    // LAST emission per (day, type): the final state
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("day", "event_type").orderBy(col("n").desc)
+    // round the float sums: two-batch state accumulation adds in a
+    // different order than the single-pass aggregate (last-ulp drift)
+    val finalState = spark.read.parquet(out)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("day"), col("event_type"), col("n"),
+        round(col("total_value"), 4).as("tv"))
+    val batchRollup = Streams.dailyRollup(ev)
+      .select(col("day"), col("event_type"), col("n"),
+        round(col("total_value"), 4).as("tv"))
+    assert(finalState.count() == batchRollup.count())
+    assert(finalState.except(batchRollup).isEmpty &&
+      batchRollup.except(finalState).isEmpty)
+  }
+
   test("T3: idempotent batch writer — replayed batch does not duplicate") {
     val out = tmp("graft-sink")
     val writer = Streams.idempotentBatchWriter(out, Seq("id"))
