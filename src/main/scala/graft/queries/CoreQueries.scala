@@ -318,6 +318,21 @@ object CoreQueries {
         .orderBy("day", "event_type")
     }),
 
+    "q68_json_props" -> ((s, dir) => {
+      // JSON get/put on the events props payload (reference F25:
+      // from_json parse + to_json re-emit, database.py:146,170-173)
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      t(s, dir, "events")
+        .select(col("event_id"),
+          from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+            .getField("k").as("k"),
+          col("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          max("k").as("max_k"))
+        .orderBy("event_type")
+    }),
+
     "q26_hwm_read" -> ((s, dir) => {
       // high-water-mark incremental read (reference: data_contracts.py:235-275 T1/S16)
       Tables.hwmRead(t(s, dir, "events"), "ts",
@@ -518,6 +533,12 @@ object CoreQueries {
 
     "q26_hwm_read" ->
       """SELECT event_id, event_type, value FROM events
-        |WHERE ts > TIMESTAMP '2024-01-15 00:00:00' ORDER BY event_id""".stripMargin
+        |WHERE ts > TIMESTAMP '2024-01-15 00:00:00' ORDER BY event_id""".stripMargin,
+
+    "q68_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
