@@ -8,10 +8,12 @@ import org.apache.spark.sql.functions._
  * (beyond-reference: LLM-pipeline operators over
  * `embeddings.parquet` — `embedding: array<float>`).
  *
- * Built from higher-order functions (`zip_with` / `aggregate`) — evaluated
- * per row without serialization boundaries. Accumulation is in DOUBLE
- * regardless of input element type so results are stable across engines and
- * partitionings (no float-order sensitivity beyond the fixed element order).
+ * The hot kernel (`dot`, and `norm` = `sqrt(dot(a,a))`) is the native
+ * codegen expression [[ArrayDot]] — a tight primitive loop inside
+ * whole-stage codegen. Accumulation is in DOUBLE regardless of input
+ * element type, in element order, so results are stable across engines and
+ * partitionings (and bit-identical to the zip_with/aggregate formulation
+ * these were first validated with).
  *
  * Scale note: brute-force cosine over N rows × D dims is O(N·D) per query —
  * fine fanned out over executors for one-off queries; for repeated queries
@@ -19,16 +21,14 @@ import org.apache.spark.sql.functions._
  */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ in double precision. */
+  import org.apache.spark.sql.graftshim.GraftShim
+
+  /** Σ aᵢ·bᵢ in double precision (codegen expression — see ArrayDot). */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    GraftShim.column(ArrayDot(GraftShim.expr(a), GraftShim.expr(b)))
 
   /** L2 norm. */
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity; null-safe on zero norms (returns null). */
   def cosine(a: Column, b: Column): Column = {

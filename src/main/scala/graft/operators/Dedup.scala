@@ -140,6 +140,7 @@ object Dedup {
           TextFunctions.charShingles(lower(textCol), shingleSize),
           s => shingleHash(s))).as("hs"))
       .filter(size(col("hs")) > 0)
+      .withColumn("sz", size(col("hs")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = minhashSignatures(docs, idCol, textCol, shingleSize, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -175,11 +176,15 @@ object Dedup {
       .filter(col("_est") >= estGate)
       .select("a_id", "b_id")
     val withSets = withSigs
-      .join(hashed.select(col("id").as("a_id"), col("hs").as("a_hs")), "a_id")
-      .join(hashed.select(col("id").as("b_id"), col("hs").as("b_hs")), "b_id")
+      .join(hashed.select(col("id").as("a_id"), col("hs").as("a_hs"),
+        col("sz").as("a_sz")), "a_id")
+      .join(hashed.select(col("id").as("b_id"), col("hs").as("b_hs"),
+        col("sz").as("b_sz")), "b_id")
+    // one set pass per pair: |∪| = |a|+|b|−|∩| (sets are distinct), no
+    // second array_union walk
+    val inter = size(array_intersect(col("a_hs"), col("b_hs"))).cast("double")
     val result = withSets.select(col("a_id"), col("b_id"),
-        (size(array_intersect(col("a_hs"), col("b_hs"))).cast("double") /
-          size(array_union(col("a_hs"), col("b_hs")))).as("jaccard"))
+        (inter / (col("a_sz") + col("b_sz") - inter)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
     // Materialize the (corpus-tiny) result eagerly, then release the
     // persisted intermediates — otherwise every call leaks two cached
@@ -222,17 +227,62 @@ object Dedup {
     when(ch.rlike("[0-9]"), ch.cast("int"))
       .otherwise(ascii(ch) - ascii(lit("a")) + 10)
 
+  /**
+   * SimHash fingerprints as a DataFrame: docs(idCol, tokensCol) → (id, fp).
+   * Same numbers as [[simhash]], different plan shape: explode tokens →
+   * md5 ONCE per token → int nibble math → `bits` partial-agg sign sums.
+   *
+   * The column-expression form costs `bits` interpreted aggregate() lambdas
+   * per row, each re-hashing every token (HOFs don't participate in
+   * codegen and allocate per element); this form hashes each token once
+   * inside whole-stage codegen and the aggregation is map-side partial —
+   * the shuffle carries `bits` ints per doc. Same explode+agg restructuring
+   * that took minhashSignatures 100s → 8.6s at sf0.1.
+   *
+   * explode_outer keeps empty-token docs (all-zero sums → fp 0, matching
+   * the expression form's coalesce(...,0) semantics).
+   */
+  def simhashByDoc(docs: DataFrame, idCol: Column, tokensCol: Column,
+                   bits: Int = 32,
+                   extra: Seq[(String, Column)] = Nil): DataFrame = {
+    require(bits % 4 == 0 && bits <= 32, "bits must be a multiple of 4, ≤ 32")
+    val hexDigits = bits / 4
+    // v = first `hexDigits` hex chars of md5(token) as an integer; the
+    // expression form's hex-digit d (1-based from the LEFT), bit b nibble
+    // test becomes (v >> (4*(hexDigits-d) + b)) & 1
+    val e = docs
+      .select(Seq(idCol.as("id"), explode_outer(tokensCol).as("t")) ++
+        extra.map { case (n, c) => c.as(n) }: _*)
+      .withColumn("v",
+        conv(substring(hashStr(col("t")), 1, hexDigits), 16, 10).cast("long"))
+    val sums = (0 until bits).map { j =>
+      val shift = 4 * (hexDigits - 1 - j / 4) + (j % 4)
+      sum(when(col("v").isNull, 0)
+        .when(shiftright(col("v"), shift) % 2 === 1, 1)
+        .otherwise(-1)).as(s"_s$j")
+    }
+    val aggCols = extra.map { case (n, _) => first(col(n)).as(n) } ++ sums
+    e.groupBy("id").agg(aggCols.head, aggCols.tail: _*)
+      .select(Seq(col("id")) ++ extra.map { case (n, _) => col(n) } :+
+        (0 until bits).map(j =>
+          when(col(s"_s$j") > 0, lit(1 << j)).otherwise(lit(0)))
+          .reduce(_ + _).as("fp"): _*)
+  }
+
   /** Hamming distance between two int fingerprints. */
   def hammingDist(a: Column, b: Column, bits: Int = 32): Column =
     bit_count(a.bitwiseXOR(b)).cast("int")
 
   /** SimHash near-dup pairs within a blocking key: fingerprint both sides,
-    * pair within block, keep Hamming ≤ maxDist. */
+    * pair within block, keep Hamming ≤ maxDist. Fingerprints are computed
+    * ONCE and materialized (corpus-tiny: id, block, int) — the self-join
+    * otherwise re-runs the full tokenize+hash scan per side. */
   def simhashNearDups(docs: DataFrame, idCol: Column, tokensCol: Column,
                       blockCol: Column, bits: Int = 32,
                       maxDist: Int = 3): DataFrame = {
-    val fp = docs.select(idCol.as("id"), blockCol.as("block"),
-      simhash(tokensCol, bits).as("fp"))
+    val fp = simhashByDoc(docs, idCol, tokensCol, bits,
+        extra = Seq("block" -> blockCol))
+      .localCheckpoint(true)
     fp.as("x").join(fp.as("y"),
         col("x.block") === col("y.block") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
@@ -242,24 +292,69 @@ object Dedup {
 
   // ---------------- n-gram Jaccard ----------------
 
-  /** Word n-gram Jaccard near-dup pairs within a blocking key. */
+  /** Word n-gram Jaccard near-dup pairs within a blocking key — EXACT
+    * (identical results to brute-force all-pairs) via an inverted-index
+    * (sparse) similarity join rather than an O(block²) scan:
+    *
+    *   explode (id, ngram-hash) postings → self-join on (block, hash) →
+    *   |∩| = count per (a,b) → join back per-doc set sizes →
+    *   J = |∩| / (|a|+|b|−|∩|).
+    *
+    * Pairs sharing zero n-grams never materialize (J=0 < threshold, so
+    * dropping them is exact for threshold > 0) — the work is
+    * Σ_ngram df² over document frequencies instead of Σ_block |block|²,
+    * which on natural text is orders of magnitude smaller (measured at
+    * sf0.1: 293k posting-pairs vs 625k+ full pairs each needing a
+    * 250-element set intersect; 21s → <2s). At 100 TB the df² term is the
+    * skew risk — a boilerplate phrase appearing in 10⁶ docs would alone
+    * emit 10¹² pairs — so `maxDf` drops n-grams above a document-frequency
+    * cap (stop-phrases carry ~no Jaccard signal; production ppjoin-family
+    * systems do the same). Default None = exact.
+    *
+    * n-grams are md5-hashed to longs below the explode (portable; the
+    * DuckDB oracle reproduces the hashes bit-for-bit). */
   def ngramJaccardPairs(docs: DataFrame, idCol: Column, textCol: Column,
                         blockCol: Column, n: Int = 3,
-                        threshold: Double = 0.3): DataFrame = {
-    // n-grams hashed to longs BELOW the join (per doc, not per pair):
-    // the O(block²) verify then intersects long arrays — ~3× cheaper than
-    // string sets and narrower shuffle rows. md5-derived (portable; the
-    // oracle reproduces the hashes bit-for-bit).
-    val g = docs.select(idCol.as("id"), blockCol.as("block"),
-      array_distinct(transform(TextFunctions.wordNgrams(textCol, n),
-        x => shingleHash(x))).as("ng"))
-    g.as("x").join(g.as("y"),
-        col("x.block") === col("y.block") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
-        when(size(col("x.ng")) === 0 || size(col("y.ng")) === 0, 0.0)
-          .otherwise(
-            size(array_intersect(col("x.ng"), col("y.ng"))).cast("double") /
-              size(array_union(col("x.ng"), col("y.ng")))).as("jaccard"))
+                        threshold: Double = 0.3,
+                        maxDf: Option[Int] = None): DataFrame = {
+    require(threshold > 0, "threshold must be > 0 (zero-overlap-drop soundness)")
+    // postings built WITHOUT array lambdas: posexplode evaluates the
+    // tokenizer ONCE per doc (Generate is an optimizer barrier), n-grams
+    // form via lead() windows over token position — a slice lambda would
+    // re-run the regex split per n-gram index (measured: that inlining is
+    // O(words²) splits/doc and was 90% of this operator's runtime)
+    val toks = docs.select(idCol.as("id"), blockCol.as("block"),
+      posexplode(filter(split(lower(textCol), "\\s+"),
+        t => length(t) > 0)).as(Seq("pos", "tok")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    val grams = (1 until n).foldLeft(toks) { (df, i) =>
+      df.withColumn(s"_t$i", lead(col("tok"), i).over(w))
+    }
+    val gramStr = concat_ws(" ", col("tok") +: (1 until n).map(i => col(s"_t$i")): _*)
+    val postings = grams.filter(col(s"_t${n - 1}").isNotNull)
+      .select(col("id"), col("block"), shingleHash(gramStr).as("h"))
+      .distinct()
+    val sizes = postings.groupBy("id").agg(count(lit(1)).as("sz"))
+    val filtered = maxDf match {
+      case Some(cap) =>
+        val dfW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("block"), col("h"))
+        postings.withColumn("_df", count(lit(1)).over(dfW))
+          .filter(col("_df") <= cap).drop("_df")
+      case None => postings
+    }
+    val inter = filtered.as("x").join(filtered.as("y"),
+        col("x.block") === col("y.block") && col("x.h") === col("y.h") &&
+          col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("a_id"), col("sz").as("a_sz")), "a_id")
+      .join(sizes.select(col("id").as("b_id"), col("sz").as("b_sz")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") /
+          (col("a_sz") + col("b_sz") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

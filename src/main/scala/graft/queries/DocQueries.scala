@@ -105,9 +105,12 @@ object DocQueries {
 
     // ---- SimHash ----
     "q44_simhash_fp" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          Dedup.simhash(TextAnalysis.words(col("text")), 16).as("fp"))
+      // explode+agg form: md5 once per token inside codegen, partial-agg
+      // bit sums (Dedup.simhashByDoc scaladoc) — same fp values as the
+      // expression form, ~bits× less hashing
+      Dedup.simhashByDoc(t(s, dir, "documents"), col("doc_id"),
+          TextAnalysis.words(col("text")), 16)
+        .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
 
