@@ -21,21 +21,30 @@ object Probe {
       body
       println(f"[probe] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
-    val pairs = a.join(b, col("a_country") === col("b_country"))
+    val blockCond =
+      col("a_country") === col("b_country") &&
+        floor(col("a_employees") / 300) === floor(col("b_employees") / 300)
+    val pairs = a.join(b, blockCond)
+    println(s"[probe] blocked pairs = ${pairs.count()}")
     time("prep_a_only")(a.write.format("noop").mode("overwrite").save())
-    time("join_only")(pairs.write.format("noop").mode("overwrite").save())
+    time("join_only")(pairs.select("a_id", "b_id")
+      .write.format("noop").mode("overwrite").save())
+    for ((n, c) <- EntityResolution.pairFeatures) {
+      time(s"feature_$n")(pairs.select(col("a_id"), col("b_id"), c.as(n))
+        .write.format("noop").mode("overwrite").save())
+    }
     val fm = EntityResolution.pairFeatures.toMap
-    time("all9_pruned") {
+    time("all9") {
       EntityResolution.pairFeatures.foldLeft(pairs) {
         case (df, (n, c)) => df.withColumn(n, c)
       }.select((Seq("a_id", "b_id") ++ fm.keys.toSeq).map(col): _*)
         .write.format("noop").mode("overwrite").save()
     }
-    time("resolve_full") {
+    time("resolve_q32_shape") {
       EntityResolution.resolve(
         acc.filter(col("Id") % 2 === 0), acc.filter(col("Id") % 2 === 1), cols,
-        EntityResolution.Config(matchThreshold = 0.85),
-        blockOn = Some(col("a_country") === col("b_country")))
+        EntityResolution.Config(),
+        blockOn = Some(blockCond))
         .write.format("noop").mode("overwrite").save()
     }
     spark.stop()
