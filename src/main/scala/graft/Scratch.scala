@@ -15,15 +15,18 @@ object Scratch {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    if (mode == "explain") df.explain("formatted")
+    if (mode == "explain") SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     else {
+      // time INCLUDES construction — some operators evaluate eagerly
+      // (localCheckpoint); Bench measures the same way
       spark.range(1000000).selectExpr("sum(id)").collect()
       val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
       println(f"[scratch] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     spark.stop()

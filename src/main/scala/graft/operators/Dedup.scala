@@ -34,6 +34,16 @@ object Dedup {
 
   private def hashStr(c: Column): Column = md5(c)
 
+  import graft.functions.{Md5Prefix32, ShingleHashes, SortedIntersectCount, WordNgramHashes}
+  import org.apache.spark.sql.graftshim.GraftShim
+
+  /** Multiset of Md5Prefix32 hashes of every `n`-char shingle of
+    * lower(text), as ONE codegen expression (see [[ShingleHashes]]) —
+    * value-identical to hashing charShingles' output, duplicates kept
+    * (downstream min/collect_set are duplicate-insensitive). */
+  def shingleHashes(text: Column, n: Int): Column =
+    GraftShim.column(ShingleHashes(GraftShim.expr(lower(text)), n))
+
   // ---------------- exact ----------------
 
   /** Exact dedup on a key expression: keeps the row with the smallest
@@ -58,9 +68,12 @@ object Dedup {
   /** Base hash of one shingle: first 8 hex chars of md5 as a uint32-range
     * long. Each shingle is hashed ONCE; every permutation derives from
     * the integer (hashing per permutation × shingle would cost
-    * numHashes× more scan time for nothing). */
+    * numHashes× more scan time for nothing). Computed by the native
+    * [[graft.functions.Md5Prefix32]] expression — digest → long directly,
+    * bit-identical to `conv(substring(md5(s),1,8),16,10)` (which the DuckDB
+    * oracles still spell), ~3× cheaper on the shingle scan. */
   def shingleHash(shingle: Column): Column =
-    conv(substring(hashStr(shingle), 1, 8), 16, 10).cast("long")
+    GraftShim.column(Md5Prefix32(GraftShim.expr(shingle)))
 
   /** Affine permutation i of a base hash: h → (h·(2i+1) + b_i) mod p.
     * Factors stay < 2^41 — exact in long arithmetic on every engine. */
@@ -72,26 +85,23 @@ object Dedup {
    * MinHash signatures as a DataFrame: docs(idCol, textCol) →
    * (id, sig array<long> of length numHashes).
    *
-   * Plan shape — explode shingles → shingleHash → numHashes min-aggregates
-   * → array. Catalyst's partial aggregation makes the mins SCAN-LOCAL
-   * (map-side combine); the shuffle carries numHashes longs per doc, not
-   * shingles, not text. This deliberately avoids nested array lambdas:
-   * CollapseProject inlines single-use projections, re-evaluating the
-   * per-shingle md5 once per permutation — the agg form pins the
-   * evaluate-once structure and stays inside whole-stage codegen.
-   * Duplicate shingles need no dedup (min over multiset = min over set).
+   * Plan shape — ONE scan-local codegen expression
+   * ([[graft.functions.MinhashSignature]]): hash every shingle once,
+   * fold the numHashes affine minima in place. No explode, no
+   * aggregation, NO SHUFFLE — the operator is a projection over the scan
+   * (two earlier shapes: nested array lambdas re-evaluated md5 per
+   * permutation under CollapseProject; explode + min-aggregates fixed
+   * that but paid a groupBy shuffle to reassemble per-doc rows).
+   * Null text → no row (explode-form contract). Values are bit-identical
+   * to both earlier forms and the DuckDB oracles.
    */
   def minhashSignatures(docs: DataFrame, idCol: Column, textCol: Column,
-                        shingleSize: Int, numHashes: Int): DataFrame = {
-    val exploded = docs
+                        shingleSize: Int, numHashes: Int): DataFrame =
+    docs
       .select(idCol.as("id"),
-        explode(TextFunctions.charShingles(lower(textCol), shingleSize)).as("s"))
-      .select(col("id"), shingleHash(col("s")).as("h"))
-    val aggs = (0 until numHashes).map(i => min(permute(col("h"), i)).as(s"_m$i"))
-    exploded.groupBy("id").agg(aggs.head, aggs.tail: _*)
-      .select(col("id"),
-        array((0 until numHashes).map(i => col(s"_m$i")): _*).as("sig"))
-  }
+        GraftShim.column(graft.functions.MinhashSignature(
+          GraftShim.expr(lower(textCol)), shingleSize, numHashes)).as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** LSH band keys: signature split into `bands` bands of
     * `numHashes/bands` rows; band key = md5 of the concatenated band slice.
@@ -127,24 +137,32 @@ object Dedup {
                       shingleSize: Int = 5, numHashes: Int = 16,
                       bands: Int = 4, threshold: Double = 0.5,
                       maxBucketSize: Int = 100): DataFrame = {
-    // hashed shingle sets: verify runs on array<long>, not strings — long
-    // equality is ~3× cheaper inside array_intersect, and the 32-bit hash
-    // space makes per-doc collisions (~300 items) a ≤1e-5 event computed
-    // IDENTICALLY by the oracle (md5-derived, engine-portable)
-    // Both frames feed 2 joins each; without persist Spark recomputes the
-    // full shingle+md5 scan per join use (different join keys → no
-    // exchange reuse). MEMORY_AND_DISK: signatures are numHashes longs
-    // and hashes ~|text| longs per doc — far smaller than re-scanning.
-    val hashed = docs.select(idCol.as("id"),
-        array_distinct(transform(
-          TextFunctions.charShingles(lower(textCol), shingleSize),
-          s => shingleHash(s))).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .withColumn("sz", size(col("hs")))
+    // ONE scan-local expression builds everything per doc
+    // (MinhashDocState): each shingle hashed once, the sorted distinct
+    // hash set (verify input) and the numHashes signature minima folded in
+    // the same pass — a pure projection over the scan, NO shuffle. Two
+    // earlier shapes at sf0.1: corpus scanned+hashed twice through an
+    // interpreted transform() lambda + array_intersect verify (11.9s +
+    // 5.9s + 16.1s of a 23.5s total); then explode + collect_set +
+    // min-aggregates, which fixed the interpretation but shuffled every
+    // per-doc hash set through a groupBy just to reassemble rows that were
+    // never split (5.1s). Verify is a primitive merge walk
+    // (SortedIntersectCount) over the pre-sorted sets.
+    // The 32-bit hash space makes per-doc collisions (~300 items) a ≤1e-5
+    // event computed IDENTICALLY by the oracle (md5-derived, portable).
+    // persist: docState feeds banding + 2 est-joins + 2 verify-joins;
+    // without it Spark re-runs the scan per use (different join keys → no
+    // exchange reuse). MEMORY_AND_DISK: ~|text| longs + numHashes longs
+    // per doc — far smaller than re-scanning.
+    val docState = docs
+      .select(idCol.as("id"),
+        GraftShim.column(graft.functions.MinhashDocState(
+          GraftShim.expr(lower(textCol)), shingleSize, numHashes)).as("st"))
+      .filter(col("st").isNotNull)
+      .select(col("id"), col("st.hs").as("hs"), col("st.sz").as("sz"),
+        col("st.sig").as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = minhashSignatures(docs, idCol, textCol, shingleSize, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandedAll = sig.select(col("id"),
+    val bandedAll = docState.select(col("id"),
         explode(lshBandKeys(col("sig"), numHashes, bands)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
     // skew guard: drop buckets larger than the cap (window count over the
@@ -160,38 +178,38 @@ object Dedup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id")).distinct()
     // two-phase verify: (1) signature-agreement estimate — numHashes long
-    // compares, prunes the bulk of band-collision noise before touching
-    // shingle sets; (2) exact Jaccard on the hashed sets. The estimate
-    // gate (est ≥ threshold − 1/numHashes) makes recall approximate at
-    // the margin — inherent to LSH, and bit-reproduced by the oracle.
-    val sigEst = aggregate(
-      zip_with(col("a_sig"), col("b_sig"),
-        (x, y) => (x === y).cast("int")),
-      lit(0), (acc, v) => acc + v).cast("double") / numHashes
+    // compares (PositionalEqCount, codegen), prunes the bulk of
+    // band-collision noise before touching shingle sets; (2) exact Jaccard
+    // on the hashed sets. The estimate gate (est ≥ threshold − 1/numHashes)
+    // makes recall approximate at the margin — inherent to LSH, and
+    // bit-reproduced by the oracle.
+    val sigEst = GraftShim.column(graft.functions.PositionalEqCount(
+      GraftShim.expr(col("a_sig")), GraftShim.expr(col("b_sig"))))
+      .cast("double") / numHashes
     val estGate = threshold - 1.0 / numHashes
     val withSigs = cand
-      .join(sig.select(col("id").as("a_id"), col("sig").as("a_sig")), "a_id")
-      .join(sig.select(col("id").as("b_id"), col("sig").as("b_sig")), "b_id")
+      .join(docState.select(col("id").as("a_id"), col("sig").as("a_sig")), "a_id")
+      .join(docState.select(col("id").as("b_id"), col("sig").as("b_sig")), "b_id")
       .withColumn("_est", sigEst)
       .filter(col("_est") >= estGate)
       .select("a_id", "b_id")
     val withSets = withSigs
-      .join(hashed.select(col("id").as("a_id"), col("hs").as("a_hs"),
+      .join(docState.select(col("id").as("a_id"), col("hs").as("a_hs"),
         col("sz").as("a_sz")), "a_id")
-      .join(hashed.select(col("id").as("b_id"), col("hs").as("b_hs"),
+      .join(docState.select(col("id").as("b_id"), col("hs").as("b_hs"),
         col("sz").as("b_sz")), "b_id")
-    // one set pass per pair: |∪| = |a|+|b|−|∩| (sets are distinct), no
-    // second array_union walk
-    val inter = size(array_intersect(col("a_hs"), col("b_hs"))).cast("double")
+    // one merge walk per pair (sets pre-sorted); |∪| = |a|+|b|−|∩|, no
+    // second walk. Same count as size(array_intersect(..)) — exact.
+    val inter = GraftShim.column(SortedIntersectCount(
+      GraftShim.expr(col("a_hs")), GraftShim.expr(col("b_hs")))).cast("double")
     val result = withSets.select(col("a_id"), col("b_id"),
         (inter / (col("a_sz") + col("b_sz") - inter)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
     // Materialize the (corpus-tiny) result eagerly, then release the
-    // persisted intermediates — otherwise every call leaks two cached
-    // frames into the session for its remaining lifetime.
+    // persisted intermediate — otherwise every call leaks a cached frame
+    // into the session for its remaining lifetime.
     val out = result.localCheckpoint(true)
-    hashed.unpersist()
-    sig.unpersist()
+    docState.unpersist()
     out
   }
 
@@ -318,22 +336,16 @@ object Dedup {
                         threshold: Double = 0.3,
                         maxDf: Option[Int] = None): DataFrame = {
     require(threshold > 0, "threshold must be > 0 (zero-overlap-drop soundness)")
-    // postings built WITHOUT array lambdas: posexplode evaluates the
-    // tokenizer ONCE per doc (Generate is an optimizer barrier), n-grams
-    // form via lead() windows over token position — a slice lambda would
-    // re-run the regex split per n-gram index (measured: that inlining is
-    // O(words²) splits/doc and was 90% of this operator's runtime)
-    val toks = docs.select(idCol.as("id"), blockCol.as("block"),
-      posexplode(filter(split(lower(textCol), "\\s+"),
-        t => length(t) > 0)).as(Seq("pos", "tok")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("pos"))
-    val grams = (1 until n).foldLeft(toks) { (df, i) =>
-      df.withColumn(s"_t$i", lead(col("tok"), i).over(w))
-    }
-    val gramStr = concat_ws(" ", col("tok") +: (1 until n).map(i => col(s"_t$i")): _*)
-    val postings = grams.filter(col(s"_t${n - 1}").isNotNull)
-      .select(col("id"), col("block"), shingleHash(gramStr).as("h"))
+    // postings as ONE scan-local codegen expression (WordNgramHashes):
+    // hash every space-joined n-gram of the whitespace tokens directly from
+    // the text. Two earlier shapes both lost: a slice() lambda re-ran the
+    // regex split per n-gram index (O(words²) splits/doc), and the
+    // posexplode + lead()-window form paid a full per-doc window SHUFFLE
+    // just to line up adjacent tokens. Gram hashes are bit-identical to
+    // hashing concat_ws(' ', tok_i..tok_{i+n-1}) — the oracle's spelling.
+    val postings = docs.select(idCol.as("id"), blockCol.as("block"),
+        explode(GraftShim.column(WordNgramHashes(
+          GraftShim.expr(lower(textCol)), n))).as("h"))
       .distinct()
     val sizes = postings.groupBy("id").agg(count(lit(1)).as("sz"))
     val filtered = maxDf match {

@@ -21,8 +21,11 @@ import graft.sources.Tables
  */
 object DocQueries {
 
+  // loadSpread: single-row-group testdata parquet is unsplittable — without
+  // the spread every md5/regex-heavy doc pipeline here runs its scan stage
+  // on ONE core (Tables.loadSpread scaladoc)
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.load(s, dir, name)
+    Tables.loadSpread(s, dir, name)
 
   // ---- shared SQL fragments (DuckDB) ----
 

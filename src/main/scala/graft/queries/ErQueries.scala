@@ -28,9 +28,11 @@ import graft.sources.Tables
  */
 object ErQueries {
 
-  /** The shared accounts view (Spark side). */
+  /** The shared accounts view (Spark side). loadSpread: the customer file
+    * is one unsplittable row group — without it prepSide's normalize and
+    * every downstream similarity kernel scan-stage runs on one core. */
   def accounts(s: SparkSession, dir: String): DataFrame = {
-    val cust = Tables.load(s, dir, "customer")
+    val cust = Tables.loadSpread(s, dir, "customer")
     val nat = Tables.load(s, dir, "nation")
     val created = date_add(lit("1992-01-01").cast("date"),
       (col("c_custkey") % 2000).cast("int"))

