@@ -93,6 +93,14 @@ object TextFunctions {
       substring(nameNormalize(name), 1, 3),
       substring(lower(coalesce(country, lit(""))), 1, 3))
 
+  /** |a ∩ b| of two sorted distinct long arrays — codegen merge walk
+    * ([[SortedIntersectCount]]); the pairwise-join fast path for set
+    * similarity over hashed tokens. */
+  def sortedIntersectCount(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    GraftShim.column(SortedIntersectCount(GraftShim.expr(a), GraftShim.expr(b)))
+  }
+
   /** Jaccard similarity of two token arrays: |∩|/|∪|, 0.0 when either empty
     * (reference: entity_resolution.py:157-164). Inputs are expected to be
     * distinct already (sets); array_intersect/union dedup regardless. */

@@ -24,6 +24,12 @@ object CoreQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  // spread variant for per-row/pair compute-heavy pipelines over the
+  // unsplittable single-row-group testdata files (Tables.loadSpread
+  // scaladoc); the light scan->agg queries keep the shuffle-free scan
+  private def th(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.loadSpread(s, dir, name)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- scans / filters (SURVEY S3, P1-P4, P7-P8) ----
     "q01_pricing_summary" -> ((s, dir) => {
@@ -129,8 +135,8 @@ object CoreQueries {
 
     "q30_exact_match_join" -> ((s, dir) => {
       // deterministic exact-match pairing (reference: entity_resolution.py:408-416 J9)
-      val a = t(s, dir, "part").alias("a")
-      val b = t(s, dir, "part").alias("b")
+      val a = th(s, dir, "part").alias("a")
+      val b = th(s, dir, "part").alias("b")
       a.join(b, col("a.p_name") === col("b.p_name") &&
           col("a.p_partkey") < col("b.p_partkey"))
         .select(col("a.p_name").as("p_name"),
@@ -296,16 +302,30 @@ object CoreQueries {
 
     "q29_token_jaccard" -> ((s, dir) => {
       // token-set Jaccard over pairs (reference: pipeline.py:126-133, entity_resolution.py:157-164 F5/O6)
-      val p = t(s, dir, "part")
-      val a = p.select(col("p_partkey").as("a_key"), col("p_brand"), col("p_type"),
-        array_distinct(split(col("p_name"), " ")).as("a_toks"))
-      val b = p.select(col("p_partkey").as("b_key"),
-        col("p_brand").as("b_brand"), col("p_type").as("b_type"),
-        array_distinct(split(col("p_name"), " ")).as("b_toks"))
-      a.join(b, col("p_brand") === col("b_brand") && col("p_type") === col("b_type") &&
+      // per-ROW prep: distinct tokens → xxhash64 → sorted set (O(rows));
+      // per-PAIR work is then one primitive merge walk
+      // (SortedIntersectCount) instead of array_intersect+array_union hash
+      // sets over strings (O(pairs), the hot loop). |∪|=|a|+|b|−|∩| on
+      // distinct sets; 64-bit hashes make a cross-engine value drift a
+      // ~2⁻⁶⁴-per-pair event (the oracle intersects the string sets).
+      val p = th(s, dir, "part")
+      def prep(key: String, pre: String) = p.select(
+        col("p_partkey").as(key),
+        col("p_brand").as(s"${pre}_brand"), col("p_type").as(s"${pre}_type"),
+        sort_array(array_distinct(transform(
+          array_distinct(split(col("p_name"), " ")), t => xxhash64(t))))
+          .as(s"${pre}_hs"))
+      val a = prep("a_key", "a")
+      val b = prep("b_key", "b")
+      val inter = graft.functions.TextFunctions
+        .sortedIntersectCount(col("a_hs"), col("b_hs")).cast("double")
+      val aSz = size(col("a_hs")).cast("double")
+      val bSz = size(col("b_hs")).cast("double")
+      val jacc = when(aSz === 0 || bSz === 0, lit(0.0))
+        .otherwise(inter / (aSz + bSz - inter))
+      a.join(b, col("a_brand") === col("b_brand") && col("a_type") === col("b_type") &&
           col("a_key") < col("b_key"))
-        .select(col("a_key"), col("b_key"),
-          round(jaccardTokens(col("a_toks"), col("b_toks")), 6).as("jaccard"))
+        .select(col("a_key"), col("b_key"), round(jacc, 6).as("jaccard"))
         .orderBy("a_key", "b_key")
     }),
 

@@ -82,7 +82,9 @@ object MlQueries {
       // consistent-hash A/B assignment, bit-exact 128-bit md5 mod 1000
       // (reference: feedback_logging.py:546-571 M12/F22)
       val session = concat(lit("sess-"), col("o_orderkey").cast("string"))
-      Tables.load(s, dir, "orders").select(
+      // loadSpread: 150k md5-per-row over an unsplittable single-row-group
+      // file would otherwise hash on one core (Tables.loadSpread scaladoc)
+      Tables.loadSpread(s, dir, "orders").select(
         col("o_orderkey"),
         graft.ml.AbRouter.bucket(session).as("bucket"),
         graft.ml.AbRouter.assignVariant(session,
