@@ -57,7 +57,8 @@ object SparkEntry {
       graft.queries.DocQueries.queries ++
       graft.queries.MlQueries.queries ++
       graft.queries.ServeQueries.queries ++
-      graft.queries.MediaQueries.queries
+      graft.queries.MediaQueries.queries ++
+      graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -67,5 +68,6 @@ object SparkEntry {
       graft.queries.DocQueries.oracleSql ++
       graft.queries.MlQueries.oracleSql ++
       graft.queries.ServeQueries.oracleSql ++
-      graft.queries.MediaQueries.oracleSql
+      graft.queries.MediaQueries.oracleSql ++
+      graft.queries.PipelineQueries.oracleSql
 }

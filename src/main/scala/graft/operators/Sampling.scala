@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import org.apache.spark.sql.graftshim.GraftShim
+
+/**
+ * Deterministic hash-based sampling for training-data splits.
+ *
+ * `df.sample()` / `rand(seed)` are PARTITIONING-DEPENDENT in Spark
+ * (per-partition RNG streams): a repartition, AQE re-plan, or file-split
+ * change silently changes which rows are sampled — unacceptable for
+ * train/test splits that must be stable across reruns and engines.
+ * Key-hash sampling fixes the decision to the ROW (md5 of salt+key →
+ * uniform in [0,1)), so samples are reproducible anywhere md5 exists,
+ * membership is stable under any re-partitioning, and train/test
+ * assignment can be re-derived years later from the key alone.
+ * (Same discipline as the reference's seeded splits —
+ * scripts/evaluate.py:295-320 — made partition-invariant; SURVEY §7.4.3.)
+ */
+object Sampling {
+
+  /** Uniform [0,1) from a key: (Md5Prefix32("salt:"||key) % 1e6) / 1e6.
+    * Engine-portable: DuckDB spells the identical value as
+    * CAST(('0x'||substring(md5('salt:'||key),1,8)) AS UBIGINT)%1000000/1e6. */
+  def hashUniform(key: Column, salt: String): Column =
+    pmod(GraftShim.column(graft.functions.Md5Prefix32(
+      GraftShim.expr(concat(lit(s"$salt:"), key.cast("string"))))),
+      lit(1000000L)).cast("double") / 1e6
+
+  /** Bernoulli sample: keep rows with hashUniform < fraction. */
+  def sample(df: DataFrame, key: Column, fraction: Double,
+             salt: String = "sample"): DataFrame =
+    df.filter(hashUniform(key, salt) < fraction)
+
+  /** Stratified sample: per-stratum fraction (default for strata not in
+    * the map). One scan, no shuffle — the fraction lookup is a literal
+    * map, the keep decision is row-local. */
+  def stratifiedSample(df: DataFrame, key: Column, strata: Column,
+                       fractions: Map[String, Double], default: Double,
+                       salt: String = "sample"): DataFrame = {
+    val frac = fractions.foldLeft(lit(default)) { case (acc, (s, f)) =>
+      when(strata === s, lit(f)).otherwise(acc)
+    }
+    df.filter(hashUniform(key, salt) < frac)
+  }
+
+  /** Deterministic k-way split: returns `splitCol` ∈ [0, k) from the key
+    * hash (e.g. k=10 → stable 10-fold CV folds). */
+  def foldAssignment(key: Column, k: Int, salt: String = "fold"): Column =
+    pmod(GraftShim.column(graft.functions.Md5Prefix32(
+      GraftShim.expr(concat(lit(s"$salt:"), key.cast("string"))))), lit(k.toLong))
+      .cast("int")
+}

@@ -81,6 +81,67 @@ object SimilaritySearch {
       Seq(col("cosine").desc, col("id").asc), k)
   }
 
+  // ---------------- IVF (inverted-file) coarse index ----------------
+
+  /** Deterministic IVF coarse centroids: every `modulus`-th id,
+    * unit-normalized → (cid, cu). Hash-free and engine-portable (no
+    * trained model to ship); K scales with corpus size. At 100 TB the
+    * centroid set stays driver-broadcastable (K ≈ √N « N). */
+  def ivfCentroids(embs: DataFrame, idCol: Column, vecCol: Column,
+                   modulus: Int): DataFrame =
+    embs.filter(pmod(idCol, lit(modulus)) === 0)
+      .select(idCol.as("cid"), graft.functions.VectorFunctions.unit(vecCol).as("cu"))
+      .filter(col("cu").isNotNull)
+
+  /**
+   * IVF assignment: every vector → its max-cosine centroid.
+   * (id, cid, cosine). Broadcast nested-loop against the (small) centroid
+   * set, then an ARGMAX as a partial aggregation — max(struct(cos, -cid))
+   * gives deterministic ties (lowest cid) and map-side combine, so the
+   * shuffle carries one row per vector, not per (vector × centroid).
+   * This is the IVF build step; the assignment column is the storage
+   * partition key for repeated-query serving (probe nprobe lists only).
+   */
+  def ivfAssign(embs: DataFrame, idCol: Column, vecCol: Column,
+                modulus: Int): DataFrame = {
+    val cents = ivfCentroids(embs, idCol, vecCol, modulus)
+    val e = embs.select(idCol.as("id"),
+        graft.functions.VectorFunctions.unit(vecCol).as("u"))
+      .filter(col("u").isNotNull)
+    e.join(broadcast(cents))
+      .select(col("id"),
+        struct(graft.functions.VectorFunctions.dot(col("u"), col("cu")).as("cos"),
+          (-col("cid")).as("ncid")).as("sc"))
+      .groupBy("id").agg(max(col("sc")).as("m"))
+      .select(col("id"), (-col("m.ncid")).as("cid"), col("m.cos").as("cosine"))
+  }
+
+  /**
+   * IVF search: score ONLY vectors whose centroid is among the query's
+   * `nprobe` nearest centroids — the classic recall/cost dial. One
+   * broadcast (probed cids), one scan of the probed lists; with
+   * assignment as the storage partition key the unprobed lists are never
+   * read (partition pruning).
+   */
+  def ivfTopK(embs: DataFrame, idCol: Column, vecCol: Column,
+              query: Seq[Double], modulus: Int, nprobe: Int, k: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    val cents = ivfCentroids(embs, idCol, vecCol, modulus)
+    val probed = TopK.globalTopK(
+      cents.select(col("cid"),
+        graft.functions.VectorFunctions.dot(col("cu"), q).as("ccos")),
+      Seq(col("ccos").desc, col("cid").asc), nprobe).select("cid")
+    val assigned = ivfAssign(embs, idCol, vecCol, modulus)
+    // members of the probed lists can be a large fraction of N — plain
+    // equi-join (AQE broadcasts it when small); only `probed` (nprobe
+    // rows) is hint-broadcast
+    val members = assigned.join(broadcast(probed), "cid").select("id")
+    val scored = embs.select(idCol.as("id"), cosine(vecCol, q).as("cosine"))
+      .join(members, "id")
+      .filter(col("cosine").isNotNull)
+    TopK.globalTopK(scored, Seq(col("cosine").desc, col("id").asc), k)
+  }
+
   /** For each item: top-k nearest neighbors within its block (blocked
     * all-pairs + per-item window). */
   def knnWithinBlock(embs: DataFrame, idCol: Column, vecCol: Column,

@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, Sampling, Sessionize, SimilaritySearch}
+import graft.sources.Tables
+
+/**
+ * Training-data pipeline operators beyond the dedup/ANN suite (SURVEY
+ * §7.5 north star): point-in-time (as-of) joins, deterministic sampling,
+ * gap sessionization, IVF coarse-quantizer ANN, and TF-IDF term scoring.
+ *
+ * Oracle notes: the as-of oracle uses DuckDB's NATIVE `ASOF LEFT JOIN` —
+ * an independent implementation of the semantics (not a replay of our
+ * union+window plan), so it validates the algorithm, not just the
+ * arithmetic. Sampling oracles replay the md5 hash → uniform exactly.
+ */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** micro-precision ts format shared by both engines (events ts values
+    * are whole microseconds in the testdata — verified ns%1000=0). */
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+  private val TsFmtDuck = "%Y-%m-%d %H:%M:%S.%f"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q69_asof_join" -> ((s, dir) => {
+      // point-in-time join: each purchase ← value of the user's latest
+      // click at-or-before the purchase (union+window plan, AsOfJoin
+      // scaladoc; oracle = DuckDB native ASOF LEFT JOIN)
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = AsOfJoin.latestPerKeyTs(
+        ev.filter(col("event_type") === "click")
+          .select("user_id", "ts", "value", "event_id"),
+        col("user_id"), col("ts"), col("event_id"))
+        .select("user_id", "ts", "value")
+      AsOfJoin.asOf(purchases, clicks, "user_id", "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), TsFmt).as("ts"),
+          round(col("asof_value"), 6).as("asof_value"))
+        .orderBy("event_id")
+    }),
+
+    "q70_stratified_sample" -> ((s, dir) => {
+      // partition-invariant stratified sample (Sampling scaladoc):
+      // en half, zh a tenth, everything else a quarter
+      Sampling.stratifiedSample(t(s, dir, "documents"),
+          col("doc_id"), col("lang"),
+          Map("en" -> 0.5, "zh" -> 0.1), default = 0.25, salt = "doc")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
+    "q71_sessionize" -> ((s, dir) => {
+      // 30-minute-gap sessions per user with per-session rollup
+      Sessionize.sessions(t(s, dir, "events"),
+          col("user_id"), col("ts"), col("event_id"), gapSeconds = 1800,
+          aggs = Seq(round(sum(col("value")), 2).as("total_value")))
+        .select(col("key").as("user_id"), col("session"),
+          date_format(col("session_start"), TsFmt).as("session_start"),
+          date_format(col("session_end"), TsFmt).as("session_end"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "session")
+    }),
+
+    "q72_ivf_assign" -> ((s, dir) => {
+      // IVF build: deterministic coarse centroids (every 200th id),
+      // max-cosine assignment via broadcast + argmax partial agg;
+      // per-list histogram with order-independent extrema
+      SimilaritySearch.ivfAssign(Tables.loadSpread(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), modulus = 200)
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n"),
+          round(min(col("cosine")), 6).as("min_cos"),
+          round(max(col("cosine")), 6).as("max_cos"))
+        .orderBy("cid")
+    }),
+
+    "q73_ivf_topk" -> ((s, dir) => {
+      // IVF search: probe the 2 nearest centroid lists for vec 0's
+      // embedding, exact top-10 within the probed lists
+      val e = Tables.loadSpread(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).map(_.toDouble)
+      SimilaritySearch.ivfTopK(e, col("vec_id"), col("embedding"), q,
+          modulus = 200, nprobe = 2, k = 10)
+        .select(col("id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy("rank")
+    }),
+
+    "q74_tfidf" -> ((s, dir) => {
+      // TF-IDF top-3 terms per document: tf · ln(N/df), df over distinct
+      // docs per term; one explode + two aggregations, idf via a
+      // broadcast-joined term-frequency dim
+      val docs = Tables.loadSpread(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "\\s+"),
+          t => length(t) > 0)).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDf = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      val scored = tf.join(df_, "term").crossJoin(broadcast(nDf))
+        .select(col("doc_id"), col("term"),
+          (col("tf") * log(col("n_docs") / col("df"))).as("tfidf"))
+      graft.operators.TopK.topKPerGroup(scored, Seq(col("doc_id")),
+          Seq(col("tfidf").desc, col("term").asc), 3)
+        .select(col("doc_id"), col("term"),
+          round(col("tfidf"), 6).as("tfidf"), col("rn").as("rank"))
+        .orderBy("doc_id", "rank")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q69_asof_join" ->
+      s"""WITH r0 AS (SELECT user_id, ts, value,
+        |  row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts, value FROM r0 WHERE rn = 1),
+        |l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT l.event_id, l.user_id, strftime(l.ts, '$TsFmtDuck') AS ts,
+        |  round(r.value, 6) AS asof_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY event_id""".stripMargin,
+
+    "q70_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CAST(('0x' || substring(md5('doc:' || doc_id), 1, 8)) AS UBIGINT)
+        |    % 1000000 / 1000000.0
+        |  < (CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'zh' THEN 0.1
+        |     ELSE 0.25 END)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q71_sessionize" ->
+      s"""WITH flagged AS (SELECT user_id, ts, event_id, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |    THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (SELECT user_id, ts, value,
+        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session
+        |  FROM flagged)
+        |SELECT user_id, session,
+        |  strftime(min(ts), '$TsFmtDuck') AS session_start,
+        |  strftime(max(ts), '$TsFmtDuck') AS session_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM numbered GROUP BY user_id, session
+        |ORDER BY user_id, session""".stripMargin,
+
+    "q72_ivf_assign" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        |  FROM embeddings WHERE vec_id % 200 = 0),
+        |scored AS (SELECT e.vec_id AS id, c.cid,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], c.cv) AS cos,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
+        |        c.cid ASC) AS rn
+        |  FROM embeddings e, c),
+        |assigned AS (SELECT id, cid, cos FROM scored WHERE rn = 1)
+        |SELECT cid, count(*) AS n, round(min(cos), 6) AS min_cos,
+        |  round(max(cos), 6) AS max_cos
+        |FROM assigned GROUP BY cid ORDER BY cid""".stripMargin,
+
+    "q73_ivf_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        |  FROM embeddings WHERE vec_id % 200 = 0),
+        |probed AS (SELECT cid FROM c, q
+        |  ORDER BY list_cosine_similarity(cv, qe) DESC, cid ASC LIMIT 2),
+        |scored AS (SELECT e.vec_id AS id, c.cid,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], c.cv) AS cos,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
+        |        c.cid ASC) AS rn
+        |  FROM embeddings e, c),
+        |members AS (SELECT id FROM scored WHERE rn = 1
+        |  AND cid IN (SELECT cid FROM probed))
+        |SELECT e.vec_id AS id,
+        |  round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6) AS cosine,
+        |  CAST(row_number() OVER (ORDER BY
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.qe) DESC,
+        |    e.vec_id ASC) AS INTEGER) AS rank
+        |FROM embeddings e JOIN members m ON e.vec_id = m.id, q
+        |QUALIFY rank <= 10 ORDER BY rank""".stripMargin,
+
+    "q74_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (SELECT doc_id, term,
+        |    tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS tfidf
+        |  FROM tf JOIN df USING (term), n)
+        |SELECT doc_id, term, round(tfidf, 6) AS tfidf,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
+        |FROM scored QUALIFY rank <= 3 ORDER BY doc_id, rank""".stripMargin
+  )
+}
