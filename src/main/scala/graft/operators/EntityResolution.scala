@@ -51,18 +51,34 @@ object EntityResolution {
     * (the reference recomputes normalize per pair — here each side is
     * normalized pre-shuffle, a strictly better plan). */
   def prepSide(df: DataFrame, cols: AccountCols, prefix: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftShim
     val d = extractDomain(col(cols.website))
+    // norm + tokens from ONE codegen kernel (NormalizedName scaladoc);
+    // the two-level select keeps the struct evaluated once — Catalyst's
+    // CollapseProject declines to merge because the struct is non-cheap
+    // and referenced three times (norm, tokens, blocking key)
+    val nn = GraftShim.column(graft.functions.NormalizedName(
+      GraftShim.expr(col(cols.name))))
     df.select(
-      col(cols.id).cast("string").as(s"${prefix}_id"),
-      col(cols.name).as(s"${prefix}_name"),
-      nameNormalize(col(cols.name)).as(s"${prefix}_norm"),
-      nameTokens(col(cols.name)).as(s"${prefix}_tokens"),
-      d.as(s"${prefix}_domain"),
-      rootDomain(d).as(s"${prefix}_root"),
-      col(cols.country).as(s"${prefix}_country"),
-      col(cols.industry).as(s"${prefix}_industry"),
-      col(cols.employees).cast("double").as(s"${prefix}_employees"),
-      blockingKey(col(cols.name), col(cols.country)).as(s"${prefix}_block"))
+        col(cols.id).cast("string").as(s"${prefix}_id"),
+        col(cols.name).as(s"${prefix}_name"),
+        nn.as("_nn"),
+        d.as(s"${prefix}_domain"),
+        rootDomain(d).as(s"${prefix}_root"),
+        col(cols.country).as(s"${prefix}_country"),
+        col(cols.industry).as(s"${prefix}_industry"),
+        col(cols.employees).cast("double").as(s"${prefix}_employees"))
+      .select(
+        col(s"${prefix}_id"), col(s"${prefix}_name"),
+        coalesce(col("_nn.norm"), lit("")).as(s"${prefix}_norm"),
+        col("_nn.tokens").as(s"${prefix}_tokens"),
+        col(s"${prefix}_domain"), col(s"${prefix}_root"),
+        col(s"${prefix}_country"), col(s"${prefix}_industry"),
+        col(s"${prefix}_employees"),
+        concat_ws("_",
+          substring(coalesce(col("_nn.norm"), lit("")), 1, 3),
+          substring(lower(coalesce(col(s"${prefix}_country"), lit(""))), 1, 3))
+          .as(s"${prefix}_block"))
   }
 
   /** The 9 ER pair features (reference: entity_resolution.py:296-350) as

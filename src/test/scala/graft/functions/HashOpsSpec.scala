@@ -111,6 +111,26 @@ class HashOpsSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("NormalizedName == nameNormalize / nameTokens composed forms") {
+    val rnd = new scala.util.Random(17)
+    val frags = Seq("acme", "corp", "inc", "intl", "&", "the", "tech-sys",
+      "co.", "GLOBAL", "Gmbh", "s.a.", "x", "", "  ", "a&b", "123",
+      "Ünïcode", "svcs", "mfg", "ab")
+    val names = (0 until 300).map { _ =>
+      (0 until rnd.nextInt(6)).map(_ => frags(rnd.nextInt(frags.size)))
+        .mkString(" ")
+    }.toDF("s")
+    val nn = c(NormalizedName(x(col("s"))))
+    val bad = names.select(
+        coalesce(nn.getField("norm"), lit("")).as("fast_norm"),
+        nn.getField("tokens").as("fast_toks"),
+        TextFunctions.nameNormalize(col("s")).as("ref_norm"),
+        TextFunctions.nameTokens(col("s")).as("ref_toks"))
+      .filter(col("fast_norm") =!= col("ref_norm") ||
+        col("fast_toks") =!= col("ref_toks"))
+    assert(bad.count() === 0)
+  }
+
   test("PositionalEqCount == zip_with + aggregate count") {
     val rnd = new scala.util.Random(13)
     val rows = (0 until 300).map { _ =>
