@@ -85,6 +85,32 @@ object Streams {
       .parquet(s"$outDir/batch_id=$id")
   }
 
+  /** Streaming exact dedup with BOUNDED state:
+    * `dropDuplicatesWithinWatermark` keeps a key's dedup state only until
+    * the watermark passes its event time, so state size is
+    * O(keys-per-horizon), not O(all keys ever) — the only shape that
+    * survives an unbounded stream (plain dropDuplicates grows state
+    * forever). Batch twin: Dedup.exactDedup. At-least-once upstream
+    * delivery within the horizon collapses to exactly-one row. */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events.dropDuplicatesWithinWatermark(keyCols)
+
+  /** Streaming gap sessionization: `session_window` aggregation — state
+    * per OPEN session, closed (emitted) once the watermark passes the
+    * session end. Batch twin: Sessionize.sessions, with one boundary
+    * difference: session_window treats a gap EXACTLY equal to
+    * `gapDuration` as a new session (window is [ts, ts+gap)), while the
+    * batch lag-based rule keeps it (`gap > threshold` starts new) —
+    * immaterial for continuous-time data, documented for exactness. */
+  def sessionRollup(events: DataFrame, gapDuration: String): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gapDuration))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
   /** Drain an events directory through the streaming daily rollup into
     * parquet and return the materialized result (complete mode via
     * foreachBatch overwrite — each AvailableNow drain rewrites the rollup,

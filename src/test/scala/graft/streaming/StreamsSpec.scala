@@ -111,6 +111,62 @@ class StreamsSpec extends SparkSpec {
       batchRollup.except(finalState).isEmpty)
   }
 
+  test("streaming dedup within watermark: duplicates collapse, state bounded") {
+    val mem = MemoryStream[(Long, Timestamp, Double)](spark)
+    val deduped = Streams.dedupWithinWatermark(
+      mem.toDF.toDF("event_id", "ts", "value").withWatermark("ts", "1 hour"),
+      Seq("event_id"))
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_out").outputMode("append")
+      .option("checkpointLocation", tmp("graft-dedup-ckpt"))
+      .start()
+    mem.addData((1L, Timestamp.valueOf("2024-01-10 12:00:00"), 1.0))
+    mem.addData((1L, Timestamp.valueOf("2024-01-10 12:00:05"), 1.0)) // dup
+    mem.addData((2L, Timestamp.valueOf("2024-01-10 12:01:00"), 2.0))
+    q.processAllAvailable()
+    // same key re-delivered within the horizon: still a duplicate
+    mem.addData((1L, Timestamp.valueOf("2024-01-10 12:30:00"), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_out")
+    assert(out.count() === 2)
+    assert(out.select("event_id").as[Long].collect().toSet === Set(1L, 2L))
+  }
+
+  test("streaming session rollup equals batch sessionize off boundaries") {
+    // stream the sf0.001 events through session_window; compare to the
+    // batch Sessionize on the same data (timestamps are continuous
+    // microseconds — no gap lands exactly on the 30-min boundary, where
+    // the two formulations differ by definition; Streams.sessionRollup
+    // scaladoc)
+    val dir = tmp("graft-sess-ev")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(s"$dir/events.parquet"))
+    val out = tmp("graft-sess-out")
+    val rollup = Streams.sessionRollup(
+      Streams.readEvents(spark, dir, watermark = "1 day"), "30 minutes")
+    val writer = rollup.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out); ()
+      }
+    Streams.runAvailableNow(writer, tmp("graft-sess-ckpt"))
+    val streamed = spark.read.parquet(out)
+      .select(col("user_id"), col("session_start"),
+        col("n_events"), round(col("total_value"), 4).as("tv"))
+    val batch = graft.operators.Sessionize.sessions(
+        Tables.load(spark, "/root/testdata/sf0.001", "events"),
+        col("user_id"), col("ts"), col("event_id"), 1800,
+        Seq(round(sum(col("value")), 4).as("tv")))
+      .select(col("key").as("user_id"),
+        col("session_start"), col("n_events"), col("tv"))
+    // append mode emits only watermark-closed sessions; every emitted
+    // session must match the batch result exactly, and near-all sessions
+    // close (max ts is far past every session end + horizon)
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).isEmpty,
+      "every closed streaming session matches its batch twin")
+  }
+
   test("T3: idempotent batch writer — replayed batch does not duplicate") {
     val out = tmp("graft-sink")
     val writer = Streams.idempotentBatchWriter(out, Seq("id"))
