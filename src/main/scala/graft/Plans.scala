@@ -19,8 +19,10 @@ object Plans {
       "q09_topk_per_group",    // window top-k
       "q28_broadcast_lookup",  // explicit broadcast hash join
       "q35_recommendations",   // candidate pairs + features + rank
-      "q43_minhash_neardups",  // dedup: explode/agg/band join/verify
-      "q56_ranking_metrics")   // global windows + single-row agg
+      "q43_minhash_neardups",  // dedup: scan-local doc state/band join/merge-walk verify
+      "q56_ranking_metrics",   // global windows + single-row agg
+      "q69_asof_join",         // as-of: union + keyed window, no range join
+      "q72_ivf_assign")        // IVF: broadcast NL join + argmax partial agg
     println("# PLANS -- formatted physical plans of representative queries\n")
     println(s"Generated against `$sfDir` (plan shapes are SF-invariant).\n")
     picks.foreach { name =>
