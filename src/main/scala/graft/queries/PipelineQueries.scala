@@ -94,6 +94,78 @@ object PipelineQueries {
         .orderBy("rank")
     }),
 
+    "q76_int8_topk" -> ((s, dir) => {
+      // scalar int8 quantization + integer-dot top-k — the memory-bound
+      // scale path (4× smaller vectors, exact integer arithmetic both
+      // engines: codes ≤ 255, 64-dim dot < 2^53). code_i =
+      // floor((x_i - min)·255/(max - min)), degenerate flat vectors → 0.
+      val e = Tables.loadSpread(s, dir, "embeddings")
+      def codes(v: org.apache.spark.sql.Column) = {
+        // widen BEFORE arithmetic: float−float would stay float32 and
+        // drift off the oracle's double math at floor boundaries
+        val vmin = array_min(v).cast("double")
+        val vmax = array_max(v).cast("double")
+        transform(v, x => when(vmax === vmin, lit(0.0)).otherwise(
+          floor((x.cast("double") - vmin) * 255.0 / (vmax - vmin))))
+      }
+      val quant = e.select(col("vec_id").as("id"),
+        codes(col("embedding")).as("q"))
+      val qRow = quant.filter(col("id") === 0).select("q")
+        .head.getSeq[Double](0)
+      val qLit = array(qRow.map(lit): _*)
+      val qdot = graft.functions.VectorFunctions.dot(col("q"), qLit)
+        .cast("long")
+      graft.operators.TopK.globalTopK(
+          quant.select(col("id"), qdot.as("qdot")),
+          Seq(col("qdot").desc, col("id").asc), 20)
+        .orderBy("rank")
+    }),
+
+    "q77_rolling_features" -> ((s, dir) => {
+      // 7-day rolling per-customer order features (point-in-time window
+      // frame — the feature-store rolling aggregate; RANGE frame over
+      // event time, not ROWS, so gaps count correctly)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(datediff(col("o_orderdate"), lit("1992-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+          count(lit(1)).over(w).as("n_7d"),
+          round(sum(col("o_totalprice")).over(w), 2).as("rev_7d"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q78_percentiles" -> ((s, dir) => {
+      // DISCRETE percentiles per segment: an actual data value, no
+      // interpolation — interpolated medians of 2-decimal money land on
+      // exact .xx5 rounding boundaries where engine ULP differences
+      // diverge (measured: one segment's p50 off by a cent)
+      val orders = t(s, dir, "orders")
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment"))
+      orders.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("p90"),
+          expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice)").as("p99"))
+        .orderBy("segment")
+    }),
+
+    "q79_pii_redact" -> ((s, dir) => {
+      // PII-style redaction: digit runs in names → <ID>, with a
+      // match count and a portable fingerprint of the redacted text
+      val redacted = regexp_replace(col("c_name"), "[0-9]+", "<ID>")
+      Tables.loadSpread(s, dir, "customer")
+        .select(col("c_custkey"),
+          redacted.as("redacted"),
+          regexp_count(col("c_name"), lit("[0-9]+")).as("n_redactions"),
+          md5(redacted.cast("binary")).as("fp"))
+        .orderBy("c_custkey")
+    }),
+
     "q74_tfidf" -> ((s, dir) => {
       // TF-IDF top-3 terms per document: tf · ln(N/df), df over distinct
       // docs per term; one explode + two aggregations, idf via a
@@ -190,6 +262,49 @@ object PipelineQueries {
         |    e.vec_id ASC) AS INTEGER) AS rank
         |FROM embeddings e JOIN members m ON e.vec_id = m.id, q
         |QUALIFY rank <= 10 ORDER BY rank""".stripMargin,
+
+    "q76_int8_topk" ->
+      """WITH quant AS (SELECT vec_id AS id,
+        |  list_transform(embedding::DOUBLE[], x ->
+        |    CASE WHEN list_max(embedding::DOUBLE[]) = list_min(embedding::DOUBLE[])
+        |      THEN 0.0
+        |      ELSE floor((x - list_min(embedding::DOUBLE[])) * 255.0 /
+        |        (list_max(embedding::DOUBLE[]) - list_min(embedding::DOUBLE[])))
+        |    END) AS q
+        |  FROM embeddings),
+        |qv AS (SELECT q AS qq FROM quant WHERE id = 0),
+        |scored AS (SELECT id,
+        |  CAST(list_sum(list_transform(range(1, len(q) + 1),
+        |    i -> q[i] * qq[i])) AS BIGINT) AS qdot
+        |  FROM quant, qv)
+        |SELECT id, qdot,
+        |  CAST(row_number() OVER (ORDER BY qdot DESC, id ASC) AS INTEGER) AS rank
+        |FROM scored QUALIFY rank <= 20 ORDER BY rank""".stripMargin,
+
+    "q77_rolling_features" ->
+      """SELECT o_orderkey, o_custkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |  count(*) OVER w AS n_7d,
+        |  round(sum(o_totalprice) OVER w, 2) AS rev_7d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |  RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q78_percentiles" ->
+      """SELECT c_mktsegment AS segment,
+        |  quantile_disc(o_totalprice, 0.5) AS p50,
+        |  quantile_disc(o_totalprice, 0.9) AS p90,
+        |  quantile_disc(o_totalprice, 0.99) AS p99
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY segment""".stripMargin,
+
+    "q79_pii_redact" ->
+      """SELECT c_custkey,
+        |  regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS INTEGER) AS n_redactions,
+        |  md5(regexp_replace(c_name, '[0-9]+', '<ID>', 'g')) AS fp
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q74_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(list_filter(
