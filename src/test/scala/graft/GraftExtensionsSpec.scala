@@ -1,0 +1,46 @@
+package graft
+
+/** The extensions entry point exposes every kernel as a SQL function.
+  * `registerAll` is exercised on the shared session (a fresh
+  * `withExtensions` build would be silently ignored by getOrCreate when
+  * a session already exists — the class path is the same injection list,
+  * asserted below). */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("injection list covers the whole kernel surface") {
+    assert(GraftExtensions.injections.map(_._1.funcName).toSet === Set(
+      "jaro_winkler", "array_dot", "md5_prefix32", "shingle_hashes",
+      "word_ngram_hashes", "minhash_signature", "minhash_doc_state",
+      "sorted_intersect_count", "positional_eq_count", "normalized_name"))
+  }
+
+  test("all kernels are callable from pure SQL after registerAll") {
+    GraftExtensions.registerAll(spark)
+    val row = spark.sql(
+      """SELECT
+        |  jaro_winkler('martha', 'marhta') AS jw,
+        |  array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot,
+        |  md5_prefix32('abc') AS h32,
+        |  size(shingle_hashes('abcdefgh', 5)) AS n_shingles,
+        |  size(word_ngram_hashes('a b c d', 3)) AS n_grams,
+        |  size(minhash_signature('hello world docs', 5, 8)) AS sig_len,
+        |  minhash_doc_state('hello world docs', 5, 8).sz AS hs_sz,
+        |  sorted_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS inter,
+        |  positional_eq_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS poseq,
+        |  normalized_name('Acme Corp Intl.').norm AS norm
+        |""".stripMargin).head
+    assert(math.abs(row.getAs[Double]("jw") - 0.9611111111111111) < 1e-12)
+    assert(row.getAs[Double]("dot") === 11.0)
+    assert(row.getAs[Long]("h32") ===
+      java.lang.Long.parseLong("90015098", 16))  // md5('abc') = 900150983...
+    assert(row.getAs[Int]("n_shingles") === 4)
+    assert(row.getAs[Int]("n_grams") === 2)
+    assert(row.getAs[Int]("sig_len") === 8)
+    assert(row.getAs[Int]("hs_sz") > 0)
+    assert(row.getAs[Int]("inter") === 2)
+    assert(row.getAs[Int]("poseq") === 2)
+    // reference order: abbrevs expand FIRST (corp->corporation,
+    // intl->international), then both land in the legal-suffix stop set
+    assert(row.getAs[String]("norm") === "acme")
+  }
+}

@@ -61,6 +61,17 @@ class DedupSpec extends SparkSpec {
     assert(cc(20L) == 20L && cc(21L) == 20L && cc(22L) == 20L)
   }
 
+  test("connectedComponents converges on a 60-node chain (pointer jumping)") {
+    // worst case for plain min-label propagation (diameter 59 would need
+    // 59 rounds); pointer jumping doubles reach per round → well within
+    // the default maxIter=10 (2^10 > 59)
+    val edges = (0L until 59L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 60)
+    assert(cc.values.forall(_ == 0L), "every chain node reaches min id 0")
+  }
+
   test("ngram jaccard: overlapping vs disjoint") {
     val docs = Seq((1L, "a b c d e", "g"), (2L, "a b c d x", "g"),
       (3L, "p q r s t", "g")).toDF("id", "text", "grp")
