@@ -23,6 +23,10 @@ import org.apache.spark.sql.types._
  * replayed batch overwrites itself (exactly-once on top of at-least-once
  * delivery — same contract as the reference's session.merge upsert).
  */
+/** Output row of [[Streams.runningTotals]]. */
+case class RunningTotal(user_id: Long, ts: java.sql.Timestamp,
+                        running_n: Long, running_sum: Double)
+
 object Streams {
 
   /** events table schema for the streaming file source (streams require an
@@ -110,6 +114,47 @@ object Streams {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"), col("total_value"))
+
+  /** Per-key cumulative state via `flatMapGroupsWithState` — the custom-
+    * state extension point for semantics the built-in windowed aggs can't
+    * express. Emits one row per input event carrying the running count
+    * and running value sum for its key AS OF that event (processing
+    * order within key = batch arrival order; deterministic across
+    * replays for append-only sources). State is one (count, sum) pair
+    * per key, evicted after `idleTimeout` of event-time silence via
+    * EventTimeTimeout — bounded the same way the windowed aggs are.
+    * Batch twin: a cumulative window (`rowsBetween(unboundedPreceding,
+    * currentRow)`). */
+  def runningTotals(events: DataFrame, idleTimeout: String = "30 days")
+      : org.apache.spark.sql.Dataset[RunningTotal] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    // no re-cast: a projection that rewrites `ts` would mint a new
+    // attribute without the caller's watermark tag, and event-time
+    // timeouts require the watermarked column to flow through untouched
+    val typed = events.select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), RunningTotal](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[(Long, Double)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var (n, sum) = state.getOption.getOrElse((0L, 0.0))
+            val out = rows.map { case (_, ts, v) =>
+              n += 1; sum += v
+              RunningTotal(user, ts, n, sum)
+            }.toVector // drain before state.update (iterator is lazy)
+            state.update((n, sum))
+            state.getCurrentWatermarkMs() // watermark available ⇒ timeout legal
+            state.setTimeoutTimestamp(
+              out.map(_.ts.getTime).max, idleTimeout)
+            out.iterator
+          }
+      }
+  }
 
   /** Drain an events directory through the streaming daily rollup into
     * parquet and return the materialized result (complete mode via

@@ -167,6 +167,31 @@ class StreamsSpec extends SparkSpec {
       "every closed streaming session matches its batch twin")
   }
 
+  test("flatMapGroupsWithState running totals accumulate across batches") {
+    val mem = MemoryStream[(Long, Timestamp, Double)](spark)
+    val totals = Streams.runningTotals(
+      mem.toDF.toDF("user_id", "ts", "value").withWatermark("ts", "1 day"))
+    val q = totals.toDF.writeStream.format("memory")
+      .queryName("running_out").outputMode("append")
+      .option("checkpointLocation", tmp("graft-running-ckpt"))
+      .start()
+    mem.addData((1L, ts("2024-01-10 10:00:00"), 2.0),
+      (1L, ts("2024-01-10 11:00:00"), 3.0),
+      (2L, ts("2024-01-10 10:30:00"), 7.0))
+    q.processAllAvailable()
+    // second batch: state must carry user 1's (2, 5.0) forward
+    mem.addData((1L, ts("2024-01-11 09:00:00"), 10.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("running_out")
+      .select("user_id", "running_n", "running_sum")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out === Set((1L, 1L, 2.0), (1L, 2L, 5.0), (2L, 1L, 7.0),
+      (1L, 3L, 15.0)))
+  }
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
   test("T3: idempotent batch writer — replayed batch does not duplicate") {
     val out = tmp("graft-sink")
     val writer = Streams.idempotentBatchWriter(out, Seq("id"))
