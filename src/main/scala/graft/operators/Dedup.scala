@@ -409,8 +409,12 @@ object Dedup {
     val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
+    // seeded init: component₀ = min(self, neighbors) — same single
+    // groupBy a distinct() init would cost, one propagation round ahead
+    var labels = sym
+      .groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("_mn"))
+      .select(col("id"), least(col("id"), col("_mn")).as("component"))
       .localCheckpoint()
     val idType = edges.schema("a_id").dataType
     var changed = 1L
