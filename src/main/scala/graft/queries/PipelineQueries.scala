@@ -166,6 +166,37 @@ object PipelineQueries {
         .orderBy("c_custkey")
     }),
 
+    "q80_cube_rollup" -> ((s, dir) => {
+      // CUBE over (status, priority): all grouping combinations in one
+      // pass — the multi-dimensional dashboard rollup the reference
+      // computes as separate queries (SURVEY §2.4 notes it lacks
+      // grouping sets entirely). grouping_id() disambiguates NULL-as-
+      // total from NULL data.
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("rev"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+          coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+          col("gid"), col("n"), col("rev"))
+        .orderBy("gid", "status", "priority")
+    }),
+
+    "q81_setops" -> ((s, dir) => {
+      // relation-level INTERSECT / EXCEPT (SURVEY §2.6: absent in the
+      // reference, expressed there as pandas membership loops):
+      // customers active in BOTH the F and O order populations but never
+      // in P — set semantics (distinct) per ANSI
+      val orders = t(s, dir, "orders")
+      def custOf(status: String) = orders
+        .filter(col("o_orderstatus") === status)
+        .select(col("o_custkey"))
+      custOf("F").intersect(custOf("O"))
+        .except(custOf("P"))
+        .orderBy("o_custkey")
+    }),
+
     "q74_tfidf" -> ((s, dir) => {
       // TF-IDF top-3 terms per document: tf · ln(N/df), df over distinct
       // docs per term; one explode + two aggregations, idf via a
@@ -305,6 +336,23 @@ object PipelineQueries {
         |  CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS INTEGER) AS n_redactions,
         |  md5(regexp_replace(c_name, '[0-9]+', '<ID>', 'g')) AS fp
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q80_cube_rollup" ->
+      """SELECT coalesce(o_orderstatus, '<all>') AS status,
+        |  coalesce(o_orderpriority, '<all>') AS priority,
+        |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INTEGER) AS gid,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, status, priority""".stripMargin,
+
+    "q81_setops" ->
+      """SELECT o_custkey FROM
+        |  ((SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |    INTERSECT
+        |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |   EXCEPT
+        |   SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+        |ORDER BY o_custkey""".stripMargin,
 
     "q74_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(list_filter(
