@@ -58,6 +58,62 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out === Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
 
+  test("asOf equals the naive range-join formulation on random data") {
+    // independent oracle: theta-join all (left, right<=ts) pairs, keep the
+    // max-ts right per left row — O(L·R) but exact
+    val rnd = new scala.util.Random(23)
+    val lefts = (0 until 300).map { i =>
+      (i.toLong, rnd.nextInt(20).toLong,
+        ts(f"2024-01-${1 + rnd.nextInt(28)}%02d ${rnd.nextInt(24)}%02d:00:00"))
+    }.toDF("event_id", "user_id", "ts")
+    val rights = (0 until 200).map { i =>
+      (rnd.nextInt(20).toLong,
+        ts(f"2024-01-${1 + rnd.nextInt(28)}%02d ${rnd.nextInt(24)}%02d:30:00"),
+        rnd.nextDouble(), 1000L + i)
+    }.toDF("user_id", "ts", "value", "event_id")
+    val dedupRight = AsOfJoin.latestPerKeyTs(rights, col("user_id"),
+      col("ts"), col("event_id")).select("user_id", "ts", "value")
+    val fast = AsOfJoin.asOf(lefts, dedupRight, "user_id", "ts", Seq("value"))
+      .select("event_id", "asof_value")
+    val naive = lefts.as("l")
+      .join(dedupRight.as("r"),
+        col("l.user_id") === col("r.user_id") && col("r.ts") <= col("l.ts"),
+        "left")
+      .groupBy(col("l.event_id").as("event_id"))
+      .agg(max(struct(col("r.ts"), col("r.value"))).as("m"))
+      .select(col("event_id"), col("m.value").as("asof_value"))
+    assert(fast.count() === 300)
+    assert(fast.except(naive).isEmpty && naive.except(fast).isEmpty)
+  }
+
+  test("sessionize equals a naive per-key scan on random data") {
+    val rnd = new scala.util.Random(29)
+    val rows = (0 until 500).map { i =>
+      (rnd.nextInt(10).toLong,
+        new Timestamp(ts("2024-01-01 00:00:00").getTime +
+          rnd.nextInt(5 * 86400) * 1000L), i.toLong, 1.0)
+    }
+    val ev = rows.toDF("user_id", "ts", "event_id", "value")
+    val fast = Sessionize.sessions(ev, col("user_id"), col("ts"),
+        col("event_id"), 1800)
+      .select(col("key"), col("session"), col("n_events"))
+      .as[(Long, Long, Long)].collect().toSet
+    // naive: sort each key's events in Scala, split on gap > 1800s
+    val naive = rows.groupBy(_._1).flatMap { case (user, evs) =>
+      val sorted = evs.sortBy(e => (e._2.getTime, e._3))
+      val sessions = sorted.foldLeft(Vector.empty[Vector[Long]]) { (acc, e) =>
+        if (acc.isEmpty) Vector(Vector(e._2.getTime))
+        else if (e._2.getTime - acc.last.last > 1800 * 1000L)
+          acc :+ Vector(e._2.getTime)
+        else acc.init :+ (acc.last :+ e._2.getTime)
+      }
+      sessions.zipWithIndex.map { case (s, i) =>
+        (user, (i + 1).toLong, s.size.toLong)
+      }
+    }.toSet
+    assert(fast === naive)
+  }
+
   test("hash sampling is invariant under repartitioning") {
     val df = spark.range(2000).toDF("id")
     val s1 = Sampling.sample(df, col("id"), 0.3).select("id")
