@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Skew-salting for hash equi-joins: when one join key carries a
+ * disproportionate share of the big side's rows, a plain shuffle sends
+ * the whole hot key to ONE reducer. Salting splits the hot key S ways:
+ * the big side gets a uniform salt in [0, S); the small side is exploded
+ * S× so every (key, salt) bucket still finds its match. Result is
+ * ROW-IDENTICAL to the unsalted join (spec-asserted) — only the
+ * partitioning changes: max reducer load drops from |hot key| to
+ * |hot key| / S at the cost of an S× replication of the small side
+ * (which is why the SMALL side explodes, never the big one).
+ *
+ * AQE's skew-join handles byte-skew after the fact; explicit salting is
+ * the plan-level fix when the skew is known (the ER blocking scaladoc's
+ * recipe, realized — degenerate blocking keys like "the_usa" at 100 TB).
+ */
+object SaltedJoin {
+
+  /** Inner equi-join of `big` and `small` on `key`, salted `s` ways.
+    * Column sets must be disjoint apart from `key` (standard join rule).
+    * The salt is hash-derived from the big side's full row via a
+    * monotonically-increasing id — uniform regardless of key skew. */
+  def join(big: DataFrame, small: DataFrame, key: String, s: Int): DataFrame = {
+    val bigSalted = big.withColumn("_salt",
+      pmod(hash(monotonically_increasing_id()), lit(s)))
+    val smallExploded = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(s - 1))))
+    bigSalted.join(smallExploded, Seq(key, "_salt")).drop("_salt")
+  }
+}

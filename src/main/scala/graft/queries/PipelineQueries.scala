@@ -197,6 +197,30 @@ object PipelineQueries {
         .orderBy("o_custkey")
     }),
 
+    "q82_column_profile" -> ((s, dir) => {
+      // generic column profiler: one aggregation pass computes every
+      // column's stats (count/nulls/distinct/min/max) — k columns = 1
+      // scan, the same one-pass discipline as quality.Contracts. Output
+      // unpivoted to (column, stat, value) strings for a uniform shape.
+      val o = t(s, dir, "orders")
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderpriority")
+      val aggs = cols.flatMap { c =>
+        Seq(count(col(c)).cast("string").as(s"${c}__count"),
+          sum(col(c).isNull.cast("long")).cast("string").as(s"${c}__nulls"),
+          count_distinct(col(c)).cast("string").as(s"${c}__distinct"),
+          min(col(c)).cast("string").as(s"${c}__min"),
+          max(col(c)).cast("string").as(s"${c}__max"))
+      }
+      val wide = o.agg(aggs.head, aggs.tail: _*)
+      val stacked = wide.select(expr(
+        s"stack(${cols.size * 5}, " +
+          cols.flatMap(c => Seq("count", "nulls", "distinct", "min", "max")
+            .map(st => s"'$c', '$st', `${c}__$st`")).mkString(", ") +
+          ") AS (column, stat, value)"))
+      stacked.orderBy("column", "stat")
+    }),
+
     "q74_tfidf" -> ((s, dir) => {
       // TF-IDF top-3 terms per document: tf · ln(N/df), df over distinct
       // docs per term; one explode + two aggregations, idf via a
@@ -353,6 +377,23 @@ object PipelineQueries {
         |   EXCEPT
         |   SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
         |ORDER BY o_custkey""".stripMargin,
+
+    "q82_column_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderpriority")
+      val aggExprs = cols.flatMap { c =>
+        Seq(s"""CAST(count($c) AS VARCHAR) AS "${c}__count"""",
+          s"""CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS VARCHAR) AS "${c}__nulls"""",
+          s"""CAST(count(DISTINCT $c) AS VARCHAR) AS "${c}__distinct"""",
+          s"""CAST(min($c) AS VARCHAR) AS "${c}__min"""",
+          s"""CAST(max($c) AS VARCHAR) AS "${c}__max"""")
+      }.mkString(",\n  ")
+      val rows = cols.flatMap { c =>
+        Seq("count", "nulls", "distinct", "min", "max").map(st =>
+          s"""SELECT '$c' AS "column", '$st' AS stat, "${c}__$st" AS value FROM w""")
+      }.mkString("\nUNION ALL\n")
+      s"WITH w AS (SELECT\n  $aggExprs\nFROM orders)\n$rows\nORDER BY \"column\", stat"
+    },
 
     "q74_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(list_filter(

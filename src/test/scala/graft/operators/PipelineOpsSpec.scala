@@ -134,6 +134,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(folds.values.forall(n => n > 120 && n < 280))
   }
 
+  test("salted join is row-identical to the plain join on skewed data") {
+    // 90% of the big side on one hot key
+    val big = (0 until 2000).map { i =>
+      (if (i % 10 == 0) s"k${i % 7}" else "hot", i.toLong)
+    }.toDF("key", "payload")
+    val small = Seq(("hot", 1.0), ("k1", 2.0), ("k3", 3.0)).toDF("key", "w")
+    val salted = SaltedJoin.join(big, small, "key", s = 8)
+      .select("key", "payload", "w")
+    val plain = big.join(small, "key").select("key", "payload", "w")
+    assert(salted.count() === plain.count())
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+
   test("ivfAssign picks the brute-force argmax centroid") {
     val rnd = new scala.util.Random(3)
     val embs = (0L until 200L).map { i =>
