@@ -202,7 +202,9 @@ object PipelineQueries {
       // column's stats (count/nulls/distinct/min/max) — k columns = 1
       // scan, the same one-pass discipline as quality.Contracts. Output
       // unpivoted to (column, stat, value) strings for a uniform shape.
-      val o = t(s, dir, "orders")
+      // loadSpread: 25 partial aggregates over an unsplittable scan would
+      // otherwise run on one core
+      val o = Tables.loadSpread(s, dir, "orders")
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_totalprice", "o_orderpriority")
       val aggs = cols.flatMap { c =>
