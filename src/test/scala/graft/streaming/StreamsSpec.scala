@@ -192,6 +192,30 @@ class StreamsSpec extends SparkSpec {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  test("runningTotals state evicts after event-time idle timeout") {
+    val mem = MemoryStream[(Long, Timestamp, Double)](spark)
+    val totals = Streams.runningTotals(
+      mem.toDF.toDF("user_id", "ts", "value").withWatermark("ts", "1 hour"),
+      idleTimeout = "1 day")
+    val q = totals.toDF.writeStream.format("memory")
+      .queryName("evict_out").outputMode("append")
+      .option("checkpointLocation", tmp("graft-evict-ckpt"))
+      .start()
+    mem.addData((1L, ts("2024-01-10 10:00:00"), 5.0))
+    q.processAllAvailable()
+    // advance the watermark far past user 1's idle timeout (state dies)
+    mem.addData((2L, ts("2024-02-20 10:00:00"), 1.0))
+    q.processAllAvailable()
+    // user 1 returns: running count must restart at 1, not continue at 2
+    mem.addData((1L, ts("2024-02-20 11:00:00"), 7.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("evict_out")
+      .select("user_id", "running_n", "running_sum")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out === Set((1L, 1L, 5.0), (2L, 1L, 1.0), (1L, 1L, 7.0)))
+  }
+
   test("T3: idempotent batch writer — replayed batch does not duplicate") {
     val out = tmp("graft-sink")
     val writer = Streams.idempotentBatchWriter(out, Seq("id"))
