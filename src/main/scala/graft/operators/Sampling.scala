@@ -46,6 +46,16 @@ object Sampling {
     df.filter(hashUniform(key, salt) < frac)
   }
 
+  /** Importance (weighted) sample: keep each row with probability
+    * proportional to `weight` (clamped to [0,1] after `scale`) — the
+    * quality-weighted downsampling step of training-data curation (keep
+    * high-quality documents with higher probability). Same hash-uniform
+    * determinism as [[sample]]: membership is a pure function of the key,
+    * stable under repartitioning and replayable cross-engine. */
+  def sampleByWeight(df: DataFrame, key: Column, weight: Column,
+                     scale: Double = 1.0, salt: String = "wsample"): DataFrame =
+    df.filter(hashUniform(key, salt) < least(weight * scale, lit(1.0)))
+
   /** Deterministic k-way split: returns `splitCol` ∈ [0, k) from the key
     * hash (e.g. k=10 → stable 10-fold CV folds). */
   def foldAssignment(key: Column, k: Int, salt: String = "fold"): Column =

@@ -126,6 +126,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(s1.size / 2000.0 - 0.3) < 0.05)
   }
 
+  test("sampleByWeight keeps rows proportional to weight, deterministically") {
+    val df = spark.range(4000).toDF("id")
+      .withColumn("w", when(col("id") % 2 === 0, 0.8).otherwise(0.1))
+    val kept = Sampling.sampleByWeight(df, col("id"), col("w"))
+    val byW = kept.groupBy("w").count()
+      .as[(Double, Long)].collect().toMap
+    // 2000 rows per weight class; expect ~1600 vs ~200
+    assert(math.abs(byW(0.8) - 1600.0) < 120)
+    assert(math.abs(byW(0.1) - 200.0) < 70)
+    // deterministic under repartitioning
+    val again = Sampling.sampleByWeight(df.repartition(7), col("id"), col("w"))
+      .select("id").as[Long].collect().toSet
+    assert(again === kept.select("id").as[Long].collect().toSet)
+  }
+
   test("foldAssignment: stable, complete, near-uniform") {
     val df = spark.range(1000).toDF("id")
     val folds = df.select(Sampling.foldAssignment(col("id"), 5).as("f"))
