@@ -10,6 +10,10 @@ import graft.functions.TextFunctions
  * (beyond-reference: the LLM-data-pipeline generalization the reference's
  * ER blocking+similarity machinery points at — SURVEY §7.5; reference
  * analogues: blocking entity_resolution.py:287-294, Jaccard :157-164).
+ * Algorithms are the published classics: MinHash resemblance sketching
+ * (Broder, 1997), banded LSH (Indyk-Motwani family), SimHash random
+ * hyperplane rounding (Charikar, 2002), prefix/df-capped set-similarity
+ * joins (the ppjoin family of Chaudhuri/Xiao et al.).
  *
  * Hashing discipline: every hash is md5 over explicit string material and
  * minima are taken LEXICOGRAPHICALLY on the hex strings. That keeps
