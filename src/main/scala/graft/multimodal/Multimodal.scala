@@ -67,6 +67,59 @@ object Multimodal {
     "digest" -> md5(content))
 
   // ---------------------------------------------------------------------
+  // Container-header sniffing — REAL metadata from the bytes, no codec.
+  // ---------------------------------------------------------------------
+  // Format-header parsing is byte arithmetic, not decoding: these run on
+  // genuine PNG/WAV files (spec constructs real headers) entirely inside
+  // whole-stage codegen via substring+hex+conv — the cheap first pass a
+  // 100 TB media pipeline runs to type/route/filter blobs BEFORE any
+  // decode stage touches them.
+
+  /** Big-endian uint from `len` bytes at 1-based offset `off`. */
+  private def beUint(content: Column, off: Int, len: Int): Column =
+    conv(hex(substring(content, off, len)), 16, 10).cast("long")
+
+  /** Little-endian uint from `len` bytes at 1-based offset `off`. */
+  private def leUint(content: Column, off: Int, len: Int): Column =
+    (0 until len).map { i =>
+      beUint(content, off + i, 1) * (1L << (8 * i))
+    }.reduce(_ + _)
+
+  /** True iff the blob starts with the 8-byte PNG signature. */
+  def isPng(content: Column): Column =
+    hex(substring(content, 1, 8)) === "89504E470D0A1A0A"
+
+  /** PNG width/height from the IHDR chunk (bytes 17-24, big-endian) —
+    * struct<width, height>, null for non-PNG bytes. */
+  def pngMeta(content: Column): Column =
+    when(isPng(content) && length(content) >= 24,
+      struct(
+        beUint(content, 17, 4).cast("int").as("width"),
+        beUint(content, 21, 4).cast("int").as("height")))
+
+  /** True iff the blob is a RIFF/WAVE container. */
+  def isWav(content: Column): Column =
+    substring(content, 1, 4).cast("string") === "RIFF" &&
+      substring(content, 9, 4).cast("string") === "WAVE"
+
+  /** WAV audio format fields from the canonical fmt chunk at offset 13 —
+    * struct<channels, sample_rate, bits_per_sample> (little-endian),
+    * null for non-WAV bytes. */
+  def wavMeta(content: Column): Column =
+    when(isWav(content) && length(content) >= 36 &&
+        substring(content, 13, 4).cast("string") === "fmt ",
+      struct(
+        leUint(content, 23, 2).cast("int").as("channels"),
+        leUint(content, 25, 4).cast("int").as("sample_rate"),
+        leUint(content, 35, 2).cast("int").as("bits_per_sample")))
+
+  /** Route blobs by sniffed container type: image/audio/unknown. */
+  def sniffKind(content: Column): Column =
+    when(isPng(content), "image/png")
+      .when(isWav(content), "audio/wav")
+      .otherwise("unknown")
+
+  // ---------------------------------------------------------------------
   // STUB codec — deterministic fake standing in for a real decoder.
   // ---------------------------------------------------------------------
 

@@ -27,6 +27,39 @@ class MultimodalSpec extends SparkSpec {
       .collect().toSeq == Seq("image", "audio", "video"))
   }
 
+  test("header sniffing parses REAL PNG and WAV bytes") {
+    // construct a genuine 200x100 PNG header (signature + IHDR) and a
+    // genuine 2-channel 44.1kHz 16-bit WAV header (RIFF + fmt chunk)
+    def be(v: Int, n: Int): Array[Byte] =
+      (n - 1 to 0 by -1).map(i => ((v >> (8 * i)) & 0xFF).toByte).toArray
+    def le(v: Int, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xFF).toByte).toArray
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1A, '\n') ++
+      be(13, 4) ++ "IHDR".getBytes ++ be(200, 4) ++ be(100, 4) ++
+      Array[Byte](8, 6, 0, 0, 0)
+    val wav = "RIFF".getBytes ++ le(36, 4) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le(16, 4) ++ le(1, 2) ++ le(2, 2) ++
+      le(44100, 4) ++ le(176400, 4) ++ le(4, 2) ++ le(16, 2)
+    val junk = "not a media file".getBytes
+    val df = Seq((1L, png), (2L, wav), (3L, junk)).toDF("id", "content")
+    val out = df.select(col("id"),
+        Multimodal.sniffKind(col("content")).as("kind"),
+        Multimodal.pngMeta(col("content")).as("png"),
+        Multimodal.wavMeta(col("content")).as("wav"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) === "image/png")
+    assert(out(1L).getStruct(2).getInt(0) === 200)   // width
+    assert(out(1L).getStruct(2).getInt(1) === 100)   // height
+    assert(out(1L).isNullAt(3))
+    assert(out(2L).getString(1) === "audio/wav")
+    assert(out(2L).getStruct(3).getInt(0) === 2)     // channels
+    assert(out(2L).getStruct(3).getInt(1) === 44100) // sample rate
+    assert(out(2L).getStruct(3).getInt(2) === 16)    // bits
+    assert(out(2L).isNullAt(2))
+    assert(out(3L).getString(1) === "unknown")
+    assert(out(3L).isNullAt(2) && out(3L).isNullAt(3))
+  }
+
   test("contentFingerprint matches JVM-computed digests") {
     val fp = Multimodal.contentFingerprint(col("content"))
     val row = fp.foldLeft(media.filter(col("media_id") === 0))(
