@@ -39,30 +39,51 @@ object AsOfJoin {
    * @param ts        event-time column name present on BOTH sides
    * @param payload   right columns to carry (emitted as `asof_<name>`,
    *                  null when no right row precedes the left row)
+   * @param toleranceSeconds  optional max staleness: a right row older
+   *                  than `left.ts - tolerance` does NOT match (payloads
+   *                  null) — the kdb `aj`/Flink temporal-join dial that
+   *                  keeps ancient state from leaking into features
    */
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
-           payload: Seq[String]): DataFrame = {
+           payload: Seq[String],
+           toleranceSeconds: Option[Long] = None): DataFrame = {
     val leftCols = left.columns
+    // right event time rides along as an internal payload: it drives the
+    // tolerance check and is dropped at the end
+    val rightTsTag = "_r__asof_ts"
     // harmonized union schema: left cols ++ payload (null on left) ++ side
     val lTagged = left
       .select(leftCols.map(col) ++
-        payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"_r_$p")) :+
-        lit(1).as("_side"): _*)
+        payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"_r_$p")) ++
+        Seq(lit(null).cast(right.schema(ts).dataType).as(rightTsTag),
+          lit(1).as("_side")): _*)
     val rTagged = right
       .select(Seq(col(key), col(ts)) ++
         leftCols.filterNot(c => c == key || c == ts)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(p => col(p).as(s"_r_$p")) :+
-        lit(0).as("_side"): _*)
-      .select((leftCols.map(col) ++ payload.map(p => col(s"_r_$p")) :+
-        col("_side")): _*)
+        payload.map(p => col(p).as(s"_r_$p")) ++
+        Seq(col(ts).as(rightTsTag), lit(0).as("_side")): _*)
+      .select((leftCols.map(col) ++ payload.map(p => col(s"_r_$p")) ++
+        Seq(col(rightTsTag), col("_side"))): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts).asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = lTagged.unionByName(rTagged)
       .select(leftCols.map(col) ++ payload.map(p =>
-        last(col(s"_r_$p"), ignoreNulls = true).over(w).as(s"asof_$p")) :+
-        col("_side"): _*)
-    carried.filter(col("_side") === 1).drop("_side")
+        last(col(s"_r_$p"), ignoreNulls = true).over(w).as(s"asof_$p")) ++
+        Seq(last(col(rightTsTag), ignoreNulls = true).over(w).as(rightTsTag),
+          col("_side")): _*)
+    val matched = carried.filter(col("_side") === 1)
+    val out = toleranceSeconds match {
+      case None => matched
+      case Some(tol) =>
+        // stale match → null payloads (row survives; the match doesn't)
+        val fresh = col(rightTsTag).isNotNull &&
+          unix_micros(col(ts)) - unix_micros(col(rightTsTag)) <= tol * 1000000L
+        payload.foldLeft(matched) { (df, p) =>
+          df.withColumn(s"asof_$p", when(fresh, col(s"asof_$p")))
+        }
+    }
+    out.drop("_side", rightTsTag)
   }
 }

@@ -34,6 +34,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(4L) === None)        // key absent on right
   }
 
+  test("asOf tolerance nulls stale matches but keeps fresh ones") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),   // right is 1h old → fresh
+      (2L, 10L, ts("2024-01-03 10:00:00")))   // right is 2d+ old → stale
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, ts("2024-01-01 09:00:00"), 5.0))
+      .toDF("user_id", "ts", "value")
+    val out = AsOfJoin.asOf(left, right, "user_id", "ts", Seq("value"),
+        toleranceSeconds = Some(86400))
+      .select("event_id", "asof_value").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(out(1L) === Some(5.0))
+    assert(out(2L) === None)
+  }
+
   test("latestPerKeyTs keeps max-tiebreak row per (key, ts)") {
     val r = Seq(
       (10L, ts("2024-01-01 08:00:00"), 1.0, 100L),
