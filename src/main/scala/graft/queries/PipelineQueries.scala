@@ -166,6 +166,17 @@ object PipelineQueries {
         .orderBy("c_custkey")
     }),
 
+    "q83_weighted_sample" -> ((s, dir) => {
+      // importance sampling: keep documents with probability ∝ a quality
+      // proxy (longer docs likelier) — Sampling.sampleByWeight, md5-hash
+      // determinism replayed exactly by the oracle
+      val docs = t(s, dir, "documents")
+        .withColumn("w", least(col("n_chars") / 2000.0, lit(1.0)))
+      graft.operators.Sampling.sampleByWeight(docs, col("doc_id"), col("w"))
+        .select(col("doc_id"), col("lang"), round(col("w"), 6).as("w"))
+        .orderBy("doc_id")
+    }),
+
     "q80_cube_rollup" -> ((s, dir) => {
       // CUBE over (status, priority): all grouping combinations in one
       // pass — the multi-dimensional dashboard rollup the reference
@@ -362,6 +373,14 @@ object PipelineQueries {
         |  CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS INTEGER) AS n_redactions,
         |  md5(regexp_replace(c_name, '[0-9]+', '<ID>', 'g')) AS fp
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q83_weighted_sample" ->
+      """SELECT doc_id, lang, round(least(n_chars / 2000.0, 1.0), 6) AS w
+        |FROM documents
+        |WHERE CAST(('0x' || substring(md5('wsample:' || doc_id), 1, 8)) AS UBIGINT)
+        |    % 1000000 / 1000000.0
+        |  < least(least(n_chars / 2000.0, 1.0) * 1.0, 1.0)
+        |ORDER BY doc_id""".stripMargin,
 
     "q80_cube_rollup" ->
       """SELECT coalesce(o_orderstatus, '<all>') AS status,
