@@ -115,6 +115,26 @@ object Streams {
         col("session_window.end").as("session_end"),
         col("n_events"), col("total_value"))
 
+  /** Stream-stream INTERVAL join: for each left event, right events of
+    * the same key within `[left.ts - windowSeconds, left.ts]` — the
+    * attribution join (purchase ← clicks in the last hour) as a genuine
+    * stream×stream join. Both sides MUST be watermarked (callers attach
+    * `withWatermark`); the time-range condition is what lets Spark bound
+    * the join state: a buffered right row is dropped once the watermark
+    * guarantees no future left row can reach back to it. Without the
+    * range condition the state grows forever — the condition IS the
+    * eviction policy. Batch twin: a plain theta join with the same
+    * predicate. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   windowSeconds: Long): DataFrame = {
+    val l = left.alias("l")
+    val r = right.alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col("r.ts") >= col("l.ts") - expr(s"INTERVAL $windowSeconds SECONDS") &&
+        col("r.ts") <= col("l.ts"))
+  }
+
   /** Per-key cumulative state via `flatMapGroupsWithState` — the custom-
     * state extension point for semantics the built-in windowed aggs can't
     * express. Emits one row per input event carrying the running count

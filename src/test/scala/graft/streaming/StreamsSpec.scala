@@ -192,6 +192,33 @@ class StreamsSpec extends SparkSpec {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  test("stream-stream interval join matches the batch theta join") {
+    val lMem = MemoryStream[(Long, Timestamp, Long)](spark)
+    val rMem = MemoryStream[(Long, Timestamp, Double)](spark)
+    val l = lMem.toDF.toDF("user_id", "ts", "purchase_id")
+      .withWatermark("ts", "2 hours")
+    val r = rMem.toDF.toDF("user_id", "ts", "value")
+      .withWatermark("ts", "2 hours")
+    val joined = Streams.intervalJoin(l, r, "user_id", windowSeconds = 3600)
+      .select(col("l.purchase_id"), col("r.value"))
+    val q = joined.writeStream.format("memory")
+      .queryName("ij_out").outputMode("append")
+      .option("checkpointLocation", tmp("graft-ij-ckpt"))
+      .start()
+    rMem.addData((7L, ts("2024-01-10 09:30:00"), 1.0),  // in window
+      (7L, ts("2024-01-10 08:00:00"), 2.0),             // too old
+      (8L, ts("2024-01-10 09:45:00"), 3.0))             // other key
+    lMem.addData((7L, ts("2024-01-10 10:00:00"), 100L))
+    q.processAllAvailable()
+    // right row arriving AFTER the left (but in-window by event time)
+    // still joins — stream-stream buffers both sides
+    rMem.addData((7L, ts("2024-01-10 09:59:00"), 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ij_out").as[(Long, Double)].collect().toSet
+    assert(out === Set((100L, 1.0), (100L, 4.0)))
+  }
+
   test("runningTotals state evicts after event-time idle timeout") {
     val mem = MemoryStream[(Long, Timestamp, Double)](spark)
     val totals = Streams.runningTotals(
