@@ -187,6 +187,27 @@ object Contracts {
   /** Quality-monitor rollup over a validation-history frame
     * (reference: data_contracts.py:216-231 A10): success rate, avg rows,
     * total errors. */
+  /** Schema drift between an expected and an observed frame: one row per
+    * added / removed / type-changed column. The upstream-broke-the-feed
+    * check a multi-org ingest runs BEFORE row-level validation (a type
+    * change fails fast here instead of as a thousand row violations).
+    * Pure schema comparison — no jobs, no scan. */
+  def schemaDrift(expected: DataFrame, observed: DataFrame): Seq[Drift] = {
+    val e = expected.schema.map(f => f.name -> f.dataType.catalogString).toMap
+    val o = observed.schema.map(f => f.name -> f.dataType.catalogString).toMap
+    val removed = (e.keySet -- o.keySet).toSeq.sorted
+      .map(c => Drift(c, "removed", e(c), null))
+    val added = (o.keySet -- e.keySet).toSeq.sorted
+      .map(c => Drift(c, "added", null, o(c)))
+    val changed = (e.keySet & o.keySet).toSeq.sorted
+      .filter(c => e(c) != o(c))
+      .map(c => Drift(c, "type_changed", e(c), o(c)))
+    removed ++ added ++ changed
+  }
+
+  final case class Drift(column: String, change: String,
+                         expected_type: String, observed_type: String)
+
   def qualitySummary(history: DataFrame): DataFrame =
     history.agg(
       avg(col("is_valid").cast("double")).as("success_rate"),

@@ -62,6 +62,18 @@ class ContractsSpec extends SparkSpec {
     assert(r.errors.exists(_.contains("Required column 'name' missing")))
   }
 
+  test("schemaDrift reports added/removed/type-changed columns") {
+    import spark.implicits._
+    val expected = Seq((1L, "a", 1.0)).toDF("id", "name", "score")
+    val observed = Seq((1L, 2, "x")).toDF("id", "score", "extra")
+    val drift = Contracts.schemaDrift(expected, observed)
+      .map(d => (d.column, d.change, d.expected_type, d.observed_type))
+    assert(drift === Seq(
+      ("name", "removed", "string", null),
+      ("extra", "added", null, "string"),
+      ("score", "type_changed", "double", "int")))
+  }
+
   test("quality summary rollup (A10)") {
     val hist = Seq((true, 100L, 0L), (false, 50L, 3L))
       .toDF("is_valid", "row_count", "error_count")
