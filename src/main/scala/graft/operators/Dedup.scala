@@ -410,6 +410,24 @@ object Dedup {
    * here) cuts lineage; labels frames are (id, component) pairs only.
    */
   def connectedComponents(edges: DataFrame, maxIter: Int = 10): DataFrame = {
+    // The engine-wide AQE minPartitionSize=16k exists for CPU-heavy
+    // small-byte stages (Tables.tune scaladoc); label propagation is the
+    // opposite profile — trivial CPU over tiny frames, where 32-way
+    // shuffles are pure task-scheduling overhead per round. Scope a
+    // coarser coalesce target to THIS loop's actions (checkpoint/count
+    // run eagerly inside it), restoring the session value after.
+    val session = edges.sparkSession
+    val confKey = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    val oldMin = session.conf.getOption(confKey)
+    session.conf.set(confKey, "8m")
+    try connectedComponentsLoop(edges, maxIter)
+    finally oldMin match {
+      case Some(v) => session.conf.set(confKey, v)
+      case None => session.conf.unset(confKey)
+    }
+  }
+
+  private def connectedComponentsLoop(edges: DataFrame, maxIter: Int): DataFrame = {
     val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint()
