@@ -31,34 +31,66 @@ object GraftExtensions {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "", "", "", "", "", "", "scala_udf")
 
-  private def intLit(e: Expression): Int =
-    e.eval().asInstanceOf[Number].intValue()
+  /** Clean analysis-time error instead of an opaque eval()/cast failure
+    * deep in plan building — names the function and expected signature. */
+  private def fail(sig: String, why: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "_LEGACY_ERROR_TEMP_1332",
+      messageParameters = Map("errorMessage" -> s"$sig: $why"))
+
+  private def checkArity(sig: String, es: Seq[Expression], n: Int): Unit =
+    if (es.length != n)
+      fail(sig, s"expects $n arguments, got ${es.length}")
+
+  private def intLit(sig: String, es: Seq[Expression], i: Int): Int = {
+    val e = es(i)
+    if (!e.foldable)
+      fail(sig, s"argument ${i + 1} must be a foldable integer literal, " +
+        s"got ${e.sql}")
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other =>
+        fail(sig, s"argument ${i + 1} must be an integer literal, " +
+          s"got ${if (other == null) "NULL" else other.toString}")
+    }
+  }
 
   /** The full kernel surface as injectable (identifier, info, builder)
     * triples — shared by the extensions path and [[registerAll]]. */
   lazy val injections: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = {
+    def arity(sig: String, n: Int)(build: Seq[Expression] => Expression)
+        : Seq[Expression] => Expression =
+      es => { checkArity(sig, es, n); build(es) }
     val fns: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
       ("jaro_winkler", "jaro_winkler(a, b) - reference Jaro-Winkler similarity",
-        es => JaroWinkler(es.head, es(1))),
+        arity("jaro_winkler(a, b)", 2)(es => JaroWinkler(es.head, es(1)))),
       ("array_dot", "array_dot(a, b) - double-precision dot product",
-        es => ArrayDot(es.head, es(1))),
+        arity("array_dot(a, b)", 2)(es => ArrayDot(es.head, es(1)))),
       ("md5_prefix32", "md5_prefix32(s) - first 4 md5 bytes as uint32 long",
-        es => Md5Prefix32(es.head)),
+        arity("md5_prefix32(s)", 1)(es => Md5Prefix32(es.head))),
       ("shingle_hashes", "shingle_hashes(text, n) - md5-prefix hash per n-char window",
-        es => ShingleHashes(es.head, intLit(es(1)))),
+        arity("shingle_hashes(text, n)", 2)(es =>
+          ShingleHashes(es.head, intLit("shingle_hashes(text, n)", es, 1)))),
       ("word_ngram_hashes", "word_ngram_hashes(text, n) - md5-prefix hash per word n-gram",
-        es => WordNgramHashes(es.head, intLit(es(1)))),
+        arity("word_ngram_hashes(text, n)", 2)(es =>
+          WordNgramHashes(es.head, intLit("word_ngram_hashes(text, n)", es, 1)))),
       ("minhash_signature", "minhash_signature(text, n, k) - k-perm MinHash signature",
-        es => MinhashSignature(es.head, intLit(es(1)), intLit(es(2)))),
+        arity("minhash_signature(text, n, k)", 3)(es =>
+          MinhashSignature(es.head, intLit("minhash_signature(text, n, k)", es, 1),
+            intLit("minhash_signature(text, n, k)", es, 2)))),
       ("minhash_doc_state", "minhash_doc_state(text, n, k) - struct<hs, sz, sig>",
-        es => MinhashDocState(es.head, intLit(es(1)), intLit(es(2)))),
+        arity("minhash_doc_state(text, n, k)", 3)(es =>
+          MinhashDocState(es.head, intLit("minhash_doc_state(text, n, k)", es, 1),
+            intLit("minhash_doc_state(text, n, k)", es, 2)))),
       ("sorted_intersect_count", "sorted_intersect_count(a, b) - |a ∩ b| merge walk",
-        es => SortedIntersectCount(es.head, es(1))),
+        arity("sorted_intersect_count(a, b)", 2)(es =>
+          SortedIntersectCount(es.head, es(1)))),
       ("positional_eq_count", "positional_eq_count(a, b) - count of equal positions",
-        es => PositionalEqCount(es.head, es(1))),
+        arity("positional_eq_count(a, b)", 2)(es =>
+          PositionalEqCount(es.head, es(1)))),
       ("normalized_name", "normalized_name(s) - struct<norm, tokens> company normalize",
-        es => NormalizedName(es.head)))
+        arity("normalized_name(s)", 1)(es => NormalizedName(es.head))))
     fns.map { case (name, usage, builder) =>
       (FunctionIdentifier(name), info(name, usage), builder)
     }

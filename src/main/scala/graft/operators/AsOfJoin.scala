@@ -47,43 +47,49 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
            payload: Seq[String],
            toleranceSeconds: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
     val leftCols = left.columns
-    // right event time rides along as an internal payload: it drives the
-    // tolerance check and is dropped at the end
-    val rightTsTag = "_r__asof_ts"
-    // harmonized union schema: left cols ++ payload (null on left) ++ side
+    // The whole right row is carried as ONE struct (right ts + payload
+    // fields) under a single last(_, ignoreNulls=true): right rows are
+    // always non-null at the struct level, so a right row whose payload
+    // value is NULL correctly yields NULL (per-column carries would leak
+    // an older row's non-null value), and the emitted payload always
+    // comes from the same row whose ts the tolerance check judges.
+    val rtsField = "_rts"
+    val carryTag = "_r__asof_carry"
+    val carryType = StructType(
+      StructField(rtsField, right.schema(ts).dataType) +:
+        payload.map(p => right.schema(p).copy(name = p)))
+    // harmonized union schema: left cols ++ carry struct (null on left) ++ side
     val lTagged = left
       .select(leftCols.map(col) ++
-        payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"_r_$p")) ++
-        Seq(lit(null).cast(right.schema(ts).dataType).as(rightTsTag),
-          lit(1).as("_side")): _*)
+        Seq(lit(null).cast(carryType).as(carryTag), lit(1).as("_side")): _*)
     val rTagged = right
       .select(Seq(col(key), col(ts)) ++
         leftCols.filterNot(c => c == key || c == ts)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(p => col(p).as(s"_r_$p")) ++
-        Seq(col(ts).as(rightTsTag), lit(0).as("_side")): _*)
-      .select((leftCols.map(col) ++ payload.map(p => col(s"_r_$p")) ++
-        Seq(col(rightTsTag), col("_side"))): _*)
+        Seq(struct(col(ts).as(rtsField) +: payload.map(col): _*)
+            .cast(carryType).as(carryTag),
+          lit(0).as("_side")): _*)
+      .select((leftCols.map(col) ++ Seq(col(carryTag), col("_side"))): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts).asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = lTagged.unionByName(rTagged)
-      .select(leftCols.map(col) ++ payload.map(p =>
-        last(col(s"_r_$p"), ignoreNulls = true).over(w).as(s"asof_$p")) ++
-        Seq(last(col(rightTsTag), ignoreNulls = true).over(w).as(rightTsTag),
+      .select(leftCols.map(col) ++
+        Seq(last(col(carryTag), ignoreNulls = true).over(w).as(carryTag),
           col("_side")): _*)
-    val matched = carried.filter(col("_side") === 1)
-    val out = toleranceSeconds match {
-      case None => matched
+      .filter(col("_side") === 1)
+    val fresh = toleranceSeconds match {
+      case None => col(carryTag).isNotNull
       case Some(tol) =>
         // stale match → null payloads (row survives; the match doesn't)
-        val fresh = col(rightTsTag).isNotNull &&
-          unix_micros(col(ts)) - unix_micros(col(rightTsTag)) <= tol * 1000000L
-        payload.foldLeft(matched) { (df, p) =>
-          df.withColumn(s"asof_$p", when(fresh, col(s"asof_$p")))
-        }
+        col(carryTag).isNotNull &&
+          unix_micros(col(ts)) - unix_micros(col(carryTag)(rtsField)) <=
+            tol * 1000000L
     }
-    out.drop("_side", rightTsTag)
+    carried
+      .select(leftCols.map(col) ++ payload.map(p =>
+        when(fresh, col(carryTag)(p)).as(s"asof_$p")): _*)
   }
 }

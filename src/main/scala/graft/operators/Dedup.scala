@@ -428,8 +428,13 @@ object Dedup {
   }
 
   private def connectedComponentsLoop(edges: DataFrame, maxIter: Int): DataFrame = {
-    val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // materialize the (possibly expensive) edge pipeline ONCE before the
+    // self-union: union branches are independent subtrees in the physical
+    // plan, so symmetrizing the raw frame would execute the upstream
+    // (e.g. a full LSH near-dup pass) twice
+    val e0 = edges.select(col("a_id"), col("b_id")).localCheckpoint()
+    val sym = e0.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(e0.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint()
     // seeded init: component₀ = min(self, neighbors) — same single
     // groupBy a distinct() init would cost, one propagation round ahead

@@ -59,9 +59,13 @@ object PipelineQueries {
 
     "q71_sessionize" -> ((s, dir) => {
       // 30-minute-gap sessions per user with per-session rollup
+      // sum as decimal: double partial-agg order diverges from DuckDB's at
+      // 2dp rounding boundaries (r3 hash mismatch); 2dp money casts exactly
+      // and decimal addition is order-independent
       Sessionize.sessions(t(s, dir, "events"),
           col("user_id"), col("ts"), col("event_id"), gapSeconds = 1800,
-          aggs = Seq(round(sum(col("value")), 2).as("total_value")))
+          aggs = Seq(sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("total_value")))
         .select(col("key").as("user_id"), col("session"),
           date_format(col("session_start"), TsFmt).as("session_start"),
           date_format(col("session_end"), TsFmt).as("session_end"),
@@ -243,9 +247,13 @@ object PipelineQueries {
         explode(filter(split(lower(col("text")), "\\s+"),
           t => length(t) > 0)).as("term"))
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      // df as a count() window over tf (already one row per (doc, term)):
+      // one reshuffle by term replaces the groupBy+re-join-by-term pair
+      val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
       val nDf = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-      val scored = tf.join(df_, "term").crossJoin(broadcast(nDf))
+      val scored = tf
+        .withColumn("df", count(lit(1)).over(wTerm))
+        .crossJoin(broadcast(nDf))
         .select(col("doc_id"), col("term"),
           (col("tf") * log(col("n_docs") / col("df"))).as("tfidf"))
       graft.operators.TopK.topKPerGroup(scored, Seq(col("doc_id")),
@@ -291,7 +299,8 @@ object PipelineQueries {
         |SELECT user_id, session,
         |  strftime(min(ts), '$TsFmtDuck') AS session_start,
         |  strftime(max(ts), '$TsFmtDuck') AS session_end,
-        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM numbered GROUP BY user_id, session
         |ORDER BY user_id, session""".stripMargin,
 

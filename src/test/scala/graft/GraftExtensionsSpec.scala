@@ -43,4 +43,20 @@ class GraftExtensionsSpec extends SparkSpec {
     // intl->international), then both land in the legal-suffix stop set
     assert(row.getAs[String]("norm") === "acme")
   }
+
+  test("bad arity and non-literal int args raise clean AnalysisException") {
+    GraftExtensions.registerAll(spark)
+    def analysisMsg(sql: String): String =
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(sql).queryExecution.analyzed
+      }.getMessage
+    // wrong arg count → named function + expected count, not IndexOutOfBounds
+    assert(analysisMsg("SELECT jaro_winkler('a')")
+      .contains("jaro_winkler(a, b): expects 2 arguments, got 1"))
+    // non-foldable int arg → named argument, not an opaque eval() crash
+    assert(analysisMsg(
+      "SELECT minhash_signature(text, cast(doc_id AS INT), 16) " +
+        "FROM parquet.`/root/testdata/sf0.001/documents.parquet`")
+      .contains("argument 2 must be a foldable integer literal"))
+  }
 }

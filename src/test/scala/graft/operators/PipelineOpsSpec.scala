@@ -49,6 +49,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(2L) === None)
   }
 
+  test("asOf: null payload on the latest right row is emitted as null") {
+    // row-atomic carry: the most recent right row wins even when its
+    // payload value is NULL — a per-column last(ignoreNulls) would leak
+    // the OLDER row's 1.0 here (not as-of semantics; DuckDB ASOF → NULL)
+    val left = Seq((1L, 10L, ts("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 08:00:00"), Some(1.0)),
+      (10L, ts("2024-01-01 09:00:00"), None: Option[Double])
+    ).toDF("user_id", "ts", "value")
+    val out = AsOfJoin.asOf(left, right, "user_id", "ts", Seq("value"))
+      .select("event_id", "asof_value").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(out(1L) === None)
+  }
+
+  test("asOf tolerance judges freshness by the row whose payload is emitted") {
+    // two-payload carry: both emitted fields must come from the same
+    // (latest) right row, and that row's ts drives the tolerance check
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-02 09:30:00")))  // latest right is 1d+ old
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 08:00:00"), Some(1.0), "a"),
+      (10L, ts("2024-01-01 09:00:00"), None: Option[Double], "b")
+    ).toDF("user_id", "ts", "value", "tag")
+    val out = AsOfJoin.asOf(left, right, "user_id", "ts",
+        Seq("value", "tag"), toleranceSeconds = Some(86400))
+      .select("event_id", "asof_value", "asof_tag")
+      .as[(Long, Option[Double], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === ((None, Some("b"))))  // latest row, null value kept
+    assert(out(2L) === ((None, None)))       // stale → whole payload null
+  }
+
   test("latestPerKeyTs keeps max-tiebreak row per (key, ts)") {
     val r = Seq(
       (10L, ts("2024-01-01 08:00:00"), 1.0, 100L),
