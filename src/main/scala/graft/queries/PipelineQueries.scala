@@ -247,13 +247,14 @@ object PipelineQueries {
         explode(filter(split(lower(col("text")), "\\s+"),
           t => length(t) > 0)).as("term"))
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      // df as a count() window over tf (already one row per (doc, term)):
-      // one reshuffle by term replaces the groupBy+re-join-by-term pair
-      val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
+      // df via groupBy + join, NOT a count() window over term: the groupBy
+      // partial-aggregates (a stopword term emits one row per map task, not
+      // one row per document), and AQE can skew-split the term join — a
+      // window would pin every row of a hot term on a single task with no
+      // split possible, which dies at corpus scale
+      val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val nDf = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-      val scored = tf
-        .withColumn("df", count(lit(1)).over(wTerm))
-        .crossJoin(broadcast(nDf))
+      val scored = tf.join(df_, "term").crossJoin(broadcast(nDf))
         .select(col("doc_id"), col("term"),
           (col("tf") * log(col("n_docs") / col("df"))).as("tfidf"))
       graft.operators.TopK.topKPerGroup(scored, Seq(col("doc_id")),
