@@ -212,6 +212,40 @@ object DocQueries {
         .select(col("doc_id"),
           TextAnalysis.contentFingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
+    }),
+
+    "q84_corpus_clean" -> ((s, dir) => {
+      // the training-data curation funnel as ONE query: token-length
+      // quality gates → prefix-fingerprint dedup (md5 of the first 8
+      // lowercase tokens — catches the near-dup family sharing a prefix)
+      // → per-source audit of every drop reason. One scan, one window,
+      // one aggregation; each doc gets exactly one fate so the audit
+      // columns always sum to n_docs.
+      import org.apache.spark.sql.expressions.Window
+      val toks = size(split(trim(col("text")), "\\s+"))
+      val fp = md5(array_join(
+        slice(split(lower(trim(col("text"))), "\\s+"), 1, 8), " ")
+        .cast("binary"))
+      val flagged = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          toks.as("n_tokens"), fp.as("fp"))
+        .withColumn("q", when(col("n_tokens") < 25, "short")
+          .when(col("n_tokens") > 80, "long").otherwise("pass"))
+      val firstOfFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      flagged
+        .withColumn("fate",
+          when(col("q") =!= "pass", col("q"))
+            .when(row_number().over(firstOfFp) > 1, "dup")
+            .otherwise("kept"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("fate") === "short").cast("long")).as("drop_short"),
+          sum((col("fate") === "long").cast("long")).as("drop_long"),
+          sum((col("fate") === "dup").cast("long")).as("drop_dup"),
+          sum((col("fate") === "kept").cast("long")).as("kept"),
+          round(avg(when(col("fate") === "kept", col("n_tokens"))), 4)
+            .as("avg_tokens_kept"))
+        .orderBy("source")
     })
   )
 
@@ -436,6 +470,33 @@ object DocQueries {
     "q54_fingerprint" ->
       """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
         |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0))), ' ')) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q84_corpus_clean" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |    md5(array_to_string(
+        |      string_split_regex(lower(trim(text)), '\s+')[1:8], ' ')) AS fp
+        |  FROM documents),
+        |flagged AS (
+        |  SELECT doc_id, source, n_tokens, fp,
+        |    CASE WHEN n_tokens < 25 THEN 'short'
+        |         WHEN n_tokens > 80 THEN 'long'
+        |         ELSE 'pass' END AS q
+        |  FROM toks),
+        |fated AS (
+        |  SELECT source, n_tokens,
+        |    CASE WHEN q <> 'pass' THEN q
+        |         WHEN row_number() OVER (PARTITION BY fp ORDER BY doc_id) > 1
+        |           THEN 'dup' ELSE 'kept' END AS fate
+        |  FROM flagged)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN fate = 'short' THEN 1 ELSE 0 END) AS BIGINT) AS drop_short,
+        |  CAST(sum(CASE WHEN fate = 'long' THEN 1 ELSE 0 END) AS BIGINT) AS drop_long,
+        |  CAST(sum(CASE WHEN fate = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS drop_dup,
+        |  CAST(sum(CASE WHEN fate = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+        |  round(avg(CASE WHEN fate = 'kept' THEN n_tokens END), 4) AS avg_tokens_kept
+        |FROM fated GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -262,6 +262,66 @@ object PipelineQueries {
         .select(col("doc_id"), col("term"),
           round(col("tfidf"), 6).as("tfidf"), col("rn").as("rank"))
         .orderBy("doc_id", "rank")
+    }),
+
+    "q85_pq_adc_topk" -> ((s, dir) => {
+      // Product quantization ANN with asymmetric distance computation —
+      // the memory-bound scale path past int8 (q76): each vector is held
+      // as m=4 one-byte codes (64× smaller than float32), search is a
+      // per-subspace table LOOKUP of precomputed query→centroid
+      // distances, no float math per candidate. Codebook = deterministic
+      // modulus-sampled vectors (the q72 IVF discipline, oracle-exact);
+      // codes = per-subspace L2 argmin over the BROADCAST codebook, so
+      // encoding is scan-local — no shuffle until the final top-k.
+      import org.apache.spark.sql.Column
+      val e = Tables.loadSpread(s, dir, "embeddings")
+        .select("vec_id", "embedding")
+      val cent = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).map(_.toDouble)
+      // (x-y)*(x-y), not pow(_,2): multiplication is bit-identical across
+      // engines; widen floats BEFORE subtraction (float−float stays
+      // float32 and drifts off the double oracle)
+      def l2sq(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => {
+          val d = x.cast("double") - y.cast("double"); d * d
+        }), lit(0.0), _ + _)
+      def subv(v: Column): Column = slice(v, col("s") * 16 + 1, lit(16))
+      val dist = e
+        .select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(0), lit(3))).as("s"))
+        .crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("s"), col("cid"),
+          l2sq(subv(col("embedding")), subv(col("cv"))).as("d"))
+      val codes = graft.operators.TopK.topKPerGroup(dist,
+        Seq(col("vec_id"), col("s")), Seq(col("d").asc, col("cid").asc), 1)
+      // ADC lookup table: query→centroid distance per (subspace, code) —
+      // m×k rows, broadcast to every executor
+      val dq = cent
+        .select(col("cid"), col("cv"),
+          explode(sequence(lit(0), lit(3))).as("s"))
+        .select(col("s"), col("cid"),
+          l2sq(subv(typedlit(qv)), subv(col("cv"))).as("dq"))
+      // fixed-order d0+d1+d2+d3 (not sum()): bit-identical across engines
+      val aggs = (0 to 3).map(i =>
+          max(when(col("s") === i, col("cid"))).as(s"c$i")) ++
+        (0 to 3).map(i =>
+          max(when(col("s") === i, col("dq"))).as(s"d$i"))
+      val adc = codes.join(broadcast(dq), Seq("s", "cid"))
+        .groupBy("vec_id")
+        .agg(aggs.head, aggs.tail: _*)
+      val total = col("d0") + col("d1") + col("d2") + col("d3")
+      // globalTopK = orderBy+limit (distributed take-ordered), THEN rank
+      // the k survivors — never a global row_number window over all rows
+      graft.operators.TopK.globalTopK(
+          adc.select(col("vec_id").as("id"), col("c0"), col("c1"),
+            col("c2"), col("c3"), round(total, 6).as("adc_dist"),
+            total.as("_t")),
+          Seq(col("_t").asc, col("id").asc), 10)
+        .select(col("id"), col("c0"), col("c1"), col("c2"), col("c3"),
+          col("adc_dist"), col("rank").cast("bigint").as("rank"))
+        .orderBy("rank")
     })
   )
 
@@ -439,6 +499,44 @@ object PipelineQueries {
         |SELECT doc_id, term, round(tfidf, 6) AS tfidf,
         |  CAST(row_number() OVER (PARTITION BY doc_id
         |    ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
-        |FROM scored QUALIFY rank <= 3 ORDER BY doc_id, rank""".stripMargin
+        |FROM scored QUALIFY rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q85_pq_adc_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 100 = 0),
+        |sub AS (SELECT unnest(range(0, 4)) AS s),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |dist AS (
+        |  SELECT e.vec_id, sub.s, cent.cid,
+        |    list_sum([ (e.v[sub.s*16+i] - cent.cv[sub.s*16+i])
+        |             * (e.v[sub.s*16+i] - cent.cv[sub.s*16+i])
+        |               FOR i IN range(1, 17) ]) AS d
+        |  FROM e, sub, cent),
+        |codes AS (
+        |  SELECT vec_id, s, cid FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, s
+        |    ORDER BY d, cid) = 1),
+        |dq AS (
+        |  SELECT sub.s, cent.cid,
+        |    list_sum([ (q.qv[sub.s*16+i] - cent.cv[sub.s*16+i])
+        |             * (q.qv[sub.s*16+i] - cent.cv[sub.s*16+i])
+        |               FOR i IN range(1, 17) ]) AS dq
+        |  FROM q, sub, cent),
+        |adc AS (
+        |  SELECT c.vec_id,
+        |    max(CASE WHEN c.s = 0 THEN c.cid END) AS c0,
+        |    max(CASE WHEN c.s = 1 THEN c.cid END) AS c1,
+        |    max(CASE WHEN c.s = 2 THEN c.cid END) AS c2,
+        |    max(CASE WHEN c.s = 3 THEN c.cid END) AS c3,
+        |    max(CASE WHEN c.s = 0 THEN dq.dq END) AS d0,
+        |    max(CASE WHEN c.s = 1 THEN dq.dq END) AS d1,
+        |    max(CASE WHEN c.s = 2 THEN dq.dq END) AS d2,
+        |    max(CASE WHEN c.s = 3 THEN dq.dq END) AS d3
+        |  FROM codes c JOIN dq ON c.s = dq.s AND c.cid = dq.cid
+        |  GROUP BY c.vec_id)
+        |SELECT vec_id AS id, c0, c1, c2, c3,
+        |  round(d0 + d1 + d2 + d3, 6) AS adc_dist,
+        |  row_number() OVER (ORDER BY d0 + d1 + d2 + d3, vec_id) AS rank
+        |FROM adc QUALIFY rank <= 10 ORDER BY rank""".stripMargin
   )
 }
