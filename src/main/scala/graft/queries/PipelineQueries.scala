@@ -264,6 +264,30 @@ object PipelineQueries {
         .orderBy("doc_id", "rank")
     }),
 
+    "q86_scd2_intervals" -> ((s, dir) => {
+      // SCD2 history build from an event stream: compress each user's
+      // event-type sequence to its change points, then derive validity
+      // intervals [valid_from, valid_to) with lead(); open interval =
+      // current state. The slowly-changing-dimension pattern behind the
+      // reference's sync/watermark bookkeeping, as two windows over one
+      // user-partitioned shuffle (both windows share the partitioning,
+      // so Catalyst plans a single Exchange).
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("state"))
+        .withColumn("_prev", lag(col("state"), 1).over(byUser))
+        .filter(col("_prev").isNull || col("_prev") =!= col("state"))
+        .withColumn("valid_to_ts", lead(col("ts"), 1).over(byUser))
+        .select(col("user_id"), col("state"),
+          date_format(col("ts"), TsFmt).as("valid_from"),
+          date_format(col("valid_to_ts"), TsFmt).as("valid_to"),
+          col("valid_to_ts").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from")
+    }),
+
     "q85_pq_adc_topk" -> ((s, dir) => {
       // Product quantization ANN with asymmetric distance computation —
       // the memory-bound scale path past int8 (q76): each vector is held
@@ -500,6 +524,26 @@ object PipelineQueries {
         |  CAST(row_number() OVER (PARTITION BY doc_id
         |    ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
         |FROM scored QUALIFY rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q86_scd2_intervals" ->
+      s"""WITH marked AS (
+        |  SELECT user_id, ts, event_id, event_type AS state,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |changes AS (
+        |  SELECT user_id, ts, event_id, state FROM marked
+        |  WHERE prev IS NULL OR prev <> state),
+        |iv AS (
+        |  SELECT user_id, state, ts,
+        |    lead(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS valid_to_ts
+        |  FROM changes)
+        |SELECT user_id, state,
+        |  strftime(ts, '$TsFmtDuck') AS valid_from,
+        |  strftime(valid_to_ts, '$TsFmtDuck') AS valid_to,
+        |  valid_to_ts IS NULL AS is_current
+        |FROM iv ORDER BY user_id, valid_from""".stripMargin,
 
     "q85_pq_adc_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
