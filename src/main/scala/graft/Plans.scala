@@ -22,7 +22,10 @@ object Plans {
       "q43_minhash_neardups",  // dedup: scan-local doc state/band join/merge-walk verify
       "q56_ranking_metrics",   // global windows + single-row agg
       "q69_asof_join",         // as-of: union + keyed window, no range join
-      "q72_ivf_assign")        // IVF: broadcast NL join + argmax partial agg
+      "q72_ivf_assign",        // IVF: broadcast NL join + argmax partial agg
+      "q84_corpus_clean",      // curation funnel: one scan/window/agg
+      "q85_pq_adc_topk",       // PQ: broadcast codebook encode + ADC lookup
+      "q86_scd2_intervals")    // SCD2: two windows, one shared Exchange
     println("# PLANS -- formatted physical plans of representative queries\n")
     println(s"Generated against `$sfDir` (plan shapes are SF-invariant).\n")
     picks.foreach { name =>
