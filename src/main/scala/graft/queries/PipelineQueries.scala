@@ -264,6 +264,30 @@ object PipelineQueries {
         .orderBy("doc_id", "rank")
     }),
 
+    "q87_incremental_rollup" -> ((s, dir) => {
+      // incremental materialized-view maintenance: the standing daily
+      // rollup (events ≤ HWM, the "stored" aggregate) merges with the
+      // delta partition (events > HWM) by ALGEBRAIC combine — sum of
+      // counts, sum of decimal sums — never re-reading the history. The
+      // oracle is the full-table rollup, so the gate itself proves
+      // old ⊕ delta == full. At 100 TB this is the difference between
+      // touching one day and touching three years.
+      val hwm = lit("2024-01-15 00:00:00").cast("timestamp")
+      def rollup(df: DataFrame): DataFrame = df
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("sv"))
+      val ev = t(s, dir, "events")
+      val old_ = rollup(ev.filter(col("ts") <= hwm))
+      val delta = rollup(ev.filter(col("ts") > hwm))
+      old_.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(sum(col("n")).as("n"),
+          sum(col("sv")).cast("double").as("total_value"))
+        .orderBy("day", "event_type")
+    }),
+
     "q86_scd2_intervals" -> ((s, dir) => {
       // SCD2 history build from an event stream: compress each user's
       // event-type sequence to its change points, then derive validity
@@ -524,6 +548,12 @@ object PipelineQueries {
         |  CAST(row_number() OVER (PARTITION BY doc_id
         |    ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
         |FROM scored QUALIFY rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q87_incremental_rollup" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
 
     "q86_scd2_intervals" ->
       s"""WITH marked AS (

@@ -27,6 +27,11 @@ import org.apache.spark.sql.types._
 case class RunningTotal(user_id: Long, ts: java.sql.Timestamp,
                         running_n: Long, running_sum: Double)
 
+/** Closed validity interval emitted by [[Streams.scd2Intervals]]. */
+case class Scd2Interval(user_id: Long, state: String,
+                        valid_from: java.sql.Timestamp,
+                        valid_to: java.sql.Timestamp)
+
 object Streams {
 
   /** events table schema for the streaming file source (streams require an
@@ -172,6 +177,51 @@ object Streams {
             state.setTimeoutTimestamp(
               out.map(_.ts.getTime).max, idleTimeout)
             out.iterator
+          }
+      }
+  }
+
+  /** Streaming twin of the q86 SCD2 build: per-key state = the OPEN
+    * interval (current state + its start); a state change CLOSES the
+    * previous interval and emits it (append mode — closed intervals are
+    * immutable facts; the open interval lives only in state until its
+    * key changes state or times out). Within a batch, a key's rows are
+    * sorted by (ts, event_id) to mirror the batch window's order;
+    * cross-batch correctness holds for in-order delivery per key, which
+    * the watermark bounds. State is one (string, timestamp) pair per
+    * key — same eviction contract as [[runningTotals]]. */
+  def scd2Intervals(events: DataFrame, idleTimeout: String = "30 days")
+      : org.apache.spark.sql.Dataset[Scd2Interval] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val typed = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(String, java.sql.Timestamp), Scd2Interval](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[(String, java.sql.Timestamp)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toVector
+              .sortBy(r => (r._2.getTime, r._2.getNanos, r._3))
+            var cur = state.getOption
+            val out = Vector.newBuilder[Scd2Interval]
+            sorted.foreach { case (_, ts, _, typ) =>
+              cur match {
+                case Some((s0, t0)) if s0 != typ =>
+                  out += Scd2Interval(user, s0, t0, ts)
+                  cur = Some((typ, ts))
+                case None => cur = Some((typ, ts))
+                case _ => () // same state continues the open interval
+              }
+            }
+            state.update(cur.get)
+            state.setTimeoutTimestamp(
+              sorted.map(_._2.getTime).max, idleTimeout)
+            out.result().iterator
           }
       }
   }

@@ -167,6 +167,40 @@ class StreamsSpec extends SparkSpec {
       "every closed streaming session matches its batch twin")
   }
 
+  test("streaming SCD2 intervals equal the batch change-point build") {
+    // drain sf0.001 events through scd2Intervals; every CLOSED interval
+    // the stream emits must match the batch formulation (q86's plan
+    // minus the final open interval per user, which stays in state)
+    val dir = tmp("graft-scd2-ev")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(s"$dir/events.parquet"))
+    val out = tmp("graft-scd2-out")
+    val iv = Streams.scd2Intervals(
+      Streams.readEvents(spark, dir, watermark = "1 day"))
+    val writer = iv.toDF.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out); ()
+      }
+    Streams.runAvailableNow(writer, tmp("graft-scd2-ckpt"))
+    val streamed = spark.read.parquet(out)
+      .select("user_id", "state", "valid_from", "valid_to")
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val batch = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("state"))
+      .withColumn("_prev", lag(col("state"), 1).over(byUser))
+      .filter(col("_prev").isNull || col("_prev") =!= col("state"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(byUser))
+      .filter(col("valid_to").isNotNull) // closed intervals only
+      .select(col("user_id"), col("state"),
+        col("ts").as("valid_from"), col("valid_to"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "closed streaming intervals == batch change-point intervals")
+  }
+
   test("flatMapGroupsWithState running totals accumulate across batches") {
     val mem = MemoryStream[(Long, Timestamp, Double)](spark)
     val totals = Streams.runningTotals(
