@@ -264,6 +264,27 @@ object PipelineQueries {
         .orderBy("doc_id", "rank")
     }),
 
+    "q88_reconcile_full_outer" -> ((s, dir) => {
+      // cross-system reconciliation: activity rollup vs order rollup,
+      // FULL OUTER on the entity key — the audit join that surfaces
+      // entities present on exactly one side (every other join type in
+      // the gate discards one side's orphans). Both inputs pre-aggregate
+      // to one row per key BEFORE the join, so the shuffle carries
+      // rollups, not raw rows.
+      val ev = t(s, dir, "events")
+        .groupBy(col("user_id").as("k")).agg(count(lit(1)).as("n_events"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_custkey") % 2 === 0 && col("o_custkey") < 300)
+        .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n_orders"))
+      ev.as("e").join(ord.as("o"), col("e.k") === col("o.k"), "full_outer")
+        .select(coalesce(col("e.k"), col("o.k")).as("entity"),
+          col("n_events"), col("n_orders"),
+          when(col("e.k").isNotNull && col("o.k").isNotNull, "both")
+            .when(col("e.k").isNotNull, "events_only")
+            .otherwise("orders_only").as("presence"))
+        .orderBy("entity")
+    }),
+
     "q87_incremental_rollup" -> ((s, dir) => {
       // incremental materialized-view maintenance: the standing daily
       // rollup (events ≤ HWM, the "stored" aggregate) merges with the
@@ -548,6 +569,18 @@ object PipelineQueries {
         |  CAST(row_number() OVER (PARTITION BY doc_id
         |    ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
         |FROM scored QUALIFY rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q88_reconcile_full_outer" ->
+      """WITH e AS (SELECT user_id AS k, count(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |o AS (SELECT o_custkey AS k, count(*) AS n_orders FROM orders
+        |  WHERE o_custkey % 2 = 0 AND o_custkey < 300 GROUP BY 1)
+        |SELECT coalesce(e.k, o.k) AS entity, e.n_events, o.n_orders,
+        |  CASE WHEN e.k IS NOT NULL AND o.k IS NOT NULL THEN 'both'
+        |       WHEN e.k IS NOT NULL THEN 'events_only'
+        |       ELSE 'orders_only' END AS presence
+        |FROM e FULL OUTER JOIN o ON e.k = o.k
+        |ORDER BY entity""".stripMargin,
 
     "q87_incremental_rollup" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,

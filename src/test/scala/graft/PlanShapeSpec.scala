@@ -1,0 +1,61 @@
+package graft
+
+/**
+ * Physical-plan regression gates: the scale properties SCALING.md claims
+ * (pushdown, broadcast selection, shared Exchanges, no global windows in
+ * hot paths) asserted against the live optimizer, so a refactor that
+ * silently loses one fails CI rather than the 1000-executor cluster.
+ * Plan SHAPES are SF-invariant — sf0.001 inputs drive the same choices.
+ */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q01: filter is pushed to the parquet scan, schema is pruned") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      "shipdate predicate must reach the reader")
+    assert(!p.contains("l_orderkey"),
+      "untouched columns must not survive into the scan schema")
+  }
+
+  test("q28: dimension lookup is a broadcast hash join") {
+    val p = plan("q28_broadcast_lookup")
+    assert(p.contains("BroadcastHashJoin"), "small dim must broadcast")
+    assert(!p.contains("SortMergeJoin"), "lookup must not shuffle the fact side")
+  }
+
+  test("q86: both SCD2 windows share one hash Exchange") {
+    val p = plan("q86_scd2_intervals")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges === 1,
+      s"change-point + interval windows must reuse one user-partitioned " +
+        s"Exchange, found $hashExchanges")
+  }
+
+  test("q74: per-term df is aggregated, never a global window") {
+    val p = plan("q74_tfidf")
+    // exactly ONE window (the per-doc top-k); df must be a groupBy, not a
+    // second window over term
+    val windows = "Window ".r.findAllIn(p).length
+    assert(windows === 1, s"expected only the top-k window, found $windows")
+    assert(p.contains("HashAggregate"), "df path must partial-aggregate")
+  }
+
+  test("q87: incremental merge reuses partial aggregates (no extra scan of history)") {
+    val p = plan("q87_incremental_rollup")
+    // two branch scans (old + delta) then a single merge agg — the plan
+    // must not re-read events a third time
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 2, s"expected old+delta scans only, found $scans")
+  }
+
+  test("q85: PQ codebook and ADC table are broadcast, vectors are not shuffled pre-encode") {
+    val p = plan("q85_pq_adc_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "codebook must broadcast")
+  }
+}
