@@ -25,7 +25,9 @@ object Plans {
       "q72_ivf_assign",        // IVF: broadcast NL join + argmax partial agg
       "q84_corpus_clean",      // curation funnel: one scan/window/agg
       "q85_pq_adc_topk",       // PQ: broadcast codebook encode + ADC lookup
-      "q86_scd2_intervals")    // SCD2: two windows, one shared Exchange
+      "q86_scd2_intervals",    // SCD2: two windows, one shared Exchange
+      "q87_incremental_rollup",// old ⊕ delta algebraic merge, two scans
+      "q89_range_join_windows")// binned range join: equi-join, no NL
     println("# PLANS -- formatted physical plans of representative queries\n")
     println(s"Generated against `$sfDir` (plan shapes are SF-invariant).\n")
     picks.foreach { name =>

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Sampling, Sessionize, SimilaritySearch}
+import graft.operators.{AsOfJoin, RangeJoin, Sampling, Sessionize, SimilaritySearch}
 import graft.sources.Tables
 
 /**
@@ -262,6 +262,29 @@ object PipelineQueries {
         .select(col("doc_id"), col("term"),
           round(col("tfidf"), 6).as("tfidf"), col("rn").as("rank"))
         .orderBy("doc_id", "rank")
+    }),
+
+    "q89_range_join_windows" -> ((s, dir) => {
+      // event-to-window attribution: sparse "incident windows" (2h after
+      // each anchor purchase) ← ALL events falling inside, with NO
+      // equi-key — the pure range join Spark would otherwise plan as a
+      // nested loop. RangeJoin bins it into a hash equi-join (bin = 1h ≈
+      // window length/2). total_value sums as decimal(18,2) for
+      // order-invariant parity (q71 discipline).
+      val ev = t(s, dir, "events")
+      val windows = ev
+        .filter(col("event_type") === "purchase" && col("event_id") % 50 === 0)
+        .select(col("event_id").as("window_id"), col("ts").as("w_from"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("w_to"))
+      RangeJoin.binnedRangeJoin(
+          ev.select("event_id", "ts", "user_id", "value"), "ts",
+          windows, "w_from", "w_to", binSeconds = 3600)
+        .groupBy("window_id")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("total_value"))
+        .orderBy("window_id")
     }),
 
     "q88_reconcile_full_outer" -> ((s, dir) => {
@@ -569,6 +592,17 @@ object PipelineQueries {
         |  CAST(row_number() OVER (PARTITION BY doc_id
         |    ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
         |FROM scored QUALIFY rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q89_range_join_windows" ->
+      """WITH w AS (SELECT event_id AS window_id, ts AS w_from,
+        |    ts + INTERVAL 2 HOUR AS w_to FROM events
+        |  WHERE event_type = 'purchase' AND event_id % 50 = 0)
+        |SELECT w.window_id, count(*) AS n_events,
+        |  count(DISTINCT e.user_id) AS n_users,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events e JOIN w
+        |  ON e.ts >= w.w_from AND e.ts < w.w_to
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q88_reconcile_full_outer" ->
       """WITH e AS (SELECT user_id AS k, count(*) AS n_events
