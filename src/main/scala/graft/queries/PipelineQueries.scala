@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, RangeJoin, Sampling, Sessionize, SimilaritySearch}
+import graft.operators.{AsOfJoin, HeavyHitters, RangeJoin, Sampling, Sessionize, SimilaritySearch}
 import graft.sources.Tables
 
 /**
@@ -262,6 +262,14 @@ object PipelineQueries {
         .select(col("doc_id"), col("term"),
           round(col("tfidf"), 6).as("tfidf"), col("rn").as("rank"))
         .orderBy("doc_id", "rank")
+    }),
+
+    "q90_heavy_hitters" -> ((s, dir) => {
+      // exact top-20 most-active users, two scans + bounded shuffle
+      // (HeavyHitters scaladoc). Exactness certificate at the gate SF:
+      // 20th count 77 >> n/capacity 2.4 (and 85 vs 24 at sf0.1).
+      HeavyHitters.topKFrequent(t(s, dir, "events"), "user_id", k = 20)
+        .select(col("user_id"), col("cnt").as("n_events"))
     }),
 
     "q89_range_join_windows" -> ((s, dir) => {
@@ -592,6 +600,10 @@ object PipelineQueries {
         |  CAST(row_number() OVER (PARTITION BY doc_id
         |    ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
         |FROM scored QUALIFY rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q90_heavy_hitters" ->
+      """SELECT user_id, count(*) AS n_events FROM events
+        |GROUP BY 1 ORDER BY n_events DESC, user_id LIMIT 20""".stripMargin,
 
     "q89_range_join_windows" ->
       """WITH w AS (SELECT event_id AS window_id, ts AS w_from,

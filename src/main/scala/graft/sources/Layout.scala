@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Z-order (Morton-curve) data layout for multi-column data skipping —
+ * the write-side twin of `Bucketing` (SURVEY §4 physical knobs).
+ *
+ * Parquet scans prune row groups by min/max statistics. Sorting by ONE
+ * column gives perfect skipping on that column and none on any other;
+ * interleaving the bits of k quantized columns into a single z-value and
+ * range-partitioning + sorting by it gives every interleaved column
+ * locality ~2^(bits·(k-1)/k) — each file covers a small HYPER-RECTANGLE
+ * of the key space, so a selective predicate on ANY of the columns
+ * skips most files. At 100 TB this is the difference between "scan the
+ * table" and "read 1% of it" for the second and third filter column.
+ *
+ * Mechanics (all declarative, whole-stage-codegen'd):
+ *  - quantize each column to `bits`-bit ranks with `width_bucket` over
+ *    the column's min/max (one tiny agg job for the bounds);
+ *  - interleave bits with shift/mask expressions → one LONG z-value
+ *    (k·bits ≤ 63);
+ *  - `repartitionByRange` on z (range exchange ≈ one shuffle, same cost
+ *    class as any sort) + `sortWithinPartitions` so row groups within a
+ *    file are tight too.
+ *
+ * `LayoutSpec` asserts the interleave arithmetic and the locality
+ * property: per-partition bounding boxes of a z-ordered layout are
+ * multiples smaller than a hash layout's. Uniform-width quantization is
+ * skew-sensitive (a hot value crowds one bucket); for skewed columns
+ * feed quantile boundaries instead of min/max linearity — the
+ * interleave is boundary-agnostic.
+ */
+object Layout {
+
+  /** Quantize `c` into [0, 2^bits) uniform-width ranks given inclusive
+    * bounds. Out-of-range values clamp to the edge buckets. */
+  def quantize(c: Column, lo: Column, hi: Column, bits: Int): Column = {
+    val n = 1 << bits
+    // degenerate lo==hi → single bucket 0
+    val wb = when(hi <= lo, lit(1))
+      .otherwise(width_bucket(c.cast("double"), lo.cast("double"),
+        hi.cast("double"), lit(n)))
+    least(greatest(wb - lit(1), lit(0)), lit(n - 1)).cast("long")
+  }
+
+  /** Morton interleave of pre-quantized [0, 2^bits) long columns:
+    * bit i of column j lands at position i·k + j. Pure shift/mask
+    * expression tree — stays in codegen. */
+  def zValue(quantized: Seq[Column], bits: Int): Column = {
+    val k = quantized.size
+    require(k > 0 && k * bits <= 63, s"k=$k bits=$bits exceeds long range")
+    val pieces = for {
+      (q, j) <- quantized.zipWithIndex
+      i <- 0 until bits
+    } yield shiftleft(shiftright(q, i).bitwiseAND(lit(1L)), i * k + j)
+    pieces.reduce(_ bitwiseOR _)
+  }
+
+  /** Write `df` z-ordered by `cols` (bounds discovered from the data)
+    * into `numFiles` range partitions at `path`. */
+  def zorderWrite(df: DataFrame, cols: Seq[String], path: String,
+                  numFiles: Int, bits: Int = 8): Unit =
+    zordered(df, cols, numFiles, bits).write.mode("overwrite").parquet(path)
+
+  /** The layout transform itself (exposed for spec/inspection). */
+  def zordered(df: DataFrame, cols: Seq[String], numFiles: Int,
+               bits: Int = 8): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(min(col(c)), max(col(c))))
+    val bounds = df.agg(aggs.head, aggs.tail: _*).head()
+    val qs = cols.zipWithIndex.map { case (c, i) =>
+      quantize(col(c), lit(bounds.get(2 * i)), lit(bounds.get(2 * i + 1)), bits)
+    }
+    df.withColumn("_z", zValue(qs, bits))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+  }
+}

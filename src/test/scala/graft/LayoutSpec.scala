@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Layout
+
+/** Z-order layout: interleave arithmetic + the locality property that
+  * justifies it (per-partition bounding boxes shrink vs hash layout). */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue interleaves bits: bit i of column j → position i·k + j") {
+    // x=0b0011, y=0b0101, bits=4, k=2:
+    // x bits land at even positions 0,2,4,6 → 0b00000101 = 5
+    // y bits land at odd positions 1,3,5,7  → 0b01000100 ... compute:
+    // y=0101: bit0=1→pos1(2), bit1=0, bit2=1→pos5(32) ⇒ 34
+    // x=0011: bit0=1→pos0(1), bit1=1→pos2(4)          ⇒ 5  ⇒ z=39
+    val z = Seq((3L, 5L)).toDF("x", "y")
+      .select(Layout.zValue(Seq(col("x"), col("y")), 4).as("z"))
+      .as[Long].head()
+    assert(z === 39L)
+  }
+
+  test("quantize maps bounds to edge buckets and clamps outliers") {
+    val df = Seq(0.0, 50.0, 100.0, -7.0, 250.0).toDF("v")
+    val got = df.select(
+      Layout.quantize(col("v"), lit(0.0), lit(100.0), bits = 2).as("q"))
+      .as[Long].collect().toSeq
+    assert(got === Seq(0L, 2L, 3L, 0L, 3L))
+  }
+
+  test("z-ordered partitions cover far smaller bounding boxes than hash layout") {
+    // uniform 64×64 grid; 16 output partitions
+    val grid = spark.range(0, 4096).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+
+    def area(df: org.apache.spark.sql.DataFrame): Long =
+      df.withColumn("p", spark_partition_id())
+        .groupBy("p").agg(
+          ((max("x") - min("x") + 1) * (max("y") - min("y") + 1)).as("a"))
+        .agg(sum("a")).as[Long].head()
+
+    val zArea = area(Layout.zordered(grid, Seq("x", "y"), numFiles = 16,
+      bits = 6))
+    val hashArea = area(grid.repartition(16, col("x"), col("y")))
+    // hash layout: every partition spans ~the whole grid (~16·4096);
+    // z layout: 16 tiles of ~256 cells each (~4096 total)
+    assert(zArea * 4 <= hashArea,
+      s"expected ≥4× locality win, got z=$zArea hash=$hashArea")
+  }
+}
