@@ -264,6 +264,65 @@ object PipelineQueries {
         .orderBy("doc_id", "rank")
     }),
 
+    "q91_event_sequences" -> ((s, dir) => {
+      // training-sequence assembly: per-user chronological prefix (10
+      // events) + total count. row_number and count share ONE user-hash
+      // Exchange, and the groupBy reuses it (q86 discipline). The prefix
+      // cap happens IN the window, before collect_list — at 100 TB the
+      // per-group state must be bounded before anything materializes a
+      // list, never sliced after.
+      val w = org.apache.spark.sql.expressions.Window
+      val ordered = w.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("rn", row_number().over(ordered))
+        .withColumn("n_events", count(lit(1)).over(w.partitionBy(col("user_id"))))
+        .filter(col("rn") <= 10)
+        .groupBy("user_id")
+        .agg(max(col("n_events")).as("n_events"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("rn"), col("event_type")))),
+            x => x.getField("event_type")), ",").as("seq10"))
+        .orderBy("user_id")
+    }),
+
+    "q92_negative_sampling" -> ((s, dir) => {
+      // contrastive-training negatives: 4 parts per customer that the
+      // customer NEVER ordered. Candidates come from a replayable hash
+      // (customer, slot) → partkey — not rand() (partition-dependent),
+      // and not a customers×parts crossJoin (O(C·P) at any scale).
+      // Oversample 8 slots, anti-join the positives, keep first 4 by
+      // slot. Positives pre-aggregate to distinct pairs so the anti-join
+      // probe side is minimal.
+      val positives = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey").as("p_partkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c_custkey"), col("p_partkey"))
+        .distinct()
+      val np = broadcast(t(s, dir, "part").agg(count(lit(1)).as("np")))
+      val cands = t(s, dir, "customer").select(col("c_custkey"))
+        .crossJoin(np) // 1-row scalar: partkeys are dense 0..np-1
+        .select(col("c_custkey"), col("np"),
+          explode(sequence(lit(0), lit(7))).as("slot"))
+        .select(col("c_custkey"), col("slot"),
+          pmod(org.apache.spark.sql.graftshim.GraftShim.column(
+            graft.functions.Md5Prefix32(
+              org.apache.spark.sql.graftshim.GraftShim.expr(
+                concat(lit("negsamp:"), col("c_custkey").cast("string"),
+                  lit(":"), col("slot").cast("string"))))), col("np"))
+            .as("p_partkey"))
+      val rk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_custkey")).orderBy(col("slot"))
+      cands.join(positives, Seq("c_custkey", "p_partkey"), "left_anti")
+        .groupBy("c_custkey", "p_partkey").agg(min(col("slot")).as("slot"))
+        .withColumn("neg_rank", row_number().over(rk))
+        .filter(col("neg_rank") <= 4)
+        .select(col("c_custkey"), col("neg_rank"), col("p_partkey"))
+        .orderBy("c_custkey", "neg_rank")
+    }),
+
     "q90_heavy_hitters" -> ((s, dir) => {
       // exact top-20 most-active users, two scans + bounded shuffle
       // (HeavyHitters scaladoc). Exactness certificate at the gate SF:
@@ -600,6 +659,33 @@ object PipelineQueries {
         |  CAST(row_number() OVER (PARTITION BY doc_id
         |    ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
         |FROM scored QUALIFY rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q91_event_sequences" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  array_to_string(list_slice(
+        |    list(event_type ORDER BY ts, event_id), 1, 10), ',') AS seq10
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q92_negative_sampling" ->
+      """WITH pos AS (SELECT DISTINCT o.o_custkey AS c_custkey,
+        |    l.l_partkey AS p_partkey
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |np AS (SELECT count(*) AS n FROM part),
+        |cand AS (SELECT c.c_custkey, s.slot,
+        |    CAST(CAST(('0x' || substring(md5('negsamp:'
+        |        || CAST(c.c_custkey AS VARCHAR) || ':'
+        |        || CAST(s.slot AS VARCHAR)), 1, 8)) AS UBIGINT)
+        |      % (SELECT n FROM np) AS BIGINT) AS p_partkey
+        |  FROM customer c
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS slot) s),
+        |neg AS (SELECT c.c_custkey, c.p_partkey, min(c.slot) AS slot
+        |  FROM cand c ANTI JOIN pos p
+        |    ON c.c_custkey = p.c_custkey AND c.p_partkey = p.p_partkey
+        |  GROUP BY 1, 2)
+        |SELECT c_custkey, CAST(row_number() OVER
+        |    (PARTITION BY c_custkey ORDER BY slot) AS INTEGER) AS neg_rank,
+        |  p_partkey FROM neg
+        |QUALIFY neg_rank <= 4 ORDER BY c_custkey, neg_rank""".stripMargin,
 
     "q90_heavy_hitters" ->
       """SELECT user_id, count(*) AS n_events FROM events
