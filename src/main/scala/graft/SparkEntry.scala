@@ -58,7 +58,8 @@ object SparkEntry {
       graft.queries.MlQueries.queries ++
       graft.queries.ServeQueries.queries ++
       graft.queries.MediaQueries.queries ++
-      graft.queries.PipelineQueries.queries
+      graft.queries.PipelineQueries.queries ++
+      graft.queries.CorpusQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -69,5 +70,6 @@ object SparkEntry {
       graft.queries.MlQueries.oracleSql ++
       graft.queries.ServeQueries.oracleSql ++
       graft.queries.MediaQueries.oracleSql ++
-      graft.queries.PipelineQueries.oracleSql
+      graft.queries.PipelineQueries.oracleSql ++
+      graft.queries.CorpusQueries.oracleSql
 }

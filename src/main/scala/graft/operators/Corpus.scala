@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import org.apache.spark.sql.graftshim.GraftShim
+import graft.functions.WordNgramHashes
+
+/**
+ * Corpus-preparation operators for training-data pipelines
+ * (beyond-reference LLM-pipeline generalization — SURVEY §7.5; nearest
+ * reference analogues: token machinery `entity_resolution.py:100-106`,
+ * the candidate-cap/threshold curation discipline `pipeline.py:335-353`).
+ *
+ * All three operators are shaped for the 100 TB regime:
+ *  - [[decontaminate]]: the benchmark side is tiny BY NATURE (eval sets are
+ *    thousands of docs, the corpus is billions) → its distinct gram set is
+ *    broadcast; the corpus side stays scan-local until one final groupBy.
+ *  - [[packSequences]]: packing state is a per-shard prefix sum — a window
+ *    partitioned by the shard column, never a global single-partition sort.
+ *  - [[chunkChars]]: pure scan-local row generation (explode of an index
+ *    sequence); output row count is bounded by text length / step.
+ */
+object Corpus {
+
+  /**
+   * Benchmark decontamination: flag training documents that share at least
+   * one word n-gram with any benchmark document (the standard "n-gram
+   * overlap" decontamination used for pretraining corpora vs eval
+   * benchmarks; n = 5..13 in published pipelines — chance n-gram collisions
+   * vanish above n≈4 while true copies always hit).
+   *
+   * Returns (id, n_grams, n_shared, contamination) for contaminated train
+   * docs only (n_shared ≥ 1).
+   *
+   * Plan shape: per-doc DISTINCT gram hashes are computed scan-local
+   * (array_distinct over one codegen'd [[WordNgramHashes]] pass — no
+   * per-doc shuffle to dedup grams), the benchmark gram set is
+   * `broadcast()`, and the only shuffle is the final per-doc hit count.
+   * Gram hashes are md5-prefix longs — the DuckDB oracle replays them
+   * bit-for-bit.
+   */
+  def decontaminate(train: DataFrame, bench: DataFrame,
+                    idCol: Column, textCol: Column, n: Int = 5): DataFrame = {
+    def grams(df: DataFrame): DataFrame =
+      df.select(idCol.as("id"),
+        array_distinct(GraftShim.column(WordNgramHashes(
+          GraftShim.expr(lower(textCol)), n))).as("g"))
+    val benchGrams = grams(bench)
+      .select(explode(col("g")).as("h")).distinct()
+    val trainGrams = grams(train)
+    trainGrams
+      .select(col("id"), size(col("g")).as("n_grams"), explode(col("g")).as("h"))
+      .join(broadcast(benchGrams), "h")
+      .groupBy("id", "n_grams")
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("id"), col("n_grams"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_grams")).as("contamination"))
+  }
+
+  /**
+   * Sequence packing (concat-then-chunk): documents are concatenated in
+   * (shard, id) order into a contiguous token stream and cut into packs of
+   * `capacity` tokens — the standard pretraining batch-packing layout
+   * (docs may straddle a pack boundary; `pack_first`/`pack_last` give the
+   * span, `pack_offset` the position within the first pack).
+   *
+   * The packing state is a prefix sum over a window PARTITIONED BY the
+   * shard column: each shard packs independently, so the operator scales
+   * horizontally — a global packing order would serialize the corpus
+   * through one partition. Deterministic: ordering is (shard, id), no RNG.
+   */
+  def packSequences(docs: DataFrame, idCol: Column, shardCol: Column,
+                    nTokCol: Column, capacity: Int): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(idCol.as("id"), shardCol.as("shard"), nTokCol.as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("_prior", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col("id"), col("shard"), col("n_tok"),
+        floor(col("_prior") / capacity).as("pack_first"),
+        floor((col("_prior") + col("n_tok") - 1) / capacity).as("pack_last"),
+        pmod(col("_prior"), lit(capacity.toLong)).as("pack_offset"))
+  }
+
+  /**
+   * Fixed-size character chunking with overlap (context-window
+   * preparation): text is cut into `size`-char chunks every
+   * `size - overlap` chars; the last chunk may be short. Returns
+   * (id, chunk_id, chunk) rows. Scan-local — the chunk index sequence is
+   * generated per row and substr'd inside codegen; no shuffle at any scale.
+   */
+  def chunkChars(docs: DataFrame, idCol: Column, textCol: Column,
+                 size: Int, overlap: Int): DataFrame = {
+    require(size > overlap && overlap >= 0, "need size > overlap >= 0")
+    val step = size - overlap
+    val nChunks = greatest(ceil((length(textCol) - overlap) /
+      lit(step.toDouble)), lit(1.0)).cast("int")
+    docs
+      .filter(length(textCol) > 0)
+      .select(idCol.as("id"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"),
+        textCol.as("_t"))
+      .select(col("id"), col("chunk_id"),
+        col("_t").substr(col("chunk_id") * step + 1, lit(size)).as("chunk"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Retrieval scoring over a document corpus (beyond-reference LLM-pipeline
+ * operator — SURVEY §7.5; nearest reference analogue: the similarity
+ * baseline `scripts/evaluate.py:277-292`).
+ *
+ * BM25 (Robertson-Walker-Jones Okapi family, with the Lucene idf variant
+ * `ln((N - df + 0.5)/(df + 0.5) + 1)` which keeps idf positive) for a
+ * FIXED query term set — the corpus-side shape of retrieval: score every
+ * document against one query, take the top k. The per-query cost at 100 TB
+ * is one scan + one scalar broadcast:
+ *
+ *  - per-doc term frequencies are scan-local (`size(filter(words, ...))`
+ *    per term — no explode, no shuffle);
+ *  - N / avgdl / per-term df reduce to ONE global aggregate row that is
+ *    `broadcast()` back (a scalar dim, not a shuffle);
+ *  - the term-score sum is written in fixed term order so double addition
+ *    is deterministic and engine-portable (the DuckDB oracle spells the
+ *    identical parenthesization — same floats bit-for-bit).
+ */
+object Retrieval {
+
+  /**
+   * BM25 scores: docs(idCol, textCol) × query terms → (id, bm25) for every
+   * document (callers top-k / threshold downstream). Terms are matched on
+   * lowercased whitespace tokens.
+   */
+  def bm25(docs: DataFrame, idCol: Column, textCol: Column,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val toks = graft.functions.TextAnalysis.words(textCol)
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(toks, x => x === t)).cast("long").as(s"_tf$i")
+    }
+    val withDl = docs.select(idCol.as("id") +:
+      size(toks).cast("long").as("_dl") +: tfCols: _*)
+    val statAggs = count(lit(1)).cast("double").as("_n") +:
+      avg(col("_dl")).as("_avgdl") +:
+      terms.indices.map(i =>
+        sum((col(s"_tf$i") > 0).cast("long")).cast("double").as(s"_df$i"))
+    val stats = withDl.agg(statAggs.head, statAggs.tail: _*)
+    val scored = withDl.crossJoin(broadcast(stats))
+    val termScores: Seq[Column] = terms.indices.map { i =>
+      val idf = log((col("_n") - col(s"_df$i") + 0.5) / (col(s"_df$i") + 0.5) + 1.0)
+      idf * (col(s"_tf$i") * (k1 + 1.0)) /
+        (col(s"_tf$i") + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / col("_avgdl")))
+    }
+    scored.select(col("id"), termScores.reduce(_ + _).as("bm25"))
+  }
+}

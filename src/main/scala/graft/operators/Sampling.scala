@@ -56,6 +56,21 @@ object Sampling {
                      scale: Double = 1.0, salt: String = "wsample"): DataFrame =
     df.filter(hashUniform(key, salt) < least(weight * scale, lit(1.0)))
 
+  /** Deterministic fixed-k sample per stratum: the k rows with the
+    * smallest md5(salt:key) per stratum (ties broken by key) — an exact-k
+    * "reservoir" that is partition-invariant and replayable, where the
+    * rate-based [[stratifiedSample]] only hits k in expectation. The shape
+    * of held-out eval-set selection (exactly k docs per language/source).
+    * One shuffle (the per-stratum window); per-stratum state is one
+    * row_number counter. Returns the input plus `rn` ∈ [1, k]. */
+  def fixedKPerStratum(df: DataFrame, key: Column, stratum: Column,
+                       k: Int, salt: String = "evalk"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum)
+      .orderBy(md5(concat(lit(s"$salt:"), key.cast("string")).cast("binary")), key)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** Deterministic k-way split: returns `splitCol` ∈ [0, k) from the key
     * hash (e.g. k=10 → stable 10-fold CV folds). */
   def foldAssignment(key: Column, k: Int, salt: String = "fold"): Column =

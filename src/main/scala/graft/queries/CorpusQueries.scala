@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.operators.{Corpus, Resample, Retrieval, Sampling, TopK}
+import graft.sources.Tables
+
+/**
+ * Corpus-preparation queries (q93-q98): benchmark decontamination, BM25
+ * retrieval scoring, time-series gap-fill, sequence packing, fixed-k eval
+ * holdout, and context-window chunking — the remaining LLM-training-data
+ * operators on top of the dedup/similarity/quality family in
+ * [[DocQueries]]. Every query has a value-exact DuckDB oracle.
+ */
+object CorpusQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.loadSpread(s, dir, name)
+
+  /** BM25 query terms — fixed, in score-sum order (determinism contract of
+    * Retrieval.bm25; the oracle adds the same three terms in the same
+    * order). */
+  private val Bm25Terms = Seq("spark", "vector", "stream")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q93_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: train docs (source != src0) sharing any
+      // word 5-gram with the benchmark set (source = src0). 5-grams: chance
+      // collisions ~vanish, planted near-dups always hit.
+      val docs = t(s, dir, "documents")
+      Corpus.decontaminate(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          col("doc_id"), col("text"), n = 5)
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_shared"),
+          round(col("contamination"), 6).as("contamination"))
+        .orderBy("doc_id")
+    }),
+
+    "q94_bm25" -> ((s, dir) => {
+      // Okapi BM25 (Lucene idf) for a fixed 3-term query, top-20 docs.
+      // Scan-local tfs + one broadcast stats row (Retrieval scaladoc).
+      val scored = Retrieval.bm25(t(s, dir, "documents"),
+        col("doc_id"), col("text"), Bm25Terms)
+      TopK.globalTopK(scored, Seq(col("bm25").desc, col("id").asc), 20)
+        .select(col("id").as("doc_id"), round(col("bm25"), 6).as("bm25"),
+          col("rank"))
+        .orderBy("rank")
+    }),
+
+    "q95_gap_fill" -> ((s, dir) => {
+      // daily calendar scaffold + forward fill per customer (bounded to 50
+      // keys: the scaffold is Σ per-key span-days — the operator's cost
+      // model, not the comparer's)
+      Resample.gapFillDaily(
+          t(s, dir, "orders").filter(col("o_custkey") < 50),
+          col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+        .select(col("key").as("custkey"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          round(col("day_total"), 2).as("day_total"),
+          round(col("filled"), 2).as("filled"))
+        .orderBy("custkey", "day")
+    }),
+
+    "q96_pack_sequences" -> ((s, dir) => {
+      // concat-then-chunk sequence packing, capacity 256 tokens, packed
+      // per source shard in doc_id order (Corpus.packSequences scaladoc)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+      Corpus.packSequences(docs, col("doc_id"), col("source"),
+          col("n_tok"), capacity = 256)
+        .select(col("id").as("doc_id"), col("shard").as("source"),
+          col("n_tok"), col("pack_first"), col("pack_last"),
+          col("pack_offset"))
+        .orderBy("source", "doc_id")
+    }),
+
+    "q97_eval_holdout" -> ((s, dir) => {
+      // exact-k eval holdout: 5 docs per language by deterministic md5
+      // rank (partition-invariant, replayable — Sampling scaladoc)
+      Sampling.fixedKPerStratum(t(s, dir, "documents"),
+          col("doc_id"), col("lang"), k = 5)
+        .select(col("doc_id"), col("lang"), col("rn"))
+        .orderBy("lang", "rn")
+    }),
+
+    "q98_chunk_docs" -> ((s, dir) => {
+      // 120-char context chunks with 20-char overlap; fingerprint per
+      // chunk (scan-local row generation — Corpus.chunkChars scaladoc)
+      Corpus.chunkChars(t(s, dir, "documents"), col("doc_id"), col("text"),
+          size = 120, overlap = 20)
+        .select(col("id").as("doc_id"), col("chunk_id"),
+          length(col("chunk")).as("chunk_len"),
+          md5(col("chunk").cast("binary")).as("chunk_fp"))
+        .orderBy("doc_id", "chunk_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q93_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |grams AS (SELECT doc_id, source,
+        |    list_distinct(list_transform(range(1, greatest(len(w)-4, 0)+1),
+        |      i -> CAST(CAST(('0x' || substring(md5(array_to_string(w[i:i+4], ' ')), 1, 8))
+        |        AS UBIGINT) AS BIGINT))) AS g
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT unnest(g) AS h FROM grams WHERE source = 'src0'),
+        |train AS (SELECT doc_id, len(g) AS n_grams, unnest(g) AS h
+        |  FROM grams WHERE source <> 'src0')
+        |SELECT t.doc_id, CAST(any_value(t.n_grams) AS INTEGER) AS n_grams,
+        |  count(*) AS n_shared,
+        |  round(CAST(count(*) AS DOUBLE) / any_value(t.n_grams), 6) AS contamination
+        |FROM train t JOIN bench b ON t.h = b.h
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "q94_bm25" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, len(w) AS dl,
+        |    len(list_filter(w, x -> x = 'spark'))  AS tf0,
+        |    len(list_filter(w, x -> x = 'vector')) AS tf1,
+        |    len(list_filter(w, x -> x = 'stream')) AS tf2
+        |  FROM toks),
+        |g AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+        |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |  FROM tf),
+        |s AS (SELECT doc_id,
+        |    ln((n - df0 + 0.5)/(df0 + 0.5) + 1.0)
+        |      * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  + ln((n - df1 + 0.5)/(df1 + 0.5) + 1.0)
+        |      * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  + ln((n - df2 + 0.5)/(df2 + 0.5) + 1.0)
+        |      * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS score
+        |  FROM tf, g)
+        |SELECT doc_id, round(score, 6) AS bm25,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+        |FROM s QUALIFY rank <= 20 ORDER BY rank""".stripMargin,
+
+    "q95_gap_fill" ->
+      """WITH o AS (SELECT * FROM orders WHERE o_custkey < 50),
+        |daily AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM o GROUP BY 1, 2),
+        |span AS (SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS d0,
+        |    max(CAST(o_orderdate AS DATE)) AS d1 FROM o GROUP BY 1),
+        |cal AS (SELECT o_custkey,
+        |    unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM span)
+        |SELECT c.o_custkey AS custkey, strftime(c.day, '%Y-%m-%d') AS day,
+        |  round(coalesce(d.total, 0.0), 2) AS day_total,
+        |  round(last_value(d.total IGNORE NULLS) OVER (PARTITION BY c.o_custkey
+        |    ORDER BY c.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS filled
+        |FROM cal c LEFT JOIN daily d ON d.o_custkey = c.o_custkey AND d.day = c.day
+        |ORDER BY custkey, day""".stripMargin,
+
+    "q96_pack_sequences" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |cum AS (SELECT doc_id, source, n_tok,
+        |    coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM toks WHERE n_tok > 0)
+        |SELECT doc_id, source, n_tok,
+        |  CAST(prior // 256 AS BIGINT) AS pack_first,
+        |  CAST((prior + n_tok - 1) // 256 AS BIGINT) AS pack_last,
+        |  CAST(prior % 256 AS BIGINT) AS pack_offset
+        |FROM cum ORDER BY source, doc_id""".stripMargin,
+
+    "q97_eval_holdout" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |    md5('evalk:' || CAST(doc_id AS VARCHAR)) AS rk FROM documents)
+        |SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY rk, doc_id) AS INTEGER) AS rn
+        |FROM r QUALIFY rn <= 5 ORDER BY lang, rn""".stripMargin,
+
+    "q98_chunk_docs" ->
+      """WITH c AS (SELECT doc_id, text,
+        |    unnest(range(0, CAST(greatest(ceil((len(text) - 20) / 100.0), 1) AS BIGINT)))
+        |      AS chunk_id
+        |  FROM documents WHERE len(text) > 0)
+        |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+        |  CAST(len(substr(text, CAST(chunk_id*100 + 1 AS BIGINT), 120)) AS INTEGER)
+        |    AS chunk_len,
+        |  md5(substr(text, CAST(chunk_id*100 + 1 AS BIGINT), 120)) AS chunk_fp
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+  )
+}

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Invariant specs for the corpus-preparation operators (Corpus /
+  * Retrieval / Resample / Sampling.fixedKPerStratum). The DuckDB oracles
+  * (q93-q98) pin exact values; these pin the algebraic contracts on
+  * adversarial mini-frames the testdata doesn't exercise. */
+class CorpusSpec extends SparkSpec {
+
+  private lazy val s = spark
+  import s.implicits._
+
+  // ---- decontaminate ----
+
+  test("decontaminate: verbatim copy is fully contaminated, disjoint doc is clean") {
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),     // exact copy
+      (11L, "one two three four five six seven"),       // disjoint
+      (12L, "x alpha beta gamma delta epsilon y")       // one shared 5-gram
+    ).toDF("doc_id", "text")
+    val out = Corpus.decontaminate(train, bench, col("doc_id"), col("text"), n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(out.keySet === Set(10L, 12L))
+    assert(out(10L) === ((2, 2L)))          // 6 words → 2 distinct 5-grams, both shared
+    assert(out(12L)._2 === 1L)              // exactly one overlapping 5-gram
+  }
+
+  test("decontaminate: short docs (< n words) produce no grams, never flagged") {
+    val bench = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val train = Seq((2L, "a b c")).toDF("doc_id", "text")
+    assert(Corpus.decontaminate(train, bench, col("doc_id"), col("text"), 5).count() === 0)
+  }
+
+  // ---- packSequences ----
+
+  test("packSequences: offsets chain (prior + n_tok of prev = offset of next), spans consistent") {
+    val docs = Seq(
+      (1L, "s1", 100L), (2L, "s1", 200L), (3L, "s1", 50L), (4L, "s1", 300L),
+      (5L, "s2", 600L), (6L, "s2", 10L)
+    ).toDF("doc_id", "shard", "n_tok")
+    val out = Corpus.packSequences(docs, col("doc_id"), col("shard"), col("n_tok"), 256)
+      .orderBy("shard", "id").collect()
+    // s1: priors 0,100,300,350 → offsets mod 256: 0,100,44,94
+    val s1 = out.filter(_.getString(1) == "s1")
+    assert(s1.map(_.getLong(5)).toSeq === Seq(0L, 100L, 44L, 94L))
+    // pack_first = prior / 256; pack_last covers the doc's final token
+    assert(s1.map(r => (r.getLong(3), r.getLong(4))).toSeq ===
+      Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 2L)))
+    // shards pack independently: s2 starts at offset 0 again
+    val s2 = out.filter(_.getString(1) == "s2")
+    assert(s2.head.getLong(5) === 0L)
+    // doc longer than capacity spans multiple packs
+    assert(s2.head.getLong(4) - s2.head.getLong(3) === 2L) // 600 tokens / 256 → 3 packs
+  }
+
+  test("packSequences: token mass is conserved per shard") {
+    val docs = (1L to 40L).map(i => (i, s"s${i % 3}", (i * 7) % 90 + 1))
+      .toDF("doc_id", "shard", "n_tok")
+    val out = Corpus.packSequences(docs, col("doc_id"), col("shard"), col("n_tok"), 64)
+    val in = docs.groupBy("shard").agg(sum("n_tok")).as[(String, Long)].collect().toMap
+    val packed = out.groupBy("shard").agg(sum("n_tok")).as[(String, Long)].collect().toMap
+    assert(packed === in)
+  }
+
+  // ---- chunkChars ----
+
+  test("chunkChars: reconstruction — stripping the overlap re-concatenates to the text") {
+    val docs = Seq((1L, "abcdefghijklmnopqrstuvwxyz0123456789"), (2L, "short"))
+      .toDF("doc_id", "text")
+    val out = Corpus.chunkChars(docs, col("doc_id"), col("text"), size = 10, overlap = 3)
+      .orderBy("id", "chunk_id").collect()
+    val byDoc = out.groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(1)))
+    // step = 7: chunk i starts at 7i; concat(chunk0, drop(3) of rest) = text
+    val rebuilt = byDoc(1L).map(_.getString(2)).reduce((a, b) => a + b.drop(3))
+    assert(rebuilt === "abcdefghijklmnopqrstuvwxyz0123456789")
+    assert(byDoc(2L).map(_.getString(2)).toSeq === Seq("short"))
+    // every non-final chunk is exactly `size` chars
+    byDoc(1L).init.foreach(r => assert(r.getString(2).length === 10))
+  }
+
+  // ---- bm25 ----
+
+  test("bm25: tf monotonicity and absent-term zero") {
+    val docs = Seq(
+      (1L, "spark spark spark filler filler"),
+      (2L, "spark filler filler filler filler"),
+      (3L, "filler filler filler filler filler")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.bm25(docs, col("doc_id"), col("text"), Seq("spark"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) > out(2L))               // higher tf, same dl → higher score
+    assert(out(2L) > 0.0)
+    assert(out(3L) === 0.0)                 // term absent → zero (tf factor kills it)
+  }
+
+  test("bm25: multi-term score is the fixed-order sum of single-term scores") {
+    val docs = Seq((1L, "a b a c"), (2L, "b b c c"), (3L, "c a b a")).toDF("doc_id", "text")
+    val multi = Retrieval.bm25(docs, col("doc_id"), col("text"), Seq("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pa = Retrieval.bm25(docs, col("doc_id"), col("text"), Seq("a"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pb = Retrieval.bm25(docs, col("doc_id"), col("text"), Seq("b"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    docs.select("doc_id").as[Long].collect().foreach { id =>
+      assert(math.abs(multi(id) - (pa(id) + pb(id))) < 1e-12)
+    }
+  }
+
+  // ---- gapFillDaily ----
+
+  test("gapFillDaily: gap days are zero-total, forward fill carries the last observed day") {
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", 10.0),
+      (1L, "2024-01-01 12:00:00", 5.0),
+      (1L, "2024-01-04 09:00:00", 7.5),
+      (2L, "2024-02-10 00:00:00", 1.0)
+    ).toDF("k", "ts", "v").withColumn("ts", to_timestamp(col("ts")))
+    val out = Resample.gapFillDaily(df, col("k"), col("ts"), col("v"))
+      .orderBy("key", "day").collect()
+    val k1 = out.filter(_.getLong(0) == 1L)
+    assert(k1.length === 4)                 // Jan 1..4 inclusive
+    assert(k1.map(_.getDouble(2)).toSeq === Seq(15.0, 0.0, 0.0, 7.5))
+    assert(k1.map(_.getDouble(3)).toSeq === Seq(15.0, 15.0, 15.0, 7.5))
+    val k2 = out.filter(_.getLong(0) == 2L)
+    assert(k2.length === 1)                 // single-day span, no scaffold beyond it
+  }
+
+  // ---- fixedKPerStratum ----
+
+  test("fixedKPerStratum: exactly k per stratum (or all, if fewer), disjoint and deterministic") {
+    val df = (1L to 100L).map(i => (i, s"s${i % 4}")).toDF("id", "stratum")
+      .union(Seq((1000L, "tiny")).toDF("id", "stratum"))
+    val a = Sampling.fixedKPerStratum(df, col("id"), col("stratum"), 7)
+    val counts = a.groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(Seq("s0", "s1", "s2", "s3").forall(counts(_) == 7L))
+    assert(counts("tiny") === 1L)
+    // partition-invariance: same membership after a repartition
+    val b = Sampling.fixedKPerStratum(df.repartition(13), col("id"), col("stratum"), 7)
+    assert(a.select("id").as[Long].collect().sorted.toSeq ===
+      b.select("id").as[Long].collect().sorted.toSeq)
+  }
+}
