@@ -58,4 +58,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       "codebook must broadcast")
   }
+
+  test("q93: benchmark gram set broadcasts; the corpus side never sort-merges") {
+    val p = plan("q93_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "eval-set grams are tiny by nature and must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus side must not shuffle for the gram probe")
+  }
+
+  test("q94: BM25 stats are one broadcast scalar row, tfs stay scan-local") {
+    val p = plan("q94_bm25")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the N/avgdl/df stats row must broadcast back")
+    assert(!"Exchange hashpartitioning".r.findAllIn(p).exists(_ => true),
+      "per-doc tf computation must not shuffle (scan-local size(filter(...)))")
+  }
+
+  test("q96: packing is per-shard (no single-partition global window)") {
+    val p = plan("q96_pack_sequences")
+    assert(p.contains("Exchange hashpartitioning"),
+      "the prefix-sum window must partition by shard")
+    assert(!p.contains("Exchange SinglePartition"),
+      "packing must never serialize through one partition")
+  }
+
+  test("q98: chunking is pure scan-local row generation (no hash shuffle)") {
+    val p = plan("q98_chunk_docs")
+    // allowed: the loadSpread round-robin (testdata is single-row-group)
+    // and the final presentation ORDER BY; never a hash shuffle
+    assert(!p.contains("Exchange hashpartitioning"),
+      "chunk generation must not hash-shuffle")
+    assert(!p.contains("Exchange SinglePartition"),
+      "chunk generation must not serialize through one partition")
+  }
 }
