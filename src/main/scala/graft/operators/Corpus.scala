@@ -42,13 +42,8 @@ object Corpus {
    */
   def decontaminate(train: DataFrame, bench: DataFrame,
                     idCol: Column, textCol: Column, n: Int = 5): DataFrame = {
-    def grams(df: DataFrame): DataFrame =
-      df.select(idCol.as("id"),
-        array_distinct(GraftShim.column(WordNgramHashes(
-          GraftShim.expr(lower(textCol)), n))).as("g"))
-    val benchGrams = grams(bench)
-      .select(explode(col("g")).as("h")).distinct()
-    val trainGrams = grams(train)
+    val benchGrams = decontaminateBenchGrams(bench, textCol, n)
+    val trainGrams = train.select(idCol.as("id"), docGrams(textCol, n).as("g"))
     trainGrams
       .select(col("id"), size(col("g")).as("n_grams"), explode(col("g")).as("h"))
       .join(broadcast(benchGrams), "h")
@@ -57,6 +52,18 @@ object Corpus {
       .select(col("id"), col("n_grams"), col("n_shared"),
         (col("n_shared").cast("double") / col("n_grams")).as("contamination"))
   }
+
+  /** Distinct gram hashes of one doc, scan-local. */
+  private def docGrams(textCol: Column, n: Int): Column =
+    array_distinct(GraftShim.column(WordNgramHashes(
+      GraftShim.expr(lower(textCol)), n)))
+
+  /** The benchmark's distinct gram-hash set (`h: long`) — build once,
+    * broadcast against the corpus (batch: [[decontaminate]]; streaming:
+    * `Streams.decontaminateStream`). */
+  def decontaminateBenchGrams(bench: DataFrame, textCol: Column,
+                              n: Int = 5): DataFrame =
+    bench.select(explode(docGrams(textCol, n)).as("h")).distinct()
 
   /**
    * Sequence packing (concat-then-chunk): documents are concatenated in

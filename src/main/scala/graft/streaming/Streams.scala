@@ -226,6 +226,36 @@ object Streams {
       }
   }
 
+  /** Ingest-time benchmark decontamination (streaming twin of
+    * [[graft.operators.Corpus.decontaminate]]): flag incoming documents
+    * that share any word n-gram with a STATIC benchmark gram set, as they
+    * arrive. The stream side stays append-mode with bounded state:
+    * per-doc grams are scan-local (array_distinct over one codegen
+    * WordNgramHashes pass), the gram probe is a stream-static broadcast
+    * join, and the per-doc collapse (a doc with k shared grams matches k
+    * times) is dropDuplicatesWithinWatermark — state O(contaminated docs
+    * per horizon), not a streaming aggregation. This is the production
+    * crawl-ingest shape: the eval set is fixed and tiny, the corpus
+    * streams past it; n_shared counts (batch op) are for audits, the gate
+    * only needs membership.
+    *
+    * `docs` must carry `idCol`, `textCol`, and an event-time column with
+    * a watermark already applied. `benchGrams` is a static frame with one
+    * `h: long` gram-hash column (build it batch-side with the same n).
+    */
+  def decontaminateStream(docs: DataFrame, benchGrams: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int = 5): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    docs
+      .withColumn("_h", explode(array_distinct(GraftShim.column(
+        graft.functions.WordNgramHashes(
+          GraftShim.expr(lower(col(textCol))), n)))))
+      .join(broadcast(benchGrams.select(col("h").as("_h"))), "_h")
+      .drop("_h", textCol)
+      .dropDuplicatesWithinWatermark(Seq(idCol))
+  }
+
   /** Drain an events directory through the streaming daily rollup into
     * parquet and return the materialized result (complete mode via
     * foreachBatch overwrite — each AvailableNow drain rewrites the rollup,

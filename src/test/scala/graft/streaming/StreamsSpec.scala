@@ -277,6 +277,41 @@ class StreamsSpec extends SparkSpec {
     assert(out === Set((1L, 1L, 5.0), (2L, 1L, 1.0), (1L, 1L, 7.0)))
   }
 
+  test("streaming decontamination flags the same docs as the batch operator") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val trainRows = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "2024-01-10 12:00:00"), // copy
+      (2L, "one two three four five six seven", "2024-01-10 12:01:00"),   // clean
+      (3L, "x alpha beta gamma delta epsilon y", "2024-01-10 12:02:00"))  // partial
+    val benchGrams = graft.operators.Corpus
+      .decontaminateBenchGrams(bench, col("text"), n = 5)
+    val mem = MemoryStream[(Long, String, Timestamp)](spark)
+    val flagged = Streams.decontaminateStream(
+      mem.toDF.toDF("doc_id", "text", "ts").withWatermark("ts", "1 hour"),
+      benchGrams, "doc_id", "text", n = 5)
+    val q = flagged.writeStream.format("memory")
+      .queryName("decon_out").outputMode("append")
+      .option("checkpointLocation", tmp("graft-decon-ckpt"))
+      .start()
+    trainRows.foreach { case (id, text, ts) =>
+      mem.addData((id, text, Timestamp.valueOf(ts)))
+    }
+    q.processAllAvailable()
+    // re-delivery within the horizon must not re-flag
+    mem.addData((1L, trainRows.head._2, Timestamp.valueOf("2024-01-10 12:30:00")))
+    q.processAllAvailable()
+    q.stop()
+    val streamIds = spark.table("decon_out")
+      .select("doc_id").as[Long].collect().toSet
+    val batchIds = graft.operators.Corpus.decontaminate(
+        trainRows.toDF("doc_id", "text", "ts"), bench,
+        col("doc_id"), col("text"), n = 5)
+      .select("id").as[Long].collect().toSet
+    assert(streamIds === batchIds)
+    assert(streamIds === Set(1L, 3L))
+  }
+
   test("T3: idempotent batch writer — replayed batch does not duplicate") {
     val out = tmp("graft-sink")
     val writer = Streams.idempotentBatchWriter(out, Seq("id"))
