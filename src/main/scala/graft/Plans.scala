@@ -27,7 +27,11 @@ object Plans {
       "q85_pq_adc_topk",       // PQ: broadcast codebook encode + ADC lookup
       "q86_scd2_intervals",    // SCD2: two windows, one shared Exchange
       "q87_incremental_rollup",// old ⊕ delta algebraic merge, two scans
-      "q89_range_join_windows")// binned range join: equi-join, no NL
+      "q89_range_join_windows",// binned range join: equi-join, no NL
+      "q93_decontaminate",     // bench grams broadcast, corpus never SMJs
+      "q94_bm25",              // scan-local tfs + one broadcast stats row
+      "q96_pack_sequences",    // per-shard prefix-sum window
+      "q98_chunk_docs")        // scan-local row generation, no hash shuffle
     println("# PLANS -- formatted physical plans of representative queries\n")
     println(s"Generated against `$sfDir` (plan shapes are SF-invariant).\n")
     picks.foreach { name =>
