@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Robust per-group feature scaling: winsorization (percentile clipping) —
+ * the outlier-clamping step feature pipelines run before normalization
+ * (reference analogue: the log1p/ratio feature hygiene `pipeline.py:70-89`;
+ * beyond-reference — SURVEY §7.5).
+ *
+ * Thresholds are ORDER STATISTICS (the value at rank ceil(p·n), a real
+ * element of the group), not interpolated quantiles: interpolation
+ * arithmetic differs across engines in the last ulp, which flips
+ * clip-boundary comparisons; rank selection is exactly reproducible
+ * anywhere (the DuckDB oracle replays it row-for-row).
+ *
+ * Scale shape: one hash Exchange on the group key feeds both windows
+ * (rank + group size); the threshold table is one row per group —
+ * broadcast back; the clipped rollup reuses the same grouping. Nothing
+ * shuffles twice. Groups are the parallelism unit; a single giant group
+ * degenerates to one partition's sort — winsorize within sensible strata.
+ */
+object RobustStats {
+
+  /**
+   * Per-group winsorized rollup: thresholds at ranks ceil(pLo·n) /
+   * ceil(pHi·n), values clipped into [p_lo, p_hi], summed as
+   * decimal(18,2) (order-independent — the q71 lesson). Returns
+   * (grp, n, p_lo, p_hi, sum_clipped, n_low, n_high).
+   *
+   * `tiebreak` must make the rank order total (equal values, e.g. 2dp
+   * money, are common) — without it the selected threshold is still
+   * deterministic but clip counts at the boundary could differ between
+   * engines.
+   */
+  def winsorizedRollup(df: DataFrame, grp: Column, v: Column, tiebreak: Column,
+                       pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo > 0 && pHi < 1 && pLo < pHi, "need 0 < pLo < pHi < 1")
+    val byGrp = Window.partitionBy(col("grp"))
+    val ranked = df.select(grp.as("grp"), v.as("v"), tiebreak.as("tb"))
+      .withColumn("rn", row_number().over(byGrp.orderBy(col("v"), col("tb"))))
+      .withColumn("n", count(lit(1)).over(byGrp))
+    val kLo = greatest(ceil(lit(pLo) * col("n")).cast("long"), lit(1L))
+    val kHi = greatest(ceil(lit(pHi) * col("n")).cast("long"), lit(1L))
+    val th = ranked.groupBy("grp").agg(
+      min(when(col("rn") === kLo, col("v"))).as("p_lo"),
+      min(when(col("rn") === kHi, col("v"))).as("p_hi"),
+      min(col("n")).as("n"))
+    val clipped = least(greatest(col("v"), col("p_lo")), col("p_hi"))
+    ranked.join(broadcast(th.drop("n")), "grp")
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        min(col("p_lo")).as("p_lo"), min(col("p_hi")).as("p_hi"),
+        sum(clipped.cast("decimal(18,2)")).cast("double").as("sum_clipped"),
+        sum((col("v") < col("p_lo")).cast("long")).as("n_low"),
+        sum((col("v") > col("p_hi")).cast("long")).as("n_high"))
+  }
+}

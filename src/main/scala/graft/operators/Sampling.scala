@@ -71,6 +71,27 @@ object Sampling {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** Deterministic epoch shuffle: a reproducible global permutation for
+    * training-data ordering, as (shard, pos) — shard = hash % nShards,
+    * pos = rank of the md5 hex within the shard. Changing the salt (e.g.
+    * "epoch7") re-permutes; the same salt replays the identical order on
+    * any engine/partitioning. Per-shard windows keep the sort parallel —
+    * there is never a global single-partition sort; consumers read shards
+    * in index order, rows in pos order. */
+  def epochShuffle(df: DataFrame, key: Column, nShards: Int,
+                   salt: String): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val hx = md5(concat(lit(s"$salt:"), key.cast("string")).cast("binary"))
+    val shard = pmod(GraftShim.column(graft.functions.Md5Prefix32(
+      GraftShim.expr(concat(lit(s"$salt:"), key.cast("string"))))),
+      lit(nShards.toLong))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("_hx"), key)
+    df.withColumn("_hx", hx).withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w))
+      .drop("_hx")
+  }
+
   /** Deterministic k-way split: returns `splitCol` ∈ [0, k) from the key
     * hash (e.g. k=10 → stable 10-fold CV folds). */
   def foldAssignment(key: Column, k: Int, salt: String = "fold"): Column =

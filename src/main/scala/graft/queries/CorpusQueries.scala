@@ -88,6 +88,28 @@ object CorpusQueries {
         .orderBy("lang", "rn")
     }),
 
+    "q99_winsorize" -> ((s, dir) => {
+      // robust per-group scaling: order-statistic thresholds (engine-exact,
+      // no quantile interpolation), clip, decimal rollup (RobustStats
+      // scaladoc)
+      graft.operators.RobustStats.winsorizedRollup(
+          t(s, dir, "orders"),
+          col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+        .select(col("grp"), col("n"),
+          round(col("p_lo"), 2).as("p05"), round(col("p_hi"), 2).as("p95"),
+          col("sum_clipped"), col("n_low"), col("n_high"))
+        .orderBy("grp")
+    }),
+
+    "q100_epoch_shuffle" -> ((s, dir) => {
+      // reproducible training-order permutation: md5 shard + in-shard rank
+      // (Sampling.epochShuffle scaladoc); salt picks the epoch
+      Sampling.epochShuffle(t(s, dir, "documents").select("doc_id"),
+          col("doc_id"), nShards = 8, salt = "epoch7")
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")
+    }),
+
     "q98_chunk_docs" -> ((s, dir) => {
       // 120-char context chunks with 20-char overlap; fingerprint per
       // chunk (scan-local row generation — Corpus.chunkChars scaladoc)
@@ -183,6 +205,35 @@ object CorpusQueries {
         |SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang
         |    ORDER BY rk, doc_id) AS INTEGER) AS rn
         |FROM r QUALIFY rn <= 5 ORDER BY lang, rn""".stripMargin,
+
+    "q99_winsorize" ->
+      """WITH r AS (SELECT o_orderpriority AS grp, o_totalprice AS v,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders),
+        |th AS (SELECT grp,
+        |    min(CASE WHEN rn = greatest(CAST(ceil(0.05 * n) AS BIGINT), 1) THEN v END) AS p_lo,
+        |    min(CASE WHEN rn = greatest(CAST(ceil(0.95 * n) AS BIGINT), 1) THEN v END) AS p_hi
+        |  FROM r GROUP BY grp)
+        |SELECT r.grp, count(*) AS n,
+        |  round(min(th.p_lo), 2) AS p05, round(min(th.p_hi), 2) AS p95,
+        |  CAST(sum(CAST(least(greatest(r.v, th.p_lo), th.p_hi)
+        |    AS DECIMAL(18,2))) AS DOUBLE) AS sum_clipped,
+        |  CAST(sum(CASE WHEN r.v < th.p_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(sum(CASE WHEN r.v > th.p_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        |FROM r JOIN th ON r.grp = th.grp
+        |GROUP BY r.grp ORDER BY r.grp""".stripMargin,
+
+    "q100_epoch_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+        |    md5('epoch7:' || CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+        |s AS (SELECT doc_id, hx,
+        |    CAST(CAST(('0x' || substring(hx, 1, 8)) AS UBIGINT) % 8 AS BIGINT) AS shard
+        |  FROM h)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS INTEGER) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
 
     "q98_chunk_docs" ->
       """WITH c AS (SELECT doc_id, text,

@@ -129,6 +129,49 @@ class CorpusSpec extends SparkSpec {
     assert(k2.length === 1)                 // single-day span, no scaffold beyond it
   }
 
+  // ---- winsorizedRollup ----
+
+  test("winsorizedRollup: thresholds are real group elements, clipping bounds the sum") {
+    val df = ((1 to 100).map(i => ("a", i.toDouble, i.toLong)) ++
+      Seq(("a", 10000.0, 101L), ("b", 5.0, 102L), ("b", 6.0, 103L)))
+      .toDF("grp", "v", "k")
+    val out = RobustStats.winsorizedRollup(df, col("grp"), col("v"), col("k"),
+        pLo = 0.05, pHi = 0.95)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    // group a: 101 rows → kLo = ceil(0.05·101) = 6, kHi = ceil(0.95·101) = 96
+    assert(a.getDouble(2) === 6.0 && a.getDouble(3) === 96.0)
+    assert(a.getLong(5) === 5L && a.getLong(6) === 5L) // 1..5 low, 97..100+10000 high
+    // clipped sum: 5·6 + Σ6..96 + 5·96 = 30 + 4641 + 480
+    assert(a.getDouble(4) === (30 + (6 to 96).sum + 480).toDouble)
+    // tiny group: kLo = kHi clamp → both thresholds = the rank-1/2 element
+    val b = out("b")
+    assert(b.getLong(1) === 2L && b.getLong(5) + b.getLong(6) <= 1L)
+  }
+
+  // ---- epochShuffle ----
+
+  test("epochShuffle: a permutation — every row once, pos dense per shard, salt re-permutes") {
+    val df = (1L to 200L).toDF("id")
+    val s1 = Sampling.epochShuffle(df, col("id"), nShards = 4, salt = "epoch1")
+    assert(s1.count() === 200)
+    assert(s1.select("id").distinct().count() === 200)
+    // pos is 1..count(shard) dense within each shard
+    val dense = s1.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1).count()
+    assert(dense === 0)
+    // deterministic: same salt identical, different salt differs
+    val s1b = Sampling.epochShuffle(df.repartition(7), col("id"), 4, "epoch1")
+    assert(s1.orderBy("shard", "pos").collect().toSeq ===
+      s1b.orderBy("shard", "pos").collect().toSeq)
+    val s2 = Sampling.epochShuffle(df, col("id"), 4, "epoch2")
+    val o1 = s1.orderBy("shard", "pos").select("id").as[Long].collect().toSeq
+    val o2 = s2.orderBy("shard", "pos").select("id").as[Long].collect().toSeq
+    assert(o1 !== o2)
+    assert(o1.sorted === o2.sorted)
+  }
+
   // ---- fixedKPerStratum ----
 
   test("fixedKPerStratum: exactly k per stratum (or all, if fewer), disjoint and deterministic") {
