@@ -64,12 +64,28 @@ class DedupSpec extends SparkSpec {
   test("connectedComponents converges on a 60-node chain (pointer jumping)") {
     // worst case for plain min-label propagation (diameter 59 would need
     // 59 rounds); pointer jumping doubles reach per round → well within
-    // the default maxIter=10 (2^10 > 59)
+    // the default maxIter=10 (2^10 > 59). driverEdgeCap=0 forces the
+    // distributed loop — the 100 TB fallback path must keep converging.
     val edges = (0L until 59L).map(i => (i, i + 1)).toDF("a_id", "b_id")
-    val cc = Dedup.connectedComponents(edges).collect()
+    val cc = Dedup.connectedComponents(edges, driverEdgeCap = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc.size == 60)
     assert(cc.values.forall(_ == 0L), "every chain node reaches min id 0")
+  }
+
+  test("connectedComponents: driver union-find finish equals the distributed loop") {
+    // pseudo-random graph mixing cliques, chains and singleton-joins —
+    // exercises multi-hop residual merging in the union-find phase
+    val edges = (0 until 400).map { i =>
+      val a = (i * 2654435761L) % 97
+      val b = (i * 40503L + 17) % 97
+      (math.min(a, b), math.max(a, b) + 1) // +1 avoids self loops
+    }.toDF("a_id", "b_id")
+    val viaDriver = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLoop = Dedup.connectedComponents(edges, maxIter = 20, driverEdgeCap = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver === viaLoop)
   }
 
   test("ngram jaccard: overlapping vs disjoint") {
