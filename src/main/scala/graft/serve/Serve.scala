@@ -104,6 +104,16 @@ object Serve {
   def exportJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Bulk-CSV scan (reference S2: the Bulk API 2.0 fetch whose helpers the
+    * reference never implemented — salesforce.py:345-379). An EXPLICIT
+    * schema, never inferSchema: schema inference is a full extra pass over
+    * the data (prohibitive at scale) and type-guesses drift between runs;
+    * the >10k-row bulk routing rule (salesforce.py:409-412) is moot when
+    * the reader is already distributed. */
+  def readCsv(spark: org.apache.spark.sql.SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
   /** Point-scoring path (reference: api/main.py:589-641 E3): the same
     * expression graph evaluated on a 1-row frame — correctness-identical
     * to the batch path by construction. */

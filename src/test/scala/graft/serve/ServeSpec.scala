@@ -43,6 +43,19 @@ class ServeSpec extends SparkSpec {
     assert(row.getAs[Long]("high_value_count") == 2L)
   }
 
+  test("CSV export/scan roundtrip preserves rows and declared types (S2/S13)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    val df = Seq((1L, "Acme Corp", 1000000.0, true),
+      (2L, "Global, Inc", 5000000.0, false)) // embedded comma → quoting path
+      .toDF("id", "name", "revenue", "active")
+    Serve.exportCsv(df, dir)
+    val back = Serve.readCsv(spark, dir, df.schema)
+    // CSV sources are nullable-by-construction; names+types must hold
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      df.schema.map(f => (f.name, f.dataType)), "explicit schema, no inference drift")
+    assert(back.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
+  }
+
   test("point-score path applies expression graph to 1-row frame (E3)") {
     val one = Seq((0.2, 0.6)).toDF("f1", "f2")
     val scored = scoreOne(one, Seq(
