@@ -34,6 +34,19 @@ import org.apache.spark.sql.functions._
  */
 object Layout {
 
+  /** Hive-style date-partitioned write: one directory per day of `ts`.
+    * Partition pruning is COARSER-GRAINED and cheaper than row-group
+    * skipping — a date predicate eliminates directories at PLANNING time
+    * (no file footers read at all), which is why event/fact tables at
+    * 100 TB are date-partitioned first and z-ordered/sorted within.
+    * Day granularity keeps partition counts sane (a year ≈ 365 dirs);
+    * hour-partitioning a decade of data makes 87k partitions and a
+    * metadata bottleneck — partition on the coarsest unit queries
+    * actually filter by. */
+  def writeDatePartitioned(df: DataFrame, ts: String, path: String): Unit =
+    df.withColumn("_day", to_date(col(ts)))
+      .write.mode("overwrite").partitionBy("_day").parquet(path)
+
   /** Quantize `c` into [0, 2^bits) uniform-width ranks given inclusive
     * bounds. Out-of-range values clamp to the edge buckets. */
   def quantize(c: Column, lo: Column, hi: Column, bits: Int): Column = {

@@ -9,6 +9,26 @@ import graft.sources.Layout
 class LayoutSpec extends SparkSpec {
   import spark.implicits._
 
+  test("date-partitioned write prunes partitions at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-datepart").toString
+    val ev = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "ts", "user_id", "value")
+    Layout.writeDatePartitioned(ev, "ts", dir)
+    val q = spark.read.parquet(dir)
+      .filter(col("_day") === "2024-01-05")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_day"),
+      s"date predicate must become a partition filter:\n$plan")
+    // pruning is real: the scan touches only the matching directory
+    val scanned = q.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(!scanned.contains("_day=2024-01-06"),
+      "non-matching day directories must not be listed in the scan")
+    // and the data comes back intact for that day
+    val expected = ev.filter(to_date(col("ts")) === "2024-01-05").count()
+    assert(q.count() === expected && expected > 0)
+  }
+
   test("zValue interleaves bits: bit i of column j → position i·k + j") {
     // x=0b0011, y=0b0101, bits=4, k=2:
     // x bits land at even positions 0,2,4,6 → 0b00000101 = 5
