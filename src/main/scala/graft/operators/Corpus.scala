@@ -53,6 +53,39 @@ object Corpus {
         (col("n_shared").cast("double") / col("n_grams")).as("contamination"))
   }
 
+  /**
+   * Repetition-quality signals (the Gopher/C4 repetition filter family —
+   * repeated content is the strongest single predictor of low-value
+   * pretraining text):
+   *  - `dup_word_frac`: 1 − |distinct words| / |words| (scan-local);
+   *  - `rep2_frac`: occurrence share of the most frequent word bigram
+   *    (explode hashed bigrams → per-doc mode — one shuffle; the count
+   *    over md5 hashes equals the count over the strings, and the oracle
+   *    hashes the same way).
+   * Docs with fewer than `minWords` words are dropped (the signals are
+   * meaningless on fragments; callers gate short docs separately).
+   */
+  def repetitionSignals(docs: DataFrame, idCol: Column, textCol: Column,
+                        minWords: Int = 5): DataFrame = {
+    val w = graft.functions.TextAnalysis.words(textCol)
+    val base = docs.select(idCol.as("id"), w.as("w"), lower(textCol).as("_t"))
+      .filter(size(col("w")) >= minWords)
+      .select(col("id"), size(col("w")).as("n_words"),
+        (lit(1.0) - size(array_distinct(col("w"))).cast("double") /
+          size(col("w"))).as("dup_word_frac"),
+        explode(GraftShim.column(WordNgramHashes(
+          GraftShim.expr(col("_t")), 2))).as("h"))
+    base
+      .groupBy(col("id"), col("h"))
+      .agg(first(col("n_words")).as("n_words"),
+        first(col("dup_word_frac")).as("dup_word_frac"),
+        count(lit(1)).as("c"))
+      .groupBy("id")
+      .agg(first(col("n_words")).as("n_words"),
+        first(col("dup_word_frac")).as("dup_word_frac"),
+        (max(col("c")).cast("double") / sum(col("c"))).as("rep2_frac"))
+  }
+
   /** Distinct gram hashes of one doc, scan-local. */
   private def docGrams(textCol: Column, n: Int): Column =
     array_distinct(GraftShim.column(WordNgramHashes(

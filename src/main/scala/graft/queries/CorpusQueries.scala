@@ -110,6 +110,19 @@ object CorpusQueries {
         .orderBy("shard", "pos")
     }),
 
+    "q101_repetition" -> ((s, dir) => {
+      // Gopher-style repetition filters: duplicate-word fraction +
+      // top-bigram occurrence share (Corpus.repetitionSignals scaladoc)
+      Corpus.repetitionSignals(t(s, dir, "documents"),
+          col("doc_id"), col("text"), minWords = 5)
+        .select(col("id").as("doc_id"), col("n_words"),
+          round(col("dup_word_frac"), 6).as("dup_word_frac"),
+          round(col("rep2_frac"), 6).as("rep2_frac"),
+          (round(col("dup_word_frac"), 6) < 0.8 &&
+            round(col("rep2_frac"), 6) < 0.1).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     "q98_chunk_docs" -> ((s, dir) => {
       // 120-char context chunks with 20-char overlap; fingerprint per
       // chunk (scan-local row generation — Corpus.chunkChars scaladoc)
@@ -234,6 +247,26 @@ object CorpusQueries {
         |SELECT doc_id, shard,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS INTEGER) AS pos
         |FROM s ORDER BY shard, pos""".stripMargin,
+
+    "q101_repetition" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |base AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_words,
+        |    round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+        |      AS dup_word_frac
+        |  FROM w WHERE len(toks) >= 5),
+        |bi AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks)-1, 0)+1),
+        |    i -> CAST(CAST(('0x' || substring(md5(array_to_string(toks[i:i+1], ' ')), 1, 8))
+        |      AS UBIGINT) AS BIGINT))) AS h
+        |  FROM w WHERE len(toks) >= 5),
+        |bc AS (SELECT doc_id, h, count(*) AS c FROM bi GROUP BY 1, 2),
+        |rep AS (SELECT doc_id,
+        |    round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS rep2_frac FROM bc GROUP BY 1)
+        |SELECT b.doc_id, b.n_words, b.dup_word_frac, r.rep2_frac,
+        |  (b.dup_word_frac < 0.8 AND r.rep2_frac < 0.1) AS keep
+        |FROM base b JOIN rep r ON b.doc_id = r.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
 
     "q98_chunk_docs" ->
       """WITH c AS (SELECT doc_id, text,

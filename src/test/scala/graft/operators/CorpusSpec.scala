@@ -82,6 +82,26 @@ class CorpusSpec extends SparkSpec {
     byDoc(1L).init.foreach(r => assert(r.getString(2).length === 10))
   }
 
+  // ---- repetitionSignals ----
+
+  test("repetitionSignals: boilerplate loop scores high, varied text low, fragments dropped") {
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now buy now"),   // pure loop
+      (2L, "the quick brown fox jumps over a lazy dog"), // all distinct
+      (3L, "too short")                                  // < minWords
+    ).toDF("doc_id", "text")
+    val out = Corpus.repetitionSignals(docs, col("doc_id"), col("text"), minWords = 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(3L))
+    val loop = out(1L)
+    assert(loop.getDouble(2) === 1.0 - 2.0 / 10)  // 10 words, 2 distinct
+    // bigrams: "buy now"×5, "now buy"×4 → top share 5/9
+    assert(math.abs(loop.getDouble(3) - 5.0 / 9) < 1e-9)
+    val varied = out(2L)
+    assert(varied.getDouble(2) === 0.0)
+    assert(math.abs(varied.getDouble(3) - 1.0 / 8) < 1e-9) // all bigrams unique
+  }
+
   // ---- bm25 ----
 
   test("bm25: tf monotonicity and absent-term zero") {
