@@ -229,9 +229,17 @@ object CoreQueries {
     // ---- scalar functions (SURVEY F1-F13, F17-F23, F26) ----
     "q16_name_normalize" -> ((s, dir) => {
       // company-name normalize (reference: entity_resolution.py:76-98 F1)
+      // via the native NormalizedName kernel — bit-identical to the
+      // composed TextFunctions.nameNormalize (HashOpsSpec), minus two
+      // interpreted HOF lambdas per row and ~2s of codegen compile for
+      // the giant literal-map expression tree
       t(s, dir, "customer")
         .select(col("c_custkey"),
-          nameNormalize(concat(col("c_name"), lit(" Tech Corp"))).as("norm_name"))
+          org.apache.spark.sql.graftshim.GraftShim.column(
+            graft.functions.NormalizedName(
+              org.apache.spark.sql.graftshim.GraftShim.expr(
+                concat(col("c_name"), lit(" Tech Corp")))))
+            .getField("norm").as("norm_name"))
         .orderBy("c_custkey")
     }),
 
