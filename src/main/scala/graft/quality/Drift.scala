@@ -1,0 +1,65 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Distribution-drift detection: Population Stability Index between a
+ * reference window and a current window of the same column — the
+ * model-monitoring generalization of the reference's quality-monitor
+ * rollup (`data_contracts.py:216-231` tracks validation pass rates;
+ * PSI tracks the DATA moving under a trained model; >0.2 is the
+ * conventional "investigate" threshold).
+ *
+ * Bin edges are ORDER STATISTICS of the reference window (value at rank
+ * ceil(n·x/bins) — engine-exact, same discipline as
+ * `RobustStats.winsorizedRollup`; interpolated quantiles drift across
+ * engines in the last ulp and flip bin membership at the edge). The
+ * edge selection sorts the reference window through one global window —
+ * correct for monitoring windows, which are bounded by design (a day/week
+ * of scores, a sampled baseline); for an unbounded reference switch the
+ * edge source to `Sketches.approxQuantiles` (mergeable, no global sort)
+ * and keep everything below identical.
+ *
+ * Proportions floor at `eps` so empty bins contribute a finite penalty
+ * (the standard PSI convention) instead of ±∞.
+ */
+object Drift {
+
+  def psiBins(ref: DataFrame, cur: DataFrame, v: Column,
+              bins: Int = 10, eps: Double = 1e-6): DataFrame = {
+    require(bins > 1, "need at least 2 bins")
+    val w = Window.orderBy(col("v"))
+    val ranked = ref.select(v.as("v"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val isEdge = (1 until bins)
+      .map(x => col("rn") === ceil(col("n") * x / lit(bins.toDouble)).cast("long"))
+      .reduce(_ || _)
+    val edges = ranked.filter(isEdge)
+      .agg(sort_array(collect_list(col("v"))).as("e"))
+    def binned(df: DataFrame): DataFrame =
+      df.select(v.as("v")).crossJoin(broadcast(edges))
+        .select(size(filter(col("e"), x => x < col("v"))).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("c"))
+    val rb = binned(ref).select(col("bin"), col("c").as("rc"))
+    val cb = binned(cur).select(col("bin"), col("c").as("cc"))
+    val allBins = ref.sparkSession.range(0, bins)
+      .select(col("id").cast("int").as("bin"))
+    val withTotals = allBins
+      .join(rb, Seq("bin"), "left").join(cb, Seq("bin"), "left")
+      .select(col("bin"),
+        (coalesce(col("rc"), lit(0L)).cast("double") /
+          sum(coalesce(col("rc"), lit(0L))).over(Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))).as("p"),
+        (coalesce(col("cc"), lit(0L)).cast("double") /
+          sum(coalesce(col("cc"), lit(0L))).over(Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))).as("q"))
+    val pf = greatest(col("p"), lit(eps))
+    val qf = greatest(col("q"), lit(eps))
+    withTotals.select(col("bin"), col("p").as("p_ref"), col("q").as("p_cur"),
+      ((qf - pf) * log(qf / pf)).as("psi_term"))
+  }
+}

@@ -110,6 +110,20 @@ object CorpusQueries {
         .orderBy("shard", "pos")
     }),
 
+    "q102_psi_drift" -> ((s, dir) => {
+      // PSI drift between pre/post-1998 order values; decile edges are
+      // reference-window order statistics (Drift scaladoc)
+      val orders = t(s, dir, "orders")
+      graft.quality.Drift.psiBins(
+          orders.filter(col("o_orderdate") < "1998-01-01"),
+          orders.filter(col("o_orderdate") >= "1998-01-01"),
+          col("o_totalprice"))
+        .select(col("bin"), round(col("p_ref"), 6).as("p_ref"),
+          round(col("p_cur"), 6).as("p_cur"),
+          round(col("psi_term"), 6).as("psi_term"))
+        .orderBy("bin")
+    }),
+
     "q101_repetition" -> ((s, dir) => {
       // Gopher-style repetition filters: duplicate-word fraction +
       // top-bigram occurrence share (Corpus.repetitionSignals scaladoc)
@@ -247,6 +261,31 @@ object CorpusQueries {
         |SELECT doc_id, shard,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS INTEGER) AS pos
         |FROM s ORDER BY shard, pos""".stripMargin,
+
+    "q102_psi_drift" ->
+      """WITH ref AS (SELECT o_totalprice AS v FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+        |cur AS (SELECT o_totalprice AS v FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+        |    count(*) OVER () AS n FROM ref),
+        |edges AS (SELECT list(v ORDER BY v) AS e FROM r WHERE rn IN (
+        |  SELECT CAST(ceil(n * x / 10.0) AS BIGINT)
+        |  FROM (SELECT DISTINCT n FROM r), range(1, 10) t(x))),
+        |rb AS (SELECT CAST(len(list_filter(e, x -> x < v)) AS INTEGER) AS bin,
+        |    count(*) AS c FROM ref, edges GROUP BY 1),
+        |cb AS (SELECT CAST(len(list_filter(e, x -> x < v)) AS INTEGER) AS bin,
+        |    count(*) AS c FROM cur, edges GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(c) FROM rb) AS rn, (SELECT sum(c) FROM cb) AS cn),
+        |bins AS (SELECT b.bin,
+        |    CAST(coalesce(rb.c, 0) AS DOUBLE) / rn AS p,
+        |    CAST(coalesce(cb.c, 0) AS DOUBLE) / cn AS q
+        |  FROM (SELECT CAST(unnest(range(0, 10)) AS INTEGER) AS bin) b
+        |  LEFT JOIN rb ON rb.bin = b.bin LEFT JOIN cb ON cb.bin = b.bin, tot)
+        |SELECT bin, round(p, 6) AS p_ref, round(q, 6) AS p_cur,
+        |  round((greatest(q, 1e-6) - greatest(p, 1e-6))
+        |    * ln(greatest(q, 1e-6) / greatest(p, 1e-6)), 6) AS psi_term
+        |FROM bins ORDER BY bin""".stripMargin,
 
     "q101_repetition" ->
       """WITH w AS (SELECT doc_id,

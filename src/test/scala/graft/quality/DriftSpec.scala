@@ -1,0 +1,40 @@
+package graft.quality
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** PSI drift detector: identical windows score ~0, a shifted window
+  * crosses the conventional 0.2 investigate threshold, reference deciles
+  * are exact. */
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def psi(ref: org.apache.spark.sql.DataFrame,
+                  cur: org.apache.spark.sql.DataFrame): Double =
+    Drift.psiBins(ref, cur, col("v"))
+      .agg(sum("psi_term")).head.getDouble(0)
+
+  test("identical distributions → PSI ≈ 0; shifted distribution → PSI > 0.2") {
+    val ref = (1 to 1000).map(_.toDouble).toDF("v")
+    assert(psi(ref, ref) < 1e-9)
+    // hard shift: current mass sits in the top reference decile
+    val shifted = (1 to 1000).map(i => 900.0 + i / 100.0).toDF("v")
+    assert(psi(ref, shifted) > 0.2)
+  }
+
+  test("reference deciles are exact: each reference bin holds 1/bins of the mass") {
+    val ref = (1 to 500).map(_.toDouble).toDF("v")
+    val out = Drift.psiBins(ref, ref, col("v")).collect()
+    assert(out.length === 10)
+    out.foreach(r => assert(math.abs(r.getDouble(1) - 0.1) < 1e-9,
+      s"bin ${r.getInt(0)} p_ref=${r.getDouble(1)}"))
+  }
+
+  test("empty current bins get the epsilon floor, not infinity") {
+    val ref = (1 to 100).map(_.toDouble).toDF("v")
+    val cur = Seq(1.0, 2.0, 3.0).toDF("v") // all mass in bin 0
+    val out = Drift.psiBins(ref, cur, col("v")).collect()
+    assert(out.forall(r => !r.getDouble(3).isInfinite && !r.getDouble(3).isNaN))
+  }
+}
