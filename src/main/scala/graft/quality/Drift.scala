@@ -40,6 +40,32 @@ object Drift {
       .reduce(_ || _)
     val edges = ranked.filter(isEdge)
       .agg(sort_array(collect_list(col("v"))).as("e"))
+    psiFromEdges(ref, cur, v, edges, bins, eps)
+  }
+
+  /**
+   * The unbounded-reference form: edges from the mergeable
+   * Greenwald-Khanna sketch (`percentile_approx`) — one partial-agg pass,
+   * NO global sort, so the reference window can be the whole corpus.
+   * Edge values are approximate within the sketch's rank accuracy; bin
+   * proportions (and so PSI) shift by at most that rank error per edge —
+   * immaterial against the 0.1/0.2 decision thresholds. Not
+   * oracle-checked (sketch internals are engine-specific); `DriftSpec`
+   * gates it against [[psiBins]] instead.
+   */
+  def psiBinsApprox(ref: DataFrame, cur: DataFrame, v: Column,
+                    bins: Int = 10, eps: Double = 1e-6,
+                    accuracy: Int = 10000): DataFrame = {
+    require(bins > 1, "need at least 2 bins")
+    val probs = (1 until bins).map(_.toDouble / bins)
+    val edges = graft.operators.Sketches
+      .approxQuantiles(ref.select(v.as("v")), Nil, col("v"), probs, accuracy)
+      .select(sort_array(col("approx_quantiles")).as("e"))
+    psiFromEdges(ref, cur, v, edges, bins, eps)
+  }
+
+  private def psiFromEdges(ref: DataFrame, cur: DataFrame, v: Column,
+                           edges: DataFrame, bins: Int, eps: Double): DataFrame = {
     def binned(df: DataFrame): DataFrame =
       df.select(v.as("v")).crossJoin(broadcast(edges))
         .select(size(filter(col("e"), x => x < col("v"))).as("bin"))

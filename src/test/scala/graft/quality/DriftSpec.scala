@@ -31,6 +31,17 @@ class DriftSpec extends SparkSpec {
       s"bin ${r.getInt(0)} p_ref=${r.getDouble(1)}"))
   }
 
+  test("approx (sketch-edge) PSI tracks the exact form on smooth data") {
+    val ref = (1 to 5000).map(_.toDouble).toDF("v")
+    val cur = (1 to 5000).map(i => i * 1.4).toDF("v") // mild scale drift
+    val exact = psi(ref, cur)
+    val approx = Drift.psiBinsApprox(ref, cur, col("v"))
+      .agg(sum("psi_term")).head.getDouble(0)
+    assert(math.abs(exact - approx) < 0.02,
+      s"exact=$exact approx=$approx must agree within sketch accuracy")
+    assert(approx > 0.05, "drift must still register through the sketch path")
+  }
+
   test("empty current bins get the epsilon floor, not infinity") {
     val ref = (1 to 100).map(_.toDouble).toDF("v")
     val cur = Seq(1.0, 2.0, 3.0).toDF("v") // all mass in bin 0
