@@ -110,6 +110,25 @@ object CorpusQueries {
         .orderBy("shard", "pos")
     }),
 
+    "q103_funnel" -> ((s, dir) => {
+      // ordered conversion funnel view→click→purchase, 24h per step
+      // (EventAnalytics.funnel scaladoc: chained windows, one Exchange)
+      graft.operators.EventAnalytics.funnel(
+          t(s, dir, "events"), col("user_id"), col("ts"), col("event_type"),
+          Seq("view", "click", "purchase"))
+        .orderBy("stage")
+    }),
+
+    "q104_retention" -> ((s, dir) => {
+      // purchase-anchored daily retention cohorts, offsets 0..14
+      graft.operators.EventAnalytics.retentionCohorts(
+          t(s, dir, "events"), col("user_id"), col("ts"), col("event_type"),
+          anchorType = "purchase", maxOffset = 14)
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+          col("offset"), col("active_users"))
+        .orderBy("cohort", "offset")
+    }),
+
     "q102_psi_drift" -> ((s, dir) => {
       // PSI drift between pre/post-1998 order values; decile edges are
       // reference-window order statistics (Drift scaladoc)
@@ -261,6 +280,33 @@ object CorpusQueries {
         |SELECT doc_id, shard,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS INTEGER) AS pos
         |FROM s ORDER BY shard, pos""".stripMargin,
+
+    "q103_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t0
+        |    AND e.ts <= v.t0 + INTERVAL 24 HOUR GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t1
+        |    AND e.ts <= c.t1 + INTERVAL 24 HOUR GROUP BY 1)
+        |SELECT 'stage1_view' AS stage, count(*) AS users FROM v
+        |UNION ALL SELECT 'stage2_click', count(*) FROM c
+        |UNION ALL SELECT 'stage3_purchase', count(*) FROM p
+        |ORDER BY stage""".stripMargin,
+
+    "q104_retention" ->
+      """WITH a AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |first AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort FROM a GROUP BY 1),
+        |act AS (SELECT DISTINCT a.user_id, f.cohort,
+        |    CAST(datediff('day', f.cohort, CAST(a.ts AS DATE)) AS INTEGER) AS "offset"
+        |  FROM a JOIN first f ON a.user_id = f.user_id
+        |  WHERE datediff('day', f.cohort, CAST(a.ts AS DATE)) <= 14)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort, "offset",
+        |  count(*) AS active_users
+        |FROM act GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q102_psi_drift" ->
       """WITH ref AS (SELECT o_totalprice AS v FROM orders
