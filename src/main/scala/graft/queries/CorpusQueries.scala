@@ -110,6 +110,34 @@ object CorpusQueries {
         .orderBy("shard", "pos")
     }),
 
+    "q105_attribution" -> ((s, dir) => {
+      // last-touch attribution: each purchase's value is credited to the
+      // channel (props k % 5) of the user's latest click within 24h;
+      // no qualifying click → 'direct'. As-of machinery (q69) + JSON
+      // parse + decimal rollup in one composition.
+      import graft.operators.AsOfJoin
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      val clicks = AsOfJoin.latestPerKeyTs(
+          ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts"), col("event_id"),
+              concat(lit("ch"),
+                pmod(get_json_object(col("props"), "$.k").cast("long"), lit(5L)))
+                .as("channel")),
+          col("user_id"), col("ts"), col("event_id"))
+        .select("user_id", "ts", "channel")
+      AsOfJoin.asOf(purchases, clicks, "user_id", "ts", Seq("channel"),
+          toleranceSeconds = Some(86400L))
+        .select(coalesce(col("asof_channel"), lit("direct")).as("channel"),
+          col("value"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("total_value"))
+        .orderBy("channel")
+    }),
+
     "q103_funnel" -> ((s, dir) => {
       // ordered conversion funnel view→click→purchase, 24h per step
       // (EventAnalytics.funnel scaladoc: chained windows, one Exchange)
@@ -280,6 +308,23 @@ object CorpusQueries {
         |SELECT doc_id, shard,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS INTEGER) AS pos
         |FROM s ORDER BY shard, pos""".stripMargin,
+
+    "q105_attribution" ->
+      """WITH c0 AS (SELECT user_id, ts,
+        |    'ch' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 5
+        |      AS VARCHAR) AS channel,
+        |    row_number() OVER (PARTITION BY user_id, ts
+        |      ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'click'),
+        |c AS (SELECT user_id, ts, channel FROM c0 WHERE rn = 1),
+        |p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |att AS (SELECT p.value,
+        |    CASE WHEN c.ts IS NOT NULL AND p.ts - c.ts <= INTERVAL 86400 SECOND
+        |      THEN c.channel ELSE 'direct' END AS channel
+        |  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts)
+        |SELECT channel, count(*) AS n_purchases,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM att GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q103_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
