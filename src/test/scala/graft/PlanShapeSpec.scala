@@ -83,6 +83,14 @@ class PlanShapeSpec extends SparkSpec {
       "packing must never serialize through one partition")
   }
 
+  test("q103: all funnel stages chain over ONE user-hash Exchange") {
+    val p = plan("q103_funnel")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges === 1,
+      s"stage windows + per-user collapse must share one user Exchange, " +
+        s"found $hashExchanges")
+  }
+
   test("q98: chunking is pure scan-local row generation (no hash shuffle)") {
     val p = plan("q98_chunk_docs")
     // allowed: the loadSpread round-robin (testdata is single-row-group)

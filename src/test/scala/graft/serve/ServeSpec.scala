@@ -56,6 +56,19 @@ class ServeSpec extends SparkSpec {
     assert(back.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
   }
 
+  test("ORC export/scan roundtrip (second columnar format beside parquet)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
+    df.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
+    // predicate pushdown reaches the ORC reader too
+    val plan = spark.read.orc(dir).filter(col("id") === 2L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("id"),
+      s"ORC scan must receive pushed filters:\n$plan")
+  }
+
   test("point-score path applies expression graph to 1-row frame (E3)") {
     val one = Seq((0.2, 0.6)).toDF("f1", "f2")
     val scored = scoreOne(one, Seq(
