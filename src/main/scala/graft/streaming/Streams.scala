@@ -28,6 +28,9 @@ case class RunningTotal(user_id: Long, ts: java.sql.Timestamp,
                         running_n: Long, running_sum: Double)
 
 /** Closed validity interval emitted by [[Streams.scd2Intervals]]. */
+case class StageCompletion(user_id: Long, stage: Int,
+                           ts: java.sql.Timestamp)
+
 case class Scd2Interval(user_id: Long, state: String,
                         valid_from: java.sql.Timestamp,
                         valid_to: java.sql.Timestamp)
@@ -177,6 +180,64 @@ object Streams {
             state.setTimeoutTimestamp(
               out.map(_.ts.getTime).max, idleTimeout)
             out.iterator
+          }
+      }
+  }
+
+  /**
+   * Streaming twin of the q103 funnel (real-time conversion tracking):
+   * per-user state = the first-completion time of each stage
+   * (`stages.length` long slots); an incoming event completes stage i
+   * when its type matches and it falls within `windowSeconds` after the
+   * recorded stage-(i-1) time. Emits one [[StageCompletion]] per newly
+   * completed stage (append mode — completions are immutable facts;
+   * funnel counts are `groupBy(stage).count` downstream). Within a
+   * batch, a user's rows are processed in (ts) order to mirror the
+   * batch windows; cross-batch correctness holds for in-order delivery
+   * per key, which the watermark bounds (same contract as
+   * [[scd2Intervals]]). State is `stages.length` longs per user with
+   * event-time eviction — bounded regardless of stream length.
+   */
+  def funnelStream(events: DataFrame, stages: Seq[String],
+                   windowSeconds: Long = 86400L,
+                   idleTimeout: String = "30 days")
+      : org.apache.spark.sql.Dataset[StageCompletion] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    require(stages.nonEmpty, "need at least one stage")
+    val stageIdx = stages.zipWithIndex.toMap
+    val typed = events.select(col("user_id"), col("ts"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, String)]
+    val UNSET = Long.MaxValue
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], StageCompletion](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[Array[Long]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val t = state.getOption.getOrElse(Array.fill(stages.length)(UNSET))
+            val ordered = rows.toVector.sortBy(_._2.getTime)
+            val out = Vector.newBuilder[StageCompletion]
+            ordered.foreach { case (_, ts, ty) =>
+              stageIdx.get(ty).foreach { i =>
+                val ms = ts.getTime
+                val qualifies =
+                  if (i == 0) true
+                  else t(i - 1) != UNSET && ms > t(i - 1) &&
+                    ms <= t(i - 1) + windowSeconds * 1000L
+                if (qualifies && t(i) == UNSET) {
+                  t(i) = ms
+                  out += StageCompletion(user, i + 1, ts)
+                }
+              }
+            }
+            val result = out.result()
+            state.update(t)
+            if (ordered.nonEmpty)
+              state.setTimeoutTimestamp(ordered.map(_._2.getTime).max, idleTimeout)
+            result.iterator
           }
       }
   }

@@ -312,6 +312,30 @@ class StreamsSpec extends SparkSpec {
     assert(streamIds === Set(1L, 3L))
   }
 
+  test("streaming funnel completions equal the batch funnel counts") {
+    val dir = tmp("graft-funnel-events")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(s"$dir/events.parquet"))
+    val stages = Seq("view", "click", "purchase")
+    val completions = Streams.funnelStream(
+      Streams.readEvents(spark, dir), stages)
+    val q = completions.writeStream.format("memory")
+      .queryName("funnel_out").outputMode("append")
+      .option("checkpointLocation", tmp("graft-funnel-ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("funnel_out")
+      .groupBy("stage").count().orderBy("stage")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val batch = graft.operators.EventAnalytics.funnel(
+        Tables.load(spark, "/root/testdata/sf0.001", "events"),
+        col("user_id"), col("ts"), col("event_type"), stages)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed.getOrElse(1, 0L) === batch("stage1_view"))
+    assert(streamed.getOrElse(2, 0L) === batch("stage2_click"))
+    assert(streamed.getOrElse(3, 0L) === batch("stage3_purchase"))
+  }
+
   test("T3: idempotent batch writer — replayed batch does not duplicate") {
     val out = tmp("graft-sink")
     val writer = Streams.idempotentBatchWriter(out, Seq("id"))
