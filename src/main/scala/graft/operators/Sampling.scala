@@ -71,6 +71,32 @@ object Sampling {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** Temperature-based mixture resampling (the multilingual/multi-source
+    * data-mixing rule of the mC4/XLM-R lineage): stratum i is kept with
+    * rate ∝ n_i^alpha / n_i, so alpha=1 preserves the natural mix,
+    * alpha→0 flattens toward uniform, and 0<alpha<1 upweights
+    * low-resource strata. `targetFraction` scales the expected kept
+    * share of the corpus; rates clamp at 1 (no upsampling — repeat-epoch
+    * the small strata instead). Rates come from ONE tiny groupBy
+    * broadcast back; keep decisions are hashUniform — partition-
+    * invariant, replayable, engine-portable like every sampler here. */
+  def temperatureMixture(df: DataFrame, key: Column, stratum: Column,
+                         alpha: Double, targetFraction: Double,
+                         salt: String = "tmix"): DataFrame = {
+    require(alpha > 0 && targetFraction > 0, "alpha and targetFraction must be > 0")
+    val n = df.groupBy(stratum.as("_st")).agg(count(lit(1)).as("_n"))
+    val tot = n.agg(sum(col("_n")).as("_total"),
+      sum(pow(col("_n"), alpha)).as("_zsum"))
+    val rates = n.crossJoin(broadcast(tot))
+      .select(col("_st"),
+        least(lit(1.0), (col("_total") * targetFraction) *
+          (pow(col("_n"), alpha) / col("_zsum")) / col("_n")).as("_rate"))
+    df.join(broadcast(rates), stratum === col("_st"))
+      .filter(hashUniform(key, salt) < col("_rate"))
+      .withColumn("rate", col("_rate"))
+      .drop("_st", "_rate")
+  }
+
   /** Deterministic epoch shuffle: a reproducible global permutation for
     * training-data ordering, as (shard, pos) — shard = hash % nShards,
     * pos = rank of the md5 hex within the shard. Changing the salt (e.g.

@@ -110,6 +110,16 @@ object CorpusQueries {
         .orderBy("shard", "pos")
     }),
 
+    "q106_temperature_mix" -> ((s, dir) => {
+      // temperature (alpha=0.5) language-mixture resampling to half the
+      // corpus: low-resource languages keep a higher rate
+      // (Sampling.temperatureMixture scaladoc)
+      Sampling.temperatureMixture(t(s, dir, "documents"),
+          col("doc_id"), col("lang"), alpha = 0.5, targetFraction = 0.5)
+        .select(col("doc_id"), col("lang"), round(col("rate"), 6).as("rate"))
+        .orderBy("doc_id")
+    }),
+
     "q105_attribution" -> ((s, dir) => {
       // last-touch attribution: each purchase's value is credited to the
       // channel (props k % 5) of the user's latest click within 24h;
@@ -308,6 +318,18 @@ object CorpusQueries {
         |SELECT doc_id, shard,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS INTEGER) AS pos
         |FROM s ORDER BY shard, pos""".stripMargin,
+
+    "q106_temperature_mix" ->
+      """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(n) AS total, sum(pow(n, 0.5)) AS zsum FROM n),
+        |rates AS (SELECT lang,
+        |    least(1.0, (total * 0.5) * (pow(n, 0.5) / zsum) / n) AS r
+        |  FROM n, tot)
+        |SELECT d.doc_id, d.lang, round(r.r, 6) AS rate
+        |FROM documents d JOIN rates r ON d.lang = r.lang
+        |WHERE CAST(('0x' || substring(md5('tmix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+        |    AS UBIGINT) % 1000000 / 1000000.0 < r.r
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q105_attribution" ->
       """WITH c0 AS (SELECT user_id, ts,

@@ -192,6 +192,24 @@ class CorpusSpec extends SparkSpec {
     assert(o1.sorted === o2.sorted)
   }
 
+  // ---- temperatureMixture ----
+
+  test("temperatureMixture: alpha=1 preserves rates ∝ target, alpha<1 flattens strata") {
+    val df = ((1L to 900L).map(i => (i, "big")) ++ (901L to 1000L).map(i => (i, "small")))
+      .toDF("id", "stratum")
+    // alpha=1: every stratum keeps exactly targetFraction
+    val a1 = Sampling.temperatureMixture(df, col("id"), col("stratum"), 1.0, 0.5)
+      .select("stratum", "rate").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(a1("big") - 0.5) < 1e-9 && math.abs(a1("small") - 0.5) < 1e-9)
+    // alpha=0.3: the small stratum keeps a strictly higher rate
+    val a03 = Sampling.temperatureMixture(df, col("id"), col("stratum"), 0.3, 0.5)
+      .select("stratum", "rate").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a03("small") > a03("big"))
+    assert(a03("small") <= 1.0 && a03("big") > 0.0)
+  }
+
   // ---- fixedKPerStratum ----
 
   test("fixedKPerStratum: exactly k per stratum (or all, if fewer), disjoint and deterministic") {
