@@ -31,7 +31,8 @@ object Plans {
       "q93_decontaminate",     // bench grams broadcast, corpus never SMJs
       "q94_bm25",              // scan-local tfs + one broadcast stats row
       "q96_pack_sequences",    // per-shard prefix-sum window
-      "q98_chunk_docs")        // scan-local row generation, no hash shuffle
+      "q98_chunk_docs",        // scan-local row generation, no hash shuffle
+      "q103_funnel")           // chained stage windows, one user Exchange
     println("# PLANS -- formatted physical plans of representative queries\n")
     println(s"Generated against `$sfDir` (plan shapes are SF-invariant).\n")
     picks.foreach { name =>
