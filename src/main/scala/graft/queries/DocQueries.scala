@@ -121,6 +121,29 @@ object DocQueries {
         .orderBy("component")
     }),
 
+    "q107_canonical_docs" -> ((s, dir) => {
+      // dedup MATERIALIZATION: per near-dup cluster keep the canonical
+      // doc (longest text, doc_id tiebreak) — the step that turns q75's
+      // census into the deduplicated corpus. Labels frame is (id,
+      // component) pairs; the canonical pick is one top-1-per-group
+      // window over the cluster partitioning.
+      val docs = t(s, dir, "documents")
+      val edges = Dedup.minhashNearDups(docs, col("doc_id"), col("text"),
+          shingleSize = 5, numHashes = 16, bands = 8, threshold = 0.25)
+        .select("a_id", "b_id")
+      val labels = Dedup.connectedComponents(edges, maxIter = 20)
+      val labeled = labels.join(
+        docs.select(col("doc_id").as("id"), col("n_chars")), "id")
+      val sized = labeled.withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("component"))))
+      TopK.topKPerGroup(sized, Seq(col("component")),
+          Seq(col("n_chars").desc, col("id").asc), 1)
+        .select(col("component"), col("id").as("canonical_id"),
+          col("cluster_size"))
+        .orderBy("component")
+    }),
+
     // ---- SimHash ----
     "q44_simhash_fp" -> ((s, dir) => {
       // explode+agg form: md5 once per token inside codegen, partial-agg
@@ -249,6 +272,54 @@ object DocQueries {
     })
   )
 
+  /** Shared oracle CTE chain: q43's LSH edge pipeline + 12 unrolled
+    * min-label propagation rounds ending in `l12(id, component)`.
+    * MATERIALIZED is load-bearing: DuckDB inlines multiply-referenced
+    * CTEs by default, re-evaluating the whole LSH pipeline per round
+    * (measured 132s → 1.1s at sf0.01). Fixpoint-stable: Spark iterates
+    * (or union-finds) to convergence, the oracle always runs 12 rounds;
+    * both sit at the same fixpoint (the min label reaches every node by
+    * round 8 at sf0.01; rounds 8-20 all give the same census). */
+  private lazy val dupClustersCte: String = {
+    val step = (k: Int) =>
+      s"""l${k + 1} AS MATERIALIZED (SELECT l.id,
+         |  least(l.component, coalesce(min(n.component), l.component)) AS component
+         |  FROM l$k l LEFT JOIN sym ON sym.src = l.id
+         |  LEFT JOIN l$k n ON n.id = sym.dst
+         |  GROUP BY l.id, l.component)""".stripMargin
+    s"""d AS (SELECT doc_id, $shinglesSql AS sh FROM documents WHERE len(text) > 0),
+      |hh AS MATERIALIZED (SELECT doc_id, list_transform(sh,
+      |  x -> CAST(CAST(('0x' || substring(md5(x), 1, 8)) AS UBIGINT) AS BIGINT)) AS hs
+      |  FROM d),
+      |s AS MATERIALIZED (SELECT doc_id, list_transform(range(0, 16),
+      |  i -> list_min(list_transform(hs,
+      |    h -> (h * (2*i+1) + (i*2654435761) % 4294967311) % 4294967311))) AS sig
+      |  FROM hh),
+      |bands0 AS (SELECT doc_id, b,
+      |  md5(array_to_string(sig[(2*b+1):(2*b+2)], '|')) AS key
+      |  FROM s, range(0, 8) t(b)),
+      |bands AS (SELECT * FROM (SELECT doc_id, b, key,
+      |  count(*) OVER (PARTITION BY b, key) AS sz FROM bands0)
+      |  WHERE sz <= 100),
+      |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+      |  FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
+      |    AND x.doc_id < y.doc_id),
+      |est AS (SELECT a_id, b_id FROM cand
+      |  JOIN s sa ON sa.doc_id = a_id JOIN s sb ON sb.doc_id = b_id
+      |  WHERE len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i]))
+      |    / 16.0 >= 0.25 - 1.0/16),
+      |hset AS (SELECT doc_id, list_distinct(hs) AS hs FROM hh),
+      |j AS (SELECT a_id, b_id,
+      |  CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+      |    len(list_distinct(list_concat(a.hs, b.hs))) AS jaccard
+      |  FROM est JOIN hset a ON a.doc_id = a_id JOIN hset b ON b.doc_id = b_id),
+      |edges AS MATERIALIZED (SELECT a_id, b_id FROM j WHERE jaccard >= 0.25),
+      |sym AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM edges
+      |  UNION ALL SELECT b_id, a_id FROM edges),
+      |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS component FROM sym),
+      |${(0 until 12).map(step).mkString(",\n")}""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_first_order" ->
       """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS first_order
@@ -299,54 +370,19 @@ object DocQueries {
         |SELECT a_id, b_id, round(jaccard, 6) AS jaccard FROM j
         |WHERE jaccard >= 0.25 ORDER BY a_id, b_id""".stripMargin,
 
-    "q75_dup_clusters" -> {
-      // q43's edge pipeline + 6 unrolled min-label rounds. MATERIALIZED is
-      // load-bearing: DuckDB inlines multiply-referenced CTEs by default,
-      // re-evaluating the whole LSH pipeline per round (measured 132s →
-      // 1.1s at sf0.01). Fixpoint-stable: Spark iterates to convergence,
-      // the oracle always runs 12 rounds; both sit at the same fixpoint
-      // (measured: the min label reaches every node by round 8 at sf0.01;
-      // rounds 8-20 all give the same census).
-      val step = (k: Int) =>
-        s"""l${k + 1} AS MATERIALIZED (SELECT l.id,
-           |  least(l.component, coalesce(min(n.component), l.component)) AS component
-           |  FROM l$k l LEFT JOIN sym ON sym.src = l.id
-           |  LEFT JOIN l$k n ON n.id = sym.dst
-           |  GROUP BY l.id, l.component)""".stripMargin
-      s"""WITH d AS (SELECT doc_id, $shinglesSql AS sh FROM documents WHERE len(text) > 0),
-        |hh AS MATERIALIZED (SELECT doc_id, list_transform(sh,
-        |  x -> CAST(CAST(('0x' || substring(md5(x), 1, 8)) AS UBIGINT) AS BIGINT)) AS hs
-        |  FROM d),
-        |s AS MATERIALIZED (SELECT doc_id, list_transform(range(0, 16),
-        |  i -> list_min(list_transform(hs,
-        |    h -> (h * (2*i+1) + (i*2654435761) % 4294967311) % 4294967311))) AS sig
-        |  FROM hh),
-        |bands0 AS (SELECT doc_id, b,
-        |  md5(array_to_string(sig[(2*b+1):(2*b+2)], '|')) AS key
-        |  FROM s, range(0, 8) t(b)),
-        |bands AS (SELECT * FROM (SELECT doc_id, b, key,
-        |  count(*) OVER (PARTITION BY b, key) AS sz FROM bands0)
-        |  WHERE sz <= 100),
-        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-        |  FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
-        |    AND x.doc_id < y.doc_id),
-        |est AS (SELECT a_id, b_id FROM cand
-        |  JOIN s sa ON sa.doc_id = a_id JOIN s sb ON sb.doc_id = b_id
-        |  WHERE len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i]))
-        |    / 16.0 >= 0.25 - 1.0/16),
-        |hset AS (SELECT doc_id, list_distinct(hs) AS hs FROM hh),
-        |j AS (SELECT a_id, b_id,
-        |  CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
-        |    len(list_distinct(list_concat(a.hs, b.hs))) AS jaccard
-        |  FROM est JOIN hset a ON a.doc_id = a_id JOIN hset b ON b.doc_id = b_id),
-        |edges AS MATERIALIZED (SELECT a_id, b_id FROM j WHERE jaccard >= 0.25),
-        |sym AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM edges
-        |  UNION ALL SELECT b_id, a_id FROM edges),
-        |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS component FROM sym),
-        |${(0 until 12).map(step).mkString(",\n")}
+    "q75_dup_clusters" ->
+      s"""WITH $dupClustersCte
         |SELECT component, count(*) AS cluster_size FROM l12
-        |GROUP BY component ORDER BY component""".stripMargin
-    },
+        |GROUP BY component ORDER BY component""".stripMargin,
+
+    "q107_canonical_docs" ->
+      s"""WITH $dupClustersCte
+        |SELECT l.component, d.doc_id AS canonical_id,
+        |  CAST(count(*) OVER (PARTITION BY l.component) AS BIGINT) AS cluster_size
+        |FROM l12 l JOIN documents d ON d.doc_id = l.id
+        |QUALIFY row_number() OVER (PARTITION BY l.component
+        |  ORDER BY d.n_chars DESC, d.doc_id) = 1
+        |ORDER BY component""".stripMargin,
 
     "q44_simhash_fp" ->
       s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents)
