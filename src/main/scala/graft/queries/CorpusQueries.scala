@@ -110,6 +110,28 @@ object CorpusQueries {
         .orderBy("shard", "pos")
     }),
 
+    "q108_dau_wau" -> ((s, dir) => {
+      // sliding-distinct engagement: WAU via the explode-into-window
+      // formulation — each (user, active-day) pair contributes to the 7
+      // target days it covers, then one distinct count per day. The
+      // sliding-window-distinct every naive plan does with a per-day
+      // self-join or a giant collect_set window; explode keeps it two
+      // hash aggregations at any scale (output rows = 7 × active pairs).
+      val ad = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val dau = ad.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = ad.select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
+        .groupBy("day").agg(countDistinct(col("user_id")).as("wau"))
+      val span = ad.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      dau.join(wau, "day").crossJoin(broadcast(span))
+        .filter(col("day").between(col("d0"), col("d1")))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("wau"),
+          round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+        .orderBy("day")
+    }),
+
     "q106_temperature_mix" -> ((s, dir) => {
       // temperature (alpha=0.5) language-mixture resampling to half the
       // corpus: low-resource languages keep a higher rate
@@ -318,6 +340,20 @@ object CorpusQueries {
         |SELECT doc_id, shard,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS INTEGER) AS pos
         |FROM s ORDER BY shard, pos""".stripMargin,
+
+    "q108_dau_wau" ->
+      """WITH ad AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM ad GROUP BY 1),
+        |contrib AS (SELECT user_id, unnest(generate_series(day,
+        |    day + INTERVAL 6 DAY, INTERVAL 1 DAY))::DATE AS wday FROM ad),
+        |wau AS (SELECT wday AS day, count(DISTINCT user_id) AS wau FROM contrib
+        |  GROUP BY 1),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ad)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau,
+        |  round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+        |FROM dau d JOIN wau w ON d.day = w.day, span
+        |WHERE d.day BETWEEN d0 AND d1
+        |ORDER BY day""".stripMargin,
 
     "q106_temperature_mix" ->
       """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
