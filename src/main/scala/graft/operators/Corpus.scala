@@ -58,32 +58,43 @@ object Corpus {
    * repeated content is the strongest single predictor of low-value
    * pretraining text):
    *  - `dup_word_frac`: 1 − |distinct words| / |words| (scan-local);
-   *  - `rep2_frac`: occurrence share of the most frequent word bigram
-   *    (explode hashed bigrams → per-doc mode — one shuffle; the count
-   *    over md5 hashes equals the count over the strings, and the oracle
-   *    hashes the same way).
+   *  - `rep2_frac`: occurrence share of the most frequent word bigram —
+   *    a run-length fold over the SORTED bigram-hash array (mode of a
+   *    sorted multiset = longest equal run), entirely scan-local: O(w)
+   *    per doc, ZERO shuffles at any corpus size (the explode +
+   *    groupBy(doc, gram) formulation shuffles ~|words| rows per doc
+   *    whose keys are mostly unique, so partial aggregation combines
+   *    nothing). Hash counts equal string counts and the oracle hashes
+   *    the same way. Measured at sf0.1 (ProbeQ101, hot JVM): 0.35s
+   *    scan-local vs 0.92s explode+groupBy — and the gap widens with
+   *    corpus size since only one of them shuffles.
    * Docs with fewer than `minWords` words are dropped (the signals are
    * meaningless on fragments; callers gate short docs separately).
    */
   def repetitionSignals(docs: DataFrame, idCol: Column, textCol: Column,
                         minWords: Int = 5): DataFrame = {
     val w = graft.functions.TextAnalysis.words(textCol)
-    val base = docs.select(idCol.as("id"), w.as("w"), lower(textCol).as("_t"))
+    val grams = sort_array(GraftShim.column(WordNgramHashes(
+      GraftShim.expr(lower(textCol)), 2)))
+    // (prev, run, best) fold; prev starts at an impossible hash value
+    // (gram hashes are uint32-range, Long.MinValue can't collide)
+    val maxRun = aggregate(grams,
+      struct(lit(Long.MinValue).as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    docs.select(idCol.as("id"), w.as("w"), maxRun.as("_mr"),
+        size(GraftShim.column(WordNgramHashes(
+          GraftShim.expr(lower(textCol)), 2))).as("_ng"))
       .filter(size(col("w")) >= minWords)
       .select(col("id"), size(col("w")).as("n_words"),
         (lit(1.0) - size(array_distinct(col("w"))).cast("double") /
           size(col("w"))).as("dup_word_frac"),
-        explode(GraftShim.column(WordNgramHashes(
-          GraftShim.expr(col("_t")), 2))).as("h"))
-    base
-      .groupBy(col("id"), col("h"))
-      .agg(first(col("n_words")).as("n_words"),
-        first(col("dup_word_frac")).as("dup_word_frac"),
-        count(lit(1)).as("c"))
-      .groupBy("id")
-      .agg(first(col("n_words")).as("n_words"),
-        first(col("dup_word_frac")).as("dup_word_frac"),
-        (max(col("c")).cast("double") / sum(col("c"))).as("rep2_frac"))
+        (col("_mr").cast("double") / col("_ng")).as("rep2_frac"))
   }
 
   /** Distinct gram hashes of one doc, scan-local. */
