@@ -35,6 +35,26 @@ object RobustStats {
    * deterministic but clip counts at the boundary could differ between
    * engines.
    */
+  /** The k-1 order-statistic boundaries that split `v` into k equal-rank
+    * parts (value at rank ceil(n·x/k), x = 1..k-1), as a ONE-ROW frame
+    * with a sorted `e: array<double>` — broadcast it and score rows
+    * scan-locally with `1 + size(filter(e, _ < v))`. The engine-exact
+    * quantile-bucketing primitive behind RFM scores (q109) and any
+    * "global ntile" need: a real ntile window is a single-partition
+    * global sort; this is one bounded sort + a broadcast. */
+  def orderStatEdges(df: DataFrame, v: Column, k: Int): DataFrame = {
+    require(k > 1, "need at least 2 parts")
+    val w = Window.orderBy(col("v"))
+    val ranked = df.select(v.cast("double").as("v"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val isEdge = (1 until k)
+      .map(x => col("rn") === ceil(col("n") * x / lit(k.toDouble)).cast("long"))
+      .reduce(_ || _)
+    ranked.filter(isEdge).agg(sort_array(collect_list(col("v"))).as("e"))
+  }
+
   def winsorizedRollup(df: DataFrame, grp: Column, v: Column, tiebreak: Column,
                        pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
     require(pLo > 0 && pHi < 1 && pLo < pHi, "need 0 < pLo < pHi < 1")

@@ -110,6 +110,36 @@ object CorpusQueries {
         .orderBy("shard", "pos")
     }),
 
+    "q109_rfm" -> ((s, dir) => {
+      // RFM segmentation with scale-sound quintiles: boundaries are
+      // order statistics of each dimension, broadcast back; scoring is
+      // scan-local (RobustStats.orderStatEdges scaladoc — never a
+      // global ntile window). Recency inverts (recent = 5).
+      import graft.operators.RobustStats
+      val rfm = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(
+          datediff(lit("2001-09-01").cast("date"), to_date(max(col("o_orderdate"))))
+            .as("recency"),
+          count(lit(1)).as("frequency"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("monetary"))
+      val re = RobustStats.orderStatEdges(rfm, col("recency"), 5)
+        .select(col("e").as("re"))
+      val fe = RobustStats.orderStatEdges(rfm, col("frequency"), 5)
+        .select(col("e").as("fe"))
+      val me = RobustStats.orderStatEdges(rfm, col("monetary"), 5)
+        .select(col("e").as("me"))
+      def score(e: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+        lit(1) + size(filter(e, x => x < v.cast("double")))
+      rfm.crossJoin(broadcast(re)).crossJoin(broadcast(fe)).crossJoin(broadcast(me))
+        .select(col("custkey"),
+          (lit(6) - score(col("re"), col("recency"))).as("r_score"),
+          score(col("fe"), col("frequency")).as("f_score"),
+          score(col("me"), col("monetary")).as("m_score"))
+        .orderBy("custkey")
+    }),
+
     "q108_dau_wau" -> ((s, dir) => {
       // sliding-distinct engagement: WAU via the explode-into-window
       // formulation — each (user, active-day) pair contributes to the 7
@@ -340,6 +370,31 @@ object CorpusQueries {
         |SELECT doc_id, shard,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS INTEGER) AS pos
         |FROM s ORDER BY shard, pos""".stripMargin,
+
+    "q109_rfm" -> {
+      val edge = (sel: String) =>
+        s"""SELECT list(v ORDER BY v) AS e FROM (
+           |    SELECT v, row_number() OVER (ORDER BY v) AS rn,
+           |      count(*) OVER () AS n FROM (SELECT $sel AS v FROM rfm))
+           |  WHERE rn IN (SELECT CAST(ceil(n * x / 5.0) AS BIGINT)
+           |    FROM (SELECT DISTINCT count(*) AS n FROM rfm), range(1, 5) t(x))""".stripMargin
+      s"""WITH rfm AS (SELECT o_custkey AS custkey,
+        |    datediff('day', CAST(max(o_orderdate) AS DATE), DATE '2001-09-01') AS recency,
+        |    count(*) AS frequency,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        |  FROM orders GROUP BY 1),
+        |e AS (SELECT
+        |    (${edge("CAST(recency AS DOUBLE)")}) AS re,
+        |    (${edge("CAST(frequency AS DOUBLE)")}) AS fe,
+        |    (${edge("monetary")}) AS me)
+        |SELECT custkey,
+        |  CAST(6 - (1 + len(list_filter(re, x -> x < CAST(recency AS DOUBLE))))
+        |    AS INTEGER) AS r_score,
+        |  CAST(1 + len(list_filter(fe, x -> x < CAST(frequency AS DOUBLE)))
+        |    AS INTEGER) AS f_score,
+        |  CAST(1 + len(list_filter(me, x -> x < monetary)) AS INTEGER) AS m_score
+        |FROM rfm, e ORDER BY custkey""".stripMargin
+    },
 
     "q108_dau_wau" ->
       """WITH ad AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
