@@ -110,6 +110,27 @@ object CorpusQueries {
         .orderBy("shard", "pos")
     }),
 
+    "q110_basket_pairs" -> ((s, dir) => {
+      // market-basket co-occurrence: part pairs bought in the same order,
+      // top-20. Pair generation is quadratic in basket size, so baskets
+      // above 20 distinct parts are dropped BEFORE the self-join (the
+      // LSH-bucket-cap discipline — one mega-basket at corpus scale emits
+      // O(n²) pairs; production co-occurrence miners cap or sample it).
+      val b = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val szW = org.apache.spark.sql.expressions.Window.partitionBy(col("ok"))
+      val bb = b.withColumn("_n", count(lit(1)).over(szW))
+        .filter(col("_n") <= 20).drop("_n")
+      val pairs = bb.as("x").join(bb.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .groupBy(col("x.pk").as("a_part"), col("y.pk").as("b_part"))
+        .agg(count(lit(1)).as("n_orders"))
+      TopK.globalTopK(pairs,
+          Seq(col("n_orders").desc, col("a_part").asc, col("b_part").asc), 20)
+        .orderBy("rank")
+    }),
+
     "q109_rfm" -> ((s, dir) => {
       // RFM segmentation with scale-sound quintiles: boundaries are
       // order statistics of each dimension, broadcast back; scoring is
@@ -370,6 +391,18 @@ object CorpusQueries {
         |SELECT doc_id, shard,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS INTEGER) AS pos
         |FROM s ORDER BY shard, pos""".stripMargin,
+
+    "q110_basket_pairs" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |sz AS (SELECT ok, count(*) AS n FROM b GROUP BY 1),
+        |bb AS (SELECT b.ok, b.pk FROM b JOIN sz ON b.ok = sz.ok WHERE sz.n <= 20),
+        |pairs AS (SELECT x.pk AS a_part, y.pk AS b_part FROM bb x JOIN bb y
+        |  ON x.ok = y.ok AND x.pk < y.pk)
+        |SELECT a_part, b_part, count(*) AS n_orders,
+        |  CAST(row_number() OVER (ORDER BY count(*) DESC, a_part, b_part)
+        |    AS INTEGER) AS rank
+        |FROM pairs GROUP BY 1, 2
+        |QUALIFY rank <= 20 ORDER BY rank""".stripMargin,
 
     "q109_rfm" -> {
       val edge = (sel: String) =>
