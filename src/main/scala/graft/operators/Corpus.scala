@@ -87,10 +87,12 @@ object Corpus {
           greatest(acc.getField("best"), run).as("best"))
       },
       acc => acc.getField("best"))
-    docs.select(idCol.as("id"), w.as("w"), maxRun.as("_mr"),
-        size(GraftShim.column(WordNgramHashes(
-          GraftShim.expr(lower(textCol)), 2))).as("_ng"))
+    // bigram count = |words| - 1 (WordNgramHashes tokenizes identically
+    // to words(); re-invoking the kernel just for its size would hash
+    // every bigram twice per scan)
+    docs.select(idCol.as("id"), w.as("w"), maxRun.as("_mr"))
       .filter(size(col("w")) >= minWords)
+      .withColumn("_ng", size(col("w")) - 1)
       .select(col("id"), size(col("w")).as("n_words"),
         (lit(1.0) - size(array_distinct(col("w"))).cast("double") /
           size(col("w"))).as("dup_word_frac"),

@@ -33,8 +33,10 @@ object Retrieval {
            terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
     val toks = graft.functions.TextAnalysis.words(textCol)
+    // tokens are lowercased by words(); lowercase the terms too or an
+    // uppercase query term would silently score 0 everywhere
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
-      size(filter(toks, x => x === t)).cast("long").as(s"_tf$i")
+      size(filter(toks, x => x === t.toLowerCase)).cast("long").as(s"_tf$i")
     }
     val withDl = docs.select(idCol.as("id") +:
       size(toks).cast("long").as("_dl") +: tfCols: _*)

@@ -24,28 +24,21 @@ import org.apache.spark.sql.expressions.Window
  */
 object RobustStats {
 
-  /**
-   * Per-group winsorized rollup: thresholds at ranks ceil(pLo·n) /
-   * ceil(pHi·n), values clipped into [p_lo, p_hi], summed as
-   * decimal(18,2) (order-independent — the q71 lesson). Returns
-   * (grp, n, p_lo, p_hi, sum_clipped, n_low, n_high).
-   *
-   * `tiebreak` must make the rank order total (equal values, e.g. 2dp
-   * money, are common) — without it the selected threshold is still
-   * deterministic but clip counts at the boundary could differ between
-   * engines.
-   */
   /** The k-1 order-statistic boundaries that split `v` into k equal-rank
     * parts (value at rank ceil(n·x/k), x = 1..k-1), as a ONE-ROW frame
     * with a sorted `e: array<double>` — broadcast it and score rows
     * scan-locally with `1 + size(filter(e, _ < v))`. The engine-exact
-    * quantile-bucketing primitive behind RFM scores (q109) and any
-    * "global ntile" need: a real ntile window is a single-partition
-    * global sort; this is one bounded sort + a broadcast. */
+    * quantile-bucketing primitive behind RFM scores (q109) and the PSI
+    * drift bins (`quality.Drift`), and a substitute for any "global
+    * ntile" need: a real ntile window is a single-partition global
+    * sort; this is one bounded sort + a broadcast. Null values are
+    * EXCLUDED before ranking — nulls sort first under row_number and
+    * would silently shift every edge rank. */
   def orderStatEdges(df: DataFrame, v: Column, k: Int): DataFrame = {
     require(k > 1, "need at least 2 parts")
     val w = Window.orderBy(col("v"))
     val ranked = df.select(v.cast("double").as("v"))
+      .filter(col("v").isNotNull)
       .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(
         Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
@@ -55,11 +48,26 @@ object RobustStats {
     ranked.filter(isEdge).agg(sort_array(collect_list(col("v"))).as("e"))
   }
 
+  /**
+   * Per-group winsorized rollup: thresholds at ranks ceil(pLo·n) /
+   * ceil(pHi·n), values clipped into [p_lo, p_hi], summed as
+   * decimal(18,2) (order-independent — the q71 lesson). Returns
+   * (grp, n, p_lo, p_hi, sum_clipped, n_low, n_high). Null values are
+   * EXCLUDED up front (they would occupy the low ranks, null the
+   * thresholds, and null-poison the clip counts); `n` counts non-null
+   * rows only.
+   *
+   * `tiebreak` must make the rank order total (equal values, e.g. 2dp
+   * money, are common) — without it the selected threshold is still
+   * deterministic but clip counts at the boundary could differ between
+   * engines.
+   */
   def winsorizedRollup(df: DataFrame, grp: Column, v: Column, tiebreak: Column,
                        pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
     require(pLo > 0 && pHi < 1 && pLo < pHi, "need 0 < pLo < pHi < 1")
     val byGrp = Window.partitionBy(col("grp"))
     val ranked = df.select(grp.as("grp"), v.as("v"), tiebreak.as("tb"))
+      .filter(col("v").isNotNull)
       .withColumn("rn", row_number().over(byGrp.orderBy(col("v"), col("tb"))))
       .withColumn("n", count(lit(1)).over(byGrp))
     val kLo = greatest(ceil(lit(pLo) * col("n")).cast("long"), lit(1L))

@@ -30,16 +30,7 @@ object Drift {
   def psiBins(ref: DataFrame, cur: DataFrame, v: Column,
               bins: Int = 10, eps: Double = 1e-6): DataFrame = {
     require(bins > 1, "need at least 2 bins")
-    val w = Window.orderBy(col("v"))
-    val ranked = ref.select(v.as("v"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-    val isEdge = (1 until bins)
-      .map(x => col("rn") === ceil(col("n") * x / lit(bins.toDouble)).cast("long"))
-      .reduce(_ || _)
-    val edges = ranked.filter(isEdge)
-      .agg(sort_array(collect_list(col("v"))).as("e"))
+    val edges = graft.operators.RobustStats.orderStatEdges(ref, v, bins)
     psiFromEdges(ref, cur, v, edges, bins, eps)
   }
 
@@ -66,8 +57,12 @@ object Drift {
 
   private def psiFromEdges(ref: DataFrame, cur: DataFrame, v: Column,
                            edges: DataFrame, bins: Int, eps: Double): DataFrame = {
+    // nulls are excluded from BOTH windows (a null would land in bin 0 —
+    // `filter(e, _ < null)` is empty — inflating bin-0 drift); track null
+    // RATE drift separately with Contracts' null profiling
     def binned(df: DataFrame): DataFrame =
-      df.select(v.as("v")).crossJoin(broadcast(edges))
+      df.select(v.cast("double").as("v")).filter(col("v").isNotNull)
+        .crossJoin(broadcast(edges))
         .select(size(filter(col("e"), x => x < col("v"))).as("bin"))
         .groupBy("bin").agg(count(lit(1)).as("c"))
     val rb = binned(ref).select(col("bin"), col("c").as("rc"))

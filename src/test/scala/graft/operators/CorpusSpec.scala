@@ -104,6 +104,25 @@ class CorpusSpec extends SparkSpec {
 
   // ---- bm25 ----
 
+  test("bm25: uppercase query terms match the lowercased tokens") {
+    val docs = Seq((1L, "Paris paris PARIS other")).toDF("doc_id", "text")
+    val upper = Retrieval.bm25(docs, col("doc_id"), col("text"), Seq("Paris"))
+      .head.getDouble(1)
+    val lower = Retrieval.bm25(docs, col("doc_id"), col("text"), Seq("paris"))
+      .head.getDouble(1)
+    assert(upper === lower && upper > 0.0)
+  }
+
+  test("winsorizedRollup: null values are excluded, not rank-poisoning") {
+    val df = ((1 to 20).map(i => ("a", Some(i.toDouble), i.toLong)) ++
+      Seq(("a", None, 100L), ("a", None, 101L)))
+      .toDF("grp", "v", "k")
+    val r = RobustStats.winsorizedRollup(df, col("grp"), col("v"), col("k")).head
+    assert(r.getLong(1) === 20L)                      // n counts non-null only
+    assert(!r.isNullAt(2) && !r.isNullAt(5))          // thresholds/counts non-null
+    assert(r.getDouble(2) === 1.0 && r.getDouble(3) === 19.0) // kLo=1, kHi=19
+  }
+
   test("bm25: tf monotonicity and absent-term zero") {
     val docs = Seq(
       (1L, "spark spark spark filler filler"),

@@ -42,6 +42,15 @@ class DriftSpec extends SparkSpec {
     assert(approx > 0.05, "drift must still register through the sketch path")
   }
 
+  test("null scores are excluded from both windows (no spurious bin-0 drift)") {
+    val clean = (1 to 500).map(i => Some(i.toDouble)).toDF("v")
+    val dirty = ((1 to 500).map(i => Some(i.toDouble)) ++
+      Seq.fill(100)(Option.empty[Double])).toDF("v")
+    // identical non-null distribution + nulls on either side → still ~0
+    assert(psi(dirty, clean) < 1e-9)
+    assert(psi(clean, dirty) < 1e-9)
+  }
+
   test("empty current bins get the epsilon floor, not infinity") {
     val ref = (1 to 100).map(_.toDouble).toDF("v")
     val cur = Seq(1.0, 2.0, 3.0).toDF("v") // all mass in bin 0
