@@ -59,13 +59,14 @@ object PipelineQueries {
 
     "q71_sessionize" -> ((s, dir) => {
       // 30-minute-gap sessions per user with per-session rollup
-      // sum as decimal: double partial-agg order diverges from DuckDB's at
-      // 2dp rounding boundaries (r3 hash mismatch); 2dp money casts exactly
-      // and decimal addition is order-independent
+      // sum as decimal AND keep the output decimal: decimal addition is
+      // order-independent, but a final decimal->double cast rounds
+      // differently in DuckDB (int128/100, two roundings) than Spark
+      // (BigDecimal, one rounding) — 1-ulp diffs that fail an exact hash
       Sessionize.sessions(t(s, dir, "events"),
           col("user_id"), col("ts"), col("event_id"), gapSeconds = 1800,
-          aggs = Seq(sum(col("value").cast("decimal(18,2)")).cast("double")
-            .as("total_value")))
+          aggs = Seq(sum(col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("total_value")))
         .select(col("key").as("user_id"), col("session"),
           date_format(col("session_start"), TsFmt).as("session_start"),
           date_format(col("session_end"), TsFmt).as("session_end"),
@@ -349,7 +350,7 @@ object PipelineQueries {
         .groupBy("window_id")
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"),
-          sum(col("value").cast("decimal(18,2)")).cast("double")
+          sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
             .as("total_value"))
         .orderBy("window_id")
     }),
@@ -395,7 +396,7 @@ object PipelineQueries {
       old_.unionByName(delta)
         .groupBy("day", "event_type")
         .agg(sum(col("n")).as("n"),
-          sum(col("sv")).cast("double").as("total_value"))
+          sum(col("sv")).cast("decimal(18,2)").as("total_value"))
         .orderBy("day", "event_type")
     }),
 
@@ -520,7 +521,7 @@ object PipelineQueries {
         |  strftime(min(ts), '$TsFmtDuck') AS session_start,
         |  strftime(max(ts), '$TsFmtDuck') AS session_end,
         |  count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
         |FROM numbered GROUP BY user_id, session
         |ORDER BY user_id, session""".stripMargin,
 
@@ -697,7 +698,7 @@ object PipelineQueries {
         |  WHERE event_type = 'purchase' AND event_id % 50 = 0)
         |SELECT w.window_id, count(*) AS n_events,
         |  count(DISTINCT e.user_id) AS n_users,
-        |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
         |FROM events e JOIN w
         |  ON e.ts >= w.w_from AND e.ts < w.w_to
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -717,7 +718,7 @@ object PipelineQueries {
     "q87_incremental_rollup" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
         |  count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
 
     "q86_scd2_intervals" ->

@@ -6,7 +6,10 @@ Usage: python3 tools/duckcheck.py <sfDir> <verifyOutDir>
 Reads each <verifyOutDir>/<name> parquet (Spark result), runs the matching
 oracle SQL from oracle_sql.json in DuckDB over views named after the testdata
 tables, and compares: schema (column names sorted), row count, and values
-(rows sorted, floats rounded to 9dp before hashing).
+(rows sorted, floats compared at FULL precision — the driver's gate hashes
+exact values, so a 1-ulp diff that 9dp rounding would hide must fail here
+too; queries are expected to round() on both sides where engines can
+legitimately differ).
 """
 import json
 import sys
@@ -51,8 +54,8 @@ def main(sf_dir: str, out_dir: str) -> int:
             for c in g.columns:
                 a, b = g[c], e[c]
                 if a.dtype.kind == "f" or b.dtype.kind == "f":
-                    ok = (a.astype(float).round(9).fillna(-9e99)
-                          == b.astype(float).round(9).fillna(-9e99)).all()
+                    ok = (a.astype(float).fillna(-9e99)
+                          == b.astype(float).fillna(-9e99)).all()
                 else:
                     ok = (a.astype(str) == b.astype(str)).all()
                 if not ok:
