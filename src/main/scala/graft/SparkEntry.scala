@@ -59,7 +59,8 @@ object SparkEntry {
       graft.queries.ServeQueries.queries ++
       graft.queries.MediaQueries.queries ++
       graft.queries.PipelineQueries.queries ++
-      graft.queries.CorpusQueries.queries
+      graft.queries.CorpusQueries.queries ++
+      graft.queries.OpsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -71,5 +72,6 @@ object SparkEntry {
       graft.queries.ServeQueries.oracleSql ++
       graft.queries.MediaQueries.oracleSql ++
       graft.queries.PipelineQueries.oracleSql ++
-      graft.queries.CorpusQueries.oracleSql
+      graft.queries.CorpusQueries.oracleSql ++
+      graft.queries.OpsQueries.oracleSql
 }

@@ -443,12 +443,16 @@ object Dedup {
    * smaller than the input (measured at sf0.1: 22650 edges → <2k
    * residual pairs).
    *
-   * Phase 2: if the residual fits `driverEdgeCap` (default 2^20 pairs ≈
-   * 16 MB of longs — a trivial driver heap), finish with union-find
-   * (min-id representative — the same fixpoint the iterative loop
-   * reaches) and broadcast the root mapping back. Otherwise fall back
-   * to the pointer-jumping loop, whose O(log diameter) rounds are the
-   * 100 TB-safe path. The driver never sees node-level data — only
+   * Phase 2: if the residual fits `driverEdgeCap` (default 2^20 pairs),
+   * finish with union-find (min-id representative — the same fixpoint
+   * the iterative loop reaches) and broadcast the root mapping back.
+   * The pairs stream to the driver partition-at-a-time
+   * (toLocalIterator), so peak driver heap is the union-find map over
+   * touched labels (boxed key/value entries: ~100 MB worst case at the
+   * cap, typically far less — residuals measured ≪ cap) plus ONE
+   * partition of rows, never a full cap-sized Row array. Otherwise fall
+   * back to the pointer-jumping loop, whose O(log diameter) rounds are
+   * the 100 TB-safe path. The driver never sees node-level data — only
    * label-level pairs, bounded by the cap.
    */
   private def connectedComponentsImpl(edges: DataFrame, maxIter: Int,
@@ -485,7 +489,7 @@ object Dedup {
       while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    residual.collect().foreach { row =>
+    residual.toLocalIterator().forEachRemaining { row =>
       val (ra, rb) = (find(row.get(0)), find(row.get(1)))
       if (ra != rb) {
         if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb

@@ -52,8 +52,11 @@ object EventAnalytics {
     val perUser = withStages
       .groupBy("_u")
       .agg(stageAggs.head, stageAggs.tail: _*)
+    // coalesce: a global agg over ZERO users yields null sums, where the
+    // natural count(*) reading (and the SQL oracle) is 0 — and a null
+    // `users` would NPE callers reading it as Long
     val countAggs = stages.indices.map(i =>
-      sum(col(s"_t$i").isNotNull.cast("long")).as(s"_c$i"))
+      coalesce(sum(col(s"_t$i").isNotNull.cast("long")), lit(0L)).as(s"_c$i"))
     val counts = perUser.agg(countAggs.head, countAggs.tail: _*)
     val rows = stages.zipWithIndex.map { case (st, i) =>
       struct(lit(s"stage${i + 1}_$st").as("stage"), col(s"_c$i").as("users"))

@@ -30,22 +30,33 @@ object RobustStats {
     * scan-locally with `1 + size(filter(e, _ < v))`. The engine-exact
     * quantile-bucketing primitive behind RFM scores (q109) and the PSI
     * drift bins (`quality.Drift`), and a substitute for any "global
-    * ntile" need: a real ntile window is a single-partition global
-    * sort; this is one bounded sort + a broadcast. Null values are
-    * EXCLUDED before ranking — nulls sort first under row_number and
-    * would silently shift every edge rank. */
+    * ntile" need.
+    *
+    * Selection is EXACT and DISTRIBUTED: a range-partitioned sort (the
+    * TeraSort shape — every partition sorts its value range in parallel)
+    * + zipWithIndex (one lightweight partition-size job) + a filter on
+    * the k-1 target ranks. An ntile/row_number window with no partition
+    * key would instead serialize the whole input through ONE task —
+    * fine at spec scale, a stall at 100 TB. Costs two extra small jobs
+    * (count + partition sizes); collects only k-1 doubles. The value at
+    * a given rank is tie-order independent, so the result is identical
+    * to the window form row-for-row (the DuckDB oracle replays it).
+    * Null values are EXCLUDED before ranking — they would occupy the
+    * low ranks and silently shift every edge. */
   def orderStatEdges(df: DataFrame, v: Column, k: Int): DataFrame = {
     require(k > 1, "need at least 2 parts")
-    val w = Window.orderBy(col("v"))
-    val ranked = df.select(v.cast("double").as("v"))
-      .filter(col("v").isNotNull)
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-    val isEdge = (1 until k)
-      .map(x => col("rn") === ceil(col("n") * x / lit(k.toDouble)).cast("long"))
-      .reduce(_ || _)
-    ranked.filter(isEdge).agg(sort_array(collect_list(col("v"))).as("e"))
+    val vals = df.select(v.cast("double").as("v")).filter(col("v").isNotNull)
+    val n = vals.count()
+    // same rank arithmetic as the SQL oracle: ceil(n·x/k) in double math
+    val targets = (1 until k)
+      .map(x => math.ceil((n * x).toDouble / k.toDouble).toLong).toSet
+    val edges = vals.sort("v").select("v").rdd.map(_.getDouble(0))
+      .zipWithIndex()
+      .filter { case (_, i) => targets.contains(i + 1) } // rank is 1-based
+      .map(_._1).collect().sorted
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq(Tuple1(edges.toSeq)).toDF("e")
   }
 
   /**

@@ -137,6 +137,10 @@ object CorpusQueries {
       // scan-local (RobustStats.orderStatEdges scaladoc — never a
       // global ntile window). Recency inverts (recent = 5).
       import graft.operators.RobustStats
+      // localCheckpoint: the per-customer rollup feeds SEVEN consumers
+      // (3 × orderStatEdges' count/sort/pick actions + the final scoring
+      // scan) — materialize it once instead of re-aggregating orders
+      // per action
       val rfm = t(s, dir, "orders")
         .groupBy(col("o_custkey").as("custkey"))
         .agg(
@@ -145,6 +149,7 @@ object CorpusQueries {
           count(lit(1)).as("frequency"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
             .as("monetary"))
+        .localCheckpoint()
       val re = RobustStats.orderStatEdges(rfm, col("recency"), 5)
         .select(col("e").as("re"))
       val fe = RobustStats.orderStatEdges(rfm, col("frequency"), 5)
@@ -457,8 +462,10 @@ object CorpusQueries {
 
     "q105_attribution" ->
       """WITH c0 AS (SELECT user_id, ts,
-        |    'ch' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 5
-        |      AS VARCHAR) AS channel,
+        |    -- ((k % 5) + 5) % 5 = Spark's pmod: DuckDB's % is
+        |    -- sign-preserving, so a negative k would diverge otherwise
+        |    'ch' || CAST(((CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |      % 5) + 5) % 5 AS VARCHAR) AS channel,
         |    row_number() OVER (PARTITION BY user_id, ts
         |      ORDER BY event_id DESC) AS rn
         |  FROM events WHERE event_type = 'click'),

@@ -164,8 +164,15 @@ object DocQueries {
 
     // ---- n-gram Jaccard ----
     "q46_ngram_jaccard" -> ((s, dir) => {
+      // maxDf=100: a stop-phrase gram with df=d contributes d²/2 pairs to
+      // the postings self-join, so the cap bounds the quadratic hot-gram
+      // blowup at corpus scale. It is 20x the largest per-block df observed
+      // in the testdata (5 at sf0.1), so the result — and the exact DuckDB
+      // oracle — are unchanged here; DedupSpec proves the binding-cap
+      // semantics on a constructed hot gram.
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), col("doc_id"),
-          col("text"), struct(col("lang"), col("source")), n = 3, threshold = 0.05)
+          col("text"), struct(col("lang"), col("source")), n = 3,
+          threshold = 0.05, maxDf = Some(100))
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("a_id", "b_id")
     }),

@@ -11,12 +11,14 @@ import org.apache.spark.sql.functions._
  *
  * Pseudo-randomness is hash-derived, NOT `rand(seed)`: Spark's rand/randn
  * are deterministic only for a fixed partitioning — a repartition changes
- * every value — while `hash(id, salt, seed)` is a pure function of the row
- * (SURVEY §7.4.3 replayability). Distribution shapes match the reference
- * (lognormal via Box-Muller over two hash-uniforms, categorical via
- * threshold buckets); exact draws differ from numpy's Mersenne stream,
- * so quality gates compare metric ORDERINGS (ensemble > baselines), not
- * digit-identical metrics — same protocol, documented substitution.
+ * every value — while an md5-derived uniform is a pure function of the row
+ * (SURVEY §7.4.3 replayability) AND engine-portable: DuckDB replays the
+ * identical draws, so the discrete generated columns are oracle-checked
+ * exactly (q112). Distribution shapes match the reference (lognormal via
+ * Box-Muller over two hash-uniforms, categorical via threshold buckets);
+ * exact draws differ from numpy's Mersenne stream, so quality gates
+ * compare metric ORDERINGS (ensemble > baselines), not digit-identical
+ * metrics — same protocol, documented substitution.
  *
  * Scale: generation is a `spark.range(n)` projection — embarrassingly
  * parallel, no shuffle; the pair space generator emits the i<j upper
@@ -24,9 +26,12 @@ import org.apache.spark.sql.functions._
  */
 object Synthetic {
 
-  /** Uniform in [0,1) as a pure function of (id, salt, seed). */
+  /** Uniform in [0,1) as a pure function of (id, salt, seed) — the
+    * portable md5 uniform (Sampling.hashUniform), so DuckDB replays it:
+    * CAST(('0x'||substring(md5('syn<seed>:<salt>:'||id),1,8)) AS UBIGINT)
+    *   % 1000000 / 1000000.0 */
   def u(id: Column, salt: Int, seed: Int = 42): Column =
-    pmod(hash(id, lit(salt), lit(seed)), lit(1000000)) / 1000000.0
+    graft.operators.Sampling.hashUniform(id, s"syn$seed:$salt")
 
   /** Standard normal via Box-Muller over two hash-uniforms; the 1e-9
     * floor keeps log() finite. */

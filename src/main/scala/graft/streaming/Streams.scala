@@ -197,6 +197,18 @@ object Streams {
    * per key, which the watermark bounds (same contract as
    * [[scd2Intervals]]). State is `stages.length` longs per user with
    * event-time eviction — bounded regardless of stream length.
+   *
+   * Eviction semantics: completions are unique per user per ACTIVITY
+   * EPOCH, not per lifetime. Once the idle timeout evicts a user's
+   * state, a later event re-enters stage 1 fresh and the stages emit
+   * again — so a `groupBy(stage).count` over the full output stream
+   * counts such a user once per epoch, where the batch funnel (which
+   * sees all history at once) counts them once. Consumers needing
+   * lifetime-unique counts should `countDistinct(user_id)` downstream
+   * (StageCompletion carries user_id for exactly this reason); the
+   * batch-equivalence spec pins the single-epoch case. The alternative
+   * — never evicting — is unbounded state, the wrong trade at stream
+   * scale.
    */
   def funnelStream(events: DataFrame, stages: Seq[String],
                    windowSeconds: Long = 86400L,

@@ -97,4 +97,28 @@ class DedupSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
     assert(math.abs(out.head.getDouble(2) - 0.5) < 1e-9)
   }
+
+  test("ngram jaccard maxDf: non-binding cap is exact; binding cap drops " +
+      "hot-gram-only pairs") {
+    // "x y z" is a boilerplate trigram shared by ALL docs (df=4); docs 1/2
+    // additionally share their real content trigrams.
+    val docs = Seq(
+      (1L, "x y z a b c d", "g"), (2L, "x y z a b c e", "g"),
+      (3L, "x y z p q r s", "g"), (4L, "x y z t u v w", "g"))
+      .toDF("id", "text", "grp")
+    def pairs(maxDf: Option[Int]) =
+      Dedup.ngramJaccardPairs(docs, col("id"), col("text"), col("grp"),
+          n = 3, threshold = 0.01, maxDf = maxDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+    val exact = pairs(None)
+    assert(pairs(Some(100)) === exact) // cap above every df: identical
+    // cap=3 < df("x y z")=4: the boilerplate gram stops generating pairs, so
+    // pairs overlapping ONLY on it vanish; 1-2 still meet via content grams
+    // (sizes stay exact — only the intersection is computed on capped
+    // postings, matching the operator's documented approximation)
+    val capped = pairs(Some(3))
+    assert(capped.keySet === Set((1L, 2L)))
+    assert(exact.keySet.contains((3L, 4L)))
+  }
 }

@@ -39,6 +39,16 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out("stage3_purchase") === 1L)  // only u1 (u4's purchase precedes click)
   }
 
+  test("funnel: empty input yields 0 users per stage, never null") {
+    val out = EventAnalytics.funnel(ev(), col("user_id"), col("ts"),
+        col("event_type"), Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(0) -> r.get(1)).toMap
+    // a global agg over zero users sums to null without the coalesce —
+    // the count(*) oracle (and any Long-reading caller) expects 0
+    assert(out === Map("stage1_view" -> 0L, "stage2_click" -> 0L,
+      "stage3_purchase" -> 0L))
+  }
+
   test("retentionCohorts: cohort anchored on first event of type, offsets distinct per day") {
     val events = ev(
       (1L, "2024-01-01 10:00:00", "purchase"),
