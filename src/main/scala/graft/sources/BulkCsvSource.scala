@@ -1,0 +1,221 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.JavaConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * DataSourceV2 connector for bulk-CSV snapshot directories (SURVEY S1/S2 —
+ * the reference's Bulk API delivers query results as CSV batch files,
+ * reference: salesforce.py:308-379; its SOQL builder pushes the WHERE
+ * clause and the SELECT field list to the server, reference:
+ * salesforce.py:171-204). This source proves the same two pushdowns
+ * through Spark's connector API, visible in the plan:
+ *
+ *  - SupportsPushDownRequiredColumns: only the pruned columns are parsed
+ *    (`ReadSchema` in explain) — the SELECT-list pushdown;
+ *  - SupportsPushDownFilters: comparison/null-test predicates evaluate
+ *    INSIDE the partition reader, before rows reach Spark
+ *    (`PushedFilters` in explain) — the WHERE pushdown. Unsupported
+ *    predicates are returned as residuals and Spark re-applies them.
+ *
+ * Scale shape: one InputPartition per batch file (the Bulk API's natural
+ * unit) — a 10k-file snapshot fans out to 10k parallel readers with no
+ * driver-side row handling. The CSV grammar is the stub part (split on
+ * comma, no quoted-field support — the testdata snapshots are
+ * quote-free); the connector plumbing (schema inference, pruning,
+ * filter evaluation, InternalRow production) is real and spec-gated
+ * (BulkCsvSourceSpec asserts both pushdowns land in the executed plan).
+ */
+class BulkCsvSource extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val files = BulkCsvSource.listFiles(options.get("path"))
+    require(files.nonEmpty, s"no .csv files under ${options.get("path")}")
+    val header = scala.io.Source.fromFile(files.head)
+    val cols =
+      try header.getLines().next().split(",", -1).toSeq
+      finally header.close()
+    StructType(cols.map(c => StructField(c, StringType)))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new BulkCsvTable(schema, properties.get("path"))
+}
+
+object BulkCsvSource {
+  /** Spark format() name is the provider class; this is the canonical
+    * spelling callers use. */
+  val format: String = classOf[BulkCsvSource].getName
+
+  def listFiles(path: String): Seq[java.io.File] = {
+    val dir = new java.io.File(path)
+    val all = if (dir.isDirectory) dir.listFiles().toSeq else Seq(dir)
+    all.filter(_.getName.endsWith(".csv")).sortBy(_.getName)
+  }
+
+  /** Minimal typed parse; empty string → null (bulk CSV convention). */
+  def parse(raw: String, dt: DataType): Any =
+    if (raw == null || raw.isEmpty) null
+    else dt match {
+      case StringType => UTF8String.fromString(raw)
+      case LongType => java.lang.Long.parseLong(raw)
+      case IntegerType => java.lang.Integer.parseInt(raw)
+      case DoubleType => java.lang.Double.parseDouble(raw)
+      case BooleanType => java.lang.Boolean.parseBoolean(raw)
+      case other => throw new IllegalArgumentException(
+        s"BulkCsvSource stub does not parse $other")
+    }
+
+  /** Evaluate one pushed filter against a parsed (pre-pruning) row.
+    * Comparisons go through Ordering on the natural JVM type. */
+  def eval(f: Filter, get: String => Any): Boolean = {
+    def cmp(attr: String, v: Any): Option[Int] = {
+      val x = get(attr)
+      if (x == null || v == null) None
+      else
+        Some((x, v) match {
+          case (a: UTF8String, b) => a.toString.compareTo(b.toString)
+          case (a: java.lang.Long, b: Number) =>
+            java.lang.Long.compare(a, b.longValue())
+          case (a: java.lang.Integer, b: Number) =>
+            java.lang.Long.compare(a.longValue(), b.longValue())
+          case (a: java.lang.Double, b: Number) =>
+            java.lang.Double.compare(a, b.doubleValue())
+          case (a, b) => a.toString.compareTo(b.toString)
+        })
+    }
+    f match {
+      case EqualTo(a, v) => cmp(a, v).contains(0)
+      case GreaterThan(a, v) => cmp(a, v).exists(_ > 0)
+      case GreaterThanOrEqual(a, v) => cmp(a, v).exists(_ >= 0)
+      case LessThan(a, v) => cmp(a, v).exists(_ < 0)
+      case LessThanOrEqual(a, v) => cmp(a, v).exists(_ <= 0)
+      case IsNotNull(a) => get(a) != null
+      case IsNull(a) => get(a) == null
+      case In(a, vs) => vs.exists(v => cmp(a, v).contains(0))
+      case And(l, r) => eval(l, get) && eval(r, get)
+      case Or(l, r) => eval(l, get) || eval(r, get)
+      case _ => true // unreachable: unsupported filters are never accepted
+    }
+  }
+
+  /** The filter shapes the source accepts (everything else is a residual
+    * Spark keeps). Mirrors the reference's SOQL WHERE grammar. */
+  def supported(f: Filter): Boolean = f match {
+    case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
+        _: LessThan | _: LessThanOrEqual | _: IsNotNull | _: IsNull |
+        _: In => true
+    case And(l, r) => supported(l) && supported(r)
+    case Or(l, r) => supported(l) && supported(r)
+    case _ => false
+  }
+}
+
+class BulkCsvTable(schema: StructType, path: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"bulk_csv($path)"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new BulkCsvScanBuilder(schema, path)
+}
+
+class BulkCsvScanBuilder(fullSchema: StructType, path: String)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = fullSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition(BulkCsvSource.supported)
+    pushed = accepted
+    residual // Spark re-applies these above the scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new BulkCsvScan(fullSchema, required, pushed, path)
+}
+
+class BulkCsvScan(fullSchema: StructType, required: StructType,
+                  val pushed: Array[Filter], path: String)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"BulkCsvScan PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    BulkCsvSource.listFiles(path)
+      .map(f => BulkCsvPartition(f.getAbsolutePath): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BulkCsvReaderFactory(fullSchema, required, pushed)
+}
+
+case class BulkCsvPartition(file: String) extends InputPartition
+
+class BulkCsvReaderFactory(fullSchema: StructType, required: StructType,
+                           pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new BulkCsvReader(p.asInstanceOf[BulkCsvPartition].file,
+      fullSchema, required, pushed)
+}
+
+/** Per-file reader: parses the header to map column positions, evaluates
+  * the pushed filters on the typed full row, emits only the pruned
+  * columns. Rows failing a pushed filter never leave the source. */
+class BulkCsvReader(file: String, fullSchema: StructType,
+                    required: StructType, pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+  private val source = scala.io.Source.fromFile(file)
+  private val lines = source.getLines()
+  private val header: Seq[String] =
+    if (lines.hasNext) lines.next().split(",", -1).toSeq else Seq.empty
+  private val colIdx = header.zipWithIndex.toMap
+  private val fullFields = fullSchema.fields
+  private val outIdx: Array[Int] =
+    required.fields.map(f => fullSchema.fieldIndex(f.name))
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (lines.hasNext) {
+      val cells = lines.next().split(",", -1)
+      val parsed: Array[Any] = fullFields.map { f =>
+        colIdx.get(f.name) match {
+          case Some(i) if i < cells.length =>
+            BulkCsvSource.parse(cells(i), f.dataType)
+          case _ => null
+        }
+      }
+      def get(attr: String): Any = parsed(fullSchema.fieldIndex(attr))
+      if (pushed.forall(BulkCsvSource.eval(_, get))) {
+        current = new GenericInternalRow(outIdx.map(parsed))
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = source.close()
+}
