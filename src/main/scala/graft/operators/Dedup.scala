@@ -217,6 +217,83 @@ object Dedup {
     out
   }
 
+  /**
+   * Incremental (delta) near-dup detection: match a NEW batch of
+   * documents against the standing corpus and against itself, never
+   * corpus-vs-corpus — the production dedup shape at 100 TB, where the
+   * corpus was already deduplicated in earlier runs and re-pairing it
+   * with itself would redo the full quadratic work on every ingest.
+   *
+   * Returns (a_id, a_side, b_id, jaccard) with `b_id` always the batch
+   * document and `a_id` its existing near-duplicate: a corpus doc
+   * (`a_side` = 'corpus', any id order) or an earlier batch doc
+   * (`a_side` = 'batch', a_id < b_id). Dropping every `b_id` in the
+   * result (or linking it to a_id's cluster) keeps the corpus dedup
+   * invariant after the merge. Ids must be disjoint across sides.
+   *
+   * Plan shape: both sides build signatures scan-locally (at production
+   * scale the corpus side reads a STORED signature table instead of
+   * re-hashing text — the frame passed here is whatever holds (id,
+   * text)); banding/bucket-cap run over the union so cap semantics
+   * match [[minhashNearDups]]; the pair join keys one side to
+   * batch-only bands, so bucket work is proportional to the DELTA, not
+   * the corpus.
+   */
+  def incrementalNearDups(corpus: DataFrame, batch: DataFrame,
+                          idCol: Column, textCol: Column,
+                          shingleSize: Int = 5, numHashes: Int = 16,
+                          bands: Int = 4, threshold: Double = 0.5,
+                          maxBucketSize: Int = 100): DataFrame = {
+    def state(df: DataFrame, side: String): DataFrame = df
+      .select(idCol.as("id"), lit(side).as("side"),
+        GraftShim.column(graft.functions.MinhashDocState(
+          GraftShim.expr(lower(textCol)), shingleSize, numHashes)).as("st"))
+      .filter(col("st").isNotNull)
+      .select(col("id"), col("side"), col("st.hs").as("hs"),
+        col("st.sz").as("sz"), col("st.sig").as("sig"))
+    val docState = state(corpus, "corpus").unionByName(state(batch, "batch"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandedAll = docState.select(col("id"), col("side"),
+        explode(lshBandKeys(col("sig"), numHashes, bands)).as("bk"))
+      .select(col("id"), col("side"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    val bucketN = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("key"))
+    val banded = bandedAll
+      .withColumn("_sz", count(lit(1)).over(bucketN))
+      .filter(col("_sz") <= maxBucketSize)
+      .drop("_sz")
+    val bandedBatch = banded.filter(col("side") === "batch")
+    val cand = banded.as("x").join(bandedBatch.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          (col("x.side") === "corpus" || col("x.id") < col("y.id")))
+      .select(col("x.id").as("a_id"), col("x.side").as("a_side"),
+        col("y.id").as("b_id")).distinct()
+    val sigEst = GraftShim.column(graft.functions.PositionalEqCount(
+      GraftShim.expr(col("a_sig")), GraftShim.expr(col("b_sig"))))
+      .cast("double") / numHashes
+    val estGate = threshold - 1.0 / numHashes
+    val withSigs = cand
+      .join(docState.select(col("id").as("a_id"), col("sig").as("a_sig")), "a_id")
+      .join(docState.select(col("id").as("b_id"), col("sig").as("b_sig")), "b_id")
+      .withColumn("_est", sigEst)
+      .filter(col("_est") >= estGate)
+      .select("a_id", "a_side", "b_id")
+    val withSets = withSigs
+      .join(docState.select(col("id").as("a_id"), col("hs").as("a_hs"),
+        col("sz").as("a_sz")), "a_id")
+      .join(docState.select(col("id").as("b_id"), col("hs").as("b_hs"),
+        col("sz").as("b_sz")), "b_id")
+    val inter = GraftShim.column(SortedIntersectCount(
+      GraftShim.expr(col("a_hs")), GraftShim.expr(col("b_hs")))).cast("double")
+    val result = withSets.select(col("a_id"), col("a_side"), col("b_id"),
+        (inter / (col("a_sz") + col("b_sz") - inter)).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val out = result.localCheckpoint(true)
+    docState.unpersist()
+    out
+  }
+
   // ---------------- SimHash ----------------
 
   /**

@@ -177,6 +177,23 @@ object DocQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    "q115_incremental_dedup" -> ((s, dir) => {
+      // delta dedup: the odd-id half is "tonight's batch", the even-id
+      // half the standing (already-deduped) corpus — batch docs match
+      // against corpus + earlier batch, corpus-vs-corpus pairs are never
+      // generated (Dedup.incrementalNearDups scaladoc: bucket work scales
+      // with the delta, not the corpus)
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalNearDups(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          col("doc_id"), col("text"),
+          shingleSize = 5, numHashes = 16, bands = 8, threshold = 0.25)
+        .select(col("a_id"), col("a_side"), col("b_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // ---- embedding cosine ----
     "q47_cosine_neardups" -> ((s, dir) => {
       Dedup.cosineNearDups(t(s, dir, "embeddings"), col("vec_id"),
@@ -375,6 +392,42 @@ object DocQueries {
         |    len(list_distinct(list_concat(a.hs, b.hs))) AS jaccard
         |  FROM est JOIN hset a ON a.doc_id = a_id JOIN hset b ON b.doc_id = b_id)
         |SELECT a_id, b_id, round(jaccard, 6) AS jaccard FROM j
+        |WHERE jaccard >= 0.25 ORDER BY a_id, b_id""".stripMargin,
+
+    // same minhash/band CTEs as q43; only the candidate pair space
+    // changes — y is batch-only (odd ids), x is corpus (even, any order)
+    // or an earlier batch doc (odd, x < y)
+    "q115_incremental_dedup" ->
+      s"""WITH d AS (SELECT doc_id, $shinglesSql AS sh FROM documents WHERE len(text) > 0),
+        |hh AS (SELECT doc_id, list_transform(sh,
+        |  x -> CAST(CAST(('0x' || substring(md5(x), 1, 8)) AS UBIGINT) AS BIGINT)) AS hs
+        |  FROM d),
+        |s AS (SELECT doc_id, list_transform(range(0, 16),
+        |  i -> list_min(list_transform(hs,
+        |    h -> (h * (2*i+1) + (i*2654435761) % 4294967311) % 4294967311))) AS sig
+        |  FROM hh),
+        |bands0 AS (SELECT doc_id, b,
+        |  md5(array_to_string(sig[(2*b+1):(2*b+2)], '|')) AS key
+        |  FROM s, range(0, 8) t(b)),
+        |bands AS (SELECT * FROM (SELECT doc_id, b, key,
+        |  count(*) OVER (PARTITION BY b, key) AS sz FROM bands0)
+        |  WHERE sz <= 100),
+        |cand AS (SELECT DISTINCT x.doc_id AS a_id,
+        |    CASE WHEN x.doc_id % 2 = 0 THEN 'corpus' ELSE 'batch' END AS a_side,
+        |    y.doc_id AS b_id
+        |  FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
+        |    AND y.doc_id % 2 = 1
+        |    AND (x.doc_id % 2 = 0 OR x.doc_id < y.doc_id)),
+        |est AS (SELECT a_id, a_side, b_id FROM cand
+        |  JOIN s sa ON sa.doc_id = a_id JOIN s sb ON sb.doc_id = b_id
+        |  WHERE len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i]))
+        |    / 16.0 >= 0.25 - 1.0/16),
+        |hset AS (SELECT doc_id, list_distinct(hs) AS hs FROM hh),
+        |j AS (SELECT a_id, a_side, b_id,
+        |  CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.hs, b.hs))) AS jaccard
+        |  FROM est JOIN hset a ON a.doc_id = a_id JOIN hset b ON b.doc_id = b_id)
+        |SELECT a_id, a_side, b_id, round(jaccard, 6) AS jaccard FROM j
         |WHERE jaccard >= 0.25 ORDER BY a_id, b_id""".stripMargin,
 
     "q75_dup_clusters" ->

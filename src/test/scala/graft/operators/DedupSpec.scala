@@ -98,6 +98,34 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(out.head.getDouble(2) - 0.5) < 1e-9)
   }
 
+  test("incrementalNearDups: batch matches corpus and earlier batch, " +
+      "never corpus-vs-corpus") {
+    // corpus 10/12 are near-identical — an incremental run must NOT
+    // re-emit that standing pair; batch 21 dups corpus 10, batch 23
+    // dups batch 21, batch 25 is novel
+    val mk = (id: Long, text: String) => (id, text)
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = Seq(mk(10L, base), mk(12L, base + " x"),
+      mk(14L, "completely different corpus content nothing alike here"))
+      .toDF("doc_id", "text")
+    val batch = Seq(mk(21L, base + " y"), mk(23L, base + " y z"),
+      mk(25L, "novel unseen batch material with fresh words only"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDups(corpus, batch,
+        col("doc_id"), col("text"),
+        shingleSize = 5, numHashes = 16, bands = 8, threshold = 0.3)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // every b is a batch doc; corpus-corpus (10,12) absent
+    assert(out.forall(_._3 % 2 == 1), s"b_id must be batch-side: $out")
+    assert(out.contains((10L, "corpus", 21L)), s"corpus dup missed: $out")
+    assert(out.contains((21L, "batch", 23L)), s"within-batch dup missed: $out")
+    assert(!out.exists(p => p._1 == 10L && p._3 == 12L),
+      "standing corpus pair must not be re-emitted")
+    assert(!out.exists(p => p._1 == 25L || p._3 == 25L),
+      s"novel doc must have no matches: $out")
+  }
+
   test("ngram jaccard maxDf: non-binding cap is exact; binding cap drops " +
       "hot-gram-only pairs") {
     // "x y z" is a boilerplate trigram shared by ALL docs (df=4); docs 1/2
