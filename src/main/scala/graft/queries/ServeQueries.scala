@@ -91,6 +91,16 @@ object ServeQueries {
           col("confidence"), col("org1_id"), col("org2_id"))
     }),
 
+    "q116_health_counts" -> ((s, dir) => {
+      // A8 health/status row counts per entity (reference: api/main.py
+      // health endpoint)
+      Serve.healthCounts(Seq(
+          "customer" -> Tables.load(s, dir, "customer"),
+          "orders" -> Tables.load(s, dir, "orders"),
+          "documents" -> Tables.load(s, dir, "documents")))
+        .orderBy("entity")
+    }),
+
     "q60_insights_summary" -> ((s, dir) => {
       // A3 one-row insights aggregate (reference: api/main.py:663-676)
       Serve.insightsSummary(recs(s, dir))
@@ -157,6 +167,13 @@ object ServeQueries {
         |WHERE score >= 0.3 AND confidence IN ('High', 'Medium')
         |  AND (org1_id IN ('1','2') OR org2_id IN ('1','2'))
         |ORDER BY score DESC LIMIT 50 OFFSET 10""".stripMargin,
+
+    "q116_health_counts" ->
+      """SELECT * FROM (
+        |  SELECT 'customer' AS entity, count(*) AS n FROM customer
+        |  UNION ALL SELECT 'orders', count(*) FROM orders
+        |  UNION ALL SELECT 'documents', count(*) FROM documents)
+        |ORDER BY entity""".stripMargin,
 
     "q60_insights_summary" ->
       s"""WITH $recsSql

@@ -79,6 +79,14 @@ object Serve {
       sum((score > 0.8).cast("long")).as("high_value_count"),
       avg(value).as("avg_deal_size"))
 
+  /** Health/status counts (reference: api/main.py health + status
+    * endpoints, A8): one (entity, n) row per tracked frame. Each count
+    * is a partial-agg scan; the union is rows = |entities|. */
+  def healthCounts(frames: Seq[(String, DataFrame)]): DataFrame =
+    frames.map { case (name, df) =>
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("entity"), col("n"))
+    }.reduce(_.unionByName(_))
+
   /** Per-dimension breakdown (reference: api/main.py:725-747 A4/A5). */
   def breakdown(df: DataFrame, dim: Column, score: Column = col("score"),
                 value: Column = col("estimated_value")): DataFrame =
