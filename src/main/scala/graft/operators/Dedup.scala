@@ -141,52 +141,84 @@ object Dedup {
                       shingleSize: Int = 5, numHashes: Int = 16,
                       bands: Int = 4, threshold: Double = 0.5,
                       maxBucketSize: Int = 100): DataFrame = {
-    // ONE scan-local expression builds everything per doc
-    // (MinhashDocState): each shingle hashed once, the sorted distinct
-    // hash set (verify input) and the numHashes signature minima folded in
-    // the same pass — a pure projection over the scan, NO shuffle. Two
-    // earlier shapes at sf0.1: corpus scanned+hashed twice through an
-    // interpreted transform() lambda + array_intersect verify (11.9s +
-    // 5.9s + 16.1s of a 23.5s total); then explode + collect_set +
-    // min-aggregates, which fixed the interpretation but shuffled every
-    // per-doc hash set through a groupBy just to reassemble rows that were
-    // never split (5.1s). Verify is a primitive merge walk
-    // (SortedIntersectCount) over the pre-sorted sets.
-    // The 32-bit hash space makes per-doc collisions (~300 items) a ≤1e-5
-    // event computed IDENTICALLY by the oracle (md5-derived, portable).
     // persist: docState feeds banding + 2 est-joins + 2 verify-joins;
     // without it Spark re-runs the scan per use (different join keys → no
     // exchange reuse). MEMORY_AND_DISK: ~|text| longs + numHashes longs
     // per doc — far smaller than re-scanning.
-    val docState = docs
-      .select(idCol.as("id"),
-        GraftShim.column(graft.functions.MinhashDocState(
-          GraftShim.expr(lower(textCol)), shingleSize, numHashes)).as("st"))
-      .filter(col("st").isNotNull)
-      .select(col("id"), col("st.hs").as("hs"), col("st.sz").as("sz"),
-        col("st.sig").as("sig"))
+    val docState = minhashDocState(docs, idCol, textCol, shingleSize, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandedAll = docState.select(col("id"),
-        explode(lshBandKeys(col("sig"), numHashes, bands)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    // skew guard: drop buckets larger than the cap (window count over the
-    // bucket key — one shuffle, reused by the join's partitioning)
-    val bucketN = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("key"))
-    val banded = bandedAll
-      .withColumn("_sz", count(lit(1)).over(bucketN))
-      .filter(col("_sz") <= maxBucketSize)
-      .drop("_sz")
+    val banded = cappedBands(docState, numHashes, bands, maxBucketSize)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id")).distinct()
-    // two-phase verify: (1) signature-agreement estimate — numHashes long
-    // compares (PositionalEqCount, codegen), prunes the bulk of
-    // band-collision noise before touching shingle sets; (2) exact Jaccard
-    // on the hashed sets. The estimate gate (est ≥ threshold − 1/numHashes)
-    // makes recall approximate at the margin — inherent to LSH, and
-    // bit-reproduced by the oracle.
+    val result = verifyPairs(cand, docState, numHashes, threshold)
+    // Materialize the (corpus-tiny) result eagerly, then release the
+    // persisted intermediate — otherwise every call leaks a cached frame
+    // into the session for its remaining lifetime.
+    val out = result.localCheckpoint(true)
+    docState.unpersist()
+    out
+  }
+
+  /** Per-doc minhash state (id [+ extras], hs, sz, sig): ONE scan-local
+    * expression builds everything per doc (MinhashDocState) — each
+    * shingle hashed once, the sorted distinct hash set (verify input)
+    * and the numHashes signature minima folded in the same pass; a pure
+    * projection over the scan, NO shuffle. Two earlier shapes at sf0.1:
+    * corpus scanned+hashed twice through an interpreted transform()
+    * lambda + array_intersect verify (11.9s + 5.9s + 16.1s of a 23.5s
+    * total); then explode + collect_set + min-aggregates, which fixed
+    * the interpretation but shuffled every per-doc hash set through a
+    * groupBy just to reassemble rows that were never split (5.1s).
+    * The 32-bit hash space makes per-doc collisions (~300 items) a
+    * ≤1e-5 event computed IDENTICALLY by the oracle (md5, portable). */
+  private def minhashDocState(docs: DataFrame, idCol: Column, textCol: Column,
+                              shingleSize: Int, numHashes: Int,
+                              extra: Seq[(String, Column)] = Nil): DataFrame =
+    docs
+      .select(Seq(idCol.as("id")) ++
+        extra.map { case (n, c) => c.as(n) } :+
+        GraftShim.column(graft.functions.MinhashDocState(
+          GraftShim.expr(lower(textCol)), shingleSize, numHashes)).as("st"): _*)
+      .filter(col("st").isNotNull)
+      .select(Seq(col("id")) ++ extra.map { case (n, _) => col(n) } ++
+        Seq(col("st.hs").as("hs"), col("st.sz").as("sz"),
+          col("st.sig").as("sig")): _*)
+
+  /** Banded (id [, carry], band, key) rows with the bucket-size skew cap
+    * applied: the pair join emits O(sz²) rows per bucket, so one
+    * boilerplate bucket of 1k docs costs 500k verifications; measured at
+    * sf0.1 the cap is the difference between ~5s and ~8min. The window
+    * count costs one shuffle, reused by the join's partitioning. */
+  private def cappedBands(docState: DataFrame, numHashes: Int, bands: Int,
+                          maxBucketSize: Int,
+                          carry: Seq[String] = Nil): DataFrame = {
+    val banded = docState
+      .select(Seq(col("id")) ++ carry.map(col) :+
+        explode(lshBandKeys(col("sig"), numHashes, bands)).as("bk"): _*)
+      .select(Seq(col("id")) ++ carry.map(col) ++
+        Seq(col("bk.band").as("band"), col("bk.key").as("key")): _*)
+    val bucketN = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("key"))
+    banded
+      .withColumn("_sz", count(lit(1)).over(bucketN))
+      .filter(col("_sz") <= maxBucketSize)
+      .drop("_sz")
+  }
+
+  /** Two-phase verify of candidate (a_id, b_id [, carry]) pairs:
+    * (1) signature-agreement estimate — numHashes long compares
+    * (PositionalEqCount, codegen) — prunes the bulk of band-collision
+    * noise before touching shingle sets; the gate
+    * (est ≥ threshold − 1/numHashes) makes recall approximate at the
+    * margin, inherent to LSH and bit-reproduced by the oracle;
+    * (2) exact Jaccard via one merge walk per pair (sets pre-sorted;
+    * |∪| = |a|+|b|−|∩|, no second walk — same count as
+    * size(array_intersect(..))). Keeps pairs with jaccard ≥ threshold. */
+  private def verifyPairs(cand: DataFrame, docState: DataFrame,
+                          numHashes: Int, threshold: Double,
+                          carry: Seq[String] = Nil): DataFrame = {
     val sigEst = GraftShim.column(graft.functions.PositionalEqCount(
       GraftShim.expr(col("a_sig")), GraftShim.expr(col("b_sig"))))
       .cast("double") / numHashes
@@ -196,25 +228,18 @@ object Dedup {
       .join(docState.select(col("id").as("b_id"), col("sig").as("b_sig")), "b_id")
       .withColumn("_est", sigEst)
       .filter(col("_est") >= estGate)
-      .select("a_id", "b_id")
+      .select("a_id", ("b_id" +: carry): _*)
     val withSets = withSigs
       .join(docState.select(col("id").as("a_id"), col("hs").as("a_hs"),
         col("sz").as("a_sz")), "a_id")
       .join(docState.select(col("id").as("b_id"), col("hs").as("b_hs"),
         col("sz").as("b_sz")), "b_id")
-    // one merge walk per pair (sets pre-sorted); |∪| = |a|+|b|−|∩|, no
-    // second walk. Same count as size(array_intersect(..)) — exact.
     val inter = GraftShim.column(SortedIntersectCount(
       GraftShim.expr(col("a_hs")), GraftShim.expr(col("b_hs")))).cast("double")
-    val result = withSets.select(col("a_id"), col("b_id"),
-        (inter / (col("a_sz") + col("b_sz") - inter)).as("jaccard"))
+    withSets.select(Seq(col("a_id")) ++ carry.map(col) ++
+        Seq(col("b_id"),
+          (inter / (col("a_sz") + col("b_sz") - inter)).as("jaccard")): _*)
       .filter(col("jaccard") >= threshold)
-    // Materialize the (corpus-tiny) result eagerly, then release the
-    // persisted intermediate — otherwise every call leaks a cached frame
-    // into the session for its remaining lifetime.
-    val out = result.localCheckpoint(true)
-    docState.unpersist()
-    out
   }
 
   /**
@@ -244,51 +269,24 @@ object Dedup {
                           shingleSize: Int = 5, numHashes: Int = 16,
                           bands: Int = 4, threshold: Double = 0.5,
                           maxBucketSize: Int = 100): DataFrame = {
-    def state(df: DataFrame, side: String): DataFrame = df
-      .select(idCol.as("id"), lit(side).as("side"),
-        GraftShim.column(graft.functions.MinhashDocState(
-          GraftShim.expr(lower(textCol)), shingleSize, numHashes)).as("st"))
-      .filter(col("st").isNotNull)
-      .select(col("id"), col("side"), col("st.hs").as("hs"),
-        col("st.sz").as("sz"), col("st.sig").as("sig"))
+    def state(df: DataFrame, side: String): DataFrame =
+      minhashDocState(df, idCol, textCol, shingleSize, numHashes,
+        extra = Seq("side" -> lit(side)))
     val docState = state(corpus, "corpus").unionByName(state(batch, "batch"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandedAll = docState.select(col("id"), col("side"),
-        explode(lshBandKeys(col("sig"), numHashes, bands)).as("bk"))
-      .select(col("id"), col("side"), col("bk.band").as("band"),
-        col("bk.key").as("key"))
-    val bucketN = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("key"))
-    val banded = bandedAll
-      .withColumn("_sz", count(lit(1)).over(bucketN))
-      .filter(col("_sz") <= maxBucketSize)
-      .drop("_sz")
+    val banded = cappedBands(docState, numHashes, bands, maxBucketSize,
+      carry = Seq("side"))
+    // the incremental pair space: y is batch-only; x is a corpus doc
+    // (any id order) or an earlier batch doc (x.id < y.id) — never
+    // corpus-vs-corpus
     val bandedBatch = banded.filter(col("side") === "batch")
     val cand = banded.as("x").join(bandedBatch.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           (col("x.side") === "corpus" || col("x.id") < col("y.id")))
       .select(col("x.id").as("a_id"), col("x.side").as("a_side"),
         col("y.id").as("b_id")).distinct()
-    val sigEst = GraftShim.column(graft.functions.PositionalEqCount(
-      GraftShim.expr(col("a_sig")), GraftShim.expr(col("b_sig"))))
-      .cast("double") / numHashes
-    val estGate = threshold - 1.0 / numHashes
-    val withSigs = cand
-      .join(docState.select(col("id").as("a_id"), col("sig").as("a_sig")), "a_id")
-      .join(docState.select(col("id").as("b_id"), col("sig").as("b_sig")), "b_id")
-      .withColumn("_est", sigEst)
-      .filter(col("_est") >= estGate)
-      .select("a_id", "a_side", "b_id")
-    val withSets = withSigs
-      .join(docState.select(col("id").as("a_id"), col("hs").as("a_hs"),
-        col("sz").as("a_sz")), "a_id")
-      .join(docState.select(col("id").as("b_id"), col("hs").as("b_hs"),
-        col("sz").as("b_sz")), "b_id")
-    val inter = GraftShim.column(SortedIntersectCount(
-      GraftShim.expr(col("a_hs")), GraftShim.expr(col("b_hs")))).cast("double")
-    val result = withSets.select(col("a_id"), col("a_side"), col("b_id"),
-        (inter / (col("a_sz") + col("b_sz") - inter)).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    val result = verifyPairs(cand, docState.drop("side"), numHashes,
+      threshold, carry = Seq("a_side"))
     val out = result.localCheckpoint(true)
     docState.unpersist()
     out

@@ -37,15 +37,20 @@ object RobustStats {
     * + zipWithIndex (one lightweight partition-size job) + a filter on
     * the k-1 target ranks. An ntile/row_number window with no partition
     * key would instead serialize the whole input through ONE task —
-    * fine at spec scale, a stall at 100 TB. Costs two extra small jobs
-    * (count + partition sizes); collects only k-1 doubles. The value at
-    * a given rank is tie-order independent, so the result is identical
-    * to the window form row-for-row (the DuckDB oracle replays it).
-    * Null values are EXCLUDED before ranking — they would occupy the
-    * low ranks and silently shift every edge. */
+    * fine at spec scale, a stall at 100 TB. The value column is
+    * localCheckpointed first: the selection runs THREE actions (count,
+    * zipWithIndex's partition-size job, collect), and without the
+    * checkpoint each would re-execute the CALLER's upstream pipeline
+    * (Drift.psiBins passes arbitrary frames in). Collects only k-1
+    * doubles. The value at a given rank is tie-order independent, so
+    * the result is identical to the window form row-for-row (the
+    * DuckDB oracle replays it). Null values are EXCLUDED before
+    * ranking — they would occupy the low ranks and silently shift
+    * every edge. */
   def orderStatEdges(df: DataFrame, v: Column, k: Int): DataFrame = {
     require(k > 1, "need at least 2 parts")
     val vals = df.select(v.cast("double").as("v")).filter(col("v").isNotNull)
+      .localCheckpoint()
     val n = vals.count()
     // same rank arithmetic as the SQL oracle: ceil(n·x/k) in double math
     val targets = (1 until k)

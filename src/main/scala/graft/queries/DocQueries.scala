@@ -457,6 +457,11 @@ object DocQueries {
         |  AND x.doc_id < y.doc_id
         |WHERE bit_count(xor(x.fp, y.fp)) <= 6 ORDER BY a_id, b_id""".stripMargin,
 
+    // postings-intersection form mirroring the operator EXACTLY,
+    // including the maxDf=100 cap: grams above the per-block document
+    // frequency cap are dropped from the intersection while set sizes
+    // stay exact — so the oracle stays truthful even if future testdata
+    // grows a binding hot gram (today's max per-block df is 5)
     "q46_ngram_jaccard" ->
       """WITH d0 AS (SELECT doc_id, lang, source,
         |  list_distinct(list_transform(
@@ -468,16 +473,21 @@ object DocQueries {
         |d AS (SELECT doc_id, lang, source,
         |  list_distinct(list_transform(ngs,
         |    x -> CAST(CAST(('0x' || substring(md5(x), 1, 8)) AS UBIGINT) AS BIGINT))) AS ng
-        |  FROM d0)
-        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |  round(CASE WHEN len(a.ng) = 0 OR len(b.ng) = 0 THEN 0.0
-        |    ELSE CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) /
-        |      len(list_distinct(list_concat(a.ng, b.ng))) END, 6) AS jaccard
-        |FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
-        |  AND a.doc_id < b.doc_id
-        |WHERE CASE WHEN len(a.ng) = 0 OR len(b.ng) = 0 THEN 0.0
-        |  ELSE CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) /
-        |    len(list_distinct(list_concat(a.ng, b.ng))) END >= 0.05
+        |  FROM d0),
+        |p AS (SELECT doc_id, lang, source, h FROM d, UNNEST(ng) AS t(h)),
+        |dfs AS (SELECT lang, source, h, count(*) AS df FROM p GROUP BY 1, 2, 3),
+        |kept AS (SELECT p.doc_id, p.lang, p.source, p.h
+        |  FROM p JOIN dfs USING (lang, source, h) WHERE df <= 100),
+        |sz AS (SELECT doc_id, len(ng) AS sz FROM d),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        |  FROM kept a JOIN kept b ON a.lang = b.lang AND a.source = b.source
+        |    AND a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        |  round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = a_id
+        |  JOIN sz sb ON sb.doc_id = b_id
+        |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.05
         |ORDER BY a_id, b_id""".stripMargin,
 
     "q47_cosine_neardups" ->

@@ -228,10 +228,17 @@ object ErQueries {
     * The recursion folds the greedy match loop over i (one step per char of
     * s1, ≤20 here) carrying the matched-bit masks; transpositions compare
     * the matched subsequences; the final arithmetic mirrors the Scala
-    * kernel's operation order so doubles come out bit-identical. */
+    * kernel's operation order so doubles come out bit-identical. The
+    * BIGINT masks hold strings up to 63 chars — the base member errors
+    * LOUDLY past that rather than silently corrupting the bookkeeping
+    * (the Scala kernel has no such limit). */
   private val jwCteSql: String =
     """jwsteps AS (
-      |  SELECT s1, s2, len(s1) AS l1, len(s2) AS l2,
+      |  SELECT s1, s2,
+      |    CASE WHEN len(s1) > 63 OR len(s2) > 63
+      |      THEN error('jw oracle: string exceeds the 63-char BIGINT mask')
+      |      ELSE len(s1) END AS l1,
+      |    len(s2) AS l2,
       |    greatest(greatest(len(s1), len(s2)) // 2 - 1, 0) AS md,
       |    0 AS i, 0::BIGINT AS m1, 0::BIGINT AS m2, 0 AS matches
       |  FROM jwtasks

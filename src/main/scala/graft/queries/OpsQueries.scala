@@ -25,7 +25,10 @@ object OpsQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  private val frozenTs = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+  // parsed in the SESSION timezone (q111's oracle renders it back out with
+  // date_format, also session-TZ): java.sql.Timestamp.valueOf would parse
+  // in the JVM default TZ and shift the rendered stamp on non-UTC hosts
+  private val frozenTsStr = "2024-01-15 00:00:00"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -34,7 +37,7 @@ object OpsQueries {
       // appends _org_id/_org_name/_extracted_at to every entity frame)
       Tables.stampMetadata(
           t(s, dir, "customer").select("c_custkey", "c_mktsegment"),
-          "org_a", "Org Alpha", frozenTs)
+          "org_a", "Org Alpha", lit(frozenTsStr).cast("timestamp"))
         .select(col("c_custkey"), col("c_mktsegment"), col("_org_id"),
           col("_org_name"),
           date_format(col("_extracted_at"), "yyyy-MM-dd HH:mm:ss")
@@ -64,12 +67,12 @@ object OpsQueries {
         t(s, dir, "customer").filter(col("c_custkey") % 2 === 0)
           .select(col("c_custkey").as("id"), col("c_name").as("name"),
             col("c_acctbal").as("balance")),
-        "org_a", "Org Alpha", frozenTs)
+        "org_a", "Org Alpha", lit(frozenTsStr).cast("timestamp"))
       val b = Tables.stampMetadata(
         t(s, dir, "customer").filter(col("c_custkey") % 2 === 1)
           .select(col("c_custkey").as("id"), col("c_name").as("name"),
             col("c_mktsegment").as("segment")),
-        "org_b", "Org Beta", frozenTs)
+        "org_b", "Org Beta", lit(frozenTsStr).cast("timestamp"))
       Tables.unionOrgs(Seq(a, b))
         .select(col("id"), col("name"), col("balance"), col("segment"),
           col("_org_id"))

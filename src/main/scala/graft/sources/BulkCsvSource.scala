@@ -80,14 +80,19 @@ object BulkCsvSource {
     }
 
   /** Evaluate one pushed filter against a parsed (pre-pruning) row.
-    * Comparisons go through Ordering on the natural JVM type. */
+    * String comparisons use UTF8String (UTF-8 byte = code-point order,
+    * Spark's semantics) — java.lang.String.compareTo is UTF-16 code-unit
+    * order, which disagrees for supplementary characters, and a source
+    * that accepted a filter as exact has no residual Filter above it to
+    * catch the divergence. */
   def eval(f: Filter, get: String => Any): Boolean = {
     def cmp(attr: String, v: Any): Option[Int] = {
       val x = get(attr)
       if (x == null || v == null) None
       else
         Some((x, v) match {
-          case (a: UTF8String, b) => a.toString.compareTo(b.toString)
+          case (a: UTF8String, b) =>
+            a.compareTo(UTF8String.fromString(b.toString))
           case (a: java.lang.Long, b: Number) =>
             java.lang.Long.compare(a, b.longValue())
           case (a: java.lang.Integer, b: Number) =>
@@ -182,8 +187,10 @@ class BulkCsvReaderFactory(fullSchema: StructType, required: StructType,
 }
 
 /** Per-file reader: parses the header to map column positions, evaluates
-  * the pushed filters on the typed full row, emits only the pruned
-  * columns. Rows failing a pushed filter never leave the source. */
+  * the pushed filters on the typed row, emits only the pruned columns.
+  * Rows failing a pushed filter never leave the source, and ONLY the
+  * columns the projection or a pushed filter references are ever parsed
+  * — the parse-work saving is the point of the pushdown. */
 class BulkCsvReader(file: String, fullSchema: StructType,
                     required: StructType, pushed: Array[Filter])
     extends PartitionReader[InternalRow] {
@@ -193,6 +200,12 @@ class BulkCsvReader(file: String, fullSchema: StructType,
     if (lines.hasNext) lines.next().split(",", -1).toSeq else Seq.empty
   private val colIdx = header.zipWithIndex.toMap
   private val fullFields = fullSchema.fields
+  // parse set = projection ∪ filter references (by fullSchema position)
+  private val needed: Array[Boolean] = {
+    val names = (required.fields.map(_.name) ++
+      pushed.flatMap(_.references)).toSet
+    fullFields.map(f => names.contains(f.name))
+  }
   private val outIdx: Array[Int] =
     required.fields.map(f => fullSchema.fieldIndex(f.name))
   private var current: InternalRow = _
@@ -200,8 +213,9 @@ class BulkCsvReader(file: String, fullSchema: StructType,
   override def next(): Boolean = {
     while (lines.hasNext) {
       val cells = lines.next().split(",", -1)
-      val parsed: Array[Any] = fullFields.map { f =>
-        colIdx.get(f.name) match {
+      val parsed: Array[Any] = fullFields.zipWithIndex.map { case (f, j) =>
+        if (!needed(j)) null
+        else colIdx.get(f.name) match {
           case Some(i) if i < cells.length =>
             BulkCsvSource.parse(cells(i), f.dataType)
           case _ => null

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -87,9 +87,16 @@ object Tables {
    */
   def stampMetadata(df: DataFrame, orgId: String, orgName: String,
                     extractedAt: java.sql.Timestamp): DataFrame =
+    stampMetadata(df, orgId, orgName, lit(extractedAt))
+
+  /** Column overload — pass `lit("...").cast("timestamp")` to parse the
+    * stamp in the SESSION timezone (a java.sql.Timestamp parses in the
+    * JVM default TZ, which shifts the rendered stamp on non-UTC hosts). */
+  def stampMetadata(df: DataFrame, orgId: String, orgName: String,
+                    extractedAt: Column): DataFrame =
     df.withColumn("_org_id", lit(orgId))
       .withColumn("_org_name", lit(orgName))
-      .withColumn("_extracted_at", lit(extractedAt))
+      .withColumn("_extracted_at", extractedAt)
 
   /**
    * High-water-mark incremental read (reference: data_contracts.py:235-275
