@@ -28,6 +28,8 @@ case class RunningTotal(user_id: Long, ts: java.sql.Timestamp,
                         running_n: Long, running_sum: Double)
 
 /** Closed validity interval emitted by [[Streams.scd2Intervals]]. */
+case class NearDupCandidate(a_id: Long, b_id: Long, est: Double)
+
 case class StageCompletion(user_id: Long, stage: Int,
                            ts: java.sql.Timestamp)
 
@@ -106,6 +108,84 @@ object Streams {
     * delivery within the horizon collapses to exactly-one row. */
   def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String]): DataFrame =
     events.dropDuplicatesWithinWatermark(keyCols)
+
+  /**
+   * Streaming ingest NEAR-dup gate (beyond-reference): the streaming
+   * twin of `Dedup.incrementalNearDups`' candidate phase. Per-LSH-bucket
+   * state holds the (id, signature) of docs seen in that bucket; each
+   * arriving doc emits a [[NearDupCandidate]] for every stored member
+   * whose signature agreement passes the batch est gate
+   * (threshold − 1/numHashes), then joins the bucket itself.
+   *
+   * Semantics and bounds:
+   *  - input must be watermarked on `ts`; columns (doc_id, ts, text);
+   *  - the same pair can surface from several bands — consumers
+   *    `dropDuplicates("a_id","b_id")`, exactly like the batch
+   *    `.distinct()`;
+   *  - exact-Jaccard verification is the downstream batch step (hash
+   *    SETS don't belong in per-bucket state); est-gated candidates are
+   *    the LSH contract the batch twin shares — every batch-verified
+   *    pair is (spec-pinned) among the streamed candidates;
+   *  - the bucket cap stops ADMITTING members past `maxBucketSize`
+   *    (streaming can't retro-drop a bucket the way the batch cap drops
+   *    it whole) — still O(cap) state per bucket, the same skew bound;
+   *  - state per active bucket ≤ cap × (numHashes+1) longs with
+   *    event-time eviction, so total state is buckets-per-horizon
+   *    bounded, not corpus bounded.
+   */
+  def nearDupIngest(docs: DataFrame, shingleSize: Int = 5,
+                    numHashes: Int = 16, bands: Int = 8,
+                    threshold: Double = 0.5, maxBucketSize: Int = 100,
+                    idleTimeout: String = "30 days")
+      : org.apache.spark.sql.Dataset[NearDupCandidate] = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import docs.sparkSession.implicits._
+    val gate = threshold - 1.0 / numHashes
+    val base = docs.select(col("doc_id"), col("ts"),
+        GraftShim.column(graft.functions.MinhashSignature(
+          GraftShim.expr(lower(col("text"))), shingleSize, numHashes))
+          .as("sig"))
+      .filter(col("sig").isNotNull)
+    val banded = base.select(col("doc_id"), col("ts"), col("sig"),
+        explode(graft.operators.Dedup.lshBandKeys(col("sig"), numHashes, bands))
+          .as("bk"))
+      .select(concat_ws("|", col("bk.band"), col("bk.key")).as("bucket"),
+        col("doc_id"), col("ts"), col("sig"))
+      .as[(String, Long, java.sql.Timestamp, Seq[Long])]
+    banded.groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[(Long, Seq[Long])], NearDupCandidate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, rows, state: GroupState[Seq[(Long, Seq[Long])]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // within a batch, arrival order = event-time order (id
+            // tiebreak) — mirrors the batch x.id < y.id orientation for
+            // same-timestamp rows
+            var members = state.getOption.getOrElse(Seq.empty)
+            val ordered = rows.toVector.sortBy(r => (r._3.getTime, r._2))
+            val out = Vector.newBuilder[NearDupCandidate]
+            ordered.foreach { case (_, id, _, sig) =>
+              members.foreach { case (mid, msig) =>
+                if (mid != id) {
+                  val eq = msig.iterator.zip(sig.iterator)
+                    .count { case (a, b) => a == b }
+                  val est = eq.toDouble / numHashes
+                  if (est >= gate) out += NearDupCandidate(mid, id, est)
+                }
+              }
+              if (members.size < maxBucketSize && !members.exists(_._1 == id))
+                members = members :+ (id -> sig)
+            }
+            state.update(members)
+            if (ordered.nonEmpty)
+              state.setTimeoutTimestamp(ordered.map(_._3.getTime).max, idleTimeout)
+            out.result().iterator
+          }
+      }
+  }
 
   /** Streaming gap sessionization: `session_window` aggregation — state
     * per OPEN session, closed (emitted) once the watermark passes the

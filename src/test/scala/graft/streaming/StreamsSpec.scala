@@ -34,6 +34,72 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("nearDupIngest: cross-batch bucket state matches new docs against " +
+      "earlier ones; novel docs emit nothing") {
+    val mem = MemoryStream[(Long, Timestamp, String)](spark)
+    val cands = Streams.nearDupIngest(
+      mem.toDF.toDF("doc_id", "ts", "text").withWatermark("ts", "1 day"),
+      shingleSize = 5, numHashes = 16, bands = 8, threshold = 0.5)
+    val q = cands.writeStream.format("memory")
+      .queryName("neardup_out").outputMode("append")
+      .option("checkpointLocation", tmp("graft-neardup-ckpt"))
+      .start()
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val t = (h: Int) => Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // batch 1: doc 1 and its near-copy doc 2; unrelated doc 3
+    mem.addData((1L, t(1), base), (2L, t(2), base + " x"),
+      (3L, t(3), "completely different content with nothing in common"))
+    q.processAllAvailable()
+    // batch 2: doc 4 duplicates doc 1 — the match must come from STATE
+    // persisted across batches; doc 5 is novel
+    mem.addData((4L, t(4), base),
+      (5L, t(5), "yet another novel and unrelated document body"))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("neardup_out")
+      .select("a_id", "b_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"in-batch near-dup missed: $pairs")
+    assert(pairs.contains((1L, 4L)), s"cross-batch dup missed: $pairs")
+    assert(pairs.contains((2L, 4L)), s"cross-batch near-dup missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L ||
+      p._1 == 5L || p._2 == 5L), s"novel docs must not pair: $pairs")
+  }
+
+  test("nearDupIngest: streamed candidates cover every batch-verified " +
+      "near-dup pair on real documents") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Timestamp.valueOf("2024-01-01 00:00:00"),
+        r.getString(1))).toSeq
+    val mem = MemoryStream[(Long, Timestamp, String)](spark)
+    val cands = Streams.nearDupIngest(
+      mem.toDF.toDF("doc_id", "ts", "text").withWatermark("ts", "1 day"),
+      shingleSize = 5, numHashes = 16, bands = 8, threshold = 0.25)
+    val q = cands.writeStream.format("memory")
+      .queryName("neardup_docs_out").outputMode("append")
+      .option("checkpointLocation", tmp("graft-neardup-docs-ckpt"))
+      .start()
+    mem.addData(docs)
+    q.processAllAvailable()
+    q.stop()
+    // normalize (earlier, later) arrival orientation to (min, max)
+    val streamed = spark.table("neardup_docs_out")
+      .select("a_id", "b_id").distinct().collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    val verified = graft.operators.Dedup.minhashNearDups(
+        Tables.load(spark, "/root/testdata/sf0.001", "documents"),
+        col("doc_id"), col("text"),
+        shingleSize = 5, numHashes = 16, bands = 8, threshold = 0.25)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.nonEmpty, "fixture must produce near-dup pairs")
+    val missed = verified -- streamed
+    assert(missed.isEmpty,
+      s"est-gated stream candidates must cover batch-verified pairs: $missed")
+  }
+
   test("T1: watermark drops late rows that arrive after horizon passes") {
     val mem = MemoryStream[(Timestamp, String, Double)](spark)
     val rollup = Streams.dailyRollup(
