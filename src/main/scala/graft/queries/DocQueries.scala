@@ -254,6 +254,22 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    "q117_corpus_census" -> ((s, dir) => {
+      // corpus report card: the first rollup a curation run produces —
+      // per-(lang, source) doc counts, token volume, mean length,
+      // short-doc share. One partial-agg pass; every output is exact in
+      // double (integer partial sums < 2^53, one division) so no
+      // rounding is needed for oracle parity.
+      t(s, dir, "documents")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+            .as("n_tokens"),
+          avg(col("n_chars").cast("double")).as("avg_chars"),
+          avg((col("n_chars") < 100).cast("double")).as("short_share"))
+        .orderBy("lang", "source")
+    }),
+
     "q54_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -572,6 +588,15 @@ object DocQueries {
         |    AS n_ws_tokens,
         |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]+')) AS INTEGER) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q117_corpus_census" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+        |    x -> len(x) > 0))) AS BIGINT) AS n_tokens,
+        |  avg(CAST(n_chars AS DOUBLE)) AS avg_chars,
+        |  avg(CASE WHEN n_chars < 100 THEN CAST(1.0 AS DOUBLE)
+        |    ELSE CAST(0.0 AS DOUBLE) END) AS short_share
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q54_fingerprint" ->
       """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(

@@ -91,6 +91,16 @@ class BulkCsvSourceSpec extends SparkSpec {
     assert(resid.collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 4L))
   }
 
+  test("schema inference: header-derived all-string schema when none given") {
+    val dir = writeSnapshot()
+    val df = spark.read.format(BulkCsvSource.format).load(dir)
+    assert(df.schema.fieldNames.toSeq ===
+      Seq("id", "name", "amount", "segment"))
+    assert(df.schema.fields.forall(_.dataType == StringType),
+      "inferred columns must be strings (bulk CSV carries no types)")
+    assert(df.count() === 5)
+  }
+
   test("explain carries the source's pushdown description") {
     val dir = writeSnapshot()
     val df = spark.read.format(BulkCsvSource.format)
