@@ -534,9 +534,12 @@ object Dedup {
                                       driverEdgeCap: Long): DataFrame = {
     if (driverEdgeCap <= 0) return connectedComponentsLoop(edges, maxIter)
     val e0 = edges.select(col("a_id"), col("b_id")).localCheckpoint()
+    // sym is NOT checkpointed: it is two trivial projections of the
+    // already-checkpointed e0, so its two consumers (labels0, residual)
+    // re-derive it for free — a checkpoint here would pay a full extra
+    // materialization pass to save nothing
     val sym = e0.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(e0.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .localCheckpoint()
     val labels0 = sym
       .groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("_mn"))
