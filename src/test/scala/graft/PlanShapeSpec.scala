@@ -100,4 +100,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"),
       "chunk generation must not serialize through one partition")
   }
+
+  test("q117: corpus census is one partial-agg pass, no window, no join") {
+    val p = plan("q117_corpus_census")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "census aggregates must combine map-side")
+    assert(!p.contains("Window"), "census must not use a window")
+    assert(!p.contains("Join"), "census must not join")
+  }
+
+  test("q111/q113: stamped extract and org union are narrow (no hash " +
+      "shuffle before the presentation sort)") {
+    for (q <- Seq("q111_stamped_extract", "q113_union_orgs")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q: stamping/union must not hash-shuffle")
+      assert(!p.contains("Window"), s"$q: no window expected")
+    }
+  }
 }
