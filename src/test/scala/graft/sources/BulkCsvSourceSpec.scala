@@ -91,6 +91,23 @@ class BulkCsvSourceSpec extends SparkSpec {
     assert(resid.collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 4L))
   }
 
+  test("predicate pushdown: In and boolean combinations evaluate in-source") {
+    val dir = writeSnapshot()
+    val in = spark.read.format(BulkCsvSource.format)
+      .schema(schema).load(dir)
+      .filter(col("segment").isin("A", "C"))
+    assert(scanOf(in).pushed.mkString(";").contains("In(segment"),
+      "isin must push as an In filter")
+    assert(in.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L, 4L, 5L))
+
+    val orf = spark.read.format(BulkCsvSource.format)
+      .schema(schema).load(dir)
+      .filter(col("id") < 2 || col("amount") > 50.0)
+    val pushedOr = scanOf(orf).pushed.mkString(";")
+    assert(pushedOr.contains("Or("), s"disjunction must push whole: $pushedOr")
+    assert(orf.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 5L))
+  }
+
   test("schema inference: header-derived all-string schema when none given") {
     val dir = writeSnapshot()
     val df = spark.read.format(BulkCsvSource.format).load(dir)
