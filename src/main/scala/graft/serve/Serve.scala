@@ -112,6 +112,15 @@ object Serve {
   def exportJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** JSON-lines scan closing the export loop: read what exportJson wrote
+    * (or any JSONL feed) with an EXPLICIT schema — like readCsv, never
+    * inference: schema inference is a full extra pass and its type
+    * guesses drift between runs. Unknown fields are ignored; missing
+    * fields null-fill — the tolerant-reader contract a feed needs. */
+  def readJsonl(spark: org.apache.spark.sql.SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** Bulk-CSV scan (reference S2: the Bulk API 2.0 fetch whose helpers the
     * reference never implemented — salesforce.py:345-379). An EXPLICIT
     * schema, never inferSchema: schema inference is a full extra pass over

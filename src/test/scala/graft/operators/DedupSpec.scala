@@ -126,6 +126,44 @@ class DedupSpec extends SparkSpec {
       s"novel doc must have no matches: $out")
   }
 
+  test("incrementalNearDups ≡ minhashNearDups(corpus ∪ batch) restricted " +
+      "to pairs touching the batch (seeded random docs)") {
+    // the delta-dedup contract: running incrementally over (corpus, batch)
+    // finds exactly the pairs a full re-dedup of the union would find,
+    // minus the corpus-internal ones — same est gate, same exact-Jaccard
+    // verify, orientation normalized
+    val rnd = new scala.util.Random(7)
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def doc(): String =
+      (0 until 12 + rnd.nextInt(8)).map(_ => words(rnd.nextInt(words.size)))
+        .mkString(" ")
+    // near-dup structure: pairs of docs sharing a long common prefix
+    val texts = (0 until 30).flatMap { _ =>
+      val base = doc()
+      Seq(base, base + " " + words(rnd.nextInt(words.size)))
+    } ++ (0 until 20).map(_ => doc())
+    val all = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val corpus = all.filter(col("doc_id") % 2 === 0)
+    val batch = all.filter(col("doc_id") % 2 === 1)
+    def norm(rows: Array[org.apache.spark.sql.Row], ai: Int, bi: Int) =
+      rows.map(r => (math.min(r.getLong(ai), r.getLong(bi)),
+        math.max(r.getLong(ai), r.getLong(bi)))).toSet
+    val inc = norm(Dedup.incrementalNearDups(corpus, batch,
+      col("doc_id"), col("text"),
+      shingleSize = 5, numHashes = 16, bands = 8, threshold = 0.3)
+      .select("a_id", "b_id").collect(), 0, 1)
+    val full = norm(Dedup.minhashNearDups(all, col("doc_id"), col("text"),
+      shingleSize = 5, numHashes = 16, bands = 8, threshold = 0.3)
+      .select("a_id", "b_id").collect(), 0, 1)
+    val expected = full.filter(p => p._1 % 2 == 1 || p._2 % 2 == 1)
+    assert(expected.nonEmpty, "fixture must produce batch-touching pairs")
+    assert(inc === expected,
+      s"delta result must equal full-re-dedup restricted to batch pairs; " +
+        s"missing=${expected -- inc} extra=${inc -- expected}")
+  }
+
   test("ngram jaccard maxDf: non-binding cap is exact; binding cap drops " +
       "hot-gram-only pairs") {
     // "x y z" is a boilerplate trigram shared by ALL docs (df=4); docs 1/2

@@ -56,6 +56,27 @@ class ServeSpec extends SparkSpec {
     assert(back.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
   }
 
+  test("JSONL export/scan roundtrip; missing fields null-fill, unknown " +
+      "fields ignored (tolerant reader)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val df = Seq((1L, "Acme \"quoted\" Corp", 1000000.0),
+      (2L, "Global, Inc", 5000000.0)).toDF("id", "name", "revenue")
+    Serve.exportJson(df, dir)
+    val back = Serve.readJsonl(spark, dir, df.schema)
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
+    // tolerant-reader contract: a feed row missing `revenue` and carrying
+    // an undeclared field reads with null revenue, no failure
+    val feed = java.nio.file.Files.createTempDirectory("graft-feed").toString
+    val w = new java.io.PrintWriter(s"$feed/part-0.json")
+    try w.println("""{"id": 3, "name": "Newco", "undeclared": "x"}""")
+    finally w.close()
+    val row = Serve.readJsonl(spark, feed, df.schema).head
+    assert(row.getLong(0) === 3L && row.getString(1) === "Newco")
+    assert(row.isNullAt(2), "missing declared field must null-fill")
+  }
+
   test("ORC export/scan roundtrip (second columnar format beside parquet)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
