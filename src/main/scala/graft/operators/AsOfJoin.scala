@@ -92,4 +92,61 @@ object AsOfJoin {
       .select(leftCols.map(col) ++ payload.map(p =>
         when(fresh, col(carryTag)(p)).as(s"asof_$p")): _*)
   }
+
+  /**
+   * Forward as-of join: for each left row, the EARLIEST right row with
+   * the same key and `right.ts >= left.ts` — the outcome-attribution
+   * direction ("first purchase after this touch", "next failure after
+   * this deploy"), where [[asOf]] is the feature direction ("state as
+   * of this event"). Same union+window plan, mirrored: the running
+   * carry is `first(_, ignoreNulls)` over the FORWARD frame, ties at
+   * equal ts sort the right row after the left so the match is
+   * inclusive, and `toleranceSeconds` bounds the lookahead horizon
+   * (a right row later than `left.ts + tolerance` does not match).
+   * Emits payloads as `next_<name>`. Right side unique per (key, ts) —
+   * prep with [[latestPerKeyTs]].
+   */
+  def asOfNext(left: DataFrame, right: DataFrame, key: String, ts: String,
+               payload: Seq[String],
+               toleranceSeconds: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val leftCols = left.columns
+    val rtsField = "_rts"
+    val carryTag = "_r__asofnext_carry"
+    val carryType = StructType(
+      StructField(rtsField, right.schema(ts).dataType) +:
+        payload.map(p => right.schema(p).copy(name = p)))
+    val lTagged = left
+      .select(leftCols.map(col) ++
+        Seq(lit(null).cast(carryType).as(carryTag), lit(0).as("_side")): _*)
+    val rTagged = right
+      .select(Seq(col(key), col(ts)) ++
+        leftCols.filterNot(c => c == key || c == ts)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(struct(col(ts).as(rtsField) +: payload.map(col): _*)
+            .cast(carryType).as(carryTag),
+          lit(1).as("_side")): _*)
+      .select((leftCols.map(col) ++ Seq(col(carryTag), col("_side"))): _*)
+    // forward frame: [current row, end); right rows at the same ts sort
+    // AFTER the left row (side 0 < 1) so an exactly-simultaneous right
+    // row is inside the frame — inclusive, mirroring asOf
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col("_side").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = lTagged.unionByName(rTagged)
+      .select(leftCols.map(col) ++
+        Seq(first(col(carryTag), ignoreNulls = true).over(w).as(carryTag),
+          col("_side")): _*)
+      .filter(col("_side") === 0)
+    val fresh = toleranceSeconds match {
+      case None => col(carryTag).isNotNull
+      case Some(tol) =>
+        col(carryTag).isNotNull &&
+          unix_micros(col(carryTag)(rtsField)) - unix_micros(col(ts)) <=
+            tol * 1000000L
+    }
+    carried
+      .select(leftCols.map(col) ++ payload.map(p =>
+        when(fresh, col(carryTag)(p)).as(s"next_$p")): _*)
+  }
 }

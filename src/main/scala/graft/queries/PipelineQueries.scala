@@ -47,6 +47,31 @@ object PipelineQueries {
         .orderBy("event_id")
     }),
 
+    "q118_next_conversion" -> ((s, dir) => {
+      // FORWARD as-of: each click's next purchase within 24h — the
+      // outcome-attribution direction (q69/q105 are the backward/feature
+      // direction). Lag emitted in exact integer MICROS (no division, no
+      // float); the oracle compares epoch_us on both sides so the
+      // tolerance check floors nanos identically to Spark's micro ts.
+      import graft.operators.AsOfJoin
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = AsOfJoin.latestPerKeyTs(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts"), col("value"), col("event_id")),
+          col("user_id"), col("ts"), col("event_id"))
+        .select(col("user_id"), col("ts"), col("ts").as("pts"), col("value"))
+      AsOfJoin.asOfNext(clicks, purchases, "user_id", "ts",
+          Seq("value", "pts"), toleranceSeconds = Some(86400L))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), TsFmt).as("ts"),
+          round(col("next_value"), 6).as("next_value"),
+          (unix_micros(col("next_pts")) - unix_micros(col("ts")))
+            .as("lag_us"))
+        .orderBy("event_id")
+    }),
+
     "q70_stratified_sample" -> ((s, dir) => {
       // partition-invariant stratified sample (Sampling scaladoc):
       // en half, zh a tenth, everything else a quarter
@@ -505,6 +530,28 @@ object PipelineQueries {
         |  < (CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'zh' THEN 0.1
         |     ELSE 0.25 END)
         |ORDER BY doc_id""".stripMargin,
+
+    // DuckDB ASOF with c.ts <= p.ts natively selects the EARLIEST p row
+    // at-or-after c.ts — the forward direction; tolerance compares
+    // epoch_us (Spark's floored-micros semantics), never raw-ns intervals
+    "q118_next_conversion" ->
+      s"""WITH p0 AS (SELECT user_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id, ts
+        |      ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'purchase'),
+        |p AS (SELECT user_id, ts, value FROM p0 WHERE rn = 1),
+        |c AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, strftime(c.ts, '$TsFmtDuck') AS ts,
+        |  CASE WHEN p.ts IS NOT NULL
+        |      AND epoch_us(p.ts) - epoch_us(c.ts) <= 86400000000
+        |    THEN round(p.value, 6) END AS next_value,
+        |  CASE WHEN p.ts IS NOT NULL
+        |      AND epoch_us(p.ts) - epoch_us(c.ts) <= 86400000000
+        |    THEN CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT)
+        |    END AS lag_us
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
+        |ORDER BY event_id""".stripMargin,
 
     "q71_sessionize" ->
       s"""WITH flagged AS (SELECT user_id, ts, event_id, value,

@@ -34,6 +34,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(4L) === None)        // key absent on right
   }
 
+  test("asOfNext: inclusive boundary, earliest-following wins, " +
+      "lookahead tolerance, null when none follows") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 06:00:00")),  // before two rights → earliest
+      (2L, 10L, ts("2024-01-01 08:00:00")),  // exactly at a right ts
+      (3L, 10L, ts("2024-01-01 10:00:00")),  // after all rights
+      (4L, 20L, ts("2024-01-01 06:00:00"))   // key with no rights
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 08:00:00"), 1.0),
+      (10L, ts("2024-01-01 09:00:00"), 2.0)
+    ).toDF("user_id", "ts", "value")
+    val out = AsOfJoin.asOfNext(left, right, "user_id", "ts", Seq("value"))
+      .select("event_id", "next_value").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(out(1L) === Some(1.0))   // earliest following, not latest
+    assert(out(2L) === Some(1.0))   // inclusive: right at same ts matches
+    assert(out(3L) === None)        // nothing follows
+    assert(out(4L) === None)        // key absent on right
+    // lookahead horizon: 1h tolerance drops the 2h-away match
+    val bounded = AsOfJoin.asOfNext(left, right, "user_id", "ts",
+        Seq("value"), toleranceSeconds = Some(3600))
+      .select("event_id", "next_value").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(bounded(1L) === None)    // 08:00 is 2h after 06:00 → too far
+    assert(bounded(2L) === Some(1.0))
+  }
+
   test("asOf tolerance nulls stale matches but keeps fresh ones") {
     val left = Seq(
       (1L, 10L, ts("2024-01-01 10:00:00")),   // right is 1h old → fresh
