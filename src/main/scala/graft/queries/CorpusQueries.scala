@@ -245,6 +245,17 @@ object CorpusQueries {
         .orderBy("cohort", "offset")
     }),
 
+    "q119_weekly_retention" -> ((s, dir) => {
+      // the week-grain path of the same operator (offset = floor(days/7))
+      // — view-anchored, 8 weekly offsets
+      graft.operators.EventAnalytics.retentionCohorts(
+          t(s, dir, "events"), col("user_id"), col("ts"), col("event_type"),
+          anchorType = "view", maxOffset = 8, grain = "week")
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+          col("offset"), col("active_users"))
+        .orderBy("cohort", "offset")
+    }),
+
     "q102_psi_drift" -> ((s, dir) => {
       // PSI drift between pre/post-1998 order values; decile edges are
       // reference-window order statistics (Drift scaladoc)
@@ -502,6 +513,18 @@ object CorpusQueries {
         |    CAST(datediff('day', f.cohort, CAST(a.ts AS DATE)) AS INTEGER) AS "offset"
         |  FROM a JOIN first f ON a.user_id = f.user_id
         |  WHERE datediff('day', f.cohort, CAST(a.ts AS DATE)) <= 14)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort, "offset",
+        |  count(*) AS active_users
+        |FROM act GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q119_weekly_retention" ->
+      """WITH a AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+        |first AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort FROM a GROUP BY 1),
+        |act AS (SELECT DISTINCT a.user_id, f.cohort,
+        |    CAST(datediff('day', f.cohort, CAST(a.ts AS DATE)) // 7 AS INTEGER)
+        |      AS "offset"
+        |  FROM a JOIN first f ON a.user_id = f.user_id
+        |  WHERE datediff('day', f.cohort, CAST(a.ts AS DATE)) // 7 <= 8)
         |SELECT strftime(cohort, '%Y-%m-%d') AS cohort, "offset",
         |  count(*) AS active_users
         |FROM act GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
