@@ -55,6 +55,29 @@ class CorpusPropsSpec extends SparkSpec {
     }
   }
 
+  test("orderStatEdges: distributed selection equals direct rank " +
+      "arithmetic for any values/k (ties, nulls, tiny n)") {
+    val gen = for {
+      n <- Gen.choose(0, 60)
+      // coarse values force ties; nulls interleaved
+      vs <- Gen.listOfN(n, Gen.option(Gen.choose(0, 9).map(_.toDouble)))
+      k <- Gen.choose(2, 7)
+    } yield (vs, k)
+    cases(gen, 12).foreach { case (vs, k) =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val got = RobustStats.orderStatEdges(df, col("v"), k)
+        .head.getSeq[Double](0)
+      val sorted = vs.flatten.sorted
+      val n = sorted.size
+      val want = (1 until k)
+        .map(x => math.ceil((n.toLong * x).toDouble / k.toDouble).toLong)
+        .toSet.toSeq.filter(r => r >= 1 && r <= n)
+        .map(r => sorted(r.toInt - 1)).sorted
+      assert(got === want, s"k=$k vs=$vs")
+    }
+  }
+
   test("winsorizedRollup: clipped sum is bounded by n·p_lo and n·p_hi") {
     val vGen = Gen.listOfN(50, Gen.choose(-1e6, 1e6))
     cases(vGen, 5).foreach { vs =>
