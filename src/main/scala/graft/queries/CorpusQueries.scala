@@ -221,7 +221,7 @@ object CorpusQueries {
           col("value"))
         .groupBy("channel")
         .agg(count(lit(1)).as("n_purchases"),
-          sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+          sum(col("value").cast("decimal(18,2)")).cast("double")
             .as("total_value"))
         .orderBy("channel")
     }),
@@ -487,7 +487,7 @@ object CorpusQueries {
         |      THEN c.channel ELSE 'direct' END AS channel
         |  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts)
         |SELECT channel, count(*) AS n_purchases,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM att GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q103_funnel" ->

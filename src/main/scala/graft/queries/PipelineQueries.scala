@@ -83,15 +83,17 @@ object PipelineQueries {
     }),
 
     "q71_sessionize" -> ((s, dir) => {
-      // 30-minute-gap sessions per user with per-session rollup
-      // sum as decimal AND keep the output decimal: decimal addition is
-      // order-independent, but a final decimal->double cast rounds
-      // differently in DuckDB (int128/100, two roundings) than Spark
-      // (BigDecimal, one rounding) — 1-ulp diffs that fail an exact hash
+      // 30-minute-gap sessions per user with per-session rollup.
+      // Money discipline: SUM as decimal(18,2) (order-invariant across
+      // partitions) but EMIT double — the oracle harness's pandas bridge
+      // floats DECIMAL columns, so a decimal output ("3591.70") vs the
+      // bridged float64 ("3591.7") hash-mismatches on trailing-zero cents.
+      // The 2dp decimal is exactly representable in double, so the final
+      // cast is lossless on both engines.
       Sessionize.sessions(t(s, dir, "events"),
           col("user_id"), col("ts"), col("event_id"), gapSeconds = 1800,
           aggs = Seq(sum(col("value").cast("decimal(18,2)"))
-            .cast("decimal(18,2)").as("total_value")))
+            .cast("double").as("total_value")))
         .select(col("key").as("user_id"), col("session"),
           date_format(col("session_start"), TsFmt).as("session_start"),
           date_format(col("session_end"), TsFmt).as("session_end"),
@@ -363,7 +365,7 @@ object PipelineQueries {
       // equi-key — the pure range join Spark would otherwise plan as a
       // nested loop. RangeJoin bins it into a hash equi-join (bin = 1h ≈
       // window length/2). total_value sums as decimal(18,2) for
-      // order-invariant parity (q71 discipline).
+      // order-invariance, emitted as double (q71 discipline).
       val ev = t(s, dir, "events")
       val windows = ev
         .filter(col("event_type") === "purchase" && col("event_id") % 50 === 0)
@@ -375,7 +377,7 @@ object PipelineQueries {
         .groupBy("window_id")
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"),
-          sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+          sum(col("value").cast("decimal(18,2)")).cast("double")
             .as("total_value"))
         .orderBy("window_id")
     }),
@@ -421,7 +423,7 @@ object PipelineQueries {
       old_.unionByName(delta)
         .groupBy("day", "event_type")
         .agg(sum(col("n")).as("n"),
-          sum(col("sv")).cast("decimal(18,2)").as("total_value"))
+          sum(col("sv")).cast("double").as("total_value"))
         .orderBy("day", "event_type")
     }),
 
@@ -561,14 +563,14 @@ object PipelineQueries {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |numbered AS (SELECT user_id, ts, value,
-        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS UNBOUNDED PRECEDING) AS session
+        |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session
         |  FROM flagged)
         |SELECT user_id, session,
         |  strftime(min(ts), '$TsFmtDuck') AS session_start,
         |  strftime(max(ts), '$TsFmtDuck') AS session_end,
         |  count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM numbered GROUP BY user_id, session
         |ORDER BY user_id, session""".stripMargin,
 
@@ -745,7 +747,7 @@ object PipelineQueries {
         |  WHERE event_type = 'purchase' AND event_id % 50 = 0)
         |SELECT w.window_id, count(*) AS n_events,
         |  count(DISTINCT e.user_id) AS n_users,
-        |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events e JOIN w
         |  ON e.ts >= w.w_from AND e.ts < w.w_to
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -765,7 +767,7 @@ object PipelineQueries {
     "q87_incremental_rollup" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
         |  count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
 
     "q86_scd2_intervals" ->
