@@ -256,10 +256,11 @@ object Dedup {
    * result (or linking it to a_id's cluster) keeps the corpus dedup
    * invariant after the merge. Ids must be disjoint across sides.
    *
-   * Plan shape: both sides build signatures scan-locally (at production
-   * scale the corpus side reads a STORED signature table instead of
-   * re-hashing text — the frame passed here is whatever holds (id,
-   * text)); banding/bucket-cap run over the union so cap semantics
+   * Plan shape: both sides build signatures scan-locally; at production
+   * scale use [[incrementalNearDupsFromState]] with a persisted
+   * [[minhashStateTable]] so the corpus side reads stored signatures
+   * instead of re-hashing text. Banding/bucket-cap run over the union so
+   * cap semantics
    * match [[minhashNearDups]]; the pair join keys one side to
    * batch-only bands, so bucket work is proportional to the DELTA, not
    * the corpus.
@@ -268,11 +269,44 @@ object Dedup {
                           idCol: Column, textCol: Column,
                           shingleSize: Int = 5, numHashes: Int = 16,
                           bands: Int = 4, threshold: Double = 0.5,
-                          maxBucketSize: Int = 100): DataFrame = {
-    def state(df: DataFrame, side: String): DataFrame =
-      minhashDocState(df, idCol, textCol, shingleSize, numHashes,
-        extra = Seq("side" -> lit(side)))
-    val docState = state(corpus, "corpus").unionByName(state(batch, "batch"))
+                          maxBucketSize: Int = 100): DataFrame =
+    incrementalNearDupsFromState(
+      minhashStateTable(corpus, idCol, textCol, shingleSize, numHashes),
+      batch, idCol, textCol, shingleSize, numHashes, bands, threshold,
+      maxBucketSize)
+
+  /**
+   * The per-doc minhash state frame (id, hs, sz, sig) in persistable
+   * form — the "stored signature table" of the incremental-dedup
+   * production shape. Write this once per corpus build (it is a pure
+   * scan-local projection: one pass over the text, no shuffle) and feed
+   * it back through [[incrementalNearDupsFromState]] on every ingest, so
+   * nightly runs never re-shingle the 100 TB corpus. Columns are plain
+   * arrays/ints: parquet-roundtrip-safe (proven by `DedupSpec`).
+   * `shingleSize`/`numHashes` are baked into the rows — the reader must
+   * pass the same values or the band keys won't align.
+   */
+  def minhashStateTable(docs: DataFrame, idCol: Column, textCol: Column,
+                        shingleSize: Int = 5, numHashes: Int = 16): DataFrame =
+    minhashDocState(docs, idCol, textCol, shingleSize, numHashes)
+
+  /**
+   * [[incrementalNearDups]] with the corpus side supplied as a stored
+   * signature table (the output of [[minhashStateTable]], typically read
+   * back from parquet) instead of raw text — the corpus text is never
+   * re-hashed. Semantics and output are identical to
+   * [[incrementalNearDups]] on the original corpus frame.
+   */
+  def incrementalNearDupsFromState(corpusState: DataFrame, batch: DataFrame,
+                                   idCol: Column, textCol: Column,
+                                   shingleSize: Int = 5, numHashes: Int = 16,
+                                   bands: Int = 4, threshold: Double = 0.5,
+                                   maxBucketSize: Int = 100): DataFrame = {
+    val corpusSide = corpusState.select(col("id"), col("hs"), col("sz"),
+      col("sig")).withColumn("side", lit("corpus"))
+    val batchSide = minhashDocState(batch, idCol, textCol, shingleSize,
+      numHashes, extra = Seq("side" -> lit("batch")))
+    val docState = corpusSide.unionByName(batchSide)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = cappedBands(docState, numHashes, bands, maxBucketSize,
       carry = Seq("side"))

@@ -164,6 +164,38 @@ class DedupSpec extends SparkSpec {
         s"missing=${expected -- inc} extra=${inc -- expected}")
   }
 
+  test("incrementalNearDupsFromState(parquet-roundtripped signature table) " +
+      "≡ incrementalNearDups(raw corpus text)") {
+    // the production nightly-ingest shape: the corpus side reads a STORED
+    // signature table (built once, parquet-persisted) instead of
+    // re-shingling text — must produce byte-identical pairs to the
+    // re-hash path
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = Seq((10L, base), (12L, base + " x"),
+      (14L, "completely different corpus content nothing alike here"))
+      .toDF("doc_id", "text")
+    val batch = Seq((21L, base + " y"), (23L, base + " y z"),
+      (25L, "novel unseen batch material with fresh words only"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("sigtab").toString
+    Dedup.minhashStateTable(corpus, col("doc_id"), col("text"),
+        shingleSize = 5, numHashes = 16)
+      .write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val viaState = rows(Dedup.incrementalNearDupsFromState(stored, batch,
+      col("doc_id"), col("text"),
+      shingleSize = 5, numHashes = 16, bands = 8, threshold = 0.3))
+    val viaText = rows(Dedup.incrementalNearDups(corpus, batch,
+      col("doc_id"), col("text"),
+      shingleSize = 5, numHashes = 16, bands = 8, threshold = 0.3))
+    assert(viaState === viaText)
+    assert(viaState.contains((10L, "corpus", 21L, viaState.find(
+      p => p._1 == 10L && p._3 == 21L).get._4)))
+  }
+
   test("ngram jaccard maxDf: non-binding cap is exact; binding cap drops " +
       "hot-gram-only pairs") {
     // "x y z" is a boilerplate trigram shared by ALL docs (df=4); docs 1/2
