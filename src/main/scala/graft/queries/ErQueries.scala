@@ -114,6 +114,38 @@ object ErQueries {
       |   AND floor(a.employees / 300) = floor(b.employees / 300)
       |   AND a.id % 2 = 0 AND b.id % 2 = 1)""".stripMargin
 
+  /** The q35 recommendation set (reference: pipeline.py:375-415,
+    * api/main.py:589-641): weighted feature vote → confidence bucket →
+    * type → estimated value → next action, pruned at 0.5. Shared by
+    * q35 (full set) and q120 (notification digest over it). */
+  private def recommendationFrame(s: SparkSession, dir: String): DataFrame = {
+    val acc = accounts(s, dir).withColumnRenamed("_region", "org")
+      .select(col("Id").as("id"), col("org"), col("Industry").as("industry"),
+        col("BillingCountry").as("country"),
+        col("NumberOfEmployees").as("employees"),
+        col("CreatedDate").as("created"),
+        col("LastActivityDate").as("last_activity"),
+        col("AnnualRevenue").as("revenue"))
+    val pairs = Candidates.candidatePairs(acc, "org",
+      Seq(col("revenue").desc, col("id").asc), 50)
+    val feats = Features.withFeatures(pairs, Features.pairFeatures(asOf))
+    val score = col("industry_match") * 0.35 + col("size_compatibility") * 0.30 +
+      col("geo_proximity") * 0.20 + col("maturity_alignment") * 0.15
+    val scored = feats.withColumn("score", score)
+    Candidates.prune(scored, col("score"), 0.5)
+      .select(col("a_id"), col("b_id"), round(col("score"), 6).as("score"),
+        when(col("score") > 0.8, "High").when(col("score") > 0.6, "Medium")
+          .otherwise("Low").as("confidence"),
+        when(col("industry_match") === 1.0, "Industry Expansion")
+          .otherwise("Market Development").as("recommendation_type"),
+        round((col("a_revenue") + col("b_revenue")) / 2 * 0.1, 2)
+          .as("estimated_value"),
+        when(col("score") > 0.8, "Schedule executive introduction call immediately")
+          .when(col("score") > 0.7, "Prepare joint value proposition and reach out")
+          .when(col("score") > 0.6, "Add to nurture campaign and monitor engagement")
+          .otherwise("Review quarterly for status changes").as("next_best_action"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_er_features" -> ((s, dir) => {
       // 7 SQL-exact of the 9 ER pair features (reference:
@@ -172,36 +204,20 @@ object ErQueries {
         .orderBy("id")
     }),
 
-    "q35_recommendations" -> ((s, dir) => {
-      // deterministic scoring path E3/F17-F20 (reference: pipeline.py:375-415,
-      // api/main.py:589-641): weighted feature vote → confidence bucket →
-      // type → estimated value → next action, pruned and ranked.
-      val acc = accounts(s, dir).withColumnRenamed("_region", "org")
-        .select(col("Id").as("id"), col("org"), col("Industry").as("industry"),
-          col("BillingCountry").as("country"),
-          col("NumberOfEmployees").as("employees"),
-          col("CreatedDate").as("created"),
-          col("LastActivityDate").as("last_activity"),
-          col("AnnualRevenue").as("revenue"))
-      val pairs = Candidates.candidatePairs(acc, "org",
-        Seq(col("revenue").desc, col("id").asc), 50)
-      val feats = Features.withFeatures(pairs, Features.pairFeatures(asOf))
-      val score = col("industry_match") * 0.35 + col("size_compatibility") * 0.30 +
-        col("geo_proximity") * 0.20 + col("maturity_alignment") * 0.15
-      val scored = feats.withColumn("score", score)
-      Candidates.prune(scored, col("score"), 0.5)
-        .select(col("a_id"), col("b_id"), round(col("score"), 6).as("score"),
-          when(col("score") > 0.8, "High").when(col("score") > 0.6, "Medium")
-            .otherwise("Low").as("confidence"),
-          when(col("industry_match") === 1.0, "Industry Expansion")
-            .otherwise("Market Development").as("recommendation_type"),
-          round((col("a_revenue") + col("b_revenue")) / 2 * 0.1, 2)
-            .as("estimated_value"),
-          when(col("score") > 0.8, "Schedule executive introduction call immediately")
-            .when(col("score") > 0.7, "Prepare joint value proposition and reach out")
-            .when(col("score") > 0.6, "Add to nurture campaign and monitor engagement")
-            .otherwise("Review quarterly for status changes").as("next_best_action"))
-        .orderBy("a_id", "b_id")
+    "q35_recommendations" -> ((s, dir) =>
+      recommendationFrame(s, dir).orderBy("a_id", "b_id")),
+
+    "q120_notify_digest" -> ((s, dir) => {
+      // notification digest over the q35 recommendation set (reference:
+      // utils/notifications.py:120-199): top-5 by score with the
+      // headline stats every channel's header interpolates. Score
+      // renders at 2dp exactly as the reference's {:.2f}.
+      graft.serve.Serve.notifyDigest(recommendationFrame(s, dir), n = 5,
+          tiebreak = Seq(col("a_id").asc, col("b_id").asc))
+        .select(col("rank"), col("a_id"), col("b_id"),
+          round(col("score"), 2).as("score"), col("estimated_value"),
+          col("next_best_action"), col("n_total"), col("total_value"))
+        .orderBy("rank")
     }),
 
     "q36_er_confusion" -> ((s, dir) => {
@@ -448,6 +464,39 @@ object ErQueries {
         |    WHEN score > 0.6 THEN 'Add to nurture campaign and monitor engagement'
         |    ELSE 'Review quarterly for status changes' END AS next_best_action
         |FROM scored WHERE score > 0.5 ORDER BY a_id, b_id""".stripMargin,
+
+    "q120_notify_digest" ->
+      s"""WITH $accSql,
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY region
+        |    ORDER BY revenue DESC, id ASC) AS rn FROM acc),
+        |top AS (SELECT * FROM ranked WHERE rn <= 50),
+        |cp AS (SELECT a.id AS a_id, b.id AS b_id, a.revenue AS arv, b.revenue AS brv,
+        |    CASE WHEN a.industry = b.industry THEN 1.0 ELSE 0.0 END AS im,
+        |    CASE WHEN a.employees > 0 AND b.employees > 0
+        |      THEN 1.0 / (1.0 + abs(ln(a.employees / b.employees))) ELSE 0.0 END AS sc,
+        |    CASE WHEN a.country = b.country THEN 1.0 ELSE 0.3 END AS gp,
+        |    CAST(least(date_diff('day', a.created, DATE '1998-12-01'),
+        |               date_diff('day', b.created, DATE '1998-12-01')) AS DOUBLE) /
+        |      greatest(date_diff('day', a.created, DATE '1998-12-01'),
+        |               date_diff('day', b.created, DATE '1998-12-01')) AS ma
+        |  FROM top a JOIN top b ON a.region < b.region),
+        |scored AS (SELECT *, im*0.35 + sc*0.30 + gp*0.20 + ma*0.15 AS score FROM cp),
+        |recs AS (SELECT a_id, b_id, round(score, 6) AS score,
+        |    round((arv + brv) / 2 * 0.1, 2) AS estimated_value,
+        |    CASE WHEN score > 0.8 THEN 'Schedule executive introduction call immediately'
+        |      WHEN score > 0.7 THEN 'Prepare joint value proposition and reach out'
+        |      WHEN score > 0.6 THEN 'Add to nurture campaign and monitor engagement'
+        |      ELSE 'Review quarterly for status changes' END AS next_best_action
+        |  FROM scored WHERE score > 0.5),
+        |stats AS (SELECT count(*) AS n_total,
+        |    CAST(sum(CAST(estimated_value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |  FROM recs),
+        |top5 AS (SELECT *, CAST(row_number() OVER (ORDER BY score DESC, a_id, b_id)
+        |    AS INTEGER) AS rank
+        |  FROM recs QUALIFY rank <= 5)
+        |SELECT rank, a_id, b_id, round(score, 2) AS score, estimated_value,
+        |  next_best_action, n_total, total_value
+        |FROM top5, stats ORDER BY rank""".stripMargin,
 
     "q36_er_confusion" ->
       s"""WITH $accSql, $pairSql,

@@ -87,6 +87,30 @@ object Serve {
       df.agg(count(lit(1)).as("n")).select(lit(name).as("entity"), col("n"))
     }.reduce(_.unionByName(_))
 
+  /** Notification digest (reference: utils/notifications.py:120-199
+    * email top-5 table, :225-262 Slack top-3 blocks, :276-316 Teams
+    * card): every channel renders the same two pieces of data — the
+    * top-N opportunities by score and the full-set headline stats
+    * (total count, total estimated value) interpolated into the header.
+    * This returns that exact frame: the top-N rows (rank column
+    * included) with `n_total`/`total_value` repeated on each, so a
+    * sender iterates one small result. Delivery (SMTP/webhook HTTP) is
+    * intentionally out of scope — non-data-plane.
+    *
+    * Scale shape: top-N via TakeOrdered (never a global sort), headline
+    * stats one partial-agg pass broadcast onto N rows. Money sums as
+    * decimal(18,2) (order-invariant) and emits double. */
+  def notifyDigest(recs: DataFrame, n: Int = 5,
+                   score: Column = col("score"),
+                   value: Column = col("estimated_value"),
+                   tiebreak: Seq[Column] = Nil): DataFrame = {
+    val stats = recs.agg(
+      count(lit(1)).as("n_total"),
+      sum(value.cast("decimal(18,2)")).cast("double").as("total_value"))
+    graft.operators.TopK.globalTopK(recs, score.desc +: tiebreak, n)
+      .crossJoin(broadcast(stats))
+  }
+
   /** Per-dimension breakdown (reference: api/main.py:725-747 A4/A5). */
   def breakdown(df: DataFrame, dim: Column, score: Column = col("score"),
                 value: Column = col("estimated_value")): DataFrame =
