@@ -141,6 +141,25 @@ object Dedup {
                       shingleSize: Int = 5, numHashes: Int = 16,
                       bands: Int = 4, threshold: Double = 0.5,
                       maxBucketSize: Int = 100): DataFrame = {
+    val (result, docState) = minhashNearDupsStages(docs, idCol, textCol,
+      shingleSize, numHashes, bands, threshold, maxBucketSize)
+    // Materialize the (corpus-tiny) result eagerly, then release the
+    // persisted intermediate — otherwise every call leaks a cached frame
+    // into the session for its remaining lifetime.
+    val out = result.localCheckpoint(true)
+    docState.unpersist()
+    out
+  }
+
+  /** The un-materialized LSH pipeline: (result, persisted docState).
+    * [[minhashNearDups]] checkpoints the result and releases the cache;
+    * `graft.Plans` explains the result directly — the pipeline plan a
+    * post-checkpoint `.explain` hides behind an RDD scan. Callers other
+    * than `minhashNearDups` must unpersist docState themselves. */
+  private[graft] def minhashNearDupsStages(
+      docs: DataFrame, idCol: Column, textCol: Column,
+      shingleSize: Int, numHashes: Int, bands: Int, threshold: Double,
+      maxBucketSize: Int): (DataFrame, DataFrame) = {
     // persist: docState feeds banding + 2 est-joins + 2 verify-joins;
     // without it Spark re-runs the scan per use (different join keys → no
     // exchange reuse). MEMORY_AND_DISK: ~|text| longs + numHashes longs
@@ -152,13 +171,7 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id")).distinct()
-    val result = verifyPairs(cand, docState, numHashes, threshold)
-    // Materialize the (corpus-tiny) result eagerly, then release the
-    // persisted intermediate — otherwise every call leaks a cached frame
-    // into the session for its remaining lifetime.
-    val out = result.localCheckpoint(true)
-    docState.unpersist()
-    out
+    (verifyPairs(cand, docState, numHashes, threshold), docState)
   }
 
   /** Per-doc minhash state (id [+ extras], hs, sz, sig): ONE scan-local
@@ -302,6 +315,19 @@ object Dedup {
                                    shingleSize: Int = 5, numHashes: Int = 16,
                                    bands: Int = 4, threshold: Double = 0.5,
                                    maxBucketSize: Int = 100): DataFrame = {
+    val (result, docState) = incrementalNearDupsStages(corpusState, batch,
+      idCol, textCol, shingleSize, numHashes, bands, threshold, maxBucketSize)
+    val out = result.localCheckpoint(true)
+    docState.unpersist()
+    out
+  }
+
+  /** Un-materialized incremental pipeline: (result, persisted docState) —
+    * same split as [[minhashNearDupsStages]], for plan inspection. */
+  private[graft] def incrementalNearDupsStages(
+      corpusState: DataFrame, batch: DataFrame, idCol: Column,
+      textCol: Column, shingleSize: Int, numHashes: Int, bands: Int,
+      threshold: Double, maxBucketSize: Int): (DataFrame, DataFrame) = {
     val corpusSide = corpusState.select(col("id"), col("hs"), col("sz"),
       col("sig")).withColumn("side", lit("corpus"))
     val batchSide = minhashDocState(batch, idCol, textCol, shingleSize,
@@ -319,11 +345,8 @@ object Dedup {
           (col("x.side") === "corpus" || col("x.id") < col("y.id")))
       .select(col("x.id").as("a_id"), col("x.side").as("a_side"),
         col("y.id").as("b_id")).distinct()
-    val result = verifyPairs(cand, docState.drop("side"), numHashes,
-      threshold, carry = Seq("a_side"))
-    val out = result.localCheckpoint(true)
-    docState.unpersist()
-    out
+    (verifyPairs(cand, docState.drop("side"), numHashes, threshold,
+      carry = Seq("a_side")), docState)
   }
 
   // ---------------- SimHash ----------------
@@ -564,6 +587,28 @@ object Dedup {
    * the 100 TB-safe path. The driver never sees node-level data — only
    * label-level pairs, bounded by the cap.
    */
+  /** Symmetrized edge list (src, dst) — both directions of every edge. */
+  private[graft] def ccSym(e0: DataFrame): DataFrame =
+    e0.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(e0.select(col("b_id").as("src"), col("a_id").as("dst")))
+
+  /** Seeded label init: component₀ = min(self, neighbors) — one groupBy,
+    * a full propagation round ahead of a `distinct()` init. */
+  private[graft] def ccSeed(sym: DataFrame): DataFrame = sym
+    .groupBy(col("src").as("id"))
+    .agg(min(col("dst")).as("_mn"))
+    .select(col("id"), least(col("id"), col("_mn")).as("component"))
+
+  /** Residual COMPONENT graph: edges whose endpoints got different seed
+    * labels, contracted to (label_a, label_b) pairs — the inter-clique
+    * links phase 2 must still merge. */
+  private[graft] def ccResidual(sym: DataFrame, labels0: DataFrame): DataFrame =
+    sym
+      .join(labels0.select(col("id").as("src"), col("component").as("ca")), "src")
+      .join(labels0.select(col("id").as("dst"), col("component").as("cb")), "dst")
+      .filter(col("ca") =!= col("cb"))
+      .select(col("ca"), col("cb")).distinct()
+
   private def connectedComponentsImpl(edges: DataFrame, maxIter: Int,
                                       driverEdgeCap: Long): DataFrame = {
     if (driverEdgeCap <= 0) return connectedComponentsLoop(edges, maxIter)
@@ -572,19 +617,9 @@ object Dedup {
     // already-checkpointed e0, so its two consumers (labels0, residual)
     // re-derive it for free — a checkpoint here would pay a full extra
     // materialization pass to save nothing
-    val sym = e0.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(e0.select(col("b_id").as("src"), col("a_id").as("dst")))
-    val labels0 = sym
-      .groupBy(col("src").as("id"))
-      .agg(min(col("dst")).as("_mn"))
-      .select(col("id"), least(col("id"), col("_mn")).as("component"))
-      .localCheckpoint()
-    val residual = sym
-      .join(labels0.select(col("id").as("src"), col("component").as("ca")), "src")
-      .join(labels0.select(col("id").as("dst"), col("component").as("cb")), "dst")
-      .filter(col("ca") =!= col("cb"))
-      .select(col("ca"), col("cb")).distinct()
-      .localCheckpoint()
+    val sym = ccSym(e0)
+    val labels0 = ccSeed(sym).localCheckpoint()
+    val residual = ccResidual(sym, labels0).localCheckpoint()
     if (residual.count() > driverEdgeCap)
       return connectedComponentsLoop(edges, maxIter)
     // driver union-find with min-id representatives over label pairs
@@ -627,16 +662,10 @@ object Dedup {
     // plan, so symmetrizing the raw frame would execute the upstream
     // (e.g. a full LSH near-dup pass) twice
     val e0 = edges.select(col("a_id"), col("b_id")).localCheckpoint()
-    val sym = e0.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(e0.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .localCheckpoint()
-    // seeded init: component₀ = min(self, neighbors) — same single
-    // groupBy a distinct() init would cost, one propagation round ahead
-    var labels = sym
-      .groupBy(col("src").as("id"))
-      .agg(min(col("dst")).as("_mn"))
-      .select(col("id"), least(col("id"), col("_mn")).as("component"))
-      .localCheckpoint()
+    val sym = ccSym(e0).localCheckpoint()
+    // seeded init: same single groupBy a distinct() init would cost, one
+    // propagation round ahead
+    var labels = ccSeed(sym).localCheckpoint()
     val idType = edges.schema("a_id").dataType
     var changed = 1L
     var iter = 0
