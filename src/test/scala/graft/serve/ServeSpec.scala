@@ -90,6 +90,29 @@ class ServeSpec extends SparkSpec {
       s"ORC scan must receive pushed filters:\n$plan")
   }
 
+  test("notifyDigest: top-N by score with full-set headline stats on " +
+      "every row; TakeOrdered plan, never a global sort") {
+    // reference notifications.py:120-199 — top-5 email table whose
+    // header interpolates count(*) and the TOTAL estimated value of the
+    // whole set, not just the shown rows
+    val frame = Seq(
+      (1L, 0.9, 100.10), (2L, 0.8, 200.00), (3L, 0.7, 50.25),
+      (4L, 0.6, 25.00), (5L, 0.5, 10.00)
+    ).toDF("id", "score", "estimated_value")
+    val got = notifyDigest(frame, n = 3, tiebreak = Seq(col("id").asc))
+      .orderBy("rank").collect()
+    assert(got.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L, 3L))
+    assert(got.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+    // stats cover ALL 5 rows (385.35), repeated on each emitted row
+    assert(got.forall(_.getAs[Long]("n_total") == 5L))
+    assert(got.forall(r =>
+      math.abs(r.getAs[Double]("total_value") - 385.35) < 1e-9))
+    val plan = notifyDigest(frame, n = 3, tiebreak = Seq(col("id").asc))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-N must plan as TakeOrderedAndProject:\n$plan")
+  }
+
   test("point-score path applies expression graph to 1-row frame (E3)") {
     val one = Seq((0.2, 0.6)).toDF("f1", "f2")
     val scored = scoreOne(one, Seq(
