@@ -66,7 +66,8 @@ object Plans {
       "q110_basket_pairs",     // basket cap BEFORE pair self-join
       "q115_incremental_dedup",// delta-vs-corpus tail (stage plan below)
       "q118_next_conversion",  // forward as-of: union + window, one shuffle
-      "q120_notify_digest")    // TakeOrdered top-N + broadcast stats row
+      "q120_notify_digest",    // TakeOrdered top-N + broadcast stats row
+      "q121_interval_overlap") // interval×interval: double bin-explode equi-join
     println("# PLANS -- formatted physical plans of representative queries\n")
     println(s"Generated against `$sfDir` (plan shapes are SF-invariant).\n")
     picks.foreach { name =>

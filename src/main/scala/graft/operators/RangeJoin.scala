@@ -52,4 +52,37 @@ object RangeJoin {
       .filter(col(tsCol) >= col(fromCol) && col(tsCol) < col(toCol))
       .drop("_bin")
   }
+
+  /** Inner join of interval pairs that OVERLAP: `[aFrom, aTo)` and
+    * `[bFrom, bTo)` with `aFrom < bTo && bFrom < aTo` — the general
+    * interval×interval case [[binnedRangeJoin]]'s point-in-interval
+    * shape can't express (campaign×incident, maintenance×shipment,
+    * session×outage attribution).
+    *
+    * Both sides explode into the bins they cover, equi-join on the bin,
+    * re-check exact overlap — and keep each pair only in the ONE bin
+    * containing `max(aFrom, bFrom)`. For an overlapping pair that bin
+    * is covered by both sides (`max(from) < min(to)` ⇒ it lies inside
+    * both intervals), so the output is exactly the naive theta join
+    * with NO dedup pass — `distinct()` here would shuffle the full
+    * result and change multiplicity semantics for duplicate input rows.
+    * Comparisons drop from |A|·|B| to bin-local products; the join
+    * shuffles like any equi-join (AQE skew-split applies). Column sets
+    * must be disjoint; empty/inverted intervals match nothing. */
+  def intervalOverlapJoin(a: DataFrame, aFromCol: String, aToCol: String,
+                          b: DataFrame, bFromCol: String, bToCol: String,
+                          binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, s"binSeconds must be positive, got $binSeconds")
+    val w = lit(binSeconds * 1000000L)
+    def binned(df: DataFrame, fromCol: String, toCol: String): DataFrame =
+      df.filter(col(fromCol) < col(toCol))
+        .withColumn("_bin", explode(sequence(
+          floor(unix_micros(col(fromCol)) / w),
+          floor((unix_micros(col(toCol)) - lit(1L)) / w))))
+    binned(a, aFromCol, aToCol).join(binned(b, bFromCol, bToCol), Seq("_bin"))
+      .filter(col(aFromCol) < col(bToCol) && col(bFromCol) < col(aToCol))
+      .filter(col("_bin") === floor(greatest(
+        unix_micros(col(aFromCol)), unix_micros(col(bFromCol))) / w))
+      .drop("_bin")
+  }
 }

@@ -382,6 +382,34 @@ object PipelineQueries {
         .orderBy("window_id")
     }),
 
+    "q121_interval_overlap" -> ((s, dir) => {
+      // general interval×interval overlap join: promo windows (2h after
+      // each anchor purchase) × incident windows (3h after each anchor
+      // error) — neither side is a point, so q89's point-in-interval bin
+      // shape can't express it. intervalOverlapJoin explodes BOTH sides
+      // into 1h bins and keeps each pair only in the bin holding
+      // max(from, from): exactly-once with no dedup shuffle. Overlap
+      // duration sums in integer microseconds (engine-portable; no
+      // fractional-second date_diff semantics to align).
+      val ev = t(s, dir, "events")
+      val promos = ev
+        .filter(col("event_type") === "purchase" && col("event_id") % 10 === 0)
+        .select(col("event_id").as("window_id"), col("ts").as("p_from"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("p_to"))
+      val incidents = ev
+        .filter(col("event_type") === "error" && col("event_id") % 10 === 0)
+        .select(col("event_id").as("incident_id"), col("ts").as("i_from"),
+          (col("ts") + expr("INTERVAL 3 HOURS")).as("i_to"))
+      RangeJoin.intervalOverlapJoin(promos, "p_from", "p_to",
+          incidents, "i_from", "i_to", binSeconds = 3600)
+        .groupBy("window_id")
+        .agg(count(lit(1)).as("n_incidents"),
+          sum(unix_micros(least(col("p_to"), col("i_to"))) -
+            unix_micros(greatest(col("p_from"), col("i_from"))))
+            .as("overlap_micros"))
+        .orderBy("window_id")
+    }),
+
     "q88_reconcile_full_outer" -> ((s, dir) => {
       // cross-system reconciliation: activity rollup vs order rollup,
       // FULL OUTER on the entity key — the audit join that surfaces
@@ -750,6 +778,20 @@ object PipelineQueries {
         |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events e JOIN w
         |  ON e.ts >= w.w_from AND e.ts < w.w_to
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q121_interval_overlap" ->
+      """WITH p AS (SELECT event_id AS window_id, ts AS p_from,
+        |    ts + INTERVAL 2 HOUR AS p_to FROM events
+        |  WHERE event_type = 'purchase' AND event_id % 10 = 0),
+        |i AS (SELECT event_id AS incident_id, ts AS i_from,
+        |    ts + INTERVAL 3 HOUR AS i_to FROM events
+        |  WHERE event_type = 'error' AND event_id % 10 = 0)
+        |SELECT window_id, count(*) AS n_incidents,
+        |  CAST(sum(epoch_us(least(p_to, i_to)) -
+        |           epoch_us(greatest(p_from, i_from))) AS BIGINT)
+        |    AS overlap_micros
+        |FROM p JOIN i ON p_from < i_to AND i_from < p_to
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q88_reconcile_full_outer" ->

@@ -66,4 +66,61 @@ class RangeJoinSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "must not plan a cartesian")
     assert(!p.contains("BroadcastNestedLoopJoin"), "must not nested-loop")
   }
+
+  // interval×interval overlap: deterministic pseudo-random intervals with
+  // duplicates, touching endpoints, containment, and inverted spans
+  private lazy val ivA = (0 until 40).map { i =>
+    val f = (i * 7919) % 10000
+    (i.toLong, new Timestamp(1700000000000L + f * 1000L),
+      new Timestamp(1700000000000L + (f + 300 + (i * 131) % 5000) * 1000L))
+  }.toDF("a_id", "a_from", "a_to")
+    .union(Seq((0L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00")),
+      (99L, ts("2024-01-01 02:00:00"), ts("2024-01-01 01:00:00")))
+      .toDF("a_id", "a_from", "a_to")) // empty + inverted: match nothing
+  private lazy val ivB = (0 until 40).map { i =>
+    val f = (i * 6271) % 10000
+    (i.toLong + 1000L, new Timestamp(1700000000000L + f * 1000L),
+      new Timestamp(1700000000000L + (f + 200 + (i * 523) % 7000) * 1000L))
+  }.toDF("b_id", "b_from", "b_to")
+
+  private def naiveOverlap: DataFrame =
+    ivA.crossJoin(ivB)
+      .filter(col("a_from") < col("b_to") && col("b_from") < col("a_to"))
+
+  private def overlapRows(df: DataFrame) =
+    df.select("a_id", "b_id").orderBy("a_id", "b_id").collect().toSeq
+
+  test("interval overlap join is row-identical to the naive theta join, " +
+      "for any bin width (exactly-once, no dedup pass)") {
+    val expected = overlapRows(naiveOverlap)
+    assert(expected.nonEmpty)
+    for (w <- Seq(60L, 600L, 3600L, 86400L)) {
+      val got = RangeJoin.intervalOverlapJoin(
+        ivA, "a_from", "a_to", ivB, "b_from", "b_to", binSeconds = w)
+      assert(overlapRows(got) === expected, s"binSeconds=$w")
+    }
+  }
+
+  test("touching intervals do not overlap (half-open); containment does") {
+    val a = Seq((1L, ts("2024-01-01 01:00:00"), ts("2024-01-01 02:00:00")))
+      .toDF("a_id", "a_from", "a_to")
+    val b = Seq(
+      (10L, ts("2024-01-01 02:00:00"), ts("2024-01-01 03:00:00")), // touches
+      (11L, ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00")), // touches
+      (12L, ts("2024-01-01 01:15:00"), ts("2024-01-01 01:30:00")), // inside
+      (13L, ts("2024-01-01 00:00:00"), ts("2024-01-01 04:00:00"))  // covers
+    ).toDF("b_id", "b_from", "b_to")
+    val got = RangeJoin.intervalOverlapJoin(
+        a, "a_from", "a_to", b, "b_from", "b_to", binSeconds = 1800)
+      .select("b_id").as[Long].collect().sorted
+    assert(got.toSeq === Seq(12L, 13L))
+  }
+
+  test("overlap plan is an equi-join on the bin, never a nested loop") {
+    val p = RangeJoin.intervalOverlapJoin(
+      ivA, "a_from", "a_to", ivB, "b_from", "b_to", binSeconds = 3600)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "must not plan a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "must not nested-loop")
+  }
 }
