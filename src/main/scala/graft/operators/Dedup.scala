@@ -526,6 +526,51 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /**
+   * Semantic (embedding) near-dup pairs WITHOUT a label column:
+   * IVF-blocked cosine dedup. [[cosineNearDups]] needs a natural
+   * blocking key; when none exists, assign every vector to its
+   * max-cosine coarse centroid ([[SimilaritySearch.ivfCentroids]] —
+   * deterministic, no trained model) and pair only within a list.
+   * Recall is approximate at list boundaries (a near-dup pair split
+   * across two lists is missed) — the same contract as LSH banding;
+   * raise K-per-vector by lowering `modulus` to trade cost for recall.
+   *
+   * Scale shape: centroids broadcast (K ≈ √N), argmax assignment is a
+   * partial agg carrying the unit vector once, `maxListSize` drops
+   * degenerate lists BEFORE the quadratic pair join (cap semantics as
+   * [[minhashNearDups]]'s `maxBucketSize`), pair dot runs inside
+   * codegen. List sizes ~N/K ⇒ pair work ~N²/K, never N².
+   */
+  def ivfCosineNearDups(embs: DataFrame, idCol: Column, vecCol: Column,
+                        modulus: Int, threshold: Double = 0.9,
+                        maxListSize: Int = 10000): DataFrame = {
+    import graft.functions.VectorFunctions
+    val cents = SimilaritySearch.ivfCentroids(embs, idCol, vecCol, modulus)
+    val e = embs.select(idCol.as("id"), VectorFunctions.unit(vecCol).as("u"))
+      .filter(col("u").isNotNull)
+    // argmax over centroids: max(struct(cos, -cid)) = lowest-cid tiebreak;
+    // first(u) rides the same aggregate (u is functionally dependent on
+    // id), so the unit vector shuffles once instead of via a re-join
+    val assigned = e.join(broadcast(cents))
+      .select(col("id"), col("u"),
+        struct(VectorFunctions.dot(col("u"), col("cu")).as("cos"),
+          (-col("cid")).as("ncid")).as("sc"))
+      .groupBy("id")
+      .agg(max(col("sc")).as("m"), first(col("u")).as("u"))
+      .select(col("id"), (-col("m.ncid")).as("cid"), col("u"))
+    val capped = assigned.withColumn("_sz",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cid"))))
+      .filter(col("_sz") <= maxListSize).drop("_sz")
+    capped.as("x").join(capped.as("y"),
+        col("x.cid") === col("y.cid") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        col("x.cid").as("cid"),
+        VectorFunctions.dot(col("x.u"), col("y.u")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   // ---------------- connected components (dup groups) ----------------
 
   /**

@@ -202,6 +202,19 @@ object DocQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    "q122_semantic_dedup" -> ((s, dir) => {
+      // label-free semantic dedup: IVF-blocked cosine pairs — q47's
+      // shape without its blocking column. Assignment replayed by the
+      // oracle exactly as q72 (argmax cosine, lowest-cid tiebreak); the
+      // maxListSize cap is non-binding at every test SF (lists ≈ 100)
+      // so the capped result equals the oracle's uncapped SQL.
+      Dedup.ivfCosineNearDups(t(s, dir, "embeddings"), col("vec_id"),
+          col("embedding"), modulus = 100, threshold = 0.30)
+        .select(col("a_id"), col("b_id"), col("cid"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("a_id", "b_id")
+    }),
+
     "q48_cosine_topk" -> ((s, dir) => {
       // brute-force ANN baseline: top-20 by cosine against vec_id=0
       val e = t(s, dir, "embeddings")
@@ -512,6 +525,22 @@ object DocQueries {
         |FROM embeddings a JOIN embeddings b ON a.label = b.label
         |  AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.30
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q122_semantic_dedup" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        |  FROM embeddings WHERE vec_id % 100 = 0),
+        |scored AS (SELECT e.vec_id AS id, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
+        |        c.cid ASC) AS rn
+        |  FROM embeddings e, c),
+        |assigned AS (SELECT s.id, s.cid, e.embedding::DOUBLE[] AS v
+        |  FROM scored s JOIN embeddings e ON s.id = e.vec_id WHERE s.rn = 1)
+        |SELECT a.id AS a_id, b.id AS b_id, a.cid,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        |FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.id < b.id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.30
         |ORDER BY a_id, b_id""".stripMargin,
 
     "q48_cosine_topk" ->

@@ -219,4 +219,28 @@ class DedupSpec extends SparkSpec {
     assert(capped.keySet === Set((1L, 2L)))
     assert(exact.keySet.contains((3L, 4L)))
   }
+
+  test("ivfCosineNearDups: within-list pairs equal brute force; cross-list " +
+      "pairs are the documented recall loss; cap drops oversized lists") {
+    // two tight clusters around orthogonal axes; ids 0 and 100 are the
+    // modulus-100 centroids, one per cluster, so assignment is by cluster
+    def v(axis: Int, eps: Float): Seq[Float] = {
+      val a = Array.fill(4)(eps); a(axis) = 1.0f; a.toSeq
+    }
+    val embs = Seq(
+      (0L, v(0, 0.00f)), (1L, v(0, 0.01f)), (2L, v(0, 0.02f)),
+      (100L, v(1, 0.00f)), (101L, v(1, 0.01f)), (102L, v(1, 0.03f)))
+      .toDF("vec_id", "embedding")
+    def pairsOf(maxList: Int) =
+      Dedup.ivfCosineNearDups(embs, col("vec_id"), col("embedding"),
+          modulus = 100, threshold = 0.9, maxListSize = maxList)
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairsOf(10000)
+    // all within-cluster pairs found (cosine ≈ 1 inside a cluster)…
+    assert(got === Set((0L, 1L), (0L, 2L), (1L, 2L),
+      (100L, 101L), (100L, 102L), (101L, 102L)))
+    // …and a binding cap drops whole lists, never partial ones
+    assert(pairsOf(2) === Set.empty)
+  }
 }
