@@ -101,4 +101,45 @@ object RobustStats {
         sum((col("v") < col("p_lo")).cast("long")).as("n_low"),
         sum((col("v") > col("p_hi")).cast("long")).as("n_high"))
   }
+
+  /** Per-group robust anomaly gate: rows with |v − median| > k·MAD
+    * (median absolute deviation), rolled up per group as (n, median,
+    * mad, n_anomalies). The mean/σ z-score breaks down exactly when
+    * anomalies are present (outliers inflate σ and mask themselves);
+    * median and MAD have 50% breakdown. `k` stays an INTEGER multiple —
+    * the textbook 1.4826·MAD σ-consistency constant is a fractional
+    * literal whose decimal-vs-double representation differs across
+    * engines (graft-wide oracle rule), and a threshold gate doesn't need
+    * σ units.
+    *
+    * Both medians are EXACT lower-median order statistics selected by
+    * rank (winsorizedRollup discipline — no interpolation arithmetic to
+    * diverge in the last ulp). Scale shape: one hash Exchange on the
+    * group key feeds both rank windows and both rollups (the broadcast
+    * median/MAD joins preserve partitioning); groups are the
+    * parallelism unit, as with winsorize. */
+  def madAnomalies(df: DataFrame, grp: Column, v: Column, tiebreak: Column,
+                   k: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val byGrp = Window.partitionBy(col("grp"))
+    val lowerMed = floor((col("n") + 1) / lit(2)).cast("long")
+    val ranked = df.select(grp.as("grp"), v.as("v"), tiebreak.as("tb"))
+      .filter(col("v").isNotNull)
+      .withColumn("rn", row_number().over(byGrp.orderBy(col("v"), col("tb"))))
+      .withColumn("n", count(lit(1)).over(byGrp))
+    val med = ranked.groupBy("grp")
+      .agg(min(when(col("rn") === lowerMed, col("v"))).as("med"))
+    val dev = ranked.join(broadcast(med), "grp")
+      .withColumn("d", abs(col("v") - col("med")))
+    val mad = dev
+      .withColumn("rnd", row_number().over(byGrp.orderBy(col("d"), col("tb"))))
+      .groupBy("grp")
+      .agg(min(when(col("rnd") === lowerMed, col("d"))).as("mad"))
+    dev.join(broadcast(mad), "grp")
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        min(col("med")).as("median"),
+        min(col("mad")).as("mad"),
+        sum((col("d") > lit(k) * col("mad")).cast("long")).as("n_anomalies"))
+  }
 }

@@ -101,6 +101,20 @@ object CorpusQueries {
         .orderBy("grp")
     }),
 
+    "q123_mad_anomalies" -> ((s, dir) => {
+      // robust anomaly gate per event type: |v − median| > 3·MAD with
+      // both medians as exact rank-selected order statistics — no
+      // quantile interpolation, no 1.4826 fractional consistency
+      // constant (RobustStats.madAnomalies scaladoc)
+      graft.operators.RobustStats.madAnomalies(
+          t(s, dir, "events"),
+          col("event_type"), col("value"), col("event_id"), k = 3)
+        .select(col("grp").as("event_type"), col("n"),
+          round(col("median"), 6).as("median"),
+          round(col("mad"), 6).as("mad"), col("n_anomalies"))
+        .orderBy("event_type")
+    }),
+
     "q100_epoch_shuffle" -> ((s, dir) => {
       // reproducible training-order permutation: md5 shard + in-shard rank
       // (Sampling.epochShuffle scaladoc); salt picks the epoch
@@ -397,6 +411,29 @@ object CorpusQueries {
         |  CAST(sum(CASE WHEN r.v > th.p_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high
         |FROM r JOIN th ON r.grp = th.grp
         |GROUP BY r.grp ORDER BY r.grp""".stripMargin,
+
+    "q123_mad_anomalies" ->
+      """WITH base AS (SELECT event_type AS grp, value AS v, event_id AS tb
+        |  FROM events WHERE value IS NOT NULL),
+        |ranked AS (SELECT *,
+        |    row_number() OVER (PARTITION BY grp ORDER BY v, tb) AS rn,
+        |    count(*) OVER (PARTITION BY grp) AS n FROM base),
+        |med AS (SELECT grp,
+        |    min(CASE WHEN rn = (n + 1) // 2 THEN v END) AS med
+        |  FROM ranked GROUP BY 1),
+        |dev AS (SELECT r.grp, r.n, abs(r.v - m.med) AS d, m.med
+        |  FROM ranked r JOIN med m USING (grp)),
+        |rankedd AS (SELECT *,
+        |    row_number() OVER (PARTITION BY grp ORDER BY d) AS rnd FROM dev),
+        |mad AS (SELECT grp,
+        |    min(CASE WHEN rnd = (n + 1) // 2 THEN d END) AS mad
+        |  FROM rankedd GROUP BY 1)
+        |SELECT d.grp AS event_type, count(*) AS n,
+        |  round(min(d.med), 6) AS median, round(min(ma.mad), 6) AS mad,
+        |  CAST(sum(CASE WHEN d.d > 3 * ma.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_anomalies
+        |FROM dev d JOIN mad ma USING (grp)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q100_epoch_shuffle" ->
       """WITH h AS (SELECT doc_id,

@@ -123,6 +123,24 @@ class CorpusSpec extends SparkSpec {
     assert(r.getDouble(2) === 1.0 && r.getDouble(3) === 19.0) // kLo=1, kHi=19
   }
 
+  test("madAnomalies: hand-computed median/MAD per group; outlier flagged " +
+      "without moving either statistic (robust breakdown)") {
+    // group a: 1..9 plus one huge outlier. Lower median of 10 values =
+    // 5th-ranked = 5.0; deviations {0,1,1,2,2,3,3,4,4,9995} → lower
+    // median = 2.0; only the outlier has d > 3·MAD = 6. A mean/σ gate on
+    // the same data would put the threshold past every inlier AND pull
+    // the center to ~1004 — the masking this operator exists to avoid.
+    val df = ((1 to 9).map(i => ("a", i.toDouble, i.toLong)) :+
+      ("a", 10000.0, 10L) :+ ("b", 7.0, 11L))
+      .toDF("grp", "v", "k")
+    val out = RobustStats.madAnomalies(df, col("grp"), col("v"), col("k"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(out("a") === ((10L, 5.0, 2.0, 1L)))
+    // singleton group: median = the value, MAD = 0, nothing flagged
+    assert(out("b") === ((1L, 7.0, 0.0, 0L)))
+  }
+
   test("bm25: tf monotonicity and absent-term zero") {
     val docs = Seq(
       (1L, "spark spark spark filler filler"),
