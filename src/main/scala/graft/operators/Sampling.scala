@@ -124,4 +124,32 @@ object Sampling {
     pmod(GraftShim.column(graft.functions.Md5Prefix32(
       GraftShim.expr(concat(lit(s"$salt:"), key.cast("string"))))), lit(k.toLong))
       .cast("int")
+
+  /** Leakage-safe train/eval split: near-duplicate documents land in the
+    * SAME split — a per-doc hash split puts a doc's near-twin in train
+    * while the doc sits in eval, silently contaminating every metric
+    * computed on it. Docs linked by `edges` (any near-dup pipeline:
+    * minhash, simhash, embedding cosine) share a connected component;
+    * singletons are their own; the split decision hashes the COMPONENT
+    * id, so all members inherit one verdict. Output: (id, component,
+    * split ∈ {train, eval}).
+    *
+    * Partition-invariant and replayable like every Sampling decision —
+    * and stable under corpus growth ONLY as clusters don't merge (two
+    * clusters joined by a new bridging doc re-hash under the merged
+    * component's min-id; re-split after ingest, or run delta dedup and
+    * pin affected clusters). Scale: CC runs on the corpus-tiny edge
+    * list; labels join back by id (hash join, component dim is small). */
+  def leakageSafeSplit(docs: DataFrame, idCol: Column, edges: DataFrame,
+                       evalFraction: Double = 0.1,
+                       salt: String = "split"): DataFrame = {
+    require(evalFraction > 0 && evalFraction < 1, "need 0 < evalFraction < 1")
+    val labels = Dedup.connectedComponents(edges, maxIter = 20)
+    docs.select(idCol.as("id"))
+      .join(labels, Seq("id"), "left")
+      .withColumn("component", coalesce(col("component"), col("id")))
+      .withColumn("split",
+        when(hashUniform(col("component"), salt) < evalFraction, "eval")
+          .otherwise("train"))
+  }
 }

@@ -121,6 +121,22 @@ object DocQueries {
         .orderBy("component")
     }),
 
+    "q124_leakage_safe_split" -> ((s, dir) => {
+      // near-dup-cluster-aware train/eval split: the component id (not
+      // the doc id) is hashed, so a doc and its near-twin always share a
+      // split — the eval-contamination guard per-doc hashing lacks
+      // (Sampling.leakageSafeSplit scaladoc). Edges = q43's LSH pipeline;
+      // oracle reuses q75's materialized CC CTE + the md5-uniform split.
+      val docs = t(s, dir, "documents")
+      val edges = Dedup.minhashNearDups(docs, col("doc_id"), col("text"),
+          shingleSize = 5, numHashes = 16, bands = 8, threshold = 0.25)
+        .select("a_id", "b_id")
+      graft.operators.Sampling.leakageSafeSplit(docs, col("doc_id"), edges,
+          evalFraction = 0.1, salt = "split42")
+        .select(col("id").as("doc_id"), col("component"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     "q107_canonical_docs" -> ((s, dir) => {
       // dedup MATERIALIZATION: per near-dup cluster keep the canonical
       // doc (longest text, doc_id tiebreak) — the step that turns q75's
@@ -463,6 +479,16 @@ object DocQueries {
       s"""WITH $dupClustersCte
         |SELECT component, count(*) AS cluster_size FROM l12
         |GROUP BY component ORDER BY component""".stripMargin,
+
+    "q124_leakage_safe_split" ->
+      s"""WITH $dupClustersCte,
+        |comp AS (SELECT d.doc_id, coalesce(l.component, d.doc_id) AS component
+        |  FROM documents d LEFT JOIN l12 l ON l.id = d.doc_id)
+        |SELECT doc_id, component,
+        |  CASE WHEN CAST(('0x' || substring(md5('split42:' || component), 1, 8))
+        |      AS UBIGINT) % 1000000 / 1000000.0 < 0.1
+        |    THEN 'eval' ELSE 'train' END AS split
+        |FROM comp ORDER BY doc_id""".stripMargin,
 
     "q107_canonical_docs" ->
       s"""WITH $dupClustersCte

@@ -282,4 +282,30 @@ class PipelineOpsSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq
     assert(brute.filter(ivf.contains) === ivf)
   }
+
+  test("leakageSafeSplit: no near-dup edge ever spans train and eval; " +
+      "singletons split by their own id") {
+    // components {1,2,3} (chain) and {10,11}; 20..29 singletons
+    val docs = ((1L to 3L) ++ Seq(10L, 11L) ++ (20L to 29L)).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val out = Sampling.leakageSafeSplit(docs, col("doc_id"), edges,
+        evalFraction = 0.4, salt = "s1")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    // cluster members share component AND split — the leakage guard
+    assert(Set(1L, 2L, 3L).map(out(_)).size === 1)
+    assert(Set(10L, 11L).map(out(_)).size === 1)
+    assert(out(1L)._1 === 1L && out(10L)._1 === 10L) // min-id component
+    // singleton component = own id; decision = the plain hash split on it
+    val u = docs.filter(col("doc_id") >= 20L)
+      .select(col("doc_id"), Sampling.hashUniform(col("doc_id"), "s1").as("u"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (20L to 29L).foreach { i =>
+      assert(out(i)._1 === i)
+      assert((out(i)._2 == "eval") === (u(i) < 0.4))
+    }
+    val splits = out.values.map(_._2).toSet
+    assert(splits.subsetOf(Set("train", "eval")) && splits.size === 2,
+      s"0.4 eval fraction over 12 components should produce both splits: $out")
+  }
 }
