@@ -67,7 +67,10 @@ object Plans {
       "q115_incremental_dedup",// delta-vs-corpus tail (stage plan below)
       "q118_next_conversion",  // forward as-of: union + window, one shuffle
       "q120_notify_digest",    // TakeOrdered top-N + broadcast stats row
-      "q121_interval_overlap") // interval×interval: double bin-explode equi-join
+      "q121_interval_overlap", // interval×interval: double bin-explode equi-join
+      "q122_semantic_dedup",   // IVF-blocked cosine pairs, broadcast argmax
+      "q123_mad_anomalies",    // two rank windows, one group Exchange
+      "q124_leakage_safe_split")// CC labels tail + component-hash split
     println("# PLANS -- formatted physical plans of representative queries\n")
     println(s"Generated against `$sfDir` (plan shapes are SF-invariant).\n")
     picks.foreach { name =>
