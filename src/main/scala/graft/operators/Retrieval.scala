@@ -53,4 +53,39 @@ object Retrieval {
     }
     scored.select(col("id"), termScores.reduce(_ + _).as("bm25"))
   }
+
+  /**
+   * Corpus-statistics quality score: mean unigram log-probability per
+   * document — the LM-filtering primitive (docs of improbable tokens are
+   * OCR noise, lists, boilerplate; Gopher/CCNet-style pipelines cut on
+   * exactly this signal, usually from a small LM — a self-trained
+   * unigram model is its degenerate, shuffle-friendly form).
+   * score(doc) = (1/|doc|) Σ_tokens ln(ctf(t) / N_tokens); every token
+   * seen in the corpus has ctf ≥ 1, so no smoothing term is needed when
+   * scoring the corpus against itself.
+   *
+   * Returns (id, n_tokens, avg_logprob). Scale shape: corpus term
+   * frequencies via partial-agg groupBy (the q74/df discipline — map-side
+   * combine on hot terms, AQE-splittable join, never a count() window);
+   * the token→ctf join re-shuffles by term; the per-doc rollup sums the
+   * ln values AS DECIMAL(28,18) — double addition is order-dependent
+   * across partitions, and this sum feeds an exact cross-engine compare
+   * (the money-sum discipline, graft-wide); the decimal is emitted back
+   * as double for the division.
+   */
+  def unigramLogProb(docs: DataFrame, idCol: Column,
+                     textCol: Column): DataFrame = {
+    val toks = docs.select(idCol.as("id"),
+      explode(filter(split(lower(textCol), "\\s+"),
+        t => length(t) > 0)).as("term"))
+    val ctf = toks.groupBy("term").agg(count(lit(1)).as("ctf"))
+    val nTok = toks.agg(count(lit(1)).cast("double").as("n_tok"))
+    toks.join(ctf, "term").crossJoin(broadcast(nTok))
+      .select(col("id"),
+        log(col("ctf") / col("n_tok")).cast("decimal(28,18)").as("lp"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("lp")).cast("double") / count(lit(1)))
+          .as("avg_logprob"))
+  }
 }

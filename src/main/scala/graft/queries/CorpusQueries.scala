@@ -51,6 +51,17 @@ object CorpusQueries {
         .orderBy("rank")
     }),
 
+    "q125_unigram_logprob" -> ((s, dir) => {
+      // LM-quality filtering signal: mean unigram log-prob per doc from
+      // the corpus's own token statistics (Retrieval.unigramLogProb
+      // scaladoc — the ln sum rides DECIMAL(28,18) for order-invariance)
+      Retrieval.unigramLogProb(Tables.loadSpread(s, dir, "documents"),
+          col("doc_id"), col("text"))
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          round(col("avg_logprob"), 6).as("avg_logprob"))
+        .orderBy("doc_id")
+    }),
+
     "q95_gap_fill" -> ((s, dir) => {
       // daily calendar scaffold + forward fill per customer (bounded to 50
       // keys: the scaffold is Σ per-key span-days — the operator's cost
@@ -354,6 +365,19 @@ object CorpusQueries {
         |SELECT doc_id, round(score, 6) AS bm25,
         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
         |FROM s QUALIFY rank <= 20 ORDER BY rank""".stripMargin,
+
+    "q125_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS term
+        |  FROM documents),
+        |ctf AS (SELECT term, count(*) AS ctf FROM toks GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_tok FROM toks),
+        |lp AS (SELECT t.doc_id,
+        |    CAST(ln(ctf.ctf / n.n_tok) AS DECIMAL(28,18)) AS lp
+        |  FROM toks t JOIN ctf USING (term), n)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
+        |FROM lp GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "q95_gap_fill" ->
       """WITH o AS (SELECT * FROM orders WHERE o_custkey < 50),

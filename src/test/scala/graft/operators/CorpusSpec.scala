@@ -154,6 +154,18 @@ class CorpusSpec extends SparkSpec {
     assert(out(3L) === 0.0)                 // term absent → zero (tf factor kills it)
   }
 
+  test("unigramLogProb: hand-computed corpus statistics; common-token docs " +
+      "score higher than rare-token docs") {
+    // corpus tokens = {a:2, b:2, c:1}, N=5
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = Retrieval.unigramLogProb(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 === 3L && out(2L)._1 === 2L)
+    assert(math.abs(out(1L)._2 - math.log(0.4)) < 1e-9)
+    assert(math.abs(out(2L)._2 - (math.log(0.4) + math.log(0.2)) / 2) < 1e-9)
+    assert(out(1L)._2 > out(2L)._2) // all-common tokens → less surprising
+  }
+
   test("bm25: multi-term score is the fixed-order sum of single-term scores") {
     val docs = Seq((1L, "a b a c"), (2L, "b b c c"), (3L, "c a b a")).toDF("doc_id", "text")
     val multi = Retrieval.bm25(docs, col("doc_id"), col("text"), Seq("a", "b"))
