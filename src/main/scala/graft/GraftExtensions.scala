@@ -21,8 +21,13 @@ import graft.functions._
  * session build.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.injections.foreach(ext.injectFunction)
+    // plan-level rewrites: naive range-join predicates → binned equi-join
+    // (graft.plans.AutoBinRangeJoin scaladoc; disable with
+    // spark.graft.binRangeJoin.enabled=false)
+    ext.injectOptimizerRule(_ => graft.plans.AutoBinRangeJoin)
+  }
 }
 
 object GraftExtensions {
@@ -97,10 +102,19 @@ object GraftExtensions {
   }
 
   /** Register the same surface on an ALREADY-BUILT session (notebooks,
-    * shells, tests — anywhere the session predates the library). */
-  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    * shells, tests — anywhere the session predates the library):
+    * functions via the registry, the range-join rewrite via
+    * `experimental.extraOptimizations` (the live-session twin of
+    * `injectOptimizerRule`; same rule object, so conf flags behave
+    * identically). */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     injections.foreach { case (id, inf, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(id, inf, builder)
     }
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.AutoBinRangeJoin))
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.plans.AutoBinRangeJoin)
+  }
 }
