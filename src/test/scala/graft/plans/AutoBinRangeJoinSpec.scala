@@ -31,7 +31,8 @@ class AutoBinRangeJoinSpec extends SparkSpec {
     ("w1", ts("2024-01-01 01:00:00"), ts("2024-01-01 02:00:00")),
     ("w2", ts("2024-01-01 00:15:00"), ts("2024-01-01 02:30:00")),
     ("w3", ts("2024-01-01 02:00:00"), ts("2024-01-01 02:00:00")), // empty
-    ("w4", ts("2024-01-01 03:00:00"), ts("2024-01-01 01:00:00"))  // inverted
+    ("w4", ts("2024-01-01 03:00:00"), ts("2024-01-01 01:00:00")), // inverted
+    ("w5", ts("2024-01-01 00:00:00"), ts("2024-01-01 04:00:00"))  // covers all
   ).toDF("wid", "from_ts", "to_ts")
 
   private val rangeSql =
@@ -107,6 +108,86 @@ class AutoBinRangeJoinSpec extends SparkSpec {
         assert(off.contains("BroadcastNestedLoopJoin") ||
           off.contains("CartesianProduct"), "disabled rule must not rewrite")
       } finally spark.conf.unset("spark.graft.binRangeJoin.enabled")
+    }
+  }
+
+  test("strict-lower and inclusive-upper bound spellings are rewritten " +
+      "with correct boundary semantics") {
+    // ts > lo AND ts <= hi: a BETWEEN-ish shape. id=3 (== w1.from) now
+    // excluded, id=5 (== w1.to) now included.
+    val sql = """SELECT id, wid FROM abr_events e JOIN abr_windows w
+                |ON e.ts > w.from_ts AND e.ts <= w.to_ts""".stripMargin
+    val expected = rows(spark.sql(sql))
+    assert(!expected.contains((3L, "w1")) && expected.contains((5L, "w1")))
+    withRule {
+      val df = spark.sql(sql)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), s"strict/inclusive combo:\n$plan")
+      assert(rows(df) === expected)
+    }
+    // fully inclusive [lo, hi]: zero-length w3 [02:00, 02:00] matches
+    // id=5 exactly — the explosion must reach bin(hi) and the validity
+    // filter must be lo <= hi, or this row silently vanishes
+    val sqlIncl = """SELECT id, wid FROM abr_events e JOIN abr_windows w
+                    |ON e.ts >= w.from_ts AND e.ts <= w.to_ts""".stripMargin
+    val expectedIncl = rows(spark.sql(sqlIncl))
+    assert(expectedIncl.contains((5L, "w3")) &&
+      expectedIncl.contains((3L, "w1")) && expectedIncl.contains((5L, "w1")))
+    withRule {
+      val df = spark.sql(sqlIncl)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), s"inclusive combo:\n$plan")
+      assert(rows(df) === expectedIncl)
+    }
+  }
+
+  test("interval-overlap predicate is rewritten, row-identical, " +
+      "exactly-once") {
+    windows.select(col("wid").as("aid"), col("from_ts").as("a_from"),
+        col("to_ts").as("a_to"))
+      .createOrReplaceTempView("abr_a")
+    windows.select(col("wid").as("bid"), col("from_ts").as("b_from"),
+        col("to_ts").as("b_to"))
+      .createOrReplaceTempView("abr_b")
+    val sql = """SELECT aid, bid FROM abr_a JOIN abr_b
+                |ON a_from < b_to AND b_from < a_to""".stripMargin
+    val expected = spark.sql(sql).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    assert(expected.contains(("w1", "w2"))) // real overlap present
+    // the LITERAL predicate keeps degenerate intervals the set-overlap
+    // contract would drop: an empty [x, x) strictly inside the other
+    // side (w3-in-w2), and even an INVERTED interval whose swapped
+    // bounds both clear the other side's (w4-vs-w5: 03:00 < 04:00 and
+    // 00:00 < 01:00) — the rewrite must preserve both
+    assert(expected.contains(("w2", "w3")) && expected.contains(("w3", "w2")))
+    assert(expected.contains(("w4", "w5")) && expected.contains(("w5", "w4")))
+    withRule {
+      val df = spark.sql(sql)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), s"overlap shape:\n$plan")
+      assert(df.collect().map(r => (r.getString(0), r.getString(1)))
+        .toSeq.sorted === expected)
+    }
+  }
+
+  test("degenerate strict containment (lo < ts AND ts < hi) takes the " +
+      "POINT rewrite, not the overlap one") {
+    val sql = """SELECT id, wid FROM abr_events e JOIN abr_windows w
+                |ON w.from_ts < e.ts AND e.ts < w.to_ts""".stripMargin
+    val expected = rows(spark.sql(sql))
+    assert(expected.nonEmpty && !expected.contains((3L, "w1"))) // lo strict
+    withRule {
+      val df = spark.sql(sql)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"))
+      // one Generate (interval side), not two — the overlap matcher must
+      // not claim this shape (its from<to filter would empty the result)
+      assert(plan.split("Generate").length - 1 === 1, s"plan:\n$plan")
+      assert(rows(df) === expected)
     }
   }
 
