@@ -129,6 +129,36 @@ object Plans {
 
     dump("entry (flagship)", SparkEntry.entry(spark))
 
+    // ---- AutoBinRangeJoin optimizer rule: naive SQL, scale-safe plan ----
+    import spark.implicits._
+    val ev = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:30:00")))
+      .toDF("id", "ts")
+    val wins = Seq(("w1", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-01-01 02:00:00")))
+      .toDF("wid", "w_from", "w_to")
+    ev.createOrReplaceTempView("plans_events")
+    wins.createOrReplaceTempView("plans_windows")
+    val naiveSql = """SELECT id, wid FROM plans_events e JOIN plans_windows w
+                     |ON e.ts >= w.w_from AND e.ts < w.w_to""".stripMargin
+    val prevOpt = spark.experimental.extraOptimizations
+    dump("Naive SQL range join WITHOUT the rule (what Spark plans)",
+      spark.sql(naiveSql),
+      "`" + naiveSql.replace("\n", " ") + "` — no equi-key, so the " +
+        "planner falls back to BroadcastNestedLoopJoin (cartesian when " +
+        "neither side broadcasts): O(|L|*|R|) comparisons.")
+    spark.experimental.extraOptimizations =
+      prevOpt :+ graft.plans.AutoBinRangeJoin
+    try dump("Same SQL WITH plans.AutoBinRangeJoin (GraftExtensions)",
+      spark.sql(naiveSql),
+      "The rule (injected by `GraftExtensions`; here via " +
+        "`experimental.extraOptimizations`) rewrites the predicate into " +
+        "the binned equi-join: point side projects `_graft_bin`, " +
+        "interval side explodes its covered bins, and the bin-equality " +
+        "conjunct lets ExtractEquiJoinKeys plan a HASH join AQE can " +
+        "skew-split. Row-identical (AutoBinRangeJoinSpec); same rewrite " +
+        "for the interval-overlap predicate.")
+    finally spark.experimental.extraOptimizations = prevOpt
+
     // ---- DSv2 bulk-CSV connector (S1/S2 pushdown gate) ----
     val dir = java.nio.file.Files.createTempDirectory("bulkcsv")
     val f = new java.io.PrintWriter(new java.io.File(dir.toFile, "batch_0.csv"))
