@@ -382,6 +382,25 @@ object PipelineQueries {
         .orderBy("window_id")
     }),
 
+    "q126_sliding_window" -> ((s, dir) => {
+      // sliding event-time aggregate: 1h windows every 15min via the
+      // native window() generator — scan-local explode into len/slide=4
+      // windows per event, then one hash agg; the batch shape of the
+      // T4 streaming rollup at sub-window granularity. Money sums per
+      // the q71 discipline. Oracle replays Spark's window assignment
+      // arithmetic: starts floor(us/slide)*slide − i*slide, i ∈ [0,4) —
+      // all four satisfy ws ≤ ts < ws+len when slide divides length.
+      val ev = t(s, dir, "events")
+      ev.groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("total_value"))
+        .select(date_format(col("w.start"), TsFmt).as("window_start"),
+          col("n_events"), col("n_users"), col("total_value"))
+        .orderBy("window_start")
+    }),
+
     "q121_interval_overlap" -> ((s, dir) => {
       // general interval×interval overlap join: promo windows (2h after
       // each anchor purchase) × incident windows (3h after each anchor
@@ -779,6 +798,16 @@ object PipelineQueries {
         |FROM events e JOIN w
         |  ON e.ts >= w.w_from AND e.ts < w.w_to
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q126_sliding_window" ->
+      s"""WITH slid AS (SELECT user_id, value,
+        |    (epoch_us(ts) // 900000000) * 900000000 - i * 900000000 AS ws
+        |  FROM events, range(0, 4) t(i))
+        |SELECT strftime(make_timestamp(ws), '$TsFmtDuck') AS window_start,
+        |  count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM slid GROUP BY ws ORDER BY window_start""".stripMargin,
 
     "q121_interval_overlap" ->
       """WITH p AS (SELECT event_id AS window_id, ts AS p_from,
