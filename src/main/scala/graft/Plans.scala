@@ -58,6 +58,7 @@ object Plans {
       "q94_bm25",              // scan-local tfs + one broadcast stats row
       "q96_pack_sequences",    // per-shard prefix-sum window
       "q98_chunk_docs",        // scan-local row generation, no hash shuffle
+      "q102_psi_drift",        // exact PSI: shared edge broadcast, two scans
       "q103_funnel",           // chained stage windows, one user Exchange
       "q105_attribution",      // as-of channel join + money rollup
       "q107_canonical_docs",   // canonical pick tail over CC labels
@@ -70,7 +71,9 @@ object Plans {
       "q121_interval_overlap", // interval×interval: double bin-explode equi-join
       "q122_semantic_dedup",   // IVF-blocked cosine pairs, broadcast argmax
       "q123_mad_anomalies",    // two rank windows, one group Exchange
-      "q124_leakage_safe_split")// CC labels tail + component-hash split
+      "q124_leakage_safe_split",// CC labels tail + component-hash split
+      "q125_unigram_logprob",  // partial-agg ctf + term join + decimal ln sum
+      "q126_sliding_window")   // window() slide explode + one hash agg
     println("# PLANS -- formatted physical plans of representative queries\n")
     println(s"Generated against `$sfDir` (plan shapes are SF-invariant).\n")
     picks.foreach { name =>
