@@ -74,6 +74,21 @@ object Streams {
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Sliding event-time rollup — q126's batch aggregate on a stream:
+    * overlapping windows (`length`, every `slide`) per event, count +
+    * sum(value). window() explodes scan-locally into length/slide
+    * windows; the watermark bounds how many stay open (state ≈ windows
+    * per horizon × key cardinality — length/slide× the tumbling T4
+    * state, the price of the finer grain). Same expression is the batch
+    * q126 shape; `StreamsSpec` proves stream == batch. */
+  def slidingRollup(events: DataFrame, length: String = "1 hour",
+                    slide: String = "15 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), length, slide))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("window_start"), col("n"), col("total_value"))
+
   /** T2: run a streaming query as a scheduled micro-batch drain —
     * processes everything available, then stops (the Spark-native form of
     * the reference's cron rerun loop). */

@@ -34,6 +34,30 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("slidingRollup: streamed AvailableNow drain equals the batch " +
+      "sliding-window aggregate (q126 shape)") {
+    val dir = tmp("graft-sliding-events")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(s"$dir/events.parquet"))
+    val out = tmp("graft-sliding-out")
+    val writer = Streams.slidingRollup(Streams.readEvents(spark, dir))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+        ()
+      }
+    Streams.runAvailableNow(writer, tmp("graft-sliding-ckpt"))
+    val streamed = spark.read.parquet(out)
+    val batch = Streams.slidingRollup(
+      Tables.load(spark, "/root/testdata/sf0.001", "events"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+    // overlapping windows really overlap: 4 windows cover any one event
+    assert(batch.count() > Streams.dailyRollup(
+      Tables.load(spark, "/root/testdata/sf0.001", "events")).count())
+  }
+
   test("nearDupIngest: cross-batch bucket state matches new docs against " +
       "earlier ones; novel docs emit nothing") {
     val mem = MemoryStream[(Long, Timestamp, String)](spark)
