@@ -121,6 +121,32 @@ object DocQueries {
         .orderBy("component")
     }),
 
+    "q127_deduped_corpus" -> ((s, dir) => {
+      // the MATERIALIZATION q107 stops short of: the deduplicated corpus
+      // itself — every unclustered doc ('singleton', left-anti against
+      // the CC labels) plus the canonical per near-dup cluster
+      // ('canonical', q107's longest-text pick). This is the frame a
+      // training run actually reads after dedup; count = |corpus| −
+      // (clustered − clusters).
+      val docs = t(s, dir, "documents")
+      val edges = Dedup.minhashNearDups(docs, col("doc_id"), col("text"),
+          shingleSize = 5, numHashes = 16, bands = 8, threshold = 0.25)
+        .select("a_id", "b_id")
+      val labels = Dedup.connectedComponents(edges, maxIter = 20)
+      val canon = TopK.topKPerGroup(
+          labels.join(docs.select(col("doc_id").as("id"), col("n_chars")),
+            "id"),
+          Seq(col("component")),
+          Seq(col("n_chars").desc, col("id").asc), 1)
+        .select(col("id").as("doc_id"), lit("canonical").as("kept_reason"))
+      docs.select(col("doc_id"))
+        .join(labels.withColumnRenamed("id", "doc_id").select("doc_id"),
+          Seq("doc_id"), "left_anti")
+        .withColumn("kept_reason", lit("singleton"))
+        .unionByName(canon)
+        .orderBy("doc_id")
+    }),
+
     "q124_leakage_safe_split" -> ((s, dir) => {
       // near-dup-cluster-aware train/eval split: the component id (not
       // the doc id) is hashed, so a doc and its near-twin always share a
@@ -479,6 +505,18 @@ object DocQueries {
       s"""WITH $dupClustersCte
         |SELECT component, count(*) AS cluster_size FROM l12
         |GROUP BY component ORDER BY component""".stripMargin,
+
+    "q127_deduped_corpus" ->
+      s"""WITH $dupClustersCte,
+        |canon AS (SELECT d.doc_id FROM l12 l JOIN documents d ON d.doc_id = l.id
+        |  QUALIFY row_number() OVER (PARTITION BY l.component
+        |    ORDER BY d.n_chars DESC, d.doc_id) = 1)
+        |SELECT d.doc_id, 'singleton' AS kept_reason
+        |FROM documents d LEFT JOIN l12 l ON l.id = d.doc_id
+        |WHERE l.id IS NULL
+        |UNION ALL
+        |SELECT doc_id, 'canonical' AS kept_reason FROM canon
+        |ORDER BY doc_id""".stripMargin,
 
     "q124_leakage_safe_split" ->
       s"""WITH $dupClustersCte,
