@@ -73,7 +73,8 @@ object Plans {
       "q123_mad_anomalies",    // two rank windows, one group Exchange
       "q124_leakage_safe_split",// CC labels tail + component-hash split
       "q125_unigram_logprob",  // partial-agg ctf + term join + decimal ln sum
-      "q126_sliding_window")   // window() slide explode + one hash agg
+      "q126_sliding_window",   // window() slide explode + one hash agg
+      "q127_deduped_corpus")   // left-anti vs CC labels + canonical union
     println("# PLANS -- formatted physical plans of representative queries\n")
     println(s"Generated against `$sfDir` (plan shapes are SF-invariant).\n")
     picks.foreach { name =>
