@@ -83,10 +83,27 @@ object Bench {
     // 3.7s cold vs sub-second hot purely from run-order luck. The second
     // run measures the plan, not the JIT lottery; regressions in the
     // reported min are real. Both raw times go to stderr.
+    // Off-ledger storage hygiene + ledger: how many RDDs a run left pinned
+    // (localCheckpoint finals, lazily-consumed intermediates) and how much
+    // block-manager storage was in use, then release everything so the
+    // next run starts storage-clean. Per-query isolation-honesty: without
+    // this, pinned blocks from checkpoint-heavy queries leak memory
+    // pressure into whichever queries run next (the r6 q67-q75 cluster).
+    def clearPinned(): (Int, Long) = {
+      val sc = spark.sparkContext
+      val rdds = sc.getPersistentRDDs
+      val usedBytes = sc.getExecutorMemoryStatus.values
+        .map { case (maxMem, remaining) => maxMem - remaining }.sum
+      rdds.values.foreach(_.unpersist(blocking = true))
+      (rdds.size, usedBytes)
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .map { case (name, fn) =>
-      def once(): (Double, Boolean) = {
+      // each run reports (sec, ok, rdds-left-pinned, storage-bytes-in-use)
+      // — the last two sampled AFTER timing stops, then cleared off-ledger
+      // so runs of the same query stay independent too
+      def once(): (Double, Boolean, Int, Long) = {
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -94,20 +111,30 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             false
           }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val (pinned, storage) = clearPinned()
+        (sec, ok, pinned, storage)
       }
-      val (s1, ok1) = once()
-      val (s2, ok2) = if (ok1) once() else (s1, ok1)
+      val r1 = once()
+      val r2 = if (r1._2) once() else r1
       // adaptive third run: two agreeing runs (within 1.3x) are a settled
       // measurement; disagreement means one of them caught a JIT/GC/IO
       // hiccup, so spend one more run only there — bounds the extra wall
       // time to the noisy few instead of a blanket best-of-3
-      val (s3, ok3) =
-        if (ok1 && ok2 && math.max(s1, s2) / math.min(s1, s2) > 1.3) once()
-        else (math.max(s1, s2), true)
-      val ok = ok1 && ok2 && ok3
-      val sec = math.min(math.min(s1, s2), s3)
-      System.err.println(f"[bench] $name $sec%.2fs (runs: $s1%.2f, $s2%.2f, $s3%.2f)"
+      val third: Option[(Double, Boolean, Int, Long)] =
+        if (r1._2 && r2._2 && math.max(r1._1, r2._1) / math.min(r1._1, r2._1) > 1.3)
+          Some(once())
+        else None
+      val ok = r1._2 && r2._2 && third.forall(_._2)
+      val executed =
+        (if (r1._2) Seq(r1._1, r2._1) else Seq(r1._1)) ++ third.map(_._1)
+      val sec = executed.min
+      // log ONLY runs that actually executed (a synthesized third value
+      // would misrepresent the run count); pinned/storage = what run 1
+      // left behind before the off-ledger clear — the leak ledger
+      System.err.println(f"[bench] $name $sec%.2fs (runs: " +
+        executed.map(s => f"$s%.2f").mkString(", ") +
+        f") pinned=${r1._3} storageMB=${r1._4 / 1e6}%.1f"
         + (if (ok) "" else " FAILED"))
       (name, sec, ok)
     }

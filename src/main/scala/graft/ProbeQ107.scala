@@ -7,8 +7,9 @@ import graft.operators.{Dedup, TopK}
 import graft.sources.Tables
 
 /** Dev-only cost bisection for q107 (LSH edges → CC → canonical pick):
-  * runs q75 and q107 twice each in ONE hot JVM (mirroring the bench's
-  * best-of-2), then times the canonical-pick tail alone on materialized
+  * runs q107 five times in ONE hot JVM (enough repeats to see its
+  * steady-state past the JIT tail), q75 and q43 once each as hot
+  * references, then times the canonical-pick tail alone on materialized
   * labels — isolating where q107's hot-time gap over q75 lives. */
 object ProbeQ107 {
   def main(args: Array[String]): Unit = {

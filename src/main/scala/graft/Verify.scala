@@ -27,6 +27,11 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // release anything the query pinned (localCheckpoint finals,
+        // lazily-consumed intermediates) — 123 queries in one session
+        // would otherwise accumulate blocks for the run's whole lifetime
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

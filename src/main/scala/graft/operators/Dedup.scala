@@ -437,11 +437,18 @@ object Dedup {
     val fp = simhashByDoc(docs, idCol, tokensCol, bits,
         extra = Seq("block" -> blockCol))
       .localCheckpoint(true)
-    fp.as("x").join(fp.as("y"),
+    // materialize the (corpus-tiny) pair result, then release the
+    // fingerprint checkpoint — returning the lazy join would pin fp for
+    // the rest of the session (the checkpoint-hygiene rule every operator
+    // in this file follows)
+    val out = fp.as("x").join(fp.as("y"),
         col("x.block") === col("y.block") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
         hammingDist(col("x.fp"), col("y.fp"), bits).as("hamming"))
       .filter(col("hamming") <= maxDist)
+      .localCheckpoint(true)
+    free(fp)
+    out
   }
 
   // ---------------- n-gram Jaccard ----------------
@@ -654,10 +661,18 @@ object Dedup {
       .filter(col("ca") =!= col("cb"))
       .select(col("ca"), col("cb")).distinct()
 
+  /** Free the blocks behind an eager localCheckpoint intermediate — see
+    * [[GraftShim.freeLocalCheckpoint]]. Every checkpoint in the CC family
+    * is released the moment its successor is materialized; without this a
+    * long-lived session accumulates one pinned RDD per intermediate per
+    * dedup run (memory pressure for whatever runs next — observed as a
+    * contiguous bench regression cluster downstream of the CC queries). */
+  private def free(df: DataFrame): Unit = GraftShim.freeLocalCheckpoint(df)
+
   private def connectedComponentsImpl(edges: DataFrame, maxIter: Int,
                                       driverEdgeCap: Long): DataFrame = {
-    if (driverEdgeCap <= 0) return connectedComponentsLoop(edges, maxIter)
     val e0 = edges.select(col("a_id"), col("b_id")).localCheckpoint()
+    if (driverEdgeCap <= 0) return connectedComponentsLoop(e0, maxIter)
     // sym is NOT checkpointed: it is two trivial projections of the
     // already-checkpointed e0, so its two consumers (labels0, residual)
     // re-derive it for free — a checkpoint here would pay a full extra
@@ -665,8 +680,15 @@ object Dedup {
     val sym = ccSym(e0)
     val labels0 = ccSeed(sym).localCheckpoint()
     val residual = ccResidual(sym, labels0).localCheckpoint()
-    if (residual.count() > driverEdgeCap)
-      return connectedComponentsLoop(edges, maxIter)
+    // labels0 and residual are materialized — nothing references the raw
+    // edge checkpoint anymore (except a fallback loop, which re-reads it
+    // before any free happens there)
+    if (residual.count() > driverEdgeCap) {
+      val out = connectedComponentsLoop(e0, maxIter)
+      free(labels0); free(residual)
+      return out
+    }
+    free(e0)
     // driver union-find with min-id representatives over label pairs
     val parent = scala.collection.mutable.HashMap.empty[Any, Any]
     val ord: Ordering[Any] =
@@ -688,7 +710,7 @@ object Dedup {
       }
     }
     val mapping = parent.keys.map(k => (k, find(k))).filter(p => p._1 != p._2).toSeq
-    if (mapping.isEmpty) return labels0
+    if (mapping.isEmpty) { free(residual); return labels0 }
     val spark = edges.sparkSession
     val compType = labels0.schema("component").dataType
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -697,21 +719,27 @@ object Dedup {
     val mapDf = spark.createDataFrame(
       spark.sparkContext.parallelize(
         mapping.map(p => org.apache.spark.sql.Row(p._1, p._2)), 1), schema)
-    labels0.join(broadcast(mapDf), Seq("component"), "left")
+    // materialize the final (id, component) frame — tiny — so labels0
+    // and residual can be released now instead of riding the session
+    val out = labels0.join(broadcast(mapDf), Seq("component"), "left")
       .select(col("id"), coalesce(col("_root"), col("component")).as("component"))
+      .localCheckpoint(true)
+    free(labels0); free(residual)
+    out
   }
 
-  private def connectedComponentsLoop(edges: DataFrame, maxIter: Int): DataFrame = {
-    // materialize the (possibly expensive) edge pipeline ONCE before the
-    // self-union: union branches are independent subtrees in the physical
-    // plan, so symmetrizing the raw frame would execute the upstream
-    // (e.g. a full LSH near-dup pass) twice
-    val e0 = edges.select(col("a_id"), col("b_id")).localCheckpoint()
+  /** The pointer-jumping fallback. `e0` must already be the materialized
+    * (localCheckpointed) (a_id, b_id) edge frame — the caller pays that
+    * once so a fallback never re-runs the upstream (e.g. full-LSH)
+    * pipeline; this loop frees it as soon as `sym` supersedes it. */
+  private def connectedComponentsLoop(e0: DataFrame, maxIter: Int): DataFrame = {
     val sym = ccSym(e0).localCheckpoint()
+    free(e0) // sym is materialized; the raw edge frame is done
     // seeded init: same single groupBy a distinct() init would cost, one
     // propagation round ahead
-    var labels = ccSeed(sym).localCheckpoint()
-    val idType = edges.schema("a_id").dataType
+    var ckpt = ccSeed(sym).localCheckpoint()
+    var labels = ckpt
+    val idType = e0.schema("a_id").dataType
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -736,9 +764,12 @@ object Dedup {
           max("_old").as("_old"))
         .localCheckpoint()
       changed = next.filter(col("component") < col("_old")).count()
+      free(ckpt) // superseded round — next is materialized
+      ckpt = next
       labels = next.select(col("id"), col("component"))
       iter += 1
     }
+    free(sym)
     labels
   }
 }

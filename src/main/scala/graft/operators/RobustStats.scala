@@ -59,6 +59,9 @@ object RobustStats {
       .zipWithIndex()
       .filter { case (_, i) => targets.contains(i + 1) } // rank is 1-based
       .map(_._1).collect().sorted
+    // the k-1 doubles are on the driver — release the checkpoint blocks
+    // now instead of pinning them for the session's lifetime
+    org.apache.spark.sql.graftshim.GraftShim.freeLocalCheckpoint(vals)
     val spark = df.sparkSession
     import spark.implicits._
     Seq(Tuple1(edges.toSeq)).toDF("e")
