@@ -92,10 +92,36 @@ object OpsQueries {
         .withColumn("is_valid", col("error_count") === 0)
       Contracts.qualitySummary(
         history.select("is_valid", "row_count", "error_count"))
+    }),
+
+    "q129_bulk_csv_scan" -> ((s, dir) => {
+      // S2 through the driver's correctness gate (the last §2 row that
+      // was spec-only): snapshot nation in the bulk-CSV batch-file
+      // layout, read it back through the DSv2 connector with a typed
+      // schema, and push filter + projection into the reader
+      // (PushedFilters/ReadSchema in the plan dump). The oracle reads
+      // the SAME rows from the parquet table, so the check proves the
+      // connector's parse/pushdown path reproduces the table exactly.
+      // Snapshot columns are quote-free by construction (the stub
+      // grammar splits on commas; nation names/keys contain none).
+      val snap = "/tmp/graft_bulkcsv_q129"
+      t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+        .coalesce(1).write.mode("overwrite").option("header", "true")
+        .csv(snap)
+      s.read.format(graft.sources.BulkCsvSource.format)
+        .schema("n_nationkey LONG, n_name STRING, n_regionkey LONG")
+        .load(snap)
+        .filter(col("n_regionkey") < 3)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q129_bulk_csv_scan" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_regionkey < 3 ORDER BY n_nationkey""".stripMargin,
+
     "q111_stamped_extract" ->
       """SELECT c_custkey, c_mktsegment, 'org_a' AS _org_id,
         |  'Org Alpha' AS _org_name,

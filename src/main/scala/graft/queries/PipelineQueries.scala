@@ -382,6 +382,31 @@ object PipelineQueries {
         .orderBy("window_id")
     }),
 
+    "q128_sql_range_join" -> ((s, dir) => {
+      // q89's semantics written the way a SQL user actually writes it:
+      // the NAIVE theta join `e.ts >= w_from AND e.ts < w_to`, no
+      // library operator. plans.AutoBinRangeJoin (active in any session
+      // with the graft extensions — GraftExtensions.registerAll is
+      // idempotent) rewrites it to the binned equi-join at optimization
+      // time, so the declared-query gate guards the RULE end-to-end,
+      // not just its spec. Money discipline as q89.
+      graft.GraftExtensions.registerAll(s)
+      val ev = t(s, dir, "events")
+      ev.select("event_id", "ts", "user_id", "value")
+        .createOrReplaceTempView("q128_events")
+      ev.filter(col("event_type") === "purchase" && col("event_id") % 50 === 0)
+        .select(col("event_id").as("window_id"), col("ts").as("w_from"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("w_to"))
+        .createOrReplaceTempView("q128_windows")
+      s.sql("""SELECT w.window_id, count(*) AS n_events,
+              |  count(DISTINCT e.user_id) AS n_users,
+              |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
+              |    AS total_value
+              |FROM q128_events e JOIN q128_windows w
+              |  ON e.ts >= w.w_from AND e.ts < w.w_to
+              |GROUP BY w.window_id ORDER BY w.window_id""".stripMargin)
+    }),
+
     "q126_sliding_window" -> ((s, dir) => {
       // sliding event-time aggregate: 1h windows every 15min via the
       // native window() generator — scan-local explode into len/slide=4
@@ -789,6 +814,19 @@ object PipelineQueries {
         |GROUP BY 1 ORDER BY n_events DESC, user_id LIMIT 20""".stripMargin,
 
     "q89_range_join_windows" ->
+      """WITH w AS (SELECT event_id AS window_id, ts AS w_from,
+        |    ts + INTERVAL 2 HOUR AS w_to FROM events
+        |  WHERE event_type = 'purchase' AND event_id % 50 = 0)
+        |SELECT w.window_id, count(*) AS n_events,
+        |  count(DISTINCT e.user_id) AS n_users,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events e JOIN w
+        |  ON e.ts >= w.w_from AND e.ts < w.w_to
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same oracle text as q89 — the two queries must agree with the
+    // oracle AND (transitively) each other: operator path == rule path
+    "q128_sql_range_join" ->
       """WITH w AS (SELECT event_id AS window_id, ts AS w_from,
         |    ts + INTERVAL 2 HOUR AS w_to FROM events
         |  WHERE event_type = 'purchase' AND event_id % 50 = 0)

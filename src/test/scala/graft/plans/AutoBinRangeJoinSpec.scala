@@ -9,10 +9,13 @@ import graft.SparkSpec
 /** The optimizer rule must (1) kill the nested-loop plan for the naive
   * SQL range join, (2) stay row-identical to it — boundaries, empty and
   * inverted intervals, duplicate matches included — and (3) stand down
-  * for shapes Spark already plans well (existing equi-conjunct) or when
-  * disabled by conf. Driven via `experimental.extraOptimizations` (the
-  * already-built-session path; `GraftExtensions` injects the same rule
-  * object at session build). */
+  * for shapes Spark already plans well (existing equi-conjunct), when
+  * disabled by conf, or when a conf value is malformed. The rewritten
+  * plan carries a residual nested-loop branch for over-cap intervals;
+  * with none present it is runtime-empty and AQE collapses it, so plan
+  * assertions read the FINAL adaptive plan (after an action). Driven via
+  * `experimental.extraOptimizations` (the already-built-session path;
+  * `GraftExtensions` injects the same rule object at session build). */
 class AutoBinRangeJoinSpec extends SparkSpec {
   import spark.implicits._
 
@@ -48,6 +51,18 @@ class AutoBinRangeJoinSpec extends SparkSpec {
   private def rows(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
 
+  /** FINAL plan section only, AFTER an action: AQE has replaced
+    * runtime-empty stages (the residual branch, when no interval exceeds
+    * the cap). `toString` on an adaptive plan appends an "== Initial
+    * Plan ==" section that legitimately still shows the pre-AQE residual
+    * nested loop — sliced off here. */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val i = s.indexOf("== Initial Plan ==")
+    if (i >= 0) s.substring(0, i) else s
+  }
+
   override def beforeAll(): Unit = {
     super.beforeAll()
     events.createOrReplaceTempView("abr_events")
@@ -62,12 +77,12 @@ class AutoBinRangeJoinSpec extends SparkSpec {
     val expected = rows(spark.sql(rangeSql))
     withRule {
       val df = spark.sql(rangeSql)
-      val plan = df.queryExecution.executedPlan.toString
+      assert(rows(df) === expected)
+      val plan = finalPlan(df)
       assert(!plan.contains("BroadcastNestedLoopJoin") &&
         !plan.contains("CartesianProduct"),
-        s"rule must remove the nested loop:\n$plan")
+        s"rule must remove the nested loop (final adaptive plan):\n$plan")
       assert(plan.contains("Generate"), s"bin explosion missing:\n$plan")
-      assert(rows(df) === expected)
       // boundary semantics survive the rewrite: from inclusive, to exclusive
       assert(expected.contains((3L, "w1")) && !expected.contains((5L, "w1")))
       assert(expected.forall { case (_, w) => w != "w3" && w != "w4" })
@@ -80,14 +95,15 @@ class AutoBinRangeJoinSpec extends SparkSpec {
     val expected = rows(spark.sql(sql))
     withRule {
       val df = spark.sql(sql)
-      val plan = df.queryExecution.executedPlan.toString
+      assert(rows(df) === expected)
+      val plan = finalPlan(df)
       assert(!plan.contains("BroadcastNestedLoopJoin") &&
         !plan.contains("CartesianProduct"))
-      assert(rows(df) === expected)
     }
   }
 
-  test("stands down when an equi-conjunct already exists, and when disabled") {
+  test("stands down when an equi-conjunct already exists, when disabled, " +
+      "and when a conf value is malformed") {
     // equi key present: Spark plans a hash join on its own; a bin
     // explosion would only add cost
     val eq = events.withColumn("k", col("id") % 2)
@@ -108,6 +124,20 @@ class AutoBinRangeJoinSpec extends SparkSpec {
         assert(off.contains("BroadcastNestedLoopJoin") ||
           off.contains("CartesianProduct"), "disabled rule must not rewrite")
       } finally spark.conf.unset("spark.graft.binRangeJoin.enabled")
+      // malformed conf: the rule stands down instead of failing the query
+      for ((key, bad) <- Seq(
+          "spark.graft.binRangeJoin.binSeconds" -> "not-a-number",
+          "spark.graft.binRangeJoin.binSeconds" -> "-60",
+          "spark.graft.binRangeJoin.maxBinsPerRow" -> "oops",
+          "spark.graft.binRangeJoin.maxBinsPerRow" -> "0")) {
+        spark.conf.set(key, bad)
+        try {
+          val df2 = spark.sql(rangeSql)
+          assert(rows(df2) === rows(spark.sql(rangeSql)))
+          assert(!df2.queryExecution.executedPlan.toString.contains("Generate"),
+            s"$key=$bad must stand the rule down")
+        } finally spark.conf.unset(key)
+      }
     }
   }
 
@@ -121,10 +151,10 @@ class AutoBinRangeJoinSpec extends SparkSpec {
     assert(!expected.contains((3L, "w1")) && expected.contains((5L, "w1")))
     withRule {
       val df = spark.sql(sql)
-      val plan = df.queryExecution.executedPlan.toString
+      assert(rows(df) === expected)
+      val plan = finalPlan(df)
       assert(!plan.contains("BroadcastNestedLoopJoin") &&
         !plan.contains("CartesianProduct"), s"strict/inclusive combo:\n$plan")
-      assert(rows(df) === expected)
     }
     // fully inclusive [lo, hi]: zero-length w3 [02:00, 02:00] matches
     // id=5 exactly — the explosion must reach bin(hi) and the validity
@@ -136,41 +166,61 @@ class AutoBinRangeJoinSpec extends SparkSpec {
       expectedIncl.contains((3L, "w1")) && expectedIncl.contains((5L, "w1")))
     withRule {
       val df = spark.sql(sqlIncl)
-      val plan = df.queryExecution.executedPlan.toString
+      assert(rows(df) === expectedIncl)
+      val plan = finalPlan(df)
       assert(!plan.contains("BroadcastNestedLoopJoin") &&
         !plan.contains("CartesianProduct"), s"inclusive combo:\n$plan")
-      assert(rows(df) === expectedIncl)
     }
   }
 
   test("interval-overlap predicate is rewritten, row-identical, " +
-      "exactly-once") {
+      "exactly-once — all four strictness combinations") {
     windows.select(col("wid").as("aid"), col("from_ts").as("a_from"),
         col("to_ts").as("a_to"))
       .createOrReplaceTempView("abr_a")
     windows.select(col("wid").as("bid"), col("from_ts").as("b_from"),
         col("to_ts").as("b_to"))
       .createOrReplaceTempView("abr_b")
-    val sql = """SELECT aid, bid FROM abr_a JOIN abr_b
-                |ON a_from < b_to AND b_from < a_to""".stripMargin
-    val expected = spark.sql(sql).collect()
+    // strict-strict first: the LITERAL predicate keeps degenerate
+    // intervals the set-overlap contract would drop — an empty [x, x)
+    // strictly inside the other side (w3-in-w2), and even an INVERTED
+    // interval whose swapped bounds both clear the other side's
+    // (w4-vs-w5: 03:00 < 04:00 and 00:00 < 01:00)
+    val strictSql = """SELECT aid, bid FROM abr_a JOIN abr_b
+                      |ON a_from < b_to AND b_from < a_to""".stripMargin
+    val strictRows = spark.sql(strictSql).collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
-    assert(expected.contains(("w1", "w2"))) // real overlap present
-    // the LITERAL predicate keeps degenerate intervals the set-overlap
-    // contract would drop: an empty [x, x) strictly inside the other
-    // side (w3-in-w2), and even an INVERTED interval whose swapped
-    // bounds both clear the other side's (w4-vs-w5: 03:00 < 04:00 and
-    // 00:00 < 01:00) — the rewrite must preserve both
-    assert(expected.contains(("w2", "w3")) && expected.contains(("w3", "w2")))
-    assert(expected.contains(("w4", "w5")) && expected.contains(("w5", "w4")))
-    withRule {
-      val df = spark.sql(sql)
-      val plan = df.queryExecution.executedPlan.toString
-      assert(!plan.contains("BroadcastNestedLoopJoin") &&
-        !plan.contains("CartesianProduct"), s"overlap shape:\n$plan")
-      assert(df.collect().map(r => (r.getString(0), r.getString(1)))
-        .toSeq.sorted === expected)
+    assert(strictRows.contains(("w1", "w2"))) // real overlap present
+    assert(strictRows.contains(("w2", "w3")) && strictRows.contains(("w3", "w2")))
+    assert(strictRows.contains(("w4", "w5")) && strictRows.contains(("w5", "w4")))
+    // all four strictness spellings: <=/< per conjunct independently.
+    // Closed intervals add boundary-touch pairs (w1.to == w3.from, so
+    // w1-w3 appears exactly when the conjunct bounding each side is
+    // inclusive) — row parity with the naive join proves each side's
+    // last-bin arithmetic honors ITS conjunct's strictness.
+    for ((op1, op2) <- Seq(("<", "<"), ("<", "<="), ("<=", "<"), ("<=", "<="))) {
+      val sql = s"""SELECT aid, bid FROM abr_a JOIN abr_b
+                   |ON a_from $op1 b_to AND b_from $op2 a_to""".stripMargin
+      val expected = spark.sql(sql).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+      withRule {
+        val df = spark.sql(sql)
+        assert(df.collect().map(r => (r.getString(0), r.getString(1)))
+          .toSeq.sorted === expected, s"combo ($op1, $op2)")
+        val plan = finalPlan(df)
+        assert(!plan.contains("BroadcastNestedLoopJoin") &&
+          !plan.contains("CartesianProduct"),
+          s"overlap shape ($op1, $op2):\n$plan")
+      }
     }
+    // the closed spelling picks up the touching pair the half-open one
+    // excludes (w1.to == w3.from == 02:00)
+    val closed = """SELECT aid, bid FROM abr_a JOIN abr_b
+                   |ON a_from <= b_to AND b_from <= a_to""".stripMargin
+    val closedRows = spark.sql(closed).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    assert(closedRows.contains(("w1", "w3")) && closedRows.contains(("w3", "w1")))
+    assert(!strictRows.contains(("w1", "w3")))
   }
 
   test("degenerate strict containment (lo < ts AND ts < hi) takes the " +
@@ -181,13 +231,45 @@ class AutoBinRangeJoinSpec extends SparkSpec {
     assert(expected.nonEmpty && !expected.contains((3L, "w1"))) // lo strict
     withRule {
       val df = spark.sql(sql)
-      val plan = df.queryExecution.executedPlan.toString
+      assert(rows(df) === expected)
+      val plan = finalPlan(df)
       assert(!plan.contains("BroadcastNestedLoopJoin") &&
         !plan.contains("CartesianProduct"))
       // one Generate (interval side), not two — the overlap matcher must
       // not claim this shape (its from<to filter would empty the result)
       assert(plan.split("Generate").length - 1 === 1, s"plan:\n$plan")
-      assert(rows(df) === expected)
+    }
+  }
+
+  test("explosion cap: over-cap intervals take the residual branch, " +
+      "rows stay identical, open-ended bounds don't explode") {
+    // cap=2 forces w2 (3 bins) and w5 (4 bins) through the residual
+    // nested loop while w1 (1 bin) stays binned — parity across the split
+    val expected = rows(spark.sql(rangeSql))
+    withRule {
+      spark.conf.set("spark.graft.binRangeJoin.maxBinsPerRow", "2")
+      try {
+        val df = spark.sql(rangeSql)
+        assert(rows(df) === expected, "residual split must not change rows")
+        val plan = finalPlan(df)
+        assert(plan.contains("Generate"), s"binned branch missing:\n$plan")
+        assert(plan.contains("BroadcastNestedLoopJoin") ||
+          plan.contains("CartesianProduct"),
+          s"populated residual branch must appear in the final plan:\n$plan")
+      } finally spark.conf.unset("spark.graft.binRangeJoin.maxBinsPerRow")
+      // the OOM case the cap exists for: an SCD2-style open-ended upper
+      // bound (year 9999 ≈ 70M hourly bins) must NOT be exploded — at
+      // the default cap it rides the residual and the query completes
+      val wOpen = windows.union(Seq(
+        ("w6", ts("2024-01-01 00:00:00"), ts("9999-12-31 00:00:00"))).toDF())
+      wOpen.createOrReplaceTempView("abr_windows_open")
+      val sqlOpen = """SELECT id, wid FROM abr_events e JOIN abr_windows_open w
+                      |ON e.ts >= w.from_ts AND e.ts < w.to_ts""".stripMargin
+      val expOpen = rows(spark.sql(sqlOpen))
+      assert(expOpen.count(_._2 == "w6") === events.count())
+      val df = spark.sql(sqlOpen)
+      assert(rows(df) === expOpen)
+      assert(finalPlan(df).contains("Generate"))
     }
   }
 
