@@ -74,7 +74,10 @@ object Plans {
       "q124_leakage_safe_split",// CC labels tail + component-hash split
       "q125_unigram_logprob",  // partial-agg ctf + term join + decimal ln sum
       "q126_sliding_window",   // window() slide explode + one hash agg
-      "q127_deduped_corpus")   // left-anti vs CC labels + canonical union
+      "q127_deduped_corpus",   // left-anti vs CC labels + canonical union
+      "q128_sql_range_join",   // AutoBinRangeJoin: naive SQL -> equi-join
+      "q129_bulk_csv_scan",    // DSv2 connector: PushedFilters/ReadSchema
+      "q130_artifact_corpus")  // q127 tail over STORED labels parquet
     println("# PLANS -- formatted physical plans of representative queries\n")
     println(s"Generated against `$sfDir` (plan shapes are SF-invariant).\n")
     picks.foreach { name =>

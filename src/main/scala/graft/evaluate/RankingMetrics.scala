@@ -18,12 +18,16 @@ import org.apache.spark.sql.functions._
  *  - R@k = Σ top-k labels / total_relevant, 0.0 when none relevant (:95-98);
  *  - coverage = share of ALL candidates with score > 0.5 (:251).
  *
- * Scale notes (100 TB): the global rank window is a single total ordering —
- * fine for evaluation sets (≤ millions of candidate pairs after top-k
- * pruning) but deliberately NOT for full-corpus ranking; rank within
- * partition groups instead (`groupCols`) which shuffles once on the group
- * key and ranks within partitions. Top-k DCG terms come from the same
- * window, so the whole metric set is 1 shuffle + 1 final 1-row aggregate.
+ * Scale notes (100 TB): [[evaluate]]'s global rank window is a single
+ * total ordering — the faithful mirror of the reference harness
+ * (evaluate.py sorts the whole candidate list), fine for evaluation sets
+ * (≤ millions of candidate pairs after top-k pruning) but deliberately
+ * NOT for full-corpus ranking. RECORDED DECISION (r7): q56 stays on
+ * [[evaluate]] because the reference's consumers only ever rank eval
+ * sets (pipeline.py:320-321 feeds ranked top-N); [[evaluateAtScale]] is
+ * the window-free variant for when the candidate list itself is huge —
+ * numerically equal metrics from one bounded TakeOrdered + one
+ * distributed aggregate (RankingMetricsSpec proves parity).
  */
 object RankingMetrics {
 
@@ -61,6 +65,69 @@ object RankingMetrics {
       count(lit(1)).as("total_recommendations"),
       sum(col("rel")).cast("long").as("relevant_items"))
     ranked.agg(metricCols.head, metricCols.tail: _*)
+  }
+
+  /**
+   * [[evaluate]] without any window — the 100 TB shape. Three facts make
+   * the global ordering unnecessary:
+   *  - the DCG/P@k/R@k numerators only touch positions ≤ max(ks), so a
+   *    bounded `TopK.globalTopK` (TakeOrderedAndProject: each partition
+   *    keeps max(ks) rows, the driver merges — no shuffle of the full
+   *    relation, no WindowExec) supplies every positional term;
+   *  - the full-set terms (count, total relevant, coverage) are one
+   *    plain distributed aggregate;
+   *  - labels are 0/1, so the ideal ordering is all-ones-first and
+   *    IDCG@k collapses to the closed form Σ_{i=1..min(k,R)}
+   *    1/log2(i+1), a function of the relevant-count R alone — no
+   *    second ordering at all.
+   * The only WindowExec left is `globalTopK`'s rank over the ≤ max(ks)
+   * limited rows — bounded work at any corpus size; the full relation is
+   * never range-sorted or single-partitioned. Metrics equal
+   * [[evaluate]]'s to fp-summation order (RankingMetricsSpec asserts
+   * 1e-12 agreement). As with [[evaluate]], supply `tieBreak` to make
+   * the score order total, or the boundary of the top-k set is
+   * nondeterministic.
+   */
+  def evaluateAtScale(df: DataFrame, score: Column, label: Column,
+                      tieBreak: Seq[Column] = Nil,
+                      ks: Seq[Int] = Seq(5, 10, 20)): DataFrame = {
+    val maxK = ks.max
+    val sel = df.select(Seq(score.as("_score"),
+      label.cast("double").as("rel"),
+      (score > 0.5).cast("double").as("covered")) ++
+      tieBreak.zipWithIndex.map { case (c, i) => c.as(s"_tb$i") }: _*)
+    val stats = sel.agg(count(lit(1)).as("_n"),
+      sum(col("rel")).as("_r"), avg(col("covered")).as("_cov"))
+    val order = col("_score").desc +:
+      tieBreak.indices.map(i => col(s"_tb$i").asc)
+    val top = graft.operators.TopK.globalTopK(sel, order, maxK,
+      rankCol = "pos")
+    val posSums: Seq[Column] = ks.flatMap { k =>
+      Seq(sum(when(col("pos") <= k, col("rel")).otherwise(lit(0.0)))
+          .as(s"_ts$k"),
+        sum(when(col("pos") <= k, col("rel") / log2(col("pos") + 1))
+          .otherwise(lit(0.0))).as(s"_dcg$k"))
+    }
+    val joined = top.agg(posSums.head, posSums.tail: _*)
+      .crossJoin(broadcast(stats))
+    val metricCols: Seq[Column] = ks.flatMap { k =>
+      // IDCG closed form; sequence guard — R = 0 would make it descending
+      val idcg = when(col("_r") > 0,
+        aggregate(sequence(lit(1), least(lit(k), col("_r")).cast("int")),
+          lit(0.0), (acc, i) => acc + lit(1.0) / log2(i.cast("double") + 1)))
+        .otherwise(lit(0.0))
+      Seq(
+        when(col("_n") >= k, col(s"_ts$k") / k).otherwise(lit(0.0))
+          .as(s"precision_at_$k"),
+        when(col("_r") > 0, col(s"_ts$k") / col("_r")).otherwise(lit(0.0))
+          .as(s"recall_at_$k"),
+        when(idcg > 0, col(s"_dcg$k") / idcg).otherwise(lit(0.0))
+          .as(s"ndcg_at_$k"))
+    } ++ Seq(
+      col("_cov").as("coverage"),
+      col("_n").as("total_recommendations"),
+      col("_r").cast("long").as("relevant_items"))
+    joined.select(metricCols: _*)
   }
 
   /** Popularity baseline: sigmoid of the first feature

@@ -166,12 +166,72 @@ object Dedup {
     // per doc — far smaller than re-scanning.
     val docState = minhashDocState(docs, idCol, textCol, shingleSize, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (nearDupPairsFromState(docState, numHashes, bands, threshold,
+      maxBucketSize), docState)
+  }
+
+  /** The band → bucket-cap → candidate-pair → two-phase-verify pipeline
+    * over an already-materialized per-doc state frame (the output of
+    * [[minhashStateTable]]). The caller owns the state frame's lifecycle
+    * (persist/checkpoint) — it is consumed by the banding pass plus four
+    * verify joins. */
+  private[graft] def nearDupPairsFromState(docState: DataFrame,
+      numHashes: Int, bands: Int, threshold: Double,
+      maxBucketSize: Int): DataFrame = {
     val banded = cappedBands(docState, numHashes, bands, maxBucketSize)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id")).distinct()
-    (verifyPairs(cand, docState, numHashes, threshold), docState)
+    verifyPairs(cand, docState, numHashes, threshold)
+  }
+
+  /** The three materialize-once dedup artifacts, each already
+    * materialized (checkpointed) and parquet-writable. */
+  final case class NearDupArtifacts(signatures: DataFrame, edges: DataFrame,
+                                    labels: DataFrame)
+
+  /**
+   * Materialize-once near-dup artifacts: ONE pass over the corpus text
+   * produces the per-doc signature table, the verified near-dup edge
+   * list (a_id, b_id, jaccard), and the connected-component labels
+   * (id, component) — each checkpointed, parquet-writable, and derived
+   * from its predecessor WITHOUT re-reading the text.
+   *
+   * This is the production shape for a corpus that feeds many dedup
+   * consumers: the declared q43/q75/q107/q115/q122/q124/q127 family is
+   * deliberately per-query standalone (each re-runs the LSH pipeline so
+   * the driver can gate it in isolation), but a real 100 TB pipeline
+   * computes signatures/edges/labels ONCE per corpus build, writes all
+   * three, and fans out — canonical pick, census, leakage-safe split,
+   * and every nightly [[incrementalNearDupsFromState]] ingest read the
+   * stored frames (pay for the delta, not the corpus). q130 drives
+   * exactly that: labels written to parquet, read back, and consumed by
+   * the q127 corpus materialization.
+   */
+  def nearDupArtifacts(docs: DataFrame, idCol: Column, textCol: Column,
+                       shingleSize: Int = 5, numHashes: Int = 16,
+                       bands: Int = 4, threshold: Double = 0.5,
+                       maxBucketSize: Int = 100,
+                       maxIter: Int = 10): NearDupArtifacts =
+    nearDupArtifactsFromState(
+      minhashStateTable(docs, idCol, textCol, shingleSize, numHashes)
+        .localCheckpoint(true),
+      numHashes, bands, threshold, maxBucketSize, maxIter)
+
+  /** [[nearDupArtifacts]] with the signature table supplied (typically
+    * read back from parquet — the corpus text is never re-hashed).
+    * `signatures` must already be materialized (checkpointed or a stored
+    * table); it is returned unchanged as the first artifact. */
+  def nearDupArtifactsFromState(signatures: DataFrame, numHashes: Int = 16,
+                                bands: Int = 4, threshold: Double = 0.5,
+                                maxBucketSize: Int = 100,
+                                maxIter: Int = 10): NearDupArtifacts = {
+    val edges = nearDupPairsFromState(signatures, numHashes, bands,
+      threshold, maxBucketSize).localCheckpoint(true)
+    val labels = connectedComponents(edges.select(col("a_id"), col("b_id")),
+      maxIter)
+    NearDupArtifacts(signatures, edges, labels)
   }
 
   /** Per-doc minhash state (id [+ extras], hs, sz, sig): ONE scan-local

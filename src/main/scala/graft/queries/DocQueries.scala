@@ -147,6 +147,38 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    "q130_artifact_corpus" -> ((s, dir) => {
+      // the materialize-once production shape (Dedup.nearDupArtifacts
+      // scaladoc): ONE LSH+CC pass yields signatures/edges/labels, all
+      // three written to parquet; the deduped corpus is then built from
+      // the STORED labels table read back from disk — same rows as q127,
+      // which derives them inline. A real pipeline runs the artifact
+      // build once per corpus version and every consumer (this corpus
+      // materialization, the census, the leakage-safe split, nightly
+      // incremental ingests) reads the stored frames.
+      val docs = t(s, dir, "documents")
+      val arts = Dedup.nearDupArtifacts(docs, col("doc_id"), col("text"),
+        shingleSize = 5, numHashes = 16, bands = 8, threshold = 0.25,
+        maxBucketSize = 100, maxIter = 20)
+      val out = "/tmp/graft_artifacts_q130"
+      arts.signatures.write.mode("overwrite").parquet(s"$out/signatures")
+      arts.edges.write.mode("overwrite").parquet(s"$out/edges")
+      arts.labels.write.mode("overwrite").parquet(s"$out/labels")
+      val labels = s.read.parquet(s"$out/labels")
+      val canon = TopK.topKPerGroup(
+          labels.join(docs.select(col("doc_id").as("id"), col("n_chars")),
+            "id"),
+          Seq(col("component")),
+          Seq(col("n_chars").desc, col("id").asc), 1)
+        .select(col("id").as("doc_id"), lit("canonical").as("kept_reason"))
+      docs.select(col("doc_id"))
+        .join(labels.withColumnRenamed("id", "doc_id").select("doc_id"),
+          Seq("doc_id"), "left_anti")
+        .withColumn("kept_reason", lit("singleton"))
+        .unionByName(canon)
+        .orderBy("doc_id")
+    }),
+
     "q124_leakage_safe_split" -> ((s, dir) => {
       // near-dup-cluster-aware train/eval split: the component id (not
       // the doc id) is hashed, so a doc and its near-twin always share a
@@ -250,6 +282,16 @@ object DocQueries {
       // oracle exactly as q72 (argmax cosine, lowest-cid tiebreak); the
       // maxListSize cap is non-binding at every test SF (lists ≈ 100)
       // so the capped result equals the oracle's uncapped SQL.
+      // Float stability: both gate decisions (centroid argmax, 0.30
+      // threshold) compare UNROUNDED double cosines computed by
+      // different arithmetic per engine — safe because the testdata
+      // keeps a wide margin from every knife edge (ProbeQ122, measured
+      // this round: min top-2 argmax gap 6.3e-6 / min |cos-0.30|
+      // 7.4e-6 across sf0.001/0.01/0.1, vs ~1e-12 worst-case engine
+      // divergence for a 64-dim double dot). Rounding before the
+      // compare would only MOVE the knife edge (the rounding boundary
+      // becomes the new tie point), so the margin measurement is the
+      // sound guard; re-run the probe if the embeddings tables change.
       Dedup.ivfCosineNearDups(t(s, dir, "embeddings"), col("vec_id"),
           col("embedding"), modulus = 100, threshold = 0.30)
         .select(col("a_id"), col("b_id"), col("cid"),
@@ -507,6 +549,20 @@ object DocQueries {
         |GROUP BY component ORDER BY component""".stripMargin,
 
     "q127_deduped_corpus" ->
+      s"""WITH $dupClustersCte,
+        |canon AS (SELECT d.doc_id FROM l12 l JOIN documents d ON d.doc_id = l.id
+        |  QUALIFY row_number() OVER (PARTITION BY l.component
+        |    ORDER BY d.n_chars DESC, d.doc_id) = 1)
+        |SELECT d.doc_id, 'singleton' AS kept_reason
+        |FROM documents d LEFT JOIN l12 l ON l.id = d.doc_id
+        |WHERE l.id IS NULL
+        |UNION ALL
+        |SELECT doc_id, 'canonical' AS kept_reason FROM canon
+        |ORDER BY doc_id""".stripMargin,
+
+    // same oracle text as q127: the artifact path must reproduce the
+    // inline path row-for-row (stored labels ≡ recomputed labels)
+    "q130_artifact_corpus" ->
       s"""WITH $dupClustersCte,
         |canon AS (SELECT d.doc_id FROM l12 l JOIN documents d ON d.doc_id = l.id
         |  QUALIFY row_number() OVER (PARTITION BY l.component

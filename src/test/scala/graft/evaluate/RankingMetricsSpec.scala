@@ -47,6 +47,39 @@ class RankingMetricsSpec extends SparkSpec {
     assert(m.getAs[Double]("ndcg_at_5") == 0.0)
   }
 
+  test("evaluateAtScale (window-free) equals evaluate on every metric, " +
+      "including the n<k and empty-relevant edges, with no WindowExec") {
+    // parity on the standard fixture, the short-list edge (n < k → P@k
+    // = 0), and the no-relevant edge (recall/ndcg = 0)
+    for (frame <- Seq(df, df.limit(3), df.withColumn("label", lit(0)))) {
+      val a = RankingMetrics.evaluate(frame, col("score"), col("label"),
+        tieBreak = Seq(col("id")), ks = Seq(5, 10)).head
+      val b = RankingMetrics.evaluateAtScale(frame, col("score"),
+        col("label"), tieBreak = Seq(col("id")), ks = Seq(5, 10)).head
+      for (f <- a.schema.fieldNames) {
+        val (x, y) = (a.getAs[Any](f), b.getAs[Any](f))
+        (x, y) match {
+          case (xd: Double, yd: Double) =>
+            assert(math.abs(xd - yd) < 1e-12, s"$f: $xd vs $yd")
+          case _ => assert(x == y, s"$f: $x vs $y")
+        }
+      }
+    }
+    // scale shape, on a frame big enough that the limit survives
+    // (EliminateLimits drops it when maxRows ≤ k, hiding the TakeOrdered
+    // on tiny fixtures): bounded top-k selection, and the full relation
+    // is never range-sorted — the only window runs over the ≤ max(ks)
+    // limited rows
+    val big = spark.range(100).select(col("id").cast("int").as("id"),
+      (col("id") % 97 / 97.0).as("score"), (col("id") % 3 === 0).cast("int").as("label"))
+    val plan = RankingMetrics.evaluateAtScale(big, col("score"), col("label"),
+        tieBreak = Seq(col("id")), ks = Seq(5, 10))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"), s"bounded top-k missing:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"full relation must never be globally sorted:\n$plan")
+  }
+
   test("baselines: popularity sigmoid and similarity min-max") {
     val b = df.select(col("id"), (col("id") * 1.0).as("f0"),
       (col("id") * 2.0).as("f1"))

@@ -196,6 +196,46 @@ class DedupSpec extends SparkSpec {
       p => p._1 == 10L && p._3 == 21L).get._4)))
   }
 
+  test("nearDupArtifacts: signatures/edges/labels match the standalone " +
+      "operators; the stored-signature path reproduces them from parquet") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq((1L, base), (2L, base + " x"), (3L, base + " x y"),
+      (5L, "completely different corpus content nothing alike here"),
+      (7L, "another standalone document with its own unshared words"))
+      .toDF("doc_id", "text")
+    val arts = Dedup.nearDupArtifacts(docs, col("doc_id"), col("text"),
+      shingleSize = 5, numHashes = 16, bands = 8, threshold = 0.3)
+    // edges ≡ the one-shot operator
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val oneShot = pairs(Dedup.minhashNearDups(docs, col("doc_id"),
+      col("text"), shingleSize = 5, numHashes = 16, bands = 8,
+      threshold = 0.3))
+    assert(pairs(arts.edges) === oneShot)
+    assert(oneShot.exists(p => p._1 == 1L && p._2 == 2L), "fixture has dups")
+    // labels ≡ CC over the one-shot edges; signatures ≡ the state table
+    def labelRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labelRows(arts.labels) === labelRows(Dedup.connectedComponents(
+      Dedup.minhashNearDups(docs, col("doc_id"), col("text"),
+        shingleSize = 5, numHashes = 16, bands = 8, threshold = 0.3)
+        .select("a_id", "b_id"))))
+    assert(arts.signatures.select("id", "sz").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet ===
+      Dedup.minhashStateTable(docs, col("doc_id"), col("text"),
+        shingleSize = 5, numHashes = 16).select("id", "sz").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet)
+    // the production fan-out: signatures parquet-roundtripped, edges and
+    // labels rebuilt from the STORED table without touching text
+    val dir = java.nio.file.Files.createTempDirectory("artifacts").toString
+    arts.signatures.write.mode("overwrite").parquet(dir)
+    val rebuilt = Dedup.nearDupArtifactsFromState(
+      spark.read.parquet(dir), numHashes = 16, bands = 8, threshold = 0.3)
+    assert(pairs(rebuilt.edges) === oneShot)
+    assert(labelRows(rebuilt.labels) === labelRows(arts.labels))
+  }
+
   test("ngram jaccard maxDf: non-binding cap is exact; binding cap drops " +
       "hot-gram-only pairs") {
     // "x y z" is a boilerplate trigram shared by ALL docs (df=4); docs 1/2
