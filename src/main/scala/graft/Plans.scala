@@ -78,10 +78,28 @@ object Plans {
       "q128_sql_range_join",   // AutoBinRangeJoin: naive SQL -> equi-join
       "q129_bulk_csv_scan",    // DSv2 connector: PushedFilters/ReadSchema
       "q130_artifact_corpus")  // q127 tail over STORED labels parquet
+    // per-query reader notes where the right plan is easy to misread
+    val notes = Map(
+      "q128_sql_range_join" -> ("The user wrote the naive theta join " +
+        "(ts >= w_from AND ts < w_to) in SQL; AutoBinRangeJoin rewrote " +
+        "it at optimization time. The Union is the cap-guarded rewrite: " +
+        "the BroadcastHashJoin branch carries every interval spanning " +
+        "<= maxBinsPerRow bins (all of them here -- 2h windows, 1h " +
+        "bins), the BroadcastNestedLoopJoin branch is the RESIDUAL for " +
+        "over-cap intervals only (build side filtered to " +
+        "bin-count > cap, empty at runtime; AQE collapses an empty " +
+        "build). Without the rule the WHOLE join is that BNLJ."),
+      "q130_artifact_corpus" -> ("Consumes the STORED labels artifact " +
+        "(parquet scan of /tmp/graft_artifacts_q130/labels) -- the " +
+        "LSH+CC work that produced it ran once in the artifact build " +
+        "(see the stage-plan sections below); the corpus " +
+        "materialization itself is one window + one left-anti join " +
+        "over the labels table."))
     println("# PLANS -- formatted physical plans of representative queries\n")
     println(s"Generated against `$sfDir` (plan shapes are SF-invariant).\n")
     picks.foreach { name =>
-      dump(name, SparkEntry.queries(name)(spark, sfDir))
+      dump(name, SparkEntry.queries(name)(spark, sfDir),
+        notes.getOrElse(name, ""))
     }
 
     // ---- stage plans the checkpoints hide ----

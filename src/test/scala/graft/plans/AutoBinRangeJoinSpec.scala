@@ -280,4 +280,58 @@ class AutoBinRangeJoinSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
     withRule { assert(rows(spark.sql(rangeSql)) === expected) }
   }
+
+  test("seeded fuzz: random events x windows (null bounds, zero-length, " +
+      "inverted, sub-bin and multi-bin durations) stay row-identical to " +
+      "the naive join under every spelling, uncapped and capped") {
+    // the hand-built fixtures pin each edge case once; this sweeps the
+    // cross product of them at random, INCLUDING null timestamps and
+    // null bounds (claimed handled in the rule scaladoc — a null bin
+    // must never equi-match, and the residual filters must drop null
+    // counts — but not otherwise driven by a spec row)
+    val rnd = new scala.util.Random(42)
+    val base = ts("2024-03-01 00:00:00").getTime
+    def rts(): Timestamp = // 10-day span, second granularity + odd millis
+      new Timestamp(base + rnd.nextInt(240 * 3600) * 1000L + rnd.nextInt(1000))
+    val evs = (1L to 300L)
+      .map(i => (i, if (rnd.nextInt(20) == 0) None else Some(rts())))
+      .toDF("id", "ts")
+    val wins = (1 to 60).map { i =>
+      val from = rts()
+      val durSec = rnd.nextInt(5) match {
+        case 0 => 0                            // zero-length
+        case 1 => -rnd.nextInt(48 * 3600)      // inverted
+        case _ => rnd.nextInt(96 * 3600)       // up to ~96 hourly bins
+      }
+      val to = new Timestamp(from.getTime + durSec * 1000L)
+      (s"w$i", if (rnd.nextInt(25) == 0) None else Some(from),
+        if (rnd.nextInt(25) == 0) None else Some(to))
+    }.toDF("wid", "from_ts", "to_ts")
+    evs.createOrReplaceTempView("abrf_events")
+    wins.createOrReplaceTempView("abrf_windows")
+    wins.select(col("wid").as("aid"), col("from_ts").as("a_from"),
+      col("to_ts").as("a_to")).createOrReplaceTempView("abrf_a")
+    wins.select(col("wid").as("bid"), col("from_ts").as("b_from"),
+      col("to_ts").as("b_to")).createOrReplaceTempView("abrf_b")
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    def parity(sql: String, tag: String): Unit = {
+      val expected = rowsOf(spark.sql(sql)) // rule off: the naive plan
+      assert(expected.nonEmpty, s"$tag: degenerate fixture, nothing joined")
+      withRule {
+        assert(rowsOf(spark.sql(sql)) === expected, tag)
+        spark.conf.set("spark.graft.binRangeJoin.maxBinsPerRow", "3")
+        try assert(rowsOf(spark.sql(sql)) === expected, s"$tag capped")
+        finally spark.conf.unset("spark.graft.binRangeJoin.maxBinsPerRow")
+      }
+    }
+    for ((lo, hi) <- Seq((">=", "<"), (">", "<="), (">=", "<="), (">", "<")))
+      parity(s"""SELECT id, wid FROM abrf_events e JOIN abrf_windows w
+                |ON e.ts $lo w.from_ts AND e.ts $hi w.to_ts""".stripMargin,
+        s"point ($lo, $hi)")
+    for ((o1, o2) <- Seq(("<", "<"), ("<", "<="), ("<=", "<"), ("<=", "<=")))
+      parity(s"""SELECT aid, bid FROM abrf_a JOIN abrf_b
+                |ON a_from $o1 b_to AND b_from $o2 a_to""".stripMargin,
+        s"overlap ($o1, $o2)")
+  }
 }
