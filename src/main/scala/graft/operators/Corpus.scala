@@ -160,4 +160,66 @@ object Corpus {
       .select(col("id"), col("chunk_id"),
         col("_t").substr(col("chunk_id") * step + 1, lit(size)).as("chunk"))
   }
+
+  /**
+   * C4-style repeated-span excision (the C4 rule: "we discard all but
+   * one of any three-sentence span occurring more than once in the
+   * data set" — Raffel et al. 2020 §2.2; span = fixed `spanWords`-word
+   * tile here because the corpus is unpunctuated word streams). Unlike
+   * the minhash/ngram families, which FLAG whole near-dup documents,
+   * this REWRITES document content: every complete tile that already
+   * appeared earlier in the corpus (first occurrence = lowest
+   * (doc id, tile index)) is excised, and the doc is rebuilt from its
+   * surviving tiles plus the always-kept partial tail.
+   *
+   * Returns (id, n_tiles, n_kept, n_dropped, rebuilt_md5) — the md5 of
+   * the rebuilt text stands in for the text itself so downstream
+   * row-compare gates stay small; callers wanting the rewritten corpus
+   * take `rebuilt` before the final select (see `rebuiltCol`).
+   *
+   * Plan shape (100 TB): tiling is scan-local (one split + slice
+   * generation per doc). Global first-wins REQUIRES one corpus-wide
+   * Exchange keyed on tile content — that shuffle is the algorithm's
+   * floor, and it carries (id, idx, tile) exactly once; a pre-agg
+   * would combine almost nothing (most tiles are unique — the q101
+   * bigram-mode lesson). One window over the md5 key decides winners,
+   * then one per-doc Exchange rebuilds. Two shuffles total, both key
+   * changes. The md5 group key also makes the decision portable: the
+   * DuckDB oracle replays it bit-for-bit.
+   */
+  def spanDedup(docs: DataFrame, idCol: Column, textCol: Column,
+                spanWords: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = lit(spanWords)
+    val base = docs
+      .select(idCol.as("id"), split(textCol, " ").as("ws"))
+      .select(col("id"), col("ws"), size(col("ws")).cast("long").as("n_words"))
+      .withColumn("n_tiles", (col("n_words") / spanWords).cast("long"))
+      // the trailing partial tile never enters the dedup decision
+      .withColumn("tail_txt", concat_ws(" ",
+        slice(col("ws"), (col("n_tiles") * spanWords + 1).cast("int"),
+          (col("n_words") - col("n_tiles") * spanWords).cast("int"))))
+    val tiles = base
+      .filter(col("n_tiles") > 0)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), (col("n_tiles") - 1).cast("int")),
+        i => concat_ws(" ", slice(col("ws"), i * w + 1, w)))))
+      .toDF("id", "idx", "tile")
+    val kept = tiles
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("tile"))).orderBy(col("id"), col("idx"))))
+      .filter(col("rn") === 1)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("tile")))),
+          s => s("tile")), " ").as("body"))
+    base
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_tiles"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tiles") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        md5(trim(concat_ws(" ",
+          coalesce(col("body"), lit("")), col("tail_txt")))).as("rebuilt_md5"))
+  }
 }

@@ -26,6 +26,22 @@ object CorpusQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "q131_span_dedup" -> ((s, dir) => {
+      // C4-style repeated-span excision over 10-word tiles: every
+      // complete tile seen earlier in the corpus (lowest doc_id, then
+      // tile index) is excised; docs are rebuilt from surviving tiles +
+      // the always-kept partial tail. rebuilt_md5 stands in for the
+      // rewritten text. The near-dup mass in the synthetic corpus makes
+      // this bite: near-twins lose their shared tiles to the earliest
+      // copy. Oracle replays the tiling, the md5 group key, and the
+      // first-wins window verbatim.
+      Corpus.spanDedup(t(s, dir, "documents"), col("doc_id"), col("text"),
+          spanWords = 10)
+        .select(col("id").as("doc_id"), col("n_tiles"), col("n_kept"),
+          col("n_dropped"), col("rebuilt_md5"))
+        .orderBy("doc_id")
+    }),
+
     "q93_decontaminate" -> ((s, dir) => {
       // benchmark decontamination: train docs (source != src0) sharing any
       // word 5-gram with the benchmark set (source = src0). 5-grams: chance
@@ -321,6 +337,32 @@ object CorpusQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    "q131_span_dedup" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(string_split(text, ' ')) // 10 AS n_tiles
+        |  FROM documents),
+        |tiles AS (SELECT doc_id, s['idx'] AS idx, s['tile'] AS tile
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, n_tiles + 1),
+        |      i -> {'idx': i - 1,
+        |            'tile': array_to_string(w[(i-1)*10+1 : (i-1)*10+10], ' ')})) AS s
+        |    FROM base WHERE n_tiles > 0)),
+        |flagged AS (SELECT doc_id, idx, tile,
+        |    row_number() OVER (PARTITION BY md5(tile)
+        |      ORDER BY doc_id, idx) AS rn
+        |  FROM tiles),
+        |kept AS (SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(tile, ' ' ORDER BY idx) AS body
+        |  FROM flagged WHERE rn = 1 GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(b.n_tiles AS BIGINT) AS n_tiles,
+        |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(b.n_tiles - COALESCE(k.n_kept, 0) AS BIGINT) AS n_dropped,
+        |  md5(trim(COALESCE(k.body, '') || ' ' ||
+        |    COALESCE(array_to_string(w[b.n_tiles*10+1 : b.n_words], ' '),
+        |      ''))) AS rebuilt_md5
+        |FROM base b LEFT JOIN kept k USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
 
     "q93_decontaminate" ->
       """WITH toks AS (SELECT doc_id, source,

@@ -35,6 +35,46 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.decontaminate(train, bench, col("doc_id"), col("text"), 5).count() === 0)
   }
 
+  // ---- spanDedup ----
+
+  test("spanDedup: repeated tile excised from the LATER doc only; partial " +
+      "tails always survive, even when identical; rebuilt text verified") {
+    // spanWords=3 for hand computation. doc 1: tiles [a b c][d e f], tail "t".
+    // doc 2 repeats [a b c] (dropped — doc 1 owns it), has its own [x y z],
+    // and the SAME tail "t" (kept — partials never dedup). doc 3 repeats
+    // [a b c] twice (both dropped: within-doc repeats lose to doc 1) and
+    // is tail-less and tile-less after excision. doc 4: shorter than one
+    // tile — everything is tail.
+    val docs = Seq(
+      (1L, "a b c d e f t"),
+      (2L, "a b c x y z t"),
+      (3L, "a b c a b c"),
+      (4L, "p q")
+    ).toDF("doc_id", "text")
+    val out = Corpus.spanDedup(docs, col("doc_id"), col("text"), spanWords = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))).toMap
+    def m(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    assert(out(1L) === ((2L, 2L, 0L, m("a b c d e f t"))))  // first owner keeps all
+    assert(out(2L) === ((2L, 1L, 1L, m("x y z t"))))        // shared tile gone, tail kept
+    assert(out(3L) === ((2L, 0L, 2L, m(""))))               // fully excised
+    assert(out(4L) === ((0L, 0L, 0L, m("p q"))))            // all tail
+  }
+
+  test("spanDedup: within-doc tile order is preserved in the rebuilt text") {
+    // doc 20 keeps tiles 0 and 2 (tile 1 stolen by doc 10) — the rebuild
+    // must splice [k1][k3] in index order, not collection order
+    val docs = Seq(
+      (10L, "s s s"),
+      (20L, "k one a s s s k two b k three c")
+    ).toDF("doc_id", "text")
+    val out = Corpus.spanDedup(docs, col("doc_id"), col("text"), spanWords = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    def m(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    assert(out(20L) === m("k one a k two b k three c"))
+  }
+
   // ---- packSequences ----
 
   test("packSequences: offsets chain (prior + n_tok of prev = offset of next), spans consistent") {
