@@ -30,6 +30,9 @@ case class RunningTotal(user_id: Long, ts: java.sql.Timestamp,
 /** Closed validity interval emitted by [[Streams.scd2Intervals]]. */
 case class NearDupCandidate(a_id: Long, b_id: Long, est: Double)
 
+/** First-occurrence tile kept by [[Streams.spanDedupIngest]]. */
+case class SpanKeep(doc_id: Long, idx: Int)
+
 case class StageCompletion(user_id: Long, stage: Int,
                            ts: java.sql.Timestamp)
 
@@ -198,6 +201,64 @@ object Streams {
             if (ordered.nonEmpty)
               state.setTimeoutTimestamp(ordered.map(_._3.getTime).max, idleTimeout)
             out.result().iterator
+          }
+      }
+  }
+
+  /**
+   * Streaming ingest span gate: the streaming twin of
+   * `Corpus.spanDedup`'s KEEP decision (C4 repeated-span rule). Each
+   * arriving doc's complete `spanWords`-word tiles are hashed
+   * scan-local; per-tile-hash state records that the span has been
+   * seen, so only the FIRST occurrence inside the watermark horizon
+   * emits a [[SpanKeep]] — later copies (cross-batch included) are
+   * suppressed at ingest. The per-doc rebuild (splicing kept tiles +
+   * the partial tail, which never enters the gate) is the downstream
+   * batch step, exactly as exact-Jaccard verify is for
+   * [[nearDupIngest]].
+   *
+   * Semantics and bounds:
+   *  - input watermarked on `ts`; columns (doc_id, ts, text);
+   *  - within a micro-batch, (event-time, doc_id, idx) ordering decides
+   *    the owner — on uniform timestamps this is the batch twin's
+   *    (doc_id, idx) first-wins, so per-doc kept counts match
+   *    `Corpus.spanDedup` (spec-pinned);
+   *  - state is ONE boolean per distinct tile hash seen within the
+   *    horizon, event-time evicted — tiles-per-horizon bounded, not
+   *    corpus bounded (the batch twin's corpus-wide Exchange becomes
+   *    the shuffle into `groupByKey(hash)`).
+   */
+  def spanDedupIngest(docs: DataFrame, spanWords: Int = 10,
+                      idleTimeout: String = "30 days")
+      : org.apache.spark.sql.Dataset[SpanKeep] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import docs.sparkSession.implicits._
+    val w = lit(spanWords)
+    val base = docs
+      .select(col("doc_id"), col("ts"), split(col("text"), " ").as("ws"))
+      .withColumn("n_tiles", (size(col("ws")) / spanWords).cast("int"))
+      .filter(col("n_tiles") > 0)
+    val tiles = base
+      .select(col("doc_id"), col("ts"), posexplode(transform(
+        sequence(lit(0), col("n_tiles") - 1),
+        i => md5(concat_ws(" ", slice(col("ws"), i * w + 1, w))))))
+      .toDF("doc_id", "ts", "idx", "h")
+      .as[(Long, java.sql.Timestamp, Int, String)]
+    tiles.groupByKey(_._4)
+      .flatMapGroupsWithState[Boolean, SpanKeep](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, rows, state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val ordered = rows.toVector.sortBy(r => (r._2.getTime, r._1, r._3))
+            val out =
+              if (state.exists) Iterator.empty
+              else Iterator.single(SpanKeep(ordered.head._1, ordered.head._3))
+            state.update(true)
+            state.setTimeoutTimestamp(ordered.map(_._2.getTime).max, idleTimeout)
+            out
           }
       }
   }

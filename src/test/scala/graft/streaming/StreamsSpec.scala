@@ -124,6 +124,63 @@ class StreamsSpec extends SparkSpec {
       s"est-gated stream candidates must cover batch-verified pairs: $missed")
   }
 
+  test("spanDedupIngest: first occurrence kept, later copies suppressed " +
+      "across batches; sub-tile docs emit nothing") {
+    val mem = MemoryStream[(Long, Timestamp, String)](spark)
+    val kept = Streams.spanDedupIngest(
+      mem.toDF.toDF("doc_id", "ts", "text").withWatermark("ts", "1 day"),
+      spanWords = 3)
+    val q = kept.writeStream.format("memory")
+      .queryName("span_out").outputMode("append")
+      .option("checkpointLocation", tmp("graft-span-ckpt"))
+      .start()
+    val t = (h: Int) => Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // batch 1: doc 1 owns [a b c][d e f]; doc 2 repeats [a b c], owns
+    // [x y z]; doc 3 is all tail (2 words)
+    mem.addData((1L, t(1), "a b c d e f"), (2L, t(2), "a b c x y z"),
+      (3L, t(3), "p q"))
+    q.processAllAvailable()
+    // batch 2: doc 4 repeats [a b c] AND [x y z] from STATE, owns [m n o]
+    mem.addData((4L, t(4), "a b c x y z m n o"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("span_out").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(rows === Set((1L, 0), (1L, 1), (2L, 1), (4L, 2)),
+      s"keep-set wrong: $rows")
+  }
+
+  test("spanDedupIngest: per-doc kept counts equal the batch twin's on " +
+      "real documents at uniform event time") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Timestamp.valueOf("2024-01-01 00:00:00"),
+        r.getString(1))).toSeq
+    val mem = MemoryStream[(Long, Timestamp, String)](spark)
+    val kept = Streams.spanDedupIngest(
+      mem.toDF.toDF("doc_id", "ts", "text").withWatermark("ts", "1 day"),
+      spanWords = 10)
+    val q = kept.writeStream.format("memory")
+      .queryName("span_docs_out").outputMode("append")
+      .option("checkpointLocation", tmp("graft-span-docs-ckpt"))
+      .start()
+    mem.addData(docs)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("span_docs_out").groupBy("doc_id")
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.operators.Corpus.spanDedup(
+        Tables.load(spark, "/root/testdata/sf0.001", "documents"),
+        col("doc_id"), col("text"), spanWords = 10)
+      .select("id", "n_kept").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch.values.sum > 0, "fixture must keep tiles")
+    batch.foreach { case (id, nKept) =>
+      assert(streamed.getOrElse(id, 0L) === nKept,
+        s"doc $id: stream kept ${streamed.getOrElse(id, 0L)}, batch $nKept")
+    }
+  }
+
   test("T1: watermark drops late rows that arrive after horizon passes") {
     val mem = MemoryStream[(Timestamp, String, Double)](spark)
     val rollup = Streams.dailyRollup(
