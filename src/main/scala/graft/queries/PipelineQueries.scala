@@ -126,6 +126,31 @@ object PipelineQueries {
         .orderBy("rank")
     }),
 
+    "q132_ivf_index_topk" -> ((s, dir) => {
+      // the materialize-once serving shape for ANN (SimilaritySearch
+      // .ivfIndex scaladoc): centroids + assignments built once, BOTH
+      // written to parquet, and the search runs against the STORED
+      // index read back from disk — same parameters and rows as q73,
+      // which builds the index inline per query. A production vector
+      // store builds the index per corpus version and serves every
+      // query from it.
+      val e = Tables.loadSpread(s, dir, "embeddings")
+      val idx = SimilaritySearch.ivfIndex(e, col("vec_id"),
+        col("embedding"), modulus = 200)
+      val out = "/tmp/graft_ivf_q132"
+      idx.centroids.write.mode("overwrite").parquet(s"$out/centroids")
+      idx.assignments.write.mode("overwrite").parquet(s"$out/assignments")
+      val stored = SimilaritySearch.IvfIndex(
+        s.read.parquet(s"$out/centroids"),
+        s.read.parquet(s"$out/assignments"))
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).map(_.toDouble)
+      SimilaritySearch.ivfTopKFromIndex(e, col("vec_id"), col("embedding"),
+          stored, q, nprobe = 2, k = 10)
+        .select(col("id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy("rank")
+    }),
+
     "q76_int8_topk" -> ((s, dir) => {
       // scalar int8 quantization + integer-dot top-k — the memory-bound
       // scale path (4× smaller vectors, exact integer arithmetic both
@@ -659,6 +684,31 @@ object PipelineQueries {
         |SELECT cid, count(*) AS n, round(min(cos), 6) AS min_cos,
         |  round(max(cos), 6) AS max_cos
         |FROM assigned GROUP BY cid ORDER BY cid""".stripMargin,
+
+    // same oracle text as q73: the stored-index path must reproduce the
+    // inline-build path row-for-row (stored centroids/assignments ≡
+    // recomputed)
+    "q132_ivf_index_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        |  FROM embeddings WHERE vec_id % 200 = 0),
+        |probed AS (SELECT cid FROM c, q
+        |  ORDER BY list_cosine_similarity(cv, qe) DESC, cid ASC LIMIT 2),
+        |scored AS (SELECT e.vec_id AS id, c.cid,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], c.cv) AS cos,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
+        |        c.cid ASC) AS rn
+        |  FROM embeddings e, c),
+        |members AS (SELECT id FROM scored WHERE rn = 1
+        |  AND cid IN (SELECT cid FROM probed))
+        |SELECT e.vec_id AS id,
+        |  round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6) AS cosine,
+        |  CAST(row_number() OVER (ORDER BY
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.qe) DESC,
+        |    e.vec_id ASC) AS INTEGER) AS rank
+        |FROM embeddings e JOIN members m ON e.vec_id = m.id, q
+        |QUALIFY rank <= 10 ORDER BY rank""".stripMargin,
 
     "q73_ivf_topk" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),

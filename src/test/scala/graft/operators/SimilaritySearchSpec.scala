@@ -42,6 +42,29 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(b1(4L) == b1(5L))
   }
 
+  test("ivfTopKFromIndex on a parquet-roundtripped index equals the " +
+      "inline-build ivfTopK") {
+    // modulus=2 → centroids from ids 2 and 4; probe both lists so every
+    // assigned vector is searchable and the comparison is total
+    val q = Seq(1.0, 0.0, 0.0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "cosine", "rank").collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9), r.getInt(2)))
+      .toSeq.sortBy(_._3)
+    val inline = rows(SimilaritySearch.ivfTopK(embs, col("vec_id"),
+      col("embedding"), q, modulus = 2, nprobe = 2, k = 5))
+    assert(inline.nonEmpty)
+    val idx = SimilaritySearch.ivfIndex(embs, col("vec_id"),
+      col("embedding"), modulus = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    idx.centroids.write.mode("overwrite").parquet(s"$dir/c")
+    idx.assignments.write.mode("overwrite").parquet(s"$dir/a")
+    val stored = SimilaritySearch.IvfIndex(
+      spark.read.parquet(s"$dir/c"), spark.read.parquet(s"$dir/a"))
+    assert(rows(SimilaritySearch.ivfTopKFromIndex(embs, col("vec_id"),
+      col("embedding"), stored, q, nprobe = 2, k = 5)) === inline)
+  }
+
   test("knnWithinBlock ranks neighbors per item within label") {
     val out = SimilaritySearch.knnWithinBlock(embs, col("vec_id"),
       col("embedding"), col("label"), 1).collect()
