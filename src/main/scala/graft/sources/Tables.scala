@@ -25,18 +25,33 @@ object Tables {
 
   /** Scan one table. `dir` is an sf directory like /root/testdata/sf0.01.
     *
-    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark has no
-    * native type for — read it as a nanos long (legacy conf) and floor-convert
-    * to microsecond TimestampType (`div 1000` stays in exact integer math;
-    * a double cast would lose precision above 2^53 ns). */
+    * `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some testdata
+    * generations (no native Spark type — read as a nanos long under the
+    * legacy conf and floor-convert in exact integer math) and as
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) in others (read as
+    * TIMESTAMP_NTZ). [[normalizeEventTs]] folds both to microsecond
+    * TimestampType so every downstream operator sees one event-time type. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     tune(spark)
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
+    }
+  }
+
+  /** Fold whichever physical `ts` the events parquet carries to
+    * microsecond TimestampType: nanos-as-long gets `div 1000` (integer
+    * math — a double cast loses precision above 2^53 ns), TIMESTAMP_NTZ
+    * gets a wall-clock-preserving cast (sessions here pin UTC), and
+    * TimestampType passes through. */
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
     }
   }
 

@@ -43,15 +43,19 @@ case class Scd2Interval(user_id: Long, state: String,
 object Streams {
 
   /** events table schema for the streaming file source (streams require an
-    * explicit schema; ts arrives as parquet TIMESTAMP(NANOS) which Spark
-    * reads as long under the nanosAsLong conf that Tables.load sets). */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos since epoch
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+    * explicit schema). `ts` has shipped as TIMESTAMP(NANOS)-as-long in some
+    * testdata generations and TIMESTAMP(MICROS, NTZ) in others;
+    * [[readEvents]] probes the directory's parquet footer (a batch
+    * metadata-only read) and swaps the ts field to the physical type it
+    * finds, then normalizes via [[graft.sources.Tables.normalizeEventTs]]. */
+  def eventsRawSchema(tsType: org.apache.spark.sql.types.DataType = LongType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
 
   /** T1 (stream form): file-source stream of events with an event-time
     * watermark. `dir` must contain only events parquet files. */
@@ -59,11 +63,11 @@ object Streams {
                  watermark: String = "1 day",
                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reader = spark.readStream.schema(eventsRawSchema)
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val reader = spark.readStream.schema(eventsRawSchema(tsType))
     val tuned = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
-    tuned.parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.sources.Tables.normalizeEventTs(tuned.parquet(dir))
       .withWatermark("ts", watermark)
   }
 
