@@ -47,7 +47,8 @@ object Plans {
       "q72_ivf_assign",        // IVF: broadcast NL join + argmax partial agg
       "q74_tfidf",             // partial-agg df + one broadcast stats row
       "q75_dup_clusters",      // CC census tail (stage plans: CC section below)
-      "q82_column_profile",    // per-column profile, shared Exchange
+      "q78_percentiles",       // rank-selected percentile_disc, no buffering agg
+      "q82_column_profile",    // two column-pruned scans, no Expand
       "q84_corpus_clean",      // curation funnel: one scan/window/agg
       "q85_pq_adc_topk",       // PQ: broadcast codebook encode + ADC lookup
       "q86_scd2_intervals",    // SCD2: two windows, one shared Exchange
@@ -70,7 +71,7 @@ object Plans {
       "q120_notify_digest",    // TakeOrdered top-N + broadcast stats row
       "q121_interval_overlap", // interval×interval: double bin-explode equi-join
       "q122_semantic_dedup",   // IVF-blocked cosine pairs, broadcast argmax
-      "q123_mad_anomalies",    // two rank windows, one group Exchange
+      "q123_mad_anomalies",    // rank frame checkpointed once (stage plan below)
       "q124_leakage_safe_split",// CC labels tail + component-hash split
       "q125_unigram_logprob",  // partial-agg ctf + term join + decimal ln sum
       "q126_sliding_window",   // window() slide explode + one hash agg
@@ -91,6 +92,13 @@ object Plans {
         "over-cap intervals only (build side filtered to " +
         "bin-count > cap, empty at runtime; AQE collapses an empty " +
         "build). Without the rule the WHOLE join is that BNLJ."),
+      "q123_mad_anomalies" -> ("The rank frame (ONE events scan + one " +
+        "group Exchange + rank window) is localCheckpointed and feeds " +
+        "all four consumers -- median agg, deviation join, MAD rank, " +
+        "final rollup -- so this plan shows RDD scans of the " +
+        "materialized frame where r7's plan re-executed the parquet " +
+        "scan + window per consumer (4 scans). The rank-frame stage " +
+        "plan is dumped in its own section below."),
       "q130_artifact_corpus" -> ("Consumes the STORED labels artifact " +
         "(parquet scan of /tmp/graft_artifacts_q130/labels) -- the " +
         "LSH+CC work that produced it ran once in the artifact build " +
@@ -153,6 +161,20 @@ object Plans {
         "the dump), the batch side hashes scan-locally; the band join " +
         "keys one side to batch-only rows, so bucket work is " +
         "proportional to the delta, never corpus-x-corpus.")
+
+    val events = graft.sources.Tables.load(spark, sfDir, "events")
+    dump("RobustStats rank frame (stage plan behind q123/q99)",
+      graft.operators.RobustStats.rankedByGroup(events,
+        col("event_type"), col("value"), col("event_id")),
+      "The frame madAnomalies/winsorizedRollup localCheckpoint and fan " +
+        "out to every consumer: ONE events scan (value/event_type/" +
+        "event_id pruned), one hash Exchange on the group key, rank + " +
+        "group-size windows. With `giantGroups = true` the same frame " +
+        "comes from a range-partitioned sort + zipWithIndex + " +
+        "group-start offsets instead (row-identical, " +
+        "RobustStatsGiantSpec) so a single group can span many " +
+        "partitions -- the 100 TB path when groups are few and huge " +
+        "(q123: 5 event types).")
 
     dump("entry (flagship)", SparkEntry.entry(spark))
 

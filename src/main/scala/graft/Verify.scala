@@ -22,9 +22,17 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          // q122's oracle gate compares UNROUNDED double cosines across
+          // engines — sound only at a measured distance from the knife
+          // edges. Guard it on every verify so a regenerated embeddings
+          // table near a flip point fails THIS query loudly instead of
+          // silently hash-mismatching (Q122Margin scaladoc).
+          if (name == "q122_semantic_dedup")
+            graft.queries.Q122Margin.assertSound(spark, sfDir)
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
         // release anything the query pinned (localCheckpoint finals,

@@ -19,10 +19,65 @@ import org.apache.spark.sql.expressions.Window
  * Scale shape: one hash Exchange on the group key feeds both windows
  * (rank + group size); the threshold table is one row per group —
  * broadcast back; the clipped rollup reuses the same grouping. Nothing
- * shuffles twice. Groups are the parallelism unit; a single giant group
- * degenerates to one partition's sort — winsorize within sensible strata.
+ * shuffles twice. In the default window path groups are the parallelism
+ * unit; pass `giantGroups = true` when a single group can exceed one
+ * executor's sort budget (e.g. 5 event types over a 100 TB fact table) —
+ * [[rankedByGroup]] then switches to a range-partitioned selection where
+ * a giant group spans many partitions, each sorting its value slice in
+ * parallel.
  */
 object RobustStats {
+
+  /** Per-group rank frame: (grp, v, tb) → + `rn` (1-based row_number
+    * ordered by (v, tb) within grp) and `n` (group size), nulls in `v`
+    * excluded. `tb` must make the order total within a group or `rn` is
+    * only value-deterministic (rank SELECTION of a value at a fixed rank
+    * is tie-invariant either way). Two physically different, row-identical
+    * paths (spec-gated):
+    *
+    * - window (default): one hash Exchange on grp, each group ranked in
+    *   ONE task — right when groups are plentiful relative to cores.
+    * - range (`giantGroups = true`): global range-partitioned sort on
+    *   (grp, v, tb) — the TeraSort shape, a giant group spans MANY
+    *   partitions sorting in parallel — then zipWithIndex (one
+    *   lightweight partition-size job against the checkpointed sort) and
+    *   per-group start offsets broadcast back: rn = gi − g0 + 1. No
+    *   single task ever holds a whole group. The checkpoint blocks are
+    *   freed by the harness per query (Bench/Verify clearPinned), the
+    *   repo-wide localCheckpoint convention.
+    */
+  def rankedByGroup(df: DataFrame, grp: Column, v: Column, tb: Column,
+                    giantGroups: Boolean = false): DataFrame = {
+    val slim = df.select(grp.as("grp"), v.as("v"), tb.as("tb"))
+      .filter(col("v").isNotNull)
+    if (!giantGroups) {
+      val byGrp = Window.partitionBy(col("grp"))
+      slim
+        .withColumn("rn",
+          row_number().over(byGrp.orderBy(col("v"), col("tb"))).cast("long"))
+        .withColumn("n", count(lit(1)).over(byGrp))
+    } else {
+      val spark = df.sparkSession
+      val sorted = slim
+        .repartitionByRange(col("grp"), col("v"), col("tb"))
+        .sortWithinPartitions("grp", "v", "tb")
+        .localCheckpoint()
+      val schema = org.apache.spark.sql.types.StructType(
+        sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "gi", org.apache.spark.sql.types.LongType, nullable = false))
+      val withIdx = spark.createDataFrame(
+        sorted.rdd.zipWithIndex().map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }, schema)
+      // one row per group — broadcastable by the operator's contract
+      // (a group count small enough to window over is small enough to
+      // broadcast; giant GROUPS, not many groups, is this path's regime)
+      val starts = withIdx.groupBy("grp")
+        .agg(min(col("gi")).as("g0"), count(lit(1)).as("n"))
+      withIdx.join(broadcast(starts), "grp")
+        .select(col("grp"), col("v"), col("tb"),
+          (col("gi") - col("g0") + lit(1L)).as("rn"), col("n"))
+    }
+  }
 
   /** The k-1 order-statistic boundaries that split `v` into k equal-rank
     * parts (value at rank ceil(n·x/k), x = 1..k-1), as a ONE-ROW frame
@@ -82,13 +137,14 @@ object RobustStats {
    * engines.
    */
   def winsorizedRollup(df: DataFrame, grp: Column, v: Column, tiebreak: Column,
-                       pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+                       pLo: Double = 0.05, pHi: Double = 0.95,
+                       giantGroups: Boolean = false): DataFrame = {
     require(pLo > 0 && pHi < 1 && pLo < pHi, "need 0 < pLo < pHi < 1")
-    val byGrp = Window.partitionBy(col("grp"))
-    val ranked = df.select(grp.as("grp"), v.as("v"), tiebreak.as("tb"))
-      .filter(col("v").isNotNull)
-      .withColumn("rn", row_number().over(byGrp.orderBy(col("v"), col("tb"))))
-      .withColumn("n", count(lit(1)).over(byGrp))
+    // materialized once: the rank frame feeds the threshold agg AND the
+    // clipped rollup — without the checkpoint each consumer re-executes
+    // the scan + rank (harness frees the blocks per query)
+    val ranked = rankedByGroup(df, grp, v, tiebreak, giantGroups)
+      .localCheckpoint()
     val kLo = greatest(ceil(lit(pLo) * col("n")).cast("long"), lit(1L))
     val kHi = greatest(ceil(lit(pHi) * col("n")).cast("long"), lit(1L))
     val th = ranked.groupBy("grp").agg(
@@ -117,27 +173,29 @@ object RobustStats {
     *
     * Both medians are EXACT lower-median order statistics selected by
     * rank (winsorizedRollup discipline — no interpolation arithmetic to
-    * diverge in the last ulp). Scale shape: one hash Exchange on the
-    * group key feeds both rank windows and both rollups (the broadcast
-    * median/MAD joins preserve partitioning); groups are the
-    * parallelism unit, as with winsorize. */
+    * diverge in the last ulp). Scale shape: the rank frame is
+    * materialized ONCE (localCheckpoint — it feeds the median agg, the
+    * deviation join, the MAD rank, and the final rollup; without it each
+    * consumer re-executes the scan + rank window, the r7 four-scan
+    * plan); the broadcast median/MAD joins add no Exchange. Groups are
+    * the parallelism unit in the default window path — pass
+    * `giantGroups = true` for the range-partitioned selection
+    * ([[rankedByGroup]]) when a group can outgrow one task's sort. */
   def madAnomalies(df: DataFrame, grp: Column, v: Column, tiebreak: Column,
-                   k: Int = 3): DataFrame = {
+                   k: Int = 3, giantGroups: Boolean = false): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val byGrp = Window.partitionBy(col("grp"))
     val lowerMed = floor((col("n") + 1) / lit(2)).cast("long")
-    val ranked = df.select(grp.as("grp"), v.as("v"), tiebreak.as("tb"))
-      .filter(col("v").isNotNull)
-      .withColumn("rn", row_number().over(byGrp.orderBy(col("v"), col("tb"))))
-      .withColumn("n", count(lit(1)).over(byGrp))
+    val ranked = rankedByGroup(df, grp, v, tiebreak, giantGroups)
+      .localCheckpoint()
     val med = ranked.groupBy("grp")
       .agg(min(when(col("rn") === lowerMed, col("v"))).as("med"))
     val dev = ranked.join(broadcast(med), "grp")
       .withColumn("d", abs(col("v") - col("med")))
-    val mad = dev
-      .withColumn("rnd", row_number().over(byGrp.orderBy(col("d"), col("tb"))))
+    // second rank round, over deviations: same helper, same path choice
+    // (v is the deviation here, so the agg's col("v") IS d at rank)
+    val mad = rankedByGroup(dev, col("grp"), col("d"), col("tb"), giantGroups)
       .groupBy("grp")
-      .agg(min(when(col("rnd") === lowerMed, col("d"))).as("mad"))
+      .agg(min(when(col("rn") === lowerMed, col("v"))).as("mad"))
     dev.join(broadcast(mad), "grp")
       .groupBy("grp")
       .agg(count(lit(1)).as("n"),

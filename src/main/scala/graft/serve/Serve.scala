@@ -128,8 +128,7 @@ object Serve {
       .agg(count(lit(1)).as("n"), sum(value).as("total_value"))
       .orderBy("day")
 
-  /** Export (reference: api/main.py:794-858 S13; Excel declared
-    * unsupported per SURVEY §7.4.7). */
+  /** Export (reference: api/main.py:794-858 S13). */
   def exportCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
@@ -160,4 +159,103 @@ object Serve {
     * to the batch path by construction. */
   def scoreOne(pair: DataFrame, scoreExprs: Seq[(String, Column)]): DataFrame =
     scoreExprs.foldLeft(pair) { case (d, (name, c)) => d.withColumn(name, c) }
+
+  /** Excel export (reference: api/main.py:794-858 `to_excel` — the one
+    * export format previously declared unsupported, SURVEY §7.4.7). An
+    * .xlsx is a ZIP of SpreadsheetML XML (ECMA-376), written here with
+    * `java.util.zip` — zero dependencies. Strings are inline
+    * (`t="inlineStr"`, XML-escaped), numerics/booleans native cells,
+    * dates/timestamps ISO-8601 strings, nulls empty cells; row 1 is the
+    * header.
+    *
+    * Scale contract: an Excel file is a SERVING artifact, not a data
+    * sink — the format itself caps at 2^20 rows and a spreadsheet
+    * consumer reads one file. Rows stream to the zip via
+    * `toLocalIterator` (driver holds one partition at a time, never the
+    * frame); `maxRows` fails LOUDLY on overflow rather than truncating
+    * silently. The distributed export paths stay [[exportCsv]] /
+    * [[exportJson]] — same split as the reference, whose Excel endpoint
+    * exports an already-paged query. */
+  def exportExcel(df: DataFrame, path: String, sheet: String = "export",
+                  maxRows: Int = 1048575): Unit = {
+    val names = df.schema.fieldNames
+    def xml(s: String): String = s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case '"' => "&quot;"
+      case c if c < ' ' && c != '\t' && c != '\n' && c != '\r' => ""
+      case c => c.toString
+    }
+    def colRef(i: Int): String = {         // 0 -> A, 25 -> Z, 26 -> AA
+      var n = i + 1; val sb = new StringBuilder
+      while (n > 0) { val r = (n - 1) % 26; sb.insert(0, ('A' + r).toChar); n = (n - 1) / 26 }
+      sb.toString
+    }
+    def cell(ref: String, v: Any): String = v match {
+      case null => ""
+      case b: Boolean =>
+        s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>"""
+      case n @ (_: Byte | _: Short | _: Int | _: Long | _: Float | _: Double) =>
+        s"""<c r="$ref"><v>$n</v></c>"""
+      case d: java.math.BigDecimal =>
+        s"""<c r="$ref"><v>${d.toPlainString}</v></c>"""
+      case other =>                        // strings, dates, timestamps → inline string
+        s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${xml(other.toString)}</t></is></c>"""
+    }
+    val zip = new java.util.zip.ZipOutputStream(
+      new java.io.BufferedOutputStream(new java.io.FileOutputStream(path)))
+    def entry(name: String, content: String): Unit = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      zip.closeEntry()
+    }
+    try {
+      entry("[Content_Types].xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+        """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+        """<Default Extension="xml" ContentType="application/xml"/>""" +
+        """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+        """<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""" +
+        """</Types>""")
+      entry("_rels/.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
+        """</Relationships>""")
+      entry("xl/workbook.xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" """ +
+        """xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+        s"""<sheets><sheet name="${xml(sheet)}" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+      entry("xl/_rels/workbook.xml.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>""" +
+        """</Relationships>""")
+      zip.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
+      def write(s: String): Unit =
+        zip.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+      write(names.zipWithIndex.map { case (h, i) =>
+        cell(colRef(i) + "1", h) }.mkString("""<row r="1">""", "", "</row>"))
+      var rowNum = 1
+      val it = df.toLocalIterator()
+      while (it.hasNext) {
+        val row = it.next()
+        rowNum += 1
+        require(rowNum <= maxRows + 1,
+          s"exportExcel: result exceeds $maxRows rows — the xlsx format " +
+            "caps at 2^20 rows; page or aggregate the frame, or use " +
+            "exportCsv/exportJson for data-sized results")
+        write((0 until row.length).map { i =>
+          cell(colRef(i) + rowNum.toString, if (row.isNullAt(i)) null else row.get(i))
+        }.mkString(s"""<row r="$rowNum">""", "", "</row>"))
+      }
+      write("</sheetData></worksheet>")
+      zip.closeEntry()
+    } finally zip.close()
+  }
 }

@@ -68,8 +68,14 @@ object Tables {
     * resolve from 8.5s to 2.0s on 32 cores. 16 KB still merges empty/
     * near-empty partitions while preserving the configured parallelism
     * for compute-heavy small-byte stages. */
-  def tune(spark: SparkSession): Unit =
+  def tune(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+    // normalizeEventTs's NTZ→timestamp cast is instant-correct only under
+    // a UTC session zone; every in-repo entrypoint pins it, but external
+    // driver-owned sessions pass through here too — enforce at the
+    // chokepoint so a non-UTC host JVM can't silently shift event times
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
 
   /** Scan + spread: `load` followed by a round-robin repartition to the
     * session's default parallelism.

@@ -58,12 +58,21 @@ object Streams {
       StructField("props", StringType)))
 
   /** T1 (stream form): file-source stream of events with an event-time
-    * watermark. `dir` must contain only events parquet files. */
+    * watermark. `dir` must contain only events parquet files, and the
+    * directory must be ts-HOMOGENEOUS: the physical `ts` type is probed
+    * from whatever files exist at start time (a batch metadata-only
+    * read) and fixed for the stream's lifetime, so a directory mixing
+    * nanos-long and NTZ-micros files would mis-decode the minority type
+    * mid-stream. An EMPTY directory is fine — the probe falls back to
+    * the nanos-long default and the continuous-ingest
+    * start-stream-before-data pattern still works (files arriving later
+    * must then be nanos-long, the testdata generator's default). */
   def readEvents(spark: SparkSession, dir: String,
                  watermark: String = "1 day",
                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val tsType = scala.util.Try(spark.read.parquet(dir).schema("ts").dataType)
+      .getOrElse(LongType)
     val reader = spark.readStream.schema(eventsRawSchema(tsType))
     val tuned = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))

@@ -77,6 +77,66 @@ class ServeSpec extends SparkSpec {
     assert(row.isNullAt(2), "missing declared field must null-fill")
   }
 
+  test("Excel export: valid OOXML zip, typed cells, XML escaping, nulls, " +
+      "header row (S13 — the reference's to_excel)") {
+    val path = java.nio.file.Files.createTempDirectory("graft-xlsx")
+      .resolve("out.xlsx").toString
+    val df = Seq(
+      (1L, Some("Acme <&> \"Corp\""), Some(1000000.5), Some(true)),
+      (2L, Some("Global, Inc"), None, Some(false)),
+      (3L, None, Some(-2.5), None)
+    ).toDF("id", "name", "revenue", "active")
+    Serve.exportExcel(df.orderBy("id"), path, sheet = "recs")
+    val zf = new java.util.zip.ZipFile(path)
+    try {
+      import scala.jdk.CollectionConverters._
+      val entries = zf.entries().asScala.map(_.getName).toSet
+      assert(entries === Set("[Content_Types].xml", "_rels/.rels",
+        "xl/workbook.xml", "xl/_rels/workbook.xml.rels",
+        "xl/worksheets/sheet1.xml"))
+      def read(name: String): String =
+        new String(zf.getInputStream(zf.getEntry(name)).readAllBytes,
+          java.nio.charset.StandardCharsets.UTF_8)
+      // every part must be well-formed XML (JDK parser, no libs)
+      val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      entries.foreach { e =>
+        dbf.newDocumentBuilder().parse(
+          new java.io.ByteArrayInputStream(read(e).getBytes("UTF-8")))
+      }
+      assert(read("xl/workbook.xml").contains("""<sheet name="recs""""))
+      val sheet = read("xl/worksheets/sheet1.xml")
+      // header row + escaped inline string + typed cells
+      assert(sheet.contains("""<row r="1"><c r="A1" t="inlineStr"><is><t xml:space="preserve">id</t></is></c>"""))
+      assert(sheet.contains("Acme &lt;&amp;&gt; &quot;Corp&quot;"))
+      assert(sheet.contains("""<c r="A2"><v>1</v></c>"""), "long as number cell")
+      assert(sheet.contains("""<c r="C2"><v>1000000.5</v></c>"""), "double as number cell")
+      assert(sheet.contains("""<c r="D2" t="b"><v>1</v></c>"""), "boolean cell")
+      assert(sheet.contains("""<row r="4"><c r="A4"><v>3</v></c><c r="C4"><v>-2.5</v></c></row>"""),
+        "null cells omitted entirely")
+    } finally zf.close()
+    // loud overflow, never silent truncation
+    val err = intercept[IllegalArgumentException] {
+      Serve.exportExcel(spark.range(5).toDF("id"), path, maxRows = 3)
+    }
+    assert(err.getMessage.contains("exceeds 3 rows"))
+  }
+
+  test("Excel export: column refs past Z (AA...) and 2^20-row cap default") {
+    val wide = (0 until 30).foldLeft(Seq((1)).toDF("c")) {
+      case (d, i) => d.withColumn(s"x$i", lit(i))
+    }
+    val path = java.nio.file.Files.createTempDirectory("graft-xlsx2")
+      .resolve("wide.xlsx").toString
+    Serve.exportExcel(wide, path)
+    val zf = new java.util.zip.ZipFile(path)
+    try {
+      val sheet = new String(zf.getInputStream(
+        zf.getEntry("xl/worksheets/sheet1.xml")).readAllBytes, "UTF-8")
+      assert(sheet.contains("""<c r="AA1""""), "27th column must be AA")
+      assert(sheet.contains("""<c r="AE2"><v>29</v></c>"""), "31st column AE")
+    } finally zf.close()
+  }
+
   test("ORC export/scan roundtrip (second columnar format beside parquet)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
