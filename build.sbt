@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // codegen headroom: a 128-query bench session compiles ~158 MB of the
+  // 240 MB default code cache (r8 ledger); the suite grows every round
+  // and a full cache disables the JIT mid-run — reserve well clear of it
+  "-XX:ReservedCodeCacheSize=512m",
 )

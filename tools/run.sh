@@ -13,5 +13,8 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens=java.base/$p=ALL-UNNAMED"
 done
 MAIN="$1"; shift
+# ReservedCodeCacheSize: a 128-query bench session compiles ~158MB of the
+# 240MB JDK default (r8 ledger); a full cache disables the JIT mid-run.
 exec java $OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -XX:ReservedCodeCacheSize=512m \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" -cp "$CP" "$MAIN" "$@"
