@@ -80,7 +80,9 @@ object Plans {
       "q129_bulk_csv_scan",    // DSv2 connector: PushedFilters/ReadSchema
       "q130_artifact_corpus",  // q127 tail over STORED labels parquet
       "q131_span_dedup",       // tile window (one content Exchange) + doc rebuild
-      "q132_ivf_index_topk")   // search over the STORED centroids/assignments
+      "q132_ivf_index_topk",   // search over the STORED centroids/assignments
+      "q133_decontaminate_bloom", // bloom scan-local prune + exact confirm join
+      "q134_ivf_append")       // delta-only assignment vs stored centroids
     // per-query reader notes where the right plan is easy to misread
     val notes = Map(
       "q128_sql_range_join" -> ("The user wrote the naive theta join " +

@@ -110,6 +110,51 @@ final class EnsembleModel(
         Scoring.confidenceLevel(col("score"), col("score_std")))
   }
 
+  /** Score a frame and append ONLY the weighted-vote column `out`
+    * (per-model score_* columns dropped — lets scoring passes compose
+    * without name collisions). */
+  private def scoreInto(df: DataFrame, out: String): DataFrame =
+    withModelScores(df)
+      .withColumn(out, Scoring.weightedVote(scoreCols))
+      .drop(models.map { case (n, _) => s"score_$n" }: _*)
+
+  /** Per-row, per-feature OCCLUSION contributions (reference M10's
+    * missing half: api/main.py:882-890 imports shap, never invokes it,
+    * and returns hard-coded global importances — featureImportances
+    * covers the global story; this is the per-row one):
+    * `contrib_<f> = score(x) − score(x with x_f := baseline_f)` — the
+    * exact model evaluated on the ablated input, no surrogate and no
+    * tree-internals traversal. A contribution is exactly 0 whenever the
+    * row already sits at the baseline, and features the model never uses
+    * get ~0 everywhere; signs follow the model's local response, the
+    * property per-row explanations are consumed for.
+    *
+    * `baselines` is typically the training mean/median per feature (the
+    * caller owns that choice — it is the explanation's reference point).
+    *
+    * Scale shape: k features → k+1 scoring passes COMPOSED INTO ONE
+    * plan (each pass is per-row model math, no shuffle), so the frame is
+    * scanned once and explanations stream out row-parallel at any row
+    * count. Cost is (k+1)× the scoring compute — per-row explanation is
+    * a serving-path operation on filtered rows (the reference explains
+    * one opportunity per request), not a corpus sweep. */
+  def explainAblation(df: DataFrame, featureCols: Seq[String],
+                      baselines: Map[String, Double]): DataFrame = {
+    require(featureCols.nonEmpty, "need at least one feature to explain")
+    featureCols.foreach(f => require(baselines.contains(f),
+      s"no baseline for feature $f"))
+    val withScore = scoreInto(df, "score")
+    featureCols.foldLeft(withScore) { (acc, f) =>
+      val ablated = scoreInto(
+        acc.withColumn("_orig", col(f)).withColumn(f, lit(baselines(f))),
+        s"_ablated_$f")
+      ablated
+        .withColumn(f, col("_orig")).drop("_orig")
+        .withColumn(s"contrib_$f", col("score") - col(s"_ablated_$f"))
+        .drop(s"_ablated_$f")
+    }
+  }
+
   /** RF/GBT impurity-based feature importances (reference M10: SHAP is
     * imported but never invoked; api/main.py:882-890 returns constants —
     * we return the real thing MLlib computes for free). */

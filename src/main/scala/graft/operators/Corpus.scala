@@ -112,6 +112,54 @@ object Corpus {
     bench.select(explode(docGrams(textCol, n)).as("h")).distinct()
 
   /**
+   * Bloom-prefiltered decontamination: EXACTLY the [[decontaminate]]
+   * result (flagged docs, counts, ratios — bit-identical; the q93 oracle
+   * gates both), via a two-phase plan that survives a benchmark-gram set
+   * too large to hash-join comfortably:
+   *
+   *  1. a Bloom filter over the bench gram hashes (~1.2 bytes/gram at
+   *     1% FPP vs tens of bytes/entry for a broadcast hash relation —
+   *     the sketch stays shippable one to two orders of magnitude beyond
+   *     where the join relation stops being) prunes corpus grams
+   *     SCAN-LOCALLY with Spark's own `BloomFilterMightContain` codegen
+   *     predicate (the expression behind AQE's injected runtime filters);
+   *  2. the survivors — true hits + an FPP sliver of the corpus — flow
+   *     into the same exact equi-join as [[decontaminate]], which
+   *     removes every false positive. No false negatives exist by the
+   *     Bloom contract, so phase 2 restores exactness.
+   *
+   * The join side is NOT broadcast-hinted here: the point of the sketch
+   * is that the exact join's probe input is already tiny, so the planner
+   * (AQE) picks broadcast vs shuffle from the real post-filter size.
+   */
+  def decontaminateBloom(train: DataFrame, bench: DataFrame,
+                         idCol: Column, textCol: Column, n: Int = 5,
+                         fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val benchGrams = decontaminateBenchGrams(bench, textCol, n)
+      .localCheckpoint() // feeds the sketch build AND the exact join
+    val nBench = math.max(benchGrams.count(), 1L)
+    val bf = benchGrams.stat.bloomFilter(col("h"), nBench, fpp)
+    val bytes = {
+      val baos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(baos)
+      baos.toByteArray
+    }
+    val mightContain = GraftShim.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        GraftShim.expr(lit(bytes)), GraftShim.expr(col("h"))))
+    val trainGrams = train.select(idCol.as("id"), docGrams(textCol, n).as("g"))
+    trainGrams
+      .select(col("id"), size(col("g")).as("n_grams"), explode(col("g")).as("h"))
+      .filter(mightContain)
+      .join(benchGrams, "h")
+      .groupBy("id", "n_grams")
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("id"), col("n_grams"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_grams")).as("contamination"))
+  }
+
+  /**
    * Sequence packing (concat-then-chunk): documents are concatenated in
    * (shard, id) order into a contiguous token stream and cut into packs of
    * `capacity` tokens — the standard pretraining batch-packing layout

@@ -103,8 +103,16 @@ object SimilaritySearch {
    * partition key for repeated-query serving (probe nprobe lists only).
    */
   def ivfAssign(embs: DataFrame, idCol: Column, vecCol: Column,
-                modulus: Int): DataFrame = {
-    val cents = ivfCentroids(embs, idCol, vecCol, modulus)
+                modulus: Int): DataFrame =
+    assignAgainst(ivfCentroids(embs, idCol, vecCol, modulus),
+      embs, idCol, vecCol)
+
+  /** Max-cosine assignment of `embs` against an EXPLICIT centroid table
+    * (cid, cu) — the shared kernel of the inline build ([[ivfAssign]])
+    * and the delta append ([[ivfAppend]]). Broadcast NL join + argmax
+    * partial agg: the shuffle carries one row per vector. */
+  private def assignAgainst(cents: DataFrame, embs: DataFrame,
+                            idCol: Column, vecCol: Column): DataFrame = {
     val e = embs.select(idCol.as("id"),
         graft.functions.VectorFunctions.unit(vecCol).as("u"))
       .filter(col("u").isNotNull)
@@ -115,6 +123,26 @@ object SimilaritySearch {
       .groupBy("id").agg(max(col("sc")).as("m"))
       .select(col("id"), (-col("m.ncid")).as("cid"), col("m.cos").as("cosine"))
   }
+
+  /**
+   * Incremental IVF maintenance — the ANN twin of incremental dedup
+   * (`Dedup.incrementalNearDupsFromState`): a vector delta joins a
+   * STORED index by assigning only the NEW vectors against the stored
+   * centroid table (held FIXED — the standard IVF maintenance contract;
+   * re-training centroids is a deliberate full [[ivfIndex]] rebuild per
+   * corpus version) and unioning the delta assignments onto the stored
+   * assignment table. Work ∝ |delta|: the corpus is never re-read, never
+   * re-assigned. When the fixed centroid set equals what a full rebuild
+   * would derive, the appended index is bit-identical to the rebuild
+   * (spec-gated; q134 drives it end-to-end against the q73 oracle).
+   * At 100 TB the delta assignments land as new files in the
+   * cid-partitioned assignment table — an append, not a rewrite.
+   */
+  def ivfAppend(index: IvfIndex, newEmbs: DataFrame, idCol: Column,
+                vecCol: Column): IvfIndex =
+    IvfIndex(index.centroids,
+      index.assignments.unionByName(
+        assignAgainst(index.centroids, newEmbs, idCol, vecCol)))
 
   /** The materialize-once IVF index artifacts: the broadcastable
     * centroid table (cid, cu — unit vectors) and the per-vector

@@ -56,6 +56,23 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    "q133_decontaminate_bloom" -> ((s, dir) => {
+      // q93's semantics through the Bloom-prefilter scale path: a sketch
+      // over the bench grams prunes corpus grams scan-locally
+      // (BloomFilterMightContain codegen), the exact join confirms the
+      // survivors — bit-identical output by the no-false-negatives
+      // contract, so the SAME oracle SQL gates both plans
+      // (Corpus.decontaminateBloom scaladoc).
+      val docs = t(s, dir, "documents")
+      Corpus.decontaminateBloom(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          col("doc_id"), col("text"), n = 5)
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_shared"),
+          round(col("contamination"), 6).as("contamination"))
+        .orderBy("doc_id")
+    }),
+
     "q94_bm25" -> ((s, dir) => {
       // Okapi BM25 (Lucene idf) for a fixed 3-term query, top-20 docs.
       // Scan-local tfs + one broadcast stats row (Retrieval scaladoc).
@@ -363,6 +380,26 @@ object CorpusQueries {
         |      ''))) AS rebuilt_md5
         |FROM base b LEFT JOIN kept k USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
+
+    // q133 runs the Bloom-prefiltered plan against the SAME exact SQL:
+    // the sketch phase only prunes, the exact join restores equality
+    "q133_decontaminate_bloom" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |grams AS (SELECT doc_id, source,
+        |    list_distinct(list_transform(range(1, greatest(len(w)-4, 0)+1),
+        |      i -> CAST(CAST(('0x' || substring(md5(array_to_string(w[i:i+4], ' ')), 1, 8))
+        |        AS UBIGINT) AS BIGINT))) AS g
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT unnest(g) AS h FROM grams WHERE source = 'src0'),
+        |train AS (SELECT doc_id, len(g) AS n_grams, unnest(g) AS h
+        |  FROM grams WHERE source <> 'src0')
+        |SELECT t.doc_id, CAST(any_value(t.n_grams) AS INTEGER) AS n_grams,
+        |  count(*) AS n_shared,
+        |  round(CAST(count(*) AS DOUBLE) / any_value(t.n_grams), 6) AS contamination
+        |FROM train t JOIN bench b ON t.h = b.h
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     "q93_decontaminate" ->
       """WITH toks AS (SELECT doc_id, source,

@@ -151,6 +151,35 @@ object PipelineQueries {
         .orderBy("rank")
     }),
 
+    "q134_ivf_append" -> ((s, dir) => {
+      // nightly ANN index maintenance: the corpus index (vec_id % 5 != 3)
+      // is built + stored once; the delta (vec_id % 5 == 3) is assigned
+      // against the STORED centroids only — work ∝ delta, the corpus is
+      // never re-assigned (SimilaritySearch.ivfAppend scaladoc). Every
+      // multiple of 200 is ≡ 0 (mod 5), so the corpus-built centroid set
+      // equals the full-build set and the appended index must reproduce
+      // q73's inline-build search row-for-row — the oracle IS q73's SQL.
+      val e = Tables.loadSpread(s, dir, "embeddings")
+      val corpus = e.filter(pmod(col("vec_id"), lit(5)) =!= 3)
+      val delta = e.filter(pmod(col("vec_id"), lit(5)) === 3)
+      val idx = SimilaritySearch.ivfIndex(corpus, col("vec_id"),
+        col("embedding"), modulus = 200)
+      val out = "/tmp/graft_ivf_q134"
+      idx.centroids.write.mode("overwrite").parquet(s"$out/centroids")
+      idx.assignments.write.mode("overwrite").parquet(s"$out/assignments")
+      val stored = SimilaritySearch.IvfIndex(
+        s.read.parquet(s"$out/centroids"),
+        s.read.parquet(s"$out/assignments"))
+      val appended = SimilaritySearch.ivfAppend(stored, delta,
+        col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).map(_.toDouble)
+      SimilaritySearch.ivfTopKFromIndex(e, col("vec_id"), col("embedding"),
+          appended, q, nprobe = 2, k = 10)
+        .select(col("id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy("rank")
+    }),
+
     "q76_int8_topk" -> ((s, dir) => {
       // scalar int8 quantization + integer-dot top-k — the memory-bound
       // scale path (4× smaller vectors, exact integer arithmetic both
@@ -712,6 +741,30 @@ object PipelineQueries {
     // inline-build path row-for-row (stored centroids/assignments ≡
     // recomputed)
     "q132_ivf_index_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        |  FROM embeddings WHERE vec_id % 200 = 0),
+        |probed AS (SELECT cid FROM c, q
+        |  ORDER BY list_cosine_similarity(cv, qe) DESC, cid ASC LIMIT 2),
+        |scored AS (SELECT e.vec_id AS id, c.cid,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], c.cv) AS cos,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
+        |        c.cid ASC) AS rn
+        |  FROM embeddings e, c),
+        |members AS (SELECT id FROM scored WHERE rn = 1
+        |  AND cid IN (SELECT cid FROM probed))
+        |SELECT e.vec_id AS id,
+        |  round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6) AS cosine,
+        |  CAST(row_number() OVER (ORDER BY
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.qe) DESC,
+        |    e.vec_id ASC) AS INTEGER) AS rank
+        |FROM embeddings e JOIN members m ON e.vec_id = m.id, q
+        |QUALIFY rank <= 10 ORDER BY rank""".stripMargin,
+
+    // same oracle text as q73: append-to-stored-index must reproduce the
+    // full inline build (fixed centroid set == rebuild centroid set here)
+    "q134_ivf_append" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
         |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
         |  FROM embeddings WHERE vec_id % 200 = 0),

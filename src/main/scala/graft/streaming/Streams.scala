@@ -484,15 +484,38 @@ object Streams {
     * `docs` must carry `idCol`, `textCol`, and an event-time column with
     * a watermark already applied. `benchGrams` is a static frame with one
     * `h: long` gram-hash column (build it batch-side with the same n).
+    *
+    * `bloomFpp`: when set, a Bloom sketch over the bench grams (built
+    * batch-side at stream setup, ~1.2 bytes/gram at 1% FPP) prunes the
+    * exploded gram stream SCAN-LOCALLY before the broadcast join — the
+    * streaming form of [[graft.operators.Corpus.decontaminateBloom]]'s
+    * two-phase plan. The join still confirms exactly, so the flagged-doc
+    * stream is identical with or without the sketch (spec-gated); the
+    * sketch just keeps the join probe volume ∝ true hits when the eval
+    * suite outgrows hash-relation comfort.
     */
   def decontaminateStream(docs: DataFrame, benchGrams: DataFrame,
                           idCol: String, textCol: String,
-                          n: Int = 5): DataFrame = {
+                          n: Int = 5,
+                          bloomFpp: Option[Double] = None): DataFrame = {
     import org.apache.spark.sql.graftshim.GraftShim
-    docs
+    val exploded = docs
       .withColumn("_h", explode(array_distinct(GraftShim.column(
         graft.functions.WordNgramHashes(
           GraftShim.expr(lower(col(textCol))), n)))))
+    val prefiltered = bloomFpp.fold(exploded) { fpp =>
+      val nBench = math.max(benchGrams.count(), 1L)
+      val bf = benchGrams.stat.bloomFilter(col("h"), nBench, fpp)
+      val bytes = {
+        val baos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(baos)
+        baos.toByteArray
+      }
+      exploded.filter(GraftShim.column(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          GraftShim.expr(lit(bytes)), GraftShim.expr(col("_h")))))
+    }
+    prefiltered
       .join(broadcast(benchGrams.select(col("h").as("_h"))), "_h")
       .drop("_h", textCol)
       .dropDuplicatesWithinWatermark(Seq(idCol))

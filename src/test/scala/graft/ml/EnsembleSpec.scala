@@ -92,6 +92,34 @@ class EnsembleSpec extends SparkSpec {
     assert(imp.exists(_.size == featureCols.size))
   }
 
+  test("explainAblation: per-row contributions — exact zero at the " +
+      "baseline, dominant feature dominates a noise feature") {
+    val (ens, model) = fitted
+    val (_, va) = ens.split(pairs)
+    // baselines: f1 at 0.0 (a value real rows take — id % 17 == 0),
+    // the rest at their fixture midpoints
+    val baselines = featureCols.map(_ -> 0.5).toMap + ("f1" -> 0.0)
+    val explained = model.explainAblation(va, featureCols, baselines).cache()
+    // rows already AT the baseline get contribution exactly 0 (the
+    // ablated input is bit-identical, the model is deterministic)
+    val atBase = explained.filter(col("f1") === 0.0)
+    assert(atBase.count() > 0, "fixture must contain f1 == baseline rows")
+    assert(atBase.filter(col("contrib_f1") =!= 0.0).count() === 0)
+    // the label's dominant driver (f1, weight .4) must out-contribute a
+    // pure-noise feature (f6) in mean magnitude
+    val mags = explained.agg(
+      avg(abs(col("contrib_f1"))).as("m1"),
+      avg(abs(col("contrib_f6"))).as("m6")).head
+    assert(mags.getDouble(0) > mags.getDouble(1),
+      s"contrib_f1 ${mags.getDouble(0)} should exceed contrib_f6 ${mags.getDouble(1)}")
+    // score column equals the plain scoring path (composition didn't
+    // disturb the un-ablated pass)
+    val direct = model.scoreAll(va).select(col("id"), col("score").as("s2"))
+    val joined = explained.select(col("id"), col("score")).join(direct, "id")
+    assert(joined.filter(col("score") =!= col("s2")).count() === 0)
+    explained.unpersist()
+  }
+
   test("ER matcher: balanced weights + CV F1 gate") {
     val labeled = pairs.withColumnRenamed("label", "is_match")
     val res = ErMatcher.train(labeled, featureCols,

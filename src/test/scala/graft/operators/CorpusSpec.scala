@@ -29,6 +29,26 @@ class CorpusSpec extends SparkSpec {
     assert(out(12L)._2 === 1L)              // exactly one overlapping 5-gram
   }
 
+  test("decontaminateBloom: bit-identical to the exact path (no false " +
+      "negatives by the Bloom contract; exact join removes false positives)") {
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "one two three four five six seven"),
+      (12L, "x alpha beta gamma delta epsilon y")
+    ).toDF("doc_id", "text")
+    val exact = Corpus.decontaminate(train, bench, col("doc_id"), col("text"), n = 5)
+      .collect().map(_.toSeq).toSet
+    // tight fpp AND a sloppy one: the exact confirm join must erase the
+    // difference either way
+    for (fpp <- Seq(0.01, 0.5)) {
+      val bloom = Corpus.decontaminateBloom(train, bench,
+        col("doc_id"), col("text"), n = 5, fpp = fpp)
+        .collect().map(_.toSeq).toSet
+      assert(bloom === exact, s"fpp=$fpp")
+    }
+  }
+
   test("decontaminate: short docs (< n words) produce no grams, never flagged") {
     val bench = Seq((1L, "a b c d e")).toDF("doc_id", "text")
     val train = Seq((2L, "a b c")).toDF("doc_id", "text")

@@ -65,6 +65,31 @@ class SimilaritySearchSpec extends SparkSpec {
       col("embedding"), stored, q, nprobe = 2, k = 5)) === inline)
   }
 
+  test("ivfAppend: delta-assigned index is bit-identical to a full " +
+      "rebuild when the centroid set is unchanged; centroids held fixed") {
+    // centroids from even ids; the delta (ids 3, 5) adds no multiples of
+    // 2, so rebuild centroids == stored centroids and the appended index
+    // must equal the full build exactly
+    val corpus = embs.filter(col("vec_id") % 2 === 0 || col("vec_id") === 1L)
+    val delta = embs.filter(col("vec_id") === 3L || col("vec_id") === 5L)
+    val storedIdx = SimilaritySearch.ivfIndex(corpus, col("vec_id"),
+      col("embedding"), modulus = 2)
+    val appended = SimilaritySearch.ivfAppend(storedIdx, delta,
+      col("vec_id"), col("embedding"))
+    val rebuilt = SimilaritySearch.ivfIndex(embs, col("vec_id"),
+      col("embedding"), modulus = 2)
+    def assignRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9)))
+      .toSet
+    assert(assignRows(appended.assignments) === assignRows(rebuilt.assignments))
+    assert(appended.centroids.select("cid").collect().map(_.getLong(0)).toSet ===
+      rebuilt.centroids.select("cid").collect().map(_.getLong(0)).toSet)
+    // and the corpus side was never re-assigned: stored assignment rows
+    // appear untouched in the appended table
+    assert(assignRows(storedIdx.assignments).subsetOf(
+      assignRows(appended.assignments)))
+  }
+
   test("knnWithinBlock ranks neighbors per item within label") {
     val out = SimilaritySearch.knnWithinBlock(embs, col("vec_id"),
       col("embedding"), col("label"), 1).collect()

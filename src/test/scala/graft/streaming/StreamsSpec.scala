@@ -459,6 +459,36 @@ class StreamsSpec extends SparkSpec {
     assert(streamIds === Set(1L, 3L))
   }
 
+  test("streaming decontamination with the Bloom prefilter flags exactly " +
+      "the same docs (exact confirm erases sketch false positives)") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val trainRows = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "2024-01-10 12:00:00"),
+      (2L, "one two three four five six seven", "2024-01-10 12:01:00"),
+      (3L, "x alpha beta gamma delta epsilon y", "2024-01-10 12:02:00"))
+    val benchGrams = graft.operators.Corpus
+      .decontaminateBenchGrams(bench, col("text"), n = 5)
+    // fpp 0.5: a deliberately sloppy sketch — the exact join must still
+    // keep the flagged set identical to the batch operator's
+    val mem = MemoryStream[(Long, String, Timestamp)](spark)
+    val flagged = Streams.decontaminateStream(
+      mem.toDF.toDF("doc_id", "text", "ts").withWatermark("ts", "1 hour"),
+      benchGrams, "doc_id", "text", n = 5, bloomFpp = Some(0.5))
+    val q = flagged.writeStream.format("memory")
+      .queryName("decon_bloom_out").outputMode("append")
+      .option("checkpointLocation", tmp("graft-decon-bloom-ckpt"))
+      .start()
+    trainRows.foreach { case (id, text, ts) =>
+      mem.addData((id, text, Timestamp.valueOf(ts)))
+    }
+    q.processAllAvailable()
+    q.stop()
+    val streamIds = spark.table("decon_bloom_out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamIds === Set(1L, 3L))
+  }
+
   test("streaming funnel completions equal the batch funnel counts") {
     val dir = tmp("graft-funnel-events")
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
