@@ -94,13 +94,15 @@ object Plans {
         "over-cap intervals only (build side filtered to " +
         "bin-count > cap, empty at runtime; AQE collapses an empty " +
         "build). Without the rule the WHOLE join is that BNLJ."),
-      "q123_mad_anomalies" -> ("The rank frame (ONE events scan + one " +
-        "group Exchange + rank window) is localCheckpointed and feeds " +
-        "all four consumers -- median agg, deviation join, MAD rank, " +
-        "final rollup -- so this plan shows RDD scans of the " +
-        "materialized frame where r7's plan re-executed the parquet " +
-        "scan + window per consumer (4 scans). The rank-frame stage " +
-        "plan is dumped in its own section below."),
+      "q123_mad_anomalies" -> ("The rank frame (ONE events scan, then " +
+        "the giantGroups=true range-partitioned selection: range sort + " +
+        "zipWithIndex + group-start offsets -- no 5-task window) is " +
+        "localCheckpointed and feeds all four consumers -- median agg, " +
+        "deviation join, MAD rank, final rollup -- so this plan shows " +
+        "RDD scans of the materialized frame where r7's plan " +
+        "re-executed the parquet scan + window per consumer (4 scans). " +
+        "The window-path rank-frame stage plan is dumped in its own " +
+        "section below."),
       "q130_artifact_corpus" -> ("Consumes the STORED labels artifact " +
         "(parquet scan of /tmp/graft_artifacts_q130/labels) -- the " +
         "LSH+CC work that produced it ran once in the artifact build " +

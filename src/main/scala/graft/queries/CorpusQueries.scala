@@ -135,10 +135,14 @@ object CorpusQueries {
     "q99_winsorize" -> ((s, dir) => {
       // robust per-group scaling: order-statistic thresholds (engine-exact,
       // no quantile interpolation), clip, decimal rollup (RobustStats
-      // scaladoc)
+      // scaladoc). giantGroups: 5 order priorities — at 100 TB each group
+      // outgrows one task's sort, so the declared query runs the
+      // range-partitioned selection path end-to-end (row-identical to the
+      // window path, RobustStatsGiantSpec).
       graft.operators.RobustStats.winsorizedRollup(
           t(s, dir, "orders"),
-          col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+          col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"),
+          giantGroups = true)
         .select(col("grp"), col("n"),
           round(col("p_lo"), 2).as("p05"), round(col("p_hi"), 2).as("p95"),
           col("sum_clipped"), col("n_low"), col("n_high"))
@@ -149,10 +153,14 @@ object CorpusQueries {
       // robust anomaly gate per event type: |v − median| > 3·MAD with
       // both medians as exact rank-selected order statistics — no
       // quantile interpolation, no 1.4826 fractional consistency
-      // constant (RobustStats.madAnomalies scaladoc)
+      // constant (RobustStats.madAnomalies scaladoc). giantGroups: 5
+      // event types over the fact table is exactly the few-giant-groups
+      // regime (the r7 structural finding), so the declared query runs
+      // the range-partitioned selection path, not the 5-task window.
       graft.operators.RobustStats.madAnomalies(
           t(s, dir, "events"),
-          col("event_type"), col("value"), col("event_id"), k = 3)
+          col("event_type"), col("value"), col("event_id"), k = 3,
+          giantGroups = true)
         .select(col("grp").as("event_type"), col("n"),
           round(col("median"), 6).as("median"),
           round(col("mad"), 6).as("mad"), col("n_anomalies"))

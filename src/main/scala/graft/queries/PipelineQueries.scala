@@ -241,8 +241,10 @@ object PipelineQueries {
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .select(col("c_mktsegment").as("segment"),
           col("o_totalprice").as("p"))
+      // giantGroups: 5 market segments over all orders — the declared
+      // query runs the range-partitioned selection, not a 5-task window
       val ranked = graft.operators.RobustStats.rankedByGroup(
-        joined, col("segment"), col("p"), col("p"))
+        joined, col("segment"), col("p"), col("p"), giantGroups = true)
       def at(a: Int, b: Int) =
         max(when(col("rn") === expr(s"($a * n + ${b - 1}) div $b"), col("v")))
       ranked.groupBy(col("grp").as("segment"))
