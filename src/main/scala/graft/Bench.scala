@@ -85,7 +85,13 @@ object Bench {
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("bench_detail.json")))
-        "\"(q[0-9]+[A-Za-z0-9_]*)\":(-?[0-9.]+)".r.findAllMatchIn(txt)
+        // gate only against a baseline measured at the SAME sf — a local
+        // sf0.01 run compared to a committed sf0.1 baseline would either
+        // silence the gate (~10× "improvements") or flag everything
+        val sfOk = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
+          .forall(_.group(1) == sfDir)
+        if (!sfOk) Map.empty
+        else "\"(q[0-9]+[A-Za-z0-9_]*)\":(-?[0-9.]+)".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
     // JVM-health ledger: JIT compilation time, code-cache + metaspace
@@ -207,7 +213,9 @@ object Bench {
     // the driver records parsed:null — seen rounds 1-3).
     val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"failed":$failed,"shared_prev_total":$prevTotal%.3f,"shared_now_total":$sharedNow%.3f,"regressions_vs_prev":$deltaJson,"queries":${qmap(results)},"sf":"$sfDir"}"""
     System.err.println("[bench] full: " + full)
-    try {
+    // a restricted local run (`only` non-empty) must NOT overwrite the
+    // full-round baseline the next driver run gates against
+    if (only.isEmpty) try {
       val w = new java.io.PrintWriter("bench_detail.json")
       try w.println(full) finally w.close()
     } catch { case _: Throwable => () }

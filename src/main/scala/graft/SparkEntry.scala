@@ -62,6 +62,16 @@ object SparkEntry {
       graft.queries.CorpusQueries.queries ++
       graft.queries.OpsQueries.queries
 
+  /** Per-query soundness preconditions the correctness harness runs
+    * before verifying the named query — a registry, so Verify stays
+    * query-agnostic. A precondition that throws fails THAT query's
+    * verify loudly (no parquet written → driver records err). Currently:
+    * q122's exact-hash oracle gate is numerically sound only while the
+    * embeddings table keeps its measured float margins ([[graft.queries.Q122Margin]]). */
+  def verifyPreconditions: Map[String, (SparkSession, String) => Unit] =
+    Map("q122_semantic_dedup" ->
+      ((s, dir) => graft.queries.Q122Margin.assertSound(s, dir)))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

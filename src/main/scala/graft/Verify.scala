@@ -23,13 +23,10 @@ object Verify {
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>
         try {
-          // q122's oracle gate compares UNROUNDED double cosines across
-          // engines — sound only at a measured distance from the knife
-          // edges. Guard it on every verify so a regenerated embeddings
-          // table near a flip point fails THIS query loudly instead of
-          // silently hash-mismatching (Q122Margin scaladoc).
-          if (name == "q122_semantic_dedup")
-            graft.queries.Q122Margin.assertSound(spark, sfDir)
+          // registered soundness preconditions (SparkEntry
+          // .verifyPreconditions) run first — a throw fails THIS query
+          // loudly instead of letting an unsound gate hash-mismatch
+          SparkEntry.verifyPreconditions.get(name).foreach(_(spark, sfDir))
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
         } catch { case e: Throwable =>

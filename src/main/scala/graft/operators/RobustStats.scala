@@ -42,9 +42,12 @@ object RobustStats {
     *   partitions sorting in parallel — then zipWithIndex (one
     *   lightweight partition-size job against the checkpointed sort) and
     *   per-group start offsets broadcast back: rn = gi − g0 + 1. No
-    *   single task ever holds a whole group. The checkpoint blocks are
-    *   freed by the harness per query (Bench/Verify clearPinned), the
-    *   repo-wide localCheckpoint convention.
+    *   single task ever holds a whole group. The returned frame is
+    *   checkpoint-BACKED (one stored copy — the inner sort checkpoint is
+    *   freed once the output is materialized): multi-consumer callers
+    *   get materialize-once for free and must NOT re-checkpoint it. The
+    *   output blocks are freed by the harness per query (Bench/Verify
+    *   clearPinned), the repo-wide localCheckpoint convention.
     */
   def rankedByGroup(df: DataFrame, grp: Column, v: Column, tb: Column,
                     giantGroups: Boolean = false): DataFrame = {
@@ -73,9 +76,16 @@ object RobustStats {
       // broadcast; giant GROUPS, not many groups, is this path's regime)
       val starts = withIdx.groupBy("grp")
         .agg(min(col("gi")).as("g0"), count(lit(1)).as("n"))
-      withIdx.join(broadcast(starts), "grp")
+      // materialize the FINAL frame and free the inner sort checkpoint:
+      // one stored copy, and multi-consumer callers get materialize-once
+      // without re-checkpointing (the giant branch's output is already
+      // checkpoint-backed — callers must not wrap it again)
+      val out = withIdx.join(broadcast(starts), "grp")
         .select(col("grp"), col("v"), col("tb"),
           (col("gi") - col("g0") + lit(1L)).as("rn"), col("n"))
+        .localCheckpoint()
+      org.apache.spark.sql.graftshim.GraftShim.freeLocalCheckpoint(sorted)
+      out
     }
   }
 
@@ -142,9 +152,11 @@ object RobustStats {
     require(pLo > 0 && pHi < 1 && pLo < pHi, "need 0 < pLo < pHi < 1")
     // materialized once: the rank frame feeds the threshold agg AND the
     // clipped rollup — without the checkpoint each consumer re-executes
-    // the scan + rank (harness frees the blocks per query)
-    val ranked = rankedByGroup(df, grp, v, tiebreak, giantGroups)
-      .localCheckpoint()
+    // the scan + rank (harness frees the blocks per query). The giant
+    // branch already returns a checkpoint-backed frame — don't store a
+    // second copy.
+    val rf = rankedByGroup(df, grp, v, tiebreak, giantGroups)
+    val ranked = if (giantGroups) rf else rf.localCheckpoint()
     val kLo = greatest(ceil(lit(pLo) * col("n")).cast("long"), lit(1L))
     val kHi = greatest(ceil(lit(pHi) * col("n")).cast("long"), lit(1L))
     val th = ranked.groupBy("grp").agg(
@@ -185,8 +197,9 @@ object RobustStats {
                    k: Int = 3, giantGroups: Boolean = false): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val lowerMed = floor((col("n") + 1) / lit(2)).cast("long")
-    val ranked = rankedByGroup(df, grp, v, tiebreak, giantGroups)
-      .localCheckpoint()
+    // giant branch output is already checkpoint-backed (see winsorize)
+    val rf = rankedByGroup(df, grp, v, tiebreak, giantGroups)
+    val ranked = if (giantGroups) rf else rf.localCheckpoint()
     val med = ranked.groupBy("grp")
       .agg(min(when(col("rn") === lowerMed, col("v"))).as("med"))
     val dev = ranked.join(broadcast(med), "grp")

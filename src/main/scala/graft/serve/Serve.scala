@@ -192,16 +192,23 @@ object Serve {
       while (n > 0) { val r = (n - 1) % 26; sb.insert(0, ('A' + r).toChar); n = (n - 1) / 26 }
       sb.toString
     }
+    def inlineStr(ref: String, s: String): String =
+      s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${xml(s)}</t></is></c>"""
     def cell(ref: String, v: Any): String = v match {
       case null => ""
       case b: Boolean =>
         s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>"""
+      // OOXML numeric cells must be W3C doubles EXCLUDING NaN/INF — a
+      // <v>NaN</v> makes Excel reject the whole file as corrupt; render
+      // non-finite values as inline text instead
+      case d: Double if d.isNaN || d.isInfinite => inlineStr(ref, d.toString)
+      case f: Float if f.isNaN || f.isInfinite => inlineStr(ref, f.toString)
       case n @ (_: Byte | _: Short | _: Int | _: Long | _: Float | _: Double) =>
         s"""<c r="$ref"><v>$n</v></c>"""
       case d: java.math.BigDecimal =>
         s"""<c r="$ref"><v>${d.toPlainString}</v></c>"""
       case other =>                        // strings, dates, timestamps → inline string
-        s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${xml(other.toString)}</t></is></c>"""
+        inlineStr(ref, other.toString)
     }
     val zip = new java.util.zip.ZipOutputStream(
       new java.io.BufferedOutputStream(new java.io.FileOutputStream(path)))
@@ -210,6 +217,10 @@ object Serve {
       zip.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       zip.closeEntry()
     }
+    // on ANY failure (row-cap overflow fires mid-stream) the half-written
+    // file is deleted — a consumer polling the path must never pick up a
+    // truncated spreadsheet that looks like a successful export
+    var ok = false
     try {
       entry("[Content_Types].xml",
         """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
@@ -256,6 +267,10 @@ object Serve {
       }
       write("</sheetData></worksheet>")
       zip.closeEntry()
-    } finally zip.close()
+      ok = true
+    } finally {
+      try zip.close() catch { case e: Throwable => if (ok) throw e }
+      if (!ok) java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
+    }
   }
 }

@@ -71,8 +71,13 @@ object Streams {
                  watermark: String = "1 day",
                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = scala.util.Try(spark.read.parquet(dir).schema("ts").dataType)
-      .getOrElse(LongType)
+    // fall back ONLY for the empty/nonexistent-dir cases (AnalysisException:
+    // unable to infer schema / path does not exist) — a present-but-wrong
+    // directory (no ts column, unreadable files) must still fail loudly at
+    // setup, not silently mis-decode for the stream's lifetime
+    val tsType =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException => LongType }
     val reader = spark.readStream.schema(eventsRawSchema(tsType))
     val tuned = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))

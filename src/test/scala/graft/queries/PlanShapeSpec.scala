@@ -1,0 +1,61 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Plan-shape regression gates for the r7 judge findings — each of these
+  * queries had a scale-killing physical plan that was fixed in r8; these
+  * specs pin the FIXED shape so a refactor can't silently revert it:
+  *
+  *  - q82 compiled k count_distincts into Expand×(k+1) + SortAggregate
+  *    (6× row-blowup sort-shuffle) → now two hash-agg passes, no Expand;
+  *  - q78 used the buffering PercentileDisc aggregate (whole group's
+  *    value→count map in one aggregation buffer) → now rank selection;
+  *  - q123 re-executed the events scan + rank window per consumer
+  *    (4 parquet scans) → now one scan into a checkpointed rank frame.
+  *
+  * Gates read the EXECUTED plan of the declared query on sf0.001 — the
+  * same builders the driver runs, not test doubles. q123's builder
+  * eagerly materializes its checkpoints at construction time; its gate
+  * therefore counts scans in the post-checkpoint plan (the parquet scan
+  * ran inside the materialized stage, exactly once by the q78/q99/q123
+  * giant-path construction).
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executedPlan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q82: no Expand — the multi-distinct blowup stays dead") {
+    val plan = executedPlan("q82_column_profile")
+    // the r7 defect was Expand×(k+1): every row replicated per distinct
+    // column, then sort-aggregated on a (k+1)-part KEY. The remaining
+    // SortAggregate(key=[]) on pass 1 is benign — a GLOBAL agg whose
+    // string min/max buffers just aren't hash-buffer types; no grouping
+    // key, no row blowup, one row out per partition.
+    assert(!plan.contains("Expand"), "Expand×(k+1) multi-distinct is back")
+    assert(!"SortAggregate\\(key=\\[[^\\]]".r.findFirstIn(plan).isDefined,
+      "a KEYED sort aggregate appeared — the profile shuffle is sorting rows again")
+  }
+
+  test("q78: no buffering percentile aggregate — rank selection only") {
+    val plan = executedPlan("q78_percentiles")
+    assert(!plan.toLowerCase.contains("percentile"),
+      "the PercentileDisc buffering aggregate is back")
+  }
+
+  test("q123: at most one parquet scan in the final plan (rank frame " +
+      "materialized once, consumers read the checkpoint)") {
+    val plan = executedPlan("q123_mad_anomalies")
+    val scans = "FileScan parquet|Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 1, s"q123 re-grew to $scans parquet scans (r7: 4)")
+  }
+
+  test("q133: the Bloom prefilter predicate sits in the plan ahead of the " +
+      "exact join") {
+    val plan = executedPlan("q133_decontaminate_bloom")
+    assert(plan.contains("might_contain"),
+      "bloom scan-local prune missing — q133 degenerated to the q93 plan")
+  }
+}

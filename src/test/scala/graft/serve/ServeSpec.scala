@@ -114,11 +114,32 @@ class ServeSpec extends SparkSpec {
       assert(sheet.contains("""<row r="4"><c r="A4"><v>3</v></c><c r="C4"><v>-2.5</v></c></row>"""),
         "null cells omitted entirely")
     } finally zf.close()
-    // loud overflow, never silent truncation
+    // loud overflow, never silent truncation — and the half-written file
+    // must not survive to be mistaken for a successful export
     val err = intercept[IllegalArgumentException] {
       Serve.exportExcel(spark.range(5).toDF("id"), path, maxRows = 3)
     }
     assert(err.getMessage.contains("exceeds 3 rows"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path)),
+      "partial xlsx must be deleted on failure")
+  }
+
+  test("Excel export: NaN/Infinity render as inline text, never numeric " +
+      "cells (OOXML excludes non-finite doubles)") {
+    val path = java.nio.file.Files.createTempDirectory("graft-xlsx3")
+      .resolve("nan.xlsx").toString
+    val df = Seq((1L, Double.NaN), (2L, Double.PositiveInfinity), (3L, 2.5))
+      .toDF("id", "x")
+    Serve.exportExcel(df.orderBy("id"), path)
+    val zf = new java.util.zip.ZipFile(path)
+    try {
+      val sheet = new String(zf.getInputStream(
+        zf.getEntry("xl/worksheets/sheet1.xml")).readAllBytes, "UTF-8")
+      assert(!sheet.contains("<v>NaN</v>") && !sheet.contains("<v>Infinity</v>"))
+      assert(sheet.contains("""<c r="B2" t="inlineStr"><is><t xml:space="preserve">NaN</t></is></c>"""))
+      assert(sheet.contains("""<c r="B3" t="inlineStr"><is><t xml:space="preserve">Infinity</t></is></c>"""))
+      assert(sheet.contains("""<c r="B4"><v>2.5</v></c>"""))
+    } finally zf.close()
   }
 
   test("Excel export: column refs past Z (AA...) and 2^20-row cap default") {
