@@ -59,24 +59,30 @@ object HeavyHitters {
       .limit(k)
   }
 
-  /** Misra-Gries summary of one partition: the surviving counter keys.
-    * Decrement-all work is amortized O(1)/row (each eviction step burns
-    * `capacity`+1 count mass and mass only enters one unit per row). */
+  /** One Misra-Gries update step on a mutable counter map: increment if
+    * tracked, insert if below capacity, else decrement-all (evicting
+    * zeros). Amortized O(1)/row — each eviction step burns `capacity`+1
+    * count mass and mass only enters one unit per row. Shared by the
+    * batch candidate pass here and the streaming twin
+    * ([[graft.streaming.Streams.heavyHittersStream]]). */
+  private[graft] def misraGriesStep(counters: mutable.HashMap[String, Long],
+                                    v: String, capacity: Int): Unit =
+    counters.get(v) match {
+      case Some(c) => counters.update(v, c + 1)
+      case None if counters.size < capacity => counters.update(v, 1L)
+      case None =>
+        val survivors = counters.toList // snapshot: no mutation mid-iteration
+        counters.clear()
+        survivors.foreach { case (kk, c) =>
+          if (c > 1L) counters.update(kk, c - 1)
+        }
+    }
+
+  /** Misra-Gries summary of one partition: the surviving counter keys. */
   private def misraGriesKeys(rows: Iterator[String],
                              capacity: Int): Iterator[String] = {
     val counters = mutable.HashMap.empty[String, Long]
-    rows.foreach { v =>
-      counters.get(v) match {
-        case Some(c) => counters.update(v, c + 1)
-        case None if counters.size < capacity => counters.update(v, 1L)
-        case None =>
-          val survivors = counters.toList // snapshot: no mutation mid-iteration
-          counters.clear()
-          survivors.foreach { case (kk, c) =>
-            if (c > 1L) counters.update(kk, c - 1)
-          }
-      }
-    }
+    rows.foreach(misraGriesStep(counters, _, capacity))
     counters.keysIterator
   }
 }

@@ -40,6 +40,12 @@ case class Scd2Interval(user_id: Long, state: String,
                         valid_from: java.sql.Timestamp,
                         valid_to: java.sql.Timestamp)
 
+/** Per-trigger candidate snapshot emitted by
+  * [[Streams.heavyHittersStream]] — consumers keep each shard's max
+  * `version` (Misra-Gries counts can decrease, so "latest", not "max
+  * count", is the merge rule). */
+case class HhCandidate(shard: Int, version: Long, key: String, cnt: Long)
+
 object Streams {
 
   /** events table schema for the streaming file source (streams require an
@@ -524,6 +530,53 @@ object Streams {
       .join(broadcast(benchGrams.select(col("h").as("_h"))), "_h")
       .drop("_h", textCol)
       .dropDuplicatesWithinWatermark(Seq(idCol))
+  }
+
+  /**
+   * Streaming heavy-hitter candidates — the ingest-time twin of
+   * [[graft.operators.HeavyHitters.topKFrequent]]'s candidate pass:
+   * a running Misra-Gries summary per key-hash shard in
+   * `flatMapGroupsWithState`, emitting each shard's full current
+   * summary (capacity-bounded) every trigger, tagged with a per-shard
+   * `version` so consumers keep the latest snapshot.
+   *
+   * Guarantee (same certificate as the batch operator, sharded): a key's
+   * whole count lands in ONE shard, and a key absent from its shard's
+   * summary has shard count < n_shard/capacity ≤ N/capacity — so every
+   * key with global count ≥ N/capacity is in the latest snapshots, with
+   * estimate in [true − n_shard/capacity, true]. State is
+   * ≤ capacity counters per shard, never evicted (a running census has
+   * no event-time horizon); `nShards` bounds per-task state and spreads
+   * update work. The exact RECOUNT (batch pass 2) stays a downstream
+   * batch job over the stored corpus — the stream maintains candidates,
+   * which is the part that must see every row.
+   */
+  def heavyHittersStream(rows: DataFrame, keyCol: String,
+                         capacity: Int = 4096, nShards: Int = 32)
+      : org.apache.spark.sql.Dataset[HhCandidate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import rows.sparkSession.implicits._
+    require(capacity > 0 && nShards > 0,
+      s"capacity=$capacity, nShards=$nShards must be > 0")
+    val typed = rows.select(col(keyCol).cast("string").as("k"))
+      .filter(col("k").isNotNull)
+      .withColumn("shard", pmod(hash(col("k")), lit(nShards)).cast("int"))
+      .as[(String, Int)]
+    typed.groupByKey(_._2)
+      .flatMapGroupsWithState[(Long, Map[String, Long]), HhCandidate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (shard, it, state: GroupState[(Long, Map[String, Long])]) =>
+          val (ver0, saved) = state.getOption.getOrElse((0L, Map.empty[String, Long]))
+          val counters = scala.collection.mutable.HashMap[String, Long](saved.toSeq: _*)
+          it.foreach { case (k, _) =>
+            graft.operators.HeavyHitters.misraGriesStep(counters, k, capacity)
+          }
+          val ver = ver0 + 1
+          state.update((ver, counters.toMap))
+          counters.toVector.map { case (k, c) =>
+            HhCandidate(shard, ver, k, c)
+          }.iterator
+      }
   }
 
   /** Drain an events directory through the streaming daily rollup into

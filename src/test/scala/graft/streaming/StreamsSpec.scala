@@ -489,6 +489,54 @@ class StreamsSpec extends SparkSpec {
     assert(streamIds === Set(1L, 3L))
   }
 
+  test("streaming heavy hitters: every true heavy key survives, estimates " +
+      "within the Misra-Gries bound, state capacity-bounded per shard") {
+    val capacity = 8
+    val nShards = 4
+    // 120 "hot1" + 100 "hot2" + 280 near-unique tail = 500 rows;
+    // global threshold N/capacity = 62.5 → both hot keys are certified
+    // candidates no matter how the tail shards
+    val batch1 = Seq.fill(70)("hot1") ++ Seq.fill(40)("hot2") ++
+      (0 until 140).map(i => s"tail$i")
+    val batch2 = Seq.fill(50)("hot1") ++ Seq.fill(60)("hot2") ++
+      (140 until 280).map(i => s"tail$i")
+    val mem = MemoryStream[String](spark)
+    val cands = Streams.heavyHittersStream(mem.toDF.toDF("k"), "k",
+      capacity = capacity, nShards = nShards)
+    val q = cands.toDF.writeStream.format("memory")
+      .queryName("hh_out").outputMode("update")
+      .option("checkpointLocation", tmp("graft-hh-ckpt"))
+      .start()
+    mem.addData(batch1: _*); q.processAllAvailable()
+    mem.addData(batch2: _*); q.processAllAvailable()
+    q.stop()
+    import org.apache.spark.sql.functions.{col, max}
+    val all = spark.table("hh_out")
+      .as[(Int, Long, String, Long)].collect()
+    // latest snapshot per shard (MG counts can DECREASE — keep by
+    // version, not by max count)
+    val latestVer = all.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val latest = all.filter { case (s, v, _, _) => v == latestVer(s) }
+    val est = latest.map { case (_, _, k, c) => k -> c }.toMap
+    assert(est.contains("hot1") && est.contains("hot2"),
+      s"certified heavy keys missing from $est")
+    // MG bound: true − N/capacity ≤ est ≤ true (N = 500 global slack)
+    assert(est("hot1") <= 120 && est("hot1") >= 120 - 500 / capacity)
+    assert(est("hot2") <= 100 && est("hot2") >= 100 - 500 / capacity)
+    // state bound: each shard's snapshot holds at most `capacity` keys
+    latest.groupBy(_._1).foreach { case (s, rows) =>
+      assert(rows.length <= capacity, s"shard $s exceeded capacity")
+    }
+    // the batch operator's exact top-2 keys are both among the streaming
+    // candidates (candidates ⊇ certified heavy hitters — the contract
+    // that lets the exact recount run downstream)
+    val exact = graft.operators.HeavyHitters.topKFrequent(
+        (batch1 ++ batch2).toDF("k"), "k", 2, capacity = 64)
+      .collect().map(_.getString(0)).toSet
+    assert(exact === Set("hot1", "hot2"))
+    assert(exact.subsetOf(est.keySet))
+  }
+
   test("streaming funnel completions equal the batch funnel counts") {
     val dir = tmp("graft-funnel-events")
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
