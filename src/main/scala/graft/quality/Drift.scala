@@ -55,6 +55,29 @@ object Drift {
     psiFromEdges(ref, cur, v, edges, bins, eps)
   }
 
+  /** The reference side of a drift monitor, collected to the driver:
+    * (bin edges, per-bin proportions) — `bins`−1 + `bins` doubles, the
+    * broadcastable constants a STREAMING monitor scores against
+    * ([[graft.streaming.Streams.psiDriftStream]]). Edges are the same
+    * order statistics as [[psiBins]]; proportions are the reference's
+    * own binning (so a stream identical in distribution to the
+    * reference scores PSI ≈ 0). */
+  def referenceProfile(ref: DataFrame, v: Column,
+                       bins: Int = 10): (Seq[Double], Seq[Double]) = {
+    require(bins > 1, "need at least 2 bins")
+    val edges = graft.operators.RobustStats.orderStatEdges(ref, v, bins)
+      .head.getSeq[Double](0)
+    val edgeArr = array(edges.map(lit): _*)
+    val counts = ref.select(v.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .select(size(filter(edgeArr, x => x < col("v"))).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    val props = (0 until bins).map(b => counts.getOrElse(b, 0L) / total)
+    (edges, props)
+  }
+
   private def psiFromEdges(ref: DataFrame, cur: DataFrame, v: Column,
                            edges: DataFrame, bins: Int, eps: Double): DataFrame = {
     // nulls are excluded from BOTH windows (a null would land in bin 0 —

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -577,6 +577,50 @@ object Streams {
             HhCandidate(shard, ver, k, c)
           }.iterator
       }
+  }
+
+  /**
+   * Streaming drift monitor — PSI per event-time window against a FIXED
+   * reference profile (the `Drift.referenceProfile` constants: order-stat
+   * bin edges + reference proportions, computed batch-side from the
+   * training window). Each event bins SCAN-LOCALLY against the literal
+   * edge array; ONE streaming windowed aggregation produces per-bin
+   * conditional counts as columns; PSI is then a row-local expression
+   * over that single aggregated row — deliberately shaped around Spark's
+   * one-streaming-aggregation limit (no chained agg, no foreachBatch
+   * math). Emits (window_start, n, psi) per closed window; watermark
+   * bounds state exactly as T4.
+   *
+   * This is the production form of model monitoring: the reference
+   * profile is versioned WITH the model artifact, the monitor scores
+   * arriving data against it, and a window with psi > 0.2 pages before
+   * the model's predictions quietly rot (the conventional threshold —
+   * Drift scaladoc).
+   */
+  def psiDriftStream(events: DataFrame, v: Column,
+                     edges: Seq[Double], pRef: Seq[Double],
+                     windowLength: String = "1 hour",
+                     eps: Double = 1e-6): DataFrame = {
+    require(pRef.size == edges.size + 1,
+      s"pRef must have edges+1 entries (bins), got ${pRef.size} vs ${edges.size} edges")
+    val bins = pRef.size
+    val edgeArr = array(edges.map(lit): _*)
+    val bin = size(filter(edgeArr, x => x < v.cast("double")))
+    val counts = (0 until bins).map(b =>
+      sum((bin === b).cast("long")).as(s"_c$b"))
+    val windowed = events
+      .filter(v.cast("double").isNotNull)
+      .groupBy(window(col("ts"), windowLength))
+      .agg(counts.head, counts.tail: _*)
+    val n = (0 until bins).map(b => col(s"_c$b")).reduce(_ + _)
+    val psi = (0 until bins).map { b =>
+      val q = greatest(col(s"_c$b").cast("double") / n, lit(eps))
+      val p = greatest(lit(pRef(b)), lit(eps))
+      (q - p) * log(q / p)
+    }.reduce(_ + _)
+    windowed.select(
+      date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+      n.as("n"), psi.as("psi"))
   }
 
   /** Drain an events directory through the streaming daily rollup into

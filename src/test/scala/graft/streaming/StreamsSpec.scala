@@ -537,6 +537,49 @@ class StreamsSpec extends SparkSpec {
     assert(exact.subsetOf(est.keySet))
   }
 
+  test("streaming PSI drift: matched window scores ~0, shifted window " +
+      "scores high; stream equals the batch form of the same expression") {
+    // reference: uniform over 0..99 → 5 equal bins
+    val ref = (0 until 100).map(_.toDouble).toDF("x")
+    val (edges, pRef) = graft.quality.Drift.referenceProfile(ref, col("x"), bins = 5)
+    assert(edges.size === 4 && pRef.forall(p => math.abs(p - 0.2) < 1e-9))
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-10 ${10 + min / 60}%02d:${min % 60}%02d:00")
+    // window A (hour 10): same uniform distribution; window B (hour 11):
+    // everything in the top bin
+    val rowsA = (0 until 100).map(i => (ts(i % 50), i.toDouble))
+    val rowsB = (0 until 80).map(i => (ts(60 + i % 50), 95.0))
+    val mem = MemoryStream[(Timestamp, Double)](spark)
+    val out = Streams.psiDriftStream(
+      mem.toDF.toDF("ts", "value").withWatermark("ts", "10 minutes"),
+      col("value"), edges, pRef, windowLength = "1 hour")
+    val q = out.writeStream.format("memory")
+      .queryName("psi_out").outputMode("update")
+      .option("checkpointLocation", tmp("graft-psi-ckpt"))
+      .start()
+    mem.addData(rowsA ++ rowsB: _*)
+    q.processAllAvailable()
+    q.stop()
+    // update mode re-emits windows as they grow — keep the final (max n)
+    // row per window
+    val byWindow = spark.table("psi_out")
+      .as[(String, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+    val a = byWindow("2024-01-10 10:00:00")
+    val b = byWindow("2024-01-10 11:00:00")
+    assert(a._2 === 100L && math.abs(a._3) < 1e-9,
+      s"matched window must score ~0, got $a")
+    assert(b._2 === 80L && b._3 > 1.0, s"shifted window must score high, got $b")
+    // the same function over the same rows as a BATCH frame is the twin
+    val batch = Streams.psiDriftStream(
+        (rowsA ++ rowsB).toDF("ts", "value"), col("value"), edges, pRef,
+        windowLength = "1 hour")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, math.round(r._3 * 1e9)))).toMap
+    val stream = byWindow.view
+      .mapValues(r => (r._2, math.round(r._3 * 1e9))).toMap
+    assert(stream === batch)
+  }
+
   test("streaming funnel completions equal the batch funnel counts") {
     val dir = tmp("graft-funnel-events")
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
