@@ -65,16 +65,27 @@ object Drift {
   def referenceProfile(ref: DataFrame, v: Column,
                        bins: Int = 10): (Seq[Double], Seq[Double]) = {
     require(bins > 1, "need at least 2 bins")
-    val edges = graft.operators.RobustStats.orderStatEdges(ref, v, bins)
+    // materialize the slim value frame ONCE: both the edge selection and
+    // the count pass read it, so an expensive upstream ref pipeline is
+    // never re-executed (the orderStatEdges discipline, extended to the
+    // second pass); freed after the counts collect
+    val vals = ref.select(v.cast("double").as("v"))
+      .filter(col("v").isNotNull).localCheckpoint()
+    val n = vals.count()
+    // fewer non-null rows than bins → colliding edge ranks → an
+    // (edges, props) pair every consumer rejects; a profile that small
+    // is not a reference distribution, fail at the source
+    require(n >= bins,
+      s"reference has $n non-null rows; need at least bins=$bins")
+    val edges = graft.operators.RobustStats.orderStatEdges(vals, col("v"), bins)
       .head.getSeq[Double](0)
     val edgeArr = array(edges.map(lit): _*)
-    val counts = ref.select(v.cast("double").as("v"))
-      .filter(col("v").isNotNull)
+    val counts = vals
       .select(size(filter(edgeArr, x => x < col("v"))).as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val total = counts.values.sum.toDouble
-    val props = (0 until bins).map(b => counts.getOrElse(b, 0L) / total)
+    org.apache.spark.sql.graftshim.GraftShim.freeLocalCheckpoint(vals)
+    val props = (0 until bins).map(b => counts.getOrElse(b, 0L) / n.toDouble)
     (edges, props)
   }
 

@@ -588,14 +588,23 @@ object Streams {
    * conditional counts as columns; PSI is then a row-local expression
    * over that single aggregated row — deliberately shaped around Spark's
    * one-streaming-aggregation limit (no chained agg, no foreachBatch
-   * math). Emits (window_start, n, psi) per closed window; watermark
-   * bounds state exactly as T4.
+   * math). Emits (window_start, n, psi) rows; `events` must carry a
+   * watermarked `ts` (caller applies `withWatermark`, the repo-wide
+   * stream contract) so window state is bounded exactly as T4.
+   *
+   * OUTPUT-MODE CONTRACT: in APPEND mode each window emits once, on
+   * close — PSI over the complete window, the row to alert on. In
+   * UPDATE mode a window re-emits per trigger with PSI over its
+   * PARTIAL counts so far — a running snapshot whose early emissions
+   * are concentrated in few bins and can transiently read high; an
+   * update-mode consumer must treat the latest row per window as
+   * provisional until the watermark passes, never page on it.
    *
    * This is the production form of model monitoring: the reference
    * profile is versioned WITH the model artifact, the monitor scores
-   * arriving data against it, and a window with psi > 0.2 pages before
-   * the model's predictions quietly rot (the conventional threshold —
-   * Drift scaladoc).
+   * arriving data against it, and a CLOSED window with psi > 0.2 pages
+   * before the model's predictions quietly rot (the conventional
+   * threshold — Drift scaladoc).
    */
   def psiDriftStream(events: DataFrame, v: Column,
                      edges: Seq[Double], pRef: Seq[Double],

@@ -19,26 +19,16 @@ class PlanLintSpec extends SparkSpec {
   /** BroadcastNestedLoopJoin is legitimate exactly where a small
     * broadcast side meets a non-equi or all-pairs contract. */
   private val bnljAllowed: Map[String, String] = Map(
-    "q48_cosine_topk" -> "1-row query vector × corpus: deliberate broadcast all-pairs scoring",
     "q72_ivf_assign" -> "broadcast centroid table × vectors: the IVF argmax assignment kernel",
     "q73_ivf_topk" -> "same IVF assignment kernel inside the inline index build",
     "q122_semantic_dedup" -> "IVF-blocked cosine: broadcast centroid argmax assignment",
-    "q132_ivf_index_topk" -> "IVF build + stored-index search: broadcast centroids/probed cids",
     "q134_ivf_append" -> "delta assignment against broadcast stored centroids",
     "q85_pq_adc_topk" -> "broadcast PQ codebook × vectors: scan-local encode",
-    "q76_int8_topk" -> "broadcast 1-row quantized query vector × corpus",
-    "q47_cosine_neardups" -> "broadcast 1-row stats/query frame in the blocked-cosine build",
-    "q49_knn_block" -> "within-block all-pairs by contract (blocked kNN)",
     "q94_bm25" -> "broadcast 1-row corpus-stats frame joined to every doc",
     "q125_unigram_logprob" -> "broadcast 1-row corpus token-count frame",
     "q57_baseline_scores" -> "broadcast 1-row global-stats frame",
-    "q56_ranking_metrics" -> "broadcast 1-row metric-denominator frame",
     "q120_notify_digest" -> "broadcast 1-row headline-stats frame crossJoined onto top-N",
     "q128_sql_range_join" -> "the rule's residual branch: BNLJ kept ONLY for over-cap intervals (empty at runtime, AQE-collapsed)",
-    "q121_interval_overlap" -> "same residual-branch contract as q128",
-    "q89_range_join_windows" -> "same residual-branch contract as q128",
-    "q112_synthetic_accounts" -> "broadcast 1-row seed frame for the generator",
-    "q83_weighted_sample" -> "broadcast 1-row normalization-stats frame",
     "q106_temperature_mix" -> "broadcast per-stratum rate frame (|strata| rows)",
     "q102_psi_drift" -> "broadcast 1-row shared-edges frame against both samples",
     "q33_pair_features" -> "candidate-capped θ-join: both sides are top-100-per-org by contract (reference pipeline.py:335-336 caps pairs at 10k/org-pair) — the score-threshold condition has no equi-key by design",
@@ -54,23 +44,36 @@ class PlanLintSpec extends SparkSpec {
     "q126_sliding_window" -> "Spark's TimeWindowing compiles slide<length windows to an Expand of length/slide rows — the operator's defined fan-out, scan-local")
 
   test("no declared query plans a cartesian product, an unexpected " +
-      "nested-loop join, or an unexpected Expand") {
-    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      "nested-loop join, or an unexpected Expand; allowlists stay live") {
+    val plans = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        val plan =
-          try fn(spark, dir).queryExecution.executedPlan.toString
-          catch { case e: Throwable => s"BUILD FAILED: ${e.getMessage}" }
-        Seq(
-          Option.when(plan.contains("BUILD FAILED"))(s"$name: $plan"),
-          Option.when(plan.contains("CartesianProduct"))(
-            s"$name: CartesianProduct (never acceptable — no equi-key and nothing broadcastable)"),
-          Option.when(plan.contains("BroadcastNestedLoopJoin") &&
-              !bnljAllowed.contains(name))(
-            s"$name: unexpected BroadcastNestedLoopJoin — add an equi-key or justify in the allowlist"),
-          Option.when(plan.contains("Expand") && !expandAllowed.contains(name))(
-            s"$name: unexpected Expand — multi-distinct or grouping-set blowup")
-        ).flatten
+        name -> (try fn(spark, dir).queryExecution.executedPlan.toString
+          catch { case e: Throwable => s"BUILD FAILED: ${e.getMessage}" })
+    }.toMap
+    val violations = plans.toSeq.sortBy(_._1).flatMap { case (name, plan) =>
+      Seq(
+        Option.when(plan.contains("BUILD FAILED"))(s"$name: $plan"),
+        Option.when(plan.contains("CartesianProduct"))(
+          s"$name: CartesianProduct (never acceptable — no equi-key and nothing broadcastable)"),
+        Option.when(plan.contains("BroadcastNestedLoopJoin") &&
+            !bnljAllowed.contains(name))(
+          s"$name: unexpected BroadcastNestedLoopJoin — add an equi-key or justify in the allowlist"),
+        Option.when(plan.contains("Expand") && !expandAllowed.contains(name))(
+          s"$name: unexpected Expand — multi-distinct or grouping-set blowup")
+      ).flatten
     }
-    assert(violations.isEmpty, violations.mkString("\n", "\n", ""))
+    // staleness sweep: an allowlist entry whose query no longer plans the
+    // operator would silently re-authorize a FUTURE reintroduction —
+    // entries must point at live queries whose plans still contain the
+    // allowlisted operator, or be removed
+    val stale =
+      bnljAllowed.keys.filterNot(n =>
+          plans.get(n).exists(_.contains("BroadcastNestedLoopJoin")))
+        .map(n => s"$n: stale BNLJ allowlist entry (query gone or plan no longer has BNLJ) — remove it") ++
+      expandAllowed.keys.filterNot(n =>
+          plans.get(n).exists(_.contains("Expand")))
+        .map(n => s"$n: stale Expand allowlist entry — remove it")
+    assert(violations.isEmpty && stale.isEmpty,
+      (violations ++ stale).mkString("\n", "\n", ""))
   }
 }
