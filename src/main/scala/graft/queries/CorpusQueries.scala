@@ -336,6 +336,24 @@ object CorpusQueries {
         .orderBy("bin")
     }),
 
+    "q135_psi_windows" -> ((s, dir) => {
+      // the drift MONITOR shape, oracle-gated end-to-end: reference
+      // profile (order-stat decile edges + proportions) from the 'view'
+      // events, then PSI per 1-day event-time window over ALL events —
+      // the exact expression Streams.psiDriftStream runs on a stream
+      // (StreamsSpec proves stream ≡ batch form; this query proves the
+      // math against DuckDB). The per-window psi is an ORDERED bin fold
+      // on both sides (left-to-right b=0..9) so the float sum associates
+      // identically.
+      val ev = t(s, dir, "events")
+      val (edges, pRef) = graft.quality.Drift.referenceProfile(
+        ev.filter(col("event_type") === "view"), col("value"), bins = 10)
+      graft.streaming.Streams.psiDriftStream(ev, col("value"), edges, pRef,
+          windowLength = "1 day")
+        .select(col("window_start"), col("n"), round(col("psi"), 6).as("psi"))
+        .orderBy("window_start")
+    }),
+
     "q101_repetition" -> ((s, dir) => {
       // Gopher-style repetition filters: duplicate-word fraction +
       // top-bigram occurrence share (Corpus.repetitionSignals scaladoc)
@@ -701,6 +719,35 @@ object CorpusQueries {
         |  round((greatest(q, 1e-6) - greatest(p, 1e-6))
         |    * ln(greatest(q, 1e-6) / greatest(p, 1e-6)), 6) AS psi_term
         |FROM bins ORDER BY bin""".stripMargin,
+
+    "q135_psi_windows" ->
+      """WITH ref AS (SELECT value AS v FROM events
+        |  WHERE event_type = 'view' AND value IS NOT NULL),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+        |    count(*) OVER () AS n FROM ref),
+        |edges AS (SELECT list(v ORDER BY v) AS e FROM r WHERE rn IN (
+        |  SELECT CAST(ceil(n * x / 10.0) AS BIGINT)
+        |  FROM (SELECT DISTINCT n FROM r), range(1, 10) t(x))),
+        |pr AS (SELECT CAST(len(list_filter(e, x -> x < v)) AS INTEGER) AS bin,
+        |    count(*) AS c FROM ref, edges GROUP BY 1),
+        |prn AS (SELECT sum(c) AS n FROM pr),
+        |cur AS (SELECT date_trunc('day', ts) AS w, value AS v FROM events
+        |  WHERE value IS NOT NULL),
+        |cb AS (SELECT w, CAST(len(list_filter(e, x -> x < v)) AS INTEGER) AS bin,
+        |    count(*) AS c FROM cur, edges GROUP BY 1, 2),
+        |wn AS (SELECT w, sum(c) AS n FROM cb GROUP BY 1),
+        |terms AS (SELECT wn.w, wn.n, b.bin,
+        |    greatest(CAST(coalesce(cb.c, 0) AS DOUBLE) / wn.n, 1e-6) AS q,
+        |    greatest(CAST(coalesce(pr.c, 0) AS DOUBLE)
+        |      / (SELECT n FROM prn), 1e-6) AS p
+        |  FROM wn CROSS JOIN
+        |    (SELECT CAST(unnest(range(0, 10)) AS INTEGER) AS bin) b
+        |  LEFT JOIN cb ON cb.w = wn.w AND cb.bin = b.bin
+        |  LEFT JOIN pr ON pr.bin = b.bin)
+        |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  CAST(any_value(n) AS BIGINT) AS n,
+        |  round(list_sum(list((q - p) * ln(q / p) ORDER BY bin)), 6) AS psi
+        |FROM terms GROUP BY w ORDER BY window_start""".stripMargin,
 
     "q101_repetition" ->
       """WITH w AS (SELECT doc_id,
