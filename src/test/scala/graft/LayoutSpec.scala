@@ -9,6 +9,35 @@ import graft.sources.Layout
 class LayoutSpec extends SparkSpec {
   import spark.implicits._
 
+  test("compactParquet: many small files become few, rows identical, " +
+      "no-op when already at target, partial tmp never pollutes reads") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact")
+      .resolve("sink").toString
+    val df = spark.range(10000)
+      .selectExpr("id", "id % 7 AS k", "cast(id as double) * 1.5 AS v")
+    df.repartition(40).write.parquet(dir) // the streaming-sink shape: 40 shards
+    def files() = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files().length === 40)
+    val totalBytes = files().map(_.length).sum
+    // target ~ quarter of the data per file → expect ~4 files
+    val n = Layout.compactParquet(spark, dir, targetBytes = totalBytes / 4 + 1)
+    assert(n < 10, s"expected few files, got $n")
+    assert(files().length === n)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 10000)
+    assert(back.agg(sum("v")).head.getDouble(0) ===
+      df.agg(sum("v")).head.getDouble(0))
+    assert(back.schema === spark.read.parquet(dir).schema)
+    // already at target (budget = current bytes / current files ⇒
+    // targetFiles ≥ n) → untouched, no rewrite
+    val curBytes = files().map(_.length).sum
+    val n2 = Layout.compactParquet(spark, dir, targetBytes = curBytes / n)
+    assert(n2 === n && files().length === n)
+    // no tmp residue
+    assert(!new java.io.File(dir + "_compact_tmp").exists)
+  }
+
   test("date-partitioned write prunes partitions at planning time") {
     val dir = java.nio.file.Files.createTempDirectory("graft-datepart").toString
     val ev = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
