@@ -82,7 +82,8 @@ object Plans {
       "q131_span_dedup",       // tile window (one content Exchange) + doc rebuild
       "q132_ivf_index_topk",   // search over the STORED centroids/assignments
       "q133_decontaminate_bloom", // bloom scan-local prune + exact confirm join
-      "q134_ivf_append")       // delta-only assignment vs stored centroids
+      "q134_ivf_append",       // delta-only assignment vs stored centroids
+      "q135_psi_windows")      // drift monitor: literal edges, one window agg
     // per-query reader notes where the right plan is easy to misread
     val notes = Map(
       "q128_sql_range_join" -> ("The user wrote the naive theta join " +
