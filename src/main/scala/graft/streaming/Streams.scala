@@ -632,6 +632,65 @@ object Streams {
       n.as("n"), psi.as("psi"))
   }
 
+  /**
+   * Streaming contract monitor — per-event-time-window validation
+   * counters for a [[graft.quality.Contracts.DataContract]], the
+   * ingest-time form of the one-agg-pass batch validate (reference
+   * analogue: the quality monitor tracking validation rates,
+   * data_contracts.py:216-231 — here the rates are computed ON ARRIVAL
+   * per window instead of per nightly run). Same severity semantics:
+   * nullability / uniqueness / range violations are ERRORS, allowed-set
+   * violations WARNINGS, `is_valid` = zero errors.
+   *
+   * One streaming aggregation; every rule is a conditional sum except
+   * uniqueness, where exact `count_distinct` is not streamable — the
+   * dup count is `count − approx_count_distinct` (HLL, exact at small
+   * per-window cardinalities, ~2% beyond): right for a MONITOR, whose
+   * output is an alert rate; the exact dup listing stays a batch job
+   * over the stored window, the heavy-hitters recount discipline.
+   * `rows` must carry a watermarked `ts`. Emits (window_start, rows,
+   * errors, warnings, is_valid) — append mode gives one final row per
+   * closed window (the psiDriftStream output-mode contract applies).
+   */
+  def contractMonitor(rows: DataFrame,
+                      contract: graft.quality.Contracts.DataContract,
+                      windowLength: String = "1 hour"): DataFrame = {
+    val present = rows.columns.toSet
+    val checked = contract.columns.filter(c => present(c.name))
+    require(checked.nonEmpty, "no contract columns present in the stream")
+    val aggs = checked.flatMap { c =>
+      val v = col(c.name)
+      val nonNull = v.isNotNull
+      Seq(sum(v.isNull.cast("long")).as(s"${c.name}__nulls")) ++
+        (if (c.unique)
+          Seq((count(when(nonNull, 1)) - approx_count_distinct(v))
+            .as(s"${c.name}__dups")) else Nil) ++
+        c.minValue.toSeq.map(lo =>
+          sum((nonNull && v < lo).cast("long")).as(s"${c.name}__below")) ++
+        c.maxValue.toSeq.map(hi =>
+          sum((nonNull && v > hi).cast("long")).as(s"${c.name}__above")) ++
+        c.allowedValues.toSeq.map(set =>
+          sum((nonNull && !v.isin(set.toSeq: _*)).cast("long"))
+            .as(s"${c.name}__invalid"))
+    }
+    val agged = rows.groupBy(window(col("ts"), windowLength))
+      .agg(count(lit(1)).as("rows"), aggs: _*)
+    val errCols = checked.flatMap { c =>
+      (if (!c.nullable) Seq(col(s"${c.name}__nulls")) else Nil) ++
+        (if (c.unique) Seq(col(s"${c.name}__dups")) else Nil) ++
+        c.minValue.toSeq.map(_ => col(s"${c.name}__below")) ++
+        c.maxValue.toSeq.map(_ => col(s"${c.name}__above"))
+    }
+    val warnCols = checked.flatMap(c =>
+      c.allowedValues.toSeq.map(_ => col(s"${c.name}__invalid")))
+    def total(cs: Seq[Column]) =
+      if (cs.isEmpty) lit(0L) else cs.reduce(_ + _)
+    agged.select(
+      date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+      col("rows"), total(errCols).as("errors"), total(warnCols).as("warnings"),
+      (total(errCols) === 0L).as("is_valid"))
+  }
+
   /** Drain an events directory through the streaming daily rollup into
     * parquet and return the materialized result (complete mode via
     * foreachBatch overwrite — each AvailableNow drain rewrites the rollup,

@@ -580,6 +580,50 @@ class StreamsSpec extends SparkSpec {
     assert(stream === batch)
   }
 
+  test("streaming contract monitor: clean window valid, dirty window's " +
+      "error/warning counts match the batch severity semantics") {
+    import graft.quality.Contracts.{ColumnContract, DataContract}
+    val contract = DataContract(
+      name = "stream_recs",
+      requiredColumns = Seq("id"),
+      columns = Seq(
+        ColumnContract("id", "string", nullable = false, unique = true),
+        ColumnContract("amount", "numeric", minValue = Some(0)),
+        ColumnContract("kind", "string",
+          allowedValues = Some(Set("A", "B")))))
+    def ts(s: String) = Timestamp.valueOf(s)
+    // hour 10: clean; hour 11: null id (error), dup id (error),
+    // negative amount (error), kind=C (warning)
+    val clean = Seq(
+      ("r1", 10.0, "A", ts("2024-01-10 10:00:00")),
+      ("r2", 20.0, "B", ts("2024-01-10 10:30:00")))
+    val dirty = Seq(
+      (null.asInstanceOf[String], 5.0, "A", ts("2024-01-10 11:00:00")),
+      ("r3", -4.0, "C", ts("2024-01-10 11:10:00")),
+      ("r4", 1.0, "A", ts("2024-01-10 11:20:00")),
+      ("r4", 2.0, "B", ts("2024-01-10 11:30:00")))
+    val mem = MemoryStream[(String, Double, String, Timestamp)](spark)
+    val out = Streams.contractMonitor(
+      mem.toDF.toDF("id", "amount", "kind", "ts")
+        .withWatermark("ts", "10 minutes"),
+      contract, windowLength = "1 hour")
+    val q = out.writeStream.format("memory")
+      .queryName("contract_out").outputMode("update")
+      .option("checkpointLocation", tmp("graft-contract-ckpt"))
+      .start()
+    mem.addData(clean ++ dirty: _*)
+    q.processAllAvailable()
+    q.stop()
+    val byWindow = spark.table("contract_out")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+    val a = byWindow("2024-01-10 10:00:00")
+    assert(a === (("2024-01-10 10:00:00", 2L, 0L, 0L, true)))
+    val b = byWindow("2024-01-10 11:00:00")
+    // errors: 1 null id + 1 dup id + 1 below-min = 3; warnings: kind=C
+    assert(b === (("2024-01-10 11:00:00", 4L, 3L, 1L, false)))
+  }
+
   test("streaming funnel completions equal the batch funnel counts") {
     val dir = tmp("graft-funnel-events")
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
