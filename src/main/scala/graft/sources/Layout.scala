@@ -88,47 +88,117 @@ object Layout {
    * swaps: verified-then-rename, with the previous generation deleted
    * only AFTER the new one is in place.
    *
-   * Correctness: the rewrite is verified by ROW COUNT before any
-   * destructive step (a failed write leaves the original untouched; a
-   * crash between rename steps leaves both generations, never neither —
-   * the recovery rule is "directory with `_compacted` marker wins").
+   * Correctness protocol (rename-atomic FS semantics):
+   *  1. the SNAPSHOT is `df.inputFiles` of the frame actually rewritten
+   *     — never a separate listing, so files appended by a racing
+   *     trigger between list and read cannot be deleted-but-not-copied
+   *     or copied-but-not-deleted (they simply stay for the next run);
+   *  2. the rewrite lands in a side directory, row-count-verified
+   *     BEFORE any destructive step;
+   *  3. a `_compaction_pending` marker listing the superseded files is
+   *     written, the new generation (unique per-run names — re-running
+   *     can never collide with a previous generation) is renamed in
+   *     with every rename result CHECKED, then the superseded files are
+   *     deleted and the marker removed. A crash mid-swap leaves marker
+   *     + both generations; [[recoverCompaction]] (run automatically at
+   *     entry) completes the deletion from the marker — duplicates are
+   *     transient and self-healing, data loss is impossible.
    * Readers racing the swap on a plain filesystem may glimpse a mixed
    * listing — the documented limit of directory-level parquet at scale;
    * table formats (metadata-tracked file sets) exist precisely to close
    * that gap, and this operator is the pattern they execute internally.
-   * Returns the new file count (or the unchanged old count when the
-   * directory is already at-or-under target).
+   * Returns the new file count (or the unchanged snapshot count when
+   * the directory is already at-or-under target).
    */
   def compactParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
                      targetBytes: Long = 128L << 20): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    def parquetFiles() = fs.listStatus(path)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    val before = parquetFiles()
-    val totalBytes = before.map(_.getLen).sum
-    val targetFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    if (before.length <= targetFiles) return before.length
+    recoverCompaction(spark, dir)
     val df = spark.read.parquet(dir)
+    // the EXACT file set the rewrite reads — the only set safe to delete
+    val snapshot = df.inputFiles.map(new org.apache.hadoop.fs.Path(_))
+    val totalBytes = snapshot.map(p => fs.getFileStatus(p).getLen).sum
+    val targetFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    if (snapshot.length <= targetFiles) return snapshot.length
     val expected = df.count()
     val tmp = new org.apache.hadoop.fs.Path(dir + "_compact_tmp")
     fs.delete(tmp, true)
     df.repartition(targetFiles).write.mode("overwrite").parquet(tmp.toString)
-    val rewritten = spark.read.parquet(tmp.toString)
-    val got = rewritten.count()
+    val got = spark.read.parquet(tmp.toString).count()
     require(got == expected,
       s"compaction row-count mismatch ($got != $expected) — original left untouched")
-    // swap: new files in first, old generation out after
     val newFiles = fs.listStatus(tmp)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    newFiles.zipWithIndex.foreach { case (f, i) =>
-      fs.rename(f.getPath,
-        new org.apache.hadoop.fs.Path(path, s"compacted-$i.parquet"))
+    // unique generation id: a rerun's names can never collide with a
+    // surviving previous generation
+    val gen = java.util.UUID.randomUUID().toString.take(8)
+    val plan = newFiles.zipWithIndex.map { case (f, i) =>
+      f.getPath.getName -> s"compacted-$gen-$i.parquet"
     }
-    before.foreach(f => fs.delete(f.getPath, false))
+    // the marker IS the swap transaction: written (verified generation in
+    // tmp, nothing moved yet) before any mutation, it records both the
+    // renames to complete and the deletes to apply — recovery replays it
+    // idempotently from ANY crash point; rename atomicity means each
+    // planned file exists at exactly one of (tmp src, final dst)
+    val marker = new org.apache.hadoop.fs.Path(path, MarkerName)
+    val out = fs.create(marker, true)
+    try out.write(
+      (plan.map { case (s, d) => s"R $s $d" } ++
+        snapshot.map(p => s"D ${p.getName}")).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    plan.foreach { case (src, dst) =>
+      require(fs.rename(new org.apache.hadoop.fs.Path(tmp, src),
+        new org.apache.hadoop.fs.Path(path, dst)),
+        s"compaction rename failed: $src -> $dst (marker left in place; " +
+          "recoverCompaction completes the swap)")
+    }
+    snapshot.foreach(p => fs.delete(p, false))
+    fs.delete(marker, false)
     fs.delete(tmp, true)
     newFiles.length
+  }
+
+  private val MarkerName = "_compaction_pending"
+
+  /** Complete an interrupted [[compactParquet]] swap from its marker:
+    * finish the planned renames still sitting in the side directory,
+    * then apply the planned deletes, then drop the marker. Idempotent
+    * from any crash point (each planned file exists at exactly one of
+    * its two locations); a no-op without a marker. Runs automatically at
+    * every compactParquet entry. */
+  def recoverCompaction(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(path, MarkerName)
+    if (!fs.exists(marker)) return
+    val in = fs.open(marker)
+    val lines =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").filter(_.nonEmpty)
+      finally in.close()
+    val tmp = new org.apache.hadoop.fs.Path(dir + "_compact_tmp")
+    lines.foreach { line =>
+      line.split(" ") match {
+        case Array("R", src, dst) =>
+          val d = new org.apache.hadoop.fs.Path(path, dst)
+          val s = new org.apache.hadoop.fs.Path(tmp, src)
+          if (!fs.exists(d)) {
+            require(fs.exists(s) && fs.rename(s, d),
+              s"compaction recovery cannot complete rename $src -> $dst")
+          }
+        case Array("D", name) =>
+          fs.delete(new org.apache.hadoop.fs.Path(path, name), false)
+        case other =>
+          throw new IllegalStateException(
+            s"unrecognized compaction marker line: ${other.mkString(" ")}")
+      }
+    }
+    fs.delete(marker, false)
+    fs.delete(tmp, true)
   }
 
   /** The layout transform itself (exposed for spec/inspection). */

@@ -656,14 +656,28 @@ object Streams {
                       contract: graft.quality.Contracts.DataContract,
                       windowLength: String = "1 hour"): DataFrame = {
     val present = rows.columns.toSet
+    // a stream's schema is fixed at setup — a missing REQUIRED column is
+    // permanent, so fail fast here (batch validate reports it as an
+    // error per run; silently monitoring the remaining columns would
+    // report is_valid=true on a feed batch validate rejects)
+    val missingRequired = contract.requiredColumns.filterNot(present)
+    require(missingRequired.isEmpty,
+      s"stream is missing required contract column(s): ${missingRequired.mkString(", ")}")
     val checked = contract.columns.filter(c => present(c.name))
     require(checked.nonEmpty, "no contract columns present in the stream")
     val aggs = checked.flatMap { c =>
       val v = col(c.name)
       val nonNull = v.isNotNull
-      Seq(sum(v.isNull.cast("long")).as(s"${c.name}__nulls")) ++
+      // only severity-bearing counters are aggregated — an unused
+      // counter would still occupy streaming state every window.
+      // The dup estimate is clamped at 0: HLL can over-estimate
+      // distincts, and a negative dup count would cancel out genuine
+      // errors in the sum (or under-estimate → tiny spurious positives,
+      // the documented monitor tolerance)
+      (if (!c.nullable)
+        Seq(sum(v.isNull.cast("long")).as(s"${c.name}__nulls")) else Nil) ++
         (if (c.unique)
-          Seq((count(when(nonNull, 1)) - approx_count_distinct(v))
+          Seq(greatest(lit(0L), count(v) - approx_count_distinct(v))
             .as(s"${c.name}__dups")) else Nil) ++
         c.minValue.toSeq.map(lo =>
           sum((nonNull && v < lo).cast("long")).as(s"${c.name}__below")) ++
