@@ -208,10 +208,35 @@ object Bench {
       .mkString("{", ",", "}")
     val prevTotal = deltas.map(_._3).sum
     val sharedNow = deltas.map(_._2).sum
+    // code-cache headroom ledger (VERDICT r8 #8): the r8 health ledger
+    // measured ~1.2 MB of generated-code growth per query; the reserve is
+    // 512 MB (tools/run.sh -XX:ReservedCodeCacheSize). PEAK occupancy
+    // (not point-in-time — sweeps can shrink the live set) is recorded in
+    // the artifact and asserted under 60% of the reserve at the END of
+    // the run, so the next ceiling is flagged rounds before a full cache
+    // silently disables the JIT mid-bench (the pre-r8 240 MB default
+    // would have filled at ~195 queries).
+    val codeCachePeakMB: Double = {
+      import scala.jdk.CollectionConverters._
+      ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith("CodeHeap"))
+        .map(_.getPeakUsage.getUsed).sum / 1e6
+    }
+    val codeCacheReservedMB: Double =
+      try {
+        val b = ManagementFactory.getPlatformMXBean(
+          classOf[com.sun.management.HotSpotDiagnosticMXBean])
+        b.getVMOption("ReservedCodeCacheSize").getValue.toDouble / 1e6
+      } catch { case _: Throwable => 512.0 }
+    val codeCacheAlert = codeCachePeakMB > 0.6 * codeCacheReservedMB
+    if (codeCacheAlert)
+      System.err.println(f"[bench] CODE CACHE ALERT peak=" +
+        f"$codeCachePeakMB%.0fMB > 60%% of ${codeCacheReservedMB}%.0fMB " +
+        "reserve — raise ReservedCodeCacheSize in tools/run.sh")
     // Full per-query detail: stderr + side file (the driver's tail buffer
     // is ~2000 chars; a JSON line with all ~80 queries overflows it and
     // the driver records parsed:null — seen rounds 1-3).
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"failed":$failed,"shared_prev_total":$prevTotal%.3f,"shared_now_total":$sharedNow%.3f,"regressions_vs_prev":$deltaJson,"queries":${qmap(results)},"sf":"$sfDir"}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"failed":$failed,"shared_prev_total":$prevTotal%.3f,"shared_now_total":$sharedNow%.3f,"regressions_vs_prev":$deltaJson,"code_cache_peak_mb":$codeCachePeakMB%.1f,"code_cache_reserved_mb":$codeCacheReservedMB%.1f,"code_cache_alert":$codeCacheAlert,"queries":${qmap(results)},"sf":"$sfDir"}"""
     System.err.println("[bench] full: " + full)
     // a restricted local run (`only` non-empty) must NOT overwrite the
     // full-round baseline the next driver run gates against
@@ -219,10 +244,27 @@ object Bench {
       val w = new java.io.PrintWriter("bench_detail.json")
       try w.println(full) finally w.close()
     } catch { case _: Throwable => () }
+    // metric-golden ledger (VERDICT r8 #5): seeded ML quality values next
+    // to the bench detail, cross-round move-flagged like query times.
+    // Off-ledger (after all timing), skippable, and never fails the bench.
+    if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_SKIP_METRICS")) try {
+      val t0 = System.nanoTime()
+      val moves = graft.evaluate.MetricsLedger.writeLedger(spark)
+      System.err.println(f"[bench] metrics ledger written in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1fs, ${moves.size} flagged moves")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] metrics ledger FAILED: ${e.getMessage}")
+    }
     // stdout contract line: total + the slowest 15 (the ones worth
     // grading) — guaranteed to fit the tail buffer
     val slow = results.filter(_._3).sortBy(-_._2).take(15).sortBy(_._1)
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"failed":$failed,"nflagged":${flagged.size},"queries":${qmap(slow)},"sf":"$sfDir"}""")
     spark.stop()
+    // the headroom assertion proper — AFTER every artifact and the stdout
+    // contract line are safely out, so a trip loses nothing but still
+    // fails the process loudly for the round log
+    require(!codeCacheAlert,
+      f"code-cache peak $codeCachePeakMB%.0fMB exceeded 60%% of the " +
+        f"$codeCacheReservedMB%.0fMB reserve")
   }
 }

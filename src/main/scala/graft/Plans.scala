@@ -83,7 +83,8 @@ object Plans {
       "q132_ivf_index_topk",   // search over the STORED centroids/assignments
       "q133_decontaminate_bloom", // bloom scan-local prune + exact confirm join
       "q134_ivf_append",       // delta-only assignment vs stored centroids
-      "q135_psi_windows")      // drift monitor: literal edges, one window agg
+      "q135_psi_windows",      // drift monitor: literal edges, one window agg
+      "q136_compacted_layout") // compaction + partitioned/z-ordered lake read
     // per-query reader notes where the right plan is easy to misread
     val notes = Map(
       "q128_sql_range_join" -> ("The user wrote the naive theta join " +
@@ -104,6 +105,17 @@ object Plans {
         "re-executed the parquet scan + window per consumer (4 scans). " +
         "The window-path rank-frame stage plan is dumped in its own " +
         "section below."),
+      "q136_compacted_layout" -> ("The final scan reads the REWRITTEN " +
+        "lake (compacted small-file sink -> Hive day partitions, " +
+        "z-ordered on (user_id, value) within each): the day-range " +
+        "predicate appears as PartitionFilters -- 25 of 30 day " +
+        "directories are eliminated at PLANNING time, before any " +
+        "footer is read -- and the user_id predicate as PushedFilters " +
+        "against row groups whose z-order makes their user_id min/max " +
+        "tight, so the reader skips most groups inside the surviving " +
+        "5 directories. The two pruning layers multiply; at 100 TB " +
+        "this layout is the difference between scanning the table and " +
+        "reading ~1% of it."),
       "q130_artifact_corpus" -> ("Consumes the STORED labels artifact " +
         "(parquet scan of /tmp/graft_artifacts_q130/labels) -- the " +
         "LSH+CC work that produced it ran once in the artifact build " +

@@ -21,8 +21,12 @@ import graft.functions.TextFunctions._
  *  - The blocking key (3-char name prefix + 3-char country) gives ~36k²
  *    theoretical buckets but real names skew heavily ("the"/"glo"/"acm").
  *    With AQE skew-join on (default in our sessions) hot blocks split
- *    automatically; for extreme skew pre-salt: add `pmod(hash(id), S)` to
- *    the key of the big side and explode a salt array on the small side.
+ *    automatically — but AQE splits BYTES; the pair work inside one hot
+ *    block is still quadratic on one reducer. For known extreme skew pass
+ *    `salt = S` to [[candidatePairs]]/[[resolve]]: the a-side is salted,
+ *    the b-side exploded S× ([[SaltedJoin.joinOn]]), capping per-reducer
+ *    pair work at 1/S of the hot block — row-identical output,
+ *    spec-asserted (`SaltedBlockingSpec`).
  *  - `resolve` emits one row per candidate pair ≥ threshold — output is
  *    orders of magnitude smaller than the blocked pair space, and the
  *    filter sits directly on the join output (no materialization between).
@@ -142,12 +146,20 @@ object EntityResolution {
     * cross join fallback (reference :480-485, flag-gated). `blockOn`
     * overrides the join condition — blocking is a pluggable query shape, and
     * when the default 3+3-prefix key degenerates (uninformative names → one
-    * hot block = accidental cross join) callers swap in a finer key. */
+    * hot block = accidental cross join) callers swap in a finer key.
+    * `salt > 1` salts the default-key join S ways ([[SaltedJoin.joinOn]]:
+    * a-side salted, b-side exploded) for known hot blocks — output is
+    * row-identical, only reducer load changes. Salting composes with the
+    * DEFAULT key only; a custom `blockOn` condition can embed its own salt
+    * directly. */
   def candidatePairs(a: DataFrame, b: DataFrame, cfg: Config = Config(),
-                     blockOn: Option[Column] = None): DataFrame =
-    if (cfg.useBlocking)
-      a.join(b, blockOn.getOrElse(col("a_block") === col("b_block")))
-    else a.crossJoin(b)
+                     blockOn: Option[Column] = None, salt: Int = 1): DataFrame =
+    if (!cfg.useBlocking) a.crossJoin(b)
+    else if (salt > 1) {
+      require(blockOn.isEmpty,
+        "salt applies to the default blocking key; embed the salt in a custom blockOn")
+      SaltedJoin.joinOn(a, b, col("a_block"), col("b_block"), salt)
+    } else a.join(b, blockOn.getOrElse(col("a_block") === col("b_block")))
 
   /**
    * Full resolve: pair space → 9 features → exact-shortcut OR rule score ≥
@@ -158,7 +170,8 @@ object EntityResolution {
   def resolve(accounts1: DataFrame, accounts2: DataFrame,
               cols: AccountCols = AccountCols(),
               cfg: Config = Config(),
-              blockOn: Option[Column] = None): DataFrame = {
+              blockOn: Option[Column] = None,
+              salt: Int = 1): DataFrame = {
     val a = prepSide(accounts1, cols, "a")
     val b = prepSide(accounts2, cols, "b")
     // Two-phase scoring (the reference's exact-shortcut generalized into a
@@ -176,7 +189,7 @@ object EntityResolution {
     val featMap = pairFeatures.toMap
     val cheapNames = Seq("domain_exact_match", "domain_similarity",
       "name_exact_match", "same_country", "same_industry", "size_ratio")
-    val cheap = cheapNames.foldLeft(candidatePairs(a, b, cfg, blockOn)) {
+    val cheap = cheapNames.foldLeft(candidatePairs(a, b, cfg, blockOn, salt)) {
       case (df, name) => df.withColumn(name, featMap(name))
     }
     val domainScoreUb = when(col("domain_exact_match") > 0, 1.0)

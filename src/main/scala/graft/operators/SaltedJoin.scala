@@ -31,4 +31,24 @@ object SaltedJoin {
       explode(sequence(lit(0), lit(s - 1))))
     bigSalted.join(smallExploded, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** [[join]] generalized to sides whose key COLUMNS differ in name
+    * (the ER blocked pair join: `a_block` vs `b_block`) — same protocol,
+    * expressed as an explicit equi-condition so the planner still sees a
+    * hash join on (key, salt). `big` is the salted side, `replicated` is
+    * exploded s× — within a hot block of n_b×n_r pairs the per-reducer
+    * pair work drops to (n_b/s)×n_r; total pair count is unchanged
+    * (salting fixes reducer LOAD, not quadratic blow-up — cap or refine
+    * the key for that). Output carries no salt columns and is
+    * row-identical to the unsalted join (spec-asserted). */
+  def joinOn(big: DataFrame, replicated: DataFrame,
+             bigKey: Column, replicatedKey: Column, s: Int): DataFrame = {
+    val bigSalted = big.withColumn("_salt_big",
+      pmod(hash(monotonically_increasing_id()), lit(s)))
+    val repExploded = replicated.withColumn("_salt_rep",
+      explode(sequence(lit(0), lit(s - 1))))
+    bigSalted.join(repExploded,
+        bigKey === replicatedKey && col("_salt_big") === col("_salt_rep"))
+      .drop("_salt_big", "_salt_rep")
+  }
 }

@@ -114,6 +114,62 @@ object OpsQueries {
         .filter(col("n_regionkey") < 3)
         .select("n_nationkey", "n_name", "n_regionkey")
         .orderBy("n_nationkey")
+    }),
+
+    "q136_compacted_layout" -> ((s, dir) => {
+      // the 100 TB scan-cost story gated end-to-end (VERDICT r8 #3):
+      // a streaming-sink-shaped directory of many small files is
+      // compacted (Layout.compactParquet — marker-transaction swap,
+      // row-count-verified), then laid out as the production fact table
+      // (Layout.writeDatePartitionedZordered: Hive day partitions,
+      // z-ordered on (user_id, value) within), and the final read
+      // filters on day range + user_id — partition pruning eliminates
+      // 25 of 30 day directories at PLANNING time and the user_id
+      // predicate is a PushedFilter against z-tight row groups (plan
+      // dump in PLANS.md). The oracle computes the same rollup from the
+      // ORIGINAL events table, so the hash match proves the whole
+      // rewrite chain (48-shard sink → compact → repartition →
+      // partitioned rewrite) conserved every row and value exactly.
+      val base = "/tmp/graft_layout_q136"
+      val ev = t(s, dir, "events")
+        .select("event_id", "ts", "user_id", "value")
+      ev.repartition(48).write.mode("overwrite").parquet(s"$base/sink")
+      graft.sources.Layout.compactParquet(s, s"$base/sink",
+        targetBytes = 32L << 20)
+      graft.sources.Layout.writeDatePartitionedZordered(
+        s.read.parquet(s"$base/sink"), "ts", Seq("user_id", "value"),
+        s"$base/lake")
+      s.read.parquet(s"$base/lake")
+        .filter(col("_day").between("2024-01-08", "2024-01-12") &&
+          col("user_id") < 30)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum("event_id").as("id_sum"),
+          round(sum("value"), 2).as("total_value"))
+        .orderBy("user_id")
+    }),
+
+    "q137_contract_windows" -> ((s, dir) => {
+      // the streaming contract monitor's windowed severity rollup,
+      // oracle-gated end-to-end (VERDICT r8 #7, the q135 pattern): the
+      // EXACT expression Streams.contractMonitor runs per event-time
+      // window on a stream, evaluated on the batch events frame —
+      // StreamsSpec proves stream ≡ batch severity semantics, this
+      // query proves the math against DuckDB. The contract carries no
+      // `unique` column, so every counter is an exact sum (the HLL dup
+      // estimate is the one approximate counter in the monitor and
+      // stays spec-gated by design).
+      val contract = Contracts.DataContract("events_feed",
+        columns = Seq(
+          Contracts.ColumnContract("user_id", "numeric", nullable = false),
+          Contracts.ColumnContract("value", "numeric",
+            minValue = Some(1.0), maxValue = Some(400.0)),
+          Contracts.ColumnContract("event_type", "string",
+            allowedValues = Some(Set("view", "click", "purchase", "signup")))),
+        requiredColumns = Seq("ts", "user_id", "value", "event_type"))
+      graft.streaming.Streams.contractMonitor(
+          t(s, dir, "events"), contract, windowLength = "1 day")
+        .orderBy("window_start")
     })
   )
 
@@ -165,6 +221,31 @@ object OpsQueries {
         |  SELECT c_custkey, c_name, NULL, c_mktsegment, 'org_b'
         |  FROM customer WHERE c_custkey % 2 = 1)
         |ORDER BY id""".stripMargin,
+
+    "q136_compacted_layout" ->
+      """SELECT user_id, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |  round(sum(value), 2) AS total_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-12'
+        |  AND user_id < 30
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q137_contract_windows" ->
+      """WITH c AS (SELECT date_trunc('day', ts) AS w,
+        |  CAST(count(*) AS BIGINT) AS rows_,
+        |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+        |    + sum(CASE WHEN value IS NOT NULL AND value < 1.0
+        |        THEN 1 ELSE 0 END)
+        |    + sum(CASE WHEN value IS NOT NULL AND value > 400.0
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+        |  CAST(sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+        |      ('view', 'click', 'purchase', 'signup')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS warnings
+        |  FROM events GROUP BY 1)
+        |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  rows_ AS "rows", errors, warnings, (errors = 0) AS is_valid
+        |FROM c ORDER BY window_start""".stripMargin,
 
     "q114_quality_summary" ->
       """WITH h AS (

@@ -46,7 +46,7 @@ object Q122Margin {
       .filter(col("rk") <= 2)
       .groupBy("id").agg((max(when(col("rk") === 1, col("cos"))) -
         max(when(col("rk") === 2, col("cos")))).as("gap"))
-    val minGap = top2.agg(min("gap")).head.getDouble(0)
+    val minGap = headDoubleOrInf(top2.agg(min("gap")))
     val assigned = cos
       .withColumn("m",
         max(struct(col("cos"), -col("cid"))).over(Window.partitionBy(col("id"))))
@@ -59,8 +59,17 @@ object Q122Margin {
       .join(e.select(col("id").as("yid"), col("u").as("yu")),
         col("y.id") === col("yid"))
       .select(VectorFunctions.dot(col("xu"), col("yu")).as("pc"))
-    val minThr = pairCos.agg(min(abs(col("pc") - 0.30))).head.getDouble(0)
+    val minThr = headDoubleOrInf(pairCos.agg(min(abs(col("pc") - 0.30))))
     (minGap, minThr)
+  }
+
+  /** A null min means the frame underneath was EMPTY (no vectors, or no
+    * two vectors share a list ⇒ no pairs): there is no comparison that
+    * could sit near a knife edge, so the margin is vacuously infinite —
+    * the guard passes instead of dying on a NullPointerException. */
+  private def headDoubleOrInf(agg: org.apache.spark.sql.DataFrame): Double = {
+    val row = agg.head
+    if (row.isNullAt(0)) Double.PositiveInfinity else row.getDouble(0)
   }
 
   /** Throws (→ the caller's per-query failure path) if either margin is

@@ -119,6 +119,17 @@ object Layout {
     val df = spark.read.parquet(dir)
     // the EXACT file set the rewrite reads — the only set safe to delete
     val snapshot = df.inputFiles.map(new org.apache.hadoop.fs.Path(_))
+    // the marker protocol records bare file names resolved against `dir`;
+    // a nested (hive-partitioned) layout would flatten on rewrite and its
+    // delete lines would silently no-op — refuse up front. The intended
+    // target is flat streaming-sink output; partitioned tables compact
+    // per-partition (call per leaf directory).
+    val qualified = fs.makeQualified(path)
+    snapshot.foreach { p =>
+      require(fs.makeQualified(p).getParent == qualified,
+        s"compactParquet requires a FLAT directory; found nested file $p " +
+          s"under $dir — compact partitioned layouts per leaf directory")
+    }
     val totalBytes = snapshot.map(p => fs.getFileStatus(p).getLen).sum
     val targetFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     if (snapshot.length <= targetFiles) return snapshot.length
@@ -141,14 +152,22 @@ object Layout {
     // tmp, nothing moved yet) before any mutation, it records both the
     // renames to complete and the deletes to apply — recovery replays it
     // idempotently from ANY crash point; rename atomicity means each
-    // planned file exists at exactly one of (tmp src, final dst)
+    // planned file exists at exactly one of (tmp src, final dst).
+    // The marker itself is made atomic the same way: written complete to a
+    // side name, then renamed into place — a crash mid-write leaves only
+    // the side file (ignored and cleaned by recovery), never a truncated
+    // marker whose surviving R-lines would replay without their D-lines.
     val marker = new org.apache.hadoop.fs.Path(path, MarkerName)
-    val out = fs.create(marker, true)
+    val markerTmp = new org.apache.hadoop.fs.Path(path, MarkerTmpName)
+    val out = fs.create(markerTmp, true)
     try out.write(
       (plan.map { case (s, d) => s"R $s $d" } ++
         snapshot.map(p => s"D ${p.getName}")).mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    require(fs.rename(markerTmp, marker),
+      s"compaction marker rename failed: $markerTmp -> $marker " +
+        "(nothing moved yet; original directory untouched)")
     plan.foreach { case (src, dst) =>
       require(fs.rename(new org.apache.hadoop.fs.Path(tmp, src),
         new org.apache.hadoop.fs.Path(path, dst)),
@@ -162,18 +181,28 @@ object Layout {
   }
 
   private val MarkerName = "_compaction_pending"
+  // side name for the atomic marker write; underscore-prefixed so parquet
+  // scans of the directory ignore it even if a crash strands it
+  private val MarkerTmpName = "_compaction_pending.tmp"
 
   /** Complete an interrupted [[compactParquet]] swap from its marker:
     * finish the planned renames still sitting in the side directory,
     * then apply the planned deletes, then drop the marker. Idempotent
     * from any crash point (each planned file exists at exactly one of
-    * its two locations); a no-op without a marker. Runs automatically at
-    * every compactParquet entry. */
+    * its two locations); a no-op without a marker. A stranded marker
+    * SIDE file (crash mid-marker-write — the transaction never began)
+    * is simply discarded. Runs automatically at every compactParquet
+    * entry. */
   def recoverCompaction(spark: org.apache.spark.sql.SparkSession,
                         dir: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     val marker = new org.apache.hadoop.fs.Path(path, MarkerName)
+    // a .tmp marker means the crash happened BEFORE the transaction was
+    // committed (the rename); nothing was moved — drop it and leave the
+    // directory as-is (the tmp generation, if any, is re-cleared by the
+    // next run's fs.delete(tmp, true))
+    fs.delete(new org.apache.hadoop.fs.Path(path, MarkerTmpName), false)
     if (!fs.exists(marker)) return
     val in = fs.open(marker)
     val lines =
@@ -199,6 +228,30 @@ object Layout {
     }
     fs.delete(marker, false)
     fs.delete(tmp, true)
+  }
+
+  /** The production fact-table layout, composed: Hive date partitions
+    * (PLANNING-time pruning on the time predicate — directories are
+    * eliminated before any footer is read) with rows Z-ORDERED inside
+    * each partition (row-group min/max skipping on the non-time filter
+    * columns). A day-range + key predicate then reads only the matching
+    * day directories and, within them, only the row groups whose z-tight
+    * min/max straddle the key — the two pruning layers multiply. One
+    * shuffle (hash on day), bounds discovered in one tiny agg. */
+  def writeDatePartitionedZordered(df: DataFrame, ts: String,
+                                   zcols: Seq[String], path: String,
+                                   bits: Int = 8): Unit = {
+    val aggs = zcols.flatMap(c => Seq(min(col(c)), max(col(c))))
+    val bounds = df.agg(aggs.head, aggs.tail: _*).head()
+    val qs = zcols.zipWithIndex.map { case (c, i) =>
+      quantize(col(c), lit(bounds.get(2 * i)), lit(bounds.get(2 * i + 1)), bits)
+    }
+    df.withColumn("_day", to_date(col(ts)))
+      .withColumn("_z", zValue(qs, bits))
+      .repartition(col("_day"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").partitionBy("_day").parquet(path)
   }
 
   /** The layout transform itself (exposed for spec/inspection). */

@@ -77,13 +77,26 @@ object Streams {
                  watermark: String = "1 day",
                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // fall back ONLY for the empty/nonexistent-dir cases (AnalysisException:
-    // unable to infer schema / path does not exist) — a present-but-wrong
-    // directory (no ts column, unreadable files) must still fail loudly at
-    // setup, not silently mis-decode for the stream's lifetime
+    // fall back ONLY when the directory is genuinely absent or holds no
+    // data files (the start-stream-before-data pattern). The emptiness is
+    // decided by LISTING, not by catching AnalysisException — a present
+    // directory whose files merely fail schema inference (non-parquet
+    // junk, no ts column) must fail loudly at setup, not silently
+    // mis-decode for the stream's lifetime.
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val hasDataFiles = fs.exists(hPath) && {
+      val it = fs.listFiles(hPath, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val n = it.next().getPath.getName
+        found = !n.startsWith("_") && !n.startsWith(".")
+      }
+      found
+    }
     val tsType =
-      try spark.read.parquet(dir).schema("ts").dataType
-      catch { case _: org.apache.spark.sql.AnalysisException => LongType }
+      if (hasDataFiles) spark.read.parquet(dir).schema("ts").dataType
+      else LongType
     val reader = spark.readStream.schema(eventsRawSchema(tsType))
     val tuned = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))

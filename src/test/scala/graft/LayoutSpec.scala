@@ -78,6 +78,40 @@ class LayoutSpec extends SparkSpec {
     assert(!new java.io.File(tmp).exists)
   }
 
+  test("compactParquet: a stranded marker SIDE file (crash mid-marker-write) " +
+      "is discarded — no partial transaction ever replays") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-tmpm")
+      .resolve("sink").toString
+    val df = spark.range(500).selectExpr("id", "cast(id as double) AS v")
+    df.repartition(6).write.parquet(dir)
+    // a truncated .tmp marker: R-lines only, D-lines lost — the exact
+    // artifact a non-atomic write could strand. Under the atomic protocol
+    // it was never renamed into place, so it must be ignored entirely.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_compaction_pending.tmp"),
+      "R whatever.parquet compacted-bad-0.parquet")
+    val n = Layout.compactParquet(spark, dir, targetBytes = Long.MaxValue)
+    assert(n >= 1)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 500)
+    assert(back.select("id").distinct.count() === 500)
+    assert(!new java.io.File(dir, "_compaction_pending.tmp").exists)
+    assert(!new java.io.File(dir, "_compaction_pending").exists)
+  }
+
+  test("compactParquet refuses a nested (partitioned) directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-nested")
+      .resolve("sink").toString
+    spark.range(100).selectExpr("id", "id % 3 AS p")
+      .write.partitionBy("p").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Layout.compactParquet(spark, dir, targetBytes = 1L)
+    }
+    assert(e.getMessage.contains("FLAT"))
+    // and the refusal left the directory fully intact
+    assert(spark.read.parquet(dir).count() === 100)
+  }
+
   test("date-partitioned write prunes partitions at planning time") {
     val dir = java.nio.file.Files.createTempDirectory("graft-datepart").toString
     val ev = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
@@ -96,6 +130,32 @@ class LayoutSpec extends SparkSpec {
     // and the data comes back intact for that day
     val expected = ev.filter(to_date(col("ts")) === "2024-01-05").count()
     assert(q.count() === expected && expected > 0)
+  }
+
+  test("writeDatePartitionedZordered: day-range predicate prunes partitions " +
+      "at planning time AND the key predicate reaches the scan as a " +
+      "pushed filter (the q136 layout claim)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lake").toString
+    val ev = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "ts", "user_id", "value")
+    Layout.writeDatePartitionedZordered(ev, "ts", Seq("user_id", "value"),
+      s"$dir/lake")
+    val q = spark.read.parquet(s"$dir/lake")
+      .filter(col("_day").between("2024-01-08", "2024-01-12") &&
+        col("user_id") < 30)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_day"),
+      s"day range must prune partitions:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(user_id"),
+      s"user_id must reach the scan as a pushed filter:\n$plan")
+    val scanned = q.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(!scanned.contains("_day=2024-01-20"),
+      "out-of-range day directories must not be listed in the scan")
+    // and the rewrite conserved the filtered rows exactly
+    val expected = ev.filter(to_date(col("ts")).between("2024-01-08",
+      "2024-01-12") && col("user_id") < 30)
+    assert(q.count() === expected.count() && expected.count() > 0)
   }
 
   test("zValue interleaves bits: bit i of column j → position i·k + j") {

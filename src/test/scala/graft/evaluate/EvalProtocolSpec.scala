@@ -1,10 +1,6 @@
 package graft.evaluate
 
-import org.apache.spark.sql.functions._
-
 import graft.SparkSpec
-import graft.ml.Ensemble
-import graft.sources.Synthetic
 
 /**
  * Reproduction of the reference evaluation protocol (BASELINE.md ML
@@ -21,59 +17,18 @@ import graft.sources.Synthetic
 class EvalProtocolSpec extends SparkSpec {
 
   test("trained ensemble beats all three baselines on NDCG@10 (seed 42)") {
-    val accts = Synthetic.accounts(spark, 300).cache()
-    val cands = Synthetic.labeledCandidates(accts, window = 30,
-      probScale = 3.0).cache()
-
-    // signal-bearing pair features (the label's own generative features —
-    // evaluate.py uses the same coupling)
-    val feats = cands
-      .withColumn("industry_match",
-        (col("a1_industry") === col("a2_industry")).cast("double"))
-      .withColumn("size_ratio",
-        least(col("a1_emp"), col("a2_emp")) /
-          greatest(col("a1_emp"), col("a2_emp")))
-      .withColumn("geo_match",
-        (col("a1_country") === col("a2_country")).cast("double"))
-      .withColumn("type_match",
-        (col("a1_type") === "Customer" && col("a2_type") === "Customer")
-          .cast("double"))
-      .withColumn("rev_sum",
-        log1p(col("a1_revenue")) + log1p(col("a2_revenue")))
-    val featureCols = Seq("industry_match", "size_ratio", "geo_match",
-      "type_match", "rev_sum")
-
-    // deterministic 70/30 split keyed on the pair (evaluate.py:310-312)
-    val splitU = Synthetic.u(
-      concat_ws("|", col("account1_id"), col("account2_id")), 99)
-    val train = feats.filter(splitU < 0.7)
-    val test = feats.filter(splitU >= 0.7).cache()
-
-    val ens = new Ensemble(featureCols,
-      numTrees = 20, rfDepth = 6, xgbIter = 10, gbtIter = 10, mlpIter = 15)
-    val model = ens.fit(train)
-    val scored = model.scoreAll(test).cache()
-
-    // K=50: at a few-percent positive rate, K=10 of a 2.5k-candidate list
-    // is a coin flip for ANY ranker; 50 slots make the ordering gate
-    // statistically meaningful while keeping the reference's global-top-K
-    // protocol shape.
-    def ndcg10(df: org.apache.spark.sql.DataFrame, score: String): Double =
-      RankingMetrics.evaluate(df, col(score), col("label"),
-          tieBreak = Seq(col("account1_id"), col("account2_id")), ks = Seq(50))
-        .head.getAs[Double]("ndcg_at_50")
-
-    val ensembleN = ndcg10(scored, "score")
-    val randomN = ndcg10(
-      test.withColumn("r", RankingMetrics.hashRandomScore(
-        concat_ws("|", col("account1_id"), col("account2_id")))), "r")
-    val popularityN = ndcg10(
-      test.withColumn("p", RankingMetrics.popularityScore(col("rev_sum"))), "p")
-    val similarityN = ndcg10(
-      RankingMetrics.withSimilarityScore(
-        test, featureCols.map(col), "s"), "s")
-
-    info(f"NDCG@10 ensemble=$ensembleN%.3f random=$randomN%.3f " +
+    // fixture + metric computation shared with the metric-golden ledger
+    // (MetricsLedger.orderingGateMetrics — the values land in
+    // metrics_detail.json each bench run); this spec adds the ORDERING
+    // gate. K=50: at a few-percent positive rate, K=10 of a
+    // 2.5k-candidate list is a coin flip for ANY ranker; 50 slots make
+    // the ordering gate statistically meaningful while keeping the
+    // reference's global-top-K protocol shape.
+    val m = MetricsLedger.orderingGateMetrics(spark).toMap
+    val (ensembleN, randomN, popularityN, similarityN) = (
+      m("ensemble_ndcg_at_50"), m("random_ndcg_at_50"),
+      m("popularity_ndcg_at_50"), m("similarity_ndcg_at_50"))
+    info(f"NDCG@50 ensemble=$ensembleN%.3f random=$randomN%.3f " +
       f"popularity=$popularityN%.3f similarity=$similarityN%.3f")
     assert(ensembleN > randomN, "ensemble must beat random baseline")
     assert(ensembleN > popularityN, "ensemble must beat popularity baseline")
@@ -104,51 +59,22 @@ class EvalProtocolSpec extends SparkSpec {
     // coverage-0 invariant, a generator-rate change breaks the base-rate
     // pin. The ensemble>baselines ORDERING gate (the invariant the
     // README table encodes that IS reproducible) is the test above.
-    val accts = Synthetic.accounts(spark, 500).cache()
-    val cands = Synthetic.labeledCandidates(accts, window = 50,
-      probScale = 1.0).cache()
-    val feats = cands
-      .withColumn("industry_match",
-        (col("a1_industry") === col("a2_industry")).cast("double"))
-      .withColumn("size_ratio",
-        least(col("a1_emp"), col("a2_emp")) /
-          greatest(col("a1_emp"), col("a2_emp")))
-      .withColumn("geo_match",
-        (col("a1_country") === col("a2_country")).cast("double"))
-      .withColumn("type_match",
-        (col("a1_type") === "Customer" && col("a2_type") === "Customer")
-          .cast("double"))
-      .withColumn("rev_sum",
-        log1p(col("a1_revenue")) + log1p(col("a2_revenue")))
-    val featureCols = Seq("industry_match", "size_ratio", "geo_match",
-      "type_match", "rev_sum")
-    val splitU = Synthetic.u(
-      concat_ws("|", col("account1_id"), col("account2_id")), 99)
-    val train = feats.filter(splitU < 0.7)
-    val test_ = feats.filter(splitU >= 0.7).cache()
-
-    val ens = new Ensemble(featureCols,
-      numTrees = 50, rfDepth = 8, xgbIter = 20, gbtIter = 20, mlpIter = 25)
-    val scored = ens.fit(train).scoreAll(test_).cache()
-    val row = RankingMetrics.evaluate(scored, col("score"), col("label"),
-      tieBreak = Seq(col("account1_id"), col("account2_id")),
-      ks = Seq(10, 100)).head
+    // fixture + metric computation shared with the metric-golden ledger
+    // (MetricsLedger.referenceConfigMetrics)
+    val m = MetricsLedger.referenceConfigMetrics(spark).toMap
     val (p10, r10, ndcg10, cov) = (
-      row.getAs[Double]("precision_at_10"), row.getAs[Double]("recall_at_10"),
-      row.getAs[Double]("ndcg_at_10"), row.getAs[Double]("coverage"))
+      m("ref_precision_at_10"), m("ref_recall_at_10"),
+      m("ref_ndcg_at_10"), m("ref_coverage"))
     val (p100, r100, ndcg100) = (
-      row.getAs[Double]("precision_at_100"),
-      row.getAs[Double]("recall_at_100"), row.getAs[Double]("ndcg_at_100"))
-    val nTrain = train.count(); val nTest = test_.count()
-    info(f"n=${nTrain + nTest} (train $nTrain / test $nTest) " +
-      f"P@10=$p10%.4f R@10=$r10%.4f NDCG@10=$ndcg10%.4f cov=$cov%.4f")
+      m("ref_precision_at_100"), m("ref_recall_at_100"),
+      m("ref_ndcg_at_100"))
+    info(f"P@10=$p10%.4f R@10=$r10%.4f NDCG@10=$ndcg10%.4f cov=$cov%.4f")
     info(f"P@100=$p100%.4f R@100=$r100%.4f NDCG@100=$ndcg100%.4f")
 
-    val nRelevant = row.getAs[Long]("relevant_items")
-    val baseRate = nRelevant.toDouble / nTest
+    val baseRate = m("ref_base_rate")
     val artifact =
       f"""{"config":{"accounts":500,"window":50,"seed":42,"split":"70/30"},
-         |"n_train":$nTrain,"n_test":$nTest,"base_rate":$baseRate%.6f,
+         |"base_rate":$baseRate%.6f,
          |"precision_at_10":$p10%.6f,"recall_at_10":$r10%.6f,
          |"ndcg_at_10":$ndcg10%.6f,"coverage":$cov%.6f,
          |"precision_at_100":$p100%.6f,"recall_at_100":$r100%.6f,

@@ -22,19 +22,11 @@ class ErEvalProtocolSpec extends SparkSpec {
   private val cols = AccountCols()
 
   /** Labeled pairs hydrated with both sides' features (J5 broadcast
-    * lookup shape) + rule score. */
-  private lazy val scored: DataFrame = {
-    val (a1, a2, pairs) = Synthetic.erTestData(spark, 200, matchRate = 0.15)
-    val a = prepSide(a1, cols, "a").withColumnRenamed("a_id", "account1_id")
-    val b = prepSide(a2, cols, "b").withColumnRenamed("b_id", "account2_id")
-    val hydrated = pairs
-      .join(broadcast(a), "account1_id")
-      .join(broadcast(b), "account2_id")
-    val feats = pairFeatures.foldLeft(hydrated) {
-      case (df, (n, c)) => df.withColumn(n, c)
-    }
-    feats.withColumn("score", ruleScore()).cache()
-  }
+    * lookup shape) + rule score — fixture shared with the metric-golden
+    * ledger (MetricsLedger.erScoredPairs; its P/R/F1 values land in
+    * metrics_detail.json each bench run, this spec gates the invariants). */
+  private lazy val scored: DataFrame =
+    graft.evaluate.MetricsLedger.erScoredPairs(spark).cache()
 
   private def prf(df: DataFrame, threshold: Double): (Double, Double, Double) = {
     val m = confusionMetrics(

@@ -659,4 +659,25 @@ class StreamsSpec extends SparkSpec {
     writer(batch.withColumn("id", col("id") + 10), 8L) // next batch appends
     assert(spark.read.parquet(out).count() == 4)
   }
+
+  test("readEvents ts probe: empty/nonexistent dir falls back to the " +
+      "nanos-long default; a present dir with junk files fails LOUDLY") {
+    // empty dir: start-stream-before-data works
+    val empty = tmp("graft-ev-empty")
+    assert(Streams.readEvents(spark, empty).isStreaming)
+    // a NONEXISTENT dir is refused by Spark's own file-source setup
+    // (PATH_NOT_FOUND) — the probe's fallback must not mask that either
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Streams.readEvents(spark, s"$empty/not-yet-created")
+    }
+    // dot/underscore metadata files don't count as data: still the fallback
+    val metaOnly = tmp("graft-ev-meta")
+    Files.writeString(Paths.get(metaOnly, "_SUCCESS"), "")
+    assert(Streams.readEvents(spark, metaOnly).isStreaming)
+    // a dir with an unreadable data file must throw at SETUP — not
+    // silently decode the whole stream with the default ts type
+    val junk = tmp("graft-ev-junk")
+    Files.writeString(Paths.get(junk, "garbage.parquet"), "not parquet")
+    intercept[Exception] { Streams.readEvents(spark, junk) }
+  }
 }
