@@ -1,6 +1,6 @@
 package graft.evaluate
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ml.{Ensemble, ErMatcher}
@@ -48,11 +48,25 @@ object MetricsLedger {
     .withColumn("rev_sum",
       log1p(col("a1_revenue")) + log1p(col("a2_revenue")))
 
-  /** Deterministic 70/30 split keyed on the pair (evaluate.py:310-312). */
+  /** Canonical physical layout: explicit hash partitioning on a UNIQUE
+    * key + in-partition sort. MLlib trainers (tree feature-subset draws,
+    * MLP optimizer) are partition-LAYOUT sensitive, and fixture frames
+    * inherit their layout from the session's parallelism — without this
+    * the same seed yields different metric values at local[4] (specs)
+    * vs local[32] (bench), and the cross-round ledger flags phantom
+    * moves. Hash-mod partitioning + unique-key sort is invariant to the
+    * upstream layout (unlike repartitionByRange, whose sampled
+    * boundaries are not). */
+  private def canon(df: DataFrame, keys: Column*): DataFrame =
+    df.repartition(4, keys: _*).sortWithinPartitions(keys: _*)
+
+  /** Deterministic 70/30 split keyed on the pair (evaluate.py:310-312),
+    * both halves in canonical layout. */
   def split(feats: DataFrame): (DataFrame, DataFrame) = {
     val u = Synthetic.u(
       concat_ws("|", col("account1_id"), col("account2_id")), 99)
-    (feats.filter(u < 0.7), feats.filter(u >= 0.7))
+    val c = canon(feats, col("account1_id"), col("account2_id"))
+    (c.filter(u < 0.7), c.filter(u >= 0.7))
   }
 
   /** Ordering-gate protocol (EvalProtocolSpec test 1): 300 accounts,
@@ -129,9 +143,11 @@ object MetricsLedger {
     val hydrated = pairs
       .join(broadcast(a), "account1_id")
       .join(broadcast(b), "account2_id")
-    EntityResolution.pairFeatures.foldLeft(hydrated) {
-      case (df, (n, c)) => df.withColumn(n, c)
-    }.withColumn("score", EntityResolution.ruleScore())
+    canon(
+      EntityResolution.pairFeatures.foldLeft(hydrated) {
+        case (df, (n, c)) => df.withColumn(n, c)
+      }.withColumn("score", EntityResolution.ruleScore()),
+      col("_idx"))
   }
 
   /** ER metrics: rule-based P/R/F1 at the reference's 0.7 threshold, ML
@@ -203,10 +219,13 @@ object MetricsLedger {
     moves
   }
 
-  /** Standalone runner: tools/run.sh graft.evaluate.MetricsLedger */
+  /** Standalone runner: tools/run.sh graft.evaluate.MetricsLedger [cpus]
+    * (the optional cpus arg exists to PROVE layout-invariance: the
+    * ledger values must match between local[4] and local[32]). */
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val cpus = args.headOption.getOrElse("4")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

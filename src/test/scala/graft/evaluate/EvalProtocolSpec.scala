@@ -87,8 +87,10 @@ class EvalProtocolSpec extends SparkSpec {
     val w = new java.io.PrintWriter("target/eval_metrics.json")
     try w.println(artifact) finally w.close()
 
-    // measured at this config: P@10 = R@10 = NDCG@10 = coverage = 0.0,
-    // P@100 = 0.040, R@100 = 0.011, NDCG@100 = 0.031, base rate = 0.051
+    // measured at this config (canonical layout, r9): P@10 = R@10 =
+    // NDCG@10 = coverage = 0.0, P@100 = 0.050, R@100 = 0.014,
+    // NDCG@100 = 0.040, base rate = 0.051 — layout-invariant (identical
+    // at local[4] and local[32]; metrics_detail.json)
     assert(baseRate > 0.03 && baseRate < 0.08,
       s"generator base rate drifted: $baseRate")
     assert(cov == 0.0,
