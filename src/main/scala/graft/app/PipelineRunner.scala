@@ -27,6 +27,16 @@ object PipelineRunner {
                                startedAtMs: Long, completedAtMs: Long,
                                error: String = "")
 
+  /** Delivery wiring for the post-run alert (reference:
+    * orchestrator.py fires notifications.send_opportunity_alert after a
+    * successful run and send_error_notification on failure). The sender
+    * and outbox come from [[graft.serve.Notify]]; nothing here touches a
+    * socket. */
+  final case class NotifyConfig(
+      sender: graft.serve.Notify.Sender, outboxDir: String,
+      emailRecipients: Seq[String] = Nil, slack: Boolean = false,
+      teams: Boolean = false, dashboardUrl: String = "http://localhost:8501")
+
   final case class PipelineReport(results: Seq[StageResult]) {
     def status: String =
       if (results.exists(_.status == "failed")) "failed" else "success"
@@ -39,7 +49,8 @@ object PipelineRunner {
     * ErQueries.accounts / Synthetic.accounts, remapped).
     */
   def run(spark: SparkSession, accounts: DataFrame, asOf: java.sql.Date,
-          outDir: String, topK: Int = 100, scoreThreshold: Double = 0.5)
+          outDir: String, topK: Int = 100, scoreThreshold: Double = 0.5,
+          notify: Option[NotifyConfig] = None)
       : PipelineReport = {
     val results = scala.collection.mutable.ListBuffer[StageResult]()
     def stage[A](name: String)(body: => (A, Long)): Option[A] = {
@@ -82,6 +93,18 @@ object PipelineRunner {
           col("maturity_alignment") * 0.15
         val s = feats.withColumn("score", score)
           .withColumn("confidence", Scoring.confidenceLevelScoreOnly(col("score")))
+          // the digest columns (q35's formulas — reference pipeline.py):
+          // estimate = 10% of the mean pair revenue, action by score band
+          .withColumn("estimated_value",
+            round((col("a_revenue") + col("b_revenue")) / 2 * 0.1, 2))
+          .withColumn("next_best_action",
+            when(col("score") > 0.8,
+              "Schedule executive introduction call immediately")
+              .when(col("score") > 0.7,
+                "Prepare joint value proposition and reach out")
+              .when(col("score") > 0.6,
+                "Add to nurture campaign and monitor engagement")
+              .otherwise("Review quarterly for status changes"))
         (Candidates.prune(s, col("score"), scoreThreshold), -1L)
       }
     }
@@ -99,7 +122,56 @@ object PipelineRunner {
       }
     }
 
+    // post-run alert (reference orchestrator.py): success → opportunity
+    // digest to every channel, failure → error alert to admins. Goes
+    // through the Notify outbox, so a re-run of the same pipeline output
+    // dedups instead of re-spamming, and channel failures dead-letter
+    // instead of vanishing. The notify stage itself is reported —
+    // `records` = messages actually sent.
+    notify.foreach { cfg =>
+      import graft.serve.Notify
+      stage("notify") {
+        val interim = PipelineReport(results.toList)
+        val msgs =
+          if (interim.status == "success") {
+            val recs = spark.read.parquet(s"$outDir/recommendations")
+            val digest = Notify.digestOf(graft.serve.Serve.notifyDigest(
+              recs, n = 5, tiebreak = Seq(col("a_id").asc, col("b_id").asc)))
+            Notify.opportunityMessages(digest, cfg.emailRecipients,
+              cfg.slack, cfg.teams, cfg.dashboardUrl)
+          } else {
+            val f = interim.results.find(_.status == "failed").get
+            Notify.errorMessages(s"stage ${f.stage}: ${f.error}",
+              java.time.Instant.ofEpochMilli(f.completedAtMs).toString,
+              cfg.emailRecipients, cfg.slack)
+          }
+        val report = Notify.deliver(msgs, cfg.sender, cfg.outboxDir)
+        ((), report.sent.toLong)
+      }
+    }
+
     PipelineReport(results.toList)
+  }
+
+  /**
+   * Live-extract composition (reference run_pipeline's extract stage
+   * against the REST connector): the [[graft.sources.ResilientClient]]
+   * control plane pages the API into a staging directory of batch CSV
+   * files, and the DSv2 [[graft.sources.BulkCsvSource]] data plane scans
+   * them distributed, with predicate/projection pushdown. `call` is an
+   * already-composed resilient call (bucket + auth + retry bound in).
+   */
+  def extractAccounts(spark: SparkSession,
+                      call: graft.sources.ResilientClient.Request =>
+                        graft.sources.ResilientClient.Response,
+                      firstUrl: String,
+                      parse: graft.sources.ResilientClient.Response =>
+                        graft.sources.ResilientClient.Page,
+                      stagingDir: String, schema: String): DataFrame = {
+    graft.sources.ResilientClient.extractToStaging(
+      call, firstUrl, parse, stagingDir)
+    spark.read.format(graft.sources.BulkCsvSource.format)
+      .schema(schema).load(stagingDir)
   }
 
   /** Sync-log frame from a report (reference: orchestrator.py:208-252 —

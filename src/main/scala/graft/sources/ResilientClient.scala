@@ -1,0 +1,205 @@
+package graft.sources
+
+/**
+ * Transport-agnostic resilient API client — the CONTROL-PLANE semantics
+ * of the reference's live connector (reference:
+ * src/connectors/salesforce.py — token cache + re-auth :89-214, 401
+ * retry loop :308-343, expo backoff `@backoff.on_exception(max_tries=3)`
+ * :179/:308, token-bucket rate limiter :480-507, nextRecordsUrl
+ * pagination :310-343), realized against a PLUGGABLE transport
+ * (`Request => Response`) instead of a live HTTP stack: this container
+ * has zero egress, and more importantly the resilience protocol — what
+ * retries, what re-authenticates, what waits — is transport-independent
+ * logic that deserves deterministic tests. A production deployment
+ * plugs a real HTTP call in as the transport function; every spec here
+ * plugs in scripted fakes and a VIRTUAL clock, so backoff sequences and
+ * bucket waits are asserted exactly, not approximately.
+ *
+ * Division of labor at scale: this client is the DRIVER-side control
+ * plane — an API quota is a global resource, so admission control is
+ * centralized by design (a 1000-executor fleet hammering a per-tenant
+ * rate limit from every task is an outage, not parallelism). The
+ * control plane lands pages as CSV batch files in a staging directory;
+ * the DATA plane is the existing DSv2 [[BulkCsvSource]] scan of that
+ * directory — distributed, columnar-pruned, filter-pushed. Fetch
+ * bandwidth is page-size × rate-limit regardless of cluster size, which
+ * is the API's constraint, not ours.
+ */
+object ResilientClient {
+
+  final case class Request(url: String, headers: Map[String, String] = Map.empty)
+  final case class Response(status: Int, body: String,
+                            headers: Map[String, String] = Map.empty)
+
+  /** The pluggable I/O edge. Throw [[TransportException]] for
+    * connection-level failures (the aiohttp.ClientError analogue). */
+  type Transport = Request => Response
+
+  final class TransportException(msg: String) extends RuntimeException(msg)
+
+  /** Deterministic time for specs: `nowMs` reads, `sleepMs` advances.
+    * Production: `Clock.system`. */
+  trait Clock {
+    def nowMs: Long
+    def sleepMs(ms: Long): Unit
+  }
+  object Clock {
+    val system: Clock = new Clock {
+      def nowMs: Long = System.currentTimeMillis()
+      def sleepMs(ms: Long): Unit = Thread.sleep(ms)
+    }
+  }
+
+  /**
+   * Token-bucket rate limiter (reference RateLimiter :480-507, same
+   * arithmetic): capacity = `callsPerMinute`, continuous refill at
+   * callsPerMinute/60 per second, `acquire` blocks until a token is
+   * available. Synchronized — the bucket is the SHARED admission gate
+   * for every in-flight control-plane call.
+   */
+  final class TokenBucket(callsPerMinute: Int, clock: Clock) {
+    require(callsPerMinute > 0)
+    private var tokens: Double = callsPerMinute
+    private var updatedAtMs: Long = clock.nowMs
+
+    def acquire(): Unit = synchronized {
+      val now = clock.nowMs
+      tokens = math.min(callsPerMinute.toDouble,
+        tokens + (now - updatedAtMs) / 1000.0 * (callsPerMinute / 60.0))
+      updatedAtMs = now
+      if (tokens < 1) {
+        val waitMs = math.ceil((1 - tokens) * 60000.0 / callsPerMinute).toLong
+        clock.sleepMs(waitMs)
+        updatedAtMs = clock.nowMs
+        tokens = 1
+      }
+      tokens -= 1
+    }
+  }
+
+  /** Exponential backoff (the reference's `backoff.expo`, max_tries=3
+    * default): delay = base·2^(attempt−1) capped at `maxDelayMs`; a
+    * `Retry-After` response header overrides the computed delay (the
+    * server knows better). */
+  final case class RetryPolicy(maxTries: Int = 3, baseDelayMs: Long = 100,
+                               maxDelayMs: Long = 10000) {
+    def delayMs(attempt: Int, retryAfter: Option[Long]): Long =
+      retryAfter.getOrElse(
+        math.min(maxDelayMs, baseDelayMs << math.min(attempt - 1, 20)))
+  }
+
+  /**
+   * Cached bearer-token session (reference TokenManager :89-140 +
+   * authenticate :155-177): `authenticate()` is invoked lazily, its
+   * token reused until `ttlMs` elapses, and [[invalidate]] forces the
+   * next call to re-authenticate (the 401 path). The reference persists
+   * tokens in an encrypted SQLite cache; the cache POLICY (reuse until
+   * expiry, refresh on rejection) is what matters to the protocol and
+   * is what's realized — storage is an injection point, not logic.
+   */
+  final class AuthSession(authenticate: () => String, ttlMs: Long,
+                          clock: Clock) {
+    private var token: Option[String] = None
+    private var fetchedAtMs: Long = 0L
+    var authCount: Int = 0 // observability for specs/ops
+
+    def bearer(): String = synchronized {
+      if (token.isEmpty || clock.nowMs - fetchedAtMs >= ttlMs) {
+        token = Some(authenticate()); fetchedAtMs = clock.nowMs
+        authCount += 1
+      }
+      token.get
+    }
+    def invalidate(): Unit = synchronized { token = None }
+  }
+
+  /**
+   * One resilient call — the composed protocol of `_query_rest`
+   * (:308-343):
+   *  1. admission: take a bucket token;
+   *  2. attach `Authorization: Bearer <token>` from the session;
+   *  3. 401 → invalidate + re-auth and retry the SAME url immediately
+   *     (the reference's `continue` — re-auth is not a failure, it
+   *     consumes no retry budget); at most once per attempt so a
+   *     rejected FRESH token still fails loudly;
+   *  4. 429/5xx or transport error → exponential backoff, up to
+   *     `policy.maxTries` attempts, then the error propagates;
+   *  5. any other status returns.
+   */
+  def execute(transport: Transport, bucket: TokenBucket, auth: AuthSession,
+              policy: RetryPolicy, clock: Clock, req: Request): Response = {
+    var attempt = 1
+    var reAuthed = false
+    while (true) {
+      bucket.acquire()
+      val resp =
+        try Right(transport(Request(req.url,
+          req.headers + ("Authorization" -> s"Bearer ${auth.bearer()}"))))
+        catch { case e: TransportException => Left(e) }
+      resp match {
+        case Right(r) if r.status == 401 && !reAuthed =>
+          auth.invalidate(); reAuthed = true // retry same url, same attempt
+        case Right(r) if r.status == 429 || r.status >= 500 =>
+          if (attempt >= policy.maxTries)
+            throw new TransportException(
+              s"${req.url} failed with ${r.status} after $attempt attempts")
+          clock.sleepMs(policy.delayMs(attempt,
+            r.headers.get("Retry-After").map(_.toLong * 1000)))
+          attempt += 1; reAuthed = false
+        case Right(r) => return r
+        case Left(e) =>
+          if (attempt >= policy.maxTries) throw e
+          clock.sleepMs(policy.delayMs(attempt, None))
+          attempt += 1; reAuthed = false
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** A page of records plus the next cursor — the parse half of the
+    * reference's `data["records"] / data["nextRecordsUrl"] / done`
+    * protocol, supplied by the caller (format-specific). */
+  final case class Page(body: String, nextUrl: Option[String])
+
+  /**
+   * Cursor pagination (reference :317-337): follow `nextUrl` until the
+   * server reports done. Returns every page body in order. Pages are
+   * fetched serially BY PROTOCOL — each cursor comes from the previous
+   * response, so this loop is inherently sequential; parallelism lives
+   * in the data plane, not here.
+   */
+  def fetchAllPages(call: Request => Response, firstUrl: String,
+                    parse: Response => Page): Seq[String] = {
+    val pages = Seq.newBuilder[String]
+    var next: Option[String] = Some(firstUrl)
+    while (next.isDefined) {
+      val page = parse(call(Request(next.get)))
+      pages += page.body
+      next = page.nextUrl
+    }
+    pages.result()
+  }
+
+  /**
+   * Control-plane extract → staging dir → DSv2 data plane: pages land
+   * as `batch_NNNNN.csv` (the bulk-API batch-file layout q129/S2
+   * reads), idempotently — page index is the file name, a re-run
+   * overwrites rather than duplicates, so a crashed extract resumed
+   * from scratch converges to the same staging state. Returns the
+   * staged file count. Each page body must be a header-ful CSV chunk
+   * (the reference's bulk result format); every page carries the same
+   * header, as [[BulkCsvSource]] requires.
+   */
+  def extractToStaging(call: Request => Response, firstUrl: String,
+                       parse: Response => Page, stagingDir: String): Int = {
+    val dir = new java.io.File(stagingDir)
+    dir.mkdirs()
+    val pages = fetchAllPages(call, firstUrl, parse)
+    pages.zipWithIndex.foreach { case (body, i) =>
+      val f = new java.io.File(dir, f"batch_$i%05d.csv")
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try w.print(body) finally w.close()
+    }
+    pages.size
+  }
+}

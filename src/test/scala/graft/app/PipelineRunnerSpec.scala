@@ -48,4 +48,92 @@ class PipelineRunnerSpec extends SparkSpec {
     assert(report.status == "failed")
     assert(report.results.map(_.stage) == Seq("validate"))
   }
+
+  test("post-run notify: success delivers the opportunity digest through " +
+      "the outbox; a re-run dedups; failure delivers the error alert") {
+    import graft.serve.Notify
+    val out = java.nio.file.Files.createTempDirectory("graft-pipe3").toString
+    val outbox = s"$out/outbox"
+    val delivered = scala.collection.mutable.Buffer[Notify.Message]()
+    val cfg = PipelineRunner.NotifyConfig(
+      sender = m => { delivered += m; () }, outboxDir = outbox,
+      emailRecipients = Seq("ops@x.com"), slack = true)
+    val report = PipelineRunner.run(spark, pipelineAccounts,
+      java.sql.Date.valueOf("2024-01-01"), out, topK = 40,
+      notify = Some(cfg))
+    assert(report.status == "success")
+    assert(report.results.map(_.stage) ==
+      Seq("validate", "score", "write", "notify"))
+    assert(report.results.find(_.stage == "notify").get.records === 2,
+      "one email + one slack message sent")
+    assert(delivered.map(_.channel).toSeq === Seq("email", "slack"))
+    assert(delivered.head.subject.endsWith("Cross-Sell Opportunities"))
+    // digest content is the REAL top-5 of the written recommendations
+    val top = spark.read.parquet(s"$out/recommendations")
+      .orderBy(col("score").desc, col("a_id"), col("b_id"))
+      .select("a_id").limit(1).head.getString(0)
+    assert(delivered.head.body.contains(top))
+
+    // same pipeline output re-notified → outbox markers skip everything
+    delivered.clear()
+    val report2 = PipelineRunner.run(spark, pipelineAccounts,
+      java.sql.Date.valueOf("2024-01-01"), out, topK = 40,
+      notify = Some(cfg))
+    assert(report2.results.find(_.stage == "notify").get.records === 0)
+    assert(delivered.isEmpty, "identical digest must not re-send")
+
+    // failure path: error alert to admins, pipeline still reports failed
+    delivered.clear()
+    val bad = pipelineAccounts.withColumn("revenue", lit(-5.0))
+    val report3 = PipelineRunner.run(spark, bad,
+      java.sql.Date.valueOf("2024-01-01"), out, notify = Some(cfg))
+    assert(report3.status == "failed")
+    assert(delivered.map(_.channel).toSeq === Seq("email", "slack"))
+    assert(delivered.head.subject === "Cross-Sell Pipeline Error")
+    assert(delivered.head.body.contains("stage validate"))
+  }
+
+  test("live-extract composition: ResilientClient staging feeds the DSv2 " +
+      "scan feeds the pipeline end-to-end") {
+    import graft.sources.ResilientClient._
+    // the "API" serves the accounts frame as 2 CSV pages
+    val src = pipelineAccounts
+      .select(col("id"), col("org"), col("industry"), col("country"),
+        col("employees"), col("revenue"),
+        date_format(col("created"), "yyyy-MM-dd").as("created"),
+        date_format(col("last_activity"), "yyyy-MM-dd").as("last_activity"))
+      .orderBy("id").collect()
+    val header = "id,org,industry,country,employees,revenue,created,last_activity"
+    val pages = src.grouped(60).map(chunk =>
+      (header +: chunk.map(r => (0 until 8).map(r.get(_).toString)
+        .mkString(","))).mkString("\n")).toSeq
+    val transport: Transport = { req =>
+      val idx = req.url.stripPrefix("p/").toInt
+      Response(200, pages(idx),
+        if (idx + 1 < pages.size) Map("Next-Url" -> s"p/${idx + 1}")
+        else Map.empty)
+    }
+    val clock = new Clock {
+      var t = 0L
+      def nowMs: Long = t
+      def sleepMs(ms: Long): Unit = { t += ms }
+    }
+    val call = (r: Request) => graft.sources.ResilientClient.execute(transport,
+      new TokenBucket(600, clock), new AuthSession(() => "tok", 3600000, clock),
+      RetryPolicy(), clock, r)
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft-pipe-staging").toString + "/accounts"
+    val extracted = PipelineRunner.extractAccounts(spark, call, "p/0",
+      r => Page(r.body, r.headers.get("Next-Url")), staging,
+      "id STRING, org STRING, industry STRING, country STRING, " +
+        "employees DOUBLE, revenue DOUBLE, created STRING, " +
+        "last_activity STRING")
+    assert(extracted.count() === 120)
+    val out = java.nio.file.Files.createTempDirectory("graft-pipe4").toString
+    val report = PipelineRunner.run(spark, extracted,
+      java.sql.Date.valueOf("2024-01-01"), out, topK = 40)
+    assert(report.status == "success",
+      report.results.map(r => s"${r.stage}:${r.status}:${r.error}").mkString(" | "))
+    assert(spark.read.parquet(s"$out/recommendations").count() > 0)
+  }
 }
