@@ -108,11 +108,12 @@ object SimilaritySearch {
       embs, idCol, vecCol)
 
   /** Max-cosine assignment of `embs` against an EXPLICIT centroid table
-    * (cid, cu) — the shared kernel of the inline build ([[ivfAssign]])
-    * and the delta append ([[ivfAppend]]). Broadcast NL join + argmax
+    * (cid, cu) — the shared kernel of the inline build ([[ivfAssign]]),
+    * the delta append ([[ivfAppend]]), and the streaming maintenance
+    * sink (`Streams.ivfAppendBatchWriter`). Broadcast NL join + argmax
     * partial agg: the shuffle carries one row per vector. */
-  private def assignAgainst(cents: DataFrame, embs: DataFrame,
-                            idCol: Column, vecCol: Column): DataFrame = {
+  def assignAgainst(cents: DataFrame, embs: DataFrame,
+                    idCol: Column, vecCol: Column): DataFrame = {
     val e = embs.select(idCol.as("id"),
         graft.functions.VectorFunctions.unit(vecCol).as("u"))
       .filter(col("u").isNotNull)

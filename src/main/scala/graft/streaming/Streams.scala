@@ -154,6 +154,53 @@ object Streams {
       .parquet(s"$outDir/batch_id=$id")
   }
 
+  /**
+   * Streaming IVF index maintenance — the ANN family's continuous-ingest
+   * shape, completing its lifecycle (build q73 → stored artifacts q132 →
+   * batch delta append q134 → THIS): embeddings arrive on a stream and
+   * the STORED index absorbs each micro-batch. Per batch: read the
+   * stored centroid table (held FIXED — the IVF maintenance contract,
+   * identical to `SimilaritySearch.ivfAppend`; re-training centroids is
+   * a deliberate full rebuild per corpus version), assign only the
+   * batch's vectors (broadcast centroids + argmax partial agg — work ∝
+   * batch), and land the delta as `assignments/batch_id=N` — the
+   * [[idempotentBatchWriter]] layout, so an at-least-once replay of a
+   * batch OVERWRITES its own directory instead of duplicating rows, and
+   * a plain parquet read of `assignments/` discovers every generation
+   * via partition discovery. At 100 TB each trigger appends files; the
+   * corpus is never re-read or re-assigned. `IvfStreamSpec` proves the
+   * streamed index ≡ the batch `ivfAppend` result, replay-safe, with
+   * search parity through `ivfTopKFromIndex`.
+   */
+  def ivfAppendBatchWriter(indexDir: String, idCol: String = "vec_id",
+                           vecCol: String = "embedding")
+      : (DataFrame, Long) => Unit = { (batch, id) =>
+    val cents = batch.sparkSession.read.parquet(s"$indexDir/centroids")
+    graft.operators.SimilaritySearch
+      .assignAgainst(cents, batch.dropDuplicates(idCol),
+        col(idCol), col(vecCol))
+      .write.mode("overwrite")
+      .parquet(s"$indexDir/assignments/batch_id=$id")
+  }
+
+  /** Write an IVF index into the streaming-maintainable layout
+    * ([[ivfAppendBatchWriter]]'s contract): centroids + the base
+    * assignment generation as `batch_id=-1`. */
+  def writeIvfIndex(index: graft.operators.SimilaritySearch.IvfIndex,
+                    dir: String): Unit = {
+    index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    index.assignments.write.mode("overwrite")
+      .parquet(s"$dir/assignments/batch_id=-1")
+  }
+
+  /** Read a streaming-maintained IVF index back: every assignment
+    * generation (base + streamed batches) via partition discovery. */
+  def readIvfIndex(spark: SparkSession, dir: String)
+      : graft.operators.SimilaritySearch.IvfIndex =
+    graft.operators.SimilaritySearch.IvfIndex(
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/assignments").drop("batch_id"))
+
   /** Streaming exact dedup with BOUNDED state:
     * `dropDuplicatesWithinWatermark` keeps a key's dedup state only until
     * the watermark passes its event time, so state size is
