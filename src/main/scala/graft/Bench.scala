@@ -208,6 +208,21 @@ object Bench {
       .mkString("{", ",", "}")
     val prevTotal = deltas.map(_._3).sum
     val sharedNow = deltas.map(_._2).sum
+    // metric-golden ledger (VERDICT r8 #5): seeded ML quality values next
+    // to the bench detail, cross-round move-flagged like query times.
+    // Off-ledger (after all timing), skippable, never fails the bench —
+    // and run BEFORE the code-cache peak is sampled, because its five
+    // MLlib trainings are real codegen/JIT growth the headroom ledger
+    // must include (the peak below is the PROCESS peak, not the
+    // query-loop peak).
+    if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_SKIP_METRICS")) try {
+      val t0 = System.nanoTime()
+      val moves = graft.evaluate.MetricsLedger.writeLedger(spark)
+      System.err.println(f"[bench] metrics ledger written in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1fs, ${moves.size} flagged moves")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] metrics ledger FAILED: ${e.getMessage}")
+    }
     // code-cache headroom ledger (VERDICT r8 #8): the r8 health ledger
     // measured ~1.2 MB of generated-code growth per query; the reserve is
     // 512 MB (tools/run.sh -XX:ReservedCodeCacheSize). PEAK occupancy
@@ -244,17 +259,6 @@ object Bench {
       val w = new java.io.PrintWriter("bench_detail.json")
       try w.println(full) finally w.close()
     } catch { case _: Throwable => () }
-    // metric-golden ledger (VERDICT r8 #5): seeded ML quality values next
-    // to the bench detail, cross-round move-flagged like query times.
-    // Off-ledger (after all timing), skippable, and never fails the bench.
-    if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_SKIP_METRICS")) try {
-      val t0 = System.nanoTime()
-      val moves = graft.evaluate.MetricsLedger.writeLedger(spark)
-      System.err.println(f"[bench] metrics ledger written in " +
-        f"${(System.nanoTime() - t0) / 1e9}%.1fs, ${moves.size} flagged moves")
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] metrics ledger FAILED: ${e.getMessage}")
-    }
     // stdout contract line: total + the slowest 15 (the ones worth
     // grading) — guaranteed to fit the tail buffer
     val slow = results.filter(_._3).sortBy(-_._2).take(15).sortBy(_._1)

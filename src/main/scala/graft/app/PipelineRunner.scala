@@ -93,18 +93,11 @@ object PipelineRunner {
           col("maturity_alignment") * 0.15
         val s = feats.withColumn("score", score)
           .withColumn("confidence", Scoring.confidenceLevelScoreOnly(col("score")))
-          // the digest columns (q35's formulas — reference pipeline.py):
-          // estimate = 10% of the mean pair revenue, action by score band
+          // the digest columns — q35's SHARED formulas (Scoring holds
+          // the single definition the oracle-gated frame also reads)
           .withColumn("estimated_value",
-            round((col("a_revenue") + col("b_revenue")) / 2 * 0.1, 2))
-          .withColumn("next_best_action",
-            when(col("score") > 0.8,
-              "Schedule executive introduction call immediately")
-              .when(col("score") > 0.7,
-                "Prepare joint value proposition and reach out")
-              .when(col("score") > 0.6,
-                "Add to nurture campaign and monitor engagement")
-              .otherwise("Review quarterly for status changes"))
+            Scoring.estimatedPairValue(col("a_revenue"), col("b_revenue")))
+          .withColumn("next_best_action", Scoring.nextBestAction(col("score")))
         (Candidates.prune(s, col("score"), scoreThreshold), -1L)
       }
     }

@@ -52,4 +52,19 @@ object Scoring {
     * (reference: api/main.py:610-617). */
   def confidenceLevelScoreOnly(score: Column): Column =
     when(score > 0.8, "High").when(score > 0.6, "Medium").otherwise("Low")
+
+  /** Pair opportunity value: 10% of the mean pair revenue (reference:
+    * pipeline.py estimated_value). Single definition — q35's
+    * oracle-gated frame and the pipeline runner's digest both read it. */
+  def estimatedPairValue(aRevenue: Column, bRevenue: Column): Column =
+    round((aRevenue + bRevenue) / 2 * 0.1, 2)
+
+  /** Next-best-action by score band (reference: pipeline.py
+    * next_best_action). Same single-definition contract as
+    * [[estimatedPairValue]]. */
+  def nextBestAction(score: Column): Column =
+    when(score > 0.8, "Schedule executive introduction call immediately")
+      .when(score > 0.7, "Prepare joint value proposition and reach out")
+      .when(score > 0.6, "Add to nurture campaign and monitor engagement")
+      .otherwise("Review quarterly for status changes")
 }

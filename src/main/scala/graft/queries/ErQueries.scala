@@ -138,12 +138,9 @@ object ErQueries {
           .otherwise("Low").as("confidence"),
         when(col("industry_match") === 1.0, "Industry Expansion")
           .otherwise("Market Development").as("recommendation_type"),
-        round((col("a_revenue") + col("b_revenue")) / 2 * 0.1, 2)
+        graft.ml.Scoring.estimatedPairValue(col("a_revenue"), col("b_revenue"))
           .as("estimated_value"),
-        when(col("score") > 0.8, "Schedule executive introduction call immediately")
-          .when(col("score") > 0.7, "Prepare joint value proposition and reach out")
-          .when(col("score") > 0.6, "Add to nurture campaign and monitor engagement")
-          .otherwise("Review quarterly for status changes").as("next_best_action"))
+        graft.ml.Scoring.nextBestAction(col("score")).as("next_best_action"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -230,8 +230,10 @@ object Notify {
           finally w.close()
           sent += 1
         } else {
-          val dl = new java.io.FileWriter(
-            new java.io.File(dir, "dead_letter.jsonl"), true)
+          val dl = new java.io.OutputStreamWriter(
+            new java.io.FileOutputStream(
+              new java.io.File(dir, "dead_letter.jsonl"), true),
+            java.nio.charset.StandardCharsets.UTF_8)
           try dl.write(s"""{"idKey":"${m.idKey}","channel":"${m.channel}","recipient":"${jsonEscape(m.recipient)}","subject":"${jsonEscape(m.subject)}","error":"${jsonEscape(lastErr)}","attempts":$maxTries}""" + "\n")
           finally dl.close()
           dead += 1

@@ -79,13 +79,19 @@ object ResilientClient {
 
   /** Exponential backoff (the reference's `backoff.expo`, max_tries=3
     * default): delay = base·2^(attempt−1) capped at `maxDelayMs`; a
-    * `Retry-After` response header overrides the computed delay (the
-    * server knows better). */
+    * numeric `Retry-After` header overrides the computed delay (the
+    * server knows better) but still respects the cap — an admission
+    * loop must not sleep a driver for a server-dictated day. The
+    * RFC-allowed HTTP-date form is ignored (falls back to expo) rather
+    * than crashing the retry loop on parse. */
   final case class RetryPolicy(maxTries: Int = 3, baseDelayMs: Long = 100,
                                maxDelayMs: Long = 10000) {
-    def delayMs(attempt: Int, retryAfter: Option[Long]): Long =
-      retryAfter.getOrElse(
-        math.min(maxDelayMs, baseDelayMs << math.min(attempt - 1, 20)))
+    def delayMs(attempt: Int, retryAfter: Option[String]): Long = {
+      val fromServer = retryAfter
+        .flatMap(v => scala.util.Try(v.trim.toLong * 1000).toOption)
+      math.min(maxDelayMs, fromServer.getOrElse(
+        baseDelayMs << math.min(attempt - 1, 20)))
+    }
   }
 
   /**
@@ -143,8 +149,7 @@ object ResilientClient {
           if (attempt >= policy.maxTries)
             throw new TransportException(
               s"${req.url} failed with ${r.status} after $attempt attempts")
-          clock.sleepMs(policy.delayMs(attempt,
-            r.headers.get("Retry-After").map(_.toLong * 1000)))
+          clock.sleepMs(policy.delayMs(attempt, r.headers.get("Retry-After")))
           attempt += 1; reAuthed = false
         case Right(r) => return r
         case Left(e) =>
@@ -161,19 +166,34 @@ object ResilientClient {
     * protocol, supplied by the caller (format-specific). */
   final case class Page(body: String, nextUrl: Option[String])
 
+  /** A page fetch is done when [[execute]]'s resilience is exhausted OR
+    * the final status is non-2xx (the documented non-retryable outcomes:
+    * 401-on-a-fresh-token, 403, 404) — an error body must never be
+    * mistaken for data. */
+  private def checked(call: Request => Response, url: String): Response = {
+    val r = call(Request(url))
+    if (r.status < 200 || r.status >= 300)
+      throw new TransportException(
+        s"$url returned non-success ${r.status} — refusing to treat the " +
+          "error body as a data page")
+    r
+  }
+
   /**
    * Cursor pagination (reference :317-337): follow `nextUrl` until the
-   * server reports done. Returns every page body in order. Pages are
-   * fetched serially BY PROTOCOL — each cursor comes from the previous
-   * response, so this loop is inherently sequential; parallelism lives
-   * in the data plane, not here.
+   * server reports done; every page must come back 2xx. Returns every
+   * page body in order — use only for control-sized results;
+   * [[extractToStaging]] streams pages to disk instead of accumulating.
+   * Pages are fetched serially BY PROTOCOL — each cursor comes from the
+   * previous response, so this loop is inherently sequential;
+   * parallelism lives in the data plane, not here.
    */
   def fetchAllPages(call: Request => Response, firstUrl: String,
                     parse: Response => Page): Seq[String] = {
     val pages = Seq.newBuilder[String]
     var next: Option[String] = Some(firstUrl)
     while (next.isDefined) {
-      val page = parse(call(Request(next.get)))
+      val page = parse(checked(call, next.get))
       pages += page.body
       next = page.nextUrl
     }
@@ -183,23 +203,38 @@ object ResilientClient {
   /**
    * Control-plane extract → staging dir → DSv2 data plane: pages land
    * as `batch_NNNNN.csv` (the bulk-API batch-file layout q129/S2
-   * reads), idempotently — page index is the file name, a re-run
-   * overwrites rather than duplicates, so a crashed extract resumed
-   * from scratch converges to the same staging state. Returns the
-   * staged file count. Each page body must be a header-ful CSV chunk
-   * (the reference's bulk result format); every page carries the same
-   * header, as [[BulkCsvSource]] requires.
+   * reads), each written AS IT ARRIVES — driver memory is O(one page),
+   * never O(extract), and a crash leaves the already-fetched prefix on
+   * disk. Idempotent: page index is the file name (a re-run overwrites,
+   * never duplicates) and stale `batch_*.csv` beyond the final page
+   * count are DELETED, so a re-run against a shrunk source converges to
+   * exactly the new page set. A non-2xx page response throws — an error
+   * body is never staged as data. Returns the staged file count. Each
+   * page body must be a header-ful CSV chunk (the reference's bulk
+   * result format); every page carries the same header, as
+   * [[BulkCsvSource]] requires.
    */
   def extractToStaging(call: Request => Response, firstUrl: String,
                        parse: Response => Page, stagingDir: String): Int = {
     val dir = new java.io.File(stagingDir)
     dir.mkdirs()
-    val pages = fetchAllPages(call, firstUrl, parse)
-    pages.zipWithIndex.foreach { case (body, i) =>
+    var i = 0
+    var next: Option[String] = Some(firstUrl)
+    while (next.isDefined) {
+      val page = parse(checked(call, next.get))
       val f = new java.io.File(dir, f"batch_$i%05d.csv")
       val w = new java.io.PrintWriter(f, "UTF-8")
-      try w.print(body) finally w.close()
+      try w.print(page.body) finally w.close()
+      i += 1
+      next = page.nextUrl
     }
-    pages.size
+    val pat = "batch_([0-9]{5})\\.csv".r
+    Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
+      f.getName match {
+        case pat(n) if n.toInt >= i => f.delete()
+        case _ => ()
+      }
+    }
+    i
   }
 }

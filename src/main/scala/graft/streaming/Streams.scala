@@ -85,12 +85,18 @@ object Streams {
     // mis-decode for the stream's lifetime.
     val hPath = new org.apache.hadoop.fs.Path(dir)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // a file counts as data only if NO path component below `dir` is
+    // hidden/metadata (_spark_metadata/0 from an initialized-but-empty
+    // sink must NOT defeat the start-stream-before-data fallback)
+    val qualified = fs.makeQualified(hPath).toString
     val hasDataFiles = fs.exists(hPath) && {
       val it = fs.listFiles(hPath, true)
       var found = false
       while (!found && it.hasNext) {
-        val n = it.next().getPath.getName
-        found = !n.startsWith("_") && !n.startsWith(".")
+        val rel = it.next().getPath.toString.stripPrefix(qualified)
+          .stripPrefix("/")
+        found = rel.split("/")
+          .forall(seg => !seg.startsWith("_") && !seg.startsWith("."))
       }
       found
     }
@@ -176,18 +182,28 @@ object Streams {
                            vecCol: String = "embedding")
       : (DataFrame, Long) => Unit = { (batch, id) =>
     val cents = batch.sparkSession.read.parquet(s"$indexDir/centroids")
+    // NO per-batch id dedup here: the batch twin (ivfAppend) keeps every
+    // delta row, and this sink must be row-equal to it (IvfStreamSpec).
+    // Exactly-once per id within the horizon is the upstream's job
+    // (dropDuplicatesWithinWatermark), exactly as for every other sink.
     graft.operators.SimilaritySearch
-      .assignAgainst(cents, batch.dropDuplicates(idCol),
-        col(idCol), col(vecCol))
+      .assignAgainst(cents, batch, col(idCol), col(vecCol))
       .write.mode("overwrite")
       .parquet(s"$indexDir/assignments/batch_id=$id")
   }
 
   /** Write an IVF index into the streaming-maintainable layout
     * ([[ivfAppendBatchWriter]]'s contract): centroids + the base
-    * assignment generation as `batch_id=-1`. */
+    * assignment generation as `batch_id=-1`. The assignments directory
+    * is cleared FIRST — a base rebuild is a new corpus version, and any
+    * generations streamed against the OLD centroids must not survive
+    * into it (partition discovery would silently merge them). */
   def writeIvfIndex(index: graft.operators.SimilaritySearch.IvfIndex,
                     dir: String): Unit = {
+    val spark = index.centroids.sparkSession
+    val aPath = new org.apache.hadoop.fs.Path(s"$dir/assignments")
+    aPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(aPath, true)
     index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     index.assignments.write.mode("overwrite")
       .parquet(s"$dir/assignments/batch_id=-1")

@@ -56,6 +56,15 @@ class ResilientClientSpec extends SparkSpec {
       RetryPolicy(maxTries = 3, baseDelayMs = 100), clock2, Request("u"))
     assert(clock2.sleeps.toSeq === Seq(7000L), "server Retry-After wins")
 
+    // RFC HTTP-date Retry-After must not crash the retry loop — it
+    // falls back to the expo delay; an absurd numeric value is capped
+    val policy = RetryPolicy(maxTries = 3, baseDelayMs = 100,
+      maxDelayMs = 10000)
+    assert(policy.delayMs(1,
+      Some("Fri, 14 Aug 2026 10:00:00 GMT")) === 100L)
+    assert(policy.delayMs(1, Some("86400")) === 10000L,
+      "server-dictated day-long sleep capped at maxDelayMs")
+
     val clock3 = new VClock
     intercept[TransportException] {
       ResilientClient.execute(_ => Response(500, ""), new TokenBucket(600, clock3),
@@ -160,6 +169,31 @@ class ResilientClientSpec extends SparkSpec {
     // re-run (idempotent resume): same staging state, no duplicates
     assert(ResilientClient.extractToStaging(call, "page/0",
       r => Page(r.body, r.headers.get("Next-Url")), staging) === 3)
+    // a SHRUNK re-run deletes the now-stale trailing batch files
+    val shrunkTransport: Transport = { req =>
+      val idx = req.url.stripPrefix("page/").toInt
+      Response(200, pages(idx),
+        if (idx + 1 < 2) Map("Next-Url" -> s"page/${idx + 1}") else Map.empty)
+    }
+    val shrunkCall = (r: Request) => ResilientClient.execute(shrunkTransport,
+      bucket, auth, RetryPolicy(), clock, r)
+    assert(ResilientClient.extractToStaging(shrunkCall, "page/0",
+      r => Page(r.body, r.headers.get("Next-Url")), staging) === 2)
+    assert(new java.io.File(staging).listFiles()
+      .count(_.getName.endsWith(".csv")) === 2,
+      "stale batch_00002.csv must be deleted")
+    // restore the full staging state for the read-back assertion below
+    assert(ResilientClient.extractToStaging(call, "page/0",
+      r => Page(r.body, r.headers.get("Next-Url")), staging) === 3)
+    // a non-2xx final response is never staged as data
+    intercept[TransportException] {
+      ResilientClient.extractToStaging(
+        _ => Response(403, "<html>quota denied</html>"), "page/0",
+        r => Page(r.body, r.headers.get("Next-Url")),
+        staging + "-err")
+    }
+    assert(!new java.io.File(staging + "-err", "batch_00000.csv").exists,
+      "the 403 error body must not land in staging")
 
     val back = spark.read.format(BulkCsvSource.format)
       .schema("n_nationkey LONG, n_name STRING, n_regionkey LONG")

@@ -64,5 +64,14 @@ class IvfStreamSpec extends SparkSpec {
         .select("id").as[Long].collect().toSeq
     assert(top(streamed) === top(batchIdx),
       "top-k through the streamed index must match the batch path")
+
+    // a base REBUILD is a new corpus version: generations streamed
+    // against the old centroids must not survive partition discovery
+    val rebuilt = SimilaritySearch.ivfIndex(embs, col("vec_id"),
+      col("embedding"), 50)
+    Streams.writeIvfIndex(rebuilt, dir)
+    val reread = Streams.readIvfIndex(spark, dir)
+    assert(reread.assignments.count() === rebuilt.assignments.count(),
+      "stale streamed generations must be cleared by a base rebuild")
   }
 }

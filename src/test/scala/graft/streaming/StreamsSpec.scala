@@ -674,6 +674,12 @@ class StreamsSpec extends SparkSpec {
     val metaOnly = tmp("graft-ev-meta")
     Files.writeString(Paths.get(metaOnly, "_SUCCESS"), "")
     assert(Streams.readEvents(spark, metaOnly).isStreaming)
+    // files INSIDE a metadata directory don't count either — an
+    // initialized-but-empty streaming sink holds _spark_metadata/0
+    val sinkInit = tmp("graft-ev-sinkmeta")
+    Files.createDirectory(Paths.get(sinkInit, "_spark_metadata"))
+    Files.writeString(Paths.get(sinkInit, "_spark_metadata", "0"), "v1")
+    assert(Streams.readEvents(spark, sinkInit).isStreaming)
     // a dir with an unreadable data file must throw at SETUP — not
     // silently decode the whole stream with the default ts type
     val junk = tmp("graft-ev-junk")
