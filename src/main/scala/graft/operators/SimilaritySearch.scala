@@ -200,6 +200,104 @@ object SimilaritySearch {
     ivfTopKFromIndex(embs, idCol, vecCol,
       ivfIndex(embs, idCol, vecCol, modulus), query, nprobe, k)
 
+  // ---------------- IVF-PQ (probe lists + ADC within lists) ----------------
+
+  /** PQ codebook: every `modulus`-th vector held RAW (L2 code space, the
+    * q85 convention) as (cid, cv). Deterministic and engine-portable —
+    * no trained k-means model to ship; k = N/modulus sub-centroids per
+    * subspace (every codebook vector serves all m subspaces). */
+  def pqCodebook(embs: DataFrame, idCol: Column, vecCol: Column,
+                 modulus: Int): DataFrame =
+    embs.filter(pmod(idCol, lit(modulus)) === 0)
+      .select(idCol.as("cid"), vecCol.as("cv"))
+
+  /** Squared L2 between subspace `s` (0-based, `subDim` wide) of two
+    * vectors. (x−y)·(x−y) with each element widened to double BEFORE the
+    * subtraction — float−float stays float32 and drifts off a double
+    * oracle; multiplication (not pow) is bit-identical across engines. */
+  private def subL2Sq(a: Column, b: Column, s: Column, subDim: Int): Column =
+    graft.functions.VectorFunctions.sqDist(
+      slice(a, s * subDim + 1, lit(subDim)),
+      slice(b, s * subDim + 1, lit(subDim)))
+
+  /**
+   * PQ encoding: each vector → m one-byte-ish codes, one per `subDim`-wide
+   * subspace — the per-subspace L2 argmin over the BROADCAST codebook.
+   * Encoding is scan-local (broadcast NL + argmax partial agg: the
+   * shuffle carries one row per (vector, subspace), never per candidate
+   * centroid — the q72 assignAgainst discipline, improving on a window
+   * rank). Ties break to the lowest cid via max(struct(−d, −cid)).
+   * Returns (id, s, cid).
+   */
+  def pqCodes(embs: DataFrame, idCol: Column, vecCol: Column,
+              codebook: DataFrame, m: Int, subDim: Int): DataFrame = {
+    val e = embs.select(idCol.as("id"), vecCol.as("v"),
+      explode(sequence(lit(0), lit(m - 1))).as("s"))
+    e.join(broadcast(codebook))
+      .select(col("id"), col("s"),
+        struct((-subL2Sq(col("v"), col("cv"), col("s"), subDim)).as("nd"),
+          (-col("cid")).as("ncid")).as("sc"))
+      .groupBy("id", "s").agg(max(col("sc")).as("mx"))
+      .select(col("id"), col("s"), (-col("mx.ncid")).as("cid"))
+  }
+
+  /**
+   * IVF-PQ search — the production ANN composition (Jégou et al., PAMI
+   * 2011; the FAISS `IndexIVFPQ` shape): the coarse quantizer picks the
+   * query's `nprobe` nearest inverted lists, and ONLY their members are
+   * scored, by asymmetric distance computation over PQ codes — a
+   * per-subspace table lookup of precomputed query→sub-centroid
+   * distances, no float math per candidate.
+   *
+   * Metric contract (matches the repo's gate families so the q73 + q85
+   * oracles compose verbatim): coarse probing in cosine space over unit
+   * vectors ([[ivfAssign]]); ADC in raw L2 within the probed lists
+   * ([[pqCodes]]). On a unit-normalized corpus the two orders coincide
+   * (L2² = 2 − 2·cos on the sphere); on raw corpora the coarse step is
+   * the standard spherical-IVF variant.
+   *
+   * Scale: centroids and codebook broadcast (K, k ≪ N); the corpus scan
+   * touches only probed-list members — with the assignment column as the
+   * storage partition key the unprobed lists are never read; the ADC
+   * join is against an m×k BROADCAST lookup table; the final top-k is a
+   * TakeOrderedAndProject. Candidate memory is m bytes/vector, the
+   * 64×-compression contract that makes billion-scale serving fit RAM.
+   */
+  def ivfPqTopK(embs: DataFrame, idCol: Column, vecCol: Column,
+                query: Seq[Double], ivfModulus: Int, nprobe: Int,
+                pqModulus: Int, m: Int, subDim: Int, k: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    val index = ivfIndex(embs, idCol, vecCol, ivfModulus)
+    val probed = TopK.globalTopK(
+      index.centroids.select(col("cid"),
+        graft.functions.VectorFunctions.dot(col("cu"), q).as("ccos")),
+      Seq(col("ccos").desc, col("cid").asc), nprobe).select("cid")
+    val members = index.assignments.join(broadcast(probed), "cid").select("id")
+    val cand = embs.select(idCol.as("id"), vecCol.as("v")).join(members, "id")
+    val codebook = pqCodebook(embs, idCol, vecCol, pqModulus)
+    val codes = pqCodes(cand, col("id"), col("v"), codebook, m, subDim)
+    // ADC lookup table: query→sub-centroid distance per (s, cid) — m×k
+    // rows, broadcast to every executor
+    val qd = codebook
+      .select(col("cid"), col("cv"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .select(col("s"), col("cid"),
+        subL2Sq(q, col("cv"), col("s"), subDim).as("dq"))
+    val aggs = (0 until m).map(i =>
+        max(when(col("s") === i, col("cid"))).as(s"c$i")) ++
+      (0 until m).map(i =>
+        max(when(col("s") === i, col("dq"))).as(s"d$i"))
+    val adc = codes.join(broadcast(qd), Seq("s", "cid"))
+      .groupBy("id").agg(aggs.head, aggs.tail: _*)
+    // fixed-order d0+d1+…+d(m−1) (not sum()): bit-identical across engines
+    val total = (0 until m).map(i => col(s"d$i")).reduce(_ + _)
+    TopK.globalTopK(
+        adc.select(col("id") +: (0 until m).map(i => col(s"c$i")) :+
+          round(total, 6).as("adc_dist") :+ total.as("_t"): _*),
+        Seq(col("_t").asc, col("id").asc), k)
+      .drop("_t")
+  }
+
   /** For each item: top-k nearest neighbors within its block (blocked
     * all-pairs + per-item window). */
   def knnWithinBlock(embs: DataFrame, idCol: Column, vecCol: Column,

@@ -180,6 +180,26 @@ object PipelineQueries {
         .orderBy("rank")
     }),
 
+    "q141_ivfpq_topk" -> ((s, dir) => {
+      // IVF-PQ — the production ANN composition (FAISS IndexIVFPQ
+      // shape): q73's coarse quantizer picks the query's 2 nearest
+      // inverted lists, and ONLY their members are ADC-scored over
+      // q85's PQ codes (per-subspace table lookup, no float math per
+      // candidate). The oracle composes the two gate families' SQL
+      // verbatim: probed-members CTEs from q73/q132, codes/ADC CTEs
+      // from q85 restricted to the members. At scale: candidate memory
+      // is m bytes/vector and unprobed lists are never read.
+      val e = Tables.loadSpread(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).map(_.toDouble)
+      SimilaritySearch.ivfPqTopK(e, col("vec_id"), col("embedding"), q,
+          ivfModulus = 200, nprobe = 2, pqModulus = 100, m = 4,
+          subDim = 16, k = 10)
+        .select(col("id"), col("c0"), col("c1"), col("c2"), col("c3"),
+          col("adc_dist"), col("rank").cast("bigint").as("rank"))
+        .orderBy("rank")
+    }),
+
     "q76_int8_topk" -> ((s, dir) => {
       // scalar int8 quantization + integer-dot top-k — the memory-bound
       // scale path (4× smaller vectors, exact integer arithmetic both
@@ -1043,6 +1063,57 @@ object PipelineQueries {
         |             * (e.v[sub.s*16+i] - cent.cv[sub.s*16+i])
         |               FOR i IN range(1, 17) ]) AS d
         |  FROM e, sub, cent),
+        |codes AS (
+        |  SELECT vec_id, s, cid FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, s
+        |    ORDER BY d, cid) = 1),
+        |dq AS (
+        |  SELECT sub.s, cent.cid,
+        |    list_sum([ (q.qv[sub.s*16+i] - cent.cv[sub.s*16+i])
+        |             * (q.qv[sub.s*16+i] - cent.cv[sub.s*16+i])
+        |               FOR i IN range(1, 17) ]) AS dq
+        |  FROM q, sub, cent),
+        |adc AS (
+        |  SELECT c.vec_id,
+        |    max(CASE WHEN c.s = 0 THEN c.cid END) AS c0,
+        |    max(CASE WHEN c.s = 1 THEN c.cid END) AS c1,
+        |    max(CASE WHEN c.s = 2 THEN c.cid END) AS c2,
+        |    max(CASE WHEN c.s = 3 THEN c.cid END) AS c3,
+        |    max(CASE WHEN c.s = 0 THEN dq.dq END) AS d0,
+        |    max(CASE WHEN c.s = 1 THEN dq.dq END) AS d1,
+        |    max(CASE WHEN c.s = 2 THEN dq.dq END) AS d2,
+        |    max(CASE WHEN c.s = 3 THEN dq.dq END) AS d3
+        |  FROM codes c JOIN dq ON c.s = dq.s AND c.cid = dq.cid
+        |  GROUP BY c.vec_id)
+        |SELECT vec_id AS id, c0, c1, c2, c3,
+        |  round(d0 + d1 + d2 + d3, 6) AS adc_dist,
+        |  row_number() OVER (ORDER BY d0 + d1 + d2 + d3, vec_id) AS rank
+        |FROM adc QUALIFY rank <= 10 ORDER BY rank""".stripMargin,
+
+    // q73/q132's probed-members CTEs composed with q85's codes/ADC CTEs,
+    // restricted to the members — the IVF-PQ contract is exactly "q85's
+    // scoring run only inside q73's probed lists"
+    "q141_ivfpq_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ivfc AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 200 = 0),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |probed AS (SELECT cid FROM ivfc, q
+        |  ORDER BY list_cosine_similarity(cv, qv) DESC, cid ASC LIMIT 2),
+        |assigned AS (SELECT e.vec_id AS id, ivfc.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, ivfc.cv) DESC,
+        |        ivfc.cid ASC) AS rn
+        |  FROM e, ivfc),
+        |members AS (SELECT id FROM assigned WHERE rn = 1
+        |  AND cid IN (SELECT cid FROM probed)),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 100 = 0),
+        |sub AS (SELECT unnest(range(0, 4)) AS s),
+        |dist AS (
+        |  SELECT e.vec_id, sub.s, cent.cid,
+        |    list_sum([ (e.v[sub.s*16+i] - cent.cv[sub.s*16+i])
+        |             * (e.v[sub.s*16+i] - cent.cv[sub.s*16+i])
+        |               FOR i IN range(1, 17) ]) AS d
+        |  FROM e JOIN members mm ON e.vec_id = mm.id, sub, cent),
         |codes AS (
         |  SELECT vec_id, s, cid FROM dist
         |  QUALIFY row_number() OVER (PARTITION BY vec_id, s

@@ -90,6 +90,104 @@ class SimilaritySearchSpec extends SparkSpec {
       assignRows(appended.assignments)))
   }
 
+  // ---- IVF-PQ (q141): real 500×64 corpus, the gate parameters ----
+
+  private val realDir = "/root/testdata/sf0.001"
+
+  private def realEmbs = graft.sources.Tables.load(spark, realDir, "embeddings")
+    .select("vec_id", "embedding")
+
+  /** Driver-side reference ADC: codes = per-subspace L2 argmin over the
+    * modulus-100 codebook (tie → lowest cid), distance = fixed-order sum
+    * of query→sub-centroid lookups — the q85 arithmetic verbatim. */
+  private def bruteAdc(ids: Set[Long]): Seq[(Long, Double)] = {
+    val all = realEmbs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val cb = all.filter(_._1 % 100 == 0)
+    val q = all.find(_._1 == 0L).get._2
+    def sub(v: Array[Double], s: Int) = v.slice(s * 16, s * 16 + 16)
+    def l2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+    all.filter(p => ids.contains(p._1)).map { case (id, v) =>
+      val total = (0 until 4).map { s =>
+        val (bestCid, _) = cb.map { case (cid, cv) =>
+          cid -> l2(sub(v, s), sub(cv, s)) }
+          .minBy { case (cid, d) => (d, cid) }
+        l2(sub(q, s), sub(cb.find(_._1 == bestCid).get._2, s))
+      }.sum
+      id -> total
+    }.toSeq
+  }
+
+  test("ivfPqTopK with every list probed equals full-corpus PQ-ADC " +
+      "(the q85 ranking) — the probe step only restricts, never rescores") {
+    val e = realEmbs
+    val q = e.filter(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Float](0).map(_.toDouble)
+    // ivfModulus 200 → 3 lists; nprobe 5 probes all of them
+    val out = SimilaritySearch.ivfPqTopK(e, col("vec_id"), col("embedding"),
+        q, ivfModulus = 200, nprobe = 5, pqModulus = 100, m = 4,
+        subDim = 16, k = 10)
+      .orderBy("rank").collect()
+    val expected = bruteAdc(realEmbs.collect().map(_.getLong(0)).toSet)
+      .sortBy { case (id, d) => (d, id) }.take(10)
+    assert(out.map(_.getAs[Long]("id")).toSeq === expected.map(_._1))
+    out.zip(expected).foreach { case (row, (_, d)) =>
+      assert(math.abs(row.getAs[Double]("adc_dist") - d) < 1e-6)
+    }
+  }
+
+  test("ivfPqTopK with nprobe=1 returns only members of the probed list") {
+    val e = realEmbs
+    val q = e.filter(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Float](0).map(_.toDouble)
+    val assign = SimilaritySearch.ivfAssign(e, col("vec_id"),
+      col("embedding"), 200)
+    val qlit = array(q.map(lit): _*)
+    val topCid = SimilaritySearch.ivfCentroids(e, col("vec_id"),
+        col("embedding"), 200)
+      .select(col("cid"),
+        graft.functions.VectorFunctions.dot(col("cu"), qlit).as("c"))
+      .orderBy(col("c").desc, col("cid").asc).head.getLong(0)
+    val memberIds = assign.filter(col("cid") === topCid)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val out = SimilaritySearch.ivfPqTopK(e, col("vec_id"), col("embedding"),
+        q, ivfModulus = 200, nprobe = 1, pqModulus = 100, m = 4,
+        subDim = 16, k = 10)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(out.nonEmpty && out.subsetOf(memberIds))
+  }
+
+  test("pqCodes (argmax partial agg) equals the window-rank argmin " +
+      "formulation and is deterministic across invocations") {
+    val e = realEmbs.limit(100)
+    val cb = SimilaritySearch.pqCodebook(realEmbs, col("vec_id"),
+      col("embedding"), 100)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Int]("s")) -> r.getAs[Long]("cid"))
+      .toMap
+    val viaAgg = asMap(SimilaritySearch.pqCodes(e, col("vec_id"),
+      col("embedding"), cb, m = 4, subDim = 16))
+    // q85's original formulation: explode × codebook, window rank 1
+    def l2sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }), lit(0.0), _ + _)
+    def subv(v: org.apache.spark.sql.Column) =
+      slice(v, col("s") * 16 + 1, lit(16))
+    val viaWindow = asMap(TopK.topKPerGroup(
+      e.select(col("vec_id").as("id"), col("embedding"),
+          explode(sequence(lit(0), lit(3))).as("s"))
+        .crossJoin(broadcast(cb))
+        .select(col("id"), col("s"), col("cid"),
+          l2sq(subv(col("embedding")), subv(col("cv"))).as("d")),
+      Seq(col("id"), col("s")), Seq(col("d").asc, col("cid").asc), 1)
+      .select("id", "s", "cid"))
+    assert(viaAgg === viaWindow)
+    assert(viaAgg === asMap(SimilaritySearch.pqCodes(e, col("vec_id"),
+      col("embedding"), cb, m = 4, subDim = 16)))
+  }
+
   test("knnWithinBlock ranks neighbors per item within label") {
     val out = SimilaritySearch.knnWithinBlock(embs, col("vec_id"),
       col("embedding"), col("label"), 1).collect()

@@ -24,6 +24,7 @@ class PlanLintSpec extends SparkSpec {
     "q122_semantic_dedup" -> "IVF-blocked cosine: broadcast centroid argmax assignment",
     "q134_ivf_append" -> "delta assignment against broadcast stored centroids",
     "q85_pq_adc_topk" -> "broadcast PQ codebook × vectors: scan-local encode",
+    "q141_ivfpq_topk" -> "IVF-PQ composes both allowlisted kernels: broadcast centroid argmax (q72) + broadcast codebook encode (q85), each against probed-list members only",
     "q94_bm25" -> "broadcast 1-row corpus-stats frame joined to every doc",
     "q125_unigram_logprob" -> "broadcast 1-row corpus token-count frame",
     "q57_baseline_scores" -> "broadcast 1-row global-stats frame",
