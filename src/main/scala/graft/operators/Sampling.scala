@@ -118,6 +118,35 @@ object Sampling {
       .drop("_hx")
   }
 
+  /** Token-budget quota fill — the data-mixing step of a training run:
+    * each stratum (source/domain/language) contributes documents, in a
+    * deterministic per-stratum md5 shuffle order, until its TOKEN budget
+    * is exhausted (cumulative inclusive count ≤ budget; the first
+    * overflowing doc and everything after it are dropped — prefix
+    * semantics, so the kept set is a stable function of the salt, never
+    * of partitioning). `budget` is a Column over the stratum (a literal,
+    * a when-chain of per-domain weights, or a joined-in rate table).
+    * Emits `pos` (1-based quota order) and `cum_tokens`.
+    *
+    * One per-stratum window (shuffle on the stratum key). At 100 TB,
+    * pre-prune each stratum to ~budget/avg_tokens × safety rows by hash
+    * rank before this window so the sort never touches the long tail of
+    * a giant domain — the quota only ever consumes a prefix. */
+  def tokenBudgetFill(df: DataFrame, key: Column, stratum: Column,
+                      tokens: Column, budget: Column,
+                      salt: String = "tbf"): DataFrame = {
+    val hx = md5(concat(lit(s"$salt:"), key.cast("string")).cast("binary"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(col("_hx"), key)
+    df.withColumn("_hx", hx)
+      .withColumn("pos", row_number().over(w))
+      .withColumn("cum_tokens", sum(tokens.cast("long")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .filter(col("cum_tokens") <= budget)
+      .drop("_hx")
+  }
+
   /** Deterministic k-way split: returns `splitCol` ∈ [0, k) from the key
     * hash (e.g. k=10 → stable 10-fold CV folds). */
   def foldAssignment(key: Column, k: Int, salt: String = "fold"): Column =

@@ -264,6 +264,52 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    "q140_token_budget_mix" -> ((s, dir) => {
+      // token-budget data mixing — the quota step that assembles a
+      // training mix from per-domain TOKEN budgets (not doc counts):
+      // every source contributes docs in its deterministic md5-shuffle
+      // order until 800 tokens are filled; src0 (the benchmark source,
+      // q93's held-out set) gets budget 0 and contributes nothing.
+      // Equal budgets flatten the source imbalance the way published
+      // mixes pin per-domain token shares. One per-source window; keep
+      // decisions are a pure function of the salt (replayable anywhere).
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      Sampling.tokenBudgetFill(docs, col("doc_id"), col("source"),
+          col("n_tokens"),
+          when(col("source") === "src0", lit(0L)).otherwise(lit(800L)))
+        .select(col("doc_id"), col("source"),
+          col("n_tokens").cast("bigint").as("n_tokens"),
+          col("pos"), col("cum_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "q138_cluster_balanced_sample" -> ((s, dir) => {
+      // semantic diversity rebalance — q106's temperature mixture with
+      // the stratum coming from the EMBEDDING space instead of a label
+      // column: each doc joins its vector (doc_id ≡ vec_id), the IVF
+      // coarse quantizer assigns it a semantic cluster (q72 kernel,
+      // modulus 100 → 5 clusters), and alpha=0.5 temperature rates flatten
+      // the cluster mix toward uniform at half the corpus — the
+      // "cluster-then-rebalance" curation step (D4/SemDeDup-style) that
+      // keeps a scrape's dominant topic from swamping the training mix.
+      // One broadcast assignment + one tiny rate frame; the corpus scan
+      // stays single-pass. Keep decisions are md5-hash (replayable on
+      // any engine/partitioning).
+      import graft.operators.SimilaritySearch
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val assign = SimilaritySearch.ivfAssign(t(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), modulus = 100)
+        .select(col("id").as("doc_id"), col("cid"))
+      Sampling.temperatureMixture(docs.join(assign, "doc_id"),
+          col("doc_id"), col("cid"), alpha = 0.5, targetFraction = 0.5,
+          salt = "cbal")
+        .select(col("doc_id"), col("lang"), col("cid"),
+          round(col("rate"), 6).as("rate"))
+        .orderBy("doc_id")
+    }),
+
     "q105_attribution" -> ((s, dir) => {
       // last-touch attribution: each purchase's value is credited to the
       // channel (props k % 5) of the user's latest click within 24h;
@@ -636,6 +682,47 @@ object CorpusQueries {
         |WHERE CAST(('0x' || substring(md5('tmix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
         |    AS UBIGINT) % 1000000 / 1000000.0 < r.r
         |ORDER BY d.doc_id""".stripMargin,
+
+    // q53's token expression + the q100 md5-order window, quota'd by a
+    // per-source CASE budget
+    "q140_token_budget_mix" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0))
+        |      AS n_tokens,
+        |    md5('tbf:' || CAST(doc_id AS VARCHAR)) AS hx
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |    CAST(row_number() OVER w AS INTEGER) AS pos,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY hx, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM d
+        |  WINDOW w AS (PARTITION BY source ORDER BY hx, doc_id))
+        |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  pos, cum_tokens
+        |FROM c
+        |WHERE cum_tokens <= (CASE WHEN source = 'src0' THEN 0 ELSE 800 END)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q72's assignment CTE feeding q106's temperature-rate CTEs — the
+    // semantic-stratum variant of the language mixture
+    "q138_cluster_balanced_sample" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 100 = 0),
+        |assigned AS (SELECT e.vec_id AS doc_id, c.cid FROM e, c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) = 1),
+        |n AS (SELECT cid, count(*) AS n FROM assigned GROUP BY 1),
+        |tot AS (SELECT sum(n) AS total, sum(pow(n, 0.5)) AS zsum FROM n),
+        |rates AS (SELECT cid,
+        |    least(1.0, (total * 0.5) * (pow(n, 0.5) / zsum) / n) AS r
+        |  FROM n, tot)
+        |SELECT a.doc_id, d.lang, a.cid, round(r.r, 6) AS rate
+        |FROM assigned a
+        |JOIN documents d ON d.doc_id = a.doc_id
+        |JOIN rates r ON a.cid = r.cid
+        |WHERE CAST(('0x' || substring(md5('cbal:' || CAST(a.doc_id AS VARCHAR)), 1, 8))
+        |    AS UBIGINT) % 1000000 / 1000000.0 < r.r
+        |ORDER BY a.doc_id""".stripMargin,
 
     "q105_attribution" ->
       """WITH c0 AS (SELECT user_id, ts,

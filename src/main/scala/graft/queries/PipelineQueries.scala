@@ -605,20 +605,36 @@ object PipelineQueries {
       // current state. The slowly-changing-dimension pattern behind the
       // reference's sync/watermark bookkeeping, as two windows over one
       // user-partitioned shuffle (both windows share the partitioning,
-      // so Catalyst plans a single Exchange).
-      import org.apache.spark.sql.expressions.Window
-      val byUser = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      t(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          col("event_type").as("state"))
-        .withColumn("_prev", lag(col("state"), 1).over(byUser))
-        .filter(col("_prev").isNull || col("_prev") =!= col("state"))
-        .withColumn("valid_to_ts", lead(col("ts"), 1).over(byUser))
-        .select(col("user_id"), col("state"),
-          date_format(col("ts"), TsFmt).as("valid_from"),
-          date_format(col("valid_to_ts"), TsFmt).as("valid_to"),
-          col("valid_to_ts").isNull.as("is_current"))
+      // so Catalyst plans a single Exchange). (Scd2.build; the
+      // incremental upsert twin is q139.)
+      graft.operators.Scd2.build(t(s, dir, "events"), col("user_id"),
+          col("ts"), col("event_id"), col("event_type"))
+        .select(col("key").as("user_id"), col("state"),
+          date_format(col("valid_from"), TsFmt).as("valid_from"),
+          date_format(col("valid_to"), TsFmt).as("valid_to"),
+          col("is_current"))
+        .orderBy("user_id", "valid_from")
+    }),
+
+    "q139_scd2_merge" -> ((s, dir) => {
+      // incremental SCD2 upsert — the nightly-batch maintenance shape:
+      // history built at the 2024-01-30T12:00 watermark, the
+      // strictly-later delta folded in by Scd2.merge (work ∝ delta +
+      // touched keys; at the gate SF ~40 of 150 users pass through the
+      // anti-join untouched, and every closed interval passes through
+      // unread). The oracle is q86's FULL-REBUILD SQL over all events,
+      // so the gate itself proves merged == rebuilt — the q87
+      // old ⊕ delta == full discipline applied to interval history.
+      val hwm = lit("2024-01-30 12:00:00").cast("timestamp")
+      val ev = t(s, dir, "events")
+      val hist = graft.operators.Scd2.build(ev.filter(col("ts") <= hwm),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      graft.operators.Scd2.merge(hist, ev.filter(col("ts") > hwm),
+          col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .select(col("key").as("user_id"), col("state"),
+          date_format(col("valid_from"), TsFmt).as("valid_from"),
+          date_format(col("valid_to"), TsFmt).as("valid_to"),
+          col("is_current"))
         .orderBy("user_id", "valid_from")
     }),
 
@@ -1033,6 +1049,28 @@ object PipelineQueries {
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
 
     "q86_scd2_intervals" ->
+      s"""WITH marked AS (
+        |  SELECT user_id, ts, event_id, event_type AS state,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |changes AS (
+        |  SELECT user_id, ts, event_id, state FROM marked
+        |  WHERE prev IS NULL OR prev <> state),
+        |iv AS (
+        |  SELECT user_id, state, ts,
+        |    lead(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS valid_to_ts
+        |  FROM changes)
+        |SELECT user_id, state,
+        |  strftime(ts, '$TsFmtDuck') AS valid_from,
+        |  strftime(valid_to_ts, '$TsFmtDuck') AS valid_to,
+        |  valid_to_ts IS NULL AS is_current
+        |FROM iv ORDER BY user_id, valid_from""".stripMargin,
+
+    // q86's FULL-REBUILD text, verbatim: the incremental merge must be
+    // row-identical to rebuilding the history from all events
+    "q139_scd2_merge" ->
       s"""WITH marked AS (
         |  SELECT user_id, ts, event_id, event_type AS state,
         |    lag(event_type) OVER (PARTITION BY user_id

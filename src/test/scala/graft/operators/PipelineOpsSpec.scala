@@ -220,6 +220,48 @@ class PipelineOpsSpec extends SparkSpec {
     assert(again === kept.select("id").as[Long].collect().toSet)
   }
 
+  test("tokenBudgetFill: prefix quota semantics, partition invariance, " +
+      "zero budget strata contribute nothing") {
+    val df = spark.range(300).toDF("id")
+      .withColumn("src", concat(lit("s"), pmod(col("id"), lit(3))))
+      .withColumn("tok", (pmod(col("id"), lit(7)) + 1).cast("long"))
+    val budget = when(col("src") === "s0", 0L).otherwise(40L)
+    val kept = Sampling.tokenBudgetFill(df, col("id"), col("src"),
+      col("tok"), budget)
+    val rows = kept.select("id", "src", "tok", "pos", "cum_tokens").collect()
+    // zero-budget stratum contributes nothing
+    assert(!rows.exists(_.getString(1) == "s0"))
+    // per-stratum: cum is the running sum in pos order and stays ≤ budget
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("pos"))
+      assert(sorted.map(_.getAs[Int]("pos")).toSeq === (1 to sorted.length))
+      var run = 0L
+      sorted.foreach { r =>
+        run += r.getAs[Long]("tok")
+        assert(r.getAs[Long]("cum_tokens") === run)
+      }
+      assert(run <= 40L)
+    }
+    // PREFIX semantics: the kept set is exactly the ≤-budget prefix of
+    // the full hash order — no later smaller doc back-fills past an
+    // overflowing one
+    val ordered = Sampling.tokenBudgetFill(df, col("id"), col("src"),
+        col("tok"), lit(Long.MaxValue))
+      .filter(col("src") === "s1")
+      .orderBy("pos").select("id", "tok").collect()
+    var run = 0L
+    val prefix = ordered.takeWhile { r =>
+      run += r.getAs[Long]("tok"); run <= 40L
+    }.map(_.getAs[Long]("id")).toSet
+    assert(rows.filter(_.getString(1) == "s1").map(_.getAs[Long]("id")).toSet
+      === prefix)
+    // partition-invariant
+    val again = Sampling.tokenBudgetFill(df.repartition(11), col("id"),
+      col("src"), col("tok"), budget)
+      .select("id").collect().map(_.getAs[Long]("id")).toSet
+    assert(again === rows.map(_.getAs[Long]("id")).toSet)
+  }
+
   test("foldAssignment: stable, complete, near-uniform") {
     val df = spark.range(1000).toDF("id")
     val folds = df.select(Sampling.foldAssignment(col("id"), 5).as("f"))

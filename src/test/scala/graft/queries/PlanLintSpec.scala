@@ -31,6 +31,7 @@ class PlanLintSpec extends SparkSpec {
     "q120_notify_digest" -> "broadcast 1-row headline-stats frame crossJoined onto top-N",
     "q128_sql_range_join" -> "the rule's residual branch: BNLJ kept ONLY for over-cap intervals (empty at runtime, AQE-collapsed)",
     "q106_temperature_mix" -> "broadcast per-stratum rate frame (|strata| rows)",
+    "q138_cluster_balanced_sample" -> "q72's broadcast centroid argmax kernel + q106's broadcast per-cluster rate frame",
     "q102_psi_drift" -> "broadcast 1-row shared-edges frame against both samples",
     "q33_pair_features" -> "candidate-capped θ-join: both sides are top-100-per-org by contract (reference pipeline.py:335-336 caps pairs at 10k/org-pair) — the score-threshold condition has no equi-key by design",
     "q35_recommendations" -> "same candidate-capped θ-join as q33 feeding the ranked output",

@@ -74,12 +74,15 @@ def compare_lenient(g: pd.DataFrame, e: pd.DataFrame):
     return bad
 
 
-def main(sf_dir: str, out_dir: str, strict: bool = True) -> int:
+def main(sf_dir: str, out_dir: str, strict: bool = True,
+         only=None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
+    if only:  # restricted Verify run: check just those queries, quietly
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -119,4 +122,5 @@ def main(sf_dir: str, out_dir: str, strict: bool = True) -> int:
 
 if __name__ == "__main__":
     argv = [a for a in sys.argv[1:] if a != "--lenient"]
-    sys.exit(main(argv[0], argv[1], strict="--lenient" not in sys.argv))
+    sys.exit(main(argv[0], argv[1], strict="--lenient" not in sys.argv,
+                  only=set(argv[2:]) or None))
