@@ -84,7 +84,11 @@ object Plans {
       "q133_decontaminate_bloom", // bloom scan-local prune + exact confirm join
       "q134_ivf_append",       // delta-only assignment vs stored centroids
       "q135_psi_windows",      // drift monitor: literal edges, one window agg
-      "q136_compacted_layout") // compaction + partitioned/z-ordered lake read
+      "q136_compacted_layout", // compaction + partitioned/z-ordered lake read
+      "q138_cluster_balanced_sample", // IVF-stratum temperature rates
+      "q139_scd2_merge",       // anti-join passthrough + seeded delta window
+      "q140_token_budget_mix", // per-source quota window, md5 order
+      "q141_ivfpq_topk")       // probe lists -> members -> ADC lookup
     // per-query reader notes where the right plan is easy to misread
     val notes = Map(
       "q128_sql_range_join" -> ("The user wrote the naive theta join " +
@@ -116,6 +120,24 @@ object Plans {
         "5 directories. The two pruning layers multiply; at 100 TB " +
         "this layout is the difference between scanning the table and " +
         "reading ~1% of it."),
+      "q139_scd2_merge" -> ("Three disjoint slices union'd: the " +
+        "untouched-keys LEFT ANTI join (at a partitioned store this is " +
+        "the partition-preserving passthrough -- nothing is rewritten), " +
+        "the touched keys' closed intervals (plain key join, no window), " +
+        "and the open-interval seeds unioned with the delta re-entering " +
+        "the change-point window. Every join and both windows hash on " +
+        "user_id, so the slices share one Exchange family; the history " +
+        "is never globally re-sorted and the delta window's input is " +
+        "one seed row per touched key plus the delta itself."),
+      "q141_ivfpq_topk" -> ("The two broadcast kernels compose: the IVF " +
+        "argmax assignment (BNLJ against the broadcast centroid table + " +
+        "partial-agg argmax) restricts to probed-list members, then the " +
+        "PQ encode (BNLJ against the broadcast codebook) runs ONLY over " +
+        "those members, and the ADC sum is a broadcast hash join " +
+        "against the m x k lookup table. The final top-k is " +
+        "TakeOrderedAndProject. At scale with assignments as the " +
+        "storage partition key, the unprobed lists are never read and " +
+        "candidate memory is m bytes per vector."),
       "q130_artifact_corpus" -> ("Consumes the STORED labels artifact " +
         "(parquet scan of /tmp/graft_artifacts_q130/labels) -- the " +
         "LSH+CC work that produced it ran once in the artifact build " +

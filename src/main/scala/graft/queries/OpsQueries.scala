@@ -170,6 +170,28 @@ object OpsQueries {
       graft.streaming.Streams.contractMonitor(
           t(s, dir, "events"), contract, windowLength = "1 day")
         .orderBy("window_start")
+    }),
+
+    "q142_k_anonymize" -> ((s, dir) => {
+      // k-anonymity release gate (quality.Privacy scaladoc): customers
+      // exported under quasi-identifiers (nation, segment, 10000-wide
+      // balance band) with every combination shared by < 5 rows
+      // SUPPRESSED — the re-identification bound a governed export
+      // enforces on top of q79's value redaction. At the gate SF the
+      // band width releases ~92% of rows and suppresses the 76
+      // small-group tail — the generalize-until-acceptable dial the
+      // profile helper tunes. One partial-agg groupBy over the quasi
+      // key joined back on the same key; the fact table never enters a
+      // window.
+      import graft.quality.Privacy
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          Privacy.bandLabel(col("c_acctbal"), 10000L).as("balance_band"))
+      Privacy.kAnonymize(c,
+          Seq("c_nationkey", "c_mktsegment", "balance_band"), k = 5)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          col("balance_band"), col("group_size"))
+        .orderBy("c_custkey")
     })
   )
 
@@ -258,6 +280,23 @@ object OpsQueries {
         |    ELSE CAST(0.0 AS DOUBLE) END) AS success_rate,
         |  avg(CAST(row_count AS DOUBLE)) AS avg_rows,
         |  CAST(sum(error_count) AS BIGINT) AS total_errors
-        |FROM h""".stripMargin
+        |FROM h""".stripMargin,
+
+    "q142_k_anonymize" ->
+      """WITH b AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+        |    CAST(CAST(floor(CAST(c_acctbal AS DOUBLE) / 10000) AS BIGINT)
+        |        * 10000 AS VARCHAR)
+        |      || '-' ||
+        |      CAST(CAST(floor(CAST(c_acctbal AS DOUBLE) / 10000) AS BIGINT)
+        |        * 10000 + 10000 AS VARCHAR) AS balance_band
+        |  FROM customer),
+        |g AS (SELECT c_nationkey, c_mktsegment, balance_band,
+        |    CAST(count(*) AS BIGINT) AS group_size
+        |  FROM b GROUP BY 1, 2, 3)
+        |SELECT b.c_custkey, b.c_nationkey, b.c_mktsegment, b.balance_band,
+        |  g.group_size
+        |FROM b JOIN g USING (c_nationkey, c_mktsegment, balance_band)
+        |WHERE g.group_size >= 5
+        |ORDER BY b.c_custkey""".stripMargin
   )
 }
