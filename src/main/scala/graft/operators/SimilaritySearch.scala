@@ -298,6 +298,70 @@ object SimilaritySearch {
       .drop("_t")
   }
 
+  /** The materialize-once IVF-PQ serving artifacts: the IVF index
+    * (centroids + assignments) plus the PQ codebook and the per-vector
+    * code table (id, s, cid) — everything a search needs WITHOUT the
+    * raw vectors. All four frames parquet-writable; at 100 TB the code
+    * table is m bytes of payload per vector (the 64×-compression
+    * contract) and is stored partitioned by the assignment cid so a
+    * probe reads only its lists' codes. */
+  final case class IvfPqIndex(ivf: IvfIndex, codebook: DataFrame,
+                              codes: DataFrame)
+
+  /** Build the IVF-PQ artifacts once per corpus version: IVF build +
+    * codebook + full-corpus PQ encode (the only whole-corpus passes;
+    * every subsequent search reads the stored frames via
+    * [[ivfPqTopKFromIndex]]). A vector delta appends via the same
+    * kernels: `assignAgainst` for the delta's lists, [[pqCodes]] for
+    * the delta's codes — both against the STORED centroid/codebook
+    * tables, work ∝ delta (the q134 discipline). */
+  def ivfPqIndex(embs: DataFrame, idCol: Column, vecCol: Column,
+                 ivfModulus: Int, pqModulus: Int, m: Int,
+                 subDim: Int): IvfPqIndex = {
+    val cb = pqCodebook(embs, idCol, vecCol, pqModulus)
+    IvfPqIndex(ivfIndex(embs, idCol, vecCol, ivfModulus), cb,
+      pqCodes(embs, idCol, vecCol, cb, m, subDim))
+  }
+
+  /**
+   * [[ivfPqTopK]] against a prebuilt (typically parquet-read) index:
+   * the query needs ONLY the stored frames — probed cids from the
+   * centroid table, members from the assignment table, candidate
+   * distances from the stored CODES joined to the m×k broadcast ADC
+   * lookup. The raw embedding table is never touched: this is the
+   * RAM-resident serving shape (codes ≈ m bytes/vector) that makes
+   * billion-scale ANN fit a small cluster.
+   */
+  def ivfPqTopKFromIndex(index: IvfPqIndex, query: Seq[Double],
+                         nprobe: Int, m: Int, subDim: Int,
+                         k: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    val probed = TopK.globalTopK(
+      index.ivf.centroids.select(col("cid"),
+        graft.functions.VectorFunctions.dot(col("cu"), q).as("ccos")),
+      Seq(col("ccos").desc, col("cid").asc), nprobe).select("cid")
+    val members = index.ivf.assignments.join(broadcast(probed), "cid")
+      .select("id")
+    val qd = index.codebook
+      .select(col("cid"), col("cv"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .select(col("s"), col("cid"),
+        subL2Sq(q, col("cv"), col("s"), subDim).as("dq"))
+    val aggs = (0 until m).map(i =>
+        max(when(col("s") === i, col("cid"))).as(s"c$i")) ++
+      (0 until m).map(i =>
+        max(when(col("s") === i, col("dq"))).as(s"d$i"))
+    val adc = index.codes.join(members, "id")
+      .join(broadcast(qd), Seq("s", "cid"))
+      .groupBy("id").agg(aggs.head, aggs.tail: _*)
+    val total = (0 until m).map(i => col(s"d$i")).reduce(_ + _)
+    TopK.globalTopK(
+        adc.select(col("id") +: (0 until m).map(i => col(s"c$i")) :+
+          round(total, 6).as("adc_dist") :+ total.as("_t"): _*),
+        Seq(col("_t").asc, col("id").asc), k)
+      .drop("_t")
+  }
+
   /** For each item: top-k nearest neighbors within its block (blocked
     * all-pairs + per-item window). */
   def knnWithinBlock(embs: DataFrame, idCol: Column, vecCol: Column,

@@ -200,6 +200,39 @@ object PipelineQueries {
         .orderBy("rank")
     }),
 
+    "q143_ivfpq_index_topk" -> ((s, dir) => {
+      // the materialize-once serving shape for IVF-PQ (the q132 pattern
+      // applied to q141): centroids, assignments, codebook AND the
+      // per-vector code table built once, all four parquet-persisted,
+      // and the search reads ONLY the stored frames — the raw embedding
+      // table is never touched at query time (codes ≈ m bytes/vector,
+      // the RAM-resident serving contract). Same parameters as q141;
+      // the oracle IS q141's SQL — the stored path must reproduce the
+      // inline path row-for-row through the roundtrip.
+      val e = Tables.loadSpread(s, dir, "embeddings")
+      val idx = SimilaritySearch.ivfPqIndex(e, col("vec_id"),
+        col("embedding"), ivfModulus = 200, pqModulus = 100, m = 4,
+        subDim = 16)
+      val out = "/tmp/graft_ivfpq_q143"
+      idx.ivf.centroids.write.mode("overwrite").parquet(s"$out/centroids")
+      idx.ivf.assignments.write.mode("overwrite").parquet(s"$out/assignments")
+      idx.codebook.write.mode("overwrite").parquet(s"$out/codebook")
+      idx.codes.write.mode("overwrite").parquet(s"$out/codes")
+      val stored = SimilaritySearch.IvfPqIndex(
+        SimilaritySearch.IvfIndex(
+          s.read.parquet(s"$out/centroids"),
+          s.read.parquet(s"$out/assignments")),
+        s.read.parquet(s"$out/codebook"),
+        s.read.parquet(s"$out/codes"))
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).map(_.toDouble)
+      SimilaritySearch.ivfPqTopKFromIndex(stored, q, nprobe = 2, m = 4,
+          subDim = 16, k = 10)
+        .select(col("id"), col("c0"), col("c1"), col("c2"), col("c3"),
+          col("adc_dist"), col("rank").cast("bigint").as("rank"))
+        .orderBy("rank")
+    }),
+
     "q76_int8_topk" -> ((s, dir) => {
       // scalar int8 quantization + integer-dot top-k — the memory-bound
       // scale path (4× smaller vectors, exact integer arithmetic both
@@ -1132,6 +1165,57 @@ object PipelineQueries {
     // restricted to the members — the IVF-PQ contract is exactly "q85's
     // scoring run only inside q73's probed lists"
     "q141_ivfpq_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ivfc AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 200 = 0),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |probed AS (SELECT cid FROM ivfc, q
+        |  ORDER BY list_cosine_similarity(cv, qv) DESC, cid ASC LIMIT 2),
+        |assigned AS (SELECT e.vec_id AS id, ivfc.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, ivfc.cv) DESC,
+        |        ivfc.cid ASC) AS rn
+        |  FROM e, ivfc),
+        |members AS (SELECT id FROM assigned WHERE rn = 1
+        |  AND cid IN (SELECT cid FROM probed)),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 100 = 0),
+        |sub AS (SELECT unnest(range(0, 4)) AS s),
+        |dist AS (
+        |  SELECT e.vec_id, sub.s, cent.cid,
+        |    list_sum([ (e.v[sub.s*16+i] - cent.cv[sub.s*16+i])
+        |             * (e.v[sub.s*16+i] - cent.cv[sub.s*16+i])
+        |               FOR i IN range(1, 17) ]) AS d
+        |  FROM e JOIN members mm ON e.vec_id = mm.id, sub, cent),
+        |codes AS (
+        |  SELECT vec_id, s, cid FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, s
+        |    ORDER BY d, cid) = 1),
+        |dq AS (
+        |  SELECT sub.s, cent.cid,
+        |    list_sum([ (q.qv[sub.s*16+i] - cent.cv[sub.s*16+i])
+        |             * (q.qv[sub.s*16+i] - cent.cv[sub.s*16+i])
+        |               FOR i IN range(1, 17) ]) AS dq
+        |  FROM q, sub, cent),
+        |adc AS (
+        |  SELECT c.vec_id,
+        |    max(CASE WHEN c.s = 0 THEN c.cid END) AS c0,
+        |    max(CASE WHEN c.s = 1 THEN c.cid END) AS c1,
+        |    max(CASE WHEN c.s = 2 THEN c.cid END) AS c2,
+        |    max(CASE WHEN c.s = 3 THEN c.cid END) AS c3,
+        |    max(CASE WHEN c.s = 0 THEN dq.dq END) AS d0,
+        |    max(CASE WHEN c.s = 1 THEN dq.dq END) AS d1,
+        |    max(CASE WHEN c.s = 2 THEN dq.dq END) AS d2,
+        |    max(CASE WHEN c.s = 3 THEN dq.dq END) AS d3
+        |  FROM codes c JOIN dq ON c.s = dq.s AND c.cid = dq.cid
+        |  GROUP BY c.vec_id)
+        |SELECT vec_id AS id, c0, c1, c2, c3,
+        |  round(d0 + d1 + d2 + d3, 6) AS adc_dist,
+        |  row_number() OVER (ORDER BY d0 + d1 + d2 + d3, vec_id) AS rank
+        |FROM adc QUALIFY rank <= 10 ORDER BY rank""".stripMargin,
+
+    // q141's SQL verbatim: the stored-index path must reproduce the
+    // inline-build path row-for-row (stored centroids/assignments/
+    // codebook/codes ≡ recomputed)
+    "q143_ivfpq_index_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |ivfc AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 200 = 0),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),

@@ -46,6 +46,11 @@ case class Scd2Interval(user_id: Long, state: String,
   * count", is the merge rule). */
 case class HhCandidate(shard: Int, version: Long, key: String, cnt: Long)
 
+/** Doc admitted by [[Streams.tokenBudgetAdmit]] — `cum_tokens` is the
+  * stratum's consumed budget AS OF this admission. */
+case class AdmittedDoc(doc_id: Long, stratum: String, n_tokens: Long,
+                       cum_tokens: Long)
+
 object Streams {
 
   /** events table schema for the streaming file source (streams require an
@@ -437,6 +442,53 @@ object Streams {
               out.map(_.ts.getTime).max, idleTimeout)
             out.iterator
           }
+      }
+  }
+
+  /** Streaming twin of `Sampling.tokenBudgetFill` (q140) — ONLINE
+    * token-budget admission at ingest: per stratum, admit arriving docs
+    * until the stratum's token budget is consumed, then drop. State is
+    * ONE counter per stratum (bounded by |strata|, no eviction — a
+    * quota is a lifetime fact for the corpus version; rebuilding the
+    * mix is a new query with a fresh checkpoint). Within each batch a
+    * stratum's rows are processed in the batch twin's md5(salt:id)
+    * order, so a single-batch drain is EXACTLY the batch prefix fill;
+    * across batches admission is arrival-order (earlier batches consume
+    * budget first) — the online form of the quota, deterministic for a
+    * given batch sequence. STRICT PREFIX semantics, matching the batch
+    * twin: the first overflowing doc CLOSES its stratum permanently —
+    * no later (even smaller) doc back-fills past it, so the admitted
+    * set is a stable function of the arrival sequence, never of which
+    * small doc happened to squeeze in. State = (consumed, closed). */
+  def tokenBudgetAdmit(docs: DataFrame, budgets: Map[String, Long],
+                       defaultBudget: Long = 0L, salt: String = "tbf")
+      : org.apache.spark.sql.Dataset[AdmittedDoc] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import docs.sparkSession.implicits._
+    val typed = docs.select(col("doc_id").cast("long"),
+        col("stratum").cast("string"), col("n_tokens").cast("long"),
+        md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))
+          .cast("binary")).as("hx"))
+      .as[(Long, String, Long, String)]
+    typed.groupByKey(_._2)
+      .flatMapGroupsWithState[(Long, Boolean), AdmittedDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (stratum, rows, state: GroupState[(Long, Boolean)]) =>
+          val budget = budgets.getOrElse(stratum, defaultBudget)
+          var (consumed, closed) = state.getOption.getOrElse((0L, false))
+          val out = Vector.newBuilder[AdmittedDoc]
+          // batch-local md5 order = the batch twin's per-stratum order
+          rows.toVector.sortBy(r => (r._4, r._1)).foreach {
+            case (id, _, tok, _) =>
+              if (!closed) {
+                if (consumed + tok <= budget) {
+                  consumed += tok
+                  out += AdmittedDoc(id, stratum, tok, consumed)
+                } else closed = true
+              }
+          }
+          state.update((consumed, closed))
+          out.result().iterator
       }
   }
 

@@ -188,6 +188,50 @@ class SimilaritySearchSpec extends SparkSpec {
       col("embedding"), cb, m = 4, subDim = 16)))
   }
 
+  test("ivfPqTopKFromIndex on parquet-roundtripped artifacts equals the " +
+      "inline ivfPqTopK; a delta encoded against the stored codebook " +
+      "reproduces the full build") {
+    val e = realEmbs
+    val q = e.filter(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Float](0).map(_.toDouble)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id"),
+        math.round(r.getAs[Double]("adc_dist") * 1e6), r.getAs[Int]("rank")))
+      .toSeq.sortBy(_._3)
+    val inline = rows(SimilaritySearch.ivfPqTopK(e, col("vec_id"),
+      col("embedding"), q, ivfModulus = 200, nprobe = 2, pqModulus = 100,
+      m = 4, subDim = 16, k = 10))
+    val idx = SimilaritySearch.ivfPqIndex(e, col("vec_id"),
+      col("embedding"), ivfModulus = 200, pqModulus = 100, m = 4, subDim = 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    idx.ivf.centroids.write.parquet(s"$dir/c")
+    idx.ivf.assignments.write.parquet(s"$dir/a")
+    idx.codebook.write.parquet(s"$dir/cb")
+    idx.codes.write.parquet(s"$dir/codes")
+    val stored = SimilaritySearch.IvfPqIndex(
+      SimilaritySearch.IvfIndex(
+        spark.read.parquet(s"$dir/c"), spark.read.parquet(s"$dir/a")),
+      spark.read.parquet(s"$dir/cb"), spark.read.parquet(s"$dir/codes"))
+    assert(rows(SimilaritySearch.ivfPqTopKFromIndex(stored, q, nprobe = 2,
+      m = 4, subDim = 16, k = 10)) === inline)
+    // delta discipline: corpus-built artifacts + delta assigned/encoded
+    // against the STORED centroid/codebook tables == full build. Delta
+    // ids ≡ 3 (mod 5) add no multiples of 100/200, so the stored
+    // centroid and codebook sets equal the full-build sets.
+    val corpus = e.filter(pmod(col("vec_id"), lit(5)) =!= 3)
+    val delta = e.filter(pmod(col("vec_id"), lit(5)) === 3)
+    val cIdx = SimilaritySearch.ivfPqIndex(corpus, col("vec_id"),
+      col("embedding"), ivfModulus = 200, pqModulus = 100, m = 4, subDim = 16)
+    val appended = SimilaritySearch.IvfPqIndex(
+      SimilaritySearch.ivfAppend(cIdx.ivf, delta, col("vec_id"),
+        col("embedding")),
+      cIdx.codebook,
+      cIdx.codes.unionByName(SimilaritySearch.pqCodes(delta, col("vec_id"),
+        col("embedding"), cIdx.codebook, m = 4, subDim = 16)))
+    assert(rows(SimilaritySearch.ivfPqTopKFromIndex(appended, q, nprobe = 2,
+      m = 4, subDim = 16, k = 10)) === inline)
+  }
+
   test("knnWithinBlock ranks neighbors per item within label") {
     val out = SimilaritySearch.knnWithinBlock(embs, col("vec_id"),
       col("embedding"), col("label"), 1).collect()

@@ -24,6 +24,8 @@ class PlanLintSpec extends SparkSpec {
     "q122_semantic_dedup" -> "IVF-blocked cosine: broadcast centroid argmax assignment",
     "q134_ivf_append" -> "delta assignment against broadcast stored centroids",
     "q85_pq_adc_topk" -> "broadcast PQ codebook × vectors: scan-local encode",
+    // (q143's search plan has NO BNLJ: the q141 kernels run only in the
+    // eager one-time artifact build; the returned plan reads stored frames)
     "q141_ivfpq_topk" -> "IVF-PQ composes both allowlisted kernels: broadcast centroid argmax (q72) + broadcast codebook encode (q85), each against probed-list members only",
     "q94_bm25" -> "broadcast 1-row corpus-stats frame joined to every doc",
     "q125_unigram_logprob" -> "broadcast 1-row corpus token-count frame",

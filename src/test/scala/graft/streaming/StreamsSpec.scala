@@ -373,6 +373,52 @@ class StreamsSpec extends SparkSpec {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  test("tokenBudgetAdmit: single-batch drain equals the batch prefix " +
+      "fill; cross-batch quota persists and closes") {
+    import graft.operators.Sampling
+    val docs = (1L to 60L).map(i => (i, s"s${i % 3}", (i % 7) + 1))
+    val budgets = Map("s0" -> 0L, "s1" -> 40L, "s2" -> 40L)
+    // batch twin on the same frame
+    val batchDf = docs.toDF("doc_id", "stratum", "n_tokens")
+    val expected = Sampling.tokenBudgetFill(batchDf, col("doc_id"),
+        col("stratum"), col("n_tokens"),
+        when(col("stratum") === "s0", 0L).otherwise(40L))
+      .select("doc_id", "cum_tokens")
+      .as[(Long, Long)].collect().toMap
+    // stream: ALL docs in one batch → admitted set == batch prefix fill
+    val mem = MemoryStream[(Long, String, Long)](spark)
+    val admitted = Streams.tokenBudgetAdmit(
+      mem.toDF.toDF("doc_id", "stratum", "n_tokens"), budgets)
+    val q = admitted.toDF.writeStream.format("memory")
+      .queryName("tba_out").outputMode("append")
+      .option("checkpointLocation", tmp("graft-tba-ckpt"))
+      .start()
+    mem.addData(docs.map { case (i, st, t) => (i, st, t.toLong) }: _*)
+    q.processAllAvailable()
+    val got = spark.table("tba_out")
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+    assert(got === expected)
+    // zero-budget stratum admits nothing
+    assert(!got.keySet.exists(id => docs.find(_._1 == id).exists(_._2 == "s0")))
+    // a later batch: an overflowing doc closes its stratum; an s2 doc is
+    // admitted only if s2 never overflowed in batch 1 (still open) AND
+    // its token fits the remaining budget — strict prefix, no backfill
+    mem.addData((100L, "s1", 1000L), (101L, "s2", 1L))
+    q.processAllAvailable()
+    q.stop()
+    val after = spark.table("tba_out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(!after.contains(100L)) // over budget — dropped, s1 closed
+    val s2Docs = docs.filter(_._2 == "s2")
+    val s2Admitted = expected.keySet.count(id =>
+      s2Docs.exists(_._1 == id))
+    val s2Open = s2Admitted == s2Docs.size // no overflow seen in batch 1
+    val s2Consumed = expected.collect {
+      case (id, cum) if s2Docs.exists(_._1 == id) => cum
+    }.maxOption.getOrElse(0L)
+    assert(after.contains(101L) === (s2Open && s2Consumed + 1 <= 40L))
+  }
+
   test("stream-stream interval join matches the batch theta join") {
     val lMem = MemoryStream[(Long, Timestamp, Long)](spark)
     val rMem = MemoryStream[(Long, Timestamp, Double)](spark)
