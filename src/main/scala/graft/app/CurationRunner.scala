@@ -1,0 +1,155 @@
+package graft.app
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.operators.{Corpus, Dedup, Sampling, TopK}
+
+/**
+ * End-to-end training-corpus curation pipeline — the production
+ * composition of the operator families the declared queries gate one at
+ * a time: quality gate (q84's bounds) → benchmark decontamination
+ * (q133's Bloom path) → near-dup dedup via the materialize-once
+ * artifacts (q130) → token-budget mixing (q140) → leakage-safe
+ * train/eval split (q124) → sequence packing (q96). Every stage writes
+ * its frame to `outDir` (the artifact IS the interface between stages —
+ * a failed run resumes from the last stored stage, and downstream
+ * consumers read parquet, not lineage), and a sync-log records per-stage
+ * status/row counts in the [[PipelineRunner]] bookkeeping shape.
+ *
+ * Scale: each stage is one of the audited plans — nothing here adds a
+ * shuffle beyond what the per-query gates already account; the chain
+ * materializes at stage boundaries by DESIGN (the dedup artifacts and
+ * the corpus are multi-consumer frames; recomputing lineage across a
+ * 100 TB pipeline is the anti-pattern). Counts come from the written
+ * frames' own row counts, not extra scans of upstream.
+ */
+object CurationRunner {
+
+  import PipelineRunner.StageResult
+
+  final case class CurationReport(results: Seq[StageResult]) {
+    def status: String =
+      if (results.exists(_.status == "failed")) "failed" else "success"
+    def count(stage: String): Long =
+      results.find(_.stage == stage).map(_.records).getOrElse(0L)
+  }
+
+  /**
+   * `docs` must carry: doc_id, text, lang, source, n_chars (the
+   * documents-table shape). Docs from `benchSource` are the held-out
+   * benchmark: excluded from the corpus and used as the contamination
+   * reference. `tokenBudgets` maps source → token quota for the mixing
+   * stage (missing sources get `defaultBudget`).
+   */
+  def run(spark: SparkSession, docs: DataFrame, outDir: String,
+          benchSource: String = "src0",
+          minTokens: Int = 25, maxTokens: Int = 80,
+          tokenBudgets: Map[String, Long] = Map.empty,
+          defaultBudget: Long = 800L,
+          evalFraction: Double = 0.1,
+          packCapacity: Int = 512): CurationReport = {
+    val results = scala.collection.mutable.ListBuffer[StageResult]()
+    def stage(name: String)(body: => DataFrame): Option[DataFrame] = {
+      val t0 = System.currentTimeMillis()
+      try {
+        body.write.mode("overwrite").parquet(s"$outDir/$name")
+        val stored = spark.read.parquet(s"$outDir/$name")
+        results += StageResult(name, "success", stored.count(), t0,
+          System.currentTimeMillis())
+        Some(stored)
+      } catch {
+        case e: Exception =>
+          results += StageResult(name, "failed", 0, t0,
+            System.currentTimeMillis(), String.valueOf(e.getMessage))
+          None
+      }
+    }
+
+    val quality = stage("quality") {
+      // q84's token-length bounds; the audit of what dropped stays in
+      // the q84 report — here the gate itself
+      docs.filter(col("source") =!= benchSource)
+        .withColumn("n_tokens",
+          TextAnalysis.tokenCount(col("text")).cast("long"))
+        .filter(col("n_tokens").between(minTokens, maxTokens))
+        .select("doc_id", "text", "lang", "source", "n_chars", "n_tokens")
+    }
+
+    val clean = quality.flatMap { q =>
+      stage("clean") {
+        // q133's scale path: Bloom prefilter + exact confirm; any shared
+        // 5-gram with the benchmark is a drop
+        val bench = docs.filter(col("source") === benchSource)
+        val contaminated = Corpus.decontaminateBloom(q, bench,
+            col("doc_id"), col("text"), n = 5)
+          .filter(col("n_shared") > 0).select(col("id").as("doc_id"))
+        q.join(contaminated, Seq("doc_id"), "left_anti")
+      }
+    }
+
+    val corpus = clean.flatMap { c =>
+      stage("corpus") {
+        // q130: one LSH+CC pass → stored artifacts; corpus = singletons
+        // ∪ canonical-per-cluster (longest text, id tiebreak)
+        val art = Dedup.nearDupArtifacts(c, col("doc_id"), col("text"),
+          shingleSize = 5, numHashes = 16, bands = 8, threshold = 0.25)
+        art.signatures.write.mode("overwrite")
+          .parquet(s"$outDir/artifacts/signatures")
+        art.edges.write.mode("overwrite").parquet(s"$outDir/artifacts/edges")
+        art.labels.write.mode("overwrite").parquet(s"$outDir/artifacts/labels")
+        val labels = spark.read.parquet(s"$outDir/artifacts/labels")
+        val canon = TopK.topKPerGroup(
+            labels.join(c.select(col("doc_id").as("id"), col("n_chars")), "id"),
+            Seq(col("component")), Seq(col("n_chars").desc, col("id").asc), 1)
+          .select(col("id").as("doc_id"), lit("canonical").as("kept_reason"))
+        c.join(labels.select(col("id").as("doc_id")), Seq("doc_id"),
+            "left_anti")
+          .select(col("doc_id"), lit("singleton").as("kept_reason"))
+          .unionByName(canon)
+          .join(c, "doc_id")
+      }
+    }
+
+    val mixed = corpus.flatMap { k =>
+      stage("mix") {
+        // q140: per-source token quotas in deterministic hash order
+        val budget = coalesce(
+          element_at(typedLit(tokenBudgets), col("source")),
+          lit(defaultBudget))
+        Sampling.tokenBudgetFill(k, col("doc_id"), col("source"),
+          col("n_tokens"), budget)
+      }
+    }
+
+    val split = mixed.flatMap { m =>
+      stage("split") {
+        // q124: eval membership decided by the near-dup COMPONENT hash
+        // (read from the stored edges), so no train/eval pair is ever a
+        // near-dup of each other
+        val edges = spark.read.parquet(s"$outDir/artifacts/edges")
+          .select("a_id", "b_id")
+        val assignment = Sampling.leakageSafeSplit(m, col("doc_id"), edges,
+            evalFraction)
+          .select(col("id").as("doc_id"), col("component"), col("split"))
+        m.join(assignment, "doc_id")
+      }
+    }
+
+    split.foreach { sp =>
+      stage("packed") {
+        // q96: the train split packed per-source into capacity-token
+        // training rows
+        Corpus.packSequences(sp.filter(col("split") === "train"),
+          col("doc_id"), col("source"), col("n_tokens"), packCapacity)
+      }
+    }
+
+    val report = CurationReport(results.toSeq)
+    import spark.implicits._
+    report.results.toDF().write.mode("overwrite")
+      .parquet(s"$outDir/sync_log")
+    report
+  }
+}

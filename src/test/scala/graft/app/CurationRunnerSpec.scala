@@ -1,0 +1,103 @@
+package graft.app
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationRunnerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs =
+    graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+
+  private def freshDir() =
+    java.nio.file.Files.createTempDirectory("graft-curation").toString
+
+  test("full curation run: every stage succeeds, counts narrow " +
+      "monotonically, invariants hold on the stored artifacts") {
+    val out = freshDir()
+    val report = CurationRunner.run(spark, docs, out,
+      tokenBudgets = Map("src1" -> 200L), defaultBudget = 400L)
+    assert(report.status === "success")
+    assert(report.results.map(_.stage) ===
+      Seq("quality", "clean", "corpus", "mix", "split", "packed"))
+    // the funnel narrows: quality ⊇ clean ⊇ corpus ⊇ mix = split
+    assert(report.count("quality") >= report.count("clean"))
+    assert(report.count("clean") >= report.count("corpus"))
+    assert(report.count("corpus") >= report.count("mix"))
+    assert(report.count("mix") === report.count("split"))
+    assert(report.count("corpus") > 0)
+
+    val corpus = spark.read.parquet(s"$out/corpus")
+    // benchmark docs never reach the corpus
+    assert(corpus.filter(col("source") === "src0").count() === 0)
+    // no doc kept twice, every kept doc has a reason
+    assert(corpus.select("doc_id").distinct().count() === corpus.count())
+    assert(corpus.select("kept_reason").distinct().as[String].collect()
+      .toSet.subsetOf(Set("singleton", "canonical")))
+
+    // decontamination really dropped the shared-gram docs: nothing in
+    // clean shares a 5-gram with the bench set (exact re-check)
+    val clean = spark.read.parquet(s"$out/clean")
+    val recheck = graft.operators.Corpus.decontaminate(clean,
+        docs.filter(col("source") === "src0"), col("doc_id"), col("text"))
+      .filter(col("n_shared") > 0)
+    assert(recheck.count() === 0)
+
+    // mixing respected the per-source quotas
+    val mix = spark.read.parquet(s"$out/mix")
+    val bySource = mix.groupBy("source")
+      .agg(max("cum_tokens").as("consumed"))
+      .as[(String, Long)].collect().toMap
+    bySource.foreach { case (src, consumed) =>
+      val budget = if (src == "src1") 200L else 400L
+      assert(consumed <= budget, s"$src consumed $consumed > $budget")
+    }
+
+    // leakage safety: no stored near-dup edge spans train and eval
+    val split = spark.read.parquet(s"$out/split").select("doc_id", "split")
+    val edges = spark.read.parquet(s"$out/artifacts/edges")
+    val spanning = edges
+      .join(split.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("split", "sa"), "a_id")
+      .join(split.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("split", "sb"), "b_id")
+      .filter(col("sa") =!= col("sb"))
+    assert(spanning.count() === 0)
+
+    // packing covers exactly the train split and conserves token mass
+    val packed = spark.read.parquet(s"$out/packed")
+    val train = split.filter(col("split") === "train")
+    assert(packed.count() === train.count())
+    val packedMass = packed.agg(sum("n_tok")).as[Long].head
+    val trainMass = spark.read.parquet(s"$out/split")
+      .filter(col("split") === "train").agg(sum("n_tokens")).as[Long].head
+    assert(packedMass === trainMass)
+
+    // sync log records the same stages and counts
+    val log = spark.read.parquet(s"$out/sync_log")
+      .select("stage", "status", "records")
+      .as[(String, String, Long)].collect().toMap2
+    report.results.foreach { r =>
+      assert(log(r.stage) === (r.status, r.records))
+    }
+  }
+
+  test("re-run over the same outDir is idempotent (stage overwrite)") {
+    val out = freshDir()
+    val r1 = CurationRunner.run(spark, docs, out)
+    val corpus1 = spark.read.parquet(s"$out/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    val r2 = CurationRunner.run(spark, docs, out)
+    val corpus2 = spark.read.parquet(s"$out/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    assert(r1.status === "success" && r2.status === "success")
+    assert(corpus1 === corpus2)
+    assert(r1.results.map(r => (r.stage, r.records)) ===
+      r2.results.map(r => (r.stage, r.records)))
+  }
+
+  private implicit class Map2Ops(rows: Array[(String, String, Long)]) {
+    def toMap2: Map[String, (String, Long)] =
+      rows.map { case (a, b, c) => a -> (b, c) }.toMap
+  }
+}
