@@ -40,7 +40,14 @@ object Privacy {
     val counts = df.groupBy(quasi.map(col): _*)
       .agg(count(lit(1)).as("group_size"))
       .filter(col("group_size") >= k)
-    df.join(counts, quasi)
+    // NULL-SAFE join: a null quasi value is a legitimate group of its
+    // own (groupBy already counts it as one) — a plain equi-join would
+    // silently suppress every null-keyed row regardless of group size,
+    // which is a correctness hole in a release gate, not anonymity
+    val renamed = quasi.foldLeft(counts)((d, c) =>
+      d.withColumnRenamed(c, s"_q_$c"))
+    val cond = quasi.map(c => df(c) <=> renamed(s"_q_$c")).reduce(_ && _)
+    df.join(renamed, cond).drop(quasi.map(c => s"_q_$c"): _*)
   }
 
   /** Per-combination suppression audit: group size and whether the

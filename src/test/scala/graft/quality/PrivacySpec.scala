@@ -50,6 +50,19 @@ class PrivacySpec extends SparkSpec {
     assert(recount.nonEmpty && recount.forall(_ >= 2L))
   }
 
+  test("null quasi values form their own group and are released at >= k " +
+      "(null-safe join — a plain equi-join would silently suppress them)") {
+    val withNulls = Seq(
+      (1L, Some("A")), (2L, Some("A")), (3L, None),
+      (4L, None), (5L, None), (6L, Some("B"))
+    ).toDF("id", "seg")
+    val out = Privacy.kAnonymize(withNulls, Seq("seg"), 2)
+    val kept = out.select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L, 4L, 5L)) // null group (3 rows) released
+    assert(out.filter(col("seg").isNull).select("group_size")
+      .as[Long].collect().toSet === Set(3L))
+  }
+
   test("kAnonymityProfile reports every combination with its verdict") {
     val prof = Privacy.kAnonymityProfile(quasi(rows),
       Seq("nation", "seg", "band"), 3).collect()
