@@ -14,9 +14,13 @@ import graft.operators.{Corpus, Dedup, Sampling, TopK}
  * artifacts (q130) → token-budget mixing (q140) → leakage-safe
  * train/eval split (q124) → sequence packing (q96). Every stage writes
  * its frame to `outDir` (the artifact IS the interface between stages —
- * a failed run resumes from the last stored stage, and downstream
- * consumers read parquet, not lineage), and a sync-log records per-stage
- * status/row counts in the [[PipelineRunner]] bookkeeping shape.
+ * downstream consumers read parquet, not lineage), and a sync-log
+ * records per-stage status/row counts in the [[PipelineRunner]]
+ * bookkeeping shape. With `resume = true`, a stage whose committed
+ * artifact already exists (`_SUCCESS`) is read back instead of
+ * recomputed, so a re-invocation after a mid-pipeline failure skips
+ * everything up to the failure point — the LSH+CC dedup pass is the
+ * expensive stage you don't want twice.
  *
  * Scale: each stage is one of the audited plans — nothing here adds a
  * shuffle beyond what the per-query gates already account; the chain
@@ -49,13 +53,21 @@ object CurationRunner {
           tokenBudgets: Map[String, Long] = Map.empty,
           defaultBudget: Long = 800L,
           evalFraction: Double = 0.1,
-          packCapacity: Int = 512): CurationReport = {
+          packCapacity: Int = 512,
+          resume: Boolean = false): CurationReport = {
     val results = scala.collection.mutable.ListBuffer[StageResult]()
     def stage(name: String)(body: => DataFrame): Option[DataFrame] = {
       val t0 = System.currentTimeMillis()
+      val path = s"$outDir/$name"
+      if (resume && new java.io.File(s"$path/_SUCCESS").exists()) {
+        val stored = spark.read.parquet(path)
+        results += StageResult(name, "cached", stored.count(), t0,
+          System.currentTimeMillis())
+        return Some(stored)
+      }
       try {
-        body.write.mode("overwrite").parquet(s"$outDir/$name")
-        val stored = spark.read.parquet(s"$outDir/$name")
+        body.write.mode("overwrite").parquet(path)
+        val stored = spark.read.parquet(path)
         results += StageResult(name, "success", stored.count(), t0,
           System.currentTimeMillis())
         Some(stored)
@@ -82,9 +94,11 @@ object CurationRunner {
         // q133's scale path: Bloom prefilter + exact confirm; any shared
         // 5-gram with the benchmark is a drop
         val bench = docs.filter(col("source") === benchSource)
+        // every row the operator emits is contaminated by construction
+        // (n_shared >= 1: the gram join is inner)
         val contaminated = Corpus.decontaminateBloom(q, bench,
             col("doc_id"), col("text"), n = 5)
-          .filter(col("n_shared") > 0).select(col("id").as("doc_id"))
+          .select(col("id").as("doc_id"))
         q.join(contaminated, Seq("doc_id"), "left_anti")
       }
     }

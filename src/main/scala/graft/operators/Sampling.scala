@@ -131,14 +131,22 @@ object Sampling {
     * One per-stratum window (shuffle on the stratum key). At 100 TB,
     * pre-prune each stratum to ~budget/avg_tokens × safety rows by hash
     * rank before this window so the sort never touches the long tail of
-    * a giant domain — the quota only ever consumes a prefix. */
+    * a giant domain — the quota only ever consumes a prefix.
+    *
+    * Rows with a NEGATIVE token count (corrupt upstream) are dropped
+    * before the window: a negative value would pull the cumulative sum
+    * back under budget and re-admit rows AFTER an overflow, breaking
+    * both the prefix invariant and parity with the streaming twin
+    * (`Streams.tokenBudgetAdmit`, which closes a stratum permanently).
+    * Zero-token rows are admitted free — consistent in both twins. */
   def tokenBudgetFill(df: DataFrame, key: Column, stratum: Column,
                       tokens: Column, budget: Column,
                       salt: String = "tbf"): DataFrame = {
     val hx = md5(concat(lit(s"$salt:"), key.cast("string")).cast("binary"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(stratum).orderBy(col("_hx"), key)
-    df.withColumn("_hx", hx)
+    df.filter(tokens >= 0)
+      .withColumn("_hx", hx)
       .withColumn("pos", row_number().over(w))
       .withColumn("cum_tokens", sum(tokens.cast("long")).over(
         w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,

@@ -169,14 +169,22 @@ object SimilaritySearch {
     * probe the `nprobe` nearest centroid lists, score only their
     * members. No full-corpus pass — one broadcast of the probed cids,
     * one scan of the probed lists. */
+  /** The query's `nprobe` nearest centroid lists — one tiny top-k over
+    * the centroid table, shared by every IVF-family search. */
+  private def probedCids(centroids: DataFrame, query: Seq[Double],
+                         nprobe: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    TopK.globalTopK(
+      centroids.select(col("cid"),
+        graft.functions.VectorFunctions.dot(col("cu"), q).as("ccos")),
+      Seq(col("ccos").desc, col("cid").asc), nprobe).select("cid")
+  }
+
   def ivfTopKFromIndex(embs: DataFrame, idCol: Column, vecCol: Column,
                        index: IvfIndex, query: Seq[Double],
                        nprobe: Int, k: Int): DataFrame = {
     val q = array(query.map(lit): _*)
-    val probed = TopK.globalTopK(
-      index.centroids.select(col("cid"),
-        graft.functions.VectorFunctions.dot(col("cu"), q).as("ccos")),
-      Seq(col("ccos").desc, col("cid").asc), nprobe).select("cid")
+    val probed = probedCids(index.centroids, query, nprobe)
     // members of the probed lists can be a large fraction of N — plain
     // equi-join (AQE broadcasts it when small); only `probed` (nprobe
     // rows) is hint-broadcast
@@ -263,21 +271,15 @@ object SimilaritySearch {
    * TakeOrderedAndProject. Candidate memory is m bytes/vector, the
    * 64×-compression contract that makes billion-scale serving fit RAM.
    */
-  def ivfPqTopK(embs: DataFrame, idCol: Column, vecCol: Column,
-                query: Seq[Double], ivfModulus: Int, nprobe: Int,
-                pqModulus: Int, m: Int, subDim: Int, k: Int): DataFrame = {
+  /** The shared ADC tail of both IVF-PQ paths: codes (id, s, cid) +
+    * codebook + query → per-candidate table-lookup distance, top-k.
+    * The lookup table is m×k BROADCAST rows (query→sub-centroid
+    * distance per (s, cid)); the total is the fixed-order
+    * d0+d1+…+d(m−1) sum (not sum()) — bit-identical across engines. */
+  private def adcTopK(codes: DataFrame, codebook: DataFrame,
+                      query: Seq[Double], m: Int, subDim: Int,
+                      k: Int): DataFrame = {
     val q = array(query.map(lit): _*)
-    val index = ivfIndex(embs, idCol, vecCol, ivfModulus)
-    val probed = TopK.globalTopK(
-      index.centroids.select(col("cid"),
-        graft.functions.VectorFunctions.dot(col("cu"), q).as("ccos")),
-      Seq(col("ccos").desc, col("cid").asc), nprobe).select("cid")
-    val members = index.assignments.join(broadcast(probed), "cid").select("id")
-    val cand = embs.select(idCol.as("id"), vecCol.as("v")).join(members, "id")
-    val codebook = pqCodebook(embs, idCol, vecCol, pqModulus)
-    val codes = pqCodes(cand, col("id"), col("v"), codebook, m, subDim)
-    // ADC lookup table: query→sub-centroid distance per (s, cid) — m×k
-    // rows, broadcast to every executor
     val qd = codebook
       .select(col("cid"), col("cv"),
         explode(sequence(lit(0), lit(m - 1))).as("s"))
@@ -289,13 +291,24 @@ object SimilaritySearch {
         max(when(col("s") === i, col("dq"))).as(s"d$i"))
     val adc = codes.join(broadcast(qd), Seq("s", "cid"))
       .groupBy("id").agg(aggs.head, aggs.tail: _*)
-    // fixed-order d0+d1+…+d(m−1) (not sum()): bit-identical across engines
     val total = (0 until m).map(i => col(s"d$i")).reduce(_ + _)
     TopK.globalTopK(
         adc.select(col("id") +: (0 until m).map(i => col(s"c$i")) :+
           round(total, 6).as("adc_dist") :+ total.as("_t"): _*),
         Seq(col("_t").asc, col("id").asc), k)
       .drop("_t")
+  }
+
+  def ivfPqTopK(embs: DataFrame, idCol: Column, vecCol: Column,
+                query: Seq[Double], ivfModulus: Int, nprobe: Int,
+                pqModulus: Int, m: Int, subDim: Int, k: Int): DataFrame = {
+    val index = ivfIndex(embs, idCol, vecCol, ivfModulus)
+    val probed = probedCids(index.centroids, query, nprobe)
+    val members = index.assignments.join(broadcast(probed), "cid").select("id")
+    val cand = embs.select(idCol.as("id"), vecCol.as("v")).join(members, "id")
+    val codebook = pqCodebook(embs, idCol, vecCol, pqModulus)
+    val codes = pqCodes(cand, col("id"), col("v"), codebook, m, subDim)
+    adcTopK(codes, codebook, query, m, subDim, k)
   }
 
   /** The materialize-once IVF-PQ serving artifacts: the IVF index
@@ -335,31 +348,11 @@ object SimilaritySearch {
   def ivfPqTopKFromIndex(index: IvfPqIndex, query: Seq[Double],
                          nprobe: Int, m: Int, subDim: Int,
                          k: Int): DataFrame = {
-    val q = array(query.map(lit): _*)
-    val probed = TopK.globalTopK(
-      index.ivf.centroids.select(col("cid"),
-        graft.functions.VectorFunctions.dot(col("cu"), q).as("ccos")),
-      Seq(col("ccos").desc, col("cid").asc), nprobe).select("cid")
+    val probed = probedCids(index.ivf.centroids, query, nprobe)
     val members = index.ivf.assignments.join(broadcast(probed), "cid")
       .select("id")
-    val qd = index.codebook
-      .select(col("cid"), col("cv"),
-        explode(sequence(lit(0), lit(m - 1))).as("s"))
-      .select(col("s"), col("cid"),
-        subL2Sq(q, col("cv"), col("s"), subDim).as("dq"))
-    val aggs = (0 until m).map(i =>
-        max(when(col("s") === i, col("cid"))).as(s"c$i")) ++
-      (0 until m).map(i =>
-        max(when(col("s") === i, col("dq"))).as(s"d$i"))
-    val adc = index.codes.join(members, "id")
-      .join(broadcast(qd), Seq("s", "cid"))
-      .groupBy("id").agg(aggs.head, aggs.tail: _*)
-    val total = (0 until m).map(i => col(s"d$i")).reduce(_ + _)
-    TopK.globalTopK(
-        adc.select(col("id") +: (0 until m).map(i => col(s"c$i")) :+
-          round(total, 6).as("adc_dist") :+ total.as("_t"): _*),
-        Seq(col("_t").asc, col("id").asc), k)
-      .drop("_t")
+    adcTopK(index.codes.join(members, "id"), index.codebook, query, m,
+      subDim, k)
   }
 
   /** For each item: top-k nearest neighbors within its block (blocked

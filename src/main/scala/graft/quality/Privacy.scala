@@ -37,9 +37,11 @@ object Privacy {
    */
   def kAnonymize(df: DataFrame, quasi: Seq[String], k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val counts = df.groupBy(quasi.map(col): _*)
-      .agg(count(lit(1)).as("group_size"))
-      .filter(col("group_size") >= k)
+    // the audit frame IS the suppression gate's input — one counting
+    // semantics for both (a future approximate/weighted count changes
+    // the gate and the reviewer report together)
+    val counts = kAnonymityProfile(df, quasi, k)
+      .filter(col("released")).drop("released")
     // NULL-SAFE join: a null quasi value is a legitimate group of its
     // own (groupBy already counts it as one) — a plain equi-join would
     // silently suppress every null-keyed row regardless of group size,

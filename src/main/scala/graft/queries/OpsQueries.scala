@@ -295,7 +295,10 @@ object OpsQueries {
         |  FROM b GROUP BY 1, 2, 3)
         |SELECT b.c_custkey, b.c_nationkey, b.c_mktsegment, b.balance_band,
         |  g.group_size
-        |FROM b JOIN g USING (c_nationkey, c_mktsegment, balance_band)
+        |FROM b JOIN g
+        |  ON b.c_nationkey IS NOT DISTINCT FROM g.c_nationkey
+        |  AND b.c_mktsegment IS NOT DISTINCT FROM g.c_mktsegment
+        |  AND b.balance_band IS NOT DISTINCT FROM g.balance_band
         |WHERE g.group_size >= 5
         |ORDER BY b.c_custkey""".stripMargin
   )

@@ -478,7 +478,10 @@ object Streams {
           var (consumed, closed) = state.getOption.getOrElse((0L, false))
           val out = Vector.newBuilder[AdmittedDoc]
           // batch-local md5 order = the batch twin's per-stratum order
-          rows.toVector.sortBy(r => (r._4, r._1)).foreach {
+          // negative token counts (corrupt upstream) are dropped, the
+          // same guard as the batch twin — they'd otherwise shrink
+          // `consumed` and reopen a quota the batch path keeps shut
+          rows.toVector.filter(_._3 >= 0).sortBy(r => (r._4, r._1)).foreach {
             case (id, _, tok, _) =>
               if (!closed) {
                 if (consumed + tok <= budget) {

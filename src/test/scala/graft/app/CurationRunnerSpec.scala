@@ -82,6 +82,32 @@ class CurationRunnerSpec extends SparkSpec {
     }
   }
 
+  test("resume = true reads stored stages back instead of recomputing; " +
+      "a missing late artifact recomputes only from there") {
+    val out = freshDir()
+    val r1 = CurationRunner.run(spark, docs, out)
+    assert(r1.status === "success")
+    // full resume: every stage cached, counts identical
+    val r2 = CurationRunner.run(spark, docs, out, resume = true)
+    assert(r2.results.map(_.status).forall(_ == "cached"))
+    assert(r2.results.map(r => (r.stage, r.records)) ===
+      r1.results.map(r => (r.stage, r.records)))
+    // simulate a crash after 'mix': split/packed artifacts gone
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmrf)
+      p.delete(); ()
+    }
+    rmrf(new java.io.File(s"$out/split"))
+    rmrf(new java.io.File(s"$out/packed"))
+    val r3 = CurationRunner.run(spark, docs, out, resume = true)
+    val statuses = r3.results.map(r => r.stage -> r.status).toMap
+    assert(Seq("quality", "clean", "corpus", "mix")
+      .forall(statuses(_) == "cached"))
+    assert(statuses("split") === "success" && statuses("packed") === "success")
+    assert(r3.results.map(r => (r.stage, r.records)) ===
+      r1.results.map(r => (r.stage, r.records)))
+  }
+
   test("re-run over the same outDir is idempotent (stage overwrite)") {
     val out = freshDir()
     val r1 = CurationRunner.run(spark, docs, out)

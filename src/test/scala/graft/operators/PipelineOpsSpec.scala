@@ -260,6 +260,13 @@ class PipelineOpsSpec extends SparkSpec {
       col("src"), col("tok"), budget)
       .select("id").collect().map(_.getAs[Long]("id")).toSet
     assert(again === rows.map(_.getAs[Long]("id")).toSet)
+    // corrupt negative token counts are dropped BEFORE the window — they
+    // must not pull the cumulative sum back under budget and re-admit
+    // rows past an overflow (the streaming twin closes permanently)
+    val withNeg = df.union(Seq((900L, "s1", -50L)).toDF("id", "src", "tok"))
+    val guarded = Sampling.tokenBudgetFill(withNeg, col("id"), col("src"),
+      col("tok"), budget).select("id").collect().map(_.getAs[Long]("id")).toSet
+    assert(guarded === again)
   }
 
   test("foldAssignment: stable, complete, near-uniform") {

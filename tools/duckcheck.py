@@ -82,6 +82,10 @@ def main(sf_dir: str, out_dir: str, strict: bool = True,
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
     if only:  # restricted Verify run: check just those queries, quietly
+        unknown = sorted(only - set(oracle))
+        if unknown:  # a typo'd name must fail loudly, not verify nothing
+            print(f"ERROR unknown query name(s): {', '.join(unknown)}")
+            return 1
         oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
