@@ -311,6 +311,73 @@ object SimilaritySearch {
     adcTopK(codes, codebook, query, m, subDim, k)
   }
 
+  /**
+   * Residual-encoded IVF-PQ — the faithful `IndexIVFPQ` shape (Jégou
+   * et al. 2011 §III): PQ encodes the RESIDUAL `v − centroid(v)`, not
+   * the raw vector, so the codebook spends its codes on the
+   * within-list displacement (small, centered) instead of re-describing
+   * the coarse position the IVF assignment already captured — the
+   * standard recall win over raw-vector PQ at the same code budget.
+   * The codebook itself lives in residual space (deterministic: the
+   * residuals of every `pqModulus`-th vector — the q72 discipline).
+   * ADC becomes per-list: each probed list gets its own query residual
+   * `q − centroid(list)` and its own m×k lookup table (nprobe·m·k
+   * broadcast rows); a candidate's distance sums its own list's table
+   * entries. Membership restriction falls out of the inner join on the
+   * list id. Same scale contract as [[ivfPqTopK]]: broadcast kernels,
+   * partial-agg argmins, TakeOrdered top-k, m bytes/vector candidate
+   * memory.
+   */
+  def ivfPqResidualTopK(embs: DataFrame, idCol: Column, vecCol: Column,
+                        query: Seq[Double], ivfModulus: Int, nprobe: Int,
+                        pqModulus: Int, m: Int, subDim: Int,
+                        k: Int): DataFrame = {
+    val rawCents = embs.filter(pmod(idCol, lit(ivfModulus)) === 0)
+      .select(idCol.as("cid"), vecCol.as("cvr"))
+    val assign = ivfAssign(embs, idCol, vecCol, ivfModulus)
+      .select("id", "cid")
+    // residual = v − centroid, every element widened to double BEFORE
+    // the subtraction (the q85 float discipline)
+    val resid = embs.select(idCol.as("id"), vecCol.as("v"))
+      .join(assign, "id")
+      .join(broadcast(rawCents), "cid")
+      .select(col("id"), col("cid"),
+        zip_with(col("v"), col("cvr"),
+          (x, y) => x.cast("double") - y.cast("double")).as("r"))
+    val codebook = resid.filter(pmod(col("id"), lit(pqModulus)) === 0)
+      .select(col("id").as("ccid"), col("r").as("cr"))
+    val codes = resid.select(col("id"), col("cid"), col("r"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .join(broadcast(codebook))
+      .select(col("id"), col("cid"), col("s"),
+        struct((-subL2Sq(col("r"), col("cr"), col("s"), subDim)).as("nd"),
+          (-col("ccid")).as("ncid")).as("sc"))
+      .groupBy("id", "cid", "s").agg(max(col("sc")).as("mx"))
+      .select(col("id"), col("cid"), col("s"), (-col("mx.ncid")).as("ccid"))
+    val probed = probedCids(ivfCentroids(embs, idCol, vecCol, ivfModulus),
+      query, nprobe)
+    val q = array(query.map(lit): _*)
+    // per-probed-list query residual → per-list ADC lookup table
+    val qres = rawCents.join(broadcast(probed), "cid")
+      .select(col("cid"),
+        zip_with(q, col("cvr"), (x, y) => x - y.cast("double")).as("qr"))
+    val qd = qres.crossJoin(broadcast(codebook))
+      .select(col("cid"), col("ccid"), col("qr"), col("cr"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .select(col("cid"), col("s"), col("ccid"),
+        subL2Sq(col("qr"), col("cr"), col("s"), subDim).as("dq"))
+    val aggs = max(col("cid")).as("list_cid") +:
+      (0 until m).map(i => max(when(col("s") === i, col("dq"))).as(s"d$i"))
+    val adc = codes.join(broadcast(qd), Seq("cid", "s", "ccid"))
+      .groupBy("id").agg(aggs.head, aggs.tail: _*)
+    val total = (0 until m).map(i => col(s"d$i")).reduce(_ + _)
+    TopK.globalTopK(
+        adc.select(col("id"), col("list_cid"),
+          round(total, 6).as("adc_dist"), total.as("_t")),
+        Seq(col("_t").asc, col("id").asc), k)
+      .drop("_t")
+  }
+
   /** The materialize-once IVF-PQ serving artifacts: the IVF index
     * (centroids + assignments) plus the PQ codebook and the per-vector
     * code table (id, s, cid) — everything a search needs WITHOUT the

@@ -200,6 +200,24 @@ object PipelineQueries {
         .orderBy("rank")
     }),
 
+    "q144_ivfpq_residual_topk" -> ((s, dir) => {
+      // residual-encoded IVF-PQ (the faithful FAISS IndexIVFPQ): PQ
+      // codes describe v − centroid(v) with a residual-space codebook,
+      // and each probed list carries its own query-residual ADC table —
+      // the recall win over q141's raw-vector encode at the same code
+      // budget (SimilaritySearch.ivfPqResidualTopK scaladoc). Same
+      // coarse parameters as q141.
+      val e = Tables.loadSpread(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).map(_.toDouble)
+      SimilaritySearch.ivfPqResidualTopK(e, col("vec_id"),
+          col("embedding"), q, ivfModulus = 200, nprobe = 2,
+          pqModulus = 100, m = 4, subDim = 16, k = 10)
+        .select(col("id"), col("list_cid"), col("adc_dist"),
+          col("rank").cast("bigint").as("rank"))
+        .orderBy("rank")
+    }),
+
     "q143_ivfpq_index_topk" -> ((s, dir) => {
       // the materialize-once serving shape for IVF-PQ (the q132 pattern
       // applied to q141): centroids, assignments, codebook AND the
@@ -1210,6 +1228,53 @@ object PipelineQueries {
         |SELECT vec_id AS id, c0, c1, c2, c3,
         |  round(d0 + d1 + d2 + d3, 6) AS adc_dist,
         |  row_number() OVER (ORDER BY d0 + d1 + d2 + d3, vec_id) AS rank
+        |FROM adc QUALIFY rank <= 10 ORDER BY rank""".stripMargin,
+
+    // residual IVF-PQ: q72's cosine assignment → per-vector residual →
+    // residual-space codebook (every 100th vector's residual) → per-s
+    // argmin codes → per-PROBED-LIST query-residual ADC tables joined on
+    // (list, s, code). Membership restriction = the inner join on cid.
+    "q144_ivfpq_residual_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cvr FROM e WHERE vec_id % 200 = 0),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |assigned AS (SELECT e.vec_id AS id, c.cid FROM e, cent c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_cosine_similarity(e.v, c.cvr) DESC, c.cid ASC) = 1),
+        |resid AS (SELECT a.id, a.cid,
+        |    [ e.v[i] - c.cvr[i] FOR i IN range(1, 65) ] AS r
+        |  FROM assigned a JOIN e ON e.vec_id = a.id
+        |  JOIN cent c ON c.cid = a.cid),
+        |cb AS (SELECT id AS ccid, r AS cr FROM resid WHERE id % 100 = 0),
+        |sub AS (SELECT unnest(range(0, 4)) AS s),
+        |dist AS (SELECT resid.id, resid.cid, sub.s, cb.ccid,
+        |    list_sum([ (resid.r[sub.s*16+i] - cb.cr[sub.s*16+i])
+        |             * (resid.r[sub.s*16+i] - cb.cr[sub.s*16+i])
+        |               FOR i IN range(1, 17) ]) AS d
+        |  FROM resid, sub, cb),
+        |codes AS (SELECT id, cid, s, ccid FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY id, s
+        |    ORDER BY d, ccid) = 1),
+        |probed AS (SELECT cid FROM cent, q
+        |  ORDER BY list_cosine_similarity(cvr, qv) DESC, cid ASC LIMIT 2),
+        |qres AS (SELECT c.cid,
+        |    [ q.qv[i] - c.cvr[i] FOR i IN range(1, 65) ] AS qr
+        |  FROM cent c JOIN probed p ON p.cid = c.cid, q),
+        |qd AS (SELECT qres.cid, sub.s, cb.ccid,
+        |    list_sum([ (qres.qr[sub.s*16+i] - cb.cr[sub.s*16+i])
+        |             * (qres.qr[sub.s*16+i] - cb.cr[sub.s*16+i])
+        |               FOR i IN range(1, 17) ]) AS dq
+        |  FROM qres, sub, cb),
+        |adc AS (SELECT c.id, max(c.cid) AS list_cid,
+        |    max(CASE WHEN c.s = 0 THEN qd.dq END) AS d0,
+        |    max(CASE WHEN c.s = 1 THEN qd.dq END) AS d1,
+        |    max(CASE WHEN c.s = 2 THEN qd.dq END) AS d2,
+        |    max(CASE WHEN c.s = 3 THEN qd.dq END) AS d3
+        |  FROM codes c JOIN qd ON c.cid = qd.cid AND c.s = qd.s
+        |    AND c.ccid = qd.ccid
+        |  GROUP BY c.id)
+        |SELECT id, list_cid, round(d0 + d1 + d2 + d3, 6) AS adc_dist,
+        |  row_number() OVER (ORDER BY d0 + d1 + d2 + d3, id) AS rank
         |FROM adc QUALIFY rank <= 10 ORDER BY rank""".stripMargin,
 
     // q141's SQL verbatim: the stored-index path must reproduce the

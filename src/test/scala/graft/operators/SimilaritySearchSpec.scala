@@ -188,6 +188,61 @@ class SimilaritySearchSpec extends SparkSpec {
       col("embedding"), cb, m = 4, subDim = 16)))
   }
 
+  test("ivfPqResidualTopK matches a driver-side residual-ADC reference " +
+      "with every list probed; nprobe=1 restricts to the probed list") {
+    val e = realEmbs
+    val all = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val q = all.find(_._1 == 0L).get._2
+    def sub(v: Array[Double], s: Int) = v.slice(s * 16, s * 16 + 16)
+    def l2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val cents = all.filter(_._1 % 200 == 0)
+    def assignedCid(v: Array[Double]): Long =
+      cents.map { case (cid, cv) => cid -> cos(v, cv) }
+        .minBy { case (cid, c) => (-c, cid) }._1
+    val residOf = all.map { case (id, v) =>
+      val cid = assignedCid(v)
+      val cv = cents.find(_._1 == cid).get._2
+      id -> (cid, v.zip(cv).map { case (x, y) => x - y })
+    }.toMap
+    val cb = residOf.collect {
+      case (id, (_, r)) if id % 100 == 0 => id -> r
+    }.toSeq.sortBy(_._1)
+    val expected = residOf.toSeq.map { case (id, (cid, r)) =>
+      val qres = q.zip(cents.find(_._1 == cid).get._2)
+        .map { case (x, y) => x - y }
+      val total = (0 until 4).map { s =>
+        val (bestCcid, _) = cb.map { case (ccid, cr) =>
+          ccid -> l2(sub(r, s), sub(cr, s)) }
+          .minBy { case (ccid, d) => (d, ccid) }
+        l2(sub(qres, s), sub(cb.find(_._1 == bestCcid).get._2, s))
+      }.sum
+      (id, cid, total)
+    }.sortBy { case (id, _, d) => (d, id) }.take(10)
+    val out = SimilaritySearch.ivfPqResidualTopK(e, col("vec_id"),
+        col("embedding"), q.toSeq, ivfModulus = 200, nprobe = 5,
+        pqModulus = 100, m = 4, subDim = 16, k = 10)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq === expected.map(_._1))
+    out.zip(expected).foreach { case (row, (_, cid, d)) =>
+      assert(row.getAs[Long]("list_cid") === cid)
+      assert(math.abs(row.getAs[Double]("adc_dist") - d) < 1e-6)
+    }
+    // nprobe=1: every result belongs to the single probed list
+    val topCid = cents.map { case (cid, cv) => cid -> cos(q, cv) }
+      .minBy { case (cid, c) => (-c, cid) }._1
+    val narrow = SimilaritySearch.ivfPqResidualTopK(e, col("vec_id"),
+        col("embedding"), q.toSeq, ivfModulus = 200, nprobe = 1,
+        pqModulus = 100, m = 4, subDim = 16, k = 10).collect()
+    assert(narrow.nonEmpty &&
+      narrow.forall(_.getAs[Long]("list_cid") == topCid))
+  }
+
   test("ivfPqTopKFromIndex on parquet-roundtripped artifacts equals the " +
       "inline ivfPqTopK; a delta encoded against the stored codebook " +
       "reproduces the full build") {
