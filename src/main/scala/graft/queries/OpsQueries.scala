@@ -172,6 +172,31 @@ object OpsQueries {
         .orderBy("window_start")
     }),
 
+    "q145_delete_where" -> ((s, dir) => {
+      // targeted row deletion gated end-to-end (Layout.deleteWhere
+      // scaladoc — the right-to-erasure / retention-purge job): the
+      // events table lands as a user-range-partitioned flat lake dir,
+      // the erasure subjects (user_id % 10 == 3) are deleted — only
+      // files CONTAINING them rewrite, found by a pruned predicate
+      // scan — and the final rollup reads the post-delete directory.
+      // The oracle computes the same rollup from the ORIGINAL table
+      // minus the subjects, so the hash match proves the rewrite
+      // deleted exactly the subjects and conserved everyone else.
+      val base = "/tmp/graft_delete_q145"
+      val ev = t(s, dir, "events")
+        .select("event_id", "ts", "user_id", "value")
+      ev.repartitionByRange(16, col("user_id"))
+        .write.mode("overwrite").parquet(s"$base/table")
+      graft.sources.Layout.deleteWhere(s, s"$base/table",
+        pmod(col("user_id"), lit(10)) === 3)
+      s.read.parquet(s"$base/table")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum("event_id").as("id_sum"),
+          round(sum("value"), 2).as("total_value"))
+        .orderBy("user_id")
+    }),
+
     "q142_k_anonymize" -> ((s, dir) => {
       // k-anonymity release gate (quality.Privacy scaladoc): customers
       // exported under quasi-identifiers (nation, segment, 10000-wide
@@ -251,6 +276,16 @@ object OpsQueries {
         |FROM events
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-12'
         |  AND user_id < 30
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the rollup over the ORIGINAL table minus the erased subjects: a
+    // hash match proves the file-targeted rewrite deleted exactly them
+    "q145_delete_where" ->
+      """SELECT user_id, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |  round(sum(value), 2) AS total_value
+        |FROM events
+        |WHERE ((user_id % 10) + 10) % 10 <> 3
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q137_contract_windows" ->

@@ -180,6 +180,96 @@ object Layout {
     newFiles.length
   }
 
+  final case class DeleteStats(filesRewritten: Int, filesUntouched: Int,
+                               rowsDeleted: Long)
+
+  /**
+   * Targeted row deletion from a flat parquet directory — the
+   * right-to-erasure / retention-purge maintenance job (the data-plane
+   * half of the governance story whose release half is
+   * `quality.Privacy`): rewrite ONLY the files that contain matching
+   * rows and leave every other file physically untouched (same name,
+   * same bytes — downstream caches and replication stay valid).
+   *
+   * At 100 TB the win is the file-pruning composition: finding the
+   * affected files is a predicate scan, so parquet min/max skipping
+   * (and a z-ordered layout on the predicate column — [[zorderWrite]])
+   * means the files that DON'T contain the subject are never even
+   * read, and the rewrite cost is ∝ files-containing-matches, not
+   * table size. A table format's DELETE executes exactly this shape
+   * internally.
+   *
+   * Uses the [[compactParquet]] marker transaction verbatim (same
+   * marker, same side directory, same [[recoverCompaction]] replay):
+   * the kept rows of affected files land in the side dir,
+   * row-count-verified BEFORE any destructive step, then marker →
+   * renames → deletes. A crash at any point self-heals at the next
+   * entry of either maintenance job. An affected file whose every row
+   * matches is simply deleted (no empty rewrite file).
+   */
+  def deleteWhere(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  predicate: Column): DeleteStats = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    recoverCompaction(spark, dir)
+    val df = spark.read.parquet(dir)
+    val snapshot = df.inputFiles.map(new org.apache.hadoop.fs.Path(_))
+    val qualified = fs.makeQualified(path)
+    snapshot.foreach { p =>
+      require(fs.makeQualified(p).getParent == qualified,
+        s"deleteWhere requires a FLAT directory; found nested file $p " +
+          s"under $dir — delete from partitioned layouts per leaf directory")
+    }
+    // predicate scan: min/max (and partition-file) pruning decides which
+    // files are read at all; only files with actual matches rewrite
+    val affected = df.filter(predicate)
+      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    if (affected.isEmpty)
+      return DeleteStats(0, snapshot.length, 0L)
+    val matched = affected.map(_._2).sum
+    val affectedSet = affected.map { case (f, _) =>
+      fs.makeQualified(new org.apache.hadoop.fs.Path(new java.net.URI(f)))
+    }.toSet
+    val affectedDf = spark.read.parquet(affectedSet.map(_.toString).toSeq: _*)
+    val expected = affectedDf.count() - matched
+    val tmp = new org.apache.hadoop.fs.Path(dir + "_compact_tmp")
+    fs.delete(tmp, true)
+    affectedDf.filter(!predicate).write.mode("overwrite").parquet(tmp.toString)
+    val got = spark.read.parquet(tmp.toString).count()
+    require(got == expected,
+      s"deleteWhere row-count mismatch ($got != $expected) — original left untouched")
+    val newFiles = fs.listStatus(tmp)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val gen = java.util.UUID.randomUUID().toString.take(8)
+    val plan = newFiles.zipWithIndex.map { case (f, i) =>
+      f.getPath.getName -> s"deleted-$gen-$i.parquet"
+    }
+    val marker = new org.apache.hadoop.fs.Path(path, MarkerName)
+    val markerTmp = new org.apache.hadoop.fs.Path(path, MarkerTmpName)
+    val out = fs.create(markerTmp, true)
+    try out.write(
+      (plan.map { case (s, d) => s"R $s $d" } ++
+        affectedSet.toSeq.sortBy(_.getName).map(p => s"D ${p.getName}"))
+        .mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    require(fs.rename(markerTmp, marker),
+      s"delete marker rename failed: $markerTmp -> $marker " +
+        "(nothing moved yet; original directory untouched)")
+    plan.foreach { case (src, dst) =>
+      require(fs.rename(new org.apache.hadoop.fs.Path(tmp, src),
+        new org.apache.hadoop.fs.Path(path, dst)),
+        s"delete rename failed: $src -> $dst (marker left in place; " +
+          "recoverCompaction completes the swap)")
+    }
+    affectedSet.foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, p.getName), false))
+    fs.delete(marker, false)
+    fs.delete(tmp, true)
+    DeleteStats(newFiles.length, snapshot.length - affectedSet.size, matched)
+  }
+
   private val MarkerName = "_compaction_pending"
   // side name for the atomic marker write; underscore-prefixed so parquet
   // scans of the directory ignore it even if a crash strands it

@@ -112,6 +112,57 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 100)
   }
 
+  test("deleteWhere rewrites only files containing matches; untouched " +
+      "files keep their exact names; counts reconcile; no-match no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-delete")
+      .resolve("table").toString
+    // range-partition on user so each user's rows live in few files —
+    // the layout that makes targeted deletion cheap
+    val df = spark.range(8000)
+      .selectExpr("id", "id % 40 AS user", "cast(id as double) AS v")
+    df.repartitionByRange(8, col("user")).write.parquet(dir)
+    def files() = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val before = files()
+    val beforeCount = spark.read.parquet(dir).count()
+    val matched = spark.read.parquet(dir).filter(col("user") === 7).count()
+    assert(matched > 0)
+    val stats = graft.sources.Layout.deleteWhere(spark, dir,
+      col("user") === 7)
+    assert(stats.rowsDeleted === matched)
+    val after = files()
+    // untouched originals survive BY NAME; only affected files replaced
+    val untouchedOriginals = before.intersect(after)
+    assert(untouchedOriginals.size === stats.filesUntouched)
+    assert(after.diff(before).forall(_.startsWith("deleted-")))
+    assert(after.size === untouchedOriginals.size + stats.filesRewritten)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === beforeCount - matched)
+    assert(back.filter(col("user") === 7).count() === 0L)
+    // every non-matching row survived exactly (value checksum)
+    assert(back.agg(sum("v")).head.getDouble(0) ===
+      df.filter(col("user") =!= 7).agg(sum("v")).head.getDouble(0))
+    // idempotent: a second call touches nothing
+    val again = graft.sources.Layout.deleteWhere(spark, dir,
+      col("user") === 7)
+    assert(again === graft.sources.Layout.DeleteStats(0, after.size, 0L))
+    assert(files() === after)
+  }
+
+  test("deleteWhere: a file whose every row matches is deleted outright") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-delete-all")
+      .resolve("table").toString
+    // user is the range key AND file boundary: user 0's file is all-match
+    spark.range(300).selectExpr("id", "id % 3 AS user")
+      .repartitionByRange(3, col("user")).write.parquet(dir)
+    val stats = graft.sources.Layout.deleteWhere(spark, dir,
+      col("user") === 0)
+    assert(stats.rowsDeleted === 100L)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 200L)
+    assert(back.filter(col("user") === 0).count() === 0L)
+  }
+
   test("date-partitioned write prunes partitions at planning time") {
     val dir = java.nio.file.Files.createTempDirectory("graft-datepart").toString
     val ev = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
