@@ -166,4 +166,48 @@ object CurationRunner {
       .parquet(s"$outDir/sync_log")
     report
   }
+
+  /** Per-artifact erasure outcome: rows deleted from that frame. */
+  final case class ErasureReport(deleted: Map[String, Long]) {
+    def total: Long = deleted.values.sum
+  }
+
+  /**
+   * Right-to-erasure across the WHOLE pipeline output: delete the
+   * subject docs from every stored stage frame AND every dedup
+   * artifact (signatures, edges touching a subject, component labels)
+   * in one call — the composition that makes [[graft.sources.Layout.deleteWhere]]
+   * a governance answer rather than a per-table tool. Each target is a
+   * file-targeted rewrite: untouched files keep their bytes, and a
+   * crash mid-erasure self-heals via the shared marker recovery at the
+   * next touch of that directory.
+   *
+   * Erasure is PHYSICAL only: it does not re-run curation. Aggregated
+   * derivatives (pack offsets of later docs, quota cum_tokens, census
+   * rollups) keep the pre-erasure values — re-run the pipeline when the
+   * derived numbers themselves must forget the subject.
+   */
+  def erase(spark: SparkSession, outDir: String,
+            docIds: Seq[Long]): ErasureReport = {
+    require(docIds.nonEmpty, "no subjects to erase")
+    val byDoc = col("doc_id").isin(docIds: _*)
+    val byId = col("id").isin(docIds: _*)
+    val byEdge = col("a_id").isin(docIds: _*) ||
+      col("b_id").isin(docIds: _*)
+    val targets: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "quality" -> byDoc, "clean" -> byDoc, "corpus" -> byDoc,
+      "mix" -> byDoc, "split" -> byDoc,
+      "packed" -> byId, // packSequences emits the key as `id`
+      "artifacts/signatures" -> byId,
+      "artifacts/edges" -> byEdge,
+      "artifacts/labels" -> byId)
+    val deleted = targets.flatMap { case (name, pred) =>
+      val dir = s"$outDir/$name"
+      if (new java.io.File(dir).exists())
+        Some(name ->
+          graft.sources.Layout.deleteWhere(spark, dir, pred).rowsDeleted)
+      else None
+    }.toMap
+    ErasureReport(deleted)
+  }
 }

@@ -108,6 +108,44 @@ class CurationRunnerSpec extends SparkSpec {
       r1.results.map(r => (r.stage, r.records)))
   }
 
+  test("erase removes the subjects from every stage frame and every " +
+      "dedup artifact; everyone else survives") {
+    val out = freshDir()
+    assert(CurationRunner.run(spark, docs, out).status === "success")
+    // subjects: one doc with near-dup edges (from the stored edge table)
+    // plus one arbitrary corpus doc
+    val edgeDoc = spark.read.parquet(s"$out/artifacts/edges")
+      .select("a_id").as[Long].head
+    val anyDoc = spark.read.parquet(s"$out/corpus")
+      .select("doc_id").as[Long].head
+    val subjects = Seq(edgeDoc, anyDoc).distinct
+    val before = Seq("quality", "clean", "corpus", "mix", "split", "packed",
+      "artifacts/signatures", "artifacts/edges", "artifacts/labels")
+      .map(n => n -> spark.read.parquet(s"$out/$n").count()).toMap
+    val rep = CurationRunner.erase(spark, out, subjects)
+    assert(rep.total > 0)
+    before.keys.foreach { n =>
+      val frame = spark.read.parquet(s"$out/$n")
+      assert(frame.count() === before(n) - rep.deleted(n), s"count at $n")
+      val idCol = n match {
+        case "artifacts/edges" => null
+        case s if s.startsWith("artifacts/") => "id"
+        case "packed" => "id"
+        case _ => "doc_id"
+      }
+      if (idCol != null)
+        assert(frame.filter(col(idCol).isin(subjects: _*)).count() === 0L,
+          s"subject survived in $n")
+      else
+        assert(frame.filter(col("a_id").isin(subjects: _*) ||
+          col("b_id").isin(subjects: _*)).count() === 0L,
+          "subject edge survived")
+    }
+    // the edge-bearing subject really had artifact rows to erase
+    assert(rep.deleted("artifacts/edges") > 0)
+    assert(rep.deleted("artifacts/signatures") >= subjects.size - 1)
+  }
+
   test("re-run over the same outDir is idempotent (stage overwrite)") {
     val out = freshDir()
     val r1 = CurationRunner.run(spark, docs, out)
