@@ -88,7 +88,9 @@ object Plans {
       "q138_cluster_balanced_sample", // IVF-stratum temperature rates
       "q139_scd2_merge",       // anti-join passthrough + seeded delta window
       "q140_token_budget_mix", // per-source quota window, md5 order
-      "q141_ivfpq_topk")       // probe lists -> members -> ADC lookup
+      "q141_ivfpq_topk",       // probe lists -> members -> ADC lookup
+      "q144_ivfpq_residual_topk", // residual codes + per-list ADC tables
+      "q145_delete_where")     // post-delete lake read (files rewritten ∝ matches)
     // per-query reader notes where the right plan is easy to misread
     val notes = Map(
       "q128_sql_range_join" -> ("The user wrote the naive theta join " +
@@ -138,6 +140,13 @@ object Plans {
         "TakeOrderedAndProject. At scale with assignments as the " +
         "storage partition key, the unprobed lists are never read and " +
         "candidate memory is m bytes per vector."),
+      "q145_delete_where" -> ("The plan shown is the POST-DELETE rollup " +
+        "read; the deletion itself is the maintenance job (a pruned " +
+        "predicate scan finds the files containing subjects, only those " +
+        "rewrite — at a z-ordered 100 TB lake the clean files are never " +
+        "read). What matters here: the read after erasure is a plain " +
+        "pruned scan, indistinguishable from a never-contained-them " +
+        "table."),
       "q130_artifact_corpus" -> ("Consumes the STORED labels artifact " +
         "(parquet scan of /tmp/graft_artifacts_q130/labels) -- the " +
         "LSH+CC work that produced it ran once in the artifact build " +
