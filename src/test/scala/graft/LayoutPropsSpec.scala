@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.sources.Layout
+
+/** Property invariants for the targeted-deletion maintenance job under
+  * generated layouts and predicates: for ANY file layout and ANY
+  * predicate, deleteWhere must leave exactly `filter(!pred)` behind,
+  * preserve untouched files BY NAME, and report reconciling stats.
+  * Few, fat cases — each spins a filesystem rewrite. */
+class LayoutPropsSpec extends SparkSpec {
+
+  private def cases[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(1234L + i)))
+
+  test("deleteWhere == filter(!pred) for random layouts and predicates; " +
+      "untouched files preserved by name, stats reconcile") {
+    val caseGen = for {
+      rows <- Gen.choose(500, 2000)
+      nFiles <- Gen.choose(1, 12)
+      modBase <- Gen.choose(2L, 9L)
+      target <- Gen.choose(0L, modBase - 1)
+      byRange <- Gen.oneOf(true, false)
+    } yield (rows, nFiles, modBase, target, byRange)
+    cases(caseGen, 6).foreach { case (rows, nFiles, modBase, target, byRange) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-delprop")
+        .resolve("t").toString
+      val df = spark.range(rows.toLong)
+        .selectExpr("id", s"id % $modBase AS k", "id * 2 AS v")
+      val writer = if (byRange) df.repartitionByRange(nFiles, col("k"))
+        else df.repartition(nFiles)
+      writer.write.parquet(dir)
+      def files() = new java.io.File(dir).listFiles
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+      val before = files()
+      val pred = col("k") === target
+      val expectSurvivors = df.filter(!pred)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val expectDeleted = rows - expectSurvivors.size
+      val stats = Layout.deleteWhere(spark, dir, pred)
+      assert(stats.rowsDeleted === expectDeleted.toLong,
+        s"rows=$rows files=$nFiles mod=$modBase target=$target range=$byRange")
+      val survivors = spark.read.parquet(dir)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(survivors === expectSurvivors)
+      val after = files()
+      assert(before.intersect(after).size === stats.filesUntouched)
+      assert(after.size === stats.filesUntouched + stats.filesRewritten)
+      // second application is a no-op
+      assert(Layout.deleteWhere(spark, dir, pred) ===
+        Layout.DeleteStats(0, after.size, 0L))
+    }
+  }
+}
