@@ -117,6 +117,109 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.10, f"LSH recall@10 collapsed: $r%.3f < 0.10")
   }
 
+  test("IVF-PQ (5 lists, nprobe 2, m=4 codes) recall@10 vs exact L2 " +
+      ">= 0.03 floor, measured and recorded in SCALING.md") {
+    // the q141 composition batched over the 10 queries: IVF restricts
+    // candidates to each query's 2 probed lists, PQ-ADC scores only
+    // those members — recall is bounded by BOTH approximations
+    // (~membership 0.6 × ADC ranking), the cost/recall trade the
+    // family exists for
+    val embsRaw = Tables.load(spark, dir, "embeddings")
+    val cents = SimilaritySearch.ivfCentroids(embsRaw, col("vec_id"),
+      col("embedding"), 100)
+    val assign = SimilaritySearch.ivfAssign(embsRaw, col("vec_id"),
+      col("embedding"), 100).select("id", "cid")
+    val qc = queries.crossJoin(broadcast(cents))
+      .select(col("qid"),
+        VectorFunctions.dot(col("qu"), col("cu")).as("qcos"), col("cid"))
+    val probed = TopK.topKPerGroup(qc, Seq(col("qid")),
+      Seq(col("qcos").desc, col("cid").asc), 2).select("qid", "cid")
+    val members = probed.join(assign, "cid").select("qid", "id")
+    val cb = embsRaw.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("ccid"), col("embedding").as("cv"))
+    def subv(v: Column): Column = slice(v, col("s") * 16 + 1, lit(16))
+    val codes = TopK.topKPerGroup(
+      e.select(col("id"), col("embedding"),
+          explode(sequence(lit(0), lit(3))).as("s"))
+        .crossJoin(broadcast(cb))
+        .select(col("id"), col("s"), col("ccid"),
+          l2sq(subv(col("embedding")), subv(col("cv"))).as("d")),
+      Seq(col("id"), col("s")), Seq(col("d").asc, col("ccid").asc), 1)
+      .select("id", "s", "ccid")
+    val dq = queries
+      .select(col("qid"), col("qv"), explode(sequence(lit(0), lit(3))).as("s"))
+      .crossJoin(broadcast(cb))
+      .select(col("qid"), col("s"), col("ccid"),
+        l2sq(subv(col("qv")), subv(col("cv"))).as("dq"))
+    val adc = members.join(codes, "id")
+      .join(broadcast(dq), Seq("qid", "s", "ccid"))
+      .groupBy("qid", "id").agg(sum("dq").as("adc"))
+      .filter(col("id") =!= col("qid"))
+    val top = TopK.topKPerGroup(adc, Seq(col("qid")),
+      Seq(col("adc").asc, col("id").asc), K)
+    val r = recall(top, l2Truth)
+    info(f"IVF-PQ recall@10 = $r%.3f (nprobe 2 of 5, m=4)")
+    assert(r >= 0.03, f"IVF-PQ recall@10 collapsed: $r%.3f < 0.03")
+  }
+
+  test("residual IVF-PQ (5 lists, nprobe 2, m=4 residual codes) " +
+      "recall@10 vs exact L2 >= 0.03 floor, measured and recorded in " +
+      "SCALING.md") {
+    // the q144 shape batched: codes describe v − centroid(v) against a
+    // residual-space codebook; each (query, probed list) carries its
+    // own query residual. With modulus-sampled (untrained) codebooks
+    // this measures comparable to the raw encode — the shape is what a
+    // trained k-means codebook plugs into (SCALING.md).
+    val embsRaw = Tables.load(spark, dir, "embeddings")
+    val rawCents = embsRaw.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvr"))
+    val assign = SimilaritySearch.ivfAssign(embsRaw, col("vec_id"),
+      col("embedding"), 100).select("id", "cid")
+    val resid = embsRaw.select(col("vec_id").as("id"), col("embedding"))
+      .join(assign, "id")
+      .join(broadcast(rawCents), "cid")
+      .select(col("id"), col("cid"),
+        zip_with(col("embedding"), col("cvr"),
+          (x, y) => x.cast("double") - y.cast("double")).as("r"))
+    val cb = resid.filter(col("id") % 100 === 0)
+      .select(col("id").as("ccid"), col("r").as("cr"))
+    def subv(v: Column): Column = slice(v, col("s") * 16 + 1, lit(16))
+    val codes = TopK.topKPerGroup(
+      resid.select(col("id"), col("cid"), col("r"),
+          explode(sequence(lit(0), lit(3))).as("s"))
+        .crossJoin(broadcast(cb))
+        .select(col("id"), col("cid"), col("s"), col("ccid"),
+          l2sq(subv(col("r")), subv(col("cr"))).as("d")),
+      Seq(col("id"), col("s")), Seq(col("d").asc, col("ccid").asc), 1)
+      .select("id", "cid", "s", "ccid")
+    val qcents = queries.crossJoin(broadcast(
+        SimilaritySearch.ivfCentroids(embsRaw, col("vec_id"),
+          col("embedding"), 100)))
+      .select(col("qid"),
+        VectorFunctions.dot(col("qu"), col("cu")).as("qcos"), col("cid"))
+    val probed = TopK.topKPerGroup(qcents, Seq(col("qid")),
+      Seq(col("qcos").desc, col("cid").asc), 2).select("qid", "cid")
+    val qres = probed.join(broadcast(rawCents), "cid")
+      .join(queries.select("qid", "qv"), "qid")
+      .select(col("qid"), col("cid"),
+        zip_with(col("qv"), col("cvr"),
+          (x, y) => x.cast("double") - y.cast("double")).as("qr"))
+    val dq = qres
+      .select(col("qid"), col("cid"), col("qr"),
+        explode(sequence(lit(0), lit(3))).as("s"))
+      .crossJoin(broadcast(cb))
+      .select(col("qid"), col("cid"), col("s"), col("ccid"),
+        l2sq(subv(col("qr")), subv(col("cr"))).as("dq"))
+    val adc = codes.join(broadcast(dq), Seq("cid", "s", "ccid"))
+      .groupBy("qid", "id").agg(sum("dq").as("adc"))
+      .filter(col("id") =!= col("qid"))
+    val top = TopK.topKPerGroup(adc, Seq(col("qid")),
+      Seq(col("adc").asc, col("id").asc), K)
+    val r = recall(top, l2Truth)
+    info(f"residual IVF-PQ recall@10 = $r%.3f (nprobe 2 of 5, m=4)")
+    assert(r >= 0.03, f"residual IVF-PQ recall@10 collapsed: $r%.3f < 0.03")
+  }
+
   test("PQ-ADC (m=4, 16-dim subspaces, 5 codes) recall@10 vs exact L2 " +
       ">= 0.05 floor, measured and recorded in SCALING.md") {
     // the q85 encode: per-subspace L2 argmin against the broadcast
