@@ -201,11 +201,16 @@ object CurationRunner {
       "artifacts/signatures" -> byId,
       "artifacts/edges" -> byEdge,
       "artifacts/labels" -> byId)
+    // existence via the Hadoop FileSystem, not java.io.File — outDir may
+    // be hdfs://... or s3a://...; a local-only check would silently
+    // no-op the whole erasure there
+    val conf = spark.sessionState.newHadoopConf()
     val deleted = targets.flatMap { case (name, pred) =>
-      val dir = s"$outDir/$name"
-      if (new java.io.File(dir).exists())
+      val p = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+      if (p.getFileSystem(conf).exists(p))
         Some(name ->
-          graft.sources.Layout.deleteWhere(spark, dir, pred).rowsDeleted)
+          graft.sources.Layout.deleteWhere(spark, p.toString, pred)
+            .rowsDeleted)
       else None
     }.toMap
     ErasureReport(deleted)

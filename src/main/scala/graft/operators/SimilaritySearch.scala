@@ -346,7 +346,15 @@ object SimilaritySearch {
           (x, y) => x.cast("double") - y.cast("double")).as("r"))
     val codebook = resid.filter(pmod(col("id"), lit(pqModulus)) === 0)
       .select(col("id").as("ccid"), col("r").as("cr"))
-    val codes = resid.select(col("id"), col("cid"), col("r"),
+    val probed = probedCids(ivfCentroids(embs, idCol, vecCol, ivfModulus),
+      query, nprobe)
+    // encode ONLY probed-list members (codebook still derives from the
+    // full corpus): non-probed codes could never survive the per-list
+    // ADC join below, so restricting first is output-identical and cuts
+    // the per-query encode from O(N) to O(|probed members|) — the same
+    // contract as ivfPqTopK's `cand`
+    val codes = resid.join(broadcast(probed), "cid")
+      .select(col("id"), col("cid"), col("r"),
         explode(sequence(lit(0), lit(m - 1))).as("s"))
       .join(broadcast(codebook))
       .select(col("id"), col("cid"), col("s"),
@@ -354,8 +362,6 @@ object SimilaritySearch {
           (-col("ccid")).as("ncid")).as("sc"))
       .groupBy("id", "cid", "s").agg(max(col("sc")).as("mx"))
       .select(col("id"), col("cid"), col("s"), (-col("mx.ncid")).as("ccid"))
-    val probed = probedCids(ivfCentroids(embs, idCol, vecCol, ivfModulus),
-      query, nprobe)
     val q = array(query.map(lit): _*)
     // per-probed-list query residual → per-list ADC lookup table
     val qres = rawCents.join(broadcast(probed), "cid")

@@ -134,49 +134,23 @@ object Layout {
     val targetFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     if (snapshot.length <= targetFiles) return snapshot.length
     val expected = df.count()
-    val tmp = new org.apache.hadoop.fs.Path(dir + "_compact_tmp")
-    fs.delete(tmp, true)
+    // unique generation id: a rerun's names can never collide with a
+    // surviving previous generation; the tmp dir is per-generation too,
+    // so a second maintenance job entering concurrently can never wipe
+    // this job's verified-but-unrenamed generation (the former shared
+    // tmp was exactly that hazard)
+    val gen = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new org.apache.hadoop.fs.Path(dir + TmpInfix + gen)
     df.repartition(targetFiles).write.mode("overwrite").parquet(tmp.toString)
     val got = spark.read.parquet(tmp.toString).count()
     require(got == expected,
       s"compaction row-count mismatch ($got != $expected) — original left untouched")
     val newFiles = fs.listStatus(tmp)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    // unique generation id: a rerun's names can never collide with a
-    // surviving previous generation
-    val gen = java.util.UUID.randomUUID().toString.take(8)
     val plan = newFiles.zipWithIndex.map { case (f, i) =>
       f.getPath.getName -> s"compacted-$gen-$i.parquet"
     }
-    // the marker IS the swap transaction: written (verified generation in
-    // tmp, nothing moved yet) before any mutation, it records both the
-    // renames to complete and the deletes to apply — recovery replays it
-    // idempotently from ANY crash point; rename atomicity means each
-    // planned file exists at exactly one of (tmp src, final dst).
-    // The marker itself is made atomic the same way: written complete to a
-    // side name, then renamed into place — a crash mid-write leaves only
-    // the side file (ignored and cleaned by recovery), never a truncated
-    // marker whose surviving R-lines would replay without their D-lines.
-    val marker = new org.apache.hadoop.fs.Path(path, MarkerName)
-    val markerTmp = new org.apache.hadoop.fs.Path(path, MarkerTmpName)
-    val out = fs.create(markerTmp, true)
-    try out.write(
-      (plan.map { case (s, d) => s"R $s $d" } ++
-        snapshot.map(p => s"D ${p.getName}")).mkString("\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    require(fs.rename(markerTmp, marker),
-      s"compaction marker rename failed: $markerTmp -> $marker " +
-        "(nothing moved yet; original directory untouched)")
-    plan.foreach { case (src, dst) =>
-      require(fs.rename(new org.apache.hadoop.fs.Path(tmp, src),
-        new org.apache.hadoop.fs.Path(path, dst)),
-        s"compaction rename failed: $src -> $dst (marker left in place; " +
-          "recoverCompaction completes the swap)")
-    }
-    snapshot.foreach(p => fs.delete(p, false))
-    fs.delete(marker, false)
-    fs.delete(tmp, true)
+    swapIn(fs, path, tmp, plan.toSeq, snapshot.map(_.getName).toSeq)
     newFiles.length
   }
 
@@ -233,41 +207,71 @@ object Layout {
     }.toSet
     val affectedDf = spark.read.parquet(affectedSet.map(_.toString).toSeq: _*)
     val expected = affectedDf.count() - matched
-    val tmp = new org.apache.hadoop.fs.Path(dir + "_compact_tmp")
-    fs.delete(tmp, true)
-    affectedDf.filter(!predicate).write.mode("overwrite").parquet(tmp.toString)
+    val gen = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new org.apache.hadoop.fs.Path(dir + TmpInfix + gen)
+    // NULL-predicate rows are KEPT: an erasure job deletes only rows the
+    // predicate PROVES match (`matched` counts true rows only; a plain
+    // !predicate would drop NULL rows from the rewrite too and trip the
+    // row-count guard — the job could never complete on NULL-bearing data)
+    affectedDf.filter(!coalesce(predicate, lit(false)))
+      .write.mode("overwrite").parquet(tmp.toString)
     val got = spark.read.parquet(tmp.toString).count()
     require(got == expected,
       s"deleteWhere row-count mismatch ($got != $expected) — original left untouched")
     val newFiles = fs.listStatus(tmp)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    val gen = java.util.UUID.randomUUID().toString.take(8)
     val plan = newFiles.zipWithIndex.map { case (f, i) =>
       f.getPath.getName -> s"deleted-$gen-$i.parquet"
     }
+    swapIn(fs, path, tmp, plan.toSeq,
+      affectedSet.toSeq.sortBy(_.getName).map(_.getName))
+    DeleteStats(newFiles.length, snapshot.length - affectedSet.size, matched)
+  }
+
+  /**
+   * The shared swap transaction of [[compactParquet]] and
+   * [[deleteWhere]]: given a VERIFIED new generation sitting in `tmp`,
+   * commit the marker, rename the generation in, delete the superseded
+   * files, clean up. The marker IS the transaction: written complete to
+   * a side name and renamed into place (atomic — a crash mid-write
+   * strands only the ignored side file, never a truncated marker whose
+   * R-lines would replay without their D-lines), it records the tmp
+   * directory (`T` line) plus every rename and delete, so
+   * [[recoverCompaction]] replays it idempotently from ANY crash point
+   * — rename atomicity means each planned file exists at exactly one of
+   * (tmp src, final dst). Maintenance jobs on one directory must be
+   * SERIALIZED by the caller (one maintainer at a time — the same
+   * contract every directory-level parquet maintainer has); the
+   * per-generation tmp dirs bound the concurrent-entry damage to a
+   * failed job, never a wedged directory or destroyed generation.
+   */
+  private def swapIn(fs: org.apache.hadoop.fs.FileSystem,
+                     path: org.apache.hadoop.fs.Path,
+                     tmp: org.apache.hadoop.fs.Path,
+                     plan: Seq[(String, String)],
+                     deletes: Seq[String]): Unit = {
     val marker = new org.apache.hadoop.fs.Path(path, MarkerName)
     val markerTmp = new org.apache.hadoop.fs.Path(path, MarkerTmpName)
     val out = fs.create(markerTmp, true)
     try out.write(
-      (plan.map { case (s, d) => s"R $s $d" } ++
-        affectedSet.toSeq.sortBy(_.getName).map(p => s"D ${p.getName}"))
-        .mkString("\n")
+      (Seq(s"T ${tmp.getName}") ++
+        plan.map { case (s, d) => s"R $s $d" } ++
+        deletes.map(n => s"D $n")).mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     require(fs.rename(markerTmp, marker),
-      s"delete marker rename failed: $markerTmp -> $marker " +
+      s"maintenance marker rename failed: $markerTmp -> $marker " +
         "(nothing moved yet; original directory untouched)")
     plan.foreach { case (src, dst) =>
       require(fs.rename(new org.apache.hadoop.fs.Path(tmp, src),
         new org.apache.hadoop.fs.Path(path, dst)),
-        s"delete rename failed: $src -> $dst (marker left in place; " +
+        s"maintenance rename failed: $src -> $dst (marker left in place; " +
           "recoverCompaction completes the swap)")
     }
-    affectedSet.foreach(p =>
-      fs.delete(new org.apache.hadoop.fs.Path(path, p.getName), false))
+    deletes.foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, n), false))
     fs.delete(marker, false)
     fs.delete(tmp, true)
-    DeleteStats(newFiles.length, snapshot.length - affectedSet.size, matched)
   }
 
   private val MarkerName = "_compaction_pending"
@@ -293,32 +297,54 @@ object Layout {
     // directory as-is (the tmp generation, if any, is re-cleared by the
     // next run's fs.delete(tmp, true))
     fs.delete(new org.apache.hadoop.fs.Path(path, MarkerTmpName), false)
-    if (!fs.exists(marker)) return
-    val in = fs.open(marker)
-    val lines =
-      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-        .split("\n").filter(_.nonEmpty)
-      finally in.close()
-    val tmp = new org.apache.hadoop.fs.Path(dir + "_compact_tmp")
-    lines.foreach { line =>
-      line.split(" ") match {
-        case Array("R", src, dst) =>
-          val d = new org.apache.hadoop.fs.Path(path, dst)
-          val s = new org.apache.hadoop.fs.Path(tmp, src)
-          if (!fs.exists(d)) {
-            require(fs.exists(s) && fs.rename(s, d),
-              s"compaction recovery cannot complete rename $src -> $dst")
-          }
-        case Array("D", name) =>
-          fs.delete(new org.apache.hadoop.fs.Path(path, name), false)
-        case other =>
-          throw new IllegalStateException(
-            s"unrecognized compaction marker line: ${other.mkString(" ")}")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val lines =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").filter(_.nonEmpty)
+        finally in.close()
+      // the `T` line names the transaction's own tmp dir (a sibling of
+      // `dir`); markers written before the per-generation tmp scheme
+      // carry no T line and used the fixed legacy name
+      val tmp = lines.headOption.collect {
+        case t if t.startsWith("T ") =>
+          new org.apache.hadoop.fs.Path(path.getParent, t.drop(2))
+      }.getOrElse(new org.apache.hadoop.fs.Path(dir + "_compact_tmp"))
+      lines.filterNot(_.startsWith("T ")).foreach { line =>
+        line.split(" ") match {
+          case Array("R", src, dst) =>
+            val d = new org.apache.hadoop.fs.Path(path, dst)
+            val s = new org.apache.hadoop.fs.Path(tmp, src)
+            if (!fs.exists(d)) {
+              require(fs.exists(s) && fs.rename(s, d),
+                s"compaction recovery cannot complete rename $src -> $dst")
+            }
+          case Array("D", name) =>
+            fs.delete(new org.apache.hadoop.fs.Path(path, name), false)
+          case other =>
+            throw new IllegalStateException(
+              s"unrecognized compaction marker line: ${other.mkString(" ")}")
+        }
       }
+      fs.delete(marker, false)
+      fs.delete(tmp, true)
     }
-    fs.delete(marker, false)
-    fs.delete(tmp, true)
+    // sweep pre-commit tmp garbage: any sibling generation dir with no
+    // marker referencing it is a crash BEFORE the transaction committed
+    // — the originals are intact, the orphan generation is dead weight
+    val parent = path.getParent
+    if (parent != null && fs.exists(parent)) {
+      fs.listStatus(parent)
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(path.getName + TmpInfix))
+        .foreach(st => fs.delete(st.getPath, true))
+      // the pre-per-generation fixed tmp name, same reasoning
+      fs.delete(new org.apache.hadoop.fs.Path(dir + "_compact_tmp"), true)
+    }
   }
+
+  // per-generation tmp-dir suffix: <dir>_compact_tmp_<gen>
+  private val TmpInfix = "_compact_tmp_"
 
   /** The production fact-table layout, composed: Hive date partitions
     * (PLANNING-time pruning on the time predicate — directories are

@@ -149,6 +149,21 @@ class LayoutSpec extends SparkSpec {
     assert(files() === after)
   }
 
+  test("deleteWhere keeps rows where the predicate is NULL (erase only " +
+      "proven matches) and still completes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-delete-null")
+      .resolve("table").toString
+    spark.range(300)
+      .selectExpr("id", "CASE WHEN id % 5 = 4 THEN NULL ELSE id % 5 END AS k")
+      .repartition(4).write.parquet(dir)
+    val stats = graft.sources.Layout.deleteWhere(spark, dir, col("k") === 3)
+    assert(stats.rowsDeleted === 60L)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 240L)
+    assert(back.filter(col("k").isNull).count() === 60L) // NULLs survived
+    assert(back.filter(col("k") === 3).count() === 0L)
+  }
+
   test("deleteWhere: a file whose every row matches is deleted outright") {
     val dir = java.nio.file.Files.createTempDirectory("graft-delete-all")
       .resolve("table").toString
