@@ -232,6 +232,31 @@ object ErQueries {
         .select(col("tp"), col("fp"), col("fn"),
           round(col("precision"), 6).as("precision"),
           round(col("recall"), 6).as("recall"), round(col("f1"), 6).as("f1"))
+    }),
+
+    "q147_score_calibration" -> ((s, dir) => {
+      // reliability curve for the q36 rule score: 0.02-wide score bands
+      // vs observed positive rate — the calibration evidence a reviewer
+      // reads before trusting a threshold (q36 picks 0.75; this shows
+      // what each score band actually delivers). Same features, same
+      // synthetic label; every output is exact (counts + one division),
+      // so no float-sum ordering risk crosses the oracle.
+      val p = blockedPairs(s, dir)
+      val feats = EntityResolution.pairFeatures.toMap
+      val score = feats("domain_exact_match") * 0.4 +
+        greatest(feats("name_jaccard"), feats("name_levenshtein")) * 0.4 +
+        (feats("same_country") * 0.4 + feats("same_industry") * 0.3 +
+          feats("size_ratio") * 0.3) * 0.2
+      p.select(score.as("score"),
+          (feats("same_industry") === 1.0 && feats("size_ratio") > 0.5)
+            .cast("long").as("label"))
+        .withColumn("bucket",
+          least(floor(col("score") * 50).cast("long"), lit(49L)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum("label").as("n_pos"),
+          round(sum("label").cast("double") / count(lit(1)), 6)
+            .as("pos_rate"))
+        .orderBy("bucket")
     })
   )
 
@@ -528,6 +553,38 @@ object ErQueries {
         |    THEN 2 * (CAST(tp AS DOUBLE)/greatest(tp+fp,1)) * (CAST(tp AS DOUBLE)/greatest(tp+fn,1)) /
         |      (CAST(tp AS DOUBLE)/greatest(tp+fp,1) + CAST(tp AS DOUBLE)/greatest(tp+fn,1))
         |    ELSE 0.0 END, 6) AS f1
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    // q36's feature/score CTEs, re-terminated as a 0.02-band reliability
+    // rollup (score-sum arithmetic identical term-for-term, so the
+    // bucket floor sits on the same doubles both sides)
+    "q147_score_calibration" ->
+      s"""WITH $accSql, $pairSql,
+        |toks AS (SELECT p.*,
+        |  list_distinct(list_filter(string_split(a_norm, ' '), x -> len(x) > 2)) AS a_toks,
+        |  list_distinct(list_filter(string_split(b_norm, ' '), x -> len(x) > 2)) AS b_toks
+        |  FROM pairs p),
+        |f AS (SELECT
+        |  CASE WHEN a_dom = b_dom THEN 1.0 ELSE 0.0 END AS de,
+        |  CASE WHEN len(a_toks)=0 OR len(b_toks)=0 THEN 0.0
+        |    ELSE CAST(len(list_intersect(a_toks, b_toks)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a_toks, b_toks))) END AS jac,
+        |  CASE WHEN len(a_norm)=0 OR len(b_norm)=0 THEN 0.0
+        |    ELSE 1.0 - levenshtein(a_norm, b_norm) /
+        |      CAST(greatest(len(a_norm), len(b_norm)) AS DOUBLE) END AS lev,
+        |  CASE WHEN a_country = b_country AND a_country <> '' THEN 1.0 ELSE 0.0 END AS scn,
+        |  CASE WHEN a_industry = b_industry AND a_industry <> '' THEN 1.0 ELSE 0.0 END AS si,
+        |  CASE WHEN a_emp > 0 AND b_emp > 0
+        |    THEN least(a_emp, b_emp) / greatest(a_emp, b_emp) ELSE 0.5 END AS sr
+        |  FROM toks),
+        |sc AS (SELECT
+        |  (de*0.4 + greatest(jac, lev)*0.4 + (scn*0.4 + si*0.3 + sr*0.3)*0.2) AS score,
+        |  CASE WHEN si = 1.0 AND sr > 0.5 THEN 1 ELSE 0 END AS label FROM f),
+        |b AS (SELECT least(CAST(floor(score * 50) AS BIGINT), 49) AS bucket,
+        |  label FROM sc)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(label) AS BIGINT) AS n_pos,
+        |  round(CAST(sum(label) AS DOUBLE) / count(*), 6) AS pos_rate
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -465,6 +465,28 @@ object PipelineQueries {
         .orderBy("user_id")
     }),
 
+    "q146_transition_matrix" -> ((s, dir) => {
+      // user-journey transition matrix (the first-order Markov view of
+      // the event stream — the rollup behind funnels and next-action
+      // models): per user, consecutive event-type bigrams ordered by
+      // (ts, event_id) with a START pseudo-state, rolled up globally
+      // with per-source-state transition shares. One user-hash window
+      // Exchange + one tiny (|types|² rows) aggregate; the share window
+      // runs on the aggregate, never the fact table.
+      val w = org.apache.spark.sql.expressions.Window
+      val byUser = w.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev",
+          coalesce(lag(col("event_type"), 1).over(byUser), lit("START")))
+        .groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share", round(col("n") /
+          sum(col("n")).over(w.partitionBy(col("prev"))), 6))
+        .orderBy("prev", "next")
+    }),
+
     "q92_negative_sampling" -> ((s, dir) => {
       // contrastive-training negatives: 4 parts per customer that the
       // customer NEVER ordered. Candidates come from a replayable hash
@@ -1007,6 +1029,18 @@ object PipelineQueries {
         |  array_to_string(list_slice(
         |    list(event_type ORDER BY ts, event_id), 1, 10), ',') AS seq10
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q146_transition_matrix" ->
+      """WITH seq AS (SELECT user_id, event_type,
+        |    coalesce(lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id), 'START') AS prev
+        |  FROM events),
+        |m AS (SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS n
+        |  FROM seq GROUP BY 1, 2)
+        |SELECT prev, next, n,
+        |  round(CAST(n AS DOUBLE) /
+        |    sum(n) OVER (PARTITION BY prev), 6) AS share
+        |FROM m ORDER BY prev, next""".stripMargin,
 
     "q92_negative_sampling" ->
       """WITH pos AS (SELECT DISTINCT o.o_custkey AS c_custkey,
