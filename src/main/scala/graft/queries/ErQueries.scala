@@ -84,6 +84,50 @@ object ErQueries {
     EntityResolution.candidatePairs(a, b, blockOn = Some(blockCond))
   }
 
+  /** The JW-free rule score q36 thresholds and q147 calibrates — ONE
+    * definition so the threshold and its calibration can never drift
+    * apart. (The oracle-side twin is [[ruleFeatSql]].) */
+  private def ruleScore: Column = {
+    val feats = EntityResolution.pairFeatures.toMap
+    feats("domain_exact_match") * 0.4 +
+      greatest(feats("name_jaccard"), feats("name_levenshtein")) * 0.4 +
+      (feats("same_country") * 0.4 + feats("same_industry") * 0.3 +
+        feats("size_ratio") * 0.3) * 0.2
+  }
+
+  /** The synthetic match label shared by q36 and q147. */
+  private def ruleLabel: Column = {
+    val feats = EntityResolution.pairFeatures.toMap
+    feats("same_industry") === 1.0 && feats("size_ratio") > 0.5
+  }
+
+  /** DuckDB twin of the rule-score inputs: the toks/f feature CTEs both
+    * q36 and q147 prepend (expects `acc`/`pairs` in scope; yields
+    * f(de, jac, lev, scn, si, sr)). */
+  private val ruleFeatSql =
+    """toks AS (SELECT p.*,
+      |  list_distinct(list_filter(string_split(a_norm, ' '), x -> len(x) > 2)) AS a_toks,
+      |  list_distinct(list_filter(string_split(b_norm, ' '), x -> len(x) > 2)) AS b_toks
+      |  FROM pairs p),
+      |f AS (SELECT
+      |  CASE WHEN a_dom = b_dom THEN 1.0 ELSE 0.0 END AS de,
+      |  CASE WHEN len(a_toks)=0 OR len(b_toks)=0 THEN 0.0
+      |    ELSE CAST(len(list_intersect(a_toks, b_toks)) AS DOUBLE) /
+      |      len(list_distinct(list_concat(a_toks, b_toks))) END AS jac,
+      |  CASE WHEN len(a_norm)=0 OR len(b_norm)=0 THEN 0.0
+      |    ELSE 1.0 - levenshtein(a_norm, b_norm) /
+      |      CAST(greatest(len(a_norm), len(b_norm)) AS DOUBLE) END AS lev,
+      |  CASE WHEN a_country = b_country AND a_country <> '' THEN 1.0 ELSE 0.0 END AS scn,
+      |  CASE WHEN a_industry = b_industry AND a_industry <> '' THEN 1.0 ELSE 0.0 END AS si,
+      |  CASE WHEN a_emp > 0 AND b_emp > 0
+      |    THEN least(a_emp, b_emp) / greatest(a_emp, b_emp) ELSE 0.5 END AS sr
+      |  FROM toks)""".stripMargin
+
+  /** DuckDB twin of [[ruleScore]]/[[ruleLabel]] over `f`. */
+  private val ruleScoreSql =
+    "(de*0.4 + greatest(jac, lev)*0.4 + (scn*0.4 + si*0.3 + sr*0.3)*0.2)"
+  private val ruleLabelSql = "(si = 1.0 AND sr > 0.5)"
+
   // DuckDB fragments for the same derivations.
   private val accSql =
     """acc AS (
@@ -221,13 +265,8 @@ object ErQueries {
       // confusion metrics at a threshold (reference:
       // entity_resolution.py:554-613 A14) on a JW-free score vs synthetic label
       val p = blockedPairs(s, dir)
-      val feats = EntityResolution.pairFeatures.toMap
-      val score = feats("domain_exact_match") * 0.4 +
-        greatest(feats("name_jaccard"), feats("name_levenshtein")) * 0.4 +
-        (feats("same_country") * 0.4 + feats("same_industry") * 0.3 +
-          feats("size_ratio") * 0.3) * 0.2
-      val labeled = p.withColumn("pred", score >= 0.75)
-        .withColumn("label", feats("same_industry") === 1.0 && feats("size_ratio") > 0.5)
+      val labeled = p.withColumn("pred", ruleScore >= 0.75)
+        .withColumn("label", ruleLabel)
       EntityResolution.confusionMetrics(labeled, col("pred"), col("label"))
         .select(col("tp"), col("fp"), col("fn"),
           round(col("precision"), 6).as("precision"),
@@ -238,18 +277,13 @@ object ErQueries {
       // reliability curve for the q36 rule score: 0.02-wide score bands
       // vs observed positive rate — the calibration evidence a reviewer
       // reads before trusting a threshold (q36 picks 0.75; this shows
-      // what each score band actually delivers). Same features, same
-      // synthetic label; every output is exact (counts + one division),
-      // so no float-sum ordering risk crosses the oracle.
+      // what each score band actually delivers). ONE definition of the
+      // score and label ([[ruleScore]]/[[ruleLabel]]) serves both
+      // queries, so an edit to the weights cannot silently decouple the
+      // threshold from its calibration. Every output is exact (counts +
+      // one division), so no float-sum ordering risk crosses the oracle.
       val p = blockedPairs(s, dir)
-      val feats = EntityResolution.pairFeatures.toMap
-      val score = feats("domain_exact_match") * 0.4 +
-        greatest(feats("name_jaccard"), feats("name_levenshtein")) * 0.4 +
-        (feats("same_country") * 0.4 + feats("same_industry") * 0.3 +
-          feats("size_ratio") * 0.3) * 0.2
-      p.select(score.as("score"),
-          (feats("same_industry") === 1.0 && feats("size_ratio") > 0.5)
-            .cast("long").as("label"))
+      p.select(ruleScore.as("score"), ruleLabel.cast("long").as("label"))
         .withColumn("bucket",
           least(floor(col("score") * 50).cast("long"), lit(49L)))
         .groupBy("bucket")
@@ -522,26 +556,10 @@ object ErQueries {
 
     "q36_er_confusion" ->
       s"""WITH $accSql, $pairSql,
-        |toks AS (SELECT p.*,
-        |  list_distinct(list_filter(string_split(a_norm, ' '), x -> len(x) > 2)) AS a_toks,
-        |  list_distinct(list_filter(string_split(b_norm, ' '), x -> len(x) > 2)) AS b_toks
-        |  FROM pairs p),
-        |f AS (SELECT
-        |  CASE WHEN a_dom = b_dom THEN 1.0 ELSE 0.0 END AS de,
-        |  CASE WHEN len(a_toks)=0 OR len(b_toks)=0 THEN 0.0
-        |    ELSE CAST(len(list_intersect(a_toks, b_toks)) AS DOUBLE) /
-        |      len(list_distinct(list_concat(a_toks, b_toks))) END AS jac,
-        |  CASE WHEN len(a_norm)=0 OR len(b_norm)=0 THEN 0.0
-        |    ELSE 1.0 - levenshtein(a_norm, b_norm) /
-        |      CAST(greatest(len(a_norm), len(b_norm)) AS DOUBLE) END AS lev,
-        |  CASE WHEN a_country = b_country AND a_country <> '' THEN 1.0 ELSE 0.0 END AS scn,
-        |  CASE WHEN a_industry = b_industry AND a_industry <> '' THEN 1.0 ELSE 0.0 END AS si,
-        |  CASE WHEN a_emp > 0 AND b_emp > 0
-        |    THEN least(a_emp, b_emp) / greatest(a_emp, b_emp) ELSE 0.5 END AS sr
-        |  FROM toks),
+        |$ruleFeatSql,
         |lab AS (SELECT
-        |  (de*0.4 + greatest(jac, lev)*0.4 + (scn*0.4 + si*0.3 + sr*0.3)*0.2) >= 0.75 AS pred,
-        |  (si = 1.0 AND sr > 0.5) AS label FROM f),
+        |  $ruleScoreSql >= 0.75 AS pred,
+        |  $ruleLabelSql AS label FROM f),
         |m AS (SELECT
         |  sum(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS tp,
         |  sum(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END) AS fp,
@@ -555,31 +573,16 @@ object ErQueries {
         |    ELSE 0.0 END, 6) AS f1
         |FROM m""".stripMargin,
 
-    // q36's feature/score CTEs, re-terminated as a 0.02-band reliability
-    // rollup (score-sum arithmetic identical term-for-term, so the
-    // bucket floor sits on the same doubles both sides)
+    // the SHARED feature/score fragments (ruleFeatSql/ruleScoreSql —
+    // one definition with q36), re-terminated as a 0.02-band
+    // reliability rollup (the bucket floor sits on the same doubles
+    // both sides)
     "q147_score_calibration" ->
       s"""WITH $accSql, $pairSql,
-        |toks AS (SELECT p.*,
-        |  list_distinct(list_filter(string_split(a_norm, ' '), x -> len(x) > 2)) AS a_toks,
-        |  list_distinct(list_filter(string_split(b_norm, ' '), x -> len(x) > 2)) AS b_toks
-        |  FROM pairs p),
-        |f AS (SELECT
-        |  CASE WHEN a_dom = b_dom THEN 1.0 ELSE 0.0 END AS de,
-        |  CASE WHEN len(a_toks)=0 OR len(b_toks)=0 THEN 0.0
-        |    ELSE CAST(len(list_intersect(a_toks, b_toks)) AS DOUBLE) /
-        |      len(list_distinct(list_concat(a_toks, b_toks))) END AS jac,
-        |  CASE WHEN len(a_norm)=0 OR len(b_norm)=0 THEN 0.0
-        |    ELSE 1.0 - levenshtein(a_norm, b_norm) /
-        |      CAST(greatest(len(a_norm), len(b_norm)) AS DOUBLE) END AS lev,
-        |  CASE WHEN a_country = b_country AND a_country <> '' THEN 1.0 ELSE 0.0 END AS scn,
-        |  CASE WHEN a_industry = b_industry AND a_industry <> '' THEN 1.0 ELSE 0.0 END AS si,
-        |  CASE WHEN a_emp > 0 AND b_emp > 0
-        |    THEN least(a_emp, b_emp) / greatest(a_emp, b_emp) ELSE 0.5 END AS sr
-        |  FROM toks),
+        |$ruleFeatSql,
         |sc AS (SELECT
-        |  (de*0.4 + greatest(jac, lev)*0.4 + (scn*0.4 + si*0.3 + sr*0.3)*0.2) AS score,
-        |  CASE WHEN si = 1.0 AND sr > 0.5 THEN 1 ELSE 0 END AS label FROM f),
+        |  $ruleScoreSql AS score,
+        |  CASE WHEN $ruleLabelSql THEN 1 ELSE 0 END AS label FROM f),
         |b AS (SELECT least(CAST(floor(score * 50) AS BIGINT), 49) AS bucket,
         |  label FROM sc)
         |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
