@@ -69,8 +69,15 @@ object SparkEntry {
     * q122's exact-hash oracle gate is numerically sound only while the
     * embeddings table keeps its measured float margins ([[graft.queries.Q122Margin]]). */
   def verifyPreconditions: Map[String, (SparkSession, String) => Unit] =
-    Map("q122_semantic_dedup" ->
-      ((s, dir) => graft.queries.Q122Margin.assertSound(s, dir)))
+    Map(
+      "q122_semantic_dedup" ->
+        ((s, dir) => graft.queries.Q122Margin.assertSound(s, dir)),
+      // q36/q147 share one rule score; its 0.75 threshold and 0.02-band
+      // floors get the same knife-edge guard
+      "q36_er_confusion" ->
+        ((s, dir) => graft.queries.ErQueries.assertScoreMarginsSound(s, dir)),
+      "q147_score_calibration" ->
+        ((s, dir) => graft.queries.ErQueries.assertScoreMarginsSound(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -128,6 +128,28 @@ object ErQueries {
     "(de*0.4 + greatest(jac, lev)*0.4 + (scn*0.4 + si*0.3 + sr*0.3)*0.2)"
   private val ruleLabelSql = "(si = 1.0 AND sr > 0.5)"
 
+  /** Float-stability guard for the rule-score gates (the Q122Margin
+    * discipline): q36's 0.75 threshold and q147's 0.02-band floors are
+    * exact-hash-sound only while every score keeps clear of its knife
+    * edge. Engine fp divergence for this 8-term double formula is
+    * ≲1e-15; the bound demands 1e-9. Invoked by Verify before either
+    * query, so a regenerated customer table that parks a score on a
+    * band edge fails the round loudly instead of hash-mismatching. */
+  def assertScoreMarginsSound(s: SparkSession, dir: String): Unit = {
+    val scores = blockedPairs(s, dir).select(ruleScore.as("score"))
+    val row = scores.agg(
+      min(abs(col("score") * 50 - round(col("score") * 50, 0))).as("band"),
+      min(abs(col("score") - 0.75)).as("thr")).head
+    def orInf(i: Int) =
+      if (row.isNullAt(i)) Double.PositiveInfinity else row.getDouble(i)
+    val (band, thr) = (orInf(0), orInf(1))
+    require(band > 1e-9 && thr > 1e-9,
+      f"rule-score float-margin guard: minBandDist=$band%.3e " +
+        f"minThresholdDist=$thr%.3e (bound 1e-09) — a score sits on a " +
+        "q147 band edge or q36's 0.75 threshold; the exact-hash oracle " +
+        "gate is unsound for this data.")
+  }
+
   // DuckDB fragments for the same derivations.
   private val accSql =
     """acc AS (
