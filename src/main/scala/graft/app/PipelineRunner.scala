@@ -130,7 +130,12 @@ object PipelineRunner {
             val recs = spark.read.parquet(s"$outDir/recommendations")
             val digest = Notify.digestOf(graft.serve.Serve.notifyDigest(
               recs, n = 5, tiebreak = Seq(col("a_id").asc, col("b_id").asc)))
-            Notify.opportunityMessages(digest, cfg.emailRecipients,
+            // an alert exists to announce opportunities; a successful run
+            // that pruned to ZERO sends nothing (the reference's alert
+            // layer fires only when there is something to say) — an
+            // empty fan-out is channel noise, not information
+            if (digest.nTotal == 0L) Nil
+            else Notify.opportunityMessages(digest, cfg.emailRecipients,
               cfg.slack, cfg.teams, cfg.dashboardUrl)
           } else {
             val f = interim.results.find(_.status == "failed").get

@@ -20,13 +20,23 @@ import org.apache.spark.sql.functions._
  */
 object SaltedJoin {
 
+  /** Deterministic per-row salt: hash of the row's FULL column content.
+    * NOT monotonically_increasing_id — that is nondeterministic under
+    * task recomputation (partition/order dependent), so a fetch-failure
+    * rerun could assign a row a different salt than reducers already
+    * consumed, duplicating or dropping join rows. Content-hash is
+    * stable across retries and partitionings; rows identical in every
+    * column share a salt (only a concern if a hot key is dominated by
+    * exact-duplicate rows — dedup those first). */
+  private def rowSalt(df: DataFrame, s: Int): Column =
+    pmod(hash(df.columns.map(col).toSeq: _*), lit(s))
+
   /** Inner equi-join of `big` and `small` on `key`, salted `s` ways.
     * Column sets must be disjoint apart from `key` (standard join rule).
-    * The salt is hash-derived from the big side's full row via a
-    * monotonically-increasing id — uniform regardless of key skew. */
+    * The salt is the big side's deterministic content hash — uniform
+    * regardless of key skew, stable under task retry. */
   def join(big: DataFrame, small: DataFrame, key: String, s: Int): DataFrame = {
-    val bigSalted = big.withColumn("_salt",
-      pmod(hash(monotonically_increasing_id()), lit(s)))
+    val bigSalted = big.withColumn("_salt", rowSalt(big, s))
     val smallExploded = small.withColumn("_salt",
       explode(sequence(lit(0), lit(s - 1))))
     bigSalted.join(smallExploded, Seq(key, "_salt")).drop("_salt")
@@ -43,8 +53,7 @@ object SaltedJoin {
     * row-identical to the unsalted join (spec-asserted). */
   def joinOn(big: DataFrame, replicated: DataFrame,
              bigKey: Column, replicatedKey: Column, s: Int): DataFrame = {
-    val bigSalted = big.withColumn("_salt_big",
-      pmod(hash(monotonically_increasing_id()), lit(s)))
+    val bigSalted = big.withColumn("_salt_big", rowSalt(big, s))
     val repExploded = replicated.withColumn("_salt_rep",
       explode(sequence(lit(0), lit(s - 1))))
     bigSalted.join(repExploded,

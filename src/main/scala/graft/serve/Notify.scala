@@ -63,8 +63,12 @@ object Notify {
   }
   private def score2(v: Double): String = f"$v%.2f" // {:.2f}
 
+  // quotes included: the escape is used inside double-quoted attribute
+  // values (the dashboard href), where an unescaped '"' breaks out of
+  // the attribute — config-sourced strings must not inject markup
   private def htmlEscape(s: String): String = s
     .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    .replace("\"", "&quot;").replace("'", "&#39;")
   private def jsonEscape(s: String): String = s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
@@ -224,18 +228,27 @@ object Notify {
             attempt += 1
           }
         }
+        // BOOKKEEPING failures (marker or dead-letter write) are scoped
+        // per message, like send failures: one unwritable outbox entry
+        // must not starve the remaining channels. A sent-but-unmarked
+        // message re-sends on the next run — exactly the at-least-once
+        // contract the marker already implies.
         if (done) {
-          val w = new java.io.PrintWriter(marker, "UTF-8")
-          try w.println(s"""{"channel":"${m.channel}","recipient":"${jsonEscape(m.recipient)}","subject":"${jsonEscape(m.subject)}"}""")
-          finally w.close()
+          try {
+            val w = new java.io.PrintWriter(marker, "UTF-8")
+            try w.println(s"""{"channel":"${m.channel}","recipient":"${jsonEscape(m.recipient)}","subject":"${jsonEscape(m.subject)}"}""")
+            finally w.close()
+          } catch { case _: Exception => () } // delivered; marker best-effort
           sent += 1
         } else {
-          val dl = new java.io.OutputStreamWriter(
-            new java.io.FileOutputStream(
-              new java.io.File(dir, "dead_letter.jsonl"), true),
-            java.nio.charset.StandardCharsets.UTF_8)
-          try dl.write(s"""{"idKey":"${m.idKey}","channel":"${m.channel}","recipient":"${jsonEscape(m.recipient)}","subject":"${jsonEscape(m.subject)}","error":"${jsonEscape(lastErr)}","attempts":$maxTries}""" + "\n")
-          finally dl.close()
+          try {
+            val dl = new java.io.OutputStreamWriter(
+              new java.io.FileOutputStream(
+                new java.io.File(dir, "dead_letter.jsonl"), true),
+              java.nio.charset.StandardCharsets.UTF_8)
+            try dl.write(s"""{"idKey":"${m.idKey}","channel":"${m.channel}","recipient":"${jsonEscape(m.recipient)}","subject":"${jsonEscape(m.subject)}","error":"${jsonEscape(lastErr)}","attempts":$maxTries}""" + "\n")
+            finally dl.close()
+          } catch { case _: Exception => () } // exhausted either way
           dead += 1
         }
       }

@@ -87,10 +87,16 @@ object ResilientClient {
   final case class RetryPolicy(maxTries: Int = 3, baseDelayMs: Long = 100,
                                maxDelayMs: Long = 10000) {
     def delayMs(attempt: Int, retryAfter: Option[String]): Long = {
+      // defensive parse BOTH ways: a negative value would make
+      // Thread.sleep throw, and a huge one overflows the *1000 to
+      // negative — either crashes the retry loop a malicious/buggy
+      // server must not control. Out-of-range → fall back to expo.
       val fromServer = retryAfter
-        .flatMap(v => scala.util.Try(v.trim.toLong * 1000).toOption)
-      math.min(maxDelayMs, fromServer.getOrElse(
-        baseDelayMs << math.min(attempt - 1, 20)))
+        .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+        .filter(s => s >= 0 && s <= Long.MaxValue / 1000)
+        .map(_ * 1000)
+      math.max(0L, math.min(maxDelayMs, fromServer.getOrElse(
+        baseDelayMs << math.min(attempt - 1, 20))))
     }
   }
 
@@ -179,26 +185,10 @@ object ResilientClient {
     r
   }
 
-  /**
-   * Cursor pagination (reference :317-337): follow `nextUrl` until the
-   * server reports done; every page must come back 2xx. Returns every
-   * page body in order — use only for control-sized results;
-   * [[extractToStaging]] streams pages to disk instead of accumulating.
-   * Pages are fetched serially BY PROTOCOL — each cursor comes from the
-   * previous response, so this loop is inherently sequential;
-   * parallelism lives in the data plane, not here.
-   */
-  def fetchAllPages(call: Request => Response, firstUrl: String,
-                    parse: Response => Page): Seq[String] = {
-    val pages = Seq.newBuilder[String]
-    var next: Option[String] = Some(firstUrl)
-    while (next.isDefined) {
-      val page = parse(checked(call, next.get))
-      pages += page.body
-      next = page.nextUrl
-    }
-    pages.result()
-  }
+  // (cursor pagination is inherently serial — each cursor comes from the
+  // previous response; parallelism lives in the data plane. The single
+  // pagination entry point is extractToStaging: an accumulate-in-memory
+  // variant was deliberately removed as unexercised dead surface.)
 
   /**
    * Control-plane extract → staging dir → DSv2 data plane: pages land
@@ -206,10 +196,15 @@ object ResilientClient {
    * reads), each written AS IT ARRIVES — driver memory is O(one page),
    * never O(extract), and a crash leaves the already-fetched prefix on
    * disk. Idempotent: page index is the file name (a re-run overwrites,
-   * never duplicates) and stale `batch_*.csv` beyond the final page
-   * count are DELETED, so a re-run against a shrunk source converges to
-   * exactly the new page set. A non-2xx page response throws — an error
-   * body is never staged as data. Returns the staged file count. Each
+   * never duplicates) and stale `batch_*.csv` at-or-beyond the current
+   * index are DELETED — on success (converging a shrunk source to
+   * exactly the new page set) AND on failure (so the directory never
+   * mixes a fresh prefix with a stale tail from an older generation; a
+   * reader after a failed run sees a true prefix of the new extract,
+   * nothing else). A non-2xx page response throws — an error body is
+   * never staged as data; page writes go through Files.write, whose
+   * IOExceptions THROW (PrintWriter would swallow them and report a
+   * truncated file as success). Returns the staged file count. Each
    * page body must be a header-ful CSV chunk (the reference's bulk
    * result format); every page carries the same header, as
    * [[BulkCsvSource]] requires.
@@ -219,22 +214,26 @@ object ResilientClient {
     val dir = new java.io.File(stagingDir)
     dir.mkdirs()
     var i = 0
-    var next: Option[String] = Some(firstUrl)
-    while (next.isDefined) {
-      val page = parse(checked(call, next.get))
-      val f = new java.io.File(dir, f"batch_$i%05d.csv")
-      val w = new java.io.PrintWriter(f, "UTF-8")
-      try w.print(page.body) finally w.close()
-      i += 1
-      next = page.nextUrl
-    }
-    val pat = "batch_([0-9]{5})\\.csv".r
-    Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
-      f.getName match {
-        case pat(n) if n.toInt >= i => f.delete()
-        case _ => ()
+    def dropStaleFrom(n: Int): Unit = {
+      val pat = "batch_([0-9]{5})\\.csv".r
+      Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
+        f.getName match {
+          case pat(idx) if idx.toInt >= n => f.delete()
+          case _ => ()
+        }
       }
     }
-    i
+    try {
+      var next: Option[String] = Some(firstUrl)
+      while (next.isDefined) {
+        val page = parse(checked(call, next.get))
+        java.nio.file.Files.write(
+          new java.io.File(dir, f"batch_$i%05d.csv").toPath,
+          page.body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        i += 1
+        next = page.nextUrl
+      }
+      i
+    } finally dropStaleFrom(i)
   }
 }

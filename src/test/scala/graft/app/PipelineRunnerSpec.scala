@@ -91,6 +91,18 @@ class PipelineRunnerSpec extends SparkSpec {
     assert(delivered.map(_.channel).toSeq === Seq("email", "slack"))
     assert(delivered.head.subject === "Cross-Sell Pipeline Error")
     assert(delivered.head.body.contains("stage validate"))
+
+    // a successful run that prunes to ZERO recommendations sends
+    // NOTHING — an empty digest is channel noise, not information
+    delivered.clear()
+    val out2 = java.nio.file.Files.createTempDirectory("graft-pipe4").toString
+    val cfg2 = cfg.copy(outboxDir = s"$out2/outbox")
+    val report4 = PipelineRunner.run(spark, pipelineAccounts,
+      java.sql.Date.valueOf("2024-01-01"), out2, topK = 40,
+      scoreThreshold = 2.0, notify = Some(cfg2)) // unreachable threshold
+    assert(report4.status == "success")
+    assert(report4.results.find(_.stage == "notify").get.records === 0)
+    assert(delivered.isEmpty, "empty digest must not fan out")
   }
 
   test("live-extract composition: ResilientClient staging feeds the DSv2 " +

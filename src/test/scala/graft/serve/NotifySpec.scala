@@ -43,6 +43,11 @@ class NotifySpec extends SparkSpec {
       "<script>", "b", 0.5, 10, "<img src=x>")))
     val eh = Notify.emailHtml(evil, "http://dash")
     assert(!eh.contains("<script>") && eh.contains("&lt;script&gt;"))
+    // ATTRIBUTE context: a double quote in the (config-sourced)
+    // dashboard url must not break out of href="..."
+    val ah = Notify.emailHtml(digest, "http://dash/\" onclick=\"x()")
+    assert(!ah.contains("href=\"http://dash/\" onclick="))
+    assert(ah.contains("&quot;"))
   }
 
   test("slack blocks + teams card are valid JSON with header, summary and " +

@@ -64,6 +64,12 @@ class ResilientClientSpec extends SparkSpec {
       Some("Fri, 14 Aug 2026 10:00:00 GMT")) === 100L)
     assert(policy.delayMs(1, Some("86400")) === 10000L,
       "server-dictated day-long sleep capped at maxDelayMs")
+    // a NEGATIVE or overflow-prone numeric Retry-After must not reach
+    // Thread.sleep (IllegalArgumentException would crash the loop):
+    // out-of-range values fall back to the expo delay
+    assert(policy.delayMs(1, Some("-1")) === 100L)
+    assert(policy.delayMs(2, Some("99999999999999999")) === 200L)
+    assert(policy.delayMs(1, Some(Long.MinValue.toString)) === 100L)
 
     val clock3 = new VClock
     intercept[TransportException] {
@@ -194,6 +200,27 @@ class ResilientClientSpec extends SparkSpec {
     }
     assert(!new java.io.File(staging + "-err", "batch_00000.csv").exists,
       "the 403 error body must not land in staging")
+    // a FAILED re-run against existing staging leaves only the fresh
+    // prefix — never a fresh-prefix + stale-tail mix a reader would
+    // see as one consistent (wrong) dataset
+    val failingTransport: Transport = { req =>
+      val idx = req.url.stripPrefix("page/").toInt
+      if (idx == 0) Response(200, pages(0), Map("Next-Url" -> "page/1"))
+      else Response(500, "")
+    }
+    intercept[TransportException] {
+      ResilientClient.extractToStaging(
+        r => ResilientClient.execute(failingTransport, bucket, auth,
+          RetryPolicy(), clock, r),
+        "page/0", r => Page(r.body, r.headers.get("Next-Url")), staging)
+    }
+    assert(new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".csv")).map(_.getName).toSet
+      === Set("batch_00000.csv"),
+      "failure must purge stale batches at-or-beyond the fresh prefix")
+    // restore full staging once more for the read-back below
+    assert(ResilientClient.extractToStaging(call, "page/0",
+      r => Page(r.body, r.headers.get("Next-Url")), staging) === 3)
 
     val back = spark.read.format(BulkCsvSource.format)
       .schema("n_nationkey LONG, n_name STRING, n_regionkey LONG")
