@@ -78,6 +78,21 @@ object MlQueries {
         .orderBy("doc_id")
     }),
 
+    "q148_lexrank_summary" -> ((s, dir) => {
+      // REAL extractive summarization (Summarize.lexRankTiles scaladoc):
+      // degree-centrality LexRank over 10-word tiles, keep the 2 most
+      // central re-joined in original order — the model-free upgrade
+      // over q66's first-N stub (which it degenerates to exactly when a
+      // doc has no similarity signal). Centrality sums ride
+      // DECIMAL(28,18); ties break to the earliest tile.
+      graft.functions.Summarize.lexRankTiles(
+          Tables.load(s, dir, "documents"), col("doc_id"), col("text"),
+          spanWords = 10, k = 2)
+        .select(col("id").as("doc_id"), col("n_tiles"), col("picked"),
+          col("summary_md5"), col("top_centrality"))
+        .orderBy("doc_id")
+    }),
+
     "q67_ab_router" -> ((s, dir) => {
       // consistent-hash A/B assignment, bit-exact 128-bit md5 mod 1000
       // (reference: feedback_logging.py:546-571 M12/F22)
@@ -168,6 +183,42 @@ object MlQueries {
         |    ELSE array_to_string(list_slice(string_split(text, '. '), 1, 2), '. ')
         |  END AS summary
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q148_lexrank_summary" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |t0 AS (SELECT doc_id, CAST(ceil(len(ws) / 10.0) AS BIGINT) AS n_tiles,
+        |    ws FROM d),
+        |tiles0 AS (SELECT doc_id, n_tiles,
+        |    unnest(range(0, n_tiles)) AS idx, ws FROM t0),
+        |tiles AS (SELECT doc_id, n_tiles, idx,
+        |    array_to_string(ws[idx*10+1 : idx*10+10], ' ') AS tile,
+        |    list_distinct(ws[idx*10+1 : idx*10+10]) AS toks
+        |  FROM tiles0
+        |  WHERE len(array_to_string(ws[idx*10+1 : idx*10+10], ' ')) > 0),
+        |pairs AS (SELECT x.doc_id, x.idx AS ia, y.idx AS ib,
+        |    CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(x.toks, y.toks))) AS j
+        |  FROM tiles x JOIN tiles y
+        |    ON x.doc_id = y.doc_id AND x.idx < y.idx),
+        |ends AS (SELECT doc_id, ia AS idx, j FROM pairs
+        |  UNION ALL SELECT doc_id, ib AS idx, j FROM pairs),
+        |cent AS (SELECT doc_id, idx,
+        |    sum(CAST(j AS DECIMAL(28,18))) AS c
+        |  FROM ends GROUP BY 1, 2),
+        |ranked AS (SELECT t.doc_id, t.n_tiles, t.idx, t.tile,
+        |    coalesce(c.c, CAST(0 AS DECIMAL(28,18))) AS c,
+        |    row_number() OVER (PARTITION BY t.doc_id
+        |      ORDER BY coalesce(c.c, CAST(0 AS DECIMAL(28,18))) DESC,
+        |        t.idx ASC) AS rk
+        |  FROM tiles t LEFT JOIN cent c
+        |    ON c.doc_id = t.doc_id AND c.idx = t.idx)
+        |SELECT doc_id, max(n_tiles) AS n_tiles,
+        |  array_to_string(list(CAST(idx AS VARCHAR) ORDER BY idx), ',')
+        |    AS picked,
+        |  md5(array_to_string(list(tile ORDER BY idx), ' ')) AS summary_md5,
+        |  round(CAST(max(c) AS DOUBLE), 6) AS top_centrality
+        |FROM ranked WHERE rk <= 2
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q67_ab_router" ->
       """WITH h AS (SELECT o_orderkey,
