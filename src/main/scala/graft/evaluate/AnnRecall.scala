@@ -1,0 +1,168 @@
+package graft.evaluate
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.{SimilaritySearch, TopK}
+import graft.sources.Tables
+
+/**
+ * Measured recall@10 for every approximate ANN family at the
+ * correctness-gate SF — the one computation behind BOTH the
+ * `AnnRecallSpec` collapse floors and the `MetricsLedger` cross-round
+ * ledger (`metrics_detail.json`), so the spec's floors and the ledger's
+ * drift flags can never measure different things.
+ *
+ * Protocol (documented in SCALING.md "ANN measured recall"): 500×64
+ * vectors at sf0.01, 10 seeded queries (vec_id % 50 == 7),
+ * self-matches excluded, ground truth = brute-force cosine top-10
+ * (exact L2 top-10 for the PQ families — the metric they approximate);
+ * recall@10 = |ANN ∩ truth| / (10 · queries). Deterministic end-to-end
+ * (modulus-sampled centroids/codebooks, fixed tie-breaks), so the
+ * values are GOLDENS: a move beyond the ledger threshold means the
+ * index build changed, not the data.
+ */
+object AnnRecall {
+
+  val GateDir = "/root/testdata/sf0.01"
+  private val NQueries = 10
+  private val K = 10
+
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double"); d * d
+    }), lit(0.0), _ + _)
+
+  /** All five family recalls as ledger rows. */
+  def measure(spark: SparkSession, dir: String = GateDir)
+      : Seq[(String, Double)] = {
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"),
+        VectorFunctions.unit(col("embedding")).as("u"))
+      .filter(col("u").isNotNull)
+      .cache()
+    val queries = e.filter(col("id") % 50 === 7)
+      .select(col("id").as("qid"), col("embedding").as("qv"),
+        col("u").as("qu"))
+    val pairs = e.crossJoin(broadcast(queries))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        VectorFunctions.dot(col("u"), col("qu")).as("cos"),
+        l2sq(col("embedding"), col("qv")).as("l2"))
+      .cache()
+    val cosTruth = TopK.topKPerGroup(pairs, Seq(col("qid")),
+      Seq(col("cos").desc, col("id").asc), K).select("qid", "id").cache()
+    val l2Truth = TopK.topKPerGroup(pairs, Seq(col("qid")),
+      Seq(col("l2").asc, col("id").asc), K).select("qid", "id").cache()
+    def recall(ann: DataFrame, truth: DataFrame): Double =
+      truth.join(ann.select("qid", "id"), Seq("qid", "id")).count()
+        .toDouble / (K * NQueries)
+
+    val embsRaw = Tables.load(spark, dir, "embeddings")
+    val cents = SimilaritySearch.ivfCentroids(embsRaw, col("vec_id"),
+      col("embedding"), 100)
+    val assign = SimilaritySearch.ivfAssign(embsRaw, col("vec_id"),
+      col("embedding"), 100).select("id", "cid")
+    val qc = queries.crossJoin(broadcast(cents))
+      .select(col("qid"),
+        VectorFunctions.dot(col("qu"), col("cu")).as("qcos"), col("cid"))
+    val probed = TopK.topKPerGroup(qc, Seq(col("qid")),
+      Seq(col("qcos").desc, col("cid").asc), 2).select("qid", "cid")
+
+    // IVF: probe 2 of 5 lists, exact cosine within
+    val ivfTop = TopK.topKPerGroup(
+      probed.join(assign, "cid").select("qid", "id")
+        .join(pairs, Seq("qid", "id")),
+      Seq(col("qid")), Seq(col("cos").desc, col("id").asc), K)
+    val ivfR = recall(ivfTop, cosTruth)
+
+    // LSH: 16 sign buckets, single probe
+    val bucketed = e.withColumn("b",
+      SimilaritySearch.lshBucket(col("u"), dims = 64, planes = 4))
+    val qb = queries.withColumn("qb",
+      SimilaritySearch.lshBucket(col("qu"), dims = 64, planes = 4))
+    val lshTop = TopK.topKPerGroup(
+      bucketed.join(broadcast(qb), col("b") === col("qb"))
+        .filter(col("id") =!= col("qid")).select("qid", "id")
+        .join(pairs, Seq("qid", "id")),
+      Seq(col("qid")), Seq(col("cos").desc, col("id").asc), K)
+    val lshR = recall(lshTop, cosTruth)
+
+    // PQ-ADC over the full corpus (raw codes)
+    val cb = embsRaw.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("ccid"), col("embedding").as("cv"))
+    def subv(v: Column): Column = slice(v, col("s") * 16 + 1, lit(16))
+    val codes = TopK.topKPerGroup(
+      e.select(col("id"), col("embedding"),
+          explode(sequence(lit(0), lit(3))).as("s"))
+        .crossJoin(broadcast(cb))
+        .select(col("id"), col("s"), col("ccid"),
+          l2sq(subv(col("embedding")), subv(col("cv"))).as("d")),
+      Seq(col("id"), col("s")), Seq(col("d").asc, col("ccid").asc), 1)
+      .select("id", "s", "ccid").cache()
+    val dq = queries
+      .select(col("qid"), col("qv"), explode(sequence(lit(0), lit(3))).as("s"))
+      .crossJoin(broadcast(cb))
+      .select(col("qid"), col("s"), col("ccid"),
+        l2sq(subv(col("qv")), subv(col("cv"))).as("dq"))
+    val adcAll = codes.join(broadcast(dq), Seq("s", "ccid"))
+      .groupBy("qid", "id").agg(sum("dq").as("adc"))
+      .filter(col("id") =!= col("qid"))
+    val pqTop = TopK.topKPerGroup(adcAll, Seq(col("qid")),
+      Seq(col("adc").asc, col("id").asc), K)
+    val pqR = recall(pqTop, l2Truth)
+
+    // IVF-PQ: raw codes restricted to probed-list members
+    val ivfpqTop = TopK.topKPerGroup(
+      probed.join(assign, "cid").select("qid", "id")
+        .join(adcAll, Seq("qid", "id")),
+      Seq(col("qid")), Seq(col("adc").asc, col("id").asc), K)
+    val ivfpqR = recall(ivfpqTop, l2Truth)
+
+    // residual IVF-PQ: residual-space codebook, per-list ADC tables
+    val rawCents = embsRaw.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvr"))
+    val resid = embsRaw.select(col("vec_id").as("id"), col("embedding"))
+      .join(assign, "id")
+      .join(broadcast(rawCents), "cid")
+      .select(col("id"), col("cid"),
+        zip_with(col("embedding"), col("cvr"),
+          (x, y) => x.cast("double") - y.cast("double")).as("r"))
+    val rcb = resid.filter(col("id") % 100 === 0)
+      .select(col("id").as("ccid"), col("r").as("cr"))
+    val rcodes = TopK.topKPerGroup(
+      resid.select(col("id"), col("cid"), col("r"),
+          explode(sequence(lit(0), lit(3))).as("s"))
+        .crossJoin(broadcast(rcb))
+        .select(col("id"), col("cid"), col("s"), col("ccid"),
+          l2sq(subv(col("r")), subv(col("cr"))).as("d")),
+      Seq(col("id"), col("s")), Seq(col("d").asc, col("ccid").asc), 1)
+      .select("id", "cid", "s", "ccid")
+    val qres = probed.join(broadcast(rawCents), "cid")
+      .join(queries.select("qid", "qv"), "qid")
+      .select(col("qid"), col("cid"),
+        zip_with(col("qv"), col("cvr"),
+          (x, y) => x.cast("double") - y.cast("double")).as("qr"))
+    val rdq = qres
+      .select(col("qid"), col("cid"), col("qr"),
+        explode(sequence(lit(0), lit(3))).as("s"))
+      .crossJoin(broadcast(rcb))
+      .select(col("qid"), col("cid"), col("s"), col("ccid"),
+        l2sq(subv(col("qr")), subv(col("cr"))).as("dq"))
+    val radc = rcodes.join(broadcast(rdq), Seq("cid", "s", "ccid"))
+      .groupBy("qid", "id").agg(sum("dq").as("adc"))
+      .filter(col("id") =!= col("qid"))
+    val residTop = TopK.topKPerGroup(radc, Seq(col("qid")),
+      Seq(col("adc").asc, col("id").asc), K)
+    val residR = recall(residTop, l2Truth)
+
+    Seq(e, pairs, cosTruth, l2Truth, codes).foreach(_.unpersist())
+    Seq(
+      "ann_ivf_recall_at_10" -> ivfR,
+      "ann_lsh_recall_at_10" -> lshR,
+      "ann_pq_recall_at_10" -> pqR,
+      "ann_ivfpq_recall_at_10" -> ivfpqR,
+      "ann_ivfpq_residual_recall_at_10" -> residR)
+  }
+}

@@ -177,7 +177,7 @@ object MetricsLedger {
 
   def computeAll(spark: SparkSession): Seq[(String, Double)] =
     orderingGateMetrics(spark) ++ referenceConfigMetrics(spark) ++
-      erMetrics(spark)
+      erMetrics(spark) ++ AnnRecall.measure(spark)
 
   /** A move is flagged when it exceeds max(0.02 absolute, 15% of prev) —
     * wide enough for partition-layout float jitter, tight enough that a
