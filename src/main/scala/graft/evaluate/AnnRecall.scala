@@ -45,6 +45,13 @@ object AnnRecall {
     val queries = e.filter(col("id") % 50 === 7)
       .select(col("id").as("qid"), col("embedding").as("qv"),
         col("u").as("qu"))
+    // the denominator is the PROTOCOL's query count — a regenerated
+    // fixture that yields fewer (zero-norm vector on a qualifying id,
+    // changed row count) must fail loudly, not silently deflate every
+    // golden into a misdiagnosed index-drift flag
+    require(queries.count() == NQueries,
+      s"AnnRecall protocol broken: expected $NQueries query vectors " +
+        s"(id % 50 == 7, non-degenerate) in $dir")
     val pairs = e.crossJoin(broadcast(queries))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"),

@@ -72,6 +72,10 @@ object Summarize {
       .toDF("id", "n_tiles", "idx", "tile")
       .filter(length(col("tile")) > 0)
       .withColumn("toks", array_distinct(split(col("tile"), " ")))
+      // the tile frame feeds FOUR consumers (both self-join sides, the
+      // pair union, the ranked join) — materialize once instead of
+      // re-tiling the corpus per consumer (the Dedup artifact pattern)
+      .localCheckpoint(true)
     val pairs = tiles.as("x").join(tiles.as("y"),
         col("x.id") === col("y.id") && col("x.idx") < col("y.idx"))
       .select(col("x.id").as("id"), col("x.idx").as("ia"),

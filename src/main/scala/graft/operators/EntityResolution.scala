@@ -158,7 +158,10 @@ object EntityResolution {
     else if (salt > 1) {
       require(blockOn.isEmpty,
         "salt applies to the default blocking key; embed the salt in a custom blockOn")
-      SaltedJoin.joinOn(a, b, col("a_block"), col("b_block"), salt)
+      // saltOn = the prepped side's row id: unique, so the hot block
+      // spreads uniformly even when its rows are near-duplicates
+      SaltedJoin.joinOn(a, b, col("a_block"), col("b_block"), salt,
+        saltOn = Some(col("a_id")))
     } else a.join(b, blockOn.getOrElse(col("a_block") === col("b_block")))
 
   /**

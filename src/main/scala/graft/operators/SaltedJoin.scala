@@ -20,23 +20,28 @@ import org.apache.spark.sql.functions._
  */
 object SaltedJoin {
 
-  /** Deterministic per-row salt: hash of the row's FULL column content.
-    * NOT monotonically_increasing_id — that is nondeterministic under
-    * task recomputation (partition/order dependent), so a fetch-failure
-    * rerun could assign a row a different salt than reducers already
-    * consumed, duplicating or dropping join rows. Content-hash is
-    * stable across retries and partitionings; rows identical in every
-    * column share a salt (only a concern if a hot key is dominated by
-    * exact-duplicate rows — dedup those first). */
-  private def rowSalt(df: DataFrame, s: Int): Column =
-    pmod(hash(df.columns.map(col).toSeq: _*), lit(s))
+  /** Deterministic per-row salt. NOT monotonically_increasing_id — that
+    * is nondeterministic under task recomputation (partition/order
+    * dependent), so a fetch-failure rerun could assign a row a
+    * different salt than reducers already consumed, duplicating or
+    * dropping join rows. `saltOn` should be a (near-)unique column of
+    * the big side — a row id — for uniform spread; the default hashes
+    * the row's FULL content, which is stable but degenerates when a hot
+    * key's rows are exact duplicates or low-cardinality (they collapse
+    * onto few salts, re-concentrating the reducer — pass the id column
+    * there; hash() also rejects MapType columns, another reason an
+    * explicit id beats the whole-row default). */
+  private def rowSalt(df: DataFrame, s: Int, saltOn: Option[Column]): Column =
+    pmod(hash(saltOn.map(Seq(_)).getOrElse(df.columns.map(col).toSeq): _*),
+      lit(s))
 
   /** Inner equi-join of `big` and `small` on `key`, salted `s` ways.
     * Column sets must be disjoint apart from `key` (standard join rule).
-    * The salt is the big side's deterministic content hash — uniform
-    * regardless of key skew, stable under task retry. */
-  def join(big: DataFrame, small: DataFrame, key: String, s: Int): DataFrame = {
-    val bigSalted = big.withColumn("_salt", rowSalt(big, s))
+    * The salt is deterministic (see [[rowSalt]]) — stable under task
+    * retry; pass `saltOn` (a unique id) for guaranteed uniform spread. */
+  def join(big: DataFrame, small: DataFrame, key: String, s: Int,
+           saltOn: Option[Column] = None): DataFrame = {
+    val bigSalted = big.withColumn("_salt", rowSalt(big, s, saltOn))
     val smallExploded = small.withColumn("_salt",
       explode(sequence(lit(0), lit(s - 1))))
     bigSalted.join(smallExploded, Seq(key, "_salt")).drop("_salt")
@@ -52,8 +57,9 @@ object SaltedJoin {
     * the key for that). Output carries no salt columns and is
     * row-identical to the unsalted join (spec-asserted). */
   def joinOn(big: DataFrame, replicated: DataFrame,
-             bigKey: Column, replicatedKey: Column, s: Int): DataFrame = {
-    val bigSalted = big.withColumn("_salt_big", rowSalt(big, s))
+             bigKey: Column, replicatedKey: Column, s: Int,
+             saltOn: Option[Column] = None): DataFrame = {
+    val bigSalted = big.withColumn("_salt_big", rowSalt(big, s, saltOn))
     val repExploded = replicated.withColumn("_salt_rep",
       explode(sequence(lit(0), lit(s - 1))))
     bigSalted.join(repExploded,

@@ -131,24 +131,39 @@ object ErQueries {
   /** Float-stability guard for the rule-score gates (the Q122Margin
     * discipline): q36's 0.75 threshold and q147's 0.02-band floors are
     * exact-hash-sound only while every score keeps clear of its knife
-    * edge. Engine fp divergence for this 8-term double formula is
-    * ≲1e-15; the bound demands 1e-9. Invoked by Verify before either
-    * query, so a regenerated customer table that parks a score on a
-    * band edge fails the round loudly instead of hash-mismatching. */
-  def assertScoreMarginsSound(s: SparkSession, dir: String): Unit = {
-    val scores = blockedPairs(s, dir).select(ruleScore.as("score"))
-    val row = scores.agg(
-      min(abs(col("score") * 50 - round(col("score") * 50, 0))).as("band"),
-      min(abs(col("score") - 0.75)).as("thr")).head
-    def orInf(i: Int) =
-      if (row.isNullAt(i)) Double.PositiveInfinity else row.getDouble(i)
-    val (band, thr) = (orInf(0), orInf(1))
-    require(band > 1e-9 && thr > 1e-9,
-      f"rule-score float-margin guard: minBandDist=$band%.3e " +
-        f"minThresholdDist=$thr%.3e (bound 1e-09) — a score sits on a " +
-        "q147 band edge or q36's 0.75 threshold; the exact-hash oracle " +
-        "gate is unsound for this data.")
-  }
+    * edge. Both margins are measured on the SCORE scale (the band
+    * distance divides the ×50 back out) against the same 1e-9 bound —
+    * ~10⁶× the worst engine divergence for this fixed-order formula.
+    *
+    * A score EXACTLY on an edge (distance bitwise 0.0) is SOUND, not a
+    * knife edge: it arises from structurally-exact 0/1 feature combos
+    * (a perfect-match pair scores exactly 1.0), both engines compute
+    * the identical double from identical inputs and op order, and
+    * floor/compare agree on the exact value — only a score NEAR but
+    * not on an edge can land on different sides across engines. The
+    * guard is invoked by Verify before either query and memoized per
+    * dir (q36 and q147 share it; one blocked-pair scan, not two). */
+  def assertScoreMarginsSound(s: SparkSession, dir: String): Unit =
+    marginCache.computeIfAbsent(dir, { d =>
+      val scores = blockedPairs(s, d).select(ruleScore.as("score"))
+      val bandDist = abs(col("score") * 50 - round(col("score") * 50, 0)) / 50
+      val thrDist = abs(col("score") - 0.75)
+      val row = scores.agg(
+        min(when(bandDist =!= 0.0, bandDist)).as("band"),
+        min(when(thrDist =!= 0.0, thrDist)).as("thr")).head
+      def orInf(i: Int) =
+        if (row.isNullAt(i)) Double.PositiveInfinity else row.getDouble(i)
+      val (band, thr) = (orInf(0), orInf(1))
+      require(band > 1e-9 && thr > 1e-9,
+        f"rule-score float-margin guard: minBandDist=$band%.3e " +
+          f"minThresholdDist=$thr%.3e (bound 1e-09, score scale) — a " +
+          "score sits NEAR a q147 band edge or q36's 0.75 threshold; " +
+          "the exact-hash oracle gate is unsound for this data.")
+      java.lang.Boolean.TRUE
+    })
+
+  private val marginCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   // DuckDB fragments for the same derivations.
   private val accSql =

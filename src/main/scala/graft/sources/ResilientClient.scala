@@ -209,10 +209,16 @@ object ResilientClient {
    * result format); every page carries the same header, as
    * [[BulkCsvSource]] requires.
    */
+  /** Sentinel marking a staging dir whose last extract did not finish:
+    * present ⇒ the batch files are a true PREFIX of a newer generation,
+    * not a complete dataset. Underscore-prefixed so scans ignore it. */
+  val IncompleteSentinel = "_extract_incomplete"
+
   def extractToStaging(call: Request => Response, firstUrl: String,
                        parse: Response => Page, stagingDir: String): Int = {
     val dir = new java.io.File(stagingDir)
     dir.mkdirs()
+    val sentinel = new java.io.File(dir, IncompleteSentinel)
     var i = 0
     def dropStaleFrom(n: Int): Unit = {
       val pat = "batch_([0-9]{5})\\.csv".r
@@ -227,13 +233,29 @@ object ResilientClient {
       var next: Option[String] = Some(firstUrl)
       while (next.isDefined) {
         val page = parse(checked(call, next.get))
+        if (i == 0) {
+          // first page of the NEW generation landed: from here on the
+          // directory is mixed-generation, so mark it incomplete until
+          // the extract finishes (a failure BEFORE any write leaves the
+          // previous complete extract untouched and unmarked)
+          java.nio.file.Files.write(sentinel.toPath, Array.empty[Byte])
+        }
         java.nio.file.Files.write(
           new java.io.File(dir, f"batch_$i%05d.csv").toPath,
           page.body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         i += 1
         next = page.nextUrl
       }
+      dropStaleFrom(i)
+      sentinel.delete()
       i
-    } finally dropStaleFrom(i)
+    } catch {
+      case e: Throwable =>
+        // purge the stale tail ONLY once fresh pages were written (a
+        // page-0 failure must not wipe the previous complete extract);
+        // the sentinel stays — readers can tell prefix from dataset
+        if (i > 0) dropStaleFrom(i)
+        throw e
+    }
   }
 }

@@ -218,9 +218,25 @@ class ResilientClientSpec extends SparkSpec {
       .filter(_.getName.endsWith(".csv")).map(_.getName).toSet
       === Set("batch_00000.csv"),
       "failure must purge stale batches at-or-beyond the fresh prefix")
-    // restore full staging once more for the read-back below
+    assert(new java.io.File(staging, ResilientClient.IncompleteSentinel)
+      .exists, "a mixed/partial generation must carry the sentinel")
+    // a PAGE-0 failure (nothing of the new generation written) must NOT
+    // wipe what is already staged
+    intercept[TransportException] {
+      ResilientClient.extractToStaging(
+        r => ResilientClient.execute(_ => Response(500, ""), bucket, auth,
+          RetryPolicy(), clock, r),
+        "page/0", r => Page(r.body, r.headers.get("Next-Url")), staging)
+    }
+    assert(new java.io.File(staging).listFiles()
+      .exists(_.getName == "batch_00000.csv"),
+      "page-0 failure must leave existing staging untouched")
+    // restore full staging once more for the read-back below; success
+    // clears the sentinel
     assert(ResilientClient.extractToStaging(call, "page/0",
       r => Page(r.body, r.headers.get("Next-Url")), staging) === 3)
+    assert(!new java.io.File(staging, ResilientClient.IncompleteSentinel)
+      .exists, "a completed extract must clear the sentinel")
 
     val back = spark.read.format(BulkCsvSource.format)
       .schema("n_nationkey LONG, n_name STRING, n_regionkey LONG")
