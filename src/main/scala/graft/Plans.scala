@@ -90,7 +90,8 @@ object Plans {
       "q140_token_budget_mix", // per-source quota window, md5 order
       "q141_ivfpq_topk",       // probe lists -> members -> ADC lookup
       "q144_ivfpq_residual_topk", // residual codes + per-list ADC tables
-      "q145_delete_where")     // post-delete lake read (files rewritten ∝ matches)
+      "q145_delete_where",     // post-delete lake read (files rewritten ∝ matches)
+      "q148_lexrank_summary")  // per-doc tile pair join, one doc-hash Exchange family
     // per-query reader notes where the right plan is easy to misread
     val notes = Map(
       "q128_sql_range_join" -> ("The user wrote the naive theta join " +
