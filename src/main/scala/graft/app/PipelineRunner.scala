@@ -168,6 +168,10 @@ object PipelineRunner {
                       stagingDir: String, schema: String): DataFrame = {
     graft.sources.ResilientClient.extractToStaging(
       call, firstUrl, parse, stagingDir)
+    // the sentinel gate: a crashed extract's prefix must never be
+    // consumed as a complete dataset (extractToStaging just succeeded
+    // here, but the gate also protects re-reads of older staging)
+    graft.sources.ResilientClient.assertComplete(stagingDir)
     spark.read.format(graft.sources.BulkCsvSource.format)
       .schema(schema).load(stagingDir)
   }

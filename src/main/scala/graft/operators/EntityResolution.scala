@@ -151,7 +151,10 @@ object EntityResolution {
     * a-side salted, b-side exploded) for known hot blocks — output is
     * row-identical, only reducer load changes. Salting composes with the
     * DEFAULT key only; a custom `blockOn` condition can embed its own salt
-    * directly. */
+    * directly. The salted path additionally requires the `a_id` column
+    * ([[prepSide]] always emits it) — it is the deterministic salt key
+    * that spreads a hot block uniformly even when its rows are
+    * near-duplicates. */
   def candidatePairs(a: DataFrame, b: DataFrame, cfg: Config = Config(),
                      blockOn: Option[Column] = None, salt: Int = 1): DataFrame =
     if (!cfg.useBlocking) a.crossJoin(b)

@@ -123,9 +123,16 @@ object ErQueries {
       |    THEN least(a_emp, b_emp) / greatest(a_emp, b_emp) ELSE 0.5 END AS sr
       |  FROM toks)""".stripMargin
 
-  /** DuckDB twin of [[ruleScore]]/[[ruleLabel]] over `f`. */
+  /** DuckDB twin of [[ruleScore]]/[[ruleLabel]] over `f`. Every literal
+    * is CAST to DOUBLE (the file convention): the f-columns are already
+    * DOUBLE so each product would promote anyway, but the casts make
+    * the both-engines-double-from-the-first-op property explicit — it
+    * is what lets the margin guard treat an exactly-on-edge score as
+    * sound (identical doubles, identical op order, identical floor). */
   private val ruleScoreSql =
-    "(de*0.4 + greatest(jac, lev)*0.4 + (scn*0.4 + si*0.3 + sr*0.3)*0.2)"
+    "(de*CAST(0.4 AS DOUBLE) + greatest(jac, lev)*CAST(0.4 AS DOUBLE) + " +
+      "(scn*CAST(0.4 AS DOUBLE) + si*CAST(0.3 AS DOUBLE) + " +
+      "sr*CAST(0.3 AS DOUBLE))*CAST(0.2 AS DOUBLE))"
   private val ruleLabelSql = "(si = 1.0 AND sr > 0.5)"
 
   /** Float-stability guard for the rule-score gates (the Q122Margin
@@ -140,30 +147,30 @@ object ErQueries {
     * (a perfect-match pair scores exactly 1.0), both engines compute
     * the identical double from identical inputs and op order, and
     * floor/compare agree on the exact value — only a score NEAR but
-    * not on an edge can land on different sides across engines. The
-    * guard is invoked by Verify before either query and memoized per
-    * dir (q36 and q147 share it; one blocked-pair scan, not two). */
-  def assertScoreMarginsSound(s: SparkSession, dir: String): Unit =
-    marginCache.computeIfAbsent(dir, { d =>
-      val scores = blockedPairs(s, d).select(ruleScore.as("score"))
-      val bandDist = abs(col("score") * 50 - round(col("score") * 50, 0)) / 50
-      val thrDist = abs(col("score") - 0.75)
-      val row = scores.agg(
-        min(when(bandDist =!= 0.0, bandDist)).as("band"),
-        min(when(thrDist =!= 0.0, thrDist)).as("thr")).head
-      def orInf(i: Int) =
-        if (row.isNullAt(i)) Double.PositiveInfinity else row.getDouble(i)
-      val (band, thr) = (orInf(0), orInf(1))
-      require(band > 1e-9 && thr > 1e-9,
-        f"rule-score float-margin guard: minBandDist=$band%.3e " +
-          f"minThresholdDist=$thr%.3e (bound 1e-09, score scale) — a " +
-          "score sits NEAR a q147 band edge or q36's 0.75 threshold; " +
-          "the exact-hash oracle gate is unsound for this data.")
-      java.lang.Boolean.TRUE
-    })
-
-  private val marginCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    * not on an edge can land on different sides across engines (the
+    * oracle's [[ruleScoreSql]] is explicitly all-double so this premise
+    * is structural, not incidental). Invoked by Verify before EACH of
+    * the two queries — deliberately unmemoized, so a table regenerated
+    * under the same path between runs is re-checked; the duplicate
+    * blocked-pair scan costs ~a second at the gate SF, the staleness
+    * hole it would open is the exact failure mode the guard exists
+    * for. */
+  def assertScoreMarginsSound(s: SparkSession, dir: String): Unit = {
+    val scores = blockedPairs(s, dir).select(ruleScore.as("score"))
+    val bandDist = abs(col("score") * 50 - round(col("score") * 50, 0)) / 50
+    val thrDist = abs(col("score") - 0.75)
+    val row = scores.agg(
+      min(when(bandDist =!= 0.0, bandDist)).as("band"),
+      min(when(thrDist =!= 0.0, thrDist)).as("thr")).head
+    def orInf(i: Int) =
+      if (row.isNullAt(i)) Double.PositiveInfinity else row.getDouble(i)
+    val (band, thr) = (orInf(0), orInf(1))
+    require(band > 1e-9 && thr > 1e-9,
+      f"rule-score float-margin guard: minBandDist=$band%.3e " +
+        f"minThresholdDist=$thr%.3e (bound 1e-09, score scale) — a " +
+        "score sits NEAR a q147 band edge or q36's 0.75 threshold; " +
+        "the exact-hash oracle gate is unsound for this data.")
+  }
 
   // DuckDB fragments for the same derivations.
   private val accSql =

@@ -220,12 +220,12 @@ object ResilientClient {
     dir.mkdirs()
     val sentinel = new java.io.File(dir, IncompleteSentinel)
     var i = 0
-    def dropStaleFrom(n: Int): Unit = {
+    def dropStaleFrom(n: Int): Boolean = {
       val pat = "batch_([0-9]{5})\\.csv".r
-      Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
+      Option(dir.listFiles()).getOrElse(Array.empty).forall { f =>
         f.getName match {
           case pat(idx) if idx.toInt >= n => f.delete()
-          case _ => ()
+          case _ => true
         }
       }
     }
@@ -246,16 +246,34 @@ object ResilientClient {
         i += 1
         next = page.nextUrl
       }
-      dropStaleFrom(i)
-      sentinel.delete()
+      // the stale-tail purge must SUCCEED before the dir is declared
+      // complete — an undeletable stale file would otherwise mix
+      // generations under a cleared sentinel
+      require(dropStaleFrom(i),
+        s"stale batch purge incomplete under $stagingDir — directory " +
+          "left marked incomplete")
+      require(sentinel.delete() || !sentinel.exists(),
+        s"cannot clear $IncompleteSentinel under $stagingDir")
       i
     } catch {
       case e: Throwable =>
         // purge the stale tail ONLY once fresh pages were written (a
         // page-0 failure must not wipe the previous complete extract);
-        // the sentinel stays — readers can tell prefix from dataset
+        // the sentinel stays — readers (assertComplete) can tell prefix
+        // from dataset. Best-effort here: the sentinel already marks
+        // the directory unreadable-as-complete.
         if (i > 0) dropStaleFrom(i)
         throw e
     }
   }
+
+  /** Reader-side gate: throw unless the staging dir's last extract
+    * COMPLETED ([[IncompleteSentinel]] absent). Data-plane consumers
+    * (the DSv2 scan composition — `PipelineRunner.extractAccounts`)
+    * call this before reading, so a crashed extract's prefix is never
+    * silently consumed as a complete dataset. */
+  def assertComplete(stagingDir: String): Unit =
+    require(!new java.io.File(stagingDir, IncompleteSentinel).exists(),
+      s"staging dir $stagingDir is marked INCOMPLETE (last extract did " +
+        "not finish) — re-run the extract before reading")
 }

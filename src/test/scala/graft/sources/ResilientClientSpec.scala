@@ -220,6 +220,10 @@ class ResilientClientSpec extends SparkSpec {
       "failure must purge stale batches at-or-beyond the fresh prefix")
     assert(new java.io.File(staging, ResilientClient.IncompleteSentinel)
       .exists, "a mixed/partial generation must carry the sentinel")
+    // the reader-side gate refuses the marked directory
+    intercept[IllegalArgumentException] {
+      ResilientClient.assertComplete(staging)
+    }
     // a PAGE-0 failure (nothing of the new generation written) must NOT
     // wipe what is already staged
     intercept[TransportException] {
@@ -237,6 +241,7 @@ class ResilientClientSpec extends SparkSpec {
       r => Page(r.body, r.headers.get("Next-Url")), staging) === 3)
     assert(!new java.io.File(staging, ResilientClient.IncompleteSentinel)
       .exists, "a completed extract must clear the sentinel")
+    ResilientClient.assertComplete(staging) // gate passes when complete
 
     val back = spark.read.format(BulkCsvSource.format)
       .schema("n_nationkey LONG, n_name STRING, n_regionkey LONG")
