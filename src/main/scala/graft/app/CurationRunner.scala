@@ -59,7 +59,15 @@ object CurationRunner {
     def stage(name: String)(body: => DataFrame): Option[DataFrame] = {
       val t0 = System.currentTimeMillis()
       val path = s"$outDir/$name"
-      if (resume && new java.io.File(s"$path/_SUCCESS").exists()) {
+      // committed-artifact probe via the Hadoop FileSystem, matching
+      // erase() below — outDir may be hdfs://... or s3a://...; a
+      // java.io.File check would silently never resume there and the
+      // expensive LSH+CC stage would recompute every run
+      def committed: Boolean = {
+        val p = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+        p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+      }
+      if (resume && committed) {
         val stored = spark.read.parquet(path)
         results += StageResult(name, "cached", stored.count(), t0,
           System.currentTimeMillis())
@@ -167,9 +175,15 @@ object CurationRunner {
     report
   }
 
-  /** Per-artifact erasure outcome: rows deleted from that frame. */
-  final case class ErasureReport(deleted: Map[String, Long]) {
+  /** Per-artifact erasure outcome: rows deleted from each frame, plus
+    * any frames whose rewrite failed (message keyed by frame name). A
+    * partial erasure — some frames physically rewritten, one target
+    * unreadable — is REPORTED, never lost to an exception: the caller
+    * decides whether `complete` is required. */
+  final case class ErasureReport(deleted: Map[String, Long],
+                                 failed: Map[String, String] = Map.empty) {
     def total: Long = deleted.values.sum
+    def complete: Boolean = failed.isEmpty
   }
 
   /**
@@ -205,14 +219,32 @@ object CurationRunner {
     // be hdfs://... or s3a://...; a local-only check would silently
     // no-op the whole erasure there
     val conf = spark.sessionState.newHadoopConf()
-    val deleted = targets.flatMap { case (name, pred) =>
+    // per-target guard: a failed stage write can leave an empty or
+    // unreadable dir; one bad target must not abort the erasure after
+    // earlier frames were already physically rewritten. Empty dirs (no
+    // data files) trivially hold zero subject rows → recorded as 0;
+    // any other per-target failure is accumulated, not thrown.
+    val outcomes = targets.flatMap { case (name, pred) =>
       val p = new org.apache.hadoop.fs.Path(s"$outDir/$name")
-      if (p.getFileSystem(conf).exists(p))
-        Some(name ->
-          graft.sources.Layout.deleteWhere(spark, p.toString, pred)
-            .rowsDeleted)
-      else None
-    }.toMap
-    ErasureReport(deleted)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) None
+      else {
+        val hasData = fs.listStatus(p).exists(st =>
+          st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+        if (!hasData) Some(name -> Right(0L))
+        else
+          try Some(name -> Right(
+            graft.sources.Layout.deleteWhere(spark, p.toString, pred)
+              .rowsDeleted))
+          catch {
+            case e: Exception =>
+              Some(name -> Left(String.valueOf(e.getMessage)))
+          }
+      }
+    }
+    ErasureReport(
+      outcomes.collect { case (n, Right(d)) => n -> d }.toMap,
+      outcomes.collect { case (n, Left(m)) => n -> m }.toMap)
   }
 }

@@ -73,9 +73,15 @@ object Summarize {
       .filter(length(col("tile")) > 0)
       .withColumn("toks", array_distinct(split(col("tile"), " ")))
       // the tile frame feeds FOUR consumers (both self-join sides, the
-      // pair union, the ranked join) — materialize once instead of
-      // re-tiling the corpus per consumer (the Dedup artifact pattern)
-      .localCheckpoint(true)
+      // pair union, the ranked join) — persist once instead of re-tiling
+      // the corpus per consumer. cache(), NOT localCheckpoint: lazy (no
+      // job at DataFrame-construction time) and lineage-preserving, so
+      // an evicted or executor-lost block recomputes instead of failing
+      // the query — localCheckpoint blocks are pinned and non-fault-
+      // tolerant, wrong for a 100 TB-scale operator. For a multi-query
+      // fan-out, write the tile frame to parquet instead (the Dedup
+      // artifact pattern).
+      .cache()
     val pairs = tiles.as("x").join(tiles.as("y"),
         col("x.id") === col("y.id") && col("x.idx") < col("y.idx"))
       .select(col("x.id").as("id"), col("x.idx").as("ia"),

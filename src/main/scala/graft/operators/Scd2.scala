@@ -65,10 +65,34 @@ object Scd2 {
    *    state is correctly NOT a change, the first real change closes the
    *    open interval at its ts, and keys new in the delta (no seed)
    *    build from scratch.
+   *
+   * `validate = true` ENFORCES the strictly-later contract instead of
+   * assuming it: one small job over the delta (work ∝ |delta| — the
+   * delta joins the one-open-row-per-key slice of history, never the
+   * closed intervals) asserts every delta event's ts is strictly after
+   * its key's open-interval valid_from, and fails loudly with the
+   * violating keys otherwise. Off by default to keep merge a pure
+   * transformation (no eager job at call time); turn it on at ingest
+   * boundaries where late data is possible — a late event folded in
+   * silently would corrupt intervals in an operator whose contract is
+   * merged == rebuilt.
    */
   def merge(history: DataFrame, delta: DataFrame, key: Column, ts: Column,
-            tiebreak: Column, state: Column): DataFrame = {
+            tiebreak: Column, state: Column,
+            validate: Boolean = false): DataFrame = {
     val d = canon(delta, key, ts, tiebreak, state)
+    if (validate) {
+      val openFrom = history.filter(col("is_current"))
+        .select(col("key"), col("valid_from"))
+      val bad = d.join(openFrom, Seq("key"))
+        .filter(col("ts") <= col("valid_from"))
+        .select(col("key")).distinct().limit(20)
+        .collect().map(_.get(0)).toSeq
+      require(bad.isEmpty,
+        s"Scd2.merge: delta violates the strictly-later contract for " +
+          s"key(s) ${bad.mkString(", ")} — event ts <= the key's open " +
+          "interval valid_from. Late data needs a rebuild of those keys.")
+    }
     val touched = d.select(col("key")).distinct()
     val untouched = history.join(touched, Seq("key"), "left_anti")
     val touchedHist = history.join(touched, Seq("key"))

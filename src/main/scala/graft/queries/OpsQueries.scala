@@ -145,7 +145,11 @@ object OpsQueries {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n"),
           sum("event_id").as("id_sum"),
-          round(sum("value"), 2).as("total_value"))
+          // decimal sum before the round: double-sum order differs
+          // between Spark and DuckDB; a .xx5-boundary value would flip
+          // the strict hash gate (the q95/q125 decimal discipline)
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2)
+            .as("total_value"))
         .orderBy("user_id")
     }),
 
@@ -193,7 +197,11 @@ object OpsQueries {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n"),
           sum("event_id").as("id_sum"),
-          round(sum("value"), 2).as("total_value"))
+          // decimal sum before the round: double-sum order differs
+          // between Spark and DuckDB; a .xx5-boundary value would flip
+          // the strict hash gate (the q95/q125 decimal discipline)
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2)
+            .as("total_value"))
         .orderBy("user_id")
     }),
 
@@ -272,7 +280,8 @@ object OpsQueries {
     "q136_compacted_layout" ->
       """SELECT user_id, count(*) AS n,
         |  CAST(sum(event_id) AS BIGINT) AS id_sum,
-        |  round(sum(value), 2) AS total_value
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+        |    AS total_value
         |FROM events
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-12'
         |  AND user_id < 30
@@ -283,7 +292,8 @@ object OpsQueries {
     "q145_delete_where" ->
       """SELECT user_id, count(*) AS n,
         |  CAST(sum(event_id) AS BIGINT) AS id_sum,
-        |  round(sum(value), 2) AS total_value
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+        |    AS total_value
         |FROM events
         |WHERE ((user_id % 10) + 10) % 10 <> 3
         |GROUP BY user_id ORDER BY user_id""".stripMargin,

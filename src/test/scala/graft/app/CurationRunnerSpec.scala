@@ -160,6 +160,38 @@ class CurationRunnerSpec extends SparkSpec {
       r2.results.map(r => (r.stage, r.records)))
   }
 
+  test("erase survives a bad target: empty dir reports 0, an unreadable " +
+      "dir lands in failed, every other frame still rewrites") {
+    val out = freshDir()
+    assert(CurationRunner.run(spark, docs, out).status === "success")
+    val subject = spark.read.parquet(s"$out/corpus")
+      .select("doc_id").as[Long].head
+    // simulate a failed stage write: `mix` becomes an EMPTY dir (no
+    // data files), `split` holds one garbage non-parquet data file
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmrf)
+      p.delete()
+    }
+    rmrf(new java.io.File(s"$out/mix"))
+    assert(new java.io.File(s"$out/mix").mkdirs())
+    rmrf(new java.io.File(s"$out/split"))
+    assert(new java.io.File(s"$out/split").mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$out/split/part-00000.parquet"),
+      "not a parquet file".getBytes)
+    val rep = CurationRunner.erase(spark, out, Seq(subject))
+    // the empty dir trivially holds no subject rows
+    assert(rep.deleted("mix") === 0L)
+    // the unreadable dir is REPORTED, not thrown
+    assert(!rep.complete && rep.failed.keySet === Set("split"))
+    // every readable frame was still physically rewritten
+    assert(rep.deleted.keySet.contains("corpus"))
+    assert(spark.read.parquet(s"$out/corpus")
+      .filter(col("doc_id") === subject).count() === 0L)
+    assert(spark.read.parquet(s"$out/quality")
+      .filter(col("doc_id") === subject).count() === 0L)
+  }
+
   private implicit class Map2Ops(rows: Array[(String, String, Long)]) {
     def toMap2: Map[String, (String, Long)] =
       rows.map { case (a, b, c) => a -> (b, c) }.toMap

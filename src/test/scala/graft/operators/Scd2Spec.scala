@@ -66,6 +66,30 @@ class Scd2Spec extends SparkSpec {
     assert(byState("c") === (None, true))            // new current
   }
 
+  test("merge(validate = true) fails loudly on a late delta and " +
+      "passes a conforming one") {
+    val all = ev(
+      ("u1", 10, 1, "a"), ("u1", 50, 2, "b"),  // open interval from 50
+      ("u2", 10, 3, "x"))
+    val hist = buildAll(all)
+    // late: ts 30 <= u1's open valid_from 50 → corrupt-interval input
+    val late = ev(("u1", 30, 9, "c"))
+    val e = intercept[IllegalArgumentException] {
+      Scd2.merge(hist, late, col("user"), col("ts"), col("eid"),
+        col("state"), validate = true)
+    }
+    assert(e.getMessage.contains("strictly-later"))
+    assert(e.getMessage.contains("u1"))
+    // conforming delta (all ts past every open valid_from) passes and
+    // still equals the unvalidated merge
+    val ok = ev(("u1", 200, 10, "c"), ("u2", 210, 11, "y"))
+    val validated = Scd2.merge(hist, ok, col("user"), col("ts"),
+      col("eid"), col("state"), validate = true)
+    val plain = Scd2.merge(hist, ok, col("user"), col("ts"),
+      col("eid"), col("state"))
+    assert(rows(validated) === rows(plain))
+  }
+
   test("build on the events table matches the q86 inline window formulation") {
     val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
     val viaOp = Scd2.build(e, col("user_id"), col("ts"), col("event_id"),
