@@ -1,0 +1,100 @@
+package graft.ml
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Model version registry with lifecycle-stage transitions (reference:
+ * src/ml/feedback_logging.py:152-190 ModelRegistry table + :572-595
+ * ABTestManager.promote_model/rollback — the reference mutates an
+ * in-memory traffic dict; here the registry is a durable manifest next
+ * to the model artifacts, so a serving tier and a training pipeline
+ * share one source of truth). Stages mirror the reference ModelStage
+ * enum: development → staging → production → archived
+ * (feedback_logging.py:56-61).
+ *
+ * The manifest is a single tiny JSON file written via the Hadoop
+ * FileSystem (works on hdfs:///s3a:// like every other artifact path in
+ * the repo) with the same no-external-dep serialization discipline as
+ * EnsembleModel.save. Writes go through a temp-file + rename so a
+ * crashed transition never leaves a torn manifest. Invariant: at most
+ * one version is in 'production' at any time — promote and rollback
+ * both archive the incumbent in the same transition.
+ */
+object Registry {
+
+  final case class Entry(version: String, stage: String, path: String)
+
+  final case class Manifest(entries: Seq[Entry]) {
+    def production: Option[Entry] = entries.find(_.stage == "production")
+    def apply(version: String): Entry = entries.find(_.version == version)
+      .getOrElse(throw new IllegalArgumentException(
+        s"unknown model version $version"))
+  }
+
+  private def manifestPath(dir: String) = new Path(s"$dir/registry.json")
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  def read(spark: SparkSession, dir: String): Manifest = {
+    val p = manifestPath(dir)
+    val f = fs(spark, p)
+    if (!f.exists(p)) Manifest(Seq.empty)
+    else {
+      val in = f.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val entry = """\{"version":"([^"]+)","stage":"([^"]+)","path":"([^"]*)"\}""".r
+      Manifest(entry.findAllMatchIn(txt)
+        .map(m => Entry(m.group(1), m.group(2), m.group(3))).toSeq)
+    }
+  }
+
+  private def write(spark: SparkSession, dir: String, m: Manifest): Unit = {
+    val json = m.entries.sortBy(_.version)
+      .map(e => s"""{"version":"${e.version}","stage":"${e.stage}","path":"${e.path}"}""")
+      .mkString("[", ",", "]")
+    val p = manifestPath(dir)
+    val f = fs(spark, p)
+    val tmp = new Path(s"$dir/.registry.json.tmp")
+    val out = f.create(tmp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    if (f.exists(p)) f.delete(p, false)
+    if (!f.rename(tmp, p))
+      throw new java.io.IOException(s"registry rename failed at $p")
+  }
+
+  /** Register a new version (stage 'development' unless given). A
+    * re-register of an existing version replaces its entry. */
+  def register(spark: SparkSession, dir: String, version: String,
+               artifactPath: String, stage: String = "development"): Manifest = {
+    val m = read(spark, dir)
+    val next = Manifest(m.entries.filterNot(_.version == version) :+
+      Entry(version, stage, artifactPath))
+    write(spark, dir, next)
+    next
+  }
+
+  /** Promote `version` to production; the incumbent production version
+    * (if any, and not `version` itself) moves to archived in the SAME
+    * transition — the single-production invariant. */
+  def promote(spark: SparkSession, dir: String, version: String): Manifest = {
+    val m = read(spark, dir)
+    m(version) // fail loudly on unknown version
+    val next = Manifest(m.entries.map { e =>
+      if (e.version == version) e.copy(stage = "production")
+      else if (e.stage == "production") e.copy(stage = "archived")
+      else e
+    })
+    write(spark, dir, next)
+    next
+  }
+
+  /** Emergency rollback: re-promote a previously archived (or staged)
+    * version. Same transition semantics as promote — the reference's
+    * rollback IS a promote of the old version
+    * (feedback_logging.py:585-595). */
+  def rollback(spark: SparkSession, dir: String, toVersion: String): Manifest =
+    promote(spark, dir, toVersion)
+}

@@ -123,8 +123,86 @@ object MlQueries {
         round(col("similarity_score"), 6).as("similarity_score"),
         round(col("o_orderkey") * 48271 % 999983 / 999983.0, 6).as("random_score"))
         .orderBy("o_orderkey")
+    }),
+
+    "q149_feedback_metrics" -> ((s, dir) => {
+      // the compute_feedback_metrics contract (reference:
+      // feedback_logging.py:458-499 — a STUB there returning zeros; here
+      // the real rollup): impressions/CTR/accepts/conversions/revenue
+      // per (model_version, day window) over the derived logs
+      val (preds, fb) = feedbackLogs(s, dir)
+      graft.ml.Feedback.feedbackMetrics(preds, fb)
+        // DATE → string at the gate boundary (the q11 day-column parity
+        // convention; DuckDB DATE surfaces as datetime64 in the compare)
+        .withColumn("window_day", col("window_day").cast("string"))
+        .orderBy("model_version", "window_day")
+    }),
+
+    "q150_feedback_training" -> ((s, dir) => {
+      // the generate_training_data contract (reference:
+      // feedback_logging.py:416-456, also a stub): lookback cutoff,
+      // positive/negative FeedbackType mapping, one label per
+      // prediction, min-feedback gate per model version, prediction
+      // features carried for retraining (EnsembleRetrainSpec feeds this
+      // frame to Ensemble.train)
+      val (preds, fb) = feedbackLogs(s, dir)
+      graft.ml.Feedback.trainingData(preds, fb,
+          cutoff = to_timestamp(lit("2024-01-10 00:00:00")),
+          minFeedbackCount = 50L)
+        .select("prediction_id", "model_version", "label", "score", "f0", "f1")
+        .orderBy("prediction_id")
+    }),
+
+    "q152_variant_compare" -> ((s, dir) => {
+      // per-variant conversion comparison + pooled two-proportion z-test
+      // against control v1 — the significance math the reference's
+      // ABTestManager promote/rollback decision needs but never computes
+      // (feedback_logging.py:502-595); RegistrySpec gates the manifest
+      // transition the decision drives
+      val (preds, fb) = feedbackLogs(s, dir)
+      graft.ml.Feedback.variantComparison(preds, fb, control = "v1")
+        .orderBy("model_version")
     })
   )
+
+  /**
+   * Deterministic prediction/feedback logs derived from the events
+   * table — the PredictionLog/FeedbackLog schemas
+   * (feedback_logging.py:100-150) instantiated so both engines can
+   * replay them: one prediction per (user, day) with the q67
+   * consistent-hash variant per user session, and each event mapped
+   * onto the FeedbackType enum (view→viewed, click→clicked,
+   * signup→accepted, purchase→converted with its value as revenue,
+   * error→rejected — a total mapping, synthetic but fixed).
+   */
+  private def feedbackLogs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ev = Tables.load(s, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val fb = ev.select(
+      concat(lit("pred_u"), col("user_id"), lit("_d"),
+        to_date(col("ts")).cast("string")).as("prediction_id"),
+      col("user_id"),
+      when(col("event_type") === "view", "viewed")
+        .when(col("event_type") === "click", "clicked")
+        .when(col("event_type") === "signup", "accepted")
+        .when(col("event_type") === "purchase", "converted")
+        .otherwise("rejected").as("feedback_type"),
+      col("ts").as("created_at"),
+      when(col("event_type") === "purchase", col("value"))
+        .as("outcome_value"))
+    val preds = ev.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .select(
+        concat(lit("pred_u"), col("user_id"), lit("_d"),
+          col("d").cast("string")).as("prediction_id"),
+        graft.ml.AbRouter.assignVariant(
+          concat(lit("sess-u"), col("user_id").cast("string")),
+          Seq("v1" -> 0.5, "v2" -> 0.3, "v3" -> 0.2)).as("model_version"),
+        round((col("user_id") * 37 + dayofmonth(col("d"))) % 100 / 100.0, 6)
+          .as("score"),
+        round(col("user_id") % 13 / 13.0, 6).as("f0"),
+        round(col("user_id") % 7 / 7.0, 6).as("f1"))
+    (preds, fb)
+  }
 
   private val pseudoSql =
     """scored AS (SELECT o_orderkey, o_totalprice, o_orderstatus,
@@ -133,6 +211,27 @@ object MlQueries {
       |  (o_orderkey % 83) / 82.0 AS score_rf,
       |  (o_orderkey % 79) / 78.0 AS score_gbt
       | FROM orders)""".stripMargin
+
+  /** DuckDB replay of [[feedbackLogs]]: the q67 128-bit-md5 variant walk
+    * per user session + the FeedbackType event mapping. */
+  private val feedbackLogSql =
+    """h AS (SELECT user_id,
+      |  md5('sess-u' || CAST(user_id AS VARCHAR)) AS hex
+      |  FROM (SELECT DISTINCT user_id FROM events)),
+      |vr AS (SELECT user_id,
+      |  ((CAST(('0x' || substring(hex, 1, 16)) AS UBIGINT) % 1000 * 616
+      |   + CAST(('0x' || substring(hex, 17, 16)) AS UBIGINT) % 1000) % 1000)
+      |    /1000.0 AS frac FROM h),
+      |va AS (SELECT user_id, CASE WHEN frac < 0.5 THEN 'v1'
+      |   WHEN frac < 0.8 THEN 'v2' ELSE 'v3' END AS model_version FROM vr),
+      |fb AS (SELECT 'pred_u' || CAST(user_id AS VARCHAR) ||
+      |    '_d' || CAST(CAST(ts AS DATE) AS VARCHAR) AS prediction_id,
+      |  user_id, ts AS created_at,
+      |  CASE event_type WHEN 'view' THEN 'viewed'
+      |    WHEN 'click' THEN 'clicked' WHEN 'signup' THEN 'accepted'
+      |    WHEN 'purchase' THEN 'converted' ELSE 'rejected' END AS feedback_type,
+      |  CASE WHEN event_type = 'purchase' THEN value END AS outcome_value
+      |  FROM events)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
 
@@ -241,6 +340,94 @@ object MlQueries {
         |  round(1.0/(1.0 + exp(-f0)), 6) AS popularity_score,
         |  round((f0 + f1 - lo)/(hi - lo + 1e-8), 6) AS similarity_score,
         |  round((o_orderkey * 48271 % 999983)/999983.0, 6) AS random_score
-        |FROM b, mm ORDER BY o_orderkey""".stripMargin
+        |FROM b, mm ORDER BY o_orderkey""".stripMargin,
+
+    "q149_feedback_metrics" ->
+      s"""WITH $feedbackLogSql,
+        |m AS (SELECT va.model_version,
+        |  strftime(fb.created_at, '%Y-%m-%d') AS window_day,
+        |  sum(CASE WHEN feedback_type IN ('viewed','ignored') THEN 1 ELSE 0 END) AS impression_count,
+        |  sum(CASE WHEN feedback_type = 'clicked' THEN 1 ELSE 0 END) AS click_count,
+        |  sum(CASE WHEN feedback_type = 'accepted' THEN 1 ELSE 0 END) AS accept_count,
+        |  sum(CASE WHEN feedback_type = 'converted' THEN 1 ELSE 0 END) AS conversion_count,
+        |  sum(CAST(CASE WHEN feedback_type = 'converted'
+        |    THEN COALESCE(outcome_value, 0) ELSE 0 END AS DECIMAL(18,6))) AS rev
+        |  FROM fb JOIN va ON fb.user_id = va.user_id
+        |  GROUP BY 1, 2)
+        |SELECT model_version, window_day,
+        |  CAST(impression_count AS BIGINT) AS impression_count,
+        |  CAST(click_count AS BIGINT) AS click_count,
+        |  round(CASE WHEN impression_count > 0
+        |    THEN CAST(click_count AS DOUBLE)/impression_count ELSE 0.0 END, 6) AS ctr,
+        |  CAST(accept_count AS BIGINT) AS accept_count,
+        |  round(CASE WHEN impression_count > 0
+        |    THEN CAST(accept_count AS DOUBLE)/impression_count ELSE 0.0 END, 6) AS accept_rate,
+        |  CAST(conversion_count AS BIGINT) AS conversion_count,
+        |  round(CASE WHEN impression_count > 0
+        |    THEN CAST(conversion_count AS DOUBLE)/impression_count ELSE 0.0 END, 6) AS conversion_rate,
+        |  round(CAST(rev AS DOUBLE), 2) AS total_revenue,
+        |  round(CASE WHEN conversion_count > 0
+        |    THEN CAST(rev AS DOUBLE)/conversion_count ELSE 0.0 END, 2) AS avg_revenue_per_conversion
+        |FROM m ORDER BY model_version, window_day""".stripMargin,
+
+    "q150_feedback_training" ->
+      s"""WITH $feedbackLogSql,
+        |preds AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |p2 AS (SELECT 'pred_u' || CAST(preds.user_id AS VARCHAR) || '_d'
+        |    || CAST(d AS VARCHAR) AS prediction_id,
+        |  va.model_version,
+        |  round(((preds.user_id * 37 + EXTRACT(DAY FROM d)) % 100) / 100.0, 6) AS score,
+        |  round((preds.user_id % 13) / 13.0, 6) AS f0,
+        |  round((preds.user_id % 7) / 7.0, 6) AS f1
+        |  FROM preds JOIN va ON preds.user_id = va.user_id),
+        |lab AS (SELECT prediction_id,
+        |  max(CASE WHEN feedback_type IN ('converted','accepted') THEN 1 ELSE 0 END) AS has_pos,
+        |  max(CASE WHEN feedback_type = 'rejected' THEN 1 ELSE 0 END) AS has_neg
+        |  FROM fb WHERE created_at >= TIMESTAMP '2024-01-10 00:00:00'
+        |  GROUP BY 1),
+        |lab2 AS (SELECT prediction_id,
+        |  CASE WHEN has_pos = 1 THEN 1.0 ELSE 0.0 END AS label
+        |  FROM lab WHERE has_pos = 1 OR has_neg = 1),
+        |frame AS (SELECT p2.prediction_id, p2.model_version, lab2.label,
+        |    p2.score, p2.f0, p2.f1
+        |  FROM p2 JOIN lab2 ON p2.prediction_id = lab2.prediction_id),
+        |keep AS (SELECT model_version FROM frame
+        |  GROUP BY 1 HAVING count(*) >= 50)
+        |SELECT frame.prediction_id, frame.model_version, frame.label,
+        |  frame.score, frame.f0, frame.f1
+        |FROM frame JOIN keep ON frame.model_version = keep.model_version
+        |ORDER BY frame.prediction_id""".stripMargin,
+
+    "q152_variant_compare" ->
+      s"""WITH $feedbackLogSql,
+        |pp AS (SELECT va.model_version,
+        |  sum(CASE WHEN feedback_type IN ('viewed','ignored') THEN 1 ELSE 0 END) AS trials,
+        |  sum(CASE WHEN feedback_type = 'converted' THEN 1 ELSE 0 END) AS successes
+        |  FROM fb JOIN va ON fb.user_id = va.user_id GROUP BY 1),
+        |c AS (SELECT trials AS c_trials, successes AS c_successes
+        |  FROM pp WHERE model_version = 'v1'),
+        |j AS (SELECT pp.model_version, pp.trials, pp.successes,
+        |    c.c_trials, c.c_successes,
+        |    CAST(pp.successes AS DOUBLE)/pp.trials AS p,
+        |    CAST(c.c_successes AS DOUBLE)/c.c_trials AS pc,
+        |    CAST(pp.successes + c.c_successes AS DOUBLE)
+        |      /(pp.trials + c.c_trials) AS pool
+        |  FROM pp CROSS JOIN c),
+        |k AS (SELECT *, sqrt(pool*(1.0 - pool)
+        |    *(1.0/trials + 1.0/c_trials)) AS se FROM j),
+        |zt AS (SELECT *, CASE WHEN trials = 0 OR c_trials = 0
+        |      OR model_version = 'v1' THEN 0.0
+        |    WHEN se > 0 THEN (p - pc)/se ELSE 0.0 END AS zv FROM k)
+        |SELECT model_version, CAST(trials AS BIGINT) AS trials,
+        |  CAST(successes AS BIGINT) AS successes,
+        |  round(CASE WHEN trials > 0 THEN p ELSE 0.0 END, 6) AS rate,
+        |  round(CASE WHEN c_trials > 0 THEN pc ELSE 0.0 END, 6) AS control_rate,
+        |  round(zv, 6) AS z,
+        |  CASE WHEN model_version = 'v1' THEN 'control'
+        |       WHEN zv > 1.96 THEN 'promote'
+        |       WHEN zv < -1.96 THEN 'rollback'
+        |       ELSE 'hold' END AS decision
+        |FROM zt ORDER BY model_version""".stripMargin
   )
+
 }

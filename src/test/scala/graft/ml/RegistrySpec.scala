@@ -1,0 +1,63 @@
+package graft.ml
+
+import graft.SparkSpec
+
+/**
+ * Manifest-transition gates for the model registry (reference
+ * ModelStage lifecycle + ABTestManager.promote_model/rollback,
+ * feedback_logging.py:56-61, 572-595): durable round-trip, the
+ * single-production invariant across promote and rollback, loud
+ * failure on unknown versions.
+ */
+class RegistrySpec extends SparkSpec {
+
+  private def freshDir() =
+    java.nio.file.Files.createTempDirectory("graft-registry").toString
+
+  test("register → promote → register → promote → rollback walks the " +
+      "reference lifecycle with at most one production version") {
+    val dir = freshDir()
+    Registry.register(spark, dir, "v1.0", s"$dir/art/v1.0")
+    var m = Registry.read(spark, dir)
+    assert(m("v1.0").stage === "development" && m.production.isEmpty)
+
+    m = Registry.promote(spark, dir, "v1.0")
+    assert(m.production.map(_.version) === Some("v1.0"))
+
+    Registry.register(spark, dir, "v2.0", s"$dir/art/v2.0", stage = "staging")
+    m = Registry.promote(spark, dir, "v2.0")
+    // incumbent archived in the SAME transition
+    assert(m.production.map(_.version) === Some("v2.0"))
+    assert(m("v1.0").stage === "archived")
+    assert(m.entries.count(_.stage == "production") === 1)
+
+    // emergency rollback IS a promote of the old version
+    m = Registry.rollback(spark, dir, "v1.0")
+    assert(m.production.map(_.version) === Some("v1.0"))
+    assert(m("v2.0").stage === "archived")
+    assert(m.entries.count(_.stage == "production") === 1)
+
+    // durable: a fresh read sees the same state
+    val reread = Registry.read(spark, dir)
+    assert(reread.entries.toSet === m.entries.toSet)
+  }
+
+  test("promote of an unknown version fails loudly and mutates nothing") {
+    val dir = freshDir()
+    Registry.register(spark, dir, "v1.0", "p1", stage = "production")
+    intercept[IllegalArgumentException] {
+      Registry.promote(spark, dir, "ghost")
+    }
+    assert(Registry.read(spark, dir).production.map(_.version) === Some("v1.0"))
+  }
+
+  test("re-register replaces the entry; artifact paths round-trip " +
+      "through the manifest") {
+    val dir = freshDir()
+    Registry.register(spark, dir, "v1.0", "old/path")
+    Registry.register(spark, dir, "v1.0", "new/path", stage = "staging")
+    val m = Registry.read(spark, dir)
+    assert(m.entries.size === 1)
+    assert(m("v1.0") === Registry.Entry("v1.0", "staging", "new/path"))
+  }
+}
