@@ -38,10 +38,22 @@ final class Ensemble(
     xgbIter: Int = 100,
     gbtIter: Int = 100,
     mlpIter: Int = 50,
+    scale: Boolean = false,
     seed: Long = 42L) extends Serializable {
 
+  // `scale = true` fits a real StandardScaler (zero-mean unit-variance)
+  // between assembly and every model — the M9 path the reference
+  // DECLARES but never fits (pipeline.py:60-62 constructs the scaler
+  // and no training call ever runs it). Default false preserves the
+  // reference's effective no-op; EnsembleSpec gates the fitted path's
+  // AUC against the unscaled one.
   private def assembler = new VectorAssembler()
-    .setInputCols(featureCols.toArray).setOutputCol("features")
+    .setInputCols(featureCols.toArray)
+    .setOutputCol(if (scale) "raw_features" else "features")
+
+  private def scalerStage = new org.apache.spark.ml.feature.StandardScaler()
+    .setInputCol("raw_features").setOutputCol("features")
+    .setWithMean(true).setWithStd(true)
 
   /** (name, weight, estimator-pipeline) triples. Per-model prediction
     * columns are suffixed so transforms compose on one frame. */
@@ -71,8 +83,11 @@ final class Ensemble(
   def fit(train: DataFrame): EnsembleModel = {
     val d = featureCols.size
     val models = estimators(d).map { case (name, est) =>
-      val pipe = new Pipeline().setStages(Array(assembler,
-        est.asInstanceOf[org.apache.spark.ml.PipelineStage]))
+      val stages: Array[org.apache.spark.ml.PipelineStage] =
+        if (scale) Array(assembler, scalerStage,
+          est.asInstanceOf[org.apache.spark.ml.PipelineStage])
+        else Array(assembler, est.asInstanceOf[org.apache.spark.ml.PipelineStage])
+      val pipe = new Pipeline().setStages(stages)
       name -> pipe.fit(train)
     }
     new EnsembleModel(models, Scoring.referenceWeights.toMap)
@@ -93,7 +108,8 @@ final class EnsembleModel(
     models.foldLeft(df) { case (acc, (name, m)) =>
       val scored = m.transform(acc)
         .withColumn(s"score_$name", vector_to_array(col("probability"))(1))
-      scored.drop("features", "rawPrediction", "probability", "prediction")
+      scored.drop("features", "raw_features", "rawPrediction",
+        "probability", "prediction")
     }
 
   private def scoreCols: Seq[(Column, Double)] =

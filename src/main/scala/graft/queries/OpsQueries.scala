@@ -205,6 +205,41 @@ object OpsQueries {
         .orderBy("user_id")
     }),
 
+    "q151_point_upsert" -> ((s, dir) => {
+      // serving-store point update gated end-to-end (Layout.patchRow
+      // scaladoc — the PATCH /recommendations/{id} lake shape): events
+      // land as a key-range-partitioned lake, two rows are PATCHED in
+      // place, one new row UPSERTED in, and the final rollup reads the
+      // post-upsert directory. The oracle computes the same rollup from
+      // the ORIGINAL table with the patches as CASE overrides and the
+      // insert UNION'd on, so the hash match proves the keyed rewrite
+      // replaced exactly the patched rows, inserted the new one, and
+      // conserved everyone else byte-for-byte.
+      val base = "/tmp/graft_upsert_q151"
+      val ev = t(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      ev.repartitionByRange(8, col("event_id"))
+        .write.mode("overwrite").parquet(s"$base/table")
+      graft.sources.Layout.patchRow(s, s"$base/table", "event_id", 42L,
+        Map("event_type" -> lit("purchase"), "value" -> lit(999.25)))
+      graft.sources.Layout.patchRow(s, s"$base/table", "event_id", 777L,
+        Map("event_type" -> lit("view"), "value" -> lit(111.5)))
+      val insert = s.range(1).select(
+        lit(10000000L).as("event_id"),
+        to_timestamp(lit("2024-02-01 00:00:00")).as("ts"),
+        lit(1L).as("user_id"),
+        lit("purchase").as("event_type"),
+        lit(100.5).as("value"))
+      graft.sources.Layout.upsertByKey(s, s"$base/table", insert, "event_id")
+      s.read.parquet(s"$base/table")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("event_id").as("id_sum"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2)
+            .as("total_value"))
+        .orderBy("event_type")
+    }),
+
     "q142_k_anonymize" -> ((s, dir) => {
       // k-anonymity release gate (quality.Privacy scaladoc): customers
       // exported under quasi-identifiers (nation, segment, 10000-wide
@@ -286,6 +321,28 @@ object OpsQueries {
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-12'
         |  AND user_id < 30
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the rollup over the ORIGINAL table with the two patches applied as
+    // CASE overrides and the inserted row UNION'd on — a hash match
+    // proves the keyed rewrite did exactly the upsert and nothing else
+    "q151_point_upsert" ->
+      """WITH patched AS (
+        |  SELECT event_id, ts, user_id,
+        |    CASE WHEN event_id = 42 THEN 'purchase'
+        |         WHEN event_id = 777 THEN 'view'
+        |         ELSE event_type END AS event_type,
+        |    CASE WHEN event_id = 42 THEN 999.25
+        |         WHEN event_id = 777 THEN 111.5
+        |         ELSE value END AS value
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 10000000, TIMESTAMP '2024-02-01 00:00:00', 1,
+        |    'purchase', 100.5)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+        |    AS total_value
+        |FROM patched GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // the rollup over the ORIGINAL table minus the erased subjects: a
     // hash match proves the file-targeted rewrite deleted exactly them

@@ -157,6 +157,112 @@ object Layout {
   final case class DeleteStats(filesRewritten: Int, filesUntouched: Int,
                                rowsDeleted: Long)
 
+  final case class UpsertStats(filesRewritten: Int, filesUntouched: Int,
+                               rowsReplaced: Long, rowsInserted: Long)
+
+  /**
+   * Keyed point upsert into a flat parquet lake dir — the serving-store
+   * write behind a PATCH-one-row API (reference:
+   * src/api/main.py:554-586 updates one recommendation's status/notes
+   * in place; here the lake IS the store). `updates` holds FULL rows
+   * (same columns as the table, any order); rows whose key already
+   * exists REPLACE the stored row, new keys INSERT. The whole upsert is
+   * ONE [[compactParquet]]-marker transaction: the new generation =
+   * (affected files minus matched keys) ∪ updates, row-count-verified
+   * before any destructive step — a crash at any point self-heals via
+   * [[recoverCompaction]], and a reader never sees the key absent.
+   *
+   * Scale contract: this is the POINT-update path — `updates` is a
+   * handful of rows (its keys collect to the driver to prune the file
+   * scan, bounded by `maxKeys`). Only files CONTAINING a matched key
+   * rewrite (parquet min/max skipping + a z-ordered layout on the key
+   * make the probe read ~nothing else); a pure insert rewrites no file
+   * at all — it lands as one new file. Bulk upserts belong to
+   * [[graft.operators.Scd2]] / a partition-overwrite rebuild, not here.
+   */
+  def upsertByKey(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  updates: org.apache.spark.sql.DataFrame, keyCol: String,
+                  maxKeys: Int = 1000): UpsertStats = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    recoverCompaction(spark, dir)
+    val df = spark.read.parquet(dir)
+    require(updates.columns.sorted.sameElements(df.columns.sorted),
+      s"upsertByKey: updates columns ${updates.columns.sorted.mkString(",")} " +
+        s"must match table columns ${df.columns.sorted.mkString(",")}")
+    val u = updates.select(df.columns.map(col): _*)
+    val keyRows = u.select(keyCol).distinct().limit(maxKeys + 1).collect()
+    require(keyRows.length <= maxKeys,
+      s"upsertByKey is the point-update path (> $maxKeys distinct keys); " +
+        "use a partition rebuild for bulk upserts")
+    require(keyRows.nonEmpty, "upsertByKey: empty updates")
+    require(u.count() == keyRows.length,
+      s"upsertByKey: duplicate keys in updates — one row per $keyCol")
+    val keys = keyRows.map(_.get(0)).toSeq
+    val pred = col(keyCol).isin(keys: _*)
+    val snapshot = df.inputFiles.map(new org.apache.hadoop.fs.Path(_))
+    val qualified = fs.makeQualified(path)
+    snapshot.foreach { p =>
+      require(fs.makeQualified(p).getParent == qualified,
+        s"upsertByKey requires a FLAT directory; found nested file $p")
+    }
+    val affected = df.filter(pred)
+      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val matched = affected.map(_._2).sum
+    val affectedSet = affected.map { case (f, _) =>
+      fs.makeQualified(new org.apache.hadoop.fs.Path(new java.net.URI(f)))
+    }.toSet
+    val gen = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new org.apache.hadoop.fs.Path(dir + TmpInfix + gen)
+    val (newGen, expected) =
+      if (affectedSet.isEmpty) (u, keys.length.toLong)
+      else {
+        val affectedDf =
+          spark.read.parquet(affectedSet.map(_.toString).toSeq: _*)
+        // NULL-key rows kept, as in deleteWhere
+        (affectedDf.filter(!coalesce(pred, lit(false))).unionByName(u),
+          affectedDf.count() - matched + keys.length)
+      }
+    newGen.write.mode("overwrite").parquet(tmp.toString)
+    val got = spark.read.parquet(tmp.toString).count()
+    require(got == expected,
+      s"upsertByKey row-count mismatch ($got != $expected) — original " +
+        "left untouched")
+    val newFiles = fs.listStatus(tmp)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val plan = newFiles.zipWithIndex.map { case (f, i) =>
+      f.getPath.getName -> s"upserted-$gen-$i.parquet"
+    }
+    swapIn(fs, path, tmp, plan.toSeq,
+      affectedSet.toSeq.sortBy(_.getName).map(_.getName))
+    UpsertStats(newFiles.length, snapshot.length - affectedSet.size,
+      matched, keys.length - matched)
+  }
+
+  /**
+   * PATCH-one-row semantics over [[upsertByKey]] (reference:
+   * api/main.py:554-586): read the current row by key (a pruned point
+   * lookup), fail loudly when absent (the endpoint's 404), apply the
+   * partial `setters` (column → new-value expression, evaluated against
+   * the current row), write back through the upsert transaction.
+   */
+  def patchRow(spark: org.apache.spark.sql.SparkSession, dir: String,
+               keyCol: String, keyValue: Any,
+               setters: Map[String, Column]): UpsertStats = {
+    val df = spark.read.parquet(dir)
+    val bad = setters.keySet.filterNot(df.columns.contains)
+    require(bad.isEmpty, s"patchRow: unknown column(s) ${bad.mkString(",")}")
+    require(!setters.contains(keyCol), "patchRow cannot rewrite the key")
+    val current = df.filter(col(keyCol) === lit(keyValue))
+    require(!current.isEmpty,
+      s"patchRow: no row with $keyCol = $keyValue (not found)")
+    val updated = setters.foldLeft(current) { case (acc, (c, e)) =>
+      acc.withColumn(c, e)
+    }
+    upsertByKey(spark, dir, updated, keyCol)
+  }
+
   /**
    * Targeted row deletion from a flat parquet directory — the
    * right-to-erasure / retention-purge maintenance job (the data-plane

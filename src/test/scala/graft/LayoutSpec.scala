@@ -149,6 +149,84 @@ class LayoutSpec extends SparkSpec {
     assert(files() === after)
   }
 
+  test("upsertByKey: replace rewrites only key-bearing files, insert " +
+      "rewrites none, re-upsert is idempotent, everyone else survives " +
+      "by name and byte") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert")
+      .resolve("table").toString
+    val df = spark.range(8000)
+      .selectExpr("id", "id % 40 AS user", "cast(id as double) AS v")
+    df.repartitionByRange(8, col("id")).write.parquet(dir)
+    def files() = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val before = files()
+    // replace two rows living in DIFFERENT range files + insert one new
+    val updates = Seq((10L, 99L, -1.0), (7900L, 99L, -2.0),
+      (50000L, 99L, -3.0)).toDF("id", "user", "v")
+    val stats = Layout.upsertByKey(spark, dir, updates, "id")
+    assert(stats.rowsReplaced === 2L && stats.rowsInserted === 1L)
+    val after = files()
+    assert(before.intersect(after).size === stats.filesUntouched)
+    assert(after.diff(before).forall(_.startsWith("upserted-")))
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 8001)
+    assert(back.filter(col("user") === 99).count() === 3L)
+    assert(back.filter(col("id") === 10L).select("v").head.getDouble(0) === -1.0)
+    // untouched rows byte-identical (checksum over the complement)
+    assert(back.filter(!col("id").isin(10L, 7900L, 50000L))
+      .agg(sum("v")).head.getDouble(0) ===
+      df.filter(!col("id").isin(10L, 7900L)).agg(sum("v")).head.getDouble(0))
+    // idempotent: the same upsert again replaces 3, inserts 0, and the
+    // table state is unchanged
+    val again = Layout.upsertByKey(spark, dir, updates, "id")
+    assert(again.rowsReplaced === 3L && again.rowsInserted === 0L)
+    assert(spark.read.parquet(dir).count() === 8001)
+    assert(spark.read.parquet(dir).filter(col("user") === 99).count() === 3L)
+    // pure insert: no existing file rewrites
+    val ins = Seq((60000L, 1L, 5.0)).toDF("id", "user", "v")
+    val preIns = files()
+    val insStats = Layout.upsertByKey(spark, dir, ins, "id")
+    assert(insStats.rowsReplaced === 0L && insStats.rowsInserted === 1L)
+    assert(preIns.subsetOf(files()), "pure insert must not rewrite files")
+    // duplicate keys in updates rejected
+    intercept[IllegalArgumentException] {
+      Layout.upsertByKey(spark, dir,
+        Seq((1L, 1L, 1.0), (1L, 1L, 2.0)).toDF("id", "user", "v"), "id")
+    }
+    // schema mismatch rejected
+    intercept[IllegalArgumentException] {
+      Layout.upsertByKey(spark, dir, Seq((1L, 1L)).toDF("id", "user"), "id")
+    }
+  }
+
+  test("patchRow: partial setters evaluate against the current row; " +
+      "missing key fails loudly (the endpoint 404); key not writable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-patch")
+      .resolve("table").toString
+    spark.range(100)
+      .selectExpr("id", "'new' AS status", "cast(id as double) AS v")
+      .write.parquet(dir)
+    // setter referencing the CURRENT row's value (v = v * 2)
+    val st = Layout.patchRow(spark, dir, "id", 42L,
+      Map("status" -> lit("converted"), "v" -> col("v") * 2))
+    assert(st.rowsReplaced === 1L && st.rowsInserted === 0L)
+    val row = spark.read.parquet(dir).filter(col("id") === 42L).head
+    assert(row.getAs[String]("status") === "converted")
+    assert(row.getAs[Double]("v") === 84.0)
+    assert(spark.read.parquet(dir).count() === 100)
+    // 404 semantics
+    intercept[IllegalArgumentException] {
+      Layout.patchRow(spark, dir, "id", 12345L, Map("status" -> lit("x")))
+    }
+    // unknown column + key rewrite rejected
+    intercept[IllegalArgumentException] {
+      Layout.patchRow(spark, dir, "id", 42L, Map("ghost" -> lit(1)))
+    }
+    intercept[IllegalArgumentException] {
+      Layout.patchRow(spark, dir, "id", 42L, Map("id" -> lit(1L)))
+    }
+  }
+
   test("deleteWhere keeps rows where the predicate is NULL (erase only " +
       "proven matches) and still completes") {
     val dir = java.nio.file.Files.createTempDirectory("graft-delete-null")

@@ -41,23 +41,46 @@ class EnsembleSpec extends SparkSpec {
     (ens, ens.fit(tr))
   }
 
+  // AUC via rank-sum (Mann-Whitney) — threshold-free quality gate
+  private def aucOf(scored: org.apache.spark.sql.DataFrame): Double = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"))
+    val ranked = scored.withColumn("r", row_number().over(w))
+    val pos = ranked.filter(col("label") === 1)
+    val nPos = pos.count().toDouble
+    val nNeg = ranked.count() - nPos
+    val rankSum = pos.agg(sum("r")).head.getLong(0).toDouble
+    (rankSum - nPos * (nPos + 1) / 2) / (nPos * nNeg)
+  }
+
   test("ensemble trains and scores within [0,1], ranks signal (AUC gate)") {
     val (ens, model) = fitted
     val (_, va) = ens.split(pairs)
     val scored = model.scoreAll(va).cache()
     val bounds = scored.agg(min("score"), max("score")).head
     assert(bounds.getDouble(0) >= 0.0 && bounds.getDouble(1) <= 1.0)
-    // AUC via rank-sum (Mann-Whitney) — threshold-free quality gate
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"))
-    val ranked = scored.withColumn("r", row_number().over(w))
-    val auc = {
-      val pos = ranked.filter(col("label") === 1)
-      val nPos = pos.count().toDouble
-      val nNeg = ranked.count() - nPos
-      val rankSum = pos.agg(sum("r")).head.getLong(0).toDouble
-      (rankSum - nPos * (nPos + 1) / 2) / (nPos * nNeg)
-    }
+    val auc = aucOf(scored)
     assert(auc > 0.85, s"ensemble AUC $auc below gate")
+  }
+
+  test("M9 fitted-StandardScaler path: scaled pipeline AUC within " +
+      "tolerance of the unscaled default (which stays the reference " +
+      "no-op)") {
+    val ensScaled = new Ensemble(featureCols,
+      numTrees = 20, rfDepth = 6, xgbIter = 10, gbtIter = 10, mlpIter = 30,
+      scale = true)
+    val (tr, va) = ensScaled.split(pairs)
+    val scaledScored = ensScaled.fit(tr).scoreAll(va)
+    // scaler really ran: per-model score columns present, frame intact
+    assert(scaledScored.columns.contains("score_nn"))
+    assert(scaledScored.count() === va.count())
+    val aucScaled = aucOf(scaledScored)
+    val (ensU, modelU) = fitted
+    val (_, vaU) = ensU.split(pairs)
+    val aucUnscaled = aucOf(modelU.scoreAll(vaU))
+    // features are already ~[0,1]: scaling must not change ranking
+    // quality materially in either direction
+    assert(math.abs(aucScaled - aucUnscaled) < 0.05,
+      s"scaled AUC $aucScaled vs unscaled $aucUnscaled drifted past tolerance")
   }
 
   test("weighted vote matches hand-computed weights on model scores") {
