@@ -91,7 +91,10 @@ object Plans {
       "q141_ivfpq_topk",       // probe lists -> members -> ADC lookup
       "q144_ivfpq_residual_topk", // residual codes + per-list ADC tables
       "q145_delete_where",     // post-delete lake read (files rewritten ∝ matches)
-      "q148_lexrank_summary")  // per-doc tile pair join, one doc-hash Exchange family
+      "q148_lexrank_summary",  // per-doc tile pair join, one doc-hash Exchange family
+      "q149_feedback_metrics", // feedback pre-agg BEFORE prediction join
+      "q151_point_upsert",     // post-upsert lake read (files rewritten ∝ keys)
+      "q152_variant_compare")  // tiny variant rollup + window'd control row
     // per-query reader notes where the right plan is easy to misread
     val notes = Map(
       "q128_sql_range_join" -> ("The user wrote the naive theta join " +
@@ -148,6 +151,27 @@ object Plans {
         "read). What matters here: the read after erasure is a plain " +
         "pruned scan, indistinguishable from a never-contained-them " +
         "table."),
+      "q149_feedback_metrics" -> ("The feedback log (the high-volume " +
+        "side at serving scale) hits a partial-agg HashAggregate per " +
+        "(prediction_id, day) BEFORE the join with the prediction log " +
+        "-- the join's probe side is one row per prediction-day, never " +
+        "raw event volume. The final (model_version, day) rollup " +
+        "re-aggregates a frame whose cardinality is predictions, and " +
+        "its output is variants x days. One shuffle per key change, " +
+        "map-side combine on both."),
+      "q151_point_upsert" -> ("The plan shown is the POST-UPSERT " +
+        "rollup read (the q145 pattern): the upsert itself is the " +
+        "marker-transaction maintenance job -- a pruned point scan " +
+        "finds the files containing the patched keys, only those " +
+        "rewrite, the insert lands as one new file. The read after is " +
+        "a plain pruned scan over the swapped-in generation."),
+      "q152_variant_compare" -> ("The per-variant rollup (same " +
+        "pre-agg-then-join shape as q149) produces |variants| rows; " +
+        "the control's counts re-enter via an UNPARTITIONED window " +
+        "over that tiny frame (single task on |variants| rows) -- NOT " +
+        "a self-join, which would recompute the rollup and re-scan " +
+        "the feedback log. The z-test is pure column arithmetic; the " +
+        "whole significance computation adds zero extra passes."),
       "q130_artifact_corpus" -> ("Consumes the STORED labels artifact " +
         "(parquet scan of /tmp/graft_artifacts_q130/labels) -- the " +
         "LSH+CC work that produced it ran once in the artifact build " +

@@ -136,10 +136,14 @@ object Feedback {
    * 'control' for the control row, 'promote' when z > zCrit, 'rollback'
    * when z < −zCrit, 'hold' otherwise.
    *
-   * The per-variant rollup is a handful of rows: the control row joins
-   * back as a broadcast scalar. Degenerate cells (zero trials on either
-   * side, or a pooled rate of 0 or 1 → zero variance) define z = 0 —
-   * 'hold', never a division blow-up.
+   * The per-variant rollup is a handful of rows; the control's counts
+   * re-enter via an UNPARTITIONED window over that tiny frame (single
+   * task on |variants| rows) rather than a self-join — a self-join
+   * would recompute the whole rollup, i.e. a second full pass over the
+   * feedback log. Degenerate cells (zero trials on either side, a
+   * missing control variant, or a pooled rate of 0 or 1 → zero
+   * variance) define z = 0 — 'hold', never a division blow-up and
+   * never a silently-empty result.
    */
   def variantComparison(predictions: DataFrame, feedback: DataFrame,
                         control: String,
@@ -155,23 +159,27 @@ object Feedback {
         "prediction_id")
       .groupBy("model_version")
       .agg(sum("n_impr").as("trials"), sum("n_succ").as("successes"))
-    val ctl = byVariant.filter(col("model_version") === control)
-      .select(col("trials").as("c_trials"),
-        col("successes").as("c_successes"))
-    val joined = byVariant.crossJoin(broadcast(ctl))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val joined = byVariant
+      .withColumn("c_trials",
+        max(when(col("model_version") === control, col("trials"))).over(all))
+      .withColumn("c_successes",
+        max(when(col("model_version") === control, col("successes"))).over(all))
     val p = col("successes").cast("double") / col("trials")
     val pc = col("c_successes").cast("double") / col("c_trials")
     val pool = (col("successes") + col("c_successes")).cast("double") /
       (col("trials") + col("c_trials"))
     val se = sqrt(pool * (lit(1.0) - pool) *
       (lit(1.0) / col("trials") + lit(1.0) / col("c_trials")))
-    val z = when(col("trials") === 0 || col("c_trials") === 0 ||
+    val z = when(col("trials") === 0 ||
+        coalesce(col("c_trials"), lit(0L)) === 0 ||
         col("model_version") === control, 0.0)
       .otherwise(when(se > 0, (p - pc) / se).otherwise(0.0))
     joined.select(col("model_version"), col("trials"), col("successes"),
       round(when(col("trials") > 0, p).otherwise(0.0), 6).as("rate"),
-      round(when(col("c_trials") > 0, pc).otherwise(0.0), 6)
-        .as("control_rate"),
+      round(when(coalesce(col("c_trials"), lit(0L)) > 0, pc)
+        .otherwise(0.0), 6).as("control_rate"),
       round(z, 6).as("z"),
       when(col("model_version") === control, "control")
         .when(z > zCrit, "promote")

@@ -404,24 +404,28 @@ object MlQueries {
         |  sum(CASE WHEN feedback_type IN ('viewed','ignored') THEN 1 ELSE 0 END) AS trials,
         |  sum(CASE WHEN feedback_type = 'converted' THEN 1 ELSE 0 END) AS successes
         |  FROM fb JOIN va ON fb.user_id = va.user_id GROUP BY 1),
-        |c AS (SELECT trials AS c_trials, successes AS c_successes
-        |  FROM pp WHERE model_version = 'v1'),
-        |j AS (SELECT pp.model_version, pp.trials, pp.successes,
-        |    c.c_trials, c.c_successes,
-        |    CAST(pp.successes AS DOUBLE)/pp.trials AS p,
-        |    CAST(c.c_successes AS DOUBLE)/c.c_trials AS pc,
-        |    CAST(pp.successes + c.c_successes AS DOUBLE)
-        |      /(pp.trials + c.c_trials) AS pool
-        |  FROM pp CROSS JOIN c),
+        |w AS (SELECT model_version, trials, successes,
+        |    max(CASE WHEN model_version = 'v1' THEN trials END) OVER ()
+        |      AS c_trials,
+        |    max(CASE WHEN model_version = 'v1' THEN successes END) OVER ()
+        |      AS c_successes
+        |  FROM pp),
+        |j AS (SELECT model_version, trials, successes,
+        |    c_trials, c_successes,
+        |    CAST(successes AS DOUBLE)/trials AS p,
+        |    CAST(c_successes AS DOUBLE)/c_trials AS pc,
+        |    CAST(successes + c_successes AS DOUBLE)
+        |      /(trials + c_trials) AS pool
+        |  FROM w),
         |k AS (SELECT *, sqrt(pool*(1.0 - pool)
         |    *(1.0/trials + 1.0/c_trials)) AS se FROM j),
-        |zt AS (SELECT *, CASE WHEN trials = 0 OR c_trials = 0
+        |zt AS (SELECT *, CASE WHEN trials = 0 OR COALESCE(c_trials, 0) = 0
         |      OR model_version = 'v1' THEN 0.0
         |    WHEN se > 0 THEN (p - pc)/se ELSE 0.0 END AS zv FROM k)
         |SELECT model_version, CAST(trials AS BIGINT) AS trials,
         |  CAST(successes AS BIGINT) AS successes,
         |  round(CASE WHEN trials > 0 THEN p ELSE 0.0 END, 6) AS rate,
-        |  round(CASE WHEN c_trials > 0 THEN pc ELSE 0.0 END, 6) AS control_rate,
+        |  round(CASE WHEN COALESCE(c_trials, 0) > 0 THEN pc ELSE 0.0 END, 6) AS control_rate,
         |  round(zv, 6) AS z,
         |  CASE WHEN model_version = 'v1' THEN 'control'
         |       WHEN zv > 1.96 THEN 'promote'

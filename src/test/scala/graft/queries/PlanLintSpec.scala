@@ -41,8 +41,7 @@ class PlanLintSpec extends SparkSpec {
     "q74_tfidf" -> "broadcast 1-row corpus-size frame (N for idf) crossJoined onto term stats",
     "q92_negative_sampling" -> "broadcast 1-row part-count frame (the modulus for the hash draw)",
     "q108_dau_wau" -> "broadcast 1-row date-bounds frame (d0,d1) range-joined to the day scaffold — bounded by the calendar, not the fact table",
-    "q109_rfm" -> "broadcast 1-row order-statistic edges frame crossJoined for scan-local scoring",
-    "q152_variant_compare" -> "broadcast 1-row control-variant frame crossJoined onto the per-variant rollup (|variants| rows) for the z-test")
+    "q109_rfm" -> "broadcast 1-row order-statistic edges frame crossJoined for scan-local scoring")
 
   /** Expand is legitimate only for SQL grouping sets. */
   private val expandAllowed: Map[String, String] = Map(
