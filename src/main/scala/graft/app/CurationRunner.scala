@@ -229,9 +229,14 @@ object CurationRunner {
       val fs = p.getFileSystem(conf)
       if (!fs.exists(p)) None
       else {
-        val hasData = fs.listStatus(p).exists(st =>
-          st.isFile && !st.getPath.getName.startsWith("_") &&
-            !st.getPath.getName.startsWith("."))
+        // "empty" means NO data files AND no subdirectories: a
+        // partitioned layout (data under day=.../) must fall through to
+        // deleteWhere, whose flat-dir check fails LOUDLY into `failed` —
+        // classifying it empty would fake a successful erasure
+        val children = fs.listStatus(p)
+        val hasData = children.exists(st =>
+          (st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith(".")) || st.isDirectory)
         if (!hasData) Some(name -> Right(0L))
         else
           try Some(name -> Right(

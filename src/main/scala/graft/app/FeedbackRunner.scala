@@ -84,15 +84,30 @@ object FeedbackRunner {
       Feedback.variantComparison(predictions, feedback, control)
     }
 
-    // the gate: apply the challenger's decision as a manifest transition
+    // the gate: apply the challenger's decision as a manifest
+    // transition. Guarded like every other stage — an unknown version
+    // in the registry (e.g. an unseeded first cycle) must surface as a
+    // failed 'gate' row in the sync-log, not abort the run after the
+    // metrics artifact was already written
     val decision = compared
       .flatMap(_.filter(col("model_version") === challenger)
         .select("decision").collect().headOption.map(_.getString(0)))
       .getOrElse("hold")
-    decision match {
-      case "promote" => Registry.promote(spark, registryDir, challenger)
-      case "rollback" => Registry.rollback(spark, registryDir, control)
-      case _ => ()
+    locally {
+      val t0 = System.currentTimeMillis()
+      try {
+        decision match {
+          case "promote" => Registry.promote(spark, registryDir, challenger)
+          case "rollback" => Registry.rollback(spark, registryDir, control)
+          case _ => ()
+        }
+        results += StageResult("gate", "success", 1L, t0,
+          System.currentTimeMillis())
+      } catch {
+        case e: Exception =>
+          results += StageResult("gate", "failed", 0, t0,
+            System.currentTimeMillis(), String.valueOf(e.getMessage))
+      }
     }
 
     val training = stage("training") {
@@ -101,7 +116,12 @@ object FeedbackRunner {
         .withColumn("label", col("label").cast("int"))
     }
 
-    training.filter(_ => featureCols.nonEmpty).foreach { td =>
+    if (featureCols.isEmpty)
+      // visible skip, not a silent absence from the sync-log
+      results += StageResult("retrain", "skipped", 0,
+        System.currentTimeMillis(), System.currentTimeMillis(),
+        "no featureCols configured")
+    else training.foreach { td =>
       val t0 = System.currentTimeMillis()
       try {
         val ens = new Ensemble(featureCols, numTrees = numTrees,

@@ -16,8 +16,11 @@ import org.apache.spark.sql.SparkSession
  * The manifest is a single tiny JSON file written via the Hadoop
  * FileSystem (works on hdfs:///s3a:// like every other artifact path in
  * the repo) with the same no-external-dep serialization discipline as
- * EnsembleModel.save. Writes go through a temp-file + rename so a
- * crashed transition never leaves a torn manifest. Invariant: at most
+ * EnsembleModel.save. Writes land COMPLETE in a side file first, then
+ * swap in via delete + rename; read() falls back to the side file when
+ * the main manifest is absent, so a crash at ANY point of a transition
+ * leaves a readable manifest (old state before the delete, new state
+ * after — never torn, never empty). Invariant: at most
  * one version is in 'production' at any time — promote and rollback
  * both archive the incumbent in the same transition.
  */
@@ -37,29 +40,56 @@ object Registry {
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
+  private def tmpPath(dir: String) = new Path(s"$dir/.registry.json.tmp")
+
   def read(spark: SparkSession, dir: String): Manifest = {
     val p = manifestPath(dir)
     val f = fs(spark, p)
-    if (!f.exists(p)) Manifest(Seq.empty)
-    else {
-      val in = f.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      val entry = """\{"version":"([^"]+)","stage":"([^"]+)","path":"([^"]*)"\}""".r
-      Manifest(entry.findAllMatchIn(txt)
-        .map(m => Entry(m.group(1), m.group(2), m.group(3))).toSeq)
+    // crash recovery: the side file is always written COMPLETE before
+    // the main manifest is touched, so "main absent + side present"
+    // means a write died between its delete and its rename — the side
+    // file IS the committed new state. Main present → side is a stale
+    // leftover from a crash before the delete; ignore it.
+    val src =
+      if (f.exists(p)) Some(p)
+      else if (f.exists(tmpPath(dir))) Some(tmpPath(dir))
+      else None
+    src match {
+      case None => Manifest(Seq.empty)
+      case Some(path) =>
+        val in = f.open(path)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        val entry = """\{"version":"([^"]+)","stage":"([^"]+)","path":"([^"]*)"\}""".r
+        Manifest(entry.findAllMatchIn(txt)
+          .map(m => Entry(m.group(1), m.group(2), m.group(3))).toSeq)
     }
   }
 
+  // the manifest is line-protocol JSON parsed by regex (the
+  // EnsembleModel.save no-external-dep discipline): reject strings the
+  // format cannot carry rather than escaping them — a version id or
+  // artifact path with quotes/backslashes/newlines is a caller bug
+  private def checkSafe(what: String, s: String): Unit =
+    require(!s.exists(c => c == '"' || c == '\\' || c == '\n' || c == '\r'),
+      s"""$what "$s" may not contain quotes, backslashes or newlines""")
+
   private def write(spark: SparkSession, dir: String, m: Manifest): Unit = {
+    m.entries.foreach { e =>
+      checkSafe("version", e.version); checkSafe("stage", e.stage)
+      checkSafe("path", e.path)
+    }
     val json = m.entries.sortBy(_.version)
       .map(e => s"""{"version":"${e.version}","stage":"${e.stage}","path":"${e.path}"}""")
       .mkString("[", ",", "]")
     val p = manifestPath(dir)
     val f = fs(spark, p)
-    val tmp = new Path(s"$dir/.registry.json.tmp")
+    val tmp = tmpPath(dir)
     val out = f.create(tmp, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
+    // delete-then-rename is NOT atomic; read()'s side-file fallback
+    // covers the window between the two (the side file already holds
+    // the complete new state at this point)
     if (f.exists(p)) f.delete(p, false)
     if (!f.rename(tmp, p))
       throw new java.io.IOException(s"registry rename failed at $p")

@@ -66,16 +66,22 @@ object Scd2 {
    *    open interval at its ts, and keys new in the delta (no seed)
    *    build from scratch.
    *
-   * `validate = true` ENFORCES the strictly-later contract instead of
-   * assuming it: one small job over the delta (work ∝ |delta| — the
-   * delta joins the one-open-row-per-key slice of history, never the
-   * closed intervals) asserts every delta event's ts is strictly after
-   * its key's open-interval valid_from, and fails loudly with the
-   * violating keys otherwise. Off by default to keep merge a pure
-   * transformation (no eager job at call time); turn it on at ingest
-   * boundaries where late data is possible — a late event folded in
-   * silently would corrupt intervals in an operator whose contract is
-   * merged == rebuilt.
+   * `validate = true` checks the strictly-later contract to the
+   * tightest bound the STORED history retains: one small job over the
+   * delta (work ∝ |delta| — the delta joins the one-open-row-per-key
+   * slice of history, never the closed intervals) asserts every delta
+   * event's ts is strictly after its key's open-interval valid_from,
+   * failing loudly with the violating keys. This is best-effort by
+   * information-theoretic necessity, not implementation choice: a
+   * same-state repeat event AFTER the last change point is compressed
+   * away by the SCD2 build, so a late event landing between that
+   * change point and the compressed-away repeat is indistinguishable
+   * from a conforming one given only the stored intervals (and would
+   * still corrupt merged == rebuilt). Exact enforcement needs the true
+   * per-key event high-watermark, which lives at the ingest boundary —
+   * the `Tables.hwmRead` discipline — not in the history table; gate
+   * there for exactness. Off by default to keep merge a pure
+   * transformation (no eager job at call time).
    */
   def merge(history: DataFrame, delta: DataFrame, key: Column, ts: Column,
             tiebreak: Column, state: Column,

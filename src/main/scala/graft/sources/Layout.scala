@@ -196,6 +196,10 @@ object Layout {
       s"upsertByKey is the point-update path (> $maxKeys distinct keys); " +
         "use a partition rebuild for bulk upserts")
     require(keyRows.nonEmpty, "upsertByKey: empty updates")
+    // a NULL key can never equal a stored key (three-valued isin), so
+    // it would re-insert on every replay instead of replacing — reject
+    require(!keyRows.exists(_.isNullAt(0)),
+      s"upsertByKey: NULL $keyCol in updates — keys must be non-null")
     require(u.count() == keyRows.length,
       s"upsertByKey: duplicate keys in updates — one row per $keyCol")
     val keys = keyRows.map(_.get(0)).toSeq
@@ -250,6 +254,11 @@ object Layout {
   def patchRow(spark: org.apache.spark.sql.SparkSession, dir: String,
                keyCol: String, keyValue: Any,
                setters: Map[String, Column]): UpsertStats = {
+    // recover any crashed swap BEFORE reading: a pending marker means
+    // both generations may be on disk — reading through it would see
+    // the key twice (tripping the duplicate-key guard) or resolve
+    // files that the recovery inside upsertByKey then deletes
+    recoverCompaction(spark, dir)
     val df = spark.read.parquet(dir)
     val bad = setters.keySet.filterNot(df.columns.contains)
     require(bad.isEmpty, s"patchRow: unknown column(s) ${bad.mkString(",")}")

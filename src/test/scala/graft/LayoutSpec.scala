@@ -193,6 +193,11 @@ class LayoutSpec extends SparkSpec {
       Layout.upsertByKey(spark, dir,
         Seq((1L, 1L, 1.0), (1L, 1L, 2.0)).toDF("id", "user", "v"), "id")
     }
+    // NULL key rejected (would re-insert on every replay, never replace)
+    intercept[IllegalArgumentException] {
+      Layout.upsertByKey(spark, dir,
+        Seq((None: Option[Long], 1L, 1.0)).toDF("id", "user", "v"), "id")
+    }
     // schema mismatch rejected
     intercept[IllegalArgumentException] {
       Layout.upsertByKey(spark, dir, Seq((1L, 1L)).toDF("id", "user"), "id")

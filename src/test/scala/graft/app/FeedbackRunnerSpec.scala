@@ -88,6 +88,24 @@ class FeedbackRunnerSpec extends SparkSpec {
     assert(report.candidate === Some("vC"))
   }
 
+  test("unseeded registry: the gate FAILS into the sync-log instead of " +
+      "aborting the run; later stages and the report still complete") {
+    val out = freshDir(); val reg = s"$out/registry" // never seeded
+    val (preds, fb) = logs(convA = 300, convB = 400)  // promote decision
+    val report = FeedbackRunner.run(spark, preds, fb, out, reg,
+      control = "vA", challenger = "vB", candidateVersion = "vC",
+      featureCols = Seq("score", "f0", "f1"),
+      cutoff = timestamp_seconds(lit(0)), minFeedbackCount = 10L,
+      numTrees = 5, treeDepth = 3, iters = 3)
+    val gate = report.results.find(_.stage == "gate").get
+    assert(gate.status === "failed" && gate.error.contains("vB"))
+    assert(report.decision === "promote")
+    // the run went on: training + retrain + candidate registration
+    assert(report.results.map(_.stage).contains("retrain"))
+    assert(report.candidate === Some("vC"))
+    assert(spark.read.parquet(s"$out/sync_log").count() > 0)
+  }
+
   test("flat race: hold — registry untouched except the staged candidate") {
     val (report, _, reg) = runWith(convA = 300, convB = 305)
     assert(report.decision === "hold")

@@ -42,6 +42,41 @@ class RegistrySpec extends SparkSpec {
     assert(reread.entries.toSet === m.entries.toSet)
   }
 
+  test("a crash between delete and rename is recovered: read falls " +
+      "back to the complete side file; a stale side file never shadows " +
+      "the main manifest") {
+    val dir = freshDir()
+    Registry.register(spark, dir, "v1.0", "p1", stage = "production")
+    Registry.register(spark, dir, "v2.0", "p2")
+    // simulate the crash window: main deleted, side file (complete new
+    // state) still in place
+    val main = new java.io.File(s"$dir/registry.json")
+    val side = new java.io.File(s"$dir/.registry.json.tmp")
+    val bytes = java.nio.file.Files.readAllBytes(main.toPath)
+    java.nio.file.Files.write(side.toPath, bytes)
+    assert(main.delete())
+    val recovered = Registry.read(spark, dir)
+    assert(recovered.entries.map(_.version).toSet === Set("v1.0", "v2.0"))
+    assert(recovered.production.map(_.version) === Some("v1.0"))
+    // stale side file + main present → main wins
+    Registry.register(spark, dir, "v3.0", "p3")
+    java.nio.file.Files.write(side.toPath, "[]".getBytes)
+    assert(Registry.read(spark, dir).entries.map(_.version).toSet ===
+      Set("v1.0", "v2.0", "v3.0"))
+  }
+
+  test("versions/paths the line format cannot carry are rejected at " +
+      "write, not corrupted") {
+    val dir = freshDir()
+    intercept[IllegalArgumentException] {
+      Registry.register(spark, dir, "v1\"beta", "p")
+    }
+    intercept[IllegalArgumentException] {
+      Registry.register(spark, dir, "v1", "a\\b")
+    }
+    assert(Registry.read(spark, dir).entries.isEmpty)
+  }
+
   test("promote of an unknown version fails loudly and mutates nothing") {
     val dir = freshDir()
     Registry.register(spark, dir, "v1.0", "p1", stage = "production")
