@@ -125,6 +125,55 @@ object Streams {
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n"), col("total_value"))
 
+  /**
+   * Online feedback metrics — the STREAMING form of
+   * [[graft.ml.Feedback.feedbackMetrics]] (q149's rollup; these are
+   * ONLINE metrics, so the event-time-windowed stream is the production
+   * habitat): the feedback event stream joins the prediction log as a
+   * STREAM-STATIC equi-join (the log is the serving store's slowly-
+   * growing table — no stream-stream state, the static side re-reads
+   * per micro-batch and prunes on the join key) and aggregates the same
+   * counters, guarded rates and decimal revenue per (model_version,
+   * day window). One stateful operator; watermark bounds open-window
+   * state at horizon-days × |versions|. `FeedbackStreamSpec` proves a
+   * drain equals the batch operator row-for-row.
+   */
+  def feedbackMetricsStream(feedback: DataFrame,
+                            predictions: DataFrame): DataFrame = {
+    def rate(n: Column, d: Column): Column =
+      round(when(d > 0, n.cast("double") / d).otherwise(0.0), 6)
+    feedback
+      .join(predictions.select("prediction_id", "model_version"),
+        "prediction_id")
+      .groupBy(col("model_version"), window(col("created_at"), "1 day"))
+      .agg(
+        sum(when(col("feedback_type")
+            .isin(graft.ml.Feedback.ImpressionTypes: _*), 1L)
+          .otherwise(0L)).as("impression_count"),
+        sum(when(col("feedback_type") === "clicked", 1L).otherwise(0L))
+          .as("click_count"),
+        sum(when(col("feedback_type") === "accepted", 1L).otherwise(0L))
+          .as("accept_count"),
+        sum(when(col("feedback_type") === "converted", 1L).otherwise(0L))
+          .as("conversion_count"),
+        sum(when(col("feedback_type") === "converted",
+          coalesce(col("outcome_value"), lit(0.0))).otherwise(0.0)
+          .cast("decimal(18,6)")).as("rev"))
+      .select(col("model_version"),
+        date_format(col("window.start"), "yyyy-MM-dd").as("window_day"),
+        col("impression_count"), col("click_count"),
+        rate(col("click_count"), col("impression_count")).as("ctr"),
+        col("accept_count"),
+        rate(col("accept_count"), col("impression_count")).as("accept_rate"),
+        col("conversion_count"),
+        rate(col("conversion_count"), col("impression_count"))
+          .as("conversion_rate"),
+        round(col("rev").cast("double"), 2).as("total_revenue"),
+        round(when(col("conversion_count") > 0,
+          col("rev").cast("double") / col("conversion_count"))
+          .otherwise(0.0), 2).as("avg_revenue_per_conversion"))
+  }
+
   /** Sliding event-time rollup — q126's batch aggregate on a stream:
     * overlapping windows (`length`, every `slide`) per event, count +
     * sum(value). window() explodes scan-locally into length/slide
