@@ -234,9 +234,14 @@ object CurationRunner {
         // deleteWhere, whose flat-dir check fails LOUDLY into `failed` —
         // classifying it empty would fake a successful erasure
         val children = fs.listStatus(p)
-        val hasData = children.exists(st =>
-          (st.isFile && !st.getPath.getName.startsWith("_") &&
-            !st.getPath.getName.startsWith(".")) || st.isDirectory)
+        def visible(st: org.apache.hadoop.fs.FileStatus) =
+          !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith(".")
+        // hidden/metadata entries (_SUCCESS, _temporary, dot-files)
+        // count for NEITHER branch: a crashed write's lone _temporary
+        // dir is still an empty target, not a partitioned layout
+        val hasData = children.exists(st => visible(st) &&
+          (st.isFile || st.isDirectory))
         if (!hasData) Some(name -> Right(0L))
         else
           try Some(name -> Right(

@@ -116,11 +116,16 @@ object FeedbackRunner {
         .withColumn("label", col("label").cast("int"))
     }
 
+    // every outcome of the retrain stage is a VISIBLE sync-log row:
+    // skipped (no features / upstream training failed), success, failed
     if (featureCols.isEmpty)
-      // visible skip, not a silent absence from the sync-log
       results += StageResult("retrain", "skipped", 0,
         System.currentTimeMillis(), System.currentTimeMillis(),
         "no featureCols configured")
+    else if (training.isEmpty)
+      results += StageResult("retrain", "skipped", 0,
+        System.currentTimeMillis(), System.currentTimeMillis(),
+        "training stage failed")
     else training.foreach { td =>
       val t0 = System.currentTimeMillis()
       try {

@@ -43,23 +43,55 @@ object Feedback {
    * guard zero denominators (0.0, matching the reference's zero dict).
    * Revenue sums ride DECIMAL for cross-engine determinism.
    */
+  // ---- shared metric expressions (parity by construction) ----
+  // The batch rollup below and the streaming twin
+  // (Streams.feedbackMetricsStream) must produce IDENTICAL math —
+  // FeedbackStreamSpec proves drain ≡ batch, but the guarantee is
+  // maintained structurally by both composing these same expressions,
+  // not by keeping two hand-mirrored copies in sync.
+
+  /** Per-row 0/1 counter cells over `feedback_type`. */
+  private[graft] def impressionCell: Column =
+    when(col("feedback_type").isin(ImpressionTypes: _*), 1L).otherwise(0L)
+  private[graft] def typeCell(t: String): Column =
+    when(col("feedback_type") === t, 1L).otherwise(0L)
+  /** Revenue cell: DECIMAL, conversions only. */
+  private[graft] def revenueCell: Column =
+    when(col("feedback_type") === "converted",
+      coalesce(col("outcome_value"), lit(0.0))).otherwise(0.0)
+      .cast("decimal(18,6)")
+  private[graft] def guardedRate(n: Column, d: Column): Column =
+    round(when(d > 0, n.cast("double") / d).otherwise(0.0), 6)
+
+  /** The 11-column metrics contract over a frame carrying the summed
+    * counters (impression_count/click_count/accept_count/
+    * conversion_count/rev) — `versionCol`/`dayCol` name the grouping
+    * columns of the caller. */
+  private[graft] def metricColumns(versionCol: Column,
+                                   dayCol: Column): Seq[Column] = Seq(
+    versionCol, dayCol,
+    col("impression_count"), col("click_count"),
+    guardedRate(col("click_count"), col("impression_count")).as("ctr"),
+    col("accept_count"),
+    guardedRate(col("accept_count"), col("impression_count"))
+      .as("accept_rate"),
+    col("conversion_count"),
+    guardedRate(col("conversion_count"), col("impression_count"))
+      .as("conversion_rate"),
+    round(col("rev").cast("double"), 2).as("total_revenue"),
+    round(when(col("conversion_count") > 0,
+      col("rev").cast("double") / col("conversion_count"))
+      .otherwise(0.0), 2).as("avg_revenue_per_conversion"))
+
   def feedbackMetrics(predictions: DataFrame, feedback: DataFrame): DataFrame = {
     val perPredDay = feedback
       .groupBy(col("prediction_id"), to_date(col("created_at")).as("window_day"))
       .agg(
-        sum(when(col("feedback_type").isin(ImpressionTypes: _*), 1L)
-          .otherwise(0L)).as("n_impr"),
-        sum(when(col("feedback_type") === "clicked", 1L).otherwise(0L))
-          .as("n_click"),
-        sum(when(col("feedback_type") === "accepted", 1L).otherwise(0L))
-          .as("n_accept"),
-        sum(when(col("feedback_type") === "converted", 1L).otherwise(0L))
-          .as("n_conv"),
-        sum(when(col("feedback_type") === "converted",
-          coalesce(col("outcome_value"), lit(0.0))).otherwise(0.0)
-          .cast("decimal(18,6)")).as("revenue"))
-    def rate(n: Column, d: Column): Column =
-      round(when(d > 0, n.cast("double") / d).otherwise(0.0), 6)
+        sum(impressionCell).as("n_impr"),
+        sum(typeCell("clicked")).as("n_click"),
+        sum(typeCell("accepted")).as("n_accept"),
+        sum(typeCell("converted")).as("n_conv"),
+        sum(revenueCell).as("revenue"))
     perPredDay
       .join(predictions.select("prediction_id", "model_version"),
         "prediction_id")
@@ -69,18 +101,7 @@ object Feedback {
         sum("n_accept").as("accept_count"),
         sum("n_conv").as("conversion_count"),
         sum("revenue").as("rev"))
-      .select(col("model_version"), col("window_day"),
-        col("impression_count"), col("click_count"),
-        rate(col("click_count"), col("impression_count")).as("ctr"),
-        col("accept_count"),
-        rate(col("accept_count"), col("impression_count")).as("accept_rate"),
-        col("conversion_count"),
-        rate(col("conversion_count"), col("impression_count"))
-          .as("conversion_rate"),
-        round(col("rev").cast("double"), 2).as("total_revenue"),
-        round(when(col("conversion_count") > 0,
-          col("rev").cast("double") / col("conversion_count"))
-          .otherwise(0.0), 2).as("avg_revenue_per_conversion"))
+      .select(metricColumns(col("model_version"), col("window_day")): _*)
   }
 
   /**

@@ -42,27 +42,33 @@ object Registry {
 
   private def tmpPath(dir: String) = new Path(s"$dir/.registry.json.tmp")
 
+  /** Crash recovery: the side file is always written COMPLETE before
+    * the main manifest is touched, so "main absent + side present"
+    * means a write died between its delete and its rename — the side
+    * file IS the committed new state, and healing FINISHES that rename
+    * so the degraded state never persists (a later write() truncates
+    * the side file first; without healing, that truncation would
+    * destroy the only copy). Main present → side is a stale leftover
+    * from a crash before the delete; it is ignored and overwritten. */
+  private def heal(f: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
+    val p = manifestPath(dir)
+    val tmp = tmpPath(dir)
+    if (!f.exists(p) && f.exists(tmp) && !f.rename(tmp, p))
+      throw new java.io.IOException(s"registry heal rename failed at $p")
+  }
+
   def read(spark: SparkSession, dir: String): Manifest = {
     val p = manifestPath(dir)
     val f = fs(spark, p)
-    // crash recovery: the side file is always written COMPLETE before
-    // the main manifest is touched, so "main absent + side present"
-    // means a write died between its delete and its rename — the side
-    // file IS the committed new state. Main present → side is a stale
-    // leftover from a crash before the delete; ignore it.
-    val src =
-      if (f.exists(p)) Some(p)
-      else if (f.exists(tmpPath(dir))) Some(tmpPath(dir))
-      else None
-    src match {
-      case None => Manifest(Seq.empty)
-      case Some(path) =>
-        val in = f.open(path)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        val entry = """\{"version":"([^"]+)","stage":"([^"]+)","path":"([^"]*)"\}""".r
-        Manifest(entry.findAllMatchIn(txt)
-          .map(m => Entry(m.group(1), m.group(2), m.group(3))).toSeq)
+    heal(f, dir)
+    if (!f.exists(p)) Manifest(Seq.empty)
+    else {
+      val in = f.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val entry = """\{"version":"([^"]+)","stage":"([^"]+)","path":"([^"]*)"\}""".r
+      Manifest(entry.findAllMatchIn(txt)
+        .map(m => Entry(m.group(1), m.group(2), m.group(3))).toSeq)
     }
   }
 
@@ -70,15 +76,22 @@ object Registry {
   // EnsembleModel.save no-external-dep discipline): reject strings the
   // format cannot carry rather than escaping them — a version id or
   // artifact path with quotes/backslashes/newlines is a caller bug
-  private def checkSafe(what: String, s: String): Unit =
+  private def checkSafe(what: String, s: String,
+                        nonEmpty: Boolean = false): Unit = {
     require(!s.exists(c => c == '"' || c == '\\' || c == '\n' || c == '\r'),
       s"""$what "$s" may not contain quotes, backslashes or newlines""")
+    // the read regex requires [^"]+ for version/stage — an empty one
+    // would write fine and then silently vanish on read
+    require(!nonEmpty || s.nonEmpty, s"$what may not be empty")
+  }
 
   private def write(spark: SparkSession, dir: String, m: Manifest): Unit = {
     m.entries.foreach { e =>
-      checkSafe("version", e.version); checkSafe("stage", e.stage)
+      checkSafe("version", e.version, nonEmpty = true)
+      checkSafe("stage", e.stage, nonEmpty = true)
       checkSafe("path", e.path)
     }
+    heal(fs(spark, manifestPath(dir)), dir)
     val json = m.entries.sortBy(_.version)
       .map(e => s"""{"version":"${e.version}","stage":"${e.stage}","path":"${e.path}"}""")
       .mkString("[", ",", "]")

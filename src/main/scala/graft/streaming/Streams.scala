@@ -134,44 +134,33 @@ object Streams {
    * growing table — no stream-stream state, the static side re-reads
    * per micro-batch and prunes on the join key) and aggregates the same
    * counters, guarded rates and decimal revenue per (model_version,
-   * day window). One stateful operator; watermark bounds open-window
-   * state at horizon-days × |versions|. `FeedbackStreamSpec` proves a
-   * drain equals the batch operator row-for-row.
+   * day window) — COMPOSED FROM the batch operator's own shared metric
+   * expressions (`Feedback.impressionCell`/`typeCell`/`revenueCell`/
+   * `metricColumns`), so stream/batch parity holds by construction,
+   * not by hand-mirroring. The `watermark` horizon is applied HERE on
+   * `created_at` (late feedback beyond it is dropped), bounding
+   * open-window state at horizon-days × |versions|; on a batch frame
+   * withWatermark is a no-op and the expression is exactly
+   * [[graft.ml.Feedback.feedbackMetrics]]'s single-level form.
+   * `FeedbackStreamSpec` proves a drain equals the batch operator
+   * row-for-row.
    */
-  def feedbackMetricsStream(feedback: DataFrame,
-                            predictions: DataFrame): DataFrame = {
-    def rate(n: Column, d: Column): Column =
-      round(when(d > 0, n.cast("double") / d).otherwise(0.0), 6)
+  def feedbackMetricsStream(feedback: DataFrame, predictions: DataFrame,
+                            watermark: String = "1 day"): DataFrame = {
+    import graft.ml.Feedback
     feedback
+      .withWatermark("created_at", watermark)
       .join(predictions.select("prediction_id", "model_version"),
         "prediction_id")
       .groupBy(col("model_version"), window(col("created_at"), "1 day"))
       .agg(
-        sum(when(col("feedback_type")
-            .isin(graft.ml.Feedback.ImpressionTypes: _*), 1L)
-          .otherwise(0L)).as("impression_count"),
-        sum(when(col("feedback_type") === "clicked", 1L).otherwise(0L))
-          .as("click_count"),
-        sum(when(col("feedback_type") === "accepted", 1L).otherwise(0L))
-          .as("accept_count"),
-        sum(when(col("feedback_type") === "converted", 1L).otherwise(0L))
-          .as("conversion_count"),
-        sum(when(col("feedback_type") === "converted",
-          coalesce(col("outcome_value"), lit(0.0))).otherwise(0.0)
-          .cast("decimal(18,6)")).as("rev"))
-      .select(col("model_version"),
-        date_format(col("window.start"), "yyyy-MM-dd").as("window_day"),
-        col("impression_count"), col("click_count"),
-        rate(col("click_count"), col("impression_count")).as("ctr"),
-        col("accept_count"),
-        rate(col("accept_count"), col("impression_count")).as("accept_rate"),
-        col("conversion_count"),
-        rate(col("conversion_count"), col("impression_count"))
-          .as("conversion_rate"),
-        round(col("rev").cast("double"), 2).as("total_revenue"),
-        round(when(col("conversion_count") > 0,
-          col("rev").cast("double") / col("conversion_count"))
-          .otherwise(0.0), 2).as("avg_revenue_per_conversion"))
+        sum(Feedback.impressionCell).as("impression_count"),
+        sum(Feedback.typeCell("clicked")).as("click_count"),
+        sum(Feedback.typeCell("accepted")).as("accept_count"),
+        sum(Feedback.typeCell("converted")).as("conversion_count"),
+        sum(Feedback.revenueCell).as("rev"))
+      .select(Feedback.metricColumns(col("model_version"),
+        date_format(col("window.start"), "yyyy-MM-dd").as("window_day")): _*)
   }
 
   /** Sliding event-time rollup — q126's batch aggregate on a stream:

@@ -74,7 +74,31 @@ class RegistrySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Registry.register(spark, dir, "v1", "a\\b")
     }
+    // empty version/stage would write fine and then silently vanish on
+    // read (the regex requires a non-empty match) — rejected up front
+    intercept[IllegalArgumentException] {
+      Registry.register(spark, dir, "", "p")
+    }
+    intercept[IllegalArgumentException] {
+      Registry.register(spark, dir, "v1", "p", stage = "")
+    }
     assert(Registry.read(spark, dir).entries.isEmpty)
+  }
+
+  test("a write AFTER the crash window heals first — it never truncates " +
+      "the only surviving copy") {
+    val dir = freshDir()
+    Registry.register(spark, dir, "v1.0", "p1", stage = "production")
+    // simulate the crash window: main deleted, side file holds the state
+    val main = new java.io.File(s"$dir/registry.json")
+    val side = new java.io.File(s"$dir/.registry.json.tmp")
+    java.nio.file.Files.copy(main.toPath, side.toPath)
+    assert(main.delete())
+    // next WRITE (not read) — must heal before touching the side file
+    Registry.register(spark, dir, "v2.0", "p2")
+    val m = Registry.read(spark, dir)
+    assert(m.entries.map(_.version).toSet === Set("v1.0", "v2.0"))
+    assert(m.production.map(_.version) === Some("v1.0"))
   }
 
   test("promote of an unknown version fails loudly and mutates nothing") {

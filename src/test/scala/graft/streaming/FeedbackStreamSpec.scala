@@ -51,8 +51,8 @@ class FeedbackStreamSpec extends SparkSpec {
     val dir = s"${tmp("graft-fbstream")}/fb"
     fb.coalesce(1).write.parquet(dir)
     val schema = spark.read.parquet(dir).schema
+    // no withWatermark here: feedbackMetricsStream applies its own
     val stream = spark.readStream.schema(schema).parquet(dir)
-      .withWatermark("created_at", "1 day")
     val out = s"${tmp("graft-fbstream-out")}/rollup"
     val writer = Streams.feedbackMetricsStream(stream, preds)
       .writeStream
