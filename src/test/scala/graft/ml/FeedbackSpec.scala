@@ -124,5 +124,13 @@ class FeedbackSpec extends SparkSpec {
       .withColumn("pred", (col("score") >= 0.5).cast("int"))
       .filter(col("pred") === col("label")).count().toDouble / va.count()
     assert(agree > 0.7, s"retrained accuracy $agree below gate")
+
+    // the SAME frame also retrains the ER matcher (balanced weights +
+    // 5-fold CV), closing the other half of the reference's
+    // generate_training_data consumers
+    val cv = ErMatcher.train(td.withColumnRenamed("label", "is_match"),
+      Seq("score", "f0", "f1"), numFolds = 3, numTrees = 10, maxDepth = 4)
+    assert(cv.trainingSamples === n)
+    assert(cv.cvF1Mean > 0.6, s"ER retrain CV F1 ${cv.cvF1Mean} below gate")
   }
 }
