@@ -171,10 +171,8 @@ object Feedback {
                         successType: String = "converted",
                         zCrit: Double = 1.96): DataFrame = {
     val perPred = feedback.groupBy("prediction_id")
-      .agg(sum(when(col("feedback_type").isin(ImpressionTypes: _*), 1L)
-          .otherwise(0L)).as("n_impr"),
-        sum(when(col("feedback_type") === successType, 1L).otherwise(0L))
-          .as("n_succ"))
+      .agg(sum(impressionCell).as("n_impr"),
+        sum(typeCell(successType)).as("n_succ"))
     val byVariant = perPred
       .join(predictions.select("prediction_id", "model_version"),
         "prediction_id")
@@ -197,10 +195,11 @@ object Feedback {
         coalesce(col("c_trials"), lit(0L)) === 0 ||
         col("model_version") === control, 0.0)
       .otherwise(when(se > 0, (p - pc) / se).otherwise(0.0))
+    // guardedRate's d > 0 is null-safe (a missing control → null trials
+    // → false → 0.0), so both rates ride the shared helper
     joined.select(col("model_version"), col("trials"), col("successes"),
-      round(when(col("trials") > 0, p).otherwise(0.0), 6).as("rate"),
-      round(when(coalesce(col("c_trials"), lit(0L)) > 0, pc)
-        .otherwise(0.0), 6).as("control_rate"),
+      guardedRate(col("successes"), col("trials")).as("rate"),
+      guardedRate(col("c_successes"), col("c_trials")).as("control_rate"),
       round(z, 6).as("z"),
       when(col("model_version") === control, "control")
         .when(z > zCrit, "promote")

@@ -42,14 +42,17 @@ object Registry {
 
   private def tmpPath(dir: String) = new Path(s"$dir/.registry.json.tmp")
 
-  /** Crash recovery: the side file is always written COMPLETE before
-    * the main manifest is touched, so "main absent + side present"
-    * means a write died between its delete and its rename — the side
-    * file IS the committed new state, and healing FINISHES that rename
-    * so the degraded state never persists (a later write() truncates
-    * the side file first; without healing, that truncation would
-    * destroy the only copy). Main present → side is a stale leftover
-    * from a crash before the delete; it is ignored and overwritten. */
+  /** Crash recovery — WRITE-path only, by design: the side file is
+    * always written COMPLETE before the main manifest is touched, so
+    * "main absent + side present" means a write died between its delete
+    * and its rename. The next WRITER finishes that rename before
+    * truncating the side file (without this, the truncation would
+    * destroy the only copy). Readers never heal: a mutating read would
+    * race an in-flight writer's own rename (stealing it → spurious
+    * failure for a transition that landed) and could even publish a
+    * half-written FIRST manifest; read() instead falls back to the
+    * side file passively. Writers must be serialized by the caller —
+    * the same single-maintainer contract as the Layout swap jobs. */
   private def heal(f: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
     val p = manifestPath(dir)
     val tmp = tmpPath(dir)
@@ -60,15 +63,22 @@ object Registry {
   def read(spark: SparkSession, dir: String): Manifest = {
     val p = manifestPath(dir)
     val f = fs(spark, p)
-    heal(f, dir)
-    if (!f.exists(p)) Manifest(Seq.empty)
-    else {
-      val in = f.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      val entry = """\{"version":"([^"]+)","stage":"([^"]+)","path":"([^"]*)"\}""".r
-      Manifest(entry.findAllMatchIn(txt)
-        .map(m => Entry(m.group(1), m.group(2), m.group(3))).toSeq)
+    // passive crash-window fallback: main absent + side present → the
+    // side file IS the committed state (see heal's scaladoc); main
+    // present → the side file is a stale pre-delete leftover, ignored
+    val src =
+      if (f.exists(p)) Some(p)
+      else if (f.exists(tmpPath(dir))) Some(tmpPath(dir))
+      else None
+    src match {
+      case None => Manifest(Seq.empty)
+      case Some(path) =>
+        val in = f.open(path)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        val entry = """\{"version":"([^"]+)","stage":"([^"]+)","path":"([^"]*)"\}""".r
+        Manifest(entry.findAllMatchIn(txt)
+          .map(m => Entry(m.group(1), m.group(2), m.group(3))).toSeq)
     }
   }
 

@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 
 import graft.sources.Layout
 
@@ -11,10 +10,9 @@ import graft.sources.Layout
   * predicate, deleteWhere must leave exactly `filter(!pred)` behind,
   * preserve untouched files BY NAME, and report reconciling stats.
   * Few, fat cases — each spins a filesystem rewrite. */
-class LayoutPropsSpec extends SparkSpec {
+class LayoutPropsSpec extends SparkSpec with PropsCases {
 
-  private def cases[A](g: Gen[A], n: Int): Seq[A] =
-    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(1234L + i)))
+  override protected def seedBase: Long = 1234L
 
   test("deleteWhere == filter(!pred) for random layouts and predicates; " +
       "untouched files preserved by name, stats reconcile") {

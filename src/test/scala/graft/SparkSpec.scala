@@ -12,6 +12,19 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = () // keep session for other suites
 }
 
+/** Deterministic ScalaCheck case driver shared by the *PropsSpec
+  * suites: n generator draws from fixed per-index seeds (reproducible
+  * across runs and suites; a failed draw is dropped rather than
+  * retried, so keep generators total). */
+trait PropsCases {
+  import org.scalacheck.Gen
+  import org.scalacheck.rng.Seed
+  protected def seedBase: Long = 42L
+  protected def cases[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(seedBase + i)))
+}
+
 object SparkSpec {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()

@@ -2,9 +2,8 @@ package graft.ml
 
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 
-import graft.SparkSpec
+import graft.{PropsCases, SparkSpec}
 
 /**
  * Property invariants for the feedback-loop analytics, generalized
@@ -17,16 +16,15 @@ import graft.SparkSpec
  * multi-feedback predictions, versions straddling the gate, zero
  * impression cells.
  */
-class FeedbackPropsSpec extends SparkSpec {
+class FeedbackPropsSpec extends SparkSpec with PropsCases {
+
+  override protected def seedBase: Long = 7L
 
   private lazy val s = spark
   import s.implicits._
 
   private val Types =
     Seq("viewed", "ignored", "clicked", "accepted", "rejected", "converted")
-
-  private def cases[A](g: Gen[A], n: Int): Seq[A] =
-    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(7L + i)))
 
   private val caseGen = for {
     nPred <- Gen.choose(4, 12)

@@ -2,22 +2,18 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 
-import graft.SparkSpec
+import graft.{PropsCases, SparkSpec}
 
 /** Property invariants for the corpus/event operators under generated
   * inputs — the algebra that must hold for ANY data, complementing the
   * fixed-value oracles. Raw ScalaCheck generators with fixed seeds (no
   * scalatest bridge in the offline dep set); few, fat cases — each case
   * spins Spark jobs. */
-class CorpusPropsSpec extends SparkSpec {
+class CorpusPropsSpec extends SparkSpec with PropsCases {
 
   private lazy val s = spark
   import s.implicits._
-
-  private def cases[A](g: Gen[A], n: Int): Seq[A] =
-    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
 
   test("funnel: stage counts are monotonically non-increasing for any event set") {
     val evGen = Gen.listOfN(60, for {

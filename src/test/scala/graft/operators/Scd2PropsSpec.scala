@@ -2,9 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 
-import graft.SparkSpec
+import graft.{PropsCases, SparkSpec}
 
 /** Property invariant for the incremental SCD2 merge: for ANY keyed
   * event set and ANY watermark split, merge(build(≤hwm), >hwm) must be
@@ -13,13 +12,10 @@ import graft.SparkSpec
   * timestamps) force the interesting collisions: same-state runs
   * crossing the watermark, keys entirely before/after it, duplicate
   * timestamps decided by the event-id tiebreak. */
-class Scd2PropsSpec extends SparkSpec {
+class Scd2PropsSpec extends SparkSpec with PropsCases {
 
   private lazy val s = spark
   import s.implicits._
-
-  private def cases[A](g: Gen[A], n: Int): Seq[A] =
-    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
 
   test("merge(hist ≤ hwm, delta > hwm) == build(all) for random event sets " +
       "and random watermarks") {

@@ -3,9 +3,9 @@ package graft.sources
 import scala.collection.mutable
 
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.PropsCases
 import graft.sources.ResilientClient._
 
 /**
@@ -19,16 +19,15 @@ import graft.sources.ResilientClient._
  * consecutive 401s) and asserted, so the resilience budget's semantics
  * are pinned, not just its safety.
  */
-class ResilientClientPropsSpec extends AnyFunSuite {
+class ResilientClientPropsSpec extends AnyFunSuite with PropsCases {
+
+  override protected def seedBase: Long = 7L
 
   private class VClock extends Clock {
     var t: Long = 0L
     def nowMs: Long = t
     def sleepMs(ms: Long): Unit = { t += ms }
   }
-
-  private def cases[A](g: Gen[A], n: Int): Seq[A] =
-    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(7L + i)))
 
   // per page: a pre-success fault script drawn from the full outcome set
   private val faultGen: Gen[List[String]] =
