@@ -72,6 +72,8 @@ object SparkEntry {
     Map(
       "q122_semantic_dedup" ->
         ((s, dir) => graft.queries.Q122Margin.assertSound(s, dir)),
+      "q153_semantic_decontaminate" ->
+        ((s, dir) => graft.queries.Q153Margin.assertSound(s, dir)),
       // q36/q147 share one rule score; its 0.75 threshold and 0.02-band
       // floors get the same knife-edge guard
       "q36_er_confusion" ->

@@ -160,6 +160,68 @@ object Corpus {
   }
 
   /**
+   * SEMANTIC benchmark decontamination — the embedding-space complement
+   * of the n-gram paths ([[decontaminate]] exact, [[decontaminateBloom]]
+   * two-phase): a paraphrased or reformatted benchmark item shares no
+   * 5-gram with its contaminated twin but sits next to it in embedding
+   * space, so production decontamination reports run BOTH families.
+   * Returns the contamination audit frame (corpus id, bench id, cosine)
+   * for every corpus vector within `threshold` cosine of a benchmark
+   * vector; callers anti-join the distinct ids to drop.
+   *
+   * Shape = IVF cross-set probe (the q122/q132 kernels turned
+   * corpus-vs-bench): deterministic coarse centroids from the BENCH set
+   * (every `modulus`-th id — bench ids must make this non-empty),
+   * broadcast; bench vectors assign to their top-1 list (argmax partial
+   * agg, one shuffle row per vector) with `maxListSize` capping
+   * degenerate lists BEFORE the join; corpus vectors probe their
+   * `nprobe` nearest lists. Pair work ≈ |corpus| × nprobe ×
+   * |bench|/K — never |corpus| × |bench|. Recall is approximate at
+   * list boundaries (the LSH-banding contract): a contaminated pair
+   * whose bench list is outside the corpus vector's nprobe probes is
+   * missed; raise `nprobe` to trade cost for recall.
+   */
+  def decontaminateSemantic(corpus: DataFrame, bench: DataFrame,
+                            idCol: Column, vecCol: Column, modulus: Int,
+                            nprobe: Int = 2, threshold: Double = 0.40,
+                            maxListSize: Int = 100000): DataFrame = {
+    import graft.functions.VectorFunctions
+    import graft.operators.SimilaritySearch
+    val cents = SimilaritySearch.ivfCentroids(bench, idCol, vecCol, modulus)
+    val b = bench.select(idCol.as("bench_id"),
+        VectorFunctions.unit(vecCol).as("bu"))
+      .filter(col("bu").isNotNull)
+    // bench top-1 assignment: argmax as a partial agg (the q122 kernel),
+    // unit vector riding the same aggregate
+    val bAssigned = b.join(broadcast(cents))
+      .select(col("bench_id"), col("bu"),
+        struct(VectorFunctions.dot(col("bu"), col("cu")).as("cos"),
+          (-col("cid")).as("ncid")).as("sc"))
+      .groupBy("bench_id")
+      .agg(max(col("sc")).as("m"), first(col("bu")).as("bu"))
+      .select(col("bench_id"), (-col("m.ncid")).as("cid"), col("bu"))
+    val capped = bAssigned.withColumn("_sz",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cid"))))
+      .filter(col("_sz") <= maxListSize).drop("_sz")
+    // corpus probes its nprobe nearest bench lists
+    val c = corpus.select(idCol.as("id"), VectorFunctions.unit(vecCol).as("u"))
+      .filter(col("u").isNotNull)
+    val probes = c.join(broadcast(cents))
+      .select(col("id"), col("u"), col("cid"),
+        VectorFunctions.dot(col("u"), col("cu")).as("ccos"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("ccos").desc, col("cid").asc)))
+      .filter(col("rn") <= nprobe)
+      .select("id", "u", "cid")
+    probes.join(capped, "cid")
+      .select(col("id"), col("bench_id"),
+        VectorFunctions.dot(col("u"), col("bu")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /**
    * Sequence packing (concat-then-chunk): documents are concatenated in
    * (shard, id) order into a contiguous token stream and cut into packs of
    * `capacity` tokens — the standard pretraining batch-packing layout

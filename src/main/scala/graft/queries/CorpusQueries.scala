@@ -73,6 +73,27 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    "q153_semantic_decontaminate" -> ((s, dir) => {
+      // embedding-space benchmark decontamination — the paraphrase-proof
+      // complement of q93/q133's n-gram paths (Corpus.decontaminateSemantic
+      // scaladoc): bench = vec_id % 10 == 0, corpus = the rest, IVF
+      // centroids = every 20th id (⊂ bench), nprobe 2, threshold 0.40.
+      // Float stability: the gate decisions (bench argmax, probe-rank
+      // boundary, 0.40 threshold) compare unrounded double cosines per
+      // engine — guarded by Q153Margin (the q122 discipline): measured
+      // min margins this round ≥ 1.1e-5 across all three SFs vs ~1e-12
+      // worst-case engine divergence.
+      val e = t(s, dir, "embeddings")
+      Corpus.decontaminateSemantic(
+          e.filter(pmod(col("vec_id"), lit(10)) =!= 0),
+          e.filter(pmod(col("vec_id"), lit(10)) === 0),
+          col("vec_id"), col("embedding"), modulus = 20,
+          nprobe = 2, threshold = 0.40)
+        .select(col("id"), col("bench_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("id", "bench_id")
+    }),
+
     "q94_bm25" -> ((s, dir) => {
       // Okapi BM25 (Lucene idf) for a fixed 3-term query, top-20 docs.
       // Scan-local tfs + one broadcast stats row (Retrieval scaladoc).
@@ -426,6 +447,29 @@ object CorpusQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    "q153_semantic_decontaminate" ->
+      """WITH b AS (SELECT vec_id AS bench_id, embedding::DOUBLE[] AS bv
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id % 10 <> 0),
+        |cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |ba AS (SELECT bench_id, bv, cid,
+        |    row_number() OVER (PARTITION BY bench_id
+        |      ORDER BY list_cosine_similarity(bv, cv) DESC, cid ASC) AS rn
+        |  FROM b, cents),
+        |blists AS (SELECT bench_id, bv, cid FROM ba WHERE rn = 1),
+        |cp AS (SELECT id, v, cid,
+        |    row_number() OVER (PARTITION BY id
+        |      ORDER BY list_cosine_similarity(v, cv) DESC, cid ASC) AS rn
+        |  FROM c, cents),
+        |probes AS (SELECT id, v, cid FROM cp WHERE rn <= 2)
+        |SELECT p.id, l.bench_id,
+        |  round(list_cosine_similarity(p.v, l.bv), 6) AS cosine
+        |FROM probes p JOIN blists l ON p.cid = l.cid
+        |WHERE list_cosine_similarity(p.v, l.bv) >= 0.40
+        |ORDER BY id, bench_id""".stripMargin,
 
     "q131_span_dedup" ->
       """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w,

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions
+import graft.operators.SimilaritySearch
+
+/** q153 float-stability margins (the [[Q122Margin]] discipline for the
+  * cross-set probe): q153_semantic_decontaminate's exact-hash oracle
+  * gate is sound only while every unrounded double comparison keeps a
+  * wide margin from its knife edge. Three margins over the embeddings
+  * table, replaying exactly the query's parameters (bench = id%10==0,
+  * centroids = id%20==0, nprobe 2, threshold 0.40):
+  *
+  *  - `minBenchGap`: smallest top-2 centroid-cosine gap over bench
+  *    vectors — a bench list assignment flips engines only inside it;
+  *  - `minProbeGap`: smallest rank-2 vs rank-3 centroid-cosine gap over
+  *    corpus vectors — the nprobe=2 probe-set boundary;
+  *  - `minThresholdDist`: smallest |pair cosine − 0.40| over probed
+  *    cross-set pairs — the keep/drop boundary.
+  *
+  * Measured this round: ≥ 1.1e-5 at every SF vs ~1e-12 worst-case
+  * engine divergence for a 64-dim double dot; [[assertSound]] demands
+  * all three exceed [[Q122Margin.Bound]] (1e-9) and runs from Verify
+  * whenever q153 is verified. */
+object Q153Margin {
+
+  def margins(spark: SparkSession, dir: String): (Double, Double, Double) = {
+    val embs = graft.sources.Tables.load(spark, dir, "embeddings")
+    val bench = embs.filter(pmod(col("vec_id"), lit(10)) === 0)
+    val corpus = embs.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+    val cents = SimilaritySearch.ivfCentroids(bench, col("vec_id"),
+      col("embedding"), 20)
+    def unitOf(df: DataFrame) =
+      df.select(col("vec_id").as("id"),
+          VectorFunctions.unit(col("embedding")).as("u"))
+        .filter(col("u").isNotNull)
+    def centCos(e: DataFrame) = e.join(broadcast(cents))
+      .select(col("id"), col("cid"), col("u"),
+        VectorFunctions.dot(col("u"), col("cu")).as("cos"))
+    def rankGap(cos: DataFrame, a: Int, b: Int): Double = {
+      val ranked = cos.withColumn("rk", row_number().over(
+        Window.partitionBy(col("id"))
+          .orderBy(col("cos").desc, col("cid").asc)))
+      headDoubleOrInf(ranked.filter(col("rk") <= b)
+        .groupBy("id")
+        .agg((max(when(col("rk") === a, col("cos"))) -
+          max(when(col("rk") === b, col("cos")))).as("gap"))
+        .filter(col("gap").isNotNull)
+        .agg(min("gap")))
+    }
+    val bCos = centCos(unitOf(bench))
+    val cCos = centCos(unitOf(corpus))
+    val minBenchGap = rankGap(bCos, 1, 2)
+    val minProbeGap = rankGap(cCos, 2, 3)
+    // probed cross-set pair cosines vs the 0.40 threshold
+    val bTop = bCos.withColumn("rk", row_number().over(
+        Window.partitionBy(col("id"))
+          .orderBy(col("cos").desc, col("cid").asc)))
+      .filter(col("rk") === 1)
+      .select(col("id").as("bench_id"), col("cid"), col("u").as("bu"))
+    val probes = cCos.withColumn("rk", row_number().over(
+        Window.partitionBy(col("id"))
+          .orderBy(col("cos").desc, col("cid").asc)))
+      .filter(col("rk") <= 2)
+      .select(col("id"), col("cid"), col("u"))
+    val minThr = headDoubleOrInf(probes.join(bTop, "cid")
+      .select(abs(VectorFunctions.dot(col("u"), col("bu")) - 0.40).as("d"))
+      .agg(min("d")))
+    (minBenchGap, minProbeGap, minThr)
+  }
+
+  private def headDoubleOrInf(agg: DataFrame): Double = {
+    val row = agg.head
+    if (row.isNullAt(0)) Double.PositiveInfinity else row.getDouble(0)
+  }
+
+  def assertSound(spark: SparkSession, dir: String): Unit = {
+    val (bg, pg, thr) = margins(spark, dir)
+    val bound = Q122Margin.Bound
+    require(bg > bound && pg > bound && thr > bound,
+      f"q153 float-margin guard: minBenchGap=$bg%.3e minProbeGap=$pg%.3e " +
+        f"minThresholdDist=$thr%.3e (bound $bound%.0e) — the embeddings " +
+        "table sits on a knife edge; the exact-hash oracle gate is " +
+        "unsound for this data. Regenerate testdata or re-measure.")
+  }
+}

@@ -49,6 +49,52 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("decontaminateSemantic: precision is exact and recall equals the " +
+      "probe contract vs a brute-force cross join on the embeddings table") {
+    val embs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val bench = embs.filter(pmod(col("vec_id"), lit(10)) === 0)
+    val corpus = embs.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+    val got = Corpus.decontaminateSemantic(corpus, bench, col("vec_id"),
+        col("embedding"), modulus = 20, nprobe = 2, threshold = 0.40)
+      .select("id", "bench_id").as[(Long, Long)].collect().toSet
+    // brute-force truth (small SF only)
+    import graft.functions.VectorFunctions
+    def u(df: org.apache.spark.sql.DataFrame, idAs: String, uAs: String) =
+      df.select(col("vec_id").as(idAs),
+        VectorFunctions.unit(col("embedding")).as(uAs))
+    val brute = u(corpus, "id", "cu").crossJoin(u(bench, "bench_id", "bu"))
+      .filter(VectorFunctions.dot(col("cu"), col("bu")) >= 0.40)
+      .select("id", "bench_id").as[(Long, Long)].collect().toSet
+    // precision 1.0: everything reported is a true over-threshold pair
+    assert(got.subsetOf(brute))
+    assert(got.nonEmpty)
+    // recall contract: a true pair is reported IFF the bench vector's
+    // list is among the corpus vector's nprobe probed lists — recompute
+    // the probe sets and check the equivalence exactly
+    val cents = graft.operators.SimilaritySearch.ivfCentroids(bench,
+      col("vec_id"), col("embedding"), 20)
+    def ranked(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id").as("id"),
+          VectorFunctions.unit(col("embedding")).as("uu"))
+        .join(broadcast(cents))
+        .select(col("id"), col("cid"),
+          VectorFunctions.dot(col("uu"), col("cu")).as("cos"))
+        .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+            .orderBy(col("cos").desc, col("cid").asc)))
+    val benchList = ranked(bench).filter(col("rk") === 1)
+      .select(col("id").as("bench_id"), col("cid"))
+      .as[(Long, Long)].collect().toMap
+    val probeSets = ranked(corpus).filter(col("rk") <= 2)
+      .select("id", "cid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = brute.filter { case (id, bid) =>
+      probeSets.getOrElse(id, Set.empty).contains(benchList(bid))
+    }
+    assert(got === expected)
+  }
+
   test("decontaminate: short docs (< n words) produce no grams, never flagged") {
     val bench = Seq((1L, "a b c d e")).toDF("doc_id", "text")
     val train = Seq((2L, "a b c")).toDF("doc_id", "text")

@@ -22,6 +22,7 @@ class PlanLintSpec extends SparkSpec {
     "q72_ivf_assign" -> "broadcast centroid table × vectors: the IVF argmax assignment kernel",
     "q73_ivf_topk" -> "same IVF assignment kernel inside the inline index build",
     "q122_semantic_dedup" -> "IVF-blocked cosine: broadcast centroid argmax assignment",
+    "q153_semantic_decontaminate" -> "cross-set IVF probe: broadcast bench-centroid table against both the bench (top-1 assignment) and corpus (nprobe probes) sides",
     "q134_ivf_append" -> "delta assignment against broadcast stored centroids",
     "q85_pq_adc_topk" -> "broadcast PQ codebook × vectors: scan-local encode",
     // (q143's search plan has NO BNLJ: the q141 kernels run only in the
