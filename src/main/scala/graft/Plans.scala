@@ -94,7 +94,8 @@ object Plans {
       "q148_lexrank_summary",  // per-doc tile pair join, one doc-hash Exchange family
       "q149_feedback_metrics", // feedback pre-agg BEFORE prediction join
       "q151_point_upsert",     // post-upsert lake read (files rewritten ∝ keys)
-      "q152_variant_compare")  // tiny variant rollup + window'd control row
+      "q152_variant_compare",  // tiny variant rollup + window'd control row
+      "q153_semantic_decontaminate") // cross-set IVF probe: broadcast centroids x2
     // per-query reader notes where the right plan is easy to misread
     val notes = Map(
       "q128_sql_range_join" -> ("The user wrote the naive theta join " +
