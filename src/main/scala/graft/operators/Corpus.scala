@@ -176,10 +176,13 @@ object Corpus {
    * agg, one shuffle row per vector) with `maxListSize` capping
    * degenerate lists BEFORE the join; corpus vectors probe their
    * `nprobe` nearest lists. Pair work ≈ |corpus| × nprobe ×
-   * |bench|/K — never |corpus| × |bench|. Recall is approximate at
-   * list boundaries (the LSH-banding contract): a contaminated pair
-   * whose bench list is outside the corpus vector's nprobe probes is
-   * missed; raise `nprobe` to trade cost for recall.
+   * |bench|/K — never |corpus| × |bench|. Recall is approximate from
+   * TWO sources (the LSH-banding contract): a contaminated pair whose
+   * bench list is outside the corpus vector's nprobe probes is missed
+   * (raise `nprobe` to trade cost for recall), and every pair in a
+   * bench list larger than `maxListSize` is dropped (size the cap so
+   * it never binds on real benchmark sets — eval sets are thousands of
+   * docs, so the default never engages in practice).
    */
   def decontaminateSemantic(corpus: DataFrame, bench: DataFrame,
                             idCol: Column, vecCol: Column, modulus: Int,
@@ -188,22 +191,25 @@ object Corpus {
     import graft.functions.VectorFunctions
     import graft.operators.SimilaritySearch
     val cents = SimilaritySearch.ivfCentroids(bench, idCol, vecCol, modulus)
-    val b = bench.select(idCol.as("bench_id"),
-        VectorFunctions.unit(vecCol).as("bu"))
-      .filter(col("bu").isNotNull)
-    // bench top-1 assignment: argmax as a partial agg (the q122 kernel),
-    // unit vector riding the same aggregate
-    val bAssigned = b.join(broadcast(cents))
-      .select(col("bench_id"), col("bu"),
-        struct(VectorFunctions.dot(col("bu"), col("cu")).as("cos"),
-          (-col("cid")).as("ncid")).as("sc"))
-      .groupBy("bench_id")
-      .agg(max(col("sc")).as("m"), first(col("bu")).as("bu"))
-      .select(col("bench_id"), (-col("m.ncid")).as("cid"), col("bu"))
-    val capped = bAssigned.withColumn("_sz",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("cid"))))
-      .filter(col("_sz") <= maxListSize).drop("_sz")
+    // a contamination-safety operator must not silently report "clean"
+    // because the id scheme produced zero centroids (no bench id
+    // divisible by modulus → every join empty → empty audit). Eager
+    // check — the centroid set is tiny by construction.
+    require(!cents.isEmpty,
+      s"decontaminateSemantic: no bench id is divisible by $modulus — " +
+        "zero centroids would silently report the corpus clean; pick a " +
+        "modulus compatible with the bench id scheme")
+    // bench top-1 assignment + list cap: the shared q122 kernels
+    // (SimilaritySearch.assignWithVector / capLists). NOTE the cap is a
+    // SECOND recall-loss source beyond the nprobe boundary: every pair
+    // in an over-cap list is dropped; size maxListSize so it never
+    // binds on real benchmark sets (q153's comment records measured
+    // non-bindingness at the gate SFs)
+    val capped = SimilaritySearch.capLists(
+      SimilaritySearch.assignWithVector(cents, bench, idCol, vecCol)
+        .withColumnRenamed("id", "bench_id")
+        .withColumnRenamed("u", "bu"),
+      maxListSize)
     // corpus probes its nprobe nearest bench lists
     val c = corpus.select(idCol.as("id"), VectorFunctions.unit(vecCol).as("u"))
       .filter(col("u").isNotNull)

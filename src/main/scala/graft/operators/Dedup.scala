@@ -614,22 +614,10 @@ object Dedup {
                         maxListSize: Int = 10000): DataFrame = {
     import graft.functions.VectorFunctions
     val cents = SimilaritySearch.ivfCentroids(embs, idCol, vecCol, modulus)
-    val e = embs.select(idCol.as("id"), VectorFunctions.unit(vecCol).as("u"))
-      .filter(col("u").isNotNull)
-    // argmax over centroids: max(struct(cos, -cid)) = lowest-cid tiebreak;
-    // first(u) rides the same aggregate (u is functionally dependent on
-    // id), so the unit vector shuffles once instead of via a re-join
-    val assigned = e.join(broadcast(cents))
-      .select(col("id"), col("u"),
-        struct(VectorFunctions.dot(col("u"), col("cu")).as("cos"),
-          (-col("cid")).as("ncid")).as("sc"))
-      .groupBy("id")
-      .agg(max(col("sc")).as("m"), first(col("u")).as("u"))
-      .select(col("id"), (-col("m.ncid")).as("cid"), col("u"))
-    val capped = assigned.withColumn("_sz",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("cid"))))
-      .filter(col("_sz") <= maxListSize).drop("_sz")
+    // shared kernel (SimilaritySearch.assignWithVector): argmax with
+    // lowest-cid tiebreak, unit vector riding the same aggregate
+    val assigned = SimilaritySearch.assignWithVector(cents, embs, idCol, vecCol)
+    val capped = SimilaritySearch.capLists(assigned, maxListSize)
     capped.as("x").join(capped.as("y"),
         col("x.cid") === col("y.cid") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"),

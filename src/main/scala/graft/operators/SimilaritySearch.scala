@@ -125,6 +125,40 @@ object SimilaritySearch {
       .select(col("id"), (-col("m.ncid")).as("cid"), col("m.cos").as("cosine"))
   }
 
+  /** The argmax-assignment kernel CARRYING the unit vector — the shared
+    * form behind `Dedup.ivfCosineNearDups` and
+    * `Corpus.decontaminateSemantic`, which need the unit vector
+    * downstream for pair dots (it rides the same aggregate via
+    * first(u), u being functionally dependent on id — one shuffle row
+    * per vector instead of a re-join). (id, cid, u); same deterministic
+    * lowest-cid tiebreak as [[assignAgainst]]. */
+  private[operators] def assignWithVector(cents: DataFrame, embs: DataFrame,
+                                          idCol: Column,
+                                          vecCol: Column): DataFrame = {
+    import graft.functions.VectorFunctions
+    val e = embs.select(idCol.as("id"), VectorFunctions.unit(vecCol).as("u"))
+      .filter(col("u").isNotNull)
+    e.join(broadcast(cents))
+      .select(col("id"), col("u"),
+        struct(VectorFunctions.dot(col("u"), col("cu")).as("cos"),
+          (-col("cid")).as("ncid")).as("sc"))
+      .groupBy("id")
+      .agg(max(col("sc")).as("m"), first(col("u")).as("u"))
+      .select(col("id"), (-col("m.ncid")).as("cid"), col("u"))
+  }
+
+  /** Drop every member of a list larger than `maxListSize` BEFORE a
+    * quadratic pair join (cap semantics as `minhashNearDups`'s
+    * maxBucketSize) — shared by the same two call sites. NOTE this is a
+    * RECALL trade: dropped lists' pairs are silently lost; callers
+    * document cap non-bindingness at their gate SFs. */
+  private[operators] def capLists(assigned: DataFrame,
+                                  maxListSize: Int): DataFrame =
+    assigned.withColumn("_sz",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cid"))))
+      .filter(col("_sz") <= maxListSize).drop("_sz")
+
   /**
    * Incremental IVF maintenance — the ANN twin of incremental dedup
    * (`Dedup.incrementalNearDupsFromState`): a vector delta joins a

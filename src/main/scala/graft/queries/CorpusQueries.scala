@@ -82,7 +82,14 @@ object CorpusQueries {
       // boundary, 0.40 threshold) compare unrounded double cosines per
       // engine — guarded by Q153Margin (the q122 discipline): measured
       // min margins this round ≥ 1.1e-5 across all three SFs vs ~1e-12
-      // worst-case engine divergence.
+      // worst-case engine divergence. The maxListSize cap (a second
+      // recall trade, see the operator scaladoc) is NON-BINDING at
+      // every test SF: bench lists hold ~2 vectors (50/25 at sf0.01,
+      // 200/100 at sf0.1), so capped ≡ uncapped and the oracle's
+      // uncapped SQL gates the same result. The vec_id%10 bench /
+      // vec_id%20 centroid scheme guarantees non-empty centroids (every
+      // 20-divisible id is 10-divisible), so the operator's
+      // empty-centroid guard cannot fire here.
       val e = t(s, dir, "embeddings")
       Corpus.decontaminateSemantic(
           e.filter(pmod(col("vec_id"), lit(10)) =!= 0),

@@ -67,7 +67,7 @@ object Q122Margin {
     * two vectors share a list ⇒ no pairs): there is no comparison that
     * could sit near a knife edge, so the margin is vacuously infinite —
     * the guard passes instead of dying on a NullPointerException. */
-  private def headDoubleOrInf(agg: org.apache.spark.sql.DataFrame): Double = {
+  private[queries] def headDoubleOrInf(agg: org.apache.spark.sql.DataFrame): Double = {
     val row = agg.head
     if (row.isNullAt(0)) Double.PositiveInfinity else row.getDouble(0)
   }

@@ -43,7 +43,7 @@ object Q153Margin {
       val ranked = cos.withColumn("rk", row_number().over(
         Window.partitionBy(col("id"))
           .orderBy(col("cos").desc, col("cid").asc)))
-      headDoubleOrInf(ranked.filter(col("rk") <= b)
+      Q122Margin.headDoubleOrInf(ranked.filter(col("rk") <= b)
         .groupBy("id")
         .agg((max(when(col("rk") === a, col("cos"))) -
           max(when(col("rk") === b, col("cos")))).as("gap"))
@@ -65,15 +65,10 @@ object Q153Margin {
           .orderBy(col("cos").desc, col("cid").asc)))
       .filter(col("rk") <= 2)
       .select(col("id"), col("cid"), col("u"))
-    val minThr = headDoubleOrInf(probes.join(bTop, "cid")
+    val minThr = Q122Margin.headDoubleOrInf(probes.join(bTop, "cid")
       .select(abs(VectorFunctions.dot(col("u"), col("bu")) - 0.40).as("d"))
       .agg(min("d")))
     (minBenchGap, minProbeGap, minThr)
-  }
-
-  private def headDoubleOrInf(agg: DataFrame): Double = {
-    val row = agg.head
-    if (row.isNullAt(0)) Double.PositiveInfinity else row.getDouble(0)
   }
 
   def assertSound(spark: SparkSession, dir: String): Unit = {
