@@ -199,17 +199,7 @@ object Corpus {
       s"decontaminateSemantic: no bench id is divisible by $modulus — " +
         "zero centroids would silently report the corpus clean; pick a " +
         "modulus compatible with the bench id scheme")
-    // bench top-1 assignment + list cap: the shared q122 kernels
-    // (SimilaritySearch.assignWithVector / capLists). NOTE the cap is a
-    // SECOND recall-loss source beyond the nprobe boundary: every pair
-    // in an over-cap list is dropped; size maxListSize so it never
-    // binds on real benchmark sets (q153's comment records measured
-    // non-bindingness at the gate SFs)
-    val capped = SimilaritySearch.capLists(
-      SimilaritySearch.assignWithVector(cents, bench, idCol, vecCol)
-        .withColumnRenamed("id", "bench_id")
-        .withColumnRenamed("u", "bu"),
-      maxListSize)
+    val capped = semanticBenchLists(cents, bench, idCol, vecCol, maxListSize)
     // corpus probes its nprobe nearest bench lists
     val c = corpus.select(idCol.as("id"), VectorFunctions.unit(vecCol).as("u"))
       .filter(col("u").isNotNull)
@@ -226,6 +216,27 @@ object Corpus {
         VectorFunctions.dot(col("u"), col("bu")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** The bench-list artifact behind [[decontaminateSemantic]]:
+    * (bench_id, cid, bu) — each benchmark vector's top-1 centroid list
+    * plus its unit vector, degenerate lists capped. Built once per
+    * benchmark version and stored (the nearDupArtifacts/ivfIndex
+    * materialize-once pattern); the batch operator builds it inline,
+    * `Streams.semanticDecontaminateStream` consumes it as a static
+    * table for ingest-time gating. The cap is a recall trade (see
+    * [[decontaminateSemantic]]).
+    *
+    * Kernel sharing: assignment + cap are the q122 kernels
+    * (`SimilaritySearch.assignWithVector` / `capLists`).
+    */
+  def semanticBenchLists(cents: DataFrame, bench: DataFrame, idCol: Column,
+                         vecCol: Column,
+                         maxListSize: Int = 100000): DataFrame =
+    SimilaritySearch.capLists(
+      SimilaritySearch.assignWithVector(cents, bench, idCol, vecCol)
+        .withColumnRenamed("id", "bench_id")
+        .withColumnRenamed("u", "bu"),
+      maxListSize)
 
   /**
    * Sequence packing (concat-then-chunk): documents are concatenated in

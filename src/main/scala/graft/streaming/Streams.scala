@@ -702,6 +702,53 @@ object Streams {
   }
 
   /**
+   * Ingest-time SEMANTIC decontamination — the streaming twin of
+   * [[graft.operators.Corpus.decontaminateSemantic]] (q153), as
+   * [[decontaminateStream]] is for the n-gram path: arriving vectors
+   * probe their `nprobe` nearest BENCH centroid lists and dot against
+   * the stored bench list members; any hit ≥ `threshold` flags the
+   * arriving doc. `benchLists` is the STORED bench assignment frame
+   * (bench_id, cid, bu: unit vector) — built once by the batch operator
+   * path and read as a static table, the ivfAppend maintenance
+   * contract.
+   *
+   * Entirely STATELESS streaming — zero aggregation state on the
+   * stream side: the centroid table collapses to ONE static row
+   * carrying the centroid array (a batch-side agg), crossJoins in as a
+   * broadcast scalar, and each arriving row computes its nprobe probe
+   * set SCAN-LOCALLY (transform → array_sort → slice over K entries,
+   * K ≈ √|bench| — a streaming groupBy/window here would be stateful).
+   * No watermark needed — nothing accumulates.
+   */
+  def semanticDecontaminateStream(docs: DataFrame, centroids: DataFrame,
+                                  benchLists: DataFrame,
+                                  idCol: String, vecCol: String,
+                                  nprobe: Int = 2,
+                                  threshold: Double = 0.40): DataFrame = {
+    import graft.functions.VectorFunctions
+    val withU = docs.select(col(idCol).as("id"),
+        VectorFunctions.unit(col(vecCol)).as("u"))
+      .filter(col("u").isNotNull)
+    // static side: all centroids in one row (K is tiny by construction)
+    val centsRow = centroids
+      .agg(collect_list(struct(col("cid"), col("cu"))).as("cents"))
+    val probed = withU.crossJoin(broadcast(centsRow))
+      // (-cos, cid) sorts to (best cos, lowest cid) — the exact batch
+      // tiebreak (assignWithVector / the q153 oracle's rn ordering)
+      .select(col("id"), col("u"), explode(slice(array_sort(transform(
+        col("cents"),
+        c => struct(
+          (-VectorFunctions.dot(col("u"), c.getField("cu"))).as("nc"),
+          c.getField("cid").as("cid")))), 1, nprobe)).as("p"))
+      .select(col("id"), col("u"), col("p.cid").as("cid"))
+    probed
+      .join(benchLists.select(col("cid"), col("bench_id"), col("bu")), "cid")
+      .select(col("id"), col("bench_id"),
+        VectorFunctions.dot(col("u"), col("bu")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /**
    * Streaming heavy-hitter candidates — the ingest-time twin of
    * [[graft.operators.HeavyHitters.topKFrequent]]'s candidate pass:
    * a running Misra-Gries summary per key-hash shard in

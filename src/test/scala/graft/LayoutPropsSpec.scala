@@ -52,4 +52,46 @@ class LayoutPropsSpec extends SparkSpec with PropsCases {
         Layout.DeleteStats(0, after.size, 0L))
     }
   }
+
+  test("random upsert/delete sequences: the lake equals an in-memory " +
+      "key-value reference after every operation; stats reconcile") {
+    import spark.implicits._
+    val opGen = for {
+      n <- Gen.choose(1, 4)
+      ops <- Gen.listOfN(n, for {
+        isUpsert <- Gen.oneOf(true, true, false) // upsert-biased
+        keys <- Gen.nonEmptyListOf(Gen.choose(0L, 120L)).map(_.distinct.take(5))
+        v <- Gen.choose(-1000, 1000)
+      } yield (isUpsert, keys, v.toDouble))
+    } yield ops
+    cases(opGen, 5).foreach { ops =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-upprop")
+        .resolve("t").toString
+      val init = spark.range(100)
+        .selectExpr("id", "cast(id as double) AS v")
+      init.repartitionByRange(4, col("id")).write.parquet(dir)
+      // in-memory reference state
+      val ref = scala.collection.mutable.Map[Long, Double](
+        (0L until 100L).map(k => k -> k.toDouble): _*)
+      ops.foreach { case (isUpsert, keys, v) =>
+        if (isUpsert) {
+          val updates = keys.map(k => (k, v)).toDF("id", "v")
+          val stats = Layout.upsertByKey(spark, dir, updates, "id")
+          val (replaced, inserted) = keys.partition(ref.contains)
+          assert(stats.rowsReplaced === replaced.size.toLong &&
+            stats.rowsInserted === inserted.size.toLong,
+            s"op=($isUpsert,$keys,$v)")
+          keys.foreach(k => ref(k) = v)
+        } else {
+          val stats = Layout.deleteWhere(spark, dir,
+            col("id").isin(keys: _*))
+          assert(stats.rowsDeleted === keys.count(ref.contains).toLong)
+          keys.foreach(ref.remove)
+        }
+        val table = spark.read.parquet(dir)
+          .as[(Long, Double)].collect().toMap
+        assert(table === ref.toMap, s"after op=($isUpsert,$keys,$v)")
+      }
+    }
+  }
 }

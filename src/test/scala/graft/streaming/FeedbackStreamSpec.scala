@@ -72,4 +72,39 @@ class FeedbackStreamSpec extends SparkSpec {
     assert(batch.select("model_version").distinct().count() === 3)
     assert(batch.count() > 30)
   }
+
+  test("semanticDecontaminateStream drain equals the batch " +
+      "decontaminateSemantic audit row-for-row (stored bench lists)") {
+    val embs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val bench = embs.filter(pmod(col("vec_id"), lit(10)) === 0)
+    val corpus = embs.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+    // the stored artifacts: centroids + capped bench lists
+    val cents = graft.operators.SimilaritySearch.ivfCentroids(bench,
+      col("vec_id"), col("embedding"), 20)
+    val lists = graft.operators.Corpus.semanticBenchLists(cents, bench,
+      col("vec_id"), col("embedding"))
+    // stage the corpus as one parquet file → one micro-batch
+    val dir = s"${tmp("graft-semdecon")}/corpus"
+    corpus.select("vec_id", "embedding").coalesce(1).write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val out = s"${tmp("graft-semdecon-out")}/flags"
+    val writer = Streams.semanticDecontaminateStream(stream, cents, lists,
+        "vec_id", "embedding", nprobe = 2, threshold = 0.40)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+        ()
+      }
+    Streams.runAvailableNow(writer, tmp("graft-semdecon-ckpt"))
+    val streamed = spark.read.parquet(out)
+      .select(col("id"), col("bench_id"), round(col("cosine"), 6).as("c"))
+    val batch = graft.operators.Corpus.decontaminateSemantic(corpus, bench,
+        col("vec_id"), col("embedding"), modulus = 20, nprobe = 2,
+        threshold = 0.40)
+      .select(col("id"), col("bench_id"), round(col("cosine"), 6).as("c"))
+    assert(streamed.count() === batch.count() && batch.count() > 0)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
 }
