@@ -187,7 +187,7 @@ object Corpus {
   def decontaminateSemantic(corpus: DataFrame, bench: DataFrame,
                             idCol: Column, vecCol: Column, modulus: Int,
                             nprobe: Int = 2, threshold: Double = 0.40,
-                            maxListSize: Int = 100000): DataFrame = {
+                            maxListSize: Int = DefaultSemanticListCap): DataFrame = {
     import graft.functions.VectorFunctions
     import graft.operators.SimilaritySearch
     val cents = SimilaritySearch.ivfCentroids(bench, idCol, vecCol, modulus)
@@ -217,6 +217,12 @@ object Corpus {
       .filter(col("cosine") >= threshold)
   }
 
+  /** One source of truth for the semantic-decontamination list cap —
+    * both the artifact builder and the batch audit default to it, so a
+    * stored artifact and an inline audit can never silently cap at
+    * different sizes. */
+  val DefaultSemanticListCap = 100000
+
   /** The bench-list artifact behind [[decontaminateSemantic]]:
     * (bench_id, cid, bu) — each benchmark vector's top-1 centroid list
     * plus its unit vector, degenerate lists capped. Built once per
@@ -231,7 +237,7 @@ object Corpus {
     */
   def semanticBenchLists(cents: DataFrame, bench: DataFrame, idCol: Column,
                          vecCol: Column,
-                         maxListSize: Int = 100000): DataFrame =
+                         maxListSize: Int = DefaultSemanticListCap): DataFrame =
     SimilaritySearch.capLists(
       SimilaritySearch.assignWithVector(cents, bench, idCol, vecCol)
         .withColumnRenamed("id", "bench_id")

@@ -726,6 +726,17 @@ object Streams {
                                   nprobe: Int = 2,
                                   threshold: Double = 0.40): DataFrame = {
     import graft.functions.VectorFunctions
+    // the batch twin's empty-centroid guard, mirrored: both static
+    // inputs empty-checked eagerly at stream SETUP — an empty stored
+    // artifact (missing/corrupt/incompatible-modulus) would otherwise
+    // make every stage below a no-op and the stream would silently
+    // report the corpus clean forever
+    require(!centroids.isEmpty,
+      "semanticDecontaminateStream: empty centroid table — the stored " +
+        "artifact is missing or was built with an incompatible modulus")
+    require(!benchLists.isEmpty,
+      "semanticDecontaminateStream: empty bench-list table — nothing " +
+        "to gate against; a silent always-clean stream is never right")
     val withU = docs.select(col(idCol).as("id"),
         VectorFunctions.unit(col(vecCol)).as("u"))
       .filter(col("u").isNotNull)
@@ -734,12 +745,22 @@ object Streams {
       .agg(collect_list(struct(col("cid"), col("cu"))).as("cents"))
     val probed = withU.crossJoin(broadcast(centsRow))
       // (-cos, cid) sorts to (best cos, lowest cid) — the exact batch
-      // tiebreak (assignWithVector / the q153 oracle's rn ordering)
+      // tiebreak (assignWithVector / the q153 oracle's rn ordering).
+      // NaN parity: Spark's window orderBy(cos desc) treats NaN as the
+      // LARGEST double (NaN centroid ranks first); ascending array_sort
+      // on -cos would put NaN last — so a NaN cosine maps to -Infinity
+      // here, keeping both paths' probe sets identical even on NaN
+      // embeddings (cosines of unit vectors are otherwise in [-1, 1],
+      // so -Infinity cannot collide with a real key)
       .select(col("id"), col("u"), explode(slice(array_sort(transform(
         col("cents"),
-        c => struct(
-          (-VectorFunctions.dot(col("u"), c.getField("cu"))).as("nc"),
-          c.getField("cid").as("cid")))), 1, nprobe)).as("p"))
+        c => {
+          val cos = VectorFunctions.dot(col("u"), c.getField("cu"))
+          struct(
+            when(isnan(cos), lit(Double.NegativeInfinity))
+              .otherwise(-cos).as("nc"),
+            c.getField("cid").as("cid"))
+        })), 1, nprobe)).as("p"))
       .select(col("id"), col("u"), col("p.cid").as("cid"))
     probed
       .join(benchLists.select(col("cid"), col("bench_id"), col("bu")), "cid")

@@ -88,9 +88,11 @@ class LayoutPropsSpec extends SparkSpec with PropsCases {
           assert(stats.rowsDeleted === keys.count(ref.contains).toLong)
           keys.foreach(ref.remove)
         }
-        val table = spark.read.parquet(dir)
-          .as[(Long, Double)].collect().toMap
-        assert(table === ref.toMap, s"after op=($isUpsert,$keys,$v)")
+        val rows0 = spark.read.parquet(dir).as[(Long, Double)].collect()
+        // row count FIRST: toMap would silently collapse a duplicate-key
+        // bug (stale + updated row both present) into a passing equality
+        assert(rows0.length === ref.size, s"after op=($isUpsert,$keys,$v)")
+        assert(rows0.toMap === ref.toMap, s"after op=($isUpsert,$keys,$v)")
       }
     }
   }
