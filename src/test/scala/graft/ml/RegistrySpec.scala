@@ -110,6 +110,42 @@ class RegistrySpec extends SparkSpec {
     assert(Registry.read(spark, dir).production.map(_.version) === Some("v1.0"))
   }
 
+  test("random register/promote/rollback sequences: the manifest equals " +
+      "an in-memory state machine after every transition; at most one " +
+      "production version always") {
+    val versions = Seq("v1", "v2", "v3", "v4")
+    val rnd = new scala.util.Random(42)
+    (0 until 3).foreach { _ =>
+      val dir = freshDir()
+      // reference state machine: version -> stage
+      val ref = scala.collection.mutable.LinkedHashMap[String, String]()
+      (0 until 12).foreach { _ =>
+        val v = versions(rnd.nextInt(versions.size))
+        rnd.nextInt(3) match {
+          case 0 =>
+            Registry.register(spark, dir, v, s"art/$v")
+            ref(v) = "development"
+          case _ if !ref.contains(v) =>
+            // promote/rollback of an unregistered version fails loudly
+            // and mutates nothing
+            intercept[IllegalArgumentException] {
+              Registry.promote(spark, dir, v)
+            }
+          case _ =>
+            Registry.promote(spark, dir, v)
+            ref.keys.foreach(k =>
+              if (ref(k) == "production") ref(k) = "archived")
+            ref(v) = "production"
+        }
+        val m = Registry.read(spark, dir)
+        assert(m.entries.map(e => e.version -> e.stage).toMap === ref.toMap)
+        assert(m.entries.count(_.stage == "production") <= 1)
+        assert(m.production.map(_.version) ===
+          ref.find(_._2 == "production").map(_._1))
+      }
+    }
+  }
+
   test("re-register replaces the entry; artifact paths round-trip " +
       "through the manifest") {
     val dir = freshDir()
