@@ -74,6 +74,8 @@ object SparkEntry {
         ((s, dir) => graft.queries.Q122Margin.assertSound(s, dir)),
       "q153_semantic_decontaminate" ->
         ((s, dir) => graft.queries.Q153Margin.assertSound(s, dir)),
+      "q151_point_upsert" ->
+        ((s, dir) => graft.queries.OpsQueries.assertUpsertKeysSound(s, dir)),
       // q36/q147 share one rule score; its 0.75 threshold and 0.02-band
       // floors get the same knife-edge guard
       "q36_er_confusion" ->

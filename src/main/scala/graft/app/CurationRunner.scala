@@ -240,8 +240,7 @@ object CurationRunner {
         // hidden/metadata entries (_SUCCESS, _temporary, dot-files)
         // count for NEITHER branch: a crashed write's lone _temporary
         // dir is still an empty target, not a partitioned layout
-        val hasData = children.exists(st => visible(st) &&
-          (st.isFile || st.isDirectory))
+        val hasData = children.exists(visible)
         if (!hasData) Some(name -> Right(0L))
         else
           try Some(name -> Right(

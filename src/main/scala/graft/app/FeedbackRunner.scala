@@ -95,7 +95,13 @@ object FeedbackRunner {
       .getOrElse("hold")
     locally {
       val t0 = System.currentTimeMillis()
-      try {
+      if (compared.isEmpty)
+        // the 'hold' here is a FALLBACK, not an evaluated decision — a
+        // gate row claiming success would misrepresent that the
+        // challenger was never actually compared
+        results += StageResult("gate", "skipped", 0, t0,
+          System.currentTimeMillis(), "compare stage failed")
+      else try {
         decision match {
           case "promote" => Registry.promote(spark, registryDir, challenger)
           case "rollback" => Registry.rollback(spark, registryDir, control)

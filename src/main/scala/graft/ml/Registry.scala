@@ -56,8 +56,14 @@ object Registry {
   private def heal(f: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
     val p = manifestPath(dir)
     val tmp = tmpPath(dir)
-    if (!f.exists(p) && f.exists(tmp) && !f.rename(tmp, p))
-      throw new java.io.IOException(s"registry heal rename failed at $p")
+    if (!f.exists(p) && f.exists(tmp)) {
+      if (!sideComplete(f, tmp)) {
+        // torn side file from a crash mid-FIRST-write: nothing was ever
+        // committed — discard instead of publishing a truncated state
+        f.delete(tmp, false)
+      } else if (!f.rename(tmp, p))
+        throw new java.io.IOException(s"registry heal rename failed at $p")
+    }
   }
 
   def read(spark: SparkSession, dir: String): Manifest = {
@@ -65,22 +71,57 @@ object Registry {
     val f = fs(spark, p)
     // passive crash-window fallback: main absent + side present → the
     // side file IS the committed state (see heal's scaladoc); main
-    // present → the side file is a stale pre-delete leftover, ignored
-    val src =
-      if (f.exists(p)) Some(p)
-      else if (f.exists(tmpPath(dir))) Some(tmpPath(dir))
-      else None
-    src match {
-      case None => Manifest(Seq.empty)
-      case Some(path) =>
-        val in = f.open(path)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        val entry = """\{"version":"([^"]+)","stage":"([^"]+)","path":"([^"]*)"\}""".r
-        Manifest(entry.findAllMatchIn(txt)
-          .map(m => Entry(m.group(1), m.group(2), m.group(3))).toSeq)
+    // present → the side file is a stale pre-delete leftover, ignored.
+    // A COMPLETE side file ends with ']' (written in one buffer) — a
+    // torn one (crash mid-first-write, no main to fall back to) is
+    // treated as no manifest: a first write that never completed
+    // committed nothing, and trusting a truncated entry list would let
+    // the next heal publish it durably.
+    // The probe pair races a concurrent writer's delete→rename window:
+    // if both probes miss, the rename may have completed BETWEEN them —
+    // re-probe main once before concluding empty (writers are
+    // serialized, so one transition is the only thing a read can race).
+    def parse(path: Path): Option[Manifest] = {
+      val txt =
+        try {
+          val in = f.open(path)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        } catch {
+          // deleted between exists() and open() by the racing writer —
+          // caller re-probes
+          case _: java.io.FileNotFoundException => return None
+        }
+      val entry = """\{"version":"([^"]+)","stage":"([^"]+)","path":"([^"]*)"\}""".r
+      Some(Manifest(entry.findAllMatchIn(txt)
+        .map(m => Entry(m.group(1), m.group(2), m.group(3))).toSeq))
     }
+    def attempt(): Option[Manifest] =
+      if (f.exists(p)) parse(p)
+      else {
+        val tmp = tmpPath(dir)
+        if (f.exists(tmp)) {
+          // torn side file → no committed state
+          parse(tmp) // complete check below
+            .filter(_ => sideComplete(f, tmp))
+            .orElse(Some(Manifest(Seq.empty)))
+        } else None
+      }
+    attempt()
+      .orElse(attempt()) // one re-probe closes the rename race window
+      .getOrElse(Manifest(Seq.empty))
   }
+
+  /** A complete side file ends with ']' — the whole JSON lands in one
+    * write buffer, so truncation cannot preserve the terminator. */
+  private def sideComplete(f: org.apache.hadoop.fs.FileSystem,
+                           tmp: Path): Boolean =
+    try {
+      val in = f.open(tmp)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      txt.trim.endsWith("]")
+    } catch { case _: java.io.FileNotFoundException => false }
 
   // the manifest is line-protocol JSON parsed by regex (the
   // EnsembleModel.save no-external-dep discipline): reject strings the
@@ -123,7 +164,17 @@ object Registry {
   def register(spark: SparkSession, dir: String, version: String,
                artifactPath: String, stage: String = "development"): Manifest = {
     val m = read(spark, dir)
-    val next = Manifest(m.entries.filterNot(_.version == version) :+
+    // registering straight into production is a promote: the incumbent
+    // archives in the SAME transition, or the single-production
+    // invariant would be unenforced on this path
+    val demoted =
+      if (stage == "production")
+        m.entries.map(e =>
+          if (e.stage == "production" && e.version != version)
+            e.copy(stage = "archived")
+          else e)
+      else m.entries
+    val next = Manifest(demoted.filterNot(_.version == version) :+
       Entry(version, stage, artifactPath))
     write(spark, dir, next)
     next

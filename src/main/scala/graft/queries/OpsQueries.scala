@@ -214,7 +214,12 @@ object OpsQueries {
       // the ORIGINAL table with the patches as CASE overrides and the
       // insert UNION'd on, so the hash match proves the keyed rewrite
       // replaced exactly the patched rows, inserted the new one, and
-      // conserved everyone else byte-for-byte.
+      // conserved everyone else byte-for-byte. Oracle parity DEPENDS on
+      // the patched keys (42, 777) existing and the inserted key
+      // (10000000) being ABSENT at the gate SF — enforced up front by
+      // assertUpsertKeysSound via SparkEntry.verifyPreconditions, so a
+      // regenerated events table that breaks the assumption fails the
+      // round loudly instead of hash-mismatching.
       val base = "/tmp/graft_upsert_q151"
       val ev = t(s, dir, "events")
         .select("event_id", "ts", "user_id", "event_type", "value")
@@ -404,4 +409,20 @@ object OpsQueries {
         |WHERE g.group_size >= 5
         |ORDER BY b.c_custkey""".stripMargin
   )
+  /** q151 oracle-parity precondition: the patch targets must exist and
+    * the insert key must be absent in the events table at the gate SF —
+    * otherwise Spark's upsert REPLACES where the oracle's UNION ALL
+    * appends, and the gate diverges (the q122/q153 margin-guard
+    * discipline applied to key-existence assumptions). */
+  def assertUpsertKeysSound(s: SparkSession, dir: String): Unit = {
+    val ids = t(s, dir, "events")
+      .filter(col("event_id").isin(42L, 777L, 10000000L))
+      .select("event_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    require(ids == Set(42L, 777L),
+      s"q151 precondition violated: patched keys 42/777 must exist and " +
+        s"insert key 10000000 must be absent (found $ids) — the oracle's " +
+        "CASE-override + UNION formulation no longer matches the upsert")
+  }
+
 }

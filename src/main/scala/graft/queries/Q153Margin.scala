@@ -39,35 +39,32 @@ object Q153Margin {
     def centCos(e: DataFrame) = e.join(broadcast(cents))
       .select(col("id"), col("cid"), col("u"),
         VectorFunctions.dot(col("u"), col("cu")).as("cos"))
-    def rankGap(cos: DataFrame, a: Int, b: Int): Double = {
-      val ranked = cos.withColumn("rk", row_number().over(
-        Window.partitionBy(col("id"))
-          .orderBy(col("cos").desc, col("cid").asc)))
-      Q122Margin.headDoubleOrInf(ranked.filter(col("rk") <= b)
+    // rank each side ONCE; the rank boundaries AND the rk-sliced frames
+    // below all derive from the same two ranked frames (the guard runs
+    // inside Verify on every q153 verification — no wasted passes)
+    def ranked(cos: DataFrame) = cos.withColumn("rk", row_number().over(
+      Window.partitionBy(col("id"))
+        .orderBy(col("cos").desc, col("cid").asc)))
+    def rankGap(r: DataFrame, a: Int, b: Int): Double =
+      Q122Margin.headDoubleOrInf(r.filter(col("rk") <= b)
         .groupBy("id")
         .agg((max(when(col("rk") === a, col("cos"))) -
           max(when(col("rk") === b, col("cos")))).as("gap"))
         .filter(col("gap").isNotNull)
         .agg(min("gap")))
-    }
-    val bCos = centCos(unitOf(bench))
-    val cCos = centCos(unitOf(corpus))
-    val minBenchGap = rankGap(bCos, 1, 2)
-    val minProbeGap = rankGap(cCos, 2, 3)
+    val bRanked = ranked(centCos(unitOf(bench))).cache()
+    val cRanked = ranked(centCos(unitOf(corpus))).cache()
+    val minBenchGap = rankGap(bRanked, 1, 2)
+    val minProbeGap = rankGap(cRanked, 2, 3)
     // probed cross-set pair cosines vs the 0.40 threshold
-    val bTop = bCos.withColumn("rk", row_number().over(
-        Window.partitionBy(col("id"))
-          .orderBy(col("cos").desc, col("cid").asc)))
-      .filter(col("rk") === 1)
+    val bTop = bRanked.filter(col("rk") === 1)
       .select(col("id").as("bench_id"), col("cid"), col("u").as("bu"))
-    val probes = cCos.withColumn("rk", row_number().over(
-        Window.partitionBy(col("id"))
-          .orderBy(col("cos").desc, col("cid").asc)))
-      .filter(col("rk") <= 2)
+    val probes = cRanked.filter(col("rk") <= 2)
       .select(col("id"), col("cid"), col("u"))
     val minThr = Q122Margin.headDoubleOrInf(probes.join(bTop, "cid")
       .select(abs(VectorFunctions.dot(col("u"), col("bu")) - 0.40).as("d"))
       .agg(min("d")))
+    bRanked.unpersist(); cRanked.unpersist()
     (minBenchGap, minProbeGap, minThr)
   }
 

@@ -191,6 +191,18 @@ object Layout {
       s"upsertByKey: updates columns ${updates.columns.sorted.mkString(",")} " +
         s"must match table columns ${df.columns.sorted.mkString(",")}")
     val u = updates.select(df.columns.map(col): _*)
+    // TYPES too, not just names: a pure insert writes `u` verbatim as a
+    // new file — a mismatched type (v: INT vs the table's DOUBLE) would
+    // land a conflicting physical schema and brick every subsequent
+    // read of the directory (the replace path would at least fail in
+    // unionByName; the insert path had no check at all)
+    val tTypes = df.schema.map(f => f.name -> f.dataType).toMap
+    val badTypes = u.schema.filter(f => tTypes(f.name) != f.dataType)
+    require(badTypes.isEmpty,
+      "upsertByKey: update column type(s) differ from the table: " +
+        badTypes.map(f =>
+          s"${f.name}: ${f.dataType.simpleString} vs ${tTypes(f.name).simpleString}")
+          .mkString(", "))
     val keyRows = u.select(keyCol).distinct().limit(maxKeys + 1).collect()
     require(keyRows.length <= maxKeys,
       s"upsertByKey is the point-update path (> $maxKeys distinct keys); " +
@@ -214,6 +226,13 @@ object Layout {
       .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
     val matched = affected.map(_._2).sum
+    // more matches than distinct keys ⇒ the STORED table already holds
+    // a duplicated key (corruption outside the marker protocol) — fail
+    // loudly rather than emit negative rowsInserted stats
+    require(matched <= keys.length,
+      s"upsertByKey: stored table holds duplicate $keyCol rows " +
+        s"($matched matches for ${keys.length} keys) — repair the table " +
+        "(deleteWhere + re-insert) before upserting")
     val affectedSet = affected.map { case (f, _) =>
       fs.makeQualified(new org.apache.hadoop.fs.Path(new java.net.URI(f)))
     }.toSet

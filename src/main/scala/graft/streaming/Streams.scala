@@ -148,6 +148,16 @@ object Streams {
   def feedbackMetricsStream(feedback: DataFrame, predictions: DataFrame,
                             watermark: String = "1 day"): DataFrame = {
     import graft.ml.Feedback
+    // day-bucket parity: the batch twin's to_date() buckets in the
+    // SESSION timezone while window() aligns to the UTC epoch — they
+    // agree only in a UTC session (this engine pins UTC at every
+    // entrypoint; fail loudly rather than silently shift day rows)
+    val tz = feedback.sparkSession.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"feedbackMetricsStream requires spark.sql.session.timeZone=UTC " +
+        s"(got $tz): window() buckets days in UTC while the batch " +
+        "twin's to_date() uses the session timezone — non-UTC sessions " +
+        "would shift events across day rows between the two")
     feedback
       .withWatermark("created_at", watermark)
       .join(predictions.select("prediction_id", "model_version"),

@@ -202,6 +202,26 @@ class LayoutSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Layout.upsertByKey(spark, dir, Seq((1L, 1L)).toDF("id", "user"), "id")
     }
+    // TYPE mismatch rejected: a pure insert with v: INT would land a
+    // conflicting physical schema and brick every later read
+    intercept[IllegalArgumentException] {
+      Layout.upsertByKey(spark, dir,
+        Seq((70000L, 1L, 5)).toDF("id", "user", "v"), "id")
+    }
+  }
+
+  test("upsertByKey refuses a table that already duplicates the key " +
+      "(corruption outside the marker protocol) — no negative stats") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-updup")
+      .resolve("table").toString
+    spark.range(10).selectExpr("id", "cast(id as double) AS v")
+      .write.parquet(dir)
+    // duplicate key 3 via a raw append (bypassing the upsert protocol)
+    Seq((3L, 99.0)).toDF("id", "v").write.mode("append").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Layout.upsertByKey(spark, dir, Seq((3L, 1.0)).toDF("id", "v"), "id")
+    }
+    assert(e.getMessage.contains("duplicate"))
   }
 
   test("patchRow: partial setters evaluate against the current row; " +

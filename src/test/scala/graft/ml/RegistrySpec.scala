@@ -101,6 +101,29 @@ class RegistrySpec extends SparkSpec {
     assert(m.production.map(_.version) === Some("v1.0"))
   }
 
+  test("register(stage = production) archives the incumbent — the " +
+      "single-production invariant holds on the register path too") {
+    val dir = freshDir()
+    Registry.register(spark, dir, "v1", "p1", stage = "production")
+    val m = Registry.register(spark, dir, "v2", "p2", stage = "production")
+    assert(m.production.map(_.version) === Some("v2"))
+    assert(m("v1").stage === "archived")
+    assert(m.entries.count(_.stage == "production") === 1)
+  }
+
+  test("a torn side file (crash mid-first-write) is treated as no " +
+      "manifest, never published") {
+    val dir = freshDir()
+    val side = new java.io.File(s"$dir/.registry.json.tmp")
+    side.getParentFile.mkdirs()
+    java.nio.file.Files.write(side.toPath,
+      "[{\"version\":\"v1\",\"stage\":\"produc".getBytes)
+    assert(Registry.read(spark, dir).entries.isEmpty)
+    // the next write discards the torn file and commits cleanly
+    Registry.register(spark, dir, "v2", "p2")
+    assert(Registry.read(spark, dir).entries.map(_.version) === Seq("v2"))
+  }
+
   test("promote of an unknown version fails loudly and mutates nothing") {
     val dir = freshDir()
     Registry.register(spark, dir, "v1.0", "p1", stage = "production")
