@@ -323,21 +323,7 @@ object Corpus {
   def spanDedup(docs: DataFrame, idCol: Column, textCol: Column,
                 spanWords: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = lit(spanWords)
-    val base = docs
-      .select(idCol.as("id"), split(textCol, " ").as("ws"))
-      .select(col("id"), col("ws"), size(col("ws")).cast("long").as("n_words"))
-      .withColumn("n_tiles", (col("n_words") / spanWords).cast("long"))
-      // the trailing partial tile never enters the dedup decision
-      .withColumn("tail_txt", concat_ws(" ",
-        slice(col("ws"), (col("n_tiles") * spanWords + 1).cast("int"),
-          (col("n_words") - col("n_tiles") * spanWords).cast("int"))))
-    val tiles = base
-      .filter(col("n_tiles") > 0)
-      .select(col("id"), posexplode(transform(
-        sequence(lit(0), (col("n_tiles") - 1).cast("int")),
-        i => concat_ws(" ", slice(col("ws"), i * w + 1, w)))))
-      .toDF("id", "idx", "tile")
+    val (base, tiles) = tileDocs(docs, idCol, textCol, spanWords)
     val kept = tiles
       .withColumn("rn", row_number().over(
         Window.partitionBy(md5(col("tile"))).orderBy(col("id"), col("idx"))))
@@ -347,6 +333,88 @@ object Corpus {
         array_join(transform(
           array_sort(collect_list(struct(col("idx"), col("tile")))),
           s => s("tile")), " ").as("body"))
+    spliceRebuilt(base, kept, spanWords)
+  }
+
+  /**
+   * Boilerplate excision — the CCNet/C4 LINE-level frequency rule
+   * (Wenzek et al. 2020 §3.1 deduplicate-then-filter; the "remove any
+   * line repeated across documents" pass every web-corpus pipeline
+   * runs before quality filtering), tile-shaped here because the
+   * corpus is unpunctuated word streams (the [[spanDedup]] convention;
+   * real newline corpora pass their lines through the same kernel by
+   * pre-splitting). A tile whose DOCUMENT frequency — distinct docs
+   * containing it — reaches `minDf` is template text (nav bars,
+   * footers, cookie banners, license headers), and ALL its occurrences
+   * are removed. The complement of [[spanDedup]]'s first-wins: dedup
+   * keeps one copy of repeated *content*; boilerplate is noise in
+   * every copy, including the first. Within-doc repetition alone never
+   * triggers it (df counts distinct docs) — that signal belongs to
+   * [[repetitionSignals]].
+   *
+   * Returns the [[spanDedup]] shape: (id, n_tiles, n_kept, n_dropped,
+   * rebuilt_md5), the always-kept partial tail spliced back.
+   *
+   * Plan shape (100 TB): tiling scan-local; ONE corpus-wide Exchange
+   * on the md5 tile key carrying (id, idx, tile) exactly once — df is
+   * two window functions over that single partitioning (dense_rank by
+   * id, then its max over the frame: equal ids tie on rank, so the max
+   * IS the distinct-doc count — no second shuffle, no groupBy+join-back
+   * re-exchange); then one per-doc Exchange rebuilds. Two shuffles
+   * total, the same floor as [[spanDedup]].
+   */
+  def removeBoilerplate(docs: DataFrame, idCol: Column, textCol: Column,
+                        spanWords: Int = 10, minDf: Int = 3): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2 (got $minDf): df >= 1 holds " +
+      "for every tile, so a lower gate would excise the whole corpus")
+    import org.apache.spark.sql.expressions.Window
+    val (base, tiles) = tileDocs(docs, idCol, textCol, spanWords)
+    // the key is materialized as a column so BOTH window specs partition
+    // on the same attribute — inline md5(tile) in each spec gets
+    // extracted to two distinct projections and the planner inserts a
+    // second full Exchange between the windows
+    val byKey = Window.partitionBy(col("_k"))
+    val kept = tiles
+      .withColumn("_k", md5(col("tile")))
+      .withColumn("_dr", dense_rank().over(byKey.orderBy(col("id"))))
+      .withColumn("df", max(col("_dr")).over(byKey))
+      .filter(col("df") < minDf)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("tile")))),
+          s => s("tile")), " ").as("body"))
+    spliceRebuilt(base, kept, spanWords)
+  }
+
+  /** Shared tiling kernel of [[spanDedup]] / [[removeBoilerplate]]:
+    * scan-local split into complete `spanWords`-word tiles plus the
+    * always-kept partial tail. Returns (base with tail_txt, exploded
+    * (id, idx, tile) rows). */
+  private def tileDocs(docs: DataFrame, idCol: Column, textCol: Column,
+                       spanWords: Int): (DataFrame, DataFrame) = {
+    val w = lit(spanWords)
+    val base = docs
+      .select(idCol.as("id"), split(textCol, " ").as("ws"))
+      .select(col("id"), col("ws"), size(col("ws")).cast("long").as("n_words"))
+      .withColumn("n_tiles", (col("n_words") / spanWords).cast("long"))
+      // the trailing partial tile never enters the excision decision
+      .withColumn("tail_txt", concat_ws(" ",
+        slice(col("ws"), (col("n_tiles") * spanWords + 1).cast("int"),
+          (col("n_words") - col("n_tiles") * spanWords).cast("int"))))
+    val tiles = base
+      .filter(col("n_tiles") > 0)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), (col("n_tiles") - 1).cast("int")),
+        i => concat_ws(" ", slice(col("ws"), i * w + 1, w)))))
+      .toDF("id", "idx", "tile")
+    (base, tiles)
+  }
+
+  /** Shared rebuild tail: per-doc surviving-tile body + partial tail →
+    * (id, n_tiles, n_kept, n_dropped, rebuilt_md5). */
+  private def spliceRebuilt(base: DataFrame, kept: DataFrame,
+                            spanWords: Int): DataFrame =
     base
       .join(kept, Seq("id"), "left")
       .select(col("id"), col("n_tiles"),
@@ -354,5 +422,4 @@ object Corpus {
         (col("n_tiles") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
         md5(trim(concat_ws(" ",
           coalesce(col("body"), lit("")), col("tail_txt")))).as("rebuilt_md5"))
-  }
 }

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Bounded-iteration PageRank over an undirected edge list — graph
+ * centrality for corpus curation (beyond-reference LLM-pipeline
+ * operator, SURVEY §7.5). Over the near-dup candidate graph
+ * (`Dedup.minhashNearDups` edges) it ranks TEMPLATE HUBS: a doc wired
+ * to many near-copies, or bridging several copy-clusters, scores far
+ * above a leaf of a single pair — the triage signal web-corpus
+ * pipelines use to find boilerplate farms and SEO mirror networks
+ * that per-pair Jaccard can't see (every pair looks alike; the HUB
+ * STRUCTURE is the tell). Complements the cluster census (q75: how
+ * big) and canonical pick (q107: which to keep) with "which nodes
+ * carry the graph".
+ *
+ * Algorithm: standard damped power iteration (Page et al. 1999),
+ * r₀ = 1, r_{t+1}(v) = (1−d) + d·Σ_{u∈N(v)} r_t(u)/deg(u), run a
+ * FIXED `iterations` rounds (a ranking signal needs stable ordering,
+ * not convergence to machine epsilon; 3 rounds separate hubs from
+ * leaves on diameter-2..3 near-dup graphs). Undirected symmetric form:
+ * every node in the edge list has deg ≥ 1 — no dangling-mass term.
+ *
+ * Engine-portable determinism (the q125 decimal discipline): each
+ * contribution r/deg is an IEEE double, bit-identical in any engine
+ * given identical inputs — but a SUM of doubles is partition-order
+ * dependent, so contributions are cast to DECIMAL(38,18) and summed
+ * exactly (order-invariant), then the damped update returns to double.
+ * The (1−d) teleport term is computed as the double expression
+ * `1.0 − d` (not a pre-folded decimal literal) so an oracle replaying
+ * the same arithmetic matches bit-for-bit.
+ *
+ * Plan shape (100 TB): per iteration, ONE equi-join of the rank frame
+ * onto the degree-annotated edge list plus ONE aggregation on the
+ * destination key — the same per-round cost envelope as
+ * `Dedup.connectedComponents`' label loop. The edge list is
+ * localCheckpointed once (the CC-family convention: the upstream LSH
+ * pipeline must not re-run per round and per final-plan reference);
+ * ranks frames are (id, rank) pairs only. Iterations are a fixed
+ * small constant, so lineage stays shallow without per-round
+ * checkpoints.
+ */
+object GraphRank {
+
+  /** PageRank over undirected (a_id, b_id) edges →
+    * (id, deg, pagerank). */
+  def pageRank(edges: DataFrame, iterations: Int = 3,
+               damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    require(damping > 0 && damping < 1,
+      s"damping must be in (0,1), got $damping")
+    val sym = edges
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint()
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    // (src, dst, deg): each edge annotated with its source's out-degree,
+    // built once and reused by every round's join
+    val symDeg = sym.join(deg, "src").localCheckpoint()
+    var ranks = deg.select(col("src").as("id"), lit(1.0).as("rank"))
+    for (_ <- 1 to iterations) {
+      ranks = symDeg
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"),
+          (col("rank") / col("deg")).cast("decimal(38,18)").as("c"))
+        .groupBy("dst")
+        .agg(sum(col("c")).as("cs"))
+        .select(col("dst").as("id"),
+          (lit(1.0) - lit(damping) +
+            lit(damping) * col("cs").cast("double")).as("rank"))
+    }
+    ranks.join(deg.select(col("src").as("id"), col("deg")), "id")
+      .select(col("id"), col("deg"), col("rank").as("pagerank"))
+  }
+}

@@ -462,6 +462,37 @@ object SimilaritySearch {
       subDim, k)
   }
 
+  /**
+   * Exact re-ranking of an approximate shortlist — the two-stage serving
+   * composition every production ANN system runs (the FAISS
+   * `IndexRefineFlat` shape): a cheap approximate stage (ADC over PQ
+   * codes, an LSH probe, an IVF scan) produces `R ≥ k` candidate ids,
+   * and ONLY those R rows' raw vectors are fetched and scored by true
+   * cosine; the final top-k ranks by the exact score. PQ quantization
+   * error perturbs ordering near the boundary — re-ranking a modest
+   * shortlist (R ≈ 2–10×k) restores exact-metric ordering within the
+   * shortlist at a cost independent of corpus size.
+   *
+   * `shortlist` is any frame with an `id` column (typically
+   * [[ivfPqTopK]]/[[ivfPqTopKFromIndex]] output). Scale shape: the
+   * shortlist is R rows — BROADCAST onto the embedding table, so the
+   * raw-vector fetch is a storage-pruned point read when `id` is the
+   * table's sort/bucket key (the q143 layout note), never a full scan
+   * shuffle; the exact scoring is R cosines; the top-k is a
+   * TakeOrderedAndProject. The raw vectors live only in this final
+   * R-row stage — the corpus-wide scan stays on m-byte codes.
+   */
+  def refineTopK(embs: DataFrame, idCol: Column, vecCol: Column,
+                 shortlist: DataFrame, query: Seq[Double], k: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    TopK.globalTopK(
+      embs.select(idCol.as("id"), vecCol.as("v"))
+        .join(broadcast(shortlist.select("id")), "id")
+        .select(col("id"), cosine(col("v"), q).as("cosine"))
+        .filter(col("cosine").isNotNull),
+      Seq(col("cosine").desc, col("id").asc), k)
+  }
+
   /** For each item: top-k nearest neighbors within its block (blocked
     * all-pairs + per-item window). */
   def knnWithinBlock(embs: DataFrame, idCol: Column, vecCol: Column,

@@ -42,6 +42,22 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    "q155_boilerplate" -> ((s, dir) => {
+      // CCNet/C4-style boilerplate excision: any 10-word tile whose
+      // DOCUMENT frequency reaches 3 is template text, and ALL its
+      // occurrences are removed (the complement of q131's first-wins —
+      // dedup keeps one copy of content; boilerplate is noise in every
+      // copy). Same tiling, same rebuild splice, same output shape;
+      // only the keep rule differs. The synthetic near-dup families
+      // make it bite: a tile shared by a 3+-doc family vanishes from
+      // the whole family, including the earliest copy q131 would keep.
+      Corpus.removeBoilerplate(t(s, dir, "documents"), col("doc_id"),
+          col("text"), spanWords = 10, minDf = 3)
+        .select(col("id").as("doc_id"), col("n_tiles"), col("n_kept"),
+          col("n_dropped"), col("rebuilt_md5"))
+        .orderBy("doc_id")
+    }),
+
     "q93_decontaminate" -> ((s, dir) => {
       // benchmark decontamination: train docs (source != src0) sharing any
       // word 5-gram with the benchmark set (source = src0). 5-grams: chance
@@ -495,6 +511,33 @@ object CorpusQueries {
         |kept AS (SELECT doc_id, count(*) AS n_kept,
         |    string_agg(tile, ' ' ORDER BY idx) AS body
         |  FROM flagged WHERE rn = 1 GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(b.n_tiles AS BIGINT) AS n_tiles,
+        |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(b.n_tiles - COALESCE(k.n_kept, 0) AS BIGINT) AS n_dropped,
+        |  md5(trim(COALESCE(k.body, '') || ' ' ||
+        |    COALESCE(array_to_string(w[b.n_tiles*10+1 : b.n_words], ' '),
+        |      ''))) AS rebuilt_md5
+        |FROM base b LEFT JOIN kept k USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
+
+    // q131's tiling + rebuild verbatim; only the keep rule changes —
+    // a tile survives iff its distinct-doc frequency stays under 3
+    "q155_boilerplate" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(string_split(text, ' ')) // 10 AS n_tiles
+        |  FROM documents),
+        |tiles AS (SELECT doc_id, s['idx'] AS idx, s['tile'] AS tile
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, n_tiles + 1),
+        |      i -> {'idx': i - 1,
+        |            'tile': array_to_string(w[(i-1)*10+1 : (i-1)*10+10], ' ')})) AS s
+        |    FROM base WHERE n_tiles > 0)),
+        |flagged AS (SELECT doc_id, idx, tile,
+        |    count(DISTINCT doc_id) OVER (PARTITION BY md5(tile)) AS tdf
+        |  FROM tiles),
+        |kept AS (SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(tile, ' ' ORDER BY idx) AS body
+        |  FROM flagged WHERE tdf < 3 GROUP BY doc_id)
         |SELECT b.doc_id, CAST(b.n_tiles AS BIGINT) AS n_tiles,
         |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
         |  CAST(b.n_tiles - COALESCE(k.n_kept, 0) AS BIGINT) AS n_dropped,

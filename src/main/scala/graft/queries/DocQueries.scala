@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextAnalysis, TextFunctions, VectorFunctions}
-import graft.operators.{Dedup, SimilaritySearch, TopK}
+import graft.operators.{Dedup, GraphRank, SimilaritySearch, TopK}
 import graft.sources.Tables
 
 /**
@@ -119,6 +119,25 @@ object DocQueries {
       Dedup.connectedComponents(edges, maxIter = 20)
         .groupBy("component").agg(count(lit(1)).as("cluster_size"))
         .orderBy("component")
+    }),
+
+    "q156_dup_pagerank" -> ((s, dir) => {
+      // graph centrality over the near-dup candidate graph: 3 damped
+      // power-iteration rounds rank TEMPLATE HUBS — a doc wired to many
+      // near-copies or bridging copy-clusters scores far above a
+      // single-pair leaf (GraphRank.pageRank scaladoc). The curation
+      // triage signal per-pair Jaccard can't see. Edges = q43's LSH
+      // pipeline; the oracle replays the same three rounds over the
+      // shared sym CTE, contributions summed as DECIMAL(38,18) so the
+      // neighbor-sum is partition-order-invariant in both engines.
+      val edges = Dedup.minhashNearDups(t(s, dir, "documents"),
+          col("doc_id"), col("text"),
+          shingleSize = 5, numHashes = 16, bands = 8, threshold = 0.25)
+        .select("a_id", "b_id")
+      GraphRank.pageRank(edges, iterations = 3, damping = 0.85)
+        .select(col("id").as("doc_id"), col("deg"),
+          round(col("pagerank"), 6).as("pagerank"))
+        .orderBy("doc_id")
     }),
 
     "q127_deduped_corpus" -> ((s, dir) => {
@@ -424,6 +443,15 @@ object DocQueries {
          |  FROM l$k l LEFT JOIN sym ON sym.src = l.id
          |  LEFT JOIN l$k n ON n.id = sym.dst
          |  GROUP BY l.id, l.component)""".stripMargin
+    s"""$lshSymCte,
+      |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS component FROM sym),
+      |${(0 until 12).map(step).mkString(",\n")}""".stripMargin
+  }
+
+  /** The edge half of [[dupClustersCte]]: q43's LSH pipeline ending in
+    * the symmetrized `sym(src, dst)` edge list — shared by the CC label
+    * rounds above and q156's PageRank rounds. */
+  private lazy val lshSymCte: String =
     s"""d AS (SELECT doc_id, $shinglesSql AS sh FROM documents WHERE len(text) > 0),
       |hh AS MATERIALIZED (SELECT doc_id, list_transform(sh,
       |  x -> CAST(CAST(('0x' || substring(md5(x), 1, 8)) AS UBIGINT) AS BIGINT)) AS hs
@@ -452,10 +480,7 @@ object DocQueries {
       |  FROM est JOIN hset a ON a.doc_id = a_id JOIN hset b ON b.doc_id = b_id),
       |edges AS MATERIALIZED (SELECT a_id, b_id FROM j WHERE jaccard >= 0.25),
       |sym AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM edges
-      |  UNION ALL SELECT b_id, a_id FROM edges),
-      |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS component FROM sym),
-      |${(0 until 12).map(step).mkString(",\n")}""".stripMargin
-  }
+      |  UNION ALL SELECT b_id, a_id FROM edges)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_first_order" ->
@@ -547,6 +572,28 @@ object DocQueries {
       s"""WITH $dupClustersCte
         |SELECT component, count(*) AS cluster_size FROM l12
         |GROUP BY component ORDER BY component""".stripMargin,
+
+    // 3 unrolled damped power-iteration rounds over the shared sym CTE;
+    // contributions r/deg are doubles (bit-identical both engines),
+    // summed as DECIMAL(38,18) (order-invariant), and the damped update
+    // is replayed as the same double expression 1.0 - 0.85 + 0.85 * s
+    "q156_dup_pagerank" -> {
+      val round_ = (k: Int) =>
+        s"""r${k + 1} AS MATERIALIZED (SELECT sd.dst AS id,
+           |  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) +
+           |    CAST(0.85 AS DOUBLE) *
+           |    CAST(sum(CAST(r.rank / sd.deg AS DECIMAL(38,18))) AS DOUBLE)
+           |    AS rank
+           |  FROM sd JOIN r$k r ON r.id = sd.src GROUP BY sd.dst)""".stripMargin
+      s"""WITH $lshSymCte,
+        |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+        |sd AS MATERIALIZED (SELECT s2.src, s2.dst, d.deg
+        |  FROM sym s2 JOIN deg d USING (src)),
+        |r0 AS (SELECT src AS id, CAST(1.0 AS DOUBLE) AS rank FROM deg),
+        |${(0 until 3).map(round_).mkString(",\n")}
+        |SELECT d.src AS doc_id, d.deg, round(r.rank, 6) AS pagerank
+        |FROM r3 r JOIN deg d ON d.src = r.id ORDER BY doc_id""".stripMargin
+    },
 
     "q127_deduped_corpus" ->
       s"""WITH $dupClustersCte,

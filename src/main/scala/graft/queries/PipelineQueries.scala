@@ -251,6 +251,27 @@ object PipelineQueries {
         .orderBy("rank")
     }),
 
+    "q154_ann_refine" -> ((s, dir) => {
+      // two-stage serving search (the FAISS IndexRefineFlat shape,
+      // SimilaritySearch.refineTopK scaladoc): q141's IVF-PQ ADC pass
+      // produces a top-30 shortlist over compressed codes; ONLY those
+      // 30 raw vectors are fetched (broadcast semi-join — a
+      // storage-pruned point read when id is the sort key) and
+      // re-scored by exact cosine, and the final top-10 ranks by the
+      // exact metric. Restores exact-metric ordering within the
+      // shortlist at a cost independent of corpus size.
+      val e = Tables.loadSpread(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).map(_.toDouble)
+      val shortlist = SimilaritySearch.ivfPqTopK(e, col("vec_id"),
+        col("embedding"), q, ivfModulus = 200, nprobe = 2,
+        pqModulus = 100, m = 4, subDim = 16, k = 30)
+      SimilaritySearch.refineTopK(e, col("vec_id"), col("embedding"),
+          shortlist, q, k = 10)
+        .select(col("id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy("rank")
+    }),
+
     "q76_int8_topk" -> ((s, dir) => {
       // scalar int8 quantization + integer-dot top-k — the memory-bound
       // scale path (4× smaller vectors, exact integer arithmetic both
@@ -772,6 +793,65 @@ object PipelineQueries {
     })
   )
 
+  /** Shared IVF-PQ oracle CTE chain (q141 inline / q143 stored-index /
+    * q154 refine shortlist): q73's coarse probe + q85's PQ-code ADC
+    * restricted to probed-list members, ending in
+    * `adc(vec_id, c0..c3, d0..d3)`. Parameters match the queries:
+    * ivfModulus 200, nprobe 2, pqModulus 100, m 4, subDim 16. */
+  private lazy val ivfPqAdcCte: String =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |ivfc AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 200 = 0),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      |probed AS (SELECT cid FROM ivfc, q
+      |  ORDER BY list_cosine_similarity(cv, qv) DESC, cid ASC LIMIT 2),
+      |assigned AS (SELECT e.vec_id AS id, ivfc.cid,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_cosine_similarity(e.v, ivfc.cv) DESC,
+      |        ivfc.cid ASC) AS rn
+      |  FROM e, ivfc),
+      |members AS (SELECT id FROM assigned WHERE rn = 1
+      |  AND cid IN (SELECT cid FROM probed)),
+      |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 100 = 0),
+      |sub AS (SELECT unnest(range(0, 4)) AS s),
+      |dist AS (
+      |  SELECT e.vec_id, sub.s, cent.cid,
+      |    list_sum([ (e.v[sub.s*16+i] - cent.cv[sub.s*16+i])
+      |             * (e.v[sub.s*16+i] - cent.cv[sub.s*16+i])
+      |               FOR i IN range(1, 17) ]) AS d
+      |  FROM e JOIN members mm ON e.vec_id = mm.id, sub, cent),
+      |codes AS (
+      |  SELECT vec_id, s, cid FROM dist
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id, s
+      |    ORDER BY d, cid) = 1),
+      |dq AS (
+      |  SELECT sub.s, cent.cid,
+      |    list_sum([ (q.qv[sub.s*16+i] - cent.cv[sub.s*16+i])
+      |             * (q.qv[sub.s*16+i] - cent.cv[sub.s*16+i])
+      |               FOR i IN range(1, 17) ]) AS dq
+      |  FROM q, sub, cent),
+      |adc AS (
+      |  SELECT c.vec_id,
+      |    max(CASE WHEN c.s = 0 THEN c.cid END) AS c0,
+      |    max(CASE WHEN c.s = 1 THEN c.cid END) AS c1,
+      |    max(CASE WHEN c.s = 2 THEN c.cid END) AS c2,
+      |    max(CASE WHEN c.s = 3 THEN c.cid END) AS c3,
+      |    max(CASE WHEN c.s = 0 THEN dq.dq END) AS d0,
+      |    max(CASE WHEN c.s = 1 THEN dq.dq END) AS d1,
+      |    max(CASE WHEN c.s = 2 THEN dq.dq END) AS d2,
+      |    max(CASE WHEN c.s = 3 THEN dq.dq END) AS d3
+      |  FROM codes c JOIN dq ON c.s = dq.s AND c.cid = dq.cid
+      |  GROUP BY c.vec_id)""".stripMargin
+
+  /** q141's final projection over [[ivfPqAdcCte]] — also the q143
+    * oracle verbatim (the stored-index path must reproduce the inline
+    * path row-for-row). */
+  private lazy val ivfPqTopKSql: String =
+    s"""WITH $ivfPqAdcCte
+      |SELECT vec_id AS id, c0, c1, c2, c3,
+      |  round(d0 + d1 + d2 + d3, 6) AS adc_dist,
+      |  row_number() OVER (ORDER BY d0 + d1 + d2 + d3, vec_id) AS rank
+      |FROM adc QUALIFY rank <= 10 ORDER BY rank""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
 
     "q69_asof_join" ->
@@ -1216,53 +1296,23 @@ object PipelineQueries {
     // q73/q132's probed-members CTEs composed with q85's codes/ADC CTEs,
     // restricted to the members — the IVF-PQ contract is exactly "q85's
     // scoring run only inside q73's probed lists"
-    "q141_ivfpq_topk" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |ivfc AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 200 = 0),
-        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-        |probed AS (SELECT cid FROM ivfc, q
-        |  ORDER BY list_cosine_similarity(cv, qv) DESC, cid ASC LIMIT 2),
-        |assigned AS (SELECT e.vec_id AS id, ivfc.cid,
-        |    row_number() OVER (PARTITION BY e.vec_id
-        |      ORDER BY list_cosine_similarity(e.v, ivfc.cv) DESC,
-        |        ivfc.cid ASC) AS rn
-        |  FROM e, ivfc),
-        |members AS (SELECT id FROM assigned WHERE rn = 1
-        |  AND cid IN (SELECT cid FROM probed)),
-        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 100 = 0),
-        |sub AS (SELECT unnest(range(0, 4)) AS s),
-        |dist AS (
-        |  SELECT e.vec_id, sub.s, cent.cid,
-        |    list_sum([ (e.v[sub.s*16+i] - cent.cv[sub.s*16+i])
-        |             * (e.v[sub.s*16+i] - cent.cv[sub.s*16+i])
-        |               FOR i IN range(1, 17) ]) AS d
-        |  FROM e JOIN members mm ON e.vec_id = mm.id, sub, cent),
-        |codes AS (
-        |  SELECT vec_id, s, cid FROM dist
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id, s
-        |    ORDER BY d, cid) = 1),
-        |dq AS (
-        |  SELECT sub.s, cent.cid,
-        |    list_sum([ (q.qv[sub.s*16+i] - cent.cv[sub.s*16+i])
-        |             * (q.qv[sub.s*16+i] - cent.cv[sub.s*16+i])
-        |               FOR i IN range(1, 17) ]) AS dq
-        |  FROM q, sub, cent),
-        |adc AS (
-        |  SELECT c.vec_id,
-        |    max(CASE WHEN c.s = 0 THEN c.cid END) AS c0,
-        |    max(CASE WHEN c.s = 1 THEN c.cid END) AS c1,
-        |    max(CASE WHEN c.s = 2 THEN c.cid END) AS c2,
-        |    max(CASE WHEN c.s = 3 THEN c.cid END) AS c3,
-        |    max(CASE WHEN c.s = 0 THEN dq.dq END) AS d0,
-        |    max(CASE WHEN c.s = 1 THEN dq.dq END) AS d1,
-        |    max(CASE WHEN c.s = 2 THEN dq.dq END) AS d2,
-        |    max(CASE WHEN c.s = 3 THEN dq.dq END) AS d3
-        |  FROM codes c JOIN dq ON c.s = dq.s AND c.cid = dq.cid
-        |  GROUP BY c.vec_id)
-        |SELECT vec_id AS id, c0, c1, c2, c3,
-        |  round(d0 + d1 + d2 + d3, 6) AS adc_dist,
-        |  row_number() OVER (ORDER BY d0 + d1 + d2 + d3, vec_id) AS rank
-        |FROM adc QUALIFY rank <= 10 ORDER BY rank""".stripMargin,
+    "q141_ivfpq_topk" -> ivfPqTopKSql,
+
+    // two-stage refine: the q141 ADC shortlist (top-30) re-scored by
+    // EXACT cosine against the raw vectors; final top-10 ranks by the
+    // exact metric (SimilaritySearch.refineTopK scaladoc)
+    "q154_ann_refine" ->
+      s"""WITH $ivfPqAdcCte,
+        |short AS (SELECT vec_id AS id FROM adc
+        |  QUALIFY row_number() OVER (ORDER BY d0 + d1 + d2 + d3, vec_id)
+        |    <= 30),
+        |scored AS (SELECT s.id,
+        |    list_cosine_similarity(e.v, q.qv) AS cosine
+        |  FROM short s JOIN e ON e.vec_id = s.id, q)
+        |SELECT id, round(cosine, 6) AS cosine,
+        |  CAST(row_number() OVER (ORDER BY cosine DESC, id ASC)
+        |    AS INTEGER) AS rank
+        |FROM scored QUALIFY rank <= 10 ORDER BY rank""".stripMargin,
 
     // residual IVF-PQ: q72's cosine assignment → per-vector residual →
     // residual-space codebook (every 100th vector's residual) → per-s
@@ -1314,52 +1364,6 @@ object PipelineQueries {
     // q141's SQL verbatim: the stored-index path must reproduce the
     // inline-build path row-for-row (stored centroids/assignments/
     // codebook/codes ≡ recomputed)
-    "q143_ivfpq_index_topk" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |ivfc AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 200 = 0),
-        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-        |probed AS (SELECT cid FROM ivfc, q
-        |  ORDER BY list_cosine_similarity(cv, qv) DESC, cid ASC LIMIT 2),
-        |assigned AS (SELECT e.vec_id AS id, ivfc.cid,
-        |    row_number() OVER (PARTITION BY e.vec_id
-        |      ORDER BY list_cosine_similarity(e.v, ivfc.cv) DESC,
-        |        ivfc.cid ASC) AS rn
-        |  FROM e, ivfc),
-        |members AS (SELECT id FROM assigned WHERE rn = 1
-        |  AND cid IN (SELECT cid FROM probed)),
-        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 100 = 0),
-        |sub AS (SELECT unnest(range(0, 4)) AS s),
-        |dist AS (
-        |  SELECT e.vec_id, sub.s, cent.cid,
-        |    list_sum([ (e.v[sub.s*16+i] - cent.cv[sub.s*16+i])
-        |             * (e.v[sub.s*16+i] - cent.cv[sub.s*16+i])
-        |               FOR i IN range(1, 17) ]) AS d
-        |  FROM e JOIN members mm ON e.vec_id = mm.id, sub, cent),
-        |codes AS (
-        |  SELECT vec_id, s, cid FROM dist
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id, s
-        |    ORDER BY d, cid) = 1),
-        |dq AS (
-        |  SELECT sub.s, cent.cid,
-        |    list_sum([ (q.qv[sub.s*16+i] - cent.cv[sub.s*16+i])
-        |             * (q.qv[sub.s*16+i] - cent.cv[sub.s*16+i])
-        |               FOR i IN range(1, 17) ]) AS dq
-        |  FROM q, sub, cent),
-        |adc AS (
-        |  SELECT c.vec_id,
-        |    max(CASE WHEN c.s = 0 THEN c.cid END) AS c0,
-        |    max(CASE WHEN c.s = 1 THEN c.cid END) AS c1,
-        |    max(CASE WHEN c.s = 2 THEN c.cid END) AS c2,
-        |    max(CASE WHEN c.s = 3 THEN c.cid END) AS c3,
-        |    max(CASE WHEN c.s = 0 THEN dq.dq END) AS d0,
-        |    max(CASE WHEN c.s = 1 THEN dq.dq END) AS d1,
-        |    max(CASE WHEN c.s = 2 THEN dq.dq END) AS d2,
-        |    max(CASE WHEN c.s = 3 THEN dq.dq END) AS d3
-        |  FROM codes c JOIN dq ON c.s = dq.s AND c.cid = dq.cid
-        |  GROUP BY c.vec_id)
-        |SELECT vec_id AS id, c0, c1, c2, c3,
-        |  round(d0 + d1 + d2 + d3, 6) AS adc_dist,
-        |  row_number() OVER (ORDER BY d0 + d1 + d2 + d3, vec_id) AS rank
-        |FROM adc QUALIFY rank <= 10 ORDER BY rank""".stripMargin
+    "q143_ivfpq_index_topk" -> ivfPqTopKSql,
   )
 }

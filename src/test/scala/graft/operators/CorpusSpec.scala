@@ -141,6 +141,57 @@ class CorpusSpec extends SparkSpec {
     assert(out(20L) === m("k one a k two b k three c"))
   }
 
+  // ---- removeBoilerplate ----
+
+  test("removeBoilerplate: a tile reaching minDf distinct docs is excised " +
+      "from EVERY copy (incl. the first); below-threshold and within-doc " +
+      "repeats survive; tails always kept") {
+    // spanWords=3, minDf=3. Tile [a b c] appears in docs 1,2,3 (df=3 →
+    // boilerplate, all three copies dropped). Tile [x y z] appears in
+    // docs 1,2 (df=2 → kept in both: dedup's business, not ours). Doc 4
+    // repeats its own tile [r r r] twice — df=1, both copies survive
+    // (df counts DISTINCT docs).
+    val docs = Seq(
+      (1L, "a b c x y z t1"),
+      (2L, "x y z a b c t2"),
+      (3L, "a b c own u v"),
+      (4L, "r r r r r r")
+    ).toDF("doc_id", "text")
+    val out = Corpus.removeBoilerplate(docs, col("doc_id"), col("text"),
+        spanWords = 3, minDf = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))).toMap
+    def m(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    assert(out(1L) === ((2L, 1L, 1L, m("x y z t1"))))       // first copy dropped too
+    assert(out(2L) === ((2L, 1L, 1L, m("x y z t2"))))
+    assert(out(3L) === ((2L, 1L, 1L, m("own u v"))))
+    assert(out(4L) === ((2L, 2L, 0L, m("r r r r r r"))))    // within-doc df=1
+  }
+
+  test("removeBoilerplate: within-doc order preserved; partition-invariant; " +
+      "minDf < 2 rejected") {
+    val docs = Seq(
+      (1L, "b p 1 keep one a b p 2 keep two b"),
+      (2L, "b p 1 other x a b p 2 other y c"),
+      (3L, "b p 1 third x a b p 2 third y c")
+    ).toDF("doc_id", "text")
+    // tiles [b p 1] and [b p 2] hit df=3; doc 1's survivors must splice
+    // in index order around the excised tiles
+    val run = (df: org.apache.spark.sql.DataFrame) =>
+      Corpus.removeBoilerplate(df, col("doc_id"), col("text"),
+          spanWords = 3, minDf = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(4)))
+        .sortBy(_._1).toSeq
+    val base = run(docs)
+    def m(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    assert(base.head._3 === m("keep one a keep two b"))
+    assert(run(docs.repartition(7)) === base)
+    intercept[IllegalArgumentException] {
+      Corpus.removeBoilerplate(docs, col("doc_id"), col("text"), 3, minDf = 1)
+    }
+  }
+
   // ---- packSequences ----
 
   test("packSequences: offsets chain (prior + n_tok of prev = offset of next), spans consistent") {

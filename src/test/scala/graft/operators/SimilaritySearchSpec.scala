@@ -295,4 +295,57 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(out(4L) == 5L)
     assert(out(5L) == 4L)
   }
+
+  test("refineTopK with a full-corpus shortlist equals bruteForceTopK " +
+    "row-for-row (exact re-rank degenerates to exact search)") {
+    val q = Seq(1.0, 0.1, 0.0)
+    val full = embs.select(col("vec_id").as("id"))
+    val refined = SimilaritySearch.refineTopK(embs, col("vec_id"),
+      col("embedding"), full, q, 4).orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    val brute = SimilaritySearch.bruteForceTopK(embs, col("vec_id"),
+      col("embedding"), q, 4).orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    assert(refined === brute)
+  }
+
+  test("refineTopK scores only shortlist members, ranked by exact cosine " +
+    "with id tiebreak") {
+    val shortlist = Seq(3L, 4L, 5L).toDF("id")
+    val out = SimilaritySearch.refineTopK(embs, col("vec_id"),
+      col("embedding"), shortlist, Seq(1.0, 0.0, 0.0), 3)
+      .orderBy("rank").collect()
+    // id 5 = (0.1,0,0.9): cosine ~0.11; ids 3,4 are orthogonal (0.0) and
+    // tie-break ascending. ids 1,2 (the true top-2) are NOT in the
+    // shortlist and must not appear.
+    assert(out.map(_.getLong(0)).toSeq == Seq(5L, 3L, 4L))
+    val cosines = out.map(_.getDouble(1)).toSeq
+    assert(cosines == cosines.sorted.reverse)
+  }
+
+  test("refineTopK restores exact-metric ordering over an ADC shortlist: " +
+    "final ranking equals brute force restricted to the shortlist") {
+    val e = (0 until 400).map { i =>
+      (i.toLong, Array.tabulate(8)(d =>
+        (math.sin(i * 31 + d * 7) + math.cos(i * 13 + d * 3)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Float](0).map(_.toDouble)
+    val shortlist = SimilaritySearch.ivfPqTopK(e, col("vec_id"),
+      col("embedding"), q, ivfModulus = 50, nprobe = 2, pqModulus = 20,
+      m = 4, subDim = 2, k = 20)
+    val shortIds = shortlist.select("id").collect().map(_.getLong(0)).toSet
+    val refined = SimilaritySearch.refineTopK(e, col("vec_id"),
+      col("embedding"), shortlist, q, 5).orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(refined.map(_._1).forall(shortIds.contains))
+    // exact cosine over the same shortlist, driver-side
+    val exact = e.filter(col("vec_id").isInCollection(shortIds))
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.cosine(col("embedding"),
+          array(q.map(lit): _*)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, c) => (-c, id) }.take(5).toSeq
+    assert(refined === exact)
+  }
 }

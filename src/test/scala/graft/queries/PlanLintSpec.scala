@@ -29,6 +29,7 @@ class PlanLintSpec extends SparkSpec {
     // eager one-time artifact build; the returned plan reads stored frames)
     "q141_ivfpq_topk" -> "IVF-PQ composes both allowlisted kernels: broadcast centroid argmax (q72) + broadcast codebook encode (q85), each against probed-list members only",
     "q144_ivfpq_residual_topk" -> "residual IVF-PQ: the same broadcast kernels in residual space, plus the nprobe-row query-residual frame crossJoined with the broadcast codebook (nprobe*k rows)",
+    "q154_ann_refine" -> "the q141 kernels build the ADC shortlist stage; the refine stage itself is a broadcast equi semi-join of 30 ids",
     "q94_bm25" -> "broadcast 1-row corpus-stats frame joined to every doc",
     "q125_unigram_logprob" -> "broadcast 1-row corpus token-count frame",
     "q57_baseline_scores" -> "broadcast 1-row global-stats frame",
