@@ -387,6 +387,52 @@ object Corpus {
     spliceRebuilt(base, kept, spanWords)
   }
 
+  /**
+   * The boilerplate-tile artifact behind [[removeBoilerplate]] — the
+   * materialize-once pattern (nearDupArtifacts / ivfIndex /
+   * semanticBenchLists): (k: md5 tile key, df: distinct-doc frequency)
+   * for every tile at or over `minDf`, built once per corpus version
+   * and stored; [[removeBoilerplateAgainst]] excises any corpus against
+   * the stored set, and `Streams.boilerplateIngest` gates ARRIVING docs
+   * with it (the production crawl-ingest shape — df comes from the
+   * standing corpus, new docs never wait for a global recount). df is
+   * carried for the audit; membership is the gate.
+   */
+  def boilerplateTiles(docs: DataFrame, idCol: Column, textCol: Column,
+                       spanWords: Int = 10, minDf: Int = 3): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2 (got $minDf): df >= 1 holds " +
+      "for every tile, so a lower gate would flag the whole corpus")
+    val (_, tiles) = tileDocs(docs, idCol, textCol, spanWords)
+    tiles.groupBy(md5(col("tile")).as("k"))
+      .agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") >= minDf)
+  }
+
+  /**
+   * [[removeBoilerplate]] against a PREBUILT (typically parquet-read)
+   * tile-key set: same tiling, same splice, the keep rule is a LEFT
+   * ANTI join on the md5 key instead of the inline df windows. Applied
+   * to the corpus the artifact was built from (same `spanWords` and
+   * `minDf`), the output is row-identical to the inline operator
+   * (q157 gates it against q155's oracle through a parquet roundtrip).
+   * The anti join shuffles tiles by key only when the key set outgrows
+   * broadcast — AQE decides from the artifact's real size.
+   */
+  def removeBoilerplateAgainst(docs: DataFrame, tileKeys: DataFrame,
+                               idCol: Column, textCol: Column,
+                               spanWords: Int = 10): DataFrame = {
+    val (base, tiles) = tileDocs(docs, idCol, textCol, spanWords)
+    val kept = tiles
+      .withColumn("_k", md5(col("tile")))
+      .join(tileKeys.select(col("k").as("_k")), Seq("_k"), "left_anti")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("tile")))),
+          s => s("tile")), " ").as("body"))
+    spliceRebuilt(base, kept, spanWords)
+  }
+
   /** Shared tiling kernel of [[spanDedup]] / [[removeBoilerplate]]:
     * scan-local split into complete `spanWords`-word tiles plus the
     * always-kept partial tail. Returns (base with tail_txt, exploded
