@@ -487,7 +487,10 @@ object SimilaritySearch {
     val q = array(query.map(lit): _*)
     TopK.globalTopK(
       embs.select(idCol.as("id"), vecCol.as("v"))
-        .join(broadcast(shortlist.select("id")), "id")
+        // SEMI, not inner: the contract admits any id-bearing frame, and
+        // a caller shortlist with duplicate ids must not duplicate
+        // scored rows (ADVICE r11)
+        .join(broadcast(shortlist.select("id")), Seq("id"), "left_semi")
         .select(col("id"), cosine(col("v"), q).as("cosine"))
         .filter(col("cosine").isNotNull),
       Seq(col("cosine").desc, col("id").asc), k)

@@ -58,6 +58,29 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    "q157_boilerplate_artifact" -> ((s, dir) => {
+      // q155 through the materialize-once artifact path (the q130
+      // pattern): the template-tile key set is built ONCE
+      // (Corpus.boilerplateTiles), written to parquet, read back, and
+      // the excision runs as a LEFT ANTI join against the STORED keys
+      // (Corpus.removeBoilerplateAgainst). Applied to the corpus the
+      // artifact was built from with the same spanWords/minDf, the
+      // output is row-identical to q155's inline df-window form — the
+      // oracle below IS q155's oracle. Production shape: build the
+      // artifact per corpus version, fan out (batch excision here,
+      // Streams.boilerplateIngest at the crawl-ingest edge).
+      val docs = t(s, dir, "documents")
+      val out = "/tmp/graft_artifacts_q157"
+      Corpus.boilerplateTiles(docs, col("doc_id"), col("text"),
+          spanWords = 10, minDf = 3)
+        .write.mode("overwrite").parquet(out)
+      Corpus.removeBoilerplateAgainst(docs, s.read.parquet(out),
+          col("doc_id"), col("text"), spanWords = 10)
+        .select(col("id").as("doc_id"), col("n_tiles"), col("n_kept"),
+          col("n_dropped"), col("rebuilt_md5"))
+        .orderBy("doc_id")
+    }),
+
     "q93_decontaminate" -> ((s, dir) => {
       // benchmark decontamination: train docs (source != src0) sharing any
       // word 5-gram with the benchmark set (source = src0). 5-grams: chance
@@ -523,6 +546,34 @@ object CorpusQueries {
     // q131's tiling + rebuild verbatim; only the keep rule changes —
     // a tile survives iff its distinct-doc frequency stays under 3
     "q155_boilerplate" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(string_split(text, ' ')) // 10 AS n_tiles
+        |  FROM documents),
+        |tiles AS (SELECT doc_id, s['idx'] AS idx, s['tile'] AS tile
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, n_tiles + 1),
+        |      i -> {'idx': i - 1,
+        |            'tile': array_to_string(w[(i-1)*10+1 : (i-1)*10+10], ' ')})) AS s
+        |    FROM base WHERE n_tiles > 0)),
+        |flagged AS (SELECT doc_id, idx, tile,
+        |    count(DISTINCT doc_id) OVER (PARTITION BY md5(tile)) AS tdf
+        |  FROM tiles),
+        |kept AS (SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(tile, ' ' ORDER BY idx) AS body
+        |  FROM flagged WHERE tdf < 3 GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(b.n_tiles AS BIGINT) AS n_tiles,
+        |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(b.n_tiles - COALESCE(k.n_kept, 0) AS BIGINT) AS n_dropped,
+        |  md5(trim(COALESCE(k.body, '') || ' ' ||
+        |    COALESCE(array_to_string(w[b.n_tiles*10+1 : b.n_words], ' '),
+        |      ''))) AS rebuilt_md5
+        |FROM base b LEFT JOIN kept k USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
+
+    // q157 runs the stored-artifact anti-join plan against q155's SQL
+    // verbatim: same corpus, same spanWords/minDf, so the stored key
+    // set reproduces the inline df-window keep rule row-for-row
+    "q157_boilerplate_artifact" ->
       """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w,
         |    len(string_split(text, ' ')) AS n_words,
         |    len(string_split(text, ' ')) // 10 AS n_tiles

@@ -33,6 +33,11 @@ case class NearDupCandidate(a_id: Long, b_id: Long, est: Double)
 /** First-occurrence tile kept by [[Streams.spanDedupIngest]]. */
 case class SpanKeep(doc_id: Long, idx: Int)
 
+/** Per-doc excision result emitted by [[Streams.boilerplateIngest]] —
+  * same shape as the batch `Corpus.removeBoilerplate` output row. */
+case class BoilerplateDoc(doc_id: Long, n_tiles: Long, n_kept: Long,
+                          n_dropped: Long, rebuilt_md5: String)
+
 case class StageCompletion(user_id: Long, stage: Int,
                            ts: java.sql.Timestamp)
 
@@ -411,6 +416,104 @@ object Streams {
               else Iterator.single(SpanKeep(ordered.head._1, ordered.head._3))
             state.update(true)
             state.setTimeoutTimestamp(ordered.map(_._2.getTime).max, idleTimeout)
+            out
+          }
+      }
+  }
+
+  /**
+   * Streaming ingest boilerplate gate: the streaming twin of
+   * `Corpus.removeBoilerplateAgainst` — ARRIVING docs are excised
+   * against a PREBUILT tile-key artifact (`Corpus.boilerplateTiles`
+   * stored to parquet; q157's batch path). This is the production
+   * crawl-ingest shape the artifact exists for: the template-tile df
+   * comes from the STANDING corpus, so a new doc is gated the moment
+   * it arrives and never waits for a global df recount.
+   *
+   * Unlike [[nearDupIngest]]/[[spanDedupIngest]], the membership
+   * decision itself is STATELESS — the stored artifact IS the state,
+   * joined stream-static per micro-batch (broadcast while the key set
+   * is small; AQE decides from the artifact's real size). Each doc's
+   * tiles come from one input row, so the whole group is co-batch;
+   * the `flatMapGroupsWithState` stage only reassembles the per-doc
+   * splice and suppresses replayed doc_ids (one boolean per doc
+   * within the watermark horizon, event-time evicted).
+   *
+   * Semantics and bounds:
+   *  - input watermarked on `ts`; columns (doc_id, ts, text);
+   *    `tileKeys` is a STATIC frame with column `k` (md5 tile key);
+   *  - output rows equal the batch `Corpus.removeBoilerplateAgainst`
+   *    rows for the same docs (spec-pinned at uniform event time),
+   *    including n_kept = 0 docs and sub-tile (n_tiles = 0) docs —
+   *    a sentinel null-tile row per doc carries the splice metadata
+   *    through the explode+join so no doc drops out;
+   *  - a replayed doc_id emits nothing the second time (state
+   *    boolean), matching the at-least-once source contract the
+   *    sibling ingest twins assume.
+   */
+  def boilerplateIngest(docs: DataFrame, tileKeys: DataFrame,
+                        spanWords: Int = 10, idleTimeout: String = "30 days")
+      : org.apache.spark.sql.Dataset[BoilerplateDoc] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import docs.sparkSession.implicits._
+    val w = lit(spanWords)
+    val base = docs
+      .select(col("doc_id"), col("ts"), split(col("text"), " ").as("ws"))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("n_tiles", (col("n_words") / spanWords).cast("long"))
+      // the trailing partial tile never enters the excision decision
+      // (same rule as the batch tiling kernel)
+      .withColumn("tail_txt", concat_ws(" ",
+        slice(col("ws"), (col("n_tiles") * spanWords + 1).cast("int"),
+          (col("n_words") - col("n_tiles") * spanWords).cast("int"))))
+    // complete tiles + one always-null sentinel: the sentinel keeps
+    // zero-tile docs alive through explode and the key join, and
+    // carries (n_tiles, tail_txt) to the reassembly group
+    val tiles = base
+      .select(col("doc_id"), col("ts"), col("n_tiles"), col("tail_txt"),
+        posexplode(concat(
+          when(col("n_tiles") > 0, transform(
+            sequence(lit(0), (col("n_tiles") - 1).cast("int")),
+            i => concat_ws(" ", slice(col("ws"), i * w + 1, w))))
+            .otherwise(array().cast("array<string>")),
+          array(lit(null).cast("string")))))
+      .toDF("doc_id", "ts", "n_tiles", "tail_txt", "idx", "tile")
+    // stream-static left join: flag = tile's md5 is in the artifact.
+    // null sentinel tiles never match (null key joins nothing) and
+    // survive the LEFT join unflagged.
+    val flagged = tiles
+      .join(tileKeys.select(col("k").as("_bk")),
+        md5(col("tile")) === col("_bk"), "left")
+      .select(col("doc_id"), col("ts"), col("n_tiles"), col("tail_txt"),
+        col("idx"), col("tile"), col("_bk").isNotNull.as("is_boiler"))
+      .as[(Long, java.sql.Timestamp, Long, String, Int, Option[String], Boolean)]
+    flagged.groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, BoilerplateDoc](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (docId, rows, state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val all = rows.toVector
+            val out =
+              if (state.exists) Iterator.empty
+              else {
+                val nTiles = all.head._3
+                val tail = all.head._4
+                val kept = all.filter(r => r._6.isDefined && !r._7)
+                  .sortBy(_._5).map(_._6.get)
+                val body = kept.mkString(" ")
+                // batch twin: md5(trim(concat_ws(" ", body, tail_txt)))
+                val digest = java.security.MessageDigest.getInstance("MD5")
+                  .digest((body + " " + tail).trim
+                    .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                  .map("%02x".format(_)).mkString
+                Iterator.single(BoilerplateDoc(docId, nTiles,
+                  kept.size.toLong, nTiles - kept.size, digest))
+              }
+            state.update(true)
+            state.setTimeoutTimestamp(all.map(_._2.getTime).max, idleTimeout)
             out
           }
       }

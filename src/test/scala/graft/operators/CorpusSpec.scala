@@ -192,6 +192,38 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("boilerplateTiles: df counts DISTINCT docs; only >= minDf tiles " +
+      "stored; removeBoilerplateAgainst on the stored set (parquet " +
+      "roundtrip) equals the inline operator row-for-row") {
+    val docs = Seq(
+      (1L, "a b c x y z t1"),
+      (2L, "x y z a b c t2"),
+      (3L, "a b c own u v"),
+      (4L, "r r r r r r")      // within-doc repeat: df=1, never stored
+    ).toDF("doc_id", "text")
+    val tiles = Corpus.boilerplateTiles(docs, col("doc_id"), col("text"),
+      spanWords = 3, minDf = 3)
+    def m(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    val stored = tiles.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // [a b c] df=3 (docs 1,2,3); [x y z] df=2 and [r r r] df=1 stay out
+    assert(stored === Map(m("a b c") -> 3L))
+    intercept[IllegalArgumentException] {
+      Corpus.boilerplateTiles(docs, col("doc_id"), col("text"), 3, minDf = 1)
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-boiler-tiles").toString
+    tiles.write.mode("overwrite").parquet(dir)
+    val against = Corpus.removeBoilerplateAgainst(docs,
+        spark.read.parquet(dir), col("doc_id"), col("text"), spanWords = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).sortBy(_._1).toSeq
+    val inline = Corpus.removeBoilerplate(docs, col("doc_id"), col("text"),
+        spanWords = 3, minDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).sortBy(_._1).toSeq
+    assert(against === inline)
+  }
+
   // ---- packSequences ----
 
   test("packSequences: offsets chain (prior + n_tok of prev = offset of next), spans consistent") {

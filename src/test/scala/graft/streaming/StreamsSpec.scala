@@ -181,6 +181,80 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("boilerplateIngest: arriving docs are excised against the STORED " +
+      "tile-key artifact; all-boilerplate and sub-tile docs still emit; " +
+      "replayed doc_ids are suppressed") {
+    // artifact from a standing corpus where [a b c] is template (df=3)
+    val corpus = Seq(
+      (10L, "a b c x y z t1"), (11L, "a b c k1 k2 k3 t2"),
+      (12L, "a b c own u v")).toDF("doc_id", "text")
+    val dir = tmp("graft-boiler-ingest-keys")
+    graft.operators.Corpus.boilerplateTiles(corpus, col("doc_id"),
+        col("text"), spanWords = 3, minDf = 3)
+      .write.mode("overwrite").parquet(s"$dir/keys")
+    val keys = spark.read.parquet(s"$dir/keys")
+    val mem = MemoryStream[(Long, Timestamp, String)](spark)
+    val out = Streams.boilerplateIngest(
+      mem.toDF.toDF("doc_id", "ts", "text").withWatermark("ts", "1 day"),
+      keys, spanWords = 3)
+    val q = out.writeStream.format("memory")
+      .queryName("boiler_out").outputMode("append")
+      .option("checkpointLocation", tmp("graft-boiler-ckpt"))
+      .start()
+    val t = (h: Int) => Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // doc 1: one template tile + one own tile + tail; doc 2: ALL
+    // template (n_kept=0 must still emit); doc 3: sub-tile (2 words)
+    mem.addData((1L, t(1), "a b c m n o tl"), (2L, t(2), "a b c a b c"),
+      (3L, t(3), "p q"))
+    q.processAllAvailable()
+    // replay doc 1 (at-least-once source): must NOT emit a second row
+    mem.addData((1L, t(4), "a b c m n o tl"))
+    q.processAllAvailable()
+    q.stop()
+    def m(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    val rows = spark.table("boiler_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    assert(rows === Set(
+      (1L, 2L, 1L, 1L, m("m n o tl")),
+      (2L, 2L, 0L, 2L, m("")),
+      (3L, 0L, 0L, 0L, m("p q"))), s"gate output wrong: $rows")
+  }
+
+  test("boilerplateIngest: rows equal the batch removeBoilerplateAgainst " +
+      "twin on real documents at uniform event time") {
+    val batchDocs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val dir = tmp("graft-boiler-docs-keys")
+    graft.operators.Corpus.boilerplateTiles(batchDocs, col("doc_id"),
+        col("text"), spanWords = 10, minDf = 3)
+      .write.mode("overwrite").parquet(s"$dir/keys")
+    val keys = spark.read.parquet(s"$dir/keys")
+    val docs = batchDocs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Timestamp.valueOf("2024-01-01 00:00:00"),
+        r.getString(1))).toSeq
+    val mem = MemoryStream[(Long, Timestamp, String)](spark)
+    val out = Streams.boilerplateIngest(
+      mem.toDF.toDF("doc_id", "ts", "text").withWatermark("ts", "1 day"),
+      keys, spanWords = 10)
+    val q = out.writeStream.format("memory")
+      .queryName("boiler_docs_out").outputMode("append")
+      .option("checkpointLocation", tmp("graft-boiler-docs-ckpt"))
+      .start()
+    mem.addData(docs)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("boiler_docs_out")
+      .select("doc_id", "n_tiles", "n_kept", "n_dropped", "rebuilt_md5")
+    val batch = graft.operators.Corpus.removeBoilerplateAgainst(
+        batchDocs, keys, col("doc_id"), col("text"), spanWords = 10)
+      .select(col("id").as("doc_id"), col("n_tiles"), col("n_kept"),
+        col("n_dropped"), col("rebuilt_md5"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+    // the gate bites on the fixture: some doc lost a tile
+    assert(batch.filter(col("n_dropped") > 0).count() > 0)
+  }
+
   test("T1: watermark drops late rows that arrive after horizon passes") {
     val mem = MemoryStream[(Timestamp, String, Double)](spark)
     val rollup = Streams.dailyRollup(
