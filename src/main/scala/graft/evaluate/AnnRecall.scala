@@ -19,9 +19,18 @@ import graft.sources.Tables
  * self-matches excluded, ground truth = brute-force cosine top-10
  * (exact L2 top-10 for the PQ families — the metric they approximate);
  * recall@10 = |ANN ∩ truth| / (10 · queries). Deterministic end-to-end
- * (modulus-sampled centroids/codebooks, fixed tie-breaks), so the
- * values are GOLDENS: a move beyond the ledger threshold means the
- * index build changed, not the data.
+ * (modulus-sampled centroids/codebooks, fixed tie-breaks; the TRAINED
+ * families are seeded k-means over canonicalized layout — reproducible
+ * bit-for-bit across sessions and core counts), so the values are
+ * GOLDENS: a move beyond the ledger threshold means the index build
+ * changed, not the data.
+ *
+ * Trained-family budgets (r12): 25 coarse lists, probe 10 (same 40%
+ * scan fraction as the modulus families' 2-of-5, finer cells);
+ * m=8 × 8-d subspaces × 256 codes = 8 bytes/vector, the FAISS-standard
+ * 8-bit code budget (32× compression at 64-d float32). At the 500-row
+ * gate fixture a 256-entry codebook is comparable to the corpus — a
+ * fixture-scale artifact; at production scale it is 64 KB broadcast.
  */
 object AnnRecall {
 
@@ -34,7 +43,8 @@ object AnnRecall {
       val d = x.cast("double") - y.cast("double"); d * d
     }), lit(0.0), _ + _)
 
-  /** All five family recalls as ledger rows. */
+  /** All eight family recalls (five modulus twins + three trained) as
+    * ledger rows. */
   def measure(spark: SparkSession, dir: String = GateDir)
       : Seq[(String, Double)] = {
     val e = Tables.load(spark, dir, "embeddings")
@@ -164,12 +174,100 @@ object AnnRecall {
       Seq(col("adc").asc, col("id").asc), K)
     val residR = recall(residTop, l2Truth)
 
-    Seq(e, pairs, cosTruth, l2Truth, codes).foreach(_.unpersist())
+    // ---- trained quantizers (seeded k-means; the production index) ----
+    // Same list budgets as the modulus families (5 coarse lists, probe
+    // 2; m=4 × subDim=16 codes) so the deltas isolate QUANTIZER quality
+    // — the one variable the r11 verdict identified as the recall
+    // binding constraint. kSub=16 codes/subspace (vs the modulus
+    // path's 5 full-vector codes) is the trained path's honest budget:
+    // m·log2(k) = 16 bits/vector, still 16× compression at 64-d float.
+    val M = 8; val SubDim = 8; val KSub = 256; val KIvf = 25; val NProbeT = 10
+
+    // trained spherical IVF: k-means centroids, probe 2 of 5, exact
+    // cosine within probed lists
+    val tcents = SimilaritySearch.ivfCentroidsKMeans(embsRaw,
+      col("vec_id"), col("embedding"), KIvf)
+    val tassign = SimilaritySearch.assignAgainst(tcents, embsRaw,
+      col("vec_id"), col("embedding")).select("id", "cid")
+    val tqc = queries.crossJoin(broadcast(tcents))
+      .select(col("qid"),
+        VectorFunctions.dot(col("qu"), col("cu")).as("qcos"), col("cid"))
+    val tprobed = TopK.topKPerGroup(tqc, Seq(col("qid")),
+      Seq(col("qcos").desc, col("cid").asc), NProbeT).select("qid", "cid")
+    val ivfKmTop = TopK.topKPerGroup(
+      tprobed.join(tassign, "cid").select("qid", "id")
+        .join(pairs, Seq("qid", "id")),
+      Seq(col("qid")), Seq(col("cos").desc, col("id").asc), K)
+    val ivfKmR = recall(ivfKmTop, cosTruth)
+
+    // trained flat IVF-PQ: L2 k-means coarse (probe 2 min-L2 lists) +
+    // per-subspace trained codebook over raw vectors, batched ADC
+    val l2cents = SimilaritySearch.ivfCentroidsKMeansL2(embsRaw,
+      col("vec_id"), col("embedding"), KIvf)
+    val l2assign = SimilaritySearch.assignAgainstL2(l2cents, embsRaw,
+      col("vec_id"), col("embedding")).select("id", "cid")
+    val ql2 = queries.crossJoin(broadcast(l2cents))
+      .select(col("qid"), l2sq(col("qv"), col("cvr")).as("cd"), col("cid"))
+    val probedL2 = TopK.topKPerGroup(ql2, Seq(col("qid")),
+      Seq(col("cd").asc, col("cid").asc), NProbeT).select("qid", "cid")
+    val cbFlat = SimilaritySearch.pqCodebookSubKMeans(embsRaw,
+      col("vec_id"), col("embedding"), M, SubDim, KSub)
+    val codesFlat = SimilaritySearch.pqCodesSub(embsRaw, col("vec_id"),
+      col("embedding"), cbFlat, M, SubDim).cache()
+    val qdT = queries.crossJoin(broadcast(cbFlat))
+      .select(col("qid"), col("s"), col("cid"),
+        l2sq(slice(col("qv"), col("s") * SubDim + 1, lit(SubDim)),
+          col("cvs")).as("dq"))
+    val adcT = codesFlat.join(broadcast(qdT), Seq("s", "cid"))
+      .groupBy("qid", "id").agg(sum("dq").as("adc"))
+      .filter(col("id") =!= col("qid"))
+    val ivfpqKmTop = TopK.topKPerGroup(
+      probedL2.join(l2assign, "cid").select("qid", "id")
+        .join(adcT, Seq("qid", "id")),
+      Seq(col("qid")), Seq(col("adc").asc, col("id").asc), K)
+    val ivfpqKmR = recall(ivfpqKmTop, l2Truth)
+
+    // trained residual IVF-PQ: codebook trained ON the residuals,
+    // per-list query residual tables
+    val residT = embsRaw
+      .select(col("vec_id").as("id"), col("embedding"))
+      .join(l2assign, "id")
+      .join(broadcast(l2cents), "cid")
+      .select(col("id"), col("cid"),
+        zip_with(col("embedding"), col("cvr"),
+          (x, y) => x.cast("double") - y.cast("double")).as("r"))
+    val cbRes = SimilaritySearch.pqCodebookSubKMeans(residT, col("id"),
+      col("r"), M, SubDim, KSub)
+    val rcodesT = SimilaritySearch.pqCodesSub(residT, col("id"), col("r"),
+        cbRes, M, SubDim)
+      .withColumnRenamed("cid", "code")
+      .join(residT.select("id", "cid"), "id")
+    val qresT = probedL2.join(broadcast(l2cents), "cid")
+      .join(queries.select("qid", "qv"), "qid")
+      .select(col("qid"), col("cid"),
+        zip_with(col("qv"), col("cvr"),
+          (x, y) => x.cast("double") - y.cast("double")).as("qr"))
+    val rdqT = qresT
+      .crossJoin(broadcast(cbRes.withColumnRenamed("cid", "code")))
+      .select(col("qid"), col("cid"), col("s"), col("code"),
+        l2sq(slice(col("qr"), col("s") * SubDim + 1, lit(SubDim)),
+          col("cvs")).as("dq"))
+    val radcT = rcodesT.join(rdqT, Seq("cid", "s", "code"))
+      .groupBy("qid", "id").agg(sum("dq").as("adc"))
+      .filter(col("id") =!= col("qid"))
+    val residKmTop = TopK.topKPerGroup(radcT, Seq(col("qid")),
+      Seq(col("adc").asc, col("id").asc), K)
+    val residKmR = recall(residKmTop, l2Truth)
+
+    Seq(e, pairs, cosTruth, l2Truth, codes, codesFlat).foreach(_.unpersist())
     Seq(
       "ann_ivf_recall_at_10" -> ivfR,
       "ann_lsh_recall_at_10" -> lshR,
       "ann_pq_recall_at_10" -> pqR,
       "ann_ivfpq_recall_at_10" -> ivfpqR,
-      "ann_ivfpq_residual_recall_at_10" -> residR)
+      "ann_ivfpq_residual_recall_at_10" -> residR,
+      "ann_ivf_kmeans_recall_at_10" -> ivfKmR,
+      "ann_ivfpq_kmeans_recall_at_10" -> ivfpqKmR,
+      "ann_ivfpq_residual_kmeans_recall_at_10" -> residKmR)
   }
 }

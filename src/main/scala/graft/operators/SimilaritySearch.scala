@@ -496,6 +496,27 @@ object SimilaritySearch {
       Seq(col("cosine").desc, col("id").asc), k)
   }
 
+  /**
+   * The DEFAULT two-stage serving entry over a stored index (verdict
+   * r11 #4; FAISS `IndexRefineFlat` over `IndexIVFPQ`): the ADC pass
+   * over stored codes produces an R = `refineFactor`·k shortlist, and
+   * [[refineTopK]] re-scores ONLY those R raw vectors by exact cosine
+   * — so the stored-index path returns exact-metric-ordered results at
+   * a refine cost independent of corpus size. `embs` is the raw-vector
+   * table the refine stage point-reads (id as sort/bucket key per the
+   * q143 layout note); the corpus-wide scan stays on m-byte codes.
+   */
+  def ivfPqTopKRefinedFromIndex(index: IvfPqIndex, embs: DataFrame,
+                                idCol: Column, vecCol: Column,
+                                query: Seq[Double], nprobe: Int, m: Int,
+                                subDim: Int, k: Int,
+                                refineFactor: Int = 3): DataFrame = {
+    require(refineFactor >= 1, s"refineFactor must be >= 1 (got $refineFactor)")
+    refineTopK(embs, idCol, vecCol,
+      ivfPqTopKFromIndex(index, query, nprobe, m, subDim, refineFactor * k),
+      query, k)
+  }
+
   /** For each item: top-k nearest neighbors within its block (blocked
     * all-pairs + per-item window). */
   def knnWithinBlock(embs: DataFrame, idCol: Column, vecCol: Column,
@@ -511,5 +532,273 @@ object SimilaritySearch {
         graft.functions.VectorFunctions.dot(col("x.u"), col("y.u")).as("cosine"))
     TopK.topKPerGroup(pairs, Seq(col("id")),
       Seq(col("cosine").desc, col("neighbor").asc), k, "nn_rank")
+  }
+
+  // ---------------- Trained quantizers (seeded MLlib k-means) ----------------
+  // The modulus-sampled quantizers above are deterministic, engine-portable
+  // correctness twins (their oracles replay them verbatim in SQL). These are
+  // the PRODUCTION quantizers: k-means|| centroids/codebooks, which is what
+  // sets measured recall (r11 ledger: modulus IVF-PQ recall@10 = 0.11 with
+  // the residual variant BELOW flat PQ — the codebook, not the algorithm,
+  // was the binding constraint). Seeded + canonicalized layout, so the
+  // trained frames are reproducible goldens; spec-gated recall floors live
+  // in AnnRecallSpec, measured values in metrics_detail.json.
+
+  /** Canonical layout before any MLlib fit: k-means|| is seeded, but its
+    * init sampling walks partitions, so the SAME rows in a different
+    * layout train different centroids. Hash-mod repartition on the id +
+    * in-partition sort makes the fit a function of (data, seed) alone —
+    * the MetricsLedger.canon discipline, applied where the model is
+    * built so every caller (bench local[32], specs local[4], a real
+    * cluster) gets the same centers. */
+  private def canonForFit(df: DataFrame, key: Column): DataFrame =
+    df.repartition(4, key).sortWithinPartitions(key)
+
+  private def fitKMeans(train: DataFrame, featCol: String, k: Int,
+                        seed: Long): Array[Array[Double]] =
+    new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setSeed(seed).setInitMode("k-means||").setMaxIter(20)
+      .setTol(1e-6).setFeaturesCol(featCol)
+      .fit(train)
+      .clusterCenters.map(_.toArray)
+
+  /**
+   * TRAINED IVF coarse centroids — seeded spherical k-means over unit
+   * vectors (cluster means re-normalized to the sphere), drop-in for
+   * [[ivfCentroids]]: returns (cid: 0..k−1 dense, cu unit). Training
+   * runs on a deterministic md5-hash sample (`trainFrac`) — the 100 TB
+   * path trains on a bounded sample and assigns at full scale, exactly
+   * the FAISS practice; the sample is layout- and engine-stable because
+   * membership is a pure hash of the id. Empty clusters (possible under
+   * k-means||) are dropped, so callers must treat k as an upper bound.
+   */
+  def ivfCentroidsKMeans(embs: DataFrame, idCol: Column, vecCol: Column,
+                         k: Int, seed: Long = 42L,
+                         trainFrac: Double = 1.0): DataFrame = {
+    val spark = embs.sparkSession
+    val e = embs.select(idCol.as("id"),
+        graft.functions.VectorFunctions.unit(vecCol).as("u"))
+      .filter(col("u").isNotNull)
+    val train = if (trainFrac >= 1.0) e
+      else e.filter(Sampling.hashUniform(col("id"), "ivf-km") < trainFrac)
+    val centers = fitKMeans(
+      canonForFit(train, col("id"))
+        .withColumn("f", org.apache.spark.ml.functions.array_to_vector(col("u")))
+        .select("id", "f"),
+      "f", k, seed)
+    import spark.implicits._
+    centers.toSeq.zipWithIndex.flatMap { case (c, i) =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0.0) None else Some((i.toLong, c.map(_ / n).toSeq))
+    }.toDF("cid", "cu")
+  }
+
+  /** TRAINED IVF coarse centroids in RAW L2 space — (cid, cvr), the
+    * coarse quantizer of the faithful `IndexIVFPQ` (assignment and
+    * probing by min L2, residuals against the raw center). Same seeded
+    * sample-train discipline as [[ivfCentroidsKMeans]]. */
+  def ivfCentroidsKMeansL2(embs: DataFrame, idCol: Column, vecCol: Column,
+                           k: Int, seed: Long = 42L,
+                           trainFrac: Double = 1.0): DataFrame = {
+    val spark = embs.sparkSession
+    val e = embs.select(idCol.as("id"),
+      transform(vecCol, x => x.cast("double")).as("v"))
+    val train = if (trainFrac >= 1.0) e
+      else e.filter(Sampling.hashUniform(col("id"), "ivf-km-l2") < trainFrac)
+    val centers = fitKMeans(
+      canonForFit(train, col("id"))
+        .withColumn("f", org.apache.spark.ml.functions.array_to_vector(col("v")))
+        .select("id", "f"),
+      "f", k, seed)
+    import spark.implicits._
+    centers.toSeq.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }
+      .toDF("cid", "cvr")
+  }
+
+  /** Min-L2 assignment against an explicit RAW centroid table
+    * (cid, cvr) — the L2 twin of [[assignAgainst]]: broadcast NL join +
+    * argmin partial agg, shuffle carries one row per vector. Returns
+    * (id, cid, l2sq). */
+  def assignAgainstL2(cents: DataFrame, embs: DataFrame,
+                      idCol: Column, vecCol: Column): DataFrame =
+    embs.select(idCol.as("id"), vecCol.as("v"))
+      .join(broadcast(cents))
+      .select(col("id"),
+        struct((-graft.functions.VectorFunctions.sqDist(col("v"), col("cvr"))).as("nd"),
+          (-col("cid")).as("ncid")).as("sc"))
+      .groupBy("id").agg(max(col("sc")).as("m"))
+      .select(col("id"), (-col("m.ncid")).as("cid"), (-col("m.nd")).as("l2sq"))
+
+  /** The query's `nprobe` nearest RAW-centroid lists by L2 — the L2
+    * twin of `probedCids`. */
+  private def probedCidsL2(cents: DataFrame, query: Seq[Double],
+                           nprobe: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    TopK.globalTopK(
+      cents.select(col("cid"),
+        graft.functions.VectorFunctions.sqDist(q, col("cvr")).as("cd")),
+      Seq(col("cd").asc, col("cid").asc), nprobe).select("cid")
+  }
+
+  /**
+   * TRAINED per-subspace PQ codebook — the faithful PQ of Jégou et al.
+   * 2011 §II: an INDEPENDENT seeded k-means per `subDim`-wide subspace
+   * (seed offset by the subspace index), so each of the m code bytes
+   * spends its k codes on its own subspace's distribution instead of
+   * sharing one full-vector codebook across all subspaces (the modulus
+   * [[pqCodebook]] shortcut — why its measured recall floors at 0.07).
+   * Returns (s, cid, cvs): subspace, code id 0..k−1, sub-centroid.
+   * `vecs` is any (id, v) frame — raw vectors for flat PQ, residuals
+   * for the residual variant. m driver-side fits over the hash-sampled
+   * training set; at 100 TB each fit sees the bounded sample only.
+   */
+  def pqCodebookSubKMeans(vecs: DataFrame, idCol: Column, vecCol: Column,
+                          m: Int, subDim: Int, k: Int, seed: Long = 42L,
+                          trainFrac: Double = 1.0): DataFrame = {
+    val spark = vecs.sparkSession
+    val e = vecs.select(idCol.as("id"),
+      transform(vecCol, x => x.cast("double")).as("v"))
+    val train = (if (trainFrac >= 1.0) e
+      else e.filter(Sampling.hashUniform(col("id"), "pq-km") < trainFrac))
+    val canon = canonForFit(train, col("id")).cache()
+    val rows =
+      try (0 until m).flatMap { s =>
+        fitKMeans(
+          canon.withColumn("f", org.apache.spark.ml.functions.array_to_vector(
+              slice(col("v"), s * subDim + 1, subDim)))
+            .select("id", "f"),
+          "f", k, seed + s)
+          .zipWithIndex.map { case (c, i) => (s, i.toLong, c.toSeq) }
+      }
+      finally canon.unpersist()
+    import spark.implicits._
+    rows.toDF("s", "cid", "cvs")
+  }
+
+  /** PQ encoding against a PER-SUBSPACE codebook (s, cid, cvs) — the
+    * [[pqCodes]] kernel with the broadcast join keyed by subspace.
+    * Returns (id, s, cid). */
+  def pqCodesSub(vecs: DataFrame, idCol: Column, vecCol: Column,
+                 codebookSub: DataFrame, m: Int, subDim: Int): DataFrame =
+    vecs.select(idCol.as("id"), vecCol.as("v"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .join(broadcast(codebookSub), Seq("s"))
+      .select(col("id"), col("s"),
+        struct((-graft.functions.VectorFunctions.sqDist(
+            slice(col("v"), col("s") * subDim + 1, lit(subDim)), col("cvs"))).as("nd"),
+          (-col("cid")).as("ncid")).as("sc"))
+      .groupBy("id", "s").agg(max(col("sc")).as("mx"))
+      .select(col("id"), col("s"), (-col("mx.ncid")).as("cid"))
+
+  /** ADC tail against a per-subspace codebook: the [[adcTopK]] m×k
+    * broadcast-lookup shape, with the query table built from (s, cid,
+    * cvs) directly. */
+  private def adcTopKSub(codes: DataFrame, codebookSub: DataFrame,
+                         query: Seq[Double], m: Int, subDim: Int,
+                         k: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    val qd = codebookSub.select(col("s"), col("cid"),
+      graft.functions.VectorFunctions.sqDist(
+        slice(q, col("s") * subDim + 1, lit(subDim)), col("cvs")).as("dq"))
+    val aggs = (0 until m).map(i =>
+        max(when(col("s") === i, col("cid"))).as(s"c$i")) ++
+      (0 until m).map(i =>
+        max(when(col("s") === i, col("dq"))).as(s"d$i"))
+    val adc = codes.join(broadcast(qd), Seq("s", "cid"))
+      .groupBy("id").agg(aggs.head, aggs.tail: _*)
+    val total = (0 until m).map(i => col(s"d$i")).reduce(_ + _)
+    TopK.globalTopK(
+        adc.select(col("id") +: (0 until m).map(i => col(s"c$i")) :+
+          round(total, 6).as("adc_dist") :+ total.as("_t"): _*),
+        Seq(col("_t").asc, col("id").asc), k)
+      .drop("_t")
+  }
+
+  /**
+   * TRAINED IVF-PQ search, flat codes: L2 k-means coarse quantizer
+   * (probe `nprobe` min-L2 lists) + per-subspace trained codebook over
+   * RAW vectors, ADC within probed lists. Same plan shape and scale
+   * contract as [[ivfPqTopK]] (broadcast kernels, partial-agg argmins,
+   * m bytes/vector candidate memory) — only the quantizer quality
+   * changes. `kIvf`/`kSub` are the centroid/code budgets.
+   */
+  def ivfPqTopKTrained(embs: DataFrame, idCol: Column, vecCol: Column,
+                       query: Seq[Double], kIvf: Int, nprobe: Int,
+                       kSub: Int, m: Int, subDim: Int, k: Int,
+                       seed: Long = 42L): DataFrame = {
+    val cents = ivfCentroidsKMeansL2(embs, idCol, vecCol, kIvf, seed)
+    val assign = assignAgainstL2(cents, embs, idCol, vecCol).select("id", "cid")
+    val probed = probedCidsL2(cents, query, nprobe)
+    val members = assign.join(broadcast(probed), "cid").select("id")
+    val cand = embs.select(idCol.as("id"), vecCol.as("v")).join(members, "id")
+    val cb = pqCodebookSubKMeans(embs, idCol, vecCol, m, subDim, kSub, seed)
+    adcTopKSub(pqCodesSub(cand, col("id"), col("v"), cb, m, subDim),
+      cb, query, m, subDim, k)
+  }
+
+  /**
+   * TRAINED residual IVF-PQ — the faithful `IndexIVFPQ` (Jégou et al.
+   * 2011 §III) with both quantizers k-means-trained: codes encode the
+   * residual `v − center(v)` against the L2 coarse centers, the
+   * per-subspace codebook is trained ON the residuals (small, centered
+   * — where the trained-codebook win is largest), and ADC is per-list
+   * (each probed list gets its own query residual and its own m×k
+   * table; nprobe·m·k broadcast rows). With the r11 modulus codebook
+   * the residual variant measured BELOW flat PQ (0.05 vs 0.07
+   * recall@10) — the training, not the residual algebra, is what this
+   * variant buys. Encode restricted to probed-list members, the
+   * [[ivfPqResidualTopK]] contract.
+   */
+  def ivfPqResidualTopKTrained(embs: DataFrame, idCol: Column,
+                               vecCol: Column, query: Seq[Double],
+                               kIvf: Int, nprobe: Int, kSub: Int, m: Int,
+                               subDim: Int, k: Int,
+                               seed: Long = 42L): DataFrame = {
+    val cents = ivfCentroidsKMeansL2(embs, idCol, vecCol, kIvf, seed)
+    val assign = assignAgainstL2(cents, embs, idCol, vecCol).select("id", "cid")
+    val resid = embs.select(idCol.as("id"), vecCol.as("v"))
+      .join(assign, "id")
+      .join(broadcast(cents), "cid")
+      .select(col("id"), col("cid"),
+        zip_with(col("v"), col("cvr"),
+          (x, y) => x.cast("double") - y.cast("double")).as("r"))
+    val cb = pqCodebookSubKMeans(resid, col("id"), col("r"), m, subDim,
+      kSub, seed)
+    val probed = probedCidsL2(cents, query, nprobe)
+    val probedResid = resid.join(broadcast(probed), "cid")
+    val codes = pqCodesSub(probedResid, col("id"), col("r"), cb, m, subDim)
+      .withColumnRenamed("cid", "code")
+      .join(probedResid.select(col("id"), col("cid")), "id")
+    val q = array(query.map(lit): _*)
+    // per-probed-list query residual → per-list ADC lookup table
+    val qres = cents.join(broadcast(probed), "cid")
+      .select(col("cid"),
+        zip_with(q, col("cvr"), (x, y) => x - y.cast("double")).as("qr"))
+    adcResidualTail(codes, qres, cb, m, subDim, k)
+  }
+
+  /** Per-list ADC tail shared by the trained residual path: join codes
+    * (id, s, cid ← code, cid list) to per-(list, s, code) query-residual
+    * distances, fixed-order sum, top-k. */
+  private def adcResidualTail(codes: DataFrame, qres: DataFrame,
+                              codebookSub: DataFrame, m: Int, subDim: Int,
+                              k: Int): DataFrame = {
+    val qd = qres
+      .crossJoin(broadcast(codebookSub.withColumnRenamed("cid", "code")))
+      .select(col("cid"), col("s"), col("code"),
+        graft.functions.VectorFunctions.sqDist(
+          slice(col("qr"), col("s") * subDim + 1, lit(subDim)),
+          col("cvs")).as("dq"))
+    val aggs = max(col("cid")).as("list_cid") +:
+      (0 until m).map(i => max(when(col("s") === i, col("dq"))).as(s"d$i"))
+    val adc = codes
+      .join(broadcast(qd), Seq("cid", "s", "code"))
+      .groupBy("id").agg(aggs.head, aggs.tail: _*)
+    val total = (0 until m).map(i => col(s"d$i")).reduce(_ + _)
+    TopK.globalTopK(
+        adc.select(col("id"), col("list_cid"),
+          round(total, 6).as("adc_dist"), total.as("_t")),
+        Seq(col("_t").asc, col("id").asc), k)
+      .drop("_t")
   }
 }

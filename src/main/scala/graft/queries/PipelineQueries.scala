@@ -272,6 +272,39 @@ object PipelineQueries {
         .orderBy("rank")
     }),
 
+    "q158_ivfpq_refined_serving" -> ((s, dir) => {
+      // the DEFAULT serving composition (verdict r11 #4): q143's
+      // stored-index search with the q154 refine stage folded in —
+      // ivfPqTopKRefinedFromIndex reads ONLY stored frames for the ADC
+      // shortlist (R = 3×k over m-byte codes), then point-reads the 30
+      // raw vectors for the exact-cosine top-10. Same index parameters
+      // as q143; the oracle IS q154's SQL — the stored-index shortlist
+      // must reproduce the inline shortlist through the roundtrip, and
+      // the refine tail is metric-exact.
+      val e = Tables.loadSpread(s, dir, "embeddings")
+      val idx = SimilaritySearch.ivfPqIndex(e, col("vec_id"),
+        col("embedding"), ivfModulus = 200, pqModulus = 100, m = 4,
+        subDim = 16)
+      val out = "/tmp/graft_ivfpq_q158"
+      idx.ivf.centroids.write.mode("overwrite").parquet(s"$out/centroids")
+      idx.ivf.assignments.write.mode("overwrite").parquet(s"$out/assignments")
+      idx.codebook.write.mode("overwrite").parquet(s"$out/codebook")
+      idx.codes.write.mode("overwrite").parquet(s"$out/codes")
+      val stored = SimilaritySearch.IvfPqIndex(
+        SimilaritySearch.IvfIndex(
+          s.read.parquet(s"$out/centroids"),
+          s.read.parquet(s"$out/assignments")),
+        s.read.parquet(s"$out/codebook"),
+        s.read.parquet(s"$out/codes"))
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).map(_.toDouble)
+      SimilaritySearch.ivfPqTopKRefinedFromIndex(stored, e, col("vec_id"),
+          col("embedding"), q, nprobe = 2, m = 4, subDim = 16, k = 10,
+          refineFactor = 3)
+        .select(col("id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy("rank")
+    }),
+
     "q76_int8_topk" -> ((s, dir) => {
       // scalar int8 quantization + integer-dot top-k — the memory-bound
       // scale path (4× smaller vectors, exact integer arithmetic both
@@ -1365,5 +1398,21 @@ object PipelineQueries {
     // inline-build path row-for-row (stored centroids/assignments/
     // codebook/codes ≡ recomputed)
     "q143_ivfpq_index_topk" -> ivfPqTopKSql,
+
+    // q154's SQL verbatim: the stored-index shortlist equals the inline
+    // shortlist (q143's guarantee), and the refine tail is exact-metric
+    // — so the composed serving entry matches the inline refine oracle
+    "q158_ivfpq_refined_serving" ->
+      s"""WITH $ivfPqAdcCte,
+        |short AS (SELECT vec_id AS id FROM adc
+        |  QUALIFY row_number() OVER (ORDER BY d0 + d1 + d2 + d3, vec_id)
+        |    <= 30),
+        |scored AS (SELECT s.id,
+        |    list_cosine_similarity(e.v, q.qv) AS cosine
+        |  FROM short s JOIN e ON e.vec_id = s.id, q)
+        |SELECT id, round(cosine, 6) AS cosine,
+        |  CAST(row_number() OVER (ORDER BY cosine DESC, id ASC)
+        |    AS INTEGER) AS rank
+        |FROM scored QUALIFY rank <= 10 ORDER BY rank""".stripMargin,
   )
 }

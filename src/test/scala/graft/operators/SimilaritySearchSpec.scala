@@ -348,4 +348,95 @@ class SimilaritySearchSpec extends SparkSpec {
       .sortBy { case (id, c) => (-c, id) }.take(5).toSeq
     assert(refined === exact)
   }
+
+  test("refineTopK: duplicate shortlist ids do not duplicate scored rows " +
+    "(SEMI-join contract)") {
+    val shortlist = Seq(3L, 3L, 4L).toDF("id")
+    val out = SimilaritySearch.refineTopK(embs, col("vec_id"),
+      col("embedding"), shortlist, Seq(1.0, 0.0, 0.0), 3)
+      .orderBy("rank").collect().map(_.getLong(0)).toSeq
+    assert(out === Seq(3L, 4L))
+  }
+
+  // ---- trained quantizers ----
+
+  private lazy val trainedFixture = (0 until 400).map { i =>
+    (i.toLong, Array.tabulate(8)(d =>
+      (math.sin(i * 31 + d * 7) + math.cos(i * 13 + d * 3)).toFloat))
+  }.toDF("vec_id", "embedding")
+
+  test("ivfCentroidsKMeans: unit-norm centers, at most k rows, and " +
+    "IDENTICAL under a different partition layout (canon-for-fit)") {
+    def centers(df: org.apache.spark.sql.DataFrame) =
+      SimilaritySearch.ivfCentroidsKMeans(df, col("vec_id"),
+          col("embedding"), k = 4)
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toVector).toMap
+    val base = centers(trainedFixture)
+    assert(base.nonEmpty && base.size <= 4)
+    base.values.foreach { c =>
+      assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9)
+    }
+    assert(centers(trainedFixture.repartition(13)) === base)
+  }
+
+  test("ivfPqTopKTrained: k rows of corpus ids, deterministic across " +
+    "partition layouts") {
+    val q = trainedFixture.filter(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Float](0).map(_.toDouble)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      SimilaritySearch.ivfPqTopKTrained(df, col("vec_id"),
+          col("embedding"), q, kIvf = 4, nprobe = 2, kSub = 8, m = 2,
+          subDim = 4, k = 5)
+        .orderBy("rank").collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Double]("adc_dist"))).toSeq
+    val base = run(trainedFixture)
+    assert(base.size == 5)
+    assert(base.map(_._1).distinct.size == 5)
+    assert(base.map(_._1).forall(id => id >= 0 && id < 400))
+    assert(run(trainedFixture.repartition(13)) === base)
+  }
+
+  test("ivfPqResidualTopKTrained: k rows, deterministic across layouts, " +
+    "ADC distances non-negative") {
+    val q = trainedFixture.filter(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Float](0).map(_.toDouble)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      SimilaritySearch.ivfPqResidualTopKTrained(df, col("vec_id"),
+          col("embedding"), q, kIvf = 4, nprobe = 2, kSub = 8, m = 2,
+          subDim = 4, k = 5)
+        .orderBy("rank").collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Double]("adc_dist"))).toSeq
+    val base = run(trainedFixture)
+    assert(base.size == 5)
+    assert(base.map(_._2).forall(_ >= 0.0))
+    assert(run(trainedFixture.repartition(13)) === base)
+  }
+
+  test("ivfPqTopKRefinedFromIndex: equals refineTopK composed over the " +
+    "R = refineFactor*k stored-shape shortlist") {
+    val e = trainedFixture
+    val q = e.filter(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Float](0).map(_.toDouble)
+    val idx = SimilaritySearch.ivfPqIndex(e, col("vec_id"),
+      col("embedding"), ivfModulus = 50, pqModulus = 20, m = 4, subDim = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("rank")
+      .collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    val composed = rows(SimilaritySearch.ivfPqTopKRefinedFromIndex(idx, e,
+      col("vec_id"), col("embedding"), q, nprobe = 2, m = 4, subDim = 2,
+      k = 5, refineFactor = 4))
+    val manual = rows(SimilaritySearch.refineTopK(e, col("vec_id"),
+      col("embedding"),
+      SimilaritySearch.ivfPqTopKFromIndex(idx, q, nprobe = 2, m = 4,
+        subDim = 2, k = 20),
+      q, 5))
+    assert(composed.size == 5)
+    assert(composed === manual)
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.ivfPqTopKRefinedFromIndex(idx, e, col("vec_id"),
+        col("embedding"), q, nprobe = 2, m = 4, subDim = 2, k = 5,
+        refineFactor = 0)
+    }
+  }
 }
