@@ -9,10 +9,15 @@ import graft.operators.{Corpus, Dedup, Sampling, TopK}
 /**
  * End-to-end training-corpus curation pipeline — the production
  * composition of the operator families the declared queries gate one at
- * a time: quality gate (q84's bounds) → benchmark decontamination
- * (q133's Bloom path) → near-dup dedup via the materialize-once
- * artifacts (q130) → token-budget mixing (q140) → leakage-safe
- * train/eval split (q124) → sequence packing (q96). Every stage writes
+ * a time: quality gate (q84's bounds) → boilerplate excision (q157's
+ * stored-tile-key path, rewriting doc text — the CCNet order: template
+ * noise is removed BEFORE contamination/dup decisions so a shared
+ * footer can neither contaminate nor glue near-dup clusters) →
+ * benchmark decontamination (q133's Bloom path) → near-dup dedup via
+ * the materialize-once artifacts (q130, plus the q156 PageRank
+ * template-hub audit frame over the stored edges) → token-budget
+ * mixing (q140) → leakage-safe train/eval split (q124) → sequence
+ * packing (q96). Every stage writes
  * its frame to `outDir` (the artifact IS the interface between stages —
  * downstream consumers read parquet, not lineage), and a sync-log
  * records per-stage status/row counts in the [[PipelineRunner]]
@@ -97,7 +102,37 @@ object CurationRunner {
         .select("doc_id", "text", "lang", "source", "n_chars", "n_tokens")
     }
 
-    val clean = quality.flatMap { q =>
+    val boiler = quality.flatMap { q =>
+      stage("boilerplate") {
+        // q157's materialize-once shape: the >= minDf template-tile key
+        // set is an artifact (downstream ingest gates read it —
+        // Streams.boilerplateIngest), the excision is the stored-keys
+        // anti join, and docs are REWRITTEN from surviving tiles.
+        // Placed before decontamination/dedup (CCNet order): a shared
+        // footer must not read as benchmark contamination or as
+        // near-dup glue. Token stats recomputed post-rewrite; docs
+        // excised below minTokens drop out (they are template shells).
+        Corpus.boilerplateTiles(q, col("doc_id"), col("text"),
+            spanWords = 10, minDf = 3)
+          .write.mode("overwrite")
+          .parquet(s"$outDir/artifacts/boilerplate_tiles")
+        val storedKeys = spark.read
+          .parquet(s"$outDir/artifacts/boilerplate_tiles")
+        val rebuilt = Corpus.removeBoilerplateAgainst(q, storedKeys,
+            col("doc_id"), col("text"), spanWords = 10)
+          .select(col("id").as("doc_id"), col("rebuilt_text"))
+        q.drop("text", "n_tokens", "n_chars")
+          .join(rebuilt, "doc_id")
+          .withColumn("text", col("rebuilt_text"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .withColumn("n_tokens",
+            TextAnalysis.tokenCount(col("text")).cast("long"))
+          .filter(col("n_tokens") >= minTokens)
+          .select("doc_id", "text", "lang", "source", "n_chars", "n_tokens")
+      }
+    }
+
+    val clean = boiler.flatMap { q =>
       stage("clean") {
         // q133's scale path: Bloom prefilter + exact confirm; any shared
         // 5-gram with the benchmark is a drop
@@ -121,6 +156,14 @@ object CurationRunner {
           .parquet(s"$outDir/artifacts/signatures")
         art.edges.write.mode("overwrite").parquet(s"$outDir/artifacts/edges")
         art.labels.write.mode("overwrite").parquet(s"$outDir/artifacts/labels")
+        // q156's triage signal over the SAME stored edges: template
+        // hubs (docs wired to many near-copies or bridging clusters)
+        // land in the artifact audit frame for reviewers — not consumed
+        // by any downstream stage, erased with the rest
+        graft.operators.GraphRank.pageRank(
+            spark.read.parquet(s"$outDir/artifacts/edges")
+              .select("a_id", "b_id"))
+          .write.mode("overwrite").parquet(s"$outDir/artifacts/pagerank")
         val labels = spark.read.parquet(s"$outDir/artifacts/labels")
         val canon = TopK.topKPerGroup(
             labels.join(c.select(col("doc_id").as("id"), col("n_chars")), "id"),
@@ -209,12 +252,15 @@ object CurationRunner {
     val byEdge = col("a_id").isin(docIds: _*) ||
       col("b_id").isin(docIds: _*)
     val targets: Seq[(String, org.apache.spark.sql.Column)] = Seq(
-      "quality" -> byDoc, "clean" -> byDoc, "corpus" -> byDoc,
-      "mix" -> byDoc, "split" -> byDoc,
+      "quality" -> byDoc, "boilerplate" -> byDoc, "clean" -> byDoc,
+      "corpus" -> byDoc, "mix" -> byDoc, "split" -> byDoc,
       "packed" -> byId, // packSequences emits the key as `id`
       "artifacts/signatures" -> byId,
       "artifacts/edges" -> byEdge,
-      "artifacts/labels" -> byId)
+      "artifacts/labels" -> byId,
+      // tile keys are md5 hashes, not doc rows — nothing to erase there;
+      // the pagerank audit frame IS doc-keyed
+      "artifacts/pagerank" -> byId)
     // existence via the Hadoop FileSystem, not java.io.File — outDir may
     // be hdfs://... or s3a://...; a local-only check would silently
     // no-op the whole erasure there

@@ -458,14 +458,20 @@ object Corpus {
   }
 
   /** Shared rebuild tail: per-doc surviving-tile body + partial tail →
-    * (id, n_tiles, n_kept, n_dropped, rebuilt_md5). */
+    * (id, n_tiles, n_kept, n_dropped, rebuilt_md5, rebuilt_text). The
+    * md5 is the oracle-compared fingerprint (q131/q155/q157 project it);
+    * rebuilt_text carries the actual rewritten doc for pipeline
+    * consumers (the CurationRunner boilerplate stage) — same expression
+    * under the hash, so the two can never diverge. */
   private def spliceRebuilt(base: DataFrame, kept: DataFrame,
                             spanWords: Int): DataFrame =
     base
       .join(kept, Seq("id"), "left")
+      .withColumn("rebuilt_text", trim(concat_ws(" ",
+        coalesce(col("body"), lit("")), col("tail_txt"))))
       .select(col("id"), col("n_tiles"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("n_tiles") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
-        md5(trim(concat_ws(" ",
-          coalesce(col("body"), lit("")), col("tail_txt")))).as("rebuilt_md5"))
+        md5(col("rebuilt_text")).as("rebuilt_md5"),
+        col("rebuilt_text"))
 }

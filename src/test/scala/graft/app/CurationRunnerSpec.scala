@@ -19,9 +19,33 @@ class CurationRunnerSpec extends SparkSpec {
       tokenBudgets = Map("src1" -> 200L), defaultBudget = 400L)
     assert(report.status === "success")
     assert(report.results.map(_.stage) ===
-      Seq("quality", "clean", "corpus", "mix", "split", "packed"))
-    // the funnel narrows: quality ⊇ clean ⊇ corpus ⊇ mix = split
-    assert(report.count("quality") >= report.count("clean"))
+      Seq("quality", "boilerplate", "clean", "corpus", "mix", "split",
+        "packed"))
+    // the funnel narrows: quality ⊇ boilerplate ⊇ clean ⊇ corpus ⊇ mix = split
+    assert(report.count("quality") >= report.count("boilerplate"))
+    assert(report.count("boilerplate") >= report.count("clean"))
+
+    // the boilerplate stage really rewrote: the stored tile-key
+    // artifact only holds >= minDf tiles, and any rewritten doc can
+    // only have LOST tokens relative to its quality-stage self
+    val tileKeys = spark.read.parquet(s"$out/artifacts/boilerplate_tiles")
+    assert(tileKeys.filter(col("df") < 3).count() === 0)
+    val qualityToks = spark.read.parquet(s"$out/quality")
+      .select(col("doc_id"), col("n_tokens").as("q_tok"))
+    val boilToks = spark.read.parquet(s"$out/boilerplate")
+      .select(col("doc_id"), col("n_tokens").as("b_tok"))
+    assert(boilToks.join(qualityToks, "doc_id")
+      .filter(col("b_tok") > col("q_tok")).count() === 0)
+
+    // the pagerank audit frame covers exactly the edge-bearing docs
+    val prFrame = spark.read.parquet(s"$out/artifacts/pagerank")
+    val edgeIds = spark.read.parquet(s"$out/artifacts/edges")
+      .select(col("a_id").as("id"))
+      .unionByName(spark.read.parquet(s"$out/artifacts/edges")
+        .select(col("b_id").as("id"))).distinct()
+    assert(prFrame.count() === edgeIds.count())
+    assert(prFrame.filter(col("pagerank") <= 0).count() === 0)
+
     assert(report.count("clean") >= report.count("corpus"))
     assert(report.count("corpus") >= report.count("mix"))
     assert(report.count("mix") === report.count("split"))
@@ -101,7 +125,7 @@ class CurationRunnerSpec extends SparkSpec {
     rmrf(new java.io.File(s"$out/packed"))
     val r3 = CurationRunner.run(spark, docs, out, resume = true)
     val statuses = r3.results.map(r => r.stage -> r.status).toMap
-    assert(Seq("quality", "clean", "corpus", "mix")
+    assert(Seq("quality", "boilerplate", "clean", "corpus", "mix")
       .forall(statuses(_) == "cached"))
     assert(statuses("split") === "success" && statuses("packed") === "success")
     assert(r3.results.map(r => (r.stage, r.records)) ===
@@ -119,8 +143,9 @@ class CurationRunnerSpec extends SparkSpec {
     val anyDoc = spark.read.parquet(s"$out/corpus")
       .select("doc_id").as[Long].head
     val subjects = Seq(edgeDoc, anyDoc).distinct
-    val before = Seq("quality", "clean", "corpus", "mix", "split", "packed",
-      "artifacts/signatures", "artifacts/edges", "artifacts/labels")
+    val before = Seq("quality", "boilerplate", "clean", "corpus", "mix",
+      "split", "packed", "artifacts/signatures", "artifacts/edges",
+      "artifacts/labels", "artifacts/pagerank")
       .map(n => n -> spark.read.parquet(s"$out/$n").count()).toMap
     val rep = CurationRunner.erase(spark, out, subjects)
     assert(rep.total > 0)
