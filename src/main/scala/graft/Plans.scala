@@ -99,7 +99,9 @@ object Plans {
       "q154_ann_refine",       // broadcast shortlist ids -> exact cosine re-rank
       "q155_boilerplate",      // tile df windows over ONE content Exchange
       "q156_dup_pagerank",     // 3 damped rounds over checkpointed edge list
-      "q157_boilerplate_artifact") // q155 via STORED tile keys: LEFT ANTI join
+      "q157_boilerplate_artifact", // q155 via STORED tile keys: LEFT ANTI join
+      "q158_ivfpq_refined_serving", // stored-index ADC shortlist + exact re-rank
+      "q159_er_salted_skew")   // hot ER block salted 8x: salt keys + Generate
     // per-query reader notes where the right plan is easy to misread
     val notes = Map(
       "q128_sql_range_join" -> ("The user wrote the naive theta join " +
@@ -219,7 +221,22 @@ object Plans {
         "AQE decides from its real size), then the same per-doc " +
         "rebuild Exchange + broadcast splice. One shuffle on the hot " +
         "path vs q155's two -- the artifact pre-paid the df Exchange, " +
-        "which is the point of materialize-once at 100 TB."))
+        "which is the point of materialize-once at 100 TB."),
+      "q158_ivfpq_refined_serving" -> ("The DEFAULT serving composition: " +
+        "q143's stored-index ADC pass builds the R = 3x k shortlist " +
+        "over parquet-read codes (raw embeddings never scanned " +
+        "corpus-wide), then the q154 refine tail broadcast-SEMI-joins " +
+        "the 30 ids onto the raw-vector table for exact cosine + " +
+        "TakeOrderedAndProject. Search cost = probed code lists + R " +
+        "point reads, independent of corpus size."),
+      "q159_er_salted_skew" -> ("The ER skew recipe as an executed plan: " +
+        "the a-side carries _salt_big = pmod(hash(a_id), 8), the " +
+        "b-side a Generate explode of [0..7] as _salt_rep, and the " +
+        "join keys on (block, salt) -- so the planted hot block " +
+        "(~20% of rows in one 3-char prefix) spreads over 8 reducers " +
+        "instead of one. Row-identical to the unsalted join (the " +
+        "oracle replays the UNSALTED form); only reducer load moves. " +
+        "PlanShapeSpec pins the salt columns and the Generate."))
     println("# PLANS -- formatted physical plans of representative queries\n")
     println(s"Generated against `$sfDir` (plan shapes are SF-invariant).\n")
     picks.foreach { name =>

@@ -84,6 +84,28 @@ object ErQueries {
     EntityResolution.candidatePairs(a, b, blockOn = Some(blockCond))
   }
 
+  /** q159's deterministically SKEWED account frame: the unmutated
+    * synthetic names all normalize to the "cus" 3-char prefix, so rows
+    * left unmutated (Id % 5 == 0, ~20%) form ONE hot default-key
+    * block; the rest get one of eight distinct word prefixes and
+    * spread. Thinned 3x (Id % 3 == 0) so the oracle's recursive JW
+    * CTE stays at q32 cost at the gate SF. */
+  private val spreadWords = Seq(
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf", "hotel")
+  private def skewedAccounts(s: SparkSession, dir: String): DataFrame =
+    accounts(s, dir)
+      .filter(col("Id") % 3 === 0)
+      .withColumn("Name",
+        when(col("Id") % 5 === 0, col("Name"))
+          .otherwise(concat(
+            element_at(array(spreadWords.map(lit): _*),
+              (pmod(col("Id"), lit(8)) + 1).cast("int")),
+            lit(" "), col("Name"))))
+
+  /** Spec access to the q159 fixture (PlanShapeSpec's skew-share gate). */
+  def skewedAccountsForSpec(s: SparkSession, dir: String): DataFrame =
+    skewedAccounts(s, dir)
+
   /** The JW-free rule score q36 thresholds and q147 calibrates — ONE
     * definition so the threshold and its calibration can never drift
     * apart. (The oracle-side twin is [[ruleFeatSql]].) */
@@ -261,6 +283,27 @@ object ErQueries {
         .orderBy("account1_id", "account2_id")
     }),
 
+    "q159_er_salted_skew" -> ((s, dir) => {
+      // q32's resolve under a HOT default blocking key, salted 8 ways
+      // (SaltedJoin.joinOn via resolve(salt = 8): a-side rows salted on
+      // their unique id, b-side exploded 8x) — the declared end-to-end
+      // exercise of the ER skew recipe. The skewed frame plants one
+      // 3-char block holding ~20% of rows (see skewedAccounts); the
+      // oracle replays the UNSALTED default-key join — salting is
+      // row-identical by contract, so the same SQL gates the salted
+      // plan. Plan gate: PlanShapeSpec asserts the salt columns and
+      // the 8x Generate actually appear in this query's plan.
+      val acc = skewedAccounts(s, dir)
+      EntityResolution.resolve(
+          acc.filter(col("Id") % 2 === 0), acc.filter(col("Id") % 2 === 1),
+          cols, EntityResolution.Config(matchThreshold = 0.85), salt = 8)
+        .select(col("account1_id"), col("account2_id"),
+          round(col("match_score"), 6).as("match_score"),
+          col("match_type"), col("confidence"),
+          array_join(col("match_reasons"), "|").as("reasons"))
+        .orderBy("account1_id", "account2_id")
+    }),
+
     "q33_pair_features" -> ((s, dir) => {
       // 6 cross-org pair features (reference: pipeline.py:108-157 F14) over
       // candidate pairs: region=org, top-50 by revenue per org (A2/J1/J2).
@@ -396,34 +439,44 @@ object ErQueries {
       |    END AS v
       |  FROM jwtrans)""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
-    "q31_er_features" ->
-      s"""WITH $accSql, $pairSql,
-        |toks AS (SELECT p.*,
-        |  list_distinct(list_filter(string_split(a_norm, ' '), x -> len(x) > 2)) AS a_toks,
-        |  list_distinct(list_filter(string_split(b_norm, ' '), x -> len(x) > 2)) AS b_toks
-        |  FROM pairs p)
-        |SELECT a_id, b_id,
-        |  CASE WHEN a_dom = b_dom THEN 1.0 ELSE 0.0 END AS domain_exact_match,
-        |  CASE WHEN a_norm = b_norm THEN 1.0 ELSE 0.0 END AS name_exact_match,
-        |  round(CASE WHEN len(a_norm)=0 OR len(b_norm)=0 THEN 0.0
-        |    ELSE 1.0 - levenshtein(a_norm, b_norm) /
-        |      CAST(greatest(len(a_norm), len(b_norm)) AS DOUBLE) END, 6) AS name_levenshtein,
-        |  round(CASE WHEN len(a_toks)=0 OR len(b_toks)=0 THEN 0.0
-        |    ELSE CAST(len(list_intersect(a_toks, b_toks)) AS DOUBLE) /
-        |      len(list_distinct(list_concat(a_toks, b_toks))) END, 6) AS name_jaccard,
-        |  CASE WHEN a_country = b_country AND a_country <> '' THEN 1.0 ELSE 0.0 END AS same_country,
-        |  CASE WHEN a_industry = b_industry AND a_industry <> '' THEN 1.0 ELSE 0.0 END AS same_industry,
-        |  round(CASE WHEN a_emp > 0 AND b_emp > 0
-        |    THEN least(a_emp, b_emp) / greatest(a_emp, b_emp) ELSE 0.5 END, 6) AS size_ratio
-        |FROM toks ORDER BY a_id, b_id""".stripMargin,
+  /** q159's skew-mutated account frame + UNSALTED default-key pair
+    * space (name-3 + country-3 prefix equality). Salting is
+    * row-identical by the SaltedJoin contract, so this unsalted replay
+    * is the oracle for the salted plan. */
+  private val accSql159 =
+    """acc AS (
+      |  SELECT c_custkey AS id,
+      |    array_to_string(list_filter(string_split_regex(
+      |      regexp_replace(lower(trim(
+      |        CASE WHEN c_custkey % 5 = 0 THEN c_name
+      |          ELSE ['alpha','bravo','charlie','delta','echo','foxtrot',
+      |                'golf','hotel'][(c_custkey % 8) + 1] || ' ' || c_name
+      |        END)), '[^\w\s&]', ' ', 'g'), '\s+'),
+      |      x -> len(x) > 0), ' ') AS norm,
+      |    'corp' || (c_custkey % 50) || '.com' AS dom,
+      |    n_name AS country, c_mktsegment AS industry,
+      |    (c_custkey % 7) * 150.0 AS employees
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE c_custkey % 3 = 0)""".stripMargin
 
-    // Full resolve() parity including both Jaro-Winkler features via the
-    // recursive-CTE JW kernel (class scaladoc). The two-phase prune on the
-    // Spark side is semantics-preserving, so the oracle scores single-phase.
-    "q32_er_resolve" ->
-      s"""WITH RECURSIVE $accSql, $pairSql,
-        |toks AS (SELECT p.*,
+  private val pairSql159 =
+    """pairs AS (
+      |  SELECT a.id AS a_id, b.id AS b_id,
+      |    a.norm AS a_norm, b.norm AS b_norm, a.dom AS a_dom, b.dom AS b_dom,
+      |    a.country AS a_country, b.country AS b_country,
+      |    a.industry AS a_industry, b.industry AS b_industry,
+      |    a.employees AS a_emp, b.employees AS b_emp
+      |  FROM acc a JOIN acc b
+      |    ON substring(a.norm, 1, 3) = substring(b.norm, 1, 3)
+      |   AND substring(lower(a.country), 1, 3) = substring(lower(b.country), 1, 3)
+      |   AND a.id % 2 = 0 AND b.id % 2 = 1)""".stripMargin
+
+  /** Everything after the pair space in the resolve oracle — features,
+    * JW-CTE consumers, scoring, reasons, the 0.85 gate. ONE definition
+    * shared by q32 and the salted-skew twin q159, so the two can never
+    * drift: only the account frame and the pair-space CTE differ. */
+  private lazy val resolveTailSql: String =
+    s"""toks AS (SELECT p.*,
         |  list_distinct(list_filter(string_split(a_norm, ' '), x -> len(x) > 2)) AS a_toks,
         |  list_distinct(list_filter(string_split(b_norm, ' '), x -> len(x) > 2)) AS b_toks
         |  FROM pairs p),
@@ -494,7 +547,42 @@ object ErQueries {
         |      x -> x IS NOT NULL), '|') END AS reasons
         |FROM scored2
         |WHERE (dem > 0 AND nem > 0) OR score >= 0.85
-        |ORDER BY account1_id, account2_id""".stripMargin,
+        |ORDER BY account1_id, account2_id""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q31_er_features" ->
+      s"""WITH $accSql, $pairSql,
+        |toks AS (SELECT p.*,
+        |  list_distinct(list_filter(string_split(a_norm, ' '), x -> len(x) > 2)) AS a_toks,
+        |  list_distinct(list_filter(string_split(b_norm, ' '), x -> len(x) > 2)) AS b_toks
+        |  FROM pairs p)
+        |SELECT a_id, b_id,
+        |  CASE WHEN a_dom = b_dom THEN 1.0 ELSE 0.0 END AS domain_exact_match,
+        |  CASE WHEN a_norm = b_norm THEN 1.0 ELSE 0.0 END AS name_exact_match,
+        |  round(CASE WHEN len(a_norm)=0 OR len(b_norm)=0 THEN 0.0
+        |    ELSE 1.0 - levenshtein(a_norm, b_norm) /
+        |      CAST(greatest(len(a_norm), len(b_norm)) AS DOUBLE) END, 6) AS name_levenshtein,
+        |  round(CASE WHEN len(a_toks)=0 OR len(b_toks)=0 THEN 0.0
+        |    ELSE CAST(len(list_intersect(a_toks, b_toks)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a_toks, b_toks))) END, 6) AS name_jaccard,
+        |  CASE WHEN a_country = b_country AND a_country <> '' THEN 1.0 ELSE 0.0 END AS same_country,
+        |  CASE WHEN a_industry = b_industry AND a_industry <> '' THEN 1.0 ELSE 0.0 END AS same_industry,
+        |  round(CASE WHEN a_emp > 0 AND b_emp > 0
+        |    THEN least(a_emp, b_emp) / greatest(a_emp, b_emp) ELSE 0.5 END, 6) AS size_ratio
+        |FROM toks ORDER BY a_id, b_id""".stripMargin,
+
+    // Full resolve() parity including both Jaro-Winkler features via the
+    // recursive-CTE JW kernel (class scaladoc). The two-phase prune on the
+    // Spark side is semantics-preserving, so the oracle scores single-phase.
+    "q32_er_resolve" ->
+      s"""WITH RECURSIVE $accSql, $pairSql,
+        |$resolveTailSql""".stripMargin,
+
+    // the UNSALTED default-key replay over the skew-mutated frame: the
+    // salted Spark plan must hash-match it row-for-row
+    "q159_er_salted_skew" ->
+      s"""WITH RECURSIVE $accSql159, $pairSql159,
+        |$resolveTailSql""".stripMargin,
 
     "q33_pair_features" ->
       s"""WITH $accSql,

@@ -58,4 +58,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("might_contain"),
       "bloom scan-local prune missing — q133 degenerated to the q93 plan")
   }
+
+  test("q159: the salt really spreads the hot ER block — salt columns in " +
+      "the join key and the 8x b-side explode in the plan") {
+    val plan = executedPlan("q159_er_salted_skew")
+    // SaltedJoin.joinOn: a-side salted on its id, b-side exploded 8x;
+    // both must survive into the executed plan or the query silently
+    // degenerated to the unsalted single-reducer join
+    assert(plan.contains("_salt_big") && plan.contains("_salt_rep"),
+      "salt columns missing from the q159 plan — the join is unsalted")
+    assert(plan.contains("Generate explode"),
+      "b-side salt explode missing — replication collapsed")
+    // the skewed fixture really is skewed: the hot block holds ~20% of
+    // the frame (the premise the salt exists for)
+    val a = SparkEntry.queries("q159_er_salted_skew")
+    val acc = graft.queries.ErQueries.skewedAccountsForSpec(spark, dir)
+    val blocks = graft.operators.EntityResolution
+      .prepSide(acc, graft.operators.EntityResolution.AccountCols(), "a")
+      .groupBy("a_block").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = blocks.values.sum.toDouble
+    val hot = blocks.filter(_._1.startsWith("cus")).values.sum
+    assert(hot / total > 0.15 && hot / total < 0.25,
+      s"hot-block share ${hot / total} drifted off the ~20% design")
+  }
 }

@@ -609,6 +609,98 @@ class StreamsSpec extends SparkSpec {
     assert(streamIds === Set(1L, 3L))
   }
 
+  test("state-store hygiene: event-time timeout really EVICTS — state " +
+      "rows peak, then drop to the in-horizon survivors (numRowsTotal " +
+      "ledger, the COVERAGE §2.8 bound asserted, not narrated)") {
+    // spanDedupIngest, 1-hour watermark + 1-hour idle timeout: the two
+    // day-1 tile states must leave the store once a later batch's
+    // watermark passes their timeout timestamps
+    val mem = MemoryStream[(Long, Timestamp, String)](spark)
+    val kept = Streams.spanDedupIngest(
+      mem.toDF.toDF("doc_id", "ts", "text").withWatermark("ts", "1 hour"),
+      spanWords = 3, idleTimeout = "1 hour")
+    val q = kept.writeStream.format("memory")
+      .queryName("span_state_out").outputMode("append")
+      .option("checkpointLocation", tmp("graft-span-state-ckpt"))
+      .start()
+    def stateRows: Long =
+      q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    // batch 1: doc 1 owns tiles [a b c] and [d e f] → 2 state rows
+    mem.addData((1L, Timestamp.valueOf("2024-01-01 00:00:00"), "a b c d e f"))
+    q.processAllAvailable()
+    assert(stateRows === 2L, "two tile states after batch 1")
+    // batch 2 jumps event time 2 days past the day-1 timeouts; batch 3
+    // re-sends the SAME tile (suppressed, adds no state) so the final
+    // count is deterministic whichever trigger — batch 3 or an
+    // interleaved no-data microbatch (noDataMicroBatches, on by
+    // default; its timing is not observable from processAllAvailable) —
+    // actually fires the timeouts: exactly 1 in-horizon tile state.
+    mem.addData((2L, Timestamp.valueOf("2024-01-03 00:00:00"), "x y z"))
+    q.processAllAvailable()
+    mem.addData((3L, Timestamp.valueOf("2024-01-03 00:10:00"), "x y z"))
+    q.processAllAvailable()
+    assert(stateRows === 1L,
+      s"eviction failed: $stateRows tile states resident (want 1 — the " +
+        "two day-1 tiles removed, the day-3 tile kept)")
+    q.stop()
+
+    // same protocol for the near-dup bucket gate: day-1 BUCKET states
+    // evicted, only in-horizon buckets resident
+    val mem2 = MemoryStream[(Long, Timestamp, String)](spark)
+    val cands = Streams.nearDupIngest(
+      mem2.toDF.toDF("doc_id", "ts", "text").withWatermark("ts", "1 hour"),
+      shingleSize = 5, numHashes = 16, bands = 8, threshold = 0.5,
+      idleTimeout = "1 hour")
+    val q2 = cands.writeStream.format("memory")
+      .queryName("neardup_state_out").outputMode("append")
+      .option("checkpointLocation", tmp("graft-neardup-state-ckpt"))
+      .start()
+    def stateRows2: Long =
+      q2.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    val doc = "the quick brown fox jumps over the lazy dog again and again"
+    val day3doc = "yet another novel and unrelated document body text here"
+    mem2.addData((1L, Timestamp.valueOf("2024-01-01 00:00:00"), doc))
+    q2.processAllAvailable()
+    val day1Buckets = stateRows2
+    assert(day1Buckets > 0L, "bucket states after batch 1")
+    // batch 2 jumps event time 2 days: its buckets coexist with day-1's
+    // until a post-watermark trigger fires the timeouts
+    mem2.addData((2L, Timestamp.valueOf("2024-01-03 00:00:00"), day3doc))
+    q2.processAllAvailable()
+    // batch 3 re-sends day-3 CONTENT (a dup of doc 2, new id): its band
+    // keys hit only EXISTING buckets, so it adds zero state rows — a
+    // deterministic eviction trigger whichever batch (3 or a no-data
+    // microbatch) actually fires the timeouts. Day-3 and day-1 texts
+    // differ, so their band keys are disjoint: the final count equals
+    // day-3's own bucket count (= day1Buckets, one per band) iff every
+    // day-1 bucket left; an eviction failure would read 2x.
+    mem2.addData((3L, Timestamp.valueOf("2024-01-03 00:10:00"), day3doc))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(stateRows2 === day1Buckets,
+      s"day-1 buckets survived the horizon: $stateRows2 resident " +
+        s"(want $day1Buckets — the day-3 doc's own buckets only)")
+  }
+
+  test("heavy hitters stream state is shard-bounded: numRowsTotal == " +
+      "active shards, regardless of key cardinality") {
+    val mem = MemoryStream[String](spark)
+    val cands = Streams.heavyHittersStream(mem.toDF.toDF("k"), "k",
+      capacity = 8, nShards = 4)
+    val q = cands.toDF.writeStream.format("memory")
+      .queryName("hh_state_out").outputMode("update")
+      .option("checkpointLocation", tmp("graft-hh-state-ckpt"))
+      .start()
+    mem.addData((0 until 500).map(i => s"key$i"): _*)
+    q.processAllAvailable()
+    val rows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    q.stop()
+    // 500 distinct keys, but state is ONE row per shard (a Misra-Gries
+    // counter map ≤ capacity entries inside) — the running-census bound
+    assert(rows <= 4L, s"state rows $rows exceed the shard count")
+    assert(rows > 0L)
+  }
+
   test("streaming heavy hitters: every true heavy key survives, estimates " +
       "within the Misra-Gries bound, state capacity-bounded per shard") {
     val capacity = 8
