@@ -75,4 +75,63 @@ object GraphRank {
     ranks.join(deg.select(col("src").as("id"), col("deg")), "id")
       .select(col("id"), col("deg"), col("rank").as("pagerank"))
   }
+
+  /**
+   * Write the symmetrized, degree-annotated edge list as a BUCKETED
+   * managed table keyed by `src` — the storage layout the per-round
+   * join wants (this file's own scale note, realized): the
+   * localCheckpoint in [[pageRank]] erases outputPartitioning, so the
+   * in-session path re-exchanges the edge list every round; the
+   * bucketed artifact carries its distribution in the TABLE layout,
+   * so every consumer round (and every future session) reads it
+   * join-ready. Build once per corpus version, exactly like the
+   * nearDup/IVF artifacts.
+   */
+  def writeEdgeArtifact(edges: DataFrame, table: String,
+                        buckets: Int): Unit = {
+    val sym = edges
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    graft.sources.Bucketing.writeBucketed(sym.join(deg, "src"), table,
+      "src", buckets)
+  }
+
+  /**
+   * [[pageRank]] over the STORED bucketed artifact
+   * ([[writeEdgeArtifact]]): identical rounds, identical DECIMAL(38,18)
+   * contribution sums — output bit-identical to the in-session path
+   * (partition-invariant by construction; `GraphRankSpec` pins it) —
+   * but each round's equi-join consumes the table's bucket
+   * distribution on `src`, so the EDGE side never re-shuffles: the
+   * per-round Exchange cost drops to the (small) rank frame plus the
+   * unavoidable dst aggregation. At 100 TB the edge list is the
+   * fact-sized side; moving its shuffle from every-round to
+   * write-once is the entire point of the artifact.
+   */
+  def pageRankFromEdgeArtifact(spark: org.apache.spark.sql.SparkSession,
+                               table: String, iterations: Int = 3,
+                               damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    require(damping > 0 && damping < 1,
+      s"damping must be in (0,1), got $damping")
+    val symDeg = spark.table(table)
+    // one row per src, computed ON the bucket distribution (no Exchange)
+    val deg = symDeg.groupBy("src").agg(max(col("deg")).as("deg"))
+    var ranks = deg.select(col("src").as("id"), lit(1.0).as("rank"))
+    for (_ <- 1 to iterations) {
+      ranks = symDeg
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"),
+          (col("rank") / col("deg")).cast("decimal(38,18)").as("c"))
+        .groupBy("dst")
+        .agg(sum(col("c")).as("cs"))
+        .select(col("dst").as("id"),
+          (lit(1.0) - lit(damping) +
+            lit(damping) * col("cs").cast("double")).as("rank"))
+    }
+    ranks.join(deg.select(col("src").as("id"), col("deg")), "id")
+      .select(col("id"), col("deg"), col("rank").as("pagerank"))
+  }
 }
