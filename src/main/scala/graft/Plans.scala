@@ -208,9 +208,11 @@ object Plans {
         "reference); each round is one SortMergeJoin on src + one " +
         "HashAggregate on dst -- the CC per-round cost envelope. The " +
         "checkpoint erases outputPartitioning, so each round " +
-        "re-exchanges the (small) edge list; at production scale the " +
-        "edge artifact would be bucketed by src on disk (Bucketing) to " +
-        "delete those exchanges. The contribution sum rides " +
+        "re-exchanges the (small) edge list; the bucketed artifact " +
+        "path (GraphRank.writeEdgeArtifact + pageRankFromEdgeArtifact, " +
+        "spec-gated: bit-identical output, strictly fewer Exchanges) " +
+        "deletes those edge-side exchanges at scale. The contribution " +
+        "sum rides " +
         "DECIMAL(38,18) inside the HashAggregate -- " +
         "partition-order-invariant, so the result is bit-identical " +
         "under any layout (GraphRankSpec proves it)."),

@@ -21,9 +21,13 @@ import graft.sources.Tables
  * recall@10 = |ANN ∩ truth| / (10 · queries). Deterministic end-to-end
  * (modulus-sampled centroids/codebooks, fixed tie-breaks; the TRAINED
  * families are seeded k-means over canonicalized layout — reproducible
- * bit-for-bit across sessions and core counts), so the values are
- * GOLDENS: a move beyond the ledger threshold means the index build
- * changed, not the data.
+ * bit-for-bit across sessions and core counts IN THE SINGLE-JVM ledger
+ * environment, where canonForFit pins both partitioning and in-partition
+ * order; on a multi-executor cluster MLlib's per-center partial sums
+ * merge in shuffle-arrival order, so centers can move by last-ulp
+ * amounts — the goldens gate the local protocol, which is the only
+ * place the ledger runs), so the values are GOLDENS: a move beyond the
+ * ledger threshold means the index build changed, not the data.
  *
  * Trained-family budgets (r12): 25 coarse lists, probe 10 (same 40%
  * scan fraction as the modulus families' 2-of-5, finer cells);
@@ -175,16 +179,18 @@ object AnnRecall {
     val residR = recall(residTop, l2Truth)
 
     // ---- trained quantizers (seeded k-means; the production index) ----
-    // Same list budgets as the modulus families (5 coarse lists, probe
-    // 2; m=4 × subDim=16 codes) so the deltas isolate QUANTIZER quality
-    // — the one variable the r11 verdict identified as the recall
-    // binding constraint. kSub=16 codes/subspace (vs the modulus
-    // path's 5 full-vector codes) is the trained path's honest budget:
-    // m·log2(k) = 16 bits/vector, still 16× compression at 64-d float.
+    // Budgets (class scaladoc): 25 coarse lists probed 10 — the SAME
+    // 40% scan fraction as the modulus families' 2-of-5, with finer
+    // cells — and m=8 × 8-d subspaces × 256 codes = 8 bytes/vector,
+    // the FAISS-standard 8-bit code budget (32× compression at 64-d
+    // float32). Scan fraction held constant so the IVF delta isolates
+    // centroid quality; the PQ rows additionally spend the standard
+    // (not the modulus path's starved) code budget — both knobs are
+    // exactly what the r11 verdict named as the binding constraint.
     val M = 8; val SubDim = 8; val KSub = 256; val KIvf = 25; val NProbeT = 10
 
-    // trained spherical IVF: k-means centroids, probe 2 of 5, exact
-    // cosine within probed lists
+    // trained spherical IVF: k-means centroids, probe NProbeT of KIvf,
+    // exact cosine within probed lists
     val tcents = SimilaritySearch.ivfCentroidsKMeans(embsRaw,
       col("vec_id"), col("embedding"), KIvf)
     val tassign = SimilaritySearch.assignAgainst(tcents, embsRaw,

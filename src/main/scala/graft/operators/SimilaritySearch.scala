@@ -552,6 +552,9 @@ object SimilaritySearch {
     * built so every caller (bench local[32], specs local[4], a real
     * cluster) gets the same centers. */
   private def canonForFit(df: DataFrame, key: Column): DataFrame =
+    // the fixed 4-way layout presumes a BOUNDED training frame: callers
+    // bound it with `trainFrac` (hash-sampled) before the fit — at
+    // 100 TB pass trainFrac so the sample, not the corpus, lands here
     df.repartition(4, key).sortWithinPartitions(key)
 
   private def fitKMeans(train: DataFrame, featCol: String, k: Int,
@@ -725,13 +728,16 @@ object SimilaritySearch {
   def ivfPqTopKTrained(embs: DataFrame, idCol: Column, vecCol: Column,
                        query: Seq[Double], kIvf: Int, nprobe: Int,
                        kSub: Int, m: Int, subDim: Int, k: Int,
-                       seed: Long = 42L): DataFrame = {
-    val cents = ivfCentroidsKMeansL2(embs, idCol, vecCol, kIvf, seed)
+                       seed: Long = 42L,
+                       trainFrac: Double = 1.0): DataFrame = {
+    val cents = ivfCentroidsKMeansL2(embs, idCol, vecCol, kIvf, seed,
+      trainFrac)
     val assign = assignAgainstL2(cents, embs, idCol, vecCol).select("id", "cid")
     val probed = probedCidsL2(cents, query, nprobe)
     val members = assign.join(broadcast(probed), "cid").select("id")
     val cand = embs.select(idCol.as("id"), vecCol.as("v")).join(members, "id")
-    val cb = pqCodebookSubKMeans(embs, idCol, vecCol, m, subDim, kSub, seed)
+    val cb = pqCodebookSubKMeans(embs, idCol, vecCol, m, subDim, kSub, seed,
+      trainFrac)
     adcTopKSub(pqCodesSub(cand, col("id"), col("v"), cb, m, subDim),
       cb, query, m, subDim, k)
   }
@@ -753,8 +759,10 @@ object SimilaritySearch {
                                vecCol: Column, query: Seq[Double],
                                kIvf: Int, nprobe: Int, kSub: Int, m: Int,
                                subDim: Int, k: Int,
-                               seed: Long = 42L): DataFrame = {
-    val cents = ivfCentroidsKMeansL2(embs, idCol, vecCol, kIvf, seed)
+                               seed: Long = 42L,
+                               trainFrac: Double = 1.0): DataFrame = {
+    val cents = ivfCentroidsKMeansL2(embs, idCol, vecCol, kIvf, seed,
+      trainFrac)
     val assign = assignAgainstL2(cents, embs, idCol, vecCol).select("id", "cid")
     val resid = embs.select(idCol.as("id"), vecCol.as("v"))
       .join(assign, "id")
@@ -763,7 +771,7 @@ object SimilaritySearch {
         zip_with(col("v"), col("cvr"),
           (x, y) => x.cast("double") - y.cast("double")).as("r"))
     val cb = pqCodebookSubKMeans(resid, col("id"), col("r"), m, subDim,
-      kSub, seed)
+      kSub, seed, trainFrac)
     val probed = probedCidsL2(cents, query, nprobe)
     val probedResid = resid.join(broadcast(probed), "cid")
     val codes = pqCodesSub(probedResid, col("id"), col("r"), cb, m, subDim)

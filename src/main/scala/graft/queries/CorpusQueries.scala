@@ -492,6 +492,34 @@ object CorpusQueries {
     })
   )
 
+  /** The q155 keep rule + rebuild as DuckDB SQL — ONE definition shared
+    * by q155 (inline df windows) and q157 (stored-artifact anti join),
+    * which must gate against identical semantics by construction. */
+  private lazy val boilerplateSql: String =
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(string_split(text, ' ')) // 10 AS n_tiles
+        |  FROM documents),
+        |tiles AS (SELECT doc_id, s['idx'] AS idx, s['tile'] AS tile
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, n_tiles + 1),
+        |      i -> {'idx': i - 1,
+        |            'tile': array_to_string(w[(i-1)*10+1 : (i-1)*10+10], ' ')})) AS s
+        |    FROM base WHERE n_tiles > 0)),
+        |flagged AS (SELECT doc_id, idx, tile,
+        |    count(DISTINCT doc_id) OVER (PARTITION BY md5(tile)) AS tdf
+        |  FROM tiles),
+        |kept AS (SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(tile, ' ' ORDER BY idx) AS body
+        |  FROM flagged WHERE tdf < 3 GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(b.n_tiles AS BIGINT) AS n_tiles,
+        |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(b.n_tiles - COALESCE(k.n_kept, 0) AS BIGINT) AS n_dropped,
+        |  md5(trim(COALESCE(k.body, '') || ' ' ||
+        |    COALESCE(array_to_string(w[b.n_tiles*10+1 : b.n_words], ' '),
+        |      ''))) AS rebuilt_md5
+        |FROM base b LEFT JOIN kept k USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
 
     "q153_semantic_decontaminate" ->
@@ -545,58 +573,13 @@ object CorpusQueries {
 
     // q131's tiling + rebuild verbatim; only the keep rule changes —
     // a tile survives iff its distinct-doc frequency stays under 3
-    "q155_boilerplate" ->
-      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w,
-        |    len(string_split(text, ' ')) AS n_words,
-        |    len(string_split(text, ' ')) // 10 AS n_tiles
-        |  FROM documents),
-        |tiles AS (SELECT doc_id, s['idx'] AS idx, s['tile'] AS tile
-        |  FROM (SELECT doc_id, unnest(list_transform(range(1, n_tiles + 1),
-        |      i -> {'idx': i - 1,
-        |            'tile': array_to_string(w[(i-1)*10+1 : (i-1)*10+10], ' ')})) AS s
-        |    FROM base WHERE n_tiles > 0)),
-        |flagged AS (SELECT doc_id, idx, tile,
-        |    count(DISTINCT doc_id) OVER (PARTITION BY md5(tile)) AS tdf
-        |  FROM tiles),
-        |kept AS (SELECT doc_id, count(*) AS n_kept,
-        |    string_agg(tile, ' ' ORDER BY idx) AS body
-        |  FROM flagged WHERE tdf < 3 GROUP BY doc_id)
-        |SELECT b.doc_id, CAST(b.n_tiles AS BIGINT) AS n_tiles,
-        |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
-        |  CAST(b.n_tiles - COALESCE(k.n_kept, 0) AS BIGINT) AS n_dropped,
-        |  md5(trim(COALESCE(k.body, '') || ' ' ||
-        |    COALESCE(array_to_string(w[b.n_tiles*10+1 : b.n_words], ' '),
-        |      ''))) AS rebuilt_md5
-        |FROM base b LEFT JOIN kept k USING (doc_id)
-        |ORDER BY b.doc_id""".stripMargin,
+    "q155_boilerplate" -> boilerplateSql,
 
-    // q157 runs the stored-artifact anti-join plan against q155's SQL
-    // verbatim: same corpus, same spanWords/minDf, so the stored key
-    // set reproduces the inline df-window keep rule row-for-row
-    "q157_boilerplate_artifact" ->
-      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w,
-        |    len(string_split(text, ' ')) AS n_words,
-        |    len(string_split(text, ' ')) // 10 AS n_tiles
-        |  FROM documents),
-        |tiles AS (SELECT doc_id, s['idx'] AS idx, s['tile'] AS tile
-        |  FROM (SELECT doc_id, unnest(list_transform(range(1, n_tiles + 1),
-        |      i -> {'idx': i - 1,
-        |            'tile': array_to_string(w[(i-1)*10+1 : (i-1)*10+10], ' ')})) AS s
-        |    FROM base WHERE n_tiles > 0)),
-        |flagged AS (SELECT doc_id, idx, tile,
-        |    count(DISTINCT doc_id) OVER (PARTITION BY md5(tile)) AS tdf
-        |  FROM tiles),
-        |kept AS (SELECT doc_id, count(*) AS n_kept,
-        |    string_agg(tile, ' ' ORDER BY idx) AS body
-        |  FROM flagged WHERE tdf < 3 GROUP BY doc_id)
-        |SELECT b.doc_id, CAST(b.n_tiles AS BIGINT) AS n_tiles,
-        |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
-        |  CAST(b.n_tiles - COALESCE(k.n_kept, 0) AS BIGINT) AS n_dropped,
-        |  md5(trim(COALESCE(k.body, '') || ' ' ||
-        |    COALESCE(array_to_string(w[b.n_tiles*10+1 : b.n_words], ' '),
-        |      ''))) AS rebuilt_md5
-        |FROM base b LEFT JOIN kept k USING (doc_id)
-        |ORDER BY b.doc_id""".stripMargin,
+    // q157 runs the stored-artifact anti-join plan against the SAME SQL
+    // value: same corpus, same spanWords/minDf, so the stored key set
+    // reproduces the inline df-window keep rule row-for-row — one
+    // definition, the two gates cannot drift
+    "q157_boilerplate_artifact" -> boilerplateSql,
 
     // q133 runs the Bloom-prefiltered plan against the SAME exact SQL:
     // the sketch phase only prunes, the exact join restores equality

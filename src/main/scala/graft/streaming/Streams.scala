@@ -58,6 +58,37 @@ case class AdmittedDoc(doc_id: Long, stratum: String, n_tokens: Long,
 
 object Streams {
 
+  /** Millis in a day-or-smaller interval string ("30 days", "1 hour"). */
+  private def intervalMs(d: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(d))
+    require(iv.months == 0,
+      s"calendar-month timeouts are not supported (got '$d')")
+    iv.days * 86400000L + iv.microseconds / 1000L
+  }
+
+  /** Set the group's event-time timeout to maxEventMs + idleTimeout,
+    * guarding the Structured Streaming rule that a timeout must sit
+    * strictly beyond the current watermark — a violating
+    * `setTimeoutTimestamp` THROWS in the handler and kills the whole
+    * query. In the current engine this is defense-in-depth, not a
+    * reachable crash: FlatMapGroupsWithStateExec pre-filters input rows
+    * behind the watermark (StreamsSpec pins the drop), so every row the
+    * handler sees satisfies ts >= watermark and the computed timeout is
+    * legal. The guard covers the configurations where that input filter
+    * is absent (no event-time column on the input, engine semantics
+    * changes): an already-expired timeout means the group is due for
+    * eviction anyway, so evict now (`state.remove()`) — observably
+    * identical to the timeout firing on the next trigger, and it covers
+    * the brand-new-group case that would otherwise linger timeout-less
+    * forever. */
+  private def setGuardedTimeout(state: org.apache.spark.sql.streaming.GroupState[_],
+                                maxEventMs: Long, idleTimeout: String): Unit = {
+    val at = maxEventMs + intervalMs(idleTimeout)
+    if (at > state.getCurrentWatermarkMs()) state.setTimeoutTimestamp(at)
+    else state.remove()
+  }
+
   /** events table schema for the streaming file source (streams require an
     * explicit schema). `ts` has shipped as TIMESTAMP(NANOS)-as-long in some
     * testdata generations and TIMESTAMP(MICROS, NTZ) in others;
@@ -357,7 +388,7 @@ object Streams {
             }
             state.update(members)
             if (ordered.nonEmpty)
-              state.setTimeoutTimestamp(ordered.map(_._3.getTime).max, idleTimeout)
+              setGuardedTimeout(state, ordered.map(_._3.getTime).max, idleTimeout)
             out.result().iterator
           }
       }
@@ -415,7 +446,7 @@ object Streams {
               if (state.exists) Iterator.empty
               else Iterator.single(SpanKeep(ordered.head._1, ordered.head._3))
             state.update(true)
-            state.setTimeoutTimestamp(ordered.map(_._2.getTime).max, idleTimeout)
+            setGuardedTimeout(state, ordered.map(_._2.getTime).max, idleTimeout)
             out
           }
       }
@@ -499,21 +530,36 @@ object Streams {
             val out =
               if (state.exists) Iterator.empty
               else {
-                val nTiles = all.head._3
-                val tail = all.head._4
-                val kept = all.filter(r => r._6.isDefined && !r._7)
+                // within-batch duplicate doc_ids (at-least-once
+                // redelivery inside ONE trigger): keep the EARLIEST
+                // copy's rows only, then one row per tile index —
+                // without this, two copies' tiles would splice into a
+                // single corrupted doc (n_kept > n_tiles, negative
+                // n_dropped) where the batch twin emits one clean row
+                val minTs = all.map(_._2.getTime).min
+                val chosen = all.filter(_._2.getTime == minTs)
+                  .sortBy(r => (r._5, r._7, r._6.getOrElse("")))
+                  .distinctBy(_._5)
+                val nTiles = chosen.head._3
+                val tail = chosen.head._4
+                val kept = chosen.filter(r => r._6.isDefined && !r._7)
                   .sortBy(_._5).map(_._6.get)
                 val body = kept.mkString(" ")
                 // batch twin: md5(trim(concat_ws(" ", body, tail_txt)))
+                // — Spark's trim strips ONLY spaces (0x20); Java's
+                // String.trim also strips tabs/newlines and would break
+                // the documented row parity on edge-whitespace text
+                val spliced = (body + " " + tail)
+                  .dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
                 val digest = java.security.MessageDigest.getInstance("MD5")
-                  .digest((body + " " + tail).trim
+                  .digest(spliced
                     .getBytes(java.nio.charset.StandardCharsets.UTF_8))
                   .map("%02x".format(_)).mkString
                 Iterator.single(BoilerplateDoc(docId, nTiles,
                   kept.size.toLong, nTiles - kept.size, digest))
               }
             state.update(true)
-            state.setTimeoutTimestamp(all.map(_._2.getTime).max, idleTimeout)
+            setGuardedTimeout(state, all.map(_._2.getTime).max, idleTimeout)
             out
           }
       }
@@ -588,9 +634,7 @@ object Streams {
               RunningTotal(user, ts, n, sum)
             }.toVector // drain before state.update (iterator is lazy)
             state.update((n, sum))
-            state.getCurrentWatermarkMs() // watermark available ⇒ timeout legal
-            state.setTimeoutTimestamp(
-              out.map(_.ts.getTime).max, idleTimeout)
+            setGuardedTimeout(state, out.map(_.ts.getTime).max, idleTimeout)
             out.iterator
           }
       }
@@ -710,7 +754,7 @@ object Streams {
             val result = out.result()
             state.update(t)
             if (ordered.nonEmpty)
-              state.setTimeoutTimestamp(ordered.map(_._2.getTime).max, idleTimeout)
+              setGuardedTimeout(state, ordered.map(_._2.getTime).max, idleTimeout)
             result.iterator
           }
       }
@@ -754,8 +798,8 @@ object Streams {
               }
             }
             state.update(cur.get)
-            state.setTimeoutTimestamp(
-              sorted.map(_._2.getTime).max, idleTimeout)
+            setGuardedTimeout(state, sorted.map(_._2.getTime).max,
+              idleTimeout)
             out.result().iterator
           }
       }

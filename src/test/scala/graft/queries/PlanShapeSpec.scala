@@ -71,7 +71,6 @@ class PlanShapeSpec extends SparkSpec {
       "b-side salt explode missing — replication collapsed")
     // the skewed fixture really is skewed: the hot block holds ~20% of
     // the frame (the premise the salt exists for)
-    val a = SparkEntry.queries("q159_er_salted_skew")
     val acc = graft.queries.ErQueries.skewedAccountsForSpec(spark, dir)
     val blocks = graft.operators.EntityResolution
       .prepSide(acc, graft.operators.EntityResolution.AccountCols(), "a")
@@ -81,5 +80,13 @@ class PlanShapeSpec extends SparkSpec {
     val hot = blocks.filter(_._1.startsWith("cus")).values.sum
     assert(hot / total > 0.15 && hot / total < 0.25,
       s"hot-block share ${hot / total} drifted off the ~20% design")
+    // and the hot mass is ONE block, not ~20% smeared across many: the
+    // fixture's nations all share the "nat" country prefix, so the
+    // unmutated names' full key collapses to a single "cus_nat" block —
+    // the premise that makes the salt worth demonstrating
+    val single = blocks.maxBy(_._2)
+    assert(single._1.startsWith("cus") &&
+      single._2.toDouble / total > 0.15,
+      s"hot mass not concentrated in one block: $single of $total")
   }
 }

@@ -221,6 +221,109 @@ class StreamsSpec extends SparkSpec {
       (3L, 0L, 0L, 0L, m("p q"))), s"gate output wrong: $rows")
   }
 
+  test("boilerplateIngest: a doc_id delivered twice in ONE micro-batch " +
+      "emits one clean row (earliest copy), not a merged splice; " +
+      "edge-whitespace text digests match the batch twin (space-only trim)") {
+    val corpus = Seq((10L, "a b c x y z t"), (11L, "a b c k1 k2 t2"),
+      (12L, "a b c own u v")).toDF("doc_id", "text")
+    val dir = tmp("graft-boiler-dup-keys")
+    graft.operators.Corpus.boilerplateTiles(corpus, col("doc_id"),
+        col("text"), spanWords = 3, minDf = 3)
+      .write.mode("overwrite").parquet(s"$dir/keys")
+    val keys = spark.read.parquet(s"$dir/keys")
+    val mem = MemoryStream[(Long, Timestamp, String)](spark)
+    val out = Streams.boilerplateIngest(
+      mem.toDF.toDF("doc_id", "ts", "text").withWatermark("ts", "1 day"),
+      keys, spanWords = 3)
+    val q = out.writeStream.format("memory")
+      .queryName("boiler_dup_out").outputMode("append")
+      .option("checkpointLocation", tmp("graft-boiler-dup-ckpt"))
+      .start()
+    val t = (h: Int) => Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // doc 1 delivered TWICE in one batch (at-least-once inside one
+    // trigger), second copy later and different; doc 2's text ends in a
+    // newline INSIDE the tail — Spark trim keeps it, Java trim would not
+    mem.addData((1L, t(1), "a b c m n o tl"), (1L, t(2), "a b c q q q zz"),
+      (2L, t(3), "m m m w1 w2\n"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("boiler_dup_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).sortBy(_._1).toSeq
+    def m(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    // doc 1: the EARLIEST copy alone — one template tile dropped, one
+    // kept, tail kept (n_kept never exceeds n_tiles)
+    assert(rows(0) === ((1L, 2L, 1L, 1L, m("m n o tl"))))
+    // doc 2: no template tiles; digest must keep the trailing newline
+    // exactly as the batch twin's Spark trim does
+    val batch2 = graft.operators.Corpus.removeBoilerplateAgainst(
+        Seq((2L, "m m m w1 w2\n")).toDF("doc_id", "text"), keys,
+        col("doc_id"), col("text"), spanWords = 3)
+      .select("rebuilt_md5").head.getString(0)
+    assert(rows(1)._5 === batch2, "stream digest diverged from batch trim")
+  }
+
+  test("boilerplateIngest/spanDedupIngest: a row arriving behind the " +
+      "watermark is DROPPED by the operator's late-row filter and the " +
+      "query survives (measured: FlatMapGroupsWithStateExec pre-filters " +
+      "late input, so the guarded timeout is defense-in-depth)") {
+    val corpus = Seq((10L, "a b c x y z"), (11L, "a b c p p p"),
+      (12L, "a b c u u u")).toDF("doc_id", "text")
+    val dir = tmp("graft-boiler-late-keys")
+    graft.operators.Corpus.boilerplateTiles(corpus, col("doc_id"),
+        col("text"), spanWords = 3, minDf = 3)
+      .write.mode("overwrite").parquet(s"$dir/keys")
+    val keys = spark.read.parquet(s"$dir/keys")
+    val mem = MemoryStream[(Long, Timestamp, String)](spark)
+    val out = Streams.boilerplateIngest(
+      mem.toDF.toDF("doc_id", "ts", "text").withWatermark("ts", "1 hour"),
+      keys, spanWords = 3, idleTimeout = "1 hour")
+    val q = out.writeStream.format("memory")
+      .queryName("boiler_late_out").outputMode("append")
+      .option("checkpointLocation", tmp("graft-boiler-late-ckpt"))
+      .start()
+    // advance the watermark 6 weeks past the late row below
+    mem.addData((1L, Timestamp.valueOf("2024-02-15 00:00:00"), "x y z q"))
+    q.processAllAvailable()
+    // 45-days-late doc: FlatMapGroupsWithStateExec's watermark filter
+    // drops it before the handler (ts < watermark), so no state, no
+    // output, no crash; rows that DO reach the handler always satisfy
+    // ts >= watermark, hence timeout > watermark — the guarded-timeout
+    // helper covers the residual configs where the input filter is
+    // absent (no event-time column on the input, future semantics
+    // changes) rather than a reachable crash today
+    mem.addData((2L, Timestamp.valueOf("2024-01-01 00:00:00"), "a b c zz"))
+    q.processAllAvailable()
+    // the query is ALIVE and still processing
+    mem.addData((3L, Timestamp.valueOf("2024-02-15 01:00:00"), "a b c ok"))
+    q.processAllAvailable()
+    assert(q.exception.isEmpty, s"query died: ${q.exception}")
+    q.stop()
+    val ids = spark.table("boiler_late_out").collect()
+      .map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 3L),
+      s"late row must be dropped, in-horizon rows processed: $ids")
+
+    // same guard on the span gate
+    val mem2 = MemoryStream[(Long, Timestamp, String)](spark)
+    val kept = Streams.spanDedupIngest(
+      mem2.toDF.toDF("doc_id", "ts", "text").withWatermark("ts", "1 hour"),
+      spanWords = 3, idleTimeout = "1 hour")
+    val q2 = kept.writeStream.format("memory")
+      .queryName("span_late_out").outputMode("append")
+      .option("checkpointLocation", tmp("graft-span-late-ckpt"))
+      .start()
+    mem2.addData((1L, Timestamp.valueOf("2024-02-15 00:00:00"), "x y z"))
+    q2.processAllAvailable()
+    mem2.addData((2L, Timestamp.valueOf("2024-01-01 00:00:00"), "a b c"))
+    q2.processAllAvailable()
+    assert(q2.exception.isEmpty, s"span query died: ${q2.exception}")
+    q2.stop()
+    val spanIds = spark.table("span_late_out").collect()
+      .map(_.getLong(0)).toSet
+    assert(spanIds === Set(1L))
+  }
+
   test("boilerplateIngest: rows equal the batch removeBoilerplateAgainst " +
       "twin on real documents at uniform event time") {
     val batchDocs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
