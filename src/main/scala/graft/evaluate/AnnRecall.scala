@@ -47,8 +47,8 @@ object AnnRecall {
       val d = x.cast("double") - y.cast("double"); d * d
     }), lit(0.0), _ + _)
 
-  /** All eight family recalls (five modulus twins + three trained) as
-    * ledger rows. */
+  /** All nine family recalls (five modulus twins + three trained + the
+    * refined two-stage serving composition) as ledger rows. */
   def measure(spark: SparkSession, dir: String = GateDir)
       : Seq[(String, Double)] = {
     val e = Tables.load(spark, dir, "embeddings")
@@ -265,6 +265,22 @@ object AnnRecall {
       Seq(col("adc").asc, col("id").asc), K)
     val residKmR = recall(residKmTop, l2Truth)
 
+    // refined trained IVF-PQ — the q158 two-stage serving composition
+    // measured: the trained flat path's R = 3K ADC shortlist re-ranked
+    // by EXACT L2 (same truth as the ADC rows, so the delta vs
+    // ann_ivfpq_kmeans isolates what the refine stage alone recovers:
+    // every truth member the shortlist contains but ADC ordering
+    // misplaced outside the top-10)
+    val shortlist = TopK.topKPerGroup(
+      probedL2.join(l2assign, "cid").select("qid", "id")
+        .join(adcT, Seq("qid", "id")),
+      Seq(col("qid")), Seq(col("adc").asc, col("id").asc), 3 * K)
+      .select("qid", "id")
+    val refinedTop = TopK.topKPerGroup(
+      shortlist.join(pairs, Seq("qid", "id")),
+      Seq(col("qid")), Seq(col("l2").asc, col("id").asc), K)
+    val refinedR = recall(refinedTop, l2Truth)
+
     Seq(e, pairs, cosTruth, l2Truth, codes, codesFlat).foreach(_.unpersist())
     Seq(
       "ann_ivf_recall_at_10" -> ivfR,
@@ -274,6 +290,7 @@ object AnnRecall {
       "ann_ivfpq_residual_recall_at_10" -> residR,
       "ann_ivf_kmeans_recall_at_10" -> ivfKmR,
       "ann_ivfpq_kmeans_recall_at_10" -> ivfpqKmR,
-      "ann_ivfpq_residual_kmeans_recall_at_10" -> residKmR)
+      "ann_ivfpq_residual_kmeans_recall_at_10" -> residKmR,
+      "ann_ivfpq_kmeans_refined_recall_at_10" -> refinedR)
   }
 }

@@ -34,7 +34,9 @@ class AnnRecallSpec extends SparkSpec {
     ("ann_ivfpq_kmeans_recall_at_10", 0.50,
       "trained IVF-PQ (m=8 x 256 codes, flat)"),
     ("ann_ivfpq_residual_kmeans_recall_at_10", 0.50,
-      "trained residual IVF-PQ (codebook on residuals)"))
+      "trained residual IVF-PQ (codebook on residuals)"),
+    ("ann_ivfpq_kmeans_refined_recall_at_10", 0.75,
+      "refined two-stage serving (R=3k ADC shortlist + exact re-rank)"))
 
   floors.foreach { case (key, floor, label) =>
     test(s"$label recall@10 >= $floor floor, measured and ledgered") {
@@ -42,6 +44,13 @@ class AnnRecallSpec extends SparkSpec {
       info(f"$label recall@10 = $v%.3f")
       assert(v >= floor, f"$label recall@10 collapsed: $v%.3f < $floor")
     }
+  }
+
+  test("the refine stage recovers the shortlist's full truth content: " +
+      "refined recall >= raw trained ADC recall (q158's measured value)") {
+    assert(r("ann_ivfpq_kmeans_refined_recall_at_10") >=
+      r("ann_ivfpq_kmeans_recall_at_10"),
+      "re-ranking a superset shortlist can only help")
   }
 
   test("trained residual codes beat flat codes (the Jégou §III claim " +
