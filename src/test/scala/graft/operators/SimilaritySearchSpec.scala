@@ -413,6 +413,49 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(run(trainedFixture.repartition(13)) === base)
   }
 
+  test("ivfPqIndexTrained: parquet-roundtripped stored search equals the " +
+    "inline trained build; refined stored entry equals the manual " +
+    "composition") {
+    val e = trainedFixture
+    val q = e.filter(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Float](0).map(_.toDouble)
+    val idx = SimilaritySearch.ivfPqIndexTrained(e, col("vec_id"),
+      col("embedding"), kIvf = 4, kSub = 8, m = 2, subDim = 4)
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivfpq-trained-idx").toString
+    idx.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    idx.assignments.write.mode("overwrite").parquet(s"$dir/assignments")
+    idx.codebook.write.mode("overwrite").parquet(s"$dir/codebook")
+    idx.codes.write.mode("overwrite").parquet(s"$dir/codes")
+    val stored = SimilaritySearch.IvfPqTrainedIndex(
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/assignments"),
+      spark.read.parquet(s"$dir/codebook"),
+      spark.read.parquet(s"$dir/codes"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("rank")
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("adc_dist"))).toSeq
+    val fromStored = rows(SimilaritySearch.ivfPqTopKTrainedFromIndex(
+      stored, q, nprobe = 2, m = 2, subDim = 4, k = 5))
+    val inline = rows(SimilaritySearch.ivfPqTopKTrained(e, col("vec_id"),
+      col("embedding"), q, kIvf = 4, nprobe = 2, kSub = 8, m = 2,
+      subDim = 4, k = 5))
+    assert(fromStored.size == 5)
+    assert(fromStored === inline)
+    def cosRows(df: org.apache.spark.sql.DataFrame) = df.orderBy("rank")
+      .collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    val refined = cosRows(SimilaritySearch.ivfPqTopKTrainedRefinedFromIndex(
+      stored, e, col("vec_id"), col("embedding"), q, nprobe = 2, m = 2,
+      subDim = 4, k = 5, refineFactor = 3))
+    val manual = cosRows(SimilaritySearch.refineTopK(e, col("vec_id"),
+      col("embedding"),
+      SimilaritySearch.ivfPqTopKTrainedFromIndex(stored, q, nprobe = 2,
+        m = 2, subDim = 4, k = 15),
+      q, 5))
+    assert(refined === manual)
+  }
+
   test("ivfPqTopKRefinedFromIndex: equals refineTopK composed over the " +
     "R = refineFactor*k stored-shape shortlist") {
     val e = trainedFixture
