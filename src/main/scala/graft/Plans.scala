@@ -101,7 +101,10 @@ object Plans {
       "q156_dup_pagerank",     // 3 damped rounds over checkpointed edge list
       "q157_boilerplate_artifact", // q155 via STORED tile keys: LEFT ANTI join
       "q158_ivfpq_refined_serving", // stored-index ADC shortlist + exact re-rank
-      "q159_er_salted_skew")   // hot ER block salted 8x: salt keys + Generate
+      "q159_er_salted_skew",   // hot ER block salted 8x: salt keys + Generate
+      "q160_kmv_sketch",       // bounded bottom-k agg: ≤k-long partials shuffle
+      "q162_kmv_overlap",      // all-pairs theta intersect over k-row frames
+      "q163_hist_quantile")    // per-day bin partials + ≤bins-row read-out
     // per-query reader notes where the right plan is easy to misread
     val notes = Map(
       "q128_sql_range_join" -> ("The user wrote the naive theta join " +
@@ -238,7 +241,31 @@ object Plans {
         "(~20% of rows in one 3-char prefix) spreads over 8 reducers " +
         "instead of one. Row-identical to the unsalted join (the " +
         "oracle replays the UNSALTED form); only reducer load moves. " +
-        "PlanShapeSpec pins the salt columns and the Generate."))
+        "PlanShapeSpec pins the salt columns and the Generate."),
+      "q160_kmv_sketch" -> ("The sketch build is ONE HashAggregate pair " +
+        "(partial + final) around one Exchange keyed on source: " +
+        "bottom_k_distinct's buffer is AT MOST k longs, so the map " +
+        "side combines each scan partition down to a <=k-element " +
+        "array and the shuffle moves O(sources x k) longs -- the " +
+        "distinct trigram domain itself never moves. The oracle " +
+        "replays the composed form this aggregate replaces (distinct " +
+        "+ ranked window = the domain shuffled twice). Everything " +
+        "after the agg (posexplode to rows) is k-scale."),
+      "q162_kmv_overlap" -> ("Every frame in this plan is k-scale: the " +
+        "per-source sketches (sources x k rows) self-equi-join on hv " +
+        "for common hashes, and the all-pairs scaffold is the " +
+        "allowlisted BNLJ over the |sources|-row theta frame. The " +
+        "full trigram domain is touched only inside the sketch " +
+        "build's bounded agg -- 190 pairwise shard overlaps for one " +
+        "corpus scan + k-row joins, vs 190 joins over the raw gram " +
+        "domain."),
+      "q163_hist_quantile" -> ("Two HashAggregates -- per-(type, day) " +
+        "bin partials, then the additive merge to per-type -- both " +
+        "with map-side combine; the quantile read-out (cumulative " +
+        "window + the allowlisted broadcast probs crossJoin + " +
+        "first-hit row_number) runs over <=bins rows per group. The " +
+        "raw stream is scanned once; every later percentile question " +
+        "re-reads only the B-row histogram artifact."))
     println("# PLANS -- formatted physical plans of representative queries\n")
     println(s"Generated against `$sfDir` (plan shapes are SF-invariant).\n")
     picks.foreach { name =>

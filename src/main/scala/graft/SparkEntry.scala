@@ -60,7 +60,8 @@ object SparkEntry {
       graft.queries.MediaQueries.queries ++
       graft.queries.PipelineQueries.queries ++
       graft.queries.CorpusQueries.queries ++
-      graft.queries.OpsQueries.queries
+      graft.queries.OpsQueries.queries ++
+      graft.queries.SketchQueries.queries
 
   /** Per-query soundness preconditions the correctness harness runs
     * before verifying the named query — a registry, so Verify stays
@@ -94,5 +95,6 @@ object SparkEntry {
       graft.queries.MediaQueries.oracleSql ++
       graft.queries.PipelineQueries.oracleSql ++
       graft.queries.CorpusQueries.oracleSql ++
-      graft.queries.OpsQueries.oracleSql
+      graft.queries.OpsQueries.oracleSql ++
+      graft.queries.SketchQueries.oracleSql
 }

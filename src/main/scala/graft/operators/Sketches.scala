@@ -1,26 +1,47 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.GraftShim
+
+import graft.functions.BottomKDistinct
 
 /**
- * Sketch-based approximate analytics — the 100 TB path for cardinality
- * and quantile questions where exactness costs a full shuffle of the
- * distinct domain:
+ * Sketch-based approximate analytics — the 100 TB path for cardinality,
+ * overlap and quantile questions where exactness costs a full shuffle of
+ * the distinct domain:
  *
  *  - `approxDistinct`: HyperLogLog++ via `approx_count_distinct` — fixed
  *    ~kilobytes of state per group regardless of cardinality, vs
  *    `count_distinct`'s shuffle of every distinct value. `rsd` dials
- *    sketch size against error.
+ *    sketch size against error. Accuracy-gated in `SketchesSpec` (the
+ *    estimate is implementation-specific, so no SQL oracle).
  *  - `approxQuantiles`: Greenwald-Khanna via `percentile_approx` —
  *    mergeable bounded-size summaries, vs exact percentile's per-group
  *    sort of all values.
+ *  - the KMV (k-minimum-values / bottom-k theta) sketch family below:
+ *    ENGINE-PORTABLE sketches built on the md5-prefix hash every oracle
+ *    in this engine replays, so sketch CONTENT, merged rollups, distinct
+ *    estimates and pairwise-overlap estimates are all deterministic and
+ *    hash-exact against the DuckDB oracle (q160–q162) — the
+ *    correctness-twin discipline the IVF family uses (deterministic path
+ *    oracle-gated; `hllSketch` below is the binary production twin).
+ *  - `histogramSketch`: fixed-bin mergeable histograms whose quantile
+ *    read-out is deterministic interpolation (q163) — per-partition /
+ *    per-day partials add up by construction, so a 100 TB percentile
+ *    dashboard maintains B rows per (group, day) and never re-sorts raw
+ *    data.
+ *  - `hllSketch`/`hllMerge`: Apache DataSketches HLL binaries via
+ *    `hll_sketch_agg`/`hll_union_agg` — the compact production artifact
+ *    (fixed ~KB per group at ANY cardinality, vs KMV's k·8 bytes but
+ *    engine-pinned estimate). Spec-gated: stored-merged ≡ direct, and
+ *    accuracy vs exact.
  *
- * Both are MERGEABLE sketches (partial aggregation works; accuracy is
- * partition-independent), which is the property that makes them safe at
- * any scale. Not oracle-checked (approximate by construction,
- * implementation-specific estimates); `SketchesSpec` gates accuracy
- * against exact answers on seeded data instead.
+ * All of these are MERGEABLE sketches (partial aggregation works;
+ * accuracy is partition-independent), which is the property that makes
+ * them safe at any scale: sketch once per shard/day at the data, merge
+ * k-row artifacts at query time.
  */
 object Sketches {
 
@@ -36,4 +57,184 @@ object Sketches {
     df.groupBy(groupCols: _*)
       .agg(percentile_approx(value,
         array(probs.map(lit): _*), lit(accuracy)).as("approx_quantiles"))
+
+  // ---------------- KMV / bottom-k theta sketches ----------------
+
+  /** The hash space size: 16^15 = 2^60 (exact as a double — a power of
+    * two — so `hv / KmvSpace` is pure exponent arithmetic and both
+    * engines produce the identical uniform u ∈ [0,1)). */
+  val KmvSpace: Double = 1152921504606846976.0
+
+  /** 60-bit engine-portable uniform hash: first 15 hex chars of md5 as a
+    * long — DuckDB replays it as
+    * `CAST(CAST(('0x' || substring(md5(v),1,15)) AS UBIGINT) AS BIGINT)`.
+    * 60 bits keeps birthday collisions negligible to ~2^30 distinct
+    * values (the 32-bit prefix the dedup family uses would start
+    * under-estimating in the billions). Callers hash STRINGS; cast
+    * numeric keys to string first so both engines render identically. */
+  def kmvHash60(value: Column): Column =
+    conv(substring(md5(value), 1, 15), 16, 10).cast("long")
+
+  /** The bounded bottom-k-distinct aggregate as a Column (usable in any
+    * `agg`); see [[graft.functions.BottomKDistinct]]. */
+  def bottomK(c: Column, k: Int): Column =
+    GraftShim.column(BottomKDistinct(GraftShim.expr(c), k)
+      .toAggregateExpression())
+
+  /** Per-group KMV sketch of `value`: (groupCols..., sk array<long>
+    * ascending, ≤ k). ONE shuffle of ≤k-long partial buffers per group —
+    * the distinct domain itself never moves ([[graft.functions.BottomKDistinct]]).
+    * The sketch frame is the storable artifact: k·8 bytes per group,
+    * parquet-writable, re-mergeable via [[kmvMerge]]. */
+  def kmvSketch(df: DataFrame, group: Seq[String], value: Column,
+                k: Int): DataFrame =
+    df.groupBy(group.map(col): _*).agg(bottomK(kmvHash60(value), k).as("sk"))
+
+  /** Merge partial sketches (built with the SAME k) to coarser groups:
+    * bottom-k of the union of per-part bottom-k's ≡ bottom-k of the
+    * union of the parts' domains — exact, not approximate, merging
+    * (`SketchesSpec` asserts equality with the direct build). Input rows
+    * carry `sk`; output is one merged `sk` per `group`. */
+  def kmvMerge(sketches: DataFrame, group: Seq[String], k: Int): DataFrame =
+    sketches.select(group.map(col) :+ explode(col("sk")).as("hv"): _*)
+      .groupBy(group.map(col): _*).agg(bottomK(col("hv"), k).as("sk"))
+
+  /** Distinct-count estimate from a sketch column: exact `|sk|` while the
+    * group's domain fits in the sketch, else the KMV estimator
+    * (k-1)/u_k with u_k = kth-smallest hash normalized to [0,1)
+    * (Bar-Yossef et al. 2002; relative error ~1/√k). */
+  def kmvEstimate(sk: Column, k: Int): Column =
+    when(size(sk) < k, size(sk).cast("double"))
+      .otherwise(lit((k - 1).toDouble) /
+        (element_at(sk, k).cast("double") / lit(KmvSpace)))
+
+  /** The inclusion threshold θ of a sketch: u_k when the sketch is full,
+    * else 1.0 (the sketch then IS the whole domain). */
+  private def theta(sk: Column, k: Int): Column =
+    when(size(sk) === k,
+      element_at(sk, k).cast("double") / lit(KmvSpace)).otherwise(lit(1.0))
+
+  /**
+   * All-pairs distinct-INTERSECTION estimates between the group sketches
+   * of one sketch frame (single `key` column + `sk`): for a pair (a, b),
+   * θ = min(θ_a, θ_b), and |A ∩ B| ≈ |{h ∈ sk_a ∩ sk_b : h/2^60 < θ}| / θ
+   * (the theta-sketch intersection; exact when both sketches hold their
+   * whole domains). Returns every unordered pair `key_a < key_b` with
+   * (n_common, est_overlap) — zero-overlap pairs included.
+   *
+   * This is the 100 TB shape for "how much do my N corpus shards
+   * overlap": N·(N-1)/2 intersections over ≤k-row frames (here a
+   * self-equi-join on hv + one tiny agg) instead of N² joins over the
+   * full element domain. At any scale every frame in this plan is
+   * O(groups · k).
+   */
+  def kmvOverlapPairs(sketches: DataFrame, key: String, k: Int): DataFrame = {
+    val withTheta = sketches
+      .withColumn("theta", theta(col("sk"), k))
+    val ex = withTheta
+      .select(col(key).as("k_"), col("theta"), explode(col("sk")).as("hv"))
+    val a = ex.select(col("k_").as("key_a"), col("theta").as("theta_a"),
+      col("hv"))
+    val b = ex.select(col("k_").as("key_b"), col("theta").as("theta_b"),
+      col("hv"))
+    val common = a.join(b, "hv")
+      .filter(col("key_a") < col("key_b"))
+      .withColumn("th", least(col("theta_a"), col("theta_b")))
+      .filter(col("hv").cast("double") / lit(KmvSpace) < col("th"))
+      .groupBy("key_a", "key_b")
+      .agg(count(lit(1)).as("n_common"), min(col("th")).as("th"))
+    val keys = withTheta.select(col(key).as("k_"), col("theta"))
+    val pairs = keys.select(col("k_").as("key_a"), col("theta").as("theta_a"))
+      .join(broadcast(keys.select(col("k_").as("key_b"),
+          col("theta").as("theta_b"))),
+        col("key_a") < col("key_b"))
+    pairs.join(common, Seq("key_a", "key_b"), "left")
+      .select(col("key_a"), col("key_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        (coalesce(col("n_common"), lit(0L)).cast("double") /
+          coalesce(col("th"), least(col("theta_a"), col("theta_b"))))
+          .as("est_overlap"))
+  }
+
+  // ---------------- mergeable fixed-bin histograms ----------------
+
+  /** Per-group equi-width histogram over [lo, hi): (groupCols..., bin,
+    * cnt) for the NON-EMPTY bins (values clamped into range; rows where
+    * `value` is null are skipped). Counts are exact and additive — the
+    * partial frames of any finer grouping (per day, per shard, per
+    * partition) sum to the coarser histogram, so the raw data is scanned
+    * once ever. */
+  def histogramSketch(df: DataFrame, group: Seq[String], value: Column,
+                      lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 1 && hi > lo, s"need bins >= 1 and hi > lo")
+    val width = (hi - lo) / bins
+    val bin = least(greatest(floor((value - lit(lo)) / lit(width)), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("long")
+    df.filter(value.isNotNull)
+      .groupBy(group.map(col) :+ bin.as("bin"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Sum partial histograms (same lo/hi/bins) to coarser groups — the
+    * merge is plain addition over at most `bins` rows per group. */
+  def histogramMerge(parts: DataFrame, group: Seq[String]): DataFrame =
+    parts.groupBy(group.map(col) :+ col("bin"): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Quantile read-out of a histogram frame: for each prob p, the first
+    * bin whose cumulative count reaches p·N, linearly interpolated within
+    * the bin — deterministic arithmetic over ≤bins rows per group (the
+    * DuckDB oracle replays it exactly; error ≤ one bin width). Output:
+    * (groupCols..., p, est). */
+  def histogramQuantiles(hist: DataFrame, group: Seq[String],
+                         probs: Seq[Double], lo: Double, hi: Double,
+                         bins: Int): DataFrame = {
+    val width = (hi - lo) / bins
+    val g = group.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(col("bin").asc)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.partitionBy(g: _*)))
+    val withP = cum.crossJoin(broadcast(spark_probs(probs)))
+    val hit = withP
+      .filter(col("cum") >= col("p") * col("n"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(g :+ col("p"): _*).orderBy(col("bin").asc)))
+      .filter(col("rn") === 1)
+    hit.select(g ++ Seq(col("p"),
+      (lit(lo) + col("bin") * lit(width) + lit(width) *
+        (col("p") * col("n") - (col("cum") - col("cnt"))) / col("cnt"))
+        .as("est")): _*)
+  }
+
+  /** The probs literal as a one-column frame (explode of a literal array
+    * — k-scale, no data shuffle). */
+  private def spark_probs(probs: Seq[Double]) = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    probs.toDF("p")
+  }
+
+  // ---------------- DataSketches HLL production twin ----------------
+
+  /** Per-group Apache DataSketches HLL_4 sketch of `value` as a BINARY
+    * column — the compact production cardinality artifact (~2^lgK
+    * 4-bit registers per group at ANY cardinality; KMV above is the
+    * oracle-gated correctness twin). Parquet-storable; merge with
+    * [[hllMerge]]. */
+  def hllSketch(df: DataFrame, group: Seq[String], value: Column,
+                lgK: Int = 12): DataFrame =
+    df.groupBy(group.map(col): _*)
+      .agg(hll_sketch_agg(value, lit(lgK)).as("hll"))
+
+  /** Union stored HLL sketches to coarser groups and read the distinct
+    * estimate: (groupCols..., est_distinct). Union of per-part sketches
+    * with the same lgK is register-wise max — the merged estimate equals
+    * the direct single-pass estimate (`SketchesSpec` asserts it). */
+  def hllMerge(sketches: DataFrame, group: Seq[String]): DataFrame =
+    sketches.groupBy(group.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("hll")))
+        .as("est_distinct"))
 }

@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.Sketches
+import graft.sources.Tables
+
+/**
+ * Mergeable-sketch queries (q160–q163): KMV/theta cardinality sketches
+ * over the corpus shingle domain and fixed-bin histogram quantiles over
+ * the event stream — the "sketch once at the data, merge k-row artifacts
+ * at query time" discipline that replaces full-domain shuffles at 100 TB.
+ *
+ * All four are value-exact against DuckDB: the KMV family is built on the
+ * engine-portable md5-prefix hash (60-bit here — collision-safe to ~2^30
+ * distinct values), so sketch CONTENT, merged rollups, estimates and
+ * pairwise overlap estimates replay exactly in SQL; the histogram
+ * read-out is deterministic interpolation arithmetic. The binary
+ * DataSketches HLL twin ([[graft.operators.Sketches.hllSketch]]) is
+ * spec-gated instead (implementation-specific estimate).
+ */
+object SketchQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.loadSpread(s, dir, name)
+
+  /** Sketch size for the KMV queries: 1/√256 ≈ 6% relative error, and
+    * SMALLER than the per-source trigram domains (~1.2–1.5k at sf0.01)
+    * so the estimator path (not the exact-small-set path) is what the
+    * oracle exercises. */
+  private val K = 128
+
+  /** Distinct word-trigram stream per source — the shard-vocabulary
+    * domain the sketches summarize (trigram, not the dedup family's
+    * 5-gram: the synthetic corpus's 5-grams are pairwise disjoint across
+    * sources, which would make every overlap trivially zero). */
+  private def sourceGrams(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("source"),
+      explode(TextFunctions.wordNgrams(col("text"), 3)).as("gram"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q160_kmv_sketch" -> ((s, dir) => {
+      // the sketch artifact itself, row form: per source the K smallest
+      // 60-bit hashes of its distinct trigram domain. ONE shuffle of
+      // ≤K-long partial buffers per source (BottomKDistinct partial agg)
+      // — the oracle replays it as distinct + ranked window, the very
+      // plan the aggregate exists to avoid.
+      Sketches.kmvSketch(sourceGrams(s, dir), Seq("source"), col("gram"), K)
+        .select(col("source"), posexplode(col("sk")))
+        .select(col("source"), (col("pos") + 1).cast("int").as("pos"),
+          col("col").as("hv"))
+        .orderBy("source", "pos")
+    }),
+
+    "q161_kmv_rollup" -> ((s, dir) => {
+      // the materialize-once path (q130/q143 pattern): per-source
+      // sketches are built ONCE, written to parquet, and BOTH read-outs
+      // run over the stored k-row artifacts — per-shard vocabulary
+      // estimates, and the corpus-wide estimate via kmvMerge (exact
+      // merging: bottom-k of unioned bottom-k's ≡ bottom-k of the whole,
+      // so the oracle ranks the global domain directly). The raw corpus
+      // is scanned exactly once.
+      val out = "/tmp/graft_artifacts_q161"
+      Sketches.kmvSketch(sourceGrams(s, dir), Seq("source"), col("gram"), K)
+        .write.mode("overwrite").parquet(out)
+      val stored = s.read.parquet(out)
+      val per = stored.select(col("source").as("scope"), col("sk"))
+      val all = Sketches.kmvMerge(
+        stored.withColumn("scope", lit("ALL")), Seq("scope"), K)
+      per.unionByName(all)
+        .select(col("scope"), size(col("sk")).as("n_kept"),
+          round(Sketches.kmvEstimate(col("sk"), K), 4).as("est_distinct"))
+        .orderBy("scope")
+    }),
+
+    "q162_kmv_overlap" -> ((s, dir) => {
+      // all-pairs shard-overlap screening from sketches alone: 190
+      // source pairs × (theta intersection over ≤K-row frames) instead
+      // of 190 joins over the full trigram domain — the cheap
+      // contamination triage in front of the exact decontaminate join.
+      val sk = Sketches.kmvSketch(sourceGrams(s, dir), Seq("source"),
+        col("gram"), K)
+      Sketches.kmvOverlapPairs(sk, "source", K)
+        .select(col("key_a"), col("key_b"), col("n_common"),
+          round(col("est_overlap"), 4).as("est_overlap"))
+        .orderBy("key_a", "key_b")
+    }),
+
+    "q163_hist_quantile" -> ((s, dir) => {
+      // p50/p90/p99 of event value per type, read from per-(type, day)
+      // histogram partials summed to per-type — the additive-sketch
+      // dashboard shape: the raw stream is binned once per day; every
+      // later quantile question touches ≤ bins rows per group. The
+      // oracle bins the raw data directly (partial sums ≡ direct counts)
+      // and replays the interpolation arithmetic.
+      val ev = t(s, dir, "events")
+        .withColumn("day", to_date(col("ts")))
+      val parts = Sketches.histogramSketch(ev, Seq("event_type", "day"),
+        col("value"), lo = 0.0, hi = 500.0, bins = 250)
+      val merged = Sketches.histogramMerge(parts, Seq("event_type"))
+      Sketches.histogramQuantiles(merged, Seq("event_type"),
+          Seq(0.5, 0.9, 0.99), lo = 0.0, hi = 500.0, bins = 250)
+        .select(col("event_type"), col("p"), round(col("est"), 6).as("est"))
+        .orderBy("event_type", "p")
+    })
+  )
+
+  /** Shared trigram → distinct 60-bit hash → per-source ranked CTE chain
+    * (the composed plan BottomKDistinct collapses into one bounded agg). */
+  private val gramSketchCtes =
+    """WITH toks AS (SELECT source,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+      |  FROM documents),
+      |g AS (SELECT source, unnest(list_transform(range(1, greatest(len(w)-2, 0)+1),
+      |    i -> array_to_string(w[i:i+2], ' '))) AS gram FROM toks),
+      |h AS (SELECT DISTINCT source,
+      |    CAST(CAST(('0x' || substring(md5(gram), 1, 15)) AS UBIGINT) AS BIGINT) AS hv
+      |  FROM g),
+      |r AS (SELECT source, hv,
+      |    row_number() OVER (PARTITION BY source ORDER BY hv) AS pos FROM h),
+      |sk AS (SELECT source, hv, pos FROM r WHERE pos <= 128)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q160_kmv_sketch" -> (gramSketchCtes +
+      """
+        |SELECT source, CAST(pos AS INTEGER) AS pos, hv
+        |FROM sk ORDER BY source, pos""".stripMargin),
+
+    "q161_kmv_rollup" -> (gramSketchCtes +
+      """,
+        |per AS (SELECT source AS scope, count(*) AS n_kept, max(hv) AS mx
+        |  FROM sk GROUP BY 1),
+        |gh AS (SELECT DISTINCT hv FROM h),
+        |gr AS (SELECT hv, row_number() OVER (ORDER BY hv) AS pos FROM gh),
+        |gper AS (SELECT 'ALL' AS scope, count(*) AS n_kept, max(hv) AS mx
+        |  FROM gr WHERE pos <= 128)
+        |SELECT scope, CAST(n_kept AS INTEGER) AS n_kept,
+        |  round(CASE WHEN n_kept < 128 THEN CAST(n_kept AS DOUBLE)
+        |    ELSE 127.0 / (CAST(mx AS DOUBLE) / 1152921504606846976.0) END, 4)
+        |    AS est_distinct
+        |FROM (SELECT * FROM per UNION ALL SELECT * FROM gper)
+        |ORDER BY scope""".stripMargin),
+
+    "q162_kmv_overlap" -> (gramSketchCtes +
+      """,
+        |th AS (SELECT source,
+        |    CASE WHEN count(*) = 128
+        |      THEN CAST(max(hv) AS DOUBLE) / 1152921504606846976.0
+        |      ELSE 1.0 END AS theta
+        |  FROM sk GROUP BY 1),
+        |pairs AS (SELECT a.source AS key_a, b.source AS key_b,
+        |    least(a.theta, b.theta) AS t
+        |  FROM th a JOIN th b ON a.source < b.source),
+        |common AS (SELECT x.source AS key_a, y.source AS key_b, count(*) AS c
+        |  FROM sk x JOIN sk y ON x.hv = y.hv AND x.source < y.source
+        |  JOIN pairs p ON p.key_a = x.source AND p.key_b = y.source
+        |  WHERE CAST(x.hv AS DOUBLE) / 1152921504606846976.0 < p.t
+        |  GROUP BY 1, 2)
+        |SELECT p.key_a, p.key_b,
+        |  CAST(coalesce(c.c, 0) AS BIGINT) AS n_common,
+        |  round(CAST(coalesce(c.c, 0) AS DOUBLE) / p.t, 4) AS est_overlap
+        |FROM pairs p LEFT JOIN common c
+        |  ON c.key_a = p.key_a AND c.key_b = p.key_b
+        |ORDER BY p.key_a, p.key_b""".stripMargin),
+
+    "q163_hist_quantile" ->
+      """WITH v AS (SELECT event_type, value AS v FROM events
+        |  WHERE value IS NOT NULL),
+        |h AS (SELECT event_type,
+        |    CAST(least(greatest(floor(v / 2.0), 0.0), 249.0) AS BIGINT) AS bin,
+        |    count(*) AS cnt
+        |  FROM v GROUP BY 1, 2),
+        |c AS (SELECT event_type, bin, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM h),
+        |p AS (SELECT unnest([0.5, 0.9, 0.99]) AS p),
+        |hit AS (SELECT c.event_type, p.p, c.bin, c.cnt, c.cum, c.n,
+        |    row_number() OVER (PARTITION BY c.event_type, p.p
+        |      ORDER BY c.bin) AS rn
+        |  FROM c, p WHERE c.cum >= p.p * c.n)
+        |SELECT event_type, p,
+        |  round(bin * 2.0 + 2.0 * (p * n - (cum - cnt)) / cnt, 6) AS est
+        |FROM hit WHERE rn = 1 ORDER BY event_type, p""".stripMargin
+  )
+}

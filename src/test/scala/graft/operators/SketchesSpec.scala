@@ -44,4 +44,151 @@ class SketchesSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(a === b)
   }
+
+  // ---------------- KMV / bottom-k theta sketches ----------------
+
+  /** 4 groups × ~2.5k distinct string keys each, with cross-group overlap
+    * (keys are drawn from a shared 6k-id pool) — big enough that k=64
+    * sketches run the estimator path, small enough for exact checks. */
+  private lazy val kmvDf = spark.range(40000).toDF("id")
+    .withColumn("grp", col("id") % 4)
+    .withColumn("key",
+      concat(lit("k"), pmod(hash(col("id") * 7), lit(6000)).cast("string")))
+
+  private val kmvK = 64
+
+  test("bottomK equals the composed distinct + sort + truncate form") {
+    val fast = kmvDf.groupBy("grp")
+      .agg(Sketches.bottomK(Sketches.kmvHash60(col("key")), kmvK).as("sk"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val composed = kmvDf
+      .select(col("grp"), Sketches.kmvHash60(col("key")).as("hv")).distinct()
+      .groupBy("grp")
+      .agg(slice(sort_array(collect_set(col("hv"))), 1, kmvK).as("sk"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fast === composed)
+    fast.values.foreach(sk => assert(sk == sk.sorted && sk.size == kmvK))
+  }
+
+  test("bottomK is partition-invariant and exact (full array) below k") {
+    val small = kmvDf.filter(col("id") < 100) // ~100 distinct keys > k? no: 100 ids → ≤100 keys
+    val a = small.groupBy("grp")
+      .agg(Sketches.bottomK(Sketches.kmvHash60(col("key")), 1000).as("sk"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val b = small.repartition(13).groupBy("grp")
+      .agg(Sketches.bottomK(Sketches.kmvHash60(col("key")), 1000).as("sk"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(a === b)
+    // below k the sketch IS the sorted distinct hash domain
+    val exact = small
+      .select(col("grp"), Sketches.kmvHash60(col("key")).as("hv")).distinct()
+      .groupBy("grp").agg(sort_array(collect_set(col("hv"))).as("sk"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(a === exact)
+  }
+
+  test("kmvMerge of per-part sketches equals the direct whole-data sketch" +
+    " (exact merge property)") {
+    val parts = Sketches.kmvSketch(
+      kmvDf.withColumn("part", col("id") % 7), Seq("grp", "part"),
+      col("key"), kmvK)
+    val merged = Sketches.kmvMerge(parts, Seq("grp"), kmvK)
+      .as[(Long, Seq[Long])].collect().toMap
+    val direct = Sketches.kmvSketch(kmvDf, Seq("grp"), col("key"), kmvK)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(merged === direct)
+  }
+
+  test("kmvEstimate within ~3/sqrt(k) of exact distinct counts") {
+    val est = Sketches.kmvSketch(kmvDf, Seq("grp"), col("key"), kmvK)
+      .select(col("grp"), Sketches.kmvEstimate(col("sk"), kmvK).as("e"))
+      .as[(Long, Double)].collect().toMap
+    val exact = kmvDf.groupBy("grp").agg(count_distinct(col("key")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val tol = 3.0 / math.sqrt(kmvK) // ~0.375
+    exact.foreach { case (g, n) =>
+      assert(math.abs(est(g) - n) / n < tol,
+        s"grp $g: est ${est(g)} vs exact $n")
+    }
+  }
+
+  test("kmvOverlapPairs estimates pairwise intersections; exact when both" +
+    " sketches hold their whole domains") {
+    val sk = Sketches.kmvSketch(kmvDf, Seq("grp"), col("key"), kmvK)
+      .withColumnRenamed("grp", "g")
+    val est = Sketches.kmvOverlapPairs(sk, "g", kmvK)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(est.size == 6) // 4 choose 2, zero-pairs included
+    val exact = (for (a <- 0L to 3L; b <- (a + 1) to 3L) yield {
+      val ka = kmvDf.filter(col("grp") === a).select("key").distinct()
+      val kb = kmvDf.filter(col("grp") === b).select("key").distinct()
+      (a, b) -> ka.intersect(kb).count().toDouble
+    }).toMap
+    exact.foreach { case (p, n) =>
+      // intersection estimates compound two sketch errors; gate loosely
+      assert(math.abs(est(p) - n) / math.max(n, 1.0) < 0.75,
+        s"pair $p: est ${est(p)} vs exact $n")
+    }
+    // the exact-regime twin: sketches strictly larger than the domains
+    val wide = Sketches.kmvSketch(kmvDf, Seq("grp"), col("key"), 10000)
+      .withColumnRenamed("grp", "g")
+    val ex = Sketches.kmvOverlapPairs(wide, "g", 10000)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    exact.foreach { case (p, n) => assert(ex(p) === n) }
+  }
+
+  // ---------------- mergeable histograms ----------------
+
+  test("histogram partials merge to the direct histogram; quantile " +
+    "read-out within one bin width of exact") {
+    val data = df.withColumn("part", col("id") % 9)
+      .withColumn("x", col("v").cast("double"))
+    val parts = Sketches.histogramSketch(data, Seq("grp", "part"), col("x"),
+      lo = 0.0, hi = 10000.0, bins = 500)
+    val merged = Sketches.histogramMerge(parts, Seq("grp"))
+    val direct = Sketches.histogramSketch(data, Seq("grp"), col("x"),
+      lo = 0.0, hi = 10000.0, bins = 500)
+    assert(merged.select("grp", "bin", "cnt").as[(Long, Long, Long)]
+      .collect().toSet ===
+      direct.select("grp", "bin", "cnt").as[(Long, Long, Long)]
+        .collect().toSet)
+    val q = Sketches.histogramQuantiles(merged, Seq("grp"),
+        Seq(0.5, 0.9, 0.99), lo = 0.0, hi = 10000.0, bins = 500)
+      .as[(Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val exact = data.groupBy("grp")
+      .agg(expr("percentile(x, array(0.5, 0.9, 0.99))").as("e"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val binWidth = 10000.0 / 500
+    exact.foreach { case (g, es) =>
+      Seq(0.5, 0.9, 0.99).zip(es).foreach { case (p, e) =>
+        assert(math.abs(q((g, p)) - e) <= binWidth + 1e-9,
+          s"grp $g p$p: est ${q((g, p))} vs exact $e")
+      }
+    }
+  }
+
+  // ---------------- DataSketches HLL production twin ----------------
+
+  test("hllSketch: parquet-roundtripped per-part sketches merge to the " +
+    "direct single-pass estimate; estimate within rsd of exact") {
+    val data = kmvDf.withColumn("part", col("id") % 5)
+    val parts = Sketches.hllSketch(data, Seq("grp", "part"), col("key"))
+    val dir = java.nio.file.Files.createTempDirectory("hll-sk").toString
+    parts.write.mode("overwrite").parquet(dir)
+    val merged = Sketches.hllMerge(spark.read.parquet(dir), Seq("grp"))
+      .as[(Long, Long)].collect().toMap
+    val direct = Sketches.hllSketch(data, Seq("grp"), col("key"))
+      .select(col("grp"), hll_sketch_estimate(col("hll")).as("e"))
+      .as[(Long, Long)].collect().toMap
+    assert(merged === direct) // same-lgK union is register-wise max
+    val exact = data.groupBy("grp").agg(count_distinct(col("key")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    exact.foreach { case (g, n) =>
+      assert(math.abs(merged(g).toDouble - n) / n < 0.05,
+        s"grp $g: hll ${merged(g)} vs exact $n")
+    }
+  }
 }

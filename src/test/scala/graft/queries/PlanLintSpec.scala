@@ -43,7 +43,9 @@ class PlanLintSpec extends SparkSpec {
     "q74_tfidf" -> "broadcast 1-row corpus-size frame (N for idf) crossJoined onto term stats",
     "q92_negative_sampling" -> "broadcast 1-row part-count frame (the modulus for the hash draw)",
     "q108_dau_wau" -> "broadcast 1-row date-bounds frame (d0,d1) range-joined to the day scaffold — bounded by the calendar, not the fact table",
-    "q109_rfm" -> "broadcast 1-row order-statistic edges frame crossJoined for scan-local scoring")
+    "q109_rfm" -> "broadcast 1-row order-statistic edges frame crossJoined for scan-local scoring",
+    "q162_kmv_overlap" -> "broadcast |sources|-row theta frame: the all-pairs (a < b) scaffold over sketch keys — k-scale by construction",
+    "q163_hist_quantile" -> "broadcast |probs|-row frame crossJoined onto ≤bins histogram rows per group")
 
   /** Expand is legitimate only for SQL grouping sets. */
   private val expandAllowed: Map[String, String] = Map(
