@@ -104,7 +104,8 @@ object Plans {
       "q159_er_salted_skew",   // hot ER block salted 8x: salt keys + Generate
       "q160_kmv_sketch",       // bounded bottom-k agg: ≤k-long partials shuffle
       "q162_kmv_overlap",      // all-pairs theta intersect over k-row frames
-      "q163_hist_quantile")    // per-day bin partials + ≤bins-row read-out
+      "q163_hist_quantile",    // per-day bin partials + ≤bins-row read-out
+      "q165_sketch_screened_decon") // sketch screen composed before exact join
     // per-query reader notes where the right plan is easy to misread
     val notes = Map(
       "q128_sql_range_join" -> ("The user wrote the naive theta join " +
@@ -265,7 +266,19 @@ object Plans {
         "window + the allowlisted broadcast probs crossJoin + " +
         "first-hit row_number) runs over <=bins rows per group. The " +
         "raw stream is scanned once; every later percentile question " +
-        "re-reads only the B-row histogram artifact."))
+        "re-reads only the B-row histogram artifact."),
+      "q165_sketch_screened_decon" -> ("Read this plan as two stages " +
+        "glued by ONE broadcast: the screen (q162's k-scale theta " +
+        "intersection, incl. its allowlisted |sources|-row BNLJ " +
+        "scaffold) reduces to a <=|sources|-row flagged frame, which " +
+        "broadcasts onto the documents scan so only flagged sources' " +
+        "docs are shingled for the exact 5-gram join. The full-corpus " +
+        "gram explode of q93 appears NOWHERE: the explode sits " +
+        "behind the broadcast semi-ish join, so its input is the " +
+        "flagged subset. That containment is the whole point -- at " +
+        "100 TB the screen touches k-row sketches + one corpus scan " +
+        "for sketch BUILD, and doc-level shingling is paid only where " +
+        "the triage says contamination plausibly lives."))
     println("# PLANS -- formatted physical plans of representative queries\n")
     println(s"Generated against `$sfDir` (plan shapes are SF-invariant).\n")
     picks.foreach { name =>

@@ -217,6 +217,75 @@ object Sketches {
     probs.toDF("p")
   }
 
+  // ---------------- count-min frequency sketches ----------------
+
+  /** The d per-row bucket indices of `value` for a depth-d width-w CMS:
+    * row r hashes `"r|value"` through the engine-portable 60-bit hash
+    * and takes it mod w — the salt-by-row-index construction every
+    * oracle can replay verbatim. */
+  private def cmsBuckets(value: Column, depth: Int, width: Int): Column =
+    array((0 until depth).map(r =>
+      pmod(kmvHash60(concat_ws("|", lit(r.toString), value)),
+        lit(width.toLong))): _*)
+
+  /**
+   * Per-group count-min sketch of `value` frequencies: (groupCols...,
+   * r int, bucket long, cnt long) — the NON-EMPTY cells of a depth×width
+   * counter matrix. Build is one hash-aggregate whose map side combines
+   * each scan partition down to ≤ depth·width cells per group, so the
+   * shuffle moves O(groups · d · w) rows — the value domain itself never
+   * moves (same discipline as [[kmvSketch]]; this is the FREQUENCY
+   * complement of that cardinality sketch). Cells are additive, so
+   * partial frames (per day, per shard) [[cmsMerge]] to coarser groups
+   * by plain summation and the raw data is scanned once ever.
+   *
+   * Deterministic (salted md5 hashing, exact counts) — point estimates
+   * replay exactly in the DuckDB oracle (q164). Estimate error is the
+   * classic CMS bound: overcount ≤ 2N/w with probability 1 − (1/2)^d;
+   * never an undercount.
+   */
+  def cmsSketch(df: DataFrame, group: Seq[String], value: Column,
+                depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 1, s"need depth/width >= 1")
+    df.filter(value.isNotNull)
+      .select(group.map(col) :+
+        posexplode(cmsBuckets(value, depth, width)): _*)
+      .withColumnRenamed("pos", "r").withColumnRenamed("col", "bucket")
+      .groupBy(group.map(col) :+ col("r") :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Sum partial CMS frames (same depth/width/salts) to coarser groups —
+    * plain addition over ≤ d·w cells per group. */
+  def cmsMerge(parts: DataFrame, group: Seq[String]): DataFrame =
+    parts.groupBy(group.map(col) :+ col("r") :+ col("bucket"): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /**
+   * Point-frequency read-out: for each probe value (single-column
+   * `probes` frame, column `v`, distinct'd here), est = min over the d
+   * rows of the matching bucket's count (0 when a bucket is empty — the
+   * value definitely never occurred). Output: (groupCols..., v, est).
+   *
+   * The probe side is d rows per probe value — broadcast onto the
+   * sketch cells as an equi-join on (r, bucket), then a min-agg per
+   * (group, v): every frame after the sketch build is probe-scale or
+   * d·w-scale, never data-scale.
+   */
+  def cmsEstimate(sketch: DataFrame, group: Seq[String], probes: DataFrame,
+                  depth: Int, width: Int): DataFrame = {
+    val pv = probes.select(col("v")).distinct()
+      .select(col("v"), posexplode(cmsBuckets(col("v"), depth, width)))
+      .withColumnRenamed("pos", "r").withColumnRenamed("col", "bucket")
+    val cells = sketch.join(broadcast(pv), Seq("r", "bucket"))
+    val scaffold =
+      if (group.isEmpty) pv
+      else sketch.select(group.map(col): _*).distinct().crossJoin(broadcast(pv))
+    scaffold.join(cells, group :+ "v" :+ "r" :+ "bucket", "left")
+      .groupBy((group :+ "v").map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
   // ---------------- DataSketches HLL production twin ----------------
 
   /** Per-group Apache DataSketches HLL_4 sketch of `value` as a BINARY

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.Sketches
+import graft.operators.{Corpus, Sketches}
 import graft.sources.Tables
 
 /**
@@ -31,6 +31,12 @@ object SketchQueries {
     * so the estimator path (not the exact-small-set path) is what the
     * oracle exercises. */
   private val K = 128
+
+  /** CMS geometry for q164: 4×512 cells ≈ overcount ≤ 2N/512 with
+    * probability 1 − 2⁻⁴ — tight enough that the top-20 tokens usually
+    * read exact at sf0.01, loose enough that the sketch stays tiny. */
+  private val CmsDepth = 4
+  private val CmsWidth = 512
 
   /** Distinct word-trigram stream per source — the shard-vocabulary
     * domain the sketches summarize (trigram, not the dedup family's
@@ -87,6 +93,56 @@ object SketchQueries {
         .select(col("key_a"), col("key_b"), col("n_common"),
           round(col("est_overlap"), 4).as("est_overlap"))
         .orderBy("key_a", "key_b")
+    }),
+
+    "q164_cms_freq" -> ((s, dir) => {
+      // count-min point-frequency read-out for the corpus's 20 most
+      // frequent tokens: the sketch is d×w = 4×512 additive cells built
+      // in ONE hash-aggregate (map-side combines each scan partition to
+      // ≤2048 cells; the token domain never shuffles); the probe side is
+      // 80 broadcast rows. cnt_exact pins the CMS guarantee est ≥ exact
+      // in the oracle compare itself.
+      val toks = t(s, dir, "documents")
+        .select(explode(filter(split(lower(col("text")), "\\s+"),
+          w => length(w) > 0)).as("token"))
+      val sketch = Sketches.cmsSketch(toks, Seq.empty, col("token"),
+        depth = CmsDepth, width = CmsWidth)
+      val exact = toks.groupBy("token").agg(count(lit(1)).as("cnt_exact"))
+      val probes = exact
+        .orderBy(col("cnt_exact").desc, col("token").asc).limit(20)
+      val est = Sketches.cmsEstimate(sketch, Seq.empty,
+        probes.select(col("token").as("v")), depth = CmsDepth,
+        width = CmsWidth)
+      probes.join(est, probes("token") === est("v"))
+        .select(col("token"), col("cnt_exact"), col("est").as("est_cms"))
+        .orderBy("token")
+    }),
+
+    "q165_sketch_screened_decon" -> ((s, dir) => {
+      // sketch-screened decontamination triage: the q162 shard-overlap
+      // screen composed in FRONT of the exact q93 5-gram join — sources
+      // whose trigram-KMV intersection with the benchmark shard (src0)
+      // holds >= 8 common sketched hashes (the contaminated signature
+      // sits at 2-4x the common-phrase baseline) go through the exact
+      // join; the rest are never re-shingled. At 100 TB this is the
+      // shape that makes cross-shard decontamination affordable: N
+      // k-row sketch intersections pick the few shards worth a
+      // doc-level join. The threshold is a recall/cost dial — a
+      // contaminated shard below it would be missed, so it is set well
+      // under the observed contamination signature.
+      val docs = t(s, dir, "documents")
+      val sk = Sketches.kmvSketch(sourceGrams(s, dir), Seq("source"),
+        col("gram"), K)
+      val flagged = Sketches.kmvOverlapPairs(sk, "source", K)
+        .filter(col("key_a") === "src0" && col("n_common") >= 8)
+        .select(col("key_b").as("source"))
+      Corpus.decontaminate(
+          docs.join(broadcast(flagged), "source"),
+          docs.filter(col("source") === "src0"),
+          col("doc_id"), col("text"), n = 5)
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_shared"),
+          round(col("contamination"), 6).as("contamination"))
+        .orderBy("doc_id")
     }),
 
     "q163_hist_quantile" -> ((s, dir) => {
@@ -166,6 +222,60 @@ object SketchQueries {
         |FROM pairs p LEFT JOIN common c
         |  ON c.key_a = p.key_a AND c.key_b = p.key_b
         |ORDER BY p.key_a, p.key_b""".stripMargin),
+
+    "q164_cms_freq" ->
+      """WITH toks AS (SELECT
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |tok AS (SELECT unnest(w) AS token FROM toks),
+        |exact AS (SELECT token, count(*) AS cnt_exact FROM tok GROUP BY 1),
+        |probes AS (SELECT token, cnt_exact FROM exact
+        |  ORDER BY cnt_exact DESC, token LIMIT 20),
+        |rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        |sketch AS (SELECT r,
+        |    CAST(CAST(('0x' || substring(md5(CAST(r AS VARCHAR) || '|' || token), 1, 15))
+        |      AS UBIGINT) AS BIGINT) % 512 AS bucket, count(*) AS cnt
+        |  FROM tok, rs GROUP BY 1, 2),
+        |pb AS (SELECT p.token, p.cnt_exact, rs.r,
+        |    CAST(CAST(('0x' || substring(md5(CAST(rs.r AS VARCHAR) || '|' || p.token), 1, 15))
+        |      AS UBIGINT) AS BIGINT) % 512 AS bucket
+        |  FROM probes p, rs)
+        |SELECT pb.token, CAST(any_value(pb.cnt_exact) AS BIGINT) AS cnt_exact,
+        |  min(s.cnt) AS est_cms
+        |FROM pb JOIN sketch s ON s.r = pb.r AND s.bucket = pb.bucket
+        |GROUP BY pb.token ORDER BY pb.token""".stripMargin,
+
+    "q165_sketch_screened_decon" -> (gramSketchCtes +
+      """,
+        |th AS (SELECT source,
+        |    CASE WHEN count(*) = 128
+        |      THEN CAST(max(hv) AS DOUBLE) / 1152921504606846976.0
+        |      ELSE 1.0 END AS theta
+        |  FROM sk GROUP BY 1),
+        |flagged AS (SELECT y.source
+        |  FROM sk x JOIN sk y ON x.hv = y.hv
+        |    AND x.source = 'src0' AND y.source <> 'src0'
+        |  JOIN th a ON a.source = 'src0'
+        |  JOIN th b ON b.source = y.source
+        |  WHERE CAST(x.hv AS DOUBLE) / 1152921504606846976.0
+        |    < least(a.theta, b.theta)
+        |  GROUP BY 1 HAVING count(*) >= 8),
+        |toks5 AS (SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |grams5 AS (SELECT doc_id, source,
+        |    list_distinct(list_transform(range(1, greatest(len(w)-4, 0)+1),
+        |      i -> CAST(CAST(('0x' || substring(md5(array_to_string(w[i:i+4], ' ')), 1, 8))
+        |        AS UBIGINT) AS BIGINT))) AS g
+        |  FROM toks5),
+        |bench AS (SELECT DISTINCT unnest(g) AS bh FROM grams5 WHERE source = 'src0'),
+        |train AS (SELECT doc_id, len(g) AS n_grams, unnest(g) AS th5
+        |  FROM grams5 WHERE source IN (SELECT source FROM flagged))
+        |SELECT t.doc_id, CAST(any_value(t.n_grams) AS INTEGER) AS n_grams,
+        |  count(*) AS n_shared,
+        |  round(CAST(count(*) AS DOUBLE) / any_value(t.n_grams), 6) AS contamination
+        |FROM train t JOIN bench b ON t.th5 = b.bh
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin),
 
     "q163_hist_quantile" ->
       """WITH v AS (SELECT event_type, value AS v FROM events

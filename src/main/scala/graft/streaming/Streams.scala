@@ -56,6 +56,13 @@ case class HhCandidate(shard: Int, version: Long, key: String, cnt: Long)
 case class AdmittedDoc(doc_id: Long, stratum: String, n_tokens: Long,
                        cum_tokens: Long)
 
+/** Per-trigger KMV sketch snapshot emitted by [[Streams.kmvIngest]] —
+  * consumers keep each key's max `version` (latest-wins merge: a later
+  * snapshot's sketch supersedes, never merges with, an earlier one —
+  * each snapshot already summarizes the key's WHOLE in-horizon
+  * history, because bottom-k merge is exact). */
+case class KmvSnapshot(key: String, version: Long, sk: Seq[Long])
+
 object Streams {
 
   /** Millis in a day-or-smaller interval string ("30 days", "1 hour"). */
@@ -561,6 +568,66 @@ object Streams {
             state.update(true)
             setGuardedTimeout(state, all.map(_._2.getTime).max, idleTimeout)
             out
+          }
+      }
+  }
+
+  /**
+   * Streaming KMV sketch maintenance: the streaming twin of
+   * `Sketches.kmvSketch` — per-key bottom-k-distinct of the 60-bit
+   * md5-prefix hashes of arriving values, maintained incrementally in
+   * `flatMapGroupsWithState`. Because bottom-k merge is EXACT
+   * (bottom-k of unioned bottom-k's ≡ bottom-k of the union — the
+   * `SketchesSpec` merge property), the snapshot after any prefix of
+   * batches equals the batch sketch over exactly those rows, in any
+   * arrival order — the spec asserts final-snapshot ≡ batch-twin
+   * equality on the real corpus split across micro-batches.
+   *
+   * Emits a [[KmvSnapshot]] per key per updating trigger (`version`
+   * increments per update; latest wins downstream — the q161 rollup
+   * shape then merges latest per-key snapshots with `Sketches.kmvMerge`).
+   * Input: (key string, ts, value string), watermarked by the caller.
+   *
+   * State per key is AT MOST k longs + a version counter, event-time
+   * evicted — keys-per-horizon × k bounded, not value-domain bounded
+   * (the whole point of the sketch; the batch twin's bounded
+   * aggregation buffer becomes bounded group state here). Values are
+   * hashed SCAN-LOCALLY before the state shuffle, so the stateful
+   * stage moves and stores only longs.
+   */
+  def kmvIngest(rows: DataFrame, k: Int, idleTimeout: String = "30 days")
+      : org.apache.spark.sql.Dataset[KmvSnapshot] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import rows.sparkSession.implicits._
+    require(k >= 1, s"kmvIngest requires k >= 1 (got $k)")
+    val hashed = rows
+      .select(col("key").cast("string").as("key"), col("ts"),
+        graft.operators.Sketches.kmvHash60(col("value")).as("hv"))
+      .filter(col("key").isNotNull && col("hv").isNotNull)
+      .as[(String, java.sql.Timestamp, Long)]
+    hashed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Seq[Long]), KmvSnapshot](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, it, state: GroupState[(Long, Seq[Long])]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val (ver0, saved) = state.getOption.getOrElse((0L, Seq.empty[Long]))
+            // k-bounded fold (the batch aggregate's insert-evict, not a
+            // sort of the whole batch): ≤k resident longs at all times
+            val buf = scala.collection.mutable.TreeSet[Long](saved: _*)
+            var maxTs = Long.MinValue
+            it.foreach { case (_, ts, hv) =>
+              if (ts.getTime > maxTs) maxTs = ts.getTime
+              if (buf.size < k) buf += hv
+              else if (hv < buf.last && buf.add(hv)) buf.remove(buf.last)
+            }
+            val merged = buf.toSeq
+            val ver = ver0 + 1
+            state.update((ver, merged))
+            setGuardedTimeout(state, maxTs, idleTimeout)
+            Iterator.single(KmvSnapshot(key, ver, merged))
           }
       }
   }

@@ -170,6 +170,62 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  // ---------------- count-min frequency sketches ----------------
+
+  test("cmsSketch: partial frames merge to the direct sketch; estimates " +
+    "never undercount, are exact for isolated buckets, and obey the " +
+    "2N/w overcount bound across all probes") {
+    val d = 4; val w = 128
+    // zipfian-ish: key frequency ∝ repetition via modular squish
+    val data = spark.range(20000).toDF("id")
+      .withColumn("part", col("id") % 7)
+      .withColumn("key",
+        concat(lit("t"), pmod(col("id") * col("id") + col("id"), lit(400))
+          .cast("string")))
+    val parts = Sketches.cmsSketch(data, Seq("part"), col("key"), d, w)
+    val merged = Sketches.cmsMerge(parts, Seq.empty)
+    val direct = Sketches.cmsSketch(data, Seq.empty, col("key"), d, w)
+    assert(merged.as[(Int, Long, Long)].collect().toSet ===
+      direct.as[(Int, Long, Long)].collect().toSet,
+      "additive merge must equal the single-pass sketch")
+    val exact = data.groupBy("key").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val est = Sketches.cmsEstimate(direct, Seq.empty,
+        data.select(col("key").as("v")), d, w)
+      .as[(String, Long)].collect().toMap
+    val n = 20000L
+    exact.foreach { case (k, cnt) =>
+      assert(est(k) >= cnt, s"$k undercounted: ${est(k)} < $cnt")
+      assert(est(k) - cnt <= 2 * n / w,
+        s"$k overcount ${est(k) - cnt} breaks the 2N/w bound")
+    }
+    // a probe value never inserted reads a small overcount, never null
+    val cold = Sketches.cmsEstimate(direct, Seq.empty,
+        Seq("never-seen-token").toDF("v"), d, w)
+      .as[(String, Long)].collect().toMap
+    assert(cold("never-seen-token") >= 0L &&
+      cold("never-seen-token") <= 2 * n / w)
+  }
+
+  test("cmsEstimate with group columns: per-group scaffold yields an " +
+    "estimate row for every (group, probe), zero where a group never " +
+    "saw a bucket") {
+    val d = 2; val w = 64
+    val data = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "z"))
+      .toDF("grp", "key")
+    val sk = Sketches.cmsSketch(data, Seq("grp"), col("key"), d, w)
+    val est = Sketches.cmsEstimate(sk, Seq("grp"),
+        Seq("x", "z").toDF("v"), d, w)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(est(("a", "x")) >= 2L)
+    assert(est(("b", "z")) >= 1L)
+    // b never saw x's buckets (w=64, 3 distinct keys — collisions would
+    // only RAISE these, so assert the definitely-absent floor)
+    assert(est.size === 4, "2 groups x 2 probes")
+    assert(est(("b", "x")) <= est(("a", "x")))
+  }
+
   // ---------------- DataSketches HLL production twin ----------------
 
   test("hllSketch: parquet-roundtripped per-part sketches merge to the " +

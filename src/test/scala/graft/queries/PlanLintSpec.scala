@@ -45,6 +45,7 @@ class PlanLintSpec extends SparkSpec {
     "q108_dau_wau" -> "broadcast 1-row date-bounds frame (d0,d1) range-joined to the day scaffold — bounded by the calendar, not the fact table",
     "q109_rfm" -> "broadcast 1-row order-statistic edges frame crossJoined for scan-local scoring",
     "q162_kmv_overlap" -> "broadcast |sources|-row theta frame: the all-pairs (a < b) scaffold over sketch keys — k-scale by construction",
+    "q165_sketch_screened_decon" -> "same |sources|-row theta scaffold as q162 (the screen stage reuses kmvOverlapPairs)",
     "q163_hist_quantile" -> "broadcast |probs|-row frame crossJoined onto ≤bins histogram rows per group")
 
   /** Expand is legitimate only for SQL grouping sets. */
