@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Distributed BPE merge-table training (Sennrich et al. 2016, word-level
+ * variant) — the tokenizer-fitting step of a training-data pipeline,
+ * shaped for Spark the way production BPE trainers are shaped for a
+ * single machine:
+ *
+ *  1. ONE corpus scan aggregates word frequencies — the only stage that
+ *     touches the text column. Everything after runs on the word-vocab
+ *     frame (distinct words × counts), which is orders of magnitude
+ *     smaller than the corpus and stays DISTRIBUTED (a 100 TB web corpus
+ *     has billions of distinct "words"; they never sit on the driver).
+ *  2. Each merge round is one hash-aggregate over the vocab frame
+ *     (adjacent-pair counts, weighted by word frequency) + a ONE-ROW
+ *     argmax collect (bounded driver traffic by construction) + a
+ *     scan-local fold that rewrites the symbol arrays. No round
+ *     re-reads the corpus.
+ *
+ * Determinism: the argmax tiebreak is total (count desc, pair asc), so
+ * the learned merge sequence is partition-invariant — `BpeSpec` pins
+ * equality with a single-node reference implementation and across
+ * repartitionings. The vocab frame is re-localCheckpointed each round
+ * (eagerly, previous copy unpersisted) so round R's plan is one
+ * aggregate over a materialized frame, not R nested folds.
+ *
+ * Apply is [[graft.functions.BpeEncode]] — a scan-local codegen
+ * expression carrying the learned table as a reference object.
+ */
+object Bpe {
+
+  /** (word, cnt) frequencies — the one corpus-touching stage. Words are
+    * lowercased whitespace tokens (the engine-wide convention; must
+    * match [[graft.functions.BpeEncode]]'s splitter). */
+  def wordCounts(docs: DataFrame, textCol: Column): DataFrame =
+    docs.select(explode(filter(split(lower(textCol), "\\s+"),
+        w => length(w) > 0)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Left-to-right non-overlapping merge of adjacent (a, b) → a+b in a
+    * symbol array, as a scan-local fold. Symbols are never empty, so ""
+    * is a safe no-pending sentinel. */
+  private def mergePairCol(syms: Column, a: String, b: String): Column = {
+    val stepped = aggregate(
+      syms,
+      struct(array().cast("array<string>").as("acc"), lit("").as("pend")),
+      (s, x) => {
+        val acc = s.getField("acc")
+        val pend = s.getField("pend")
+        val hit = pend === lit(a) && x === lit(b)
+        struct(
+          when(hit, concat(acc, array(lit(a + b))))
+            .otherwise(when(pend === lit(""), acc)
+              .otherwise(concat(acc, array(pend)))).as("acc"),
+          when(hit, lit("")).otherwise(x).as("pend"))
+      })
+    when(stepped.getField("pend") === lit(""), stepped.getField("acc"))
+      .otherwise(concat(stepped.getField("acc"),
+        array(stepped.getField("pend"))))
+  }
+
+  /**
+   * Learn up to `numMerges` merges from a word-count frame (cols
+   * `word`, `cnt`). Stops early when no adjacent pair reaches
+   * `minPairCount`. Returns merges in rank order.
+   */
+  def trainFromCounts(counts: DataFrame, numMerges: Int,
+                      minPairCount: Long = 2L): Seq[(String, String)] = {
+    require(numMerges >= 0 && minPairCount >= 1)
+    // split("") keeps a trailing "" element (Java split, limit -1) —
+    // filter it: "" is the fold's no-pending sentinel and must never be
+    // a real symbol
+    var vocab = counts
+      .select(filter(split(col("word"), ""), s => s =!= lit("")).as("syms"),
+        col("cnt"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var exhausted = false
+    while (merges.size < numMerges && !exhausted) {
+      val best = vocab
+        .select(explode(arrays_zip(
+            slice(col("syms"), 1, size(col("syms")) - 1),
+            slice(col("syms"), 2, size(col("syms")) - 1))).as("p"),
+          col("cnt"))
+        .groupBy(col("p.0").as("a"), col("p.1").as("b"))
+        .agg(sum(col("cnt")).as("n"))
+        .filter(col("n") >= minPairCount)
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b) = (best(0).getString(0), best(0).getString(1))
+        merges += ((a, b))
+        val next = vocab
+          .select(mergePairCol(col("syms"), a, b).as("syms"), col("cnt"))
+          .localCheckpoint(true)
+        vocab.unpersist()
+        vocab = next
+      }
+    }
+    vocab.unpersist()
+    merges.toSeq
+  }
+
+  /** End-to-end: word-count scan + merge loop. */
+  def train(docs: DataFrame, textCol: Column, numMerges: Int,
+            minPairCount: Long = 2L): Seq[(String, String)] =
+    trainFromCounts(wordCounts(docs, textCol), numMerges, minPairCount)
+
+  /** The learned table as a tokenizing Column. */
+  def encode(text: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.graftshim.GraftShim.column(
+      graft.functions.BpeEncode(
+        org.apache.spark.sql.graftshim.GraftShim.expr(text), merges))
+}
