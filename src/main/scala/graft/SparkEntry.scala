@@ -61,7 +61,8 @@ object SparkEntry {
       graft.queries.PipelineQueries.queries ++
       graft.queries.CorpusQueries.queries ++
       graft.queries.OpsQueries.queries ++
-      graft.queries.SketchQueries.queries
+      graft.queries.SketchQueries.queries ++
+      graft.queries.BpeQueries.queries
 
   /** Per-query soundness preconditions the correctness harness runs
     * before verifying the named query — a registry, so Verify stays
@@ -96,5 +97,6 @@ object SparkEntry {
       graft.queries.PipelineQueries.oracleSql ++
       graft.queries.CorpusQueries.oracleSql ++
       graft.queries.OpsQueries.oracleSql ++
-      graft.queries.SketchQueries.oracleSql
+      graft.queries.SketchQueries.oracleSql ++
+      graft.queries.BpeQueries.oracleSql
 }

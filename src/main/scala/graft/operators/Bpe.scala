@@ -83,8 +83,8 @@ object Bpe {
     while (merges.size < numMerges && !exhausted) {
       val best = vocab
         .select(explode(arrays_zip(
-            slice(col("syms"), 1, size(col("syms")) - 1),
-            slice(col("syms"), 2, size(col("syms")) - 1))).as("p"),
+            slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"),
           col("cnt"))
         .groupBy(col("p.0").as("a"), col("p.1").as("b"))
         .agg(sum(col("cnt")).as("n"))

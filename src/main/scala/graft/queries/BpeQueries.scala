@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+import graft.sources.Tables
+
+/**
+ * BPE tokenizer queries (q166–q167): distributed merge-table training
+ * ([[graft.operators.Bpe]]) and scan-local apply
+ * ([[graft.functions.BpeEncode]]) over the synthetic corpus.
+ *
+ * Oracle strategy — the training loop is replayed EXACTLY in DuckDB as a
+ * generated CTE chain, one (pair-count → argmax → merge) triple per
+ * round, carrying the word-vocab as a chr(31)-delimited symbol string:
+ * merging (a, b) is `replace(s, US a US b US, US ab US)` — boundary-safe
+ * because every symbol is delimiter-wrapped, and replace()'s leftmost
+ * non-overlapping scan is exactly the trainer's single-pass fold
+ * semantics. The final round's vocab IS the per-word tokenization, so
+ * the apply query (q166) reads token frequencies straight off it, while
+ * the Spark side re-tokenizes the raw corpus through the codegen
+ * [[graft.functions.BpeEncode]] — the oracle checks trainer and encoder
+ * agree end-to-end, not just that one replays the other.
+ *
+ * Soundness of the sequential replay (rank i applied to exhaustion
+ * before rank i+1) vs the encoder's lowest-rank-first loop: merging
+ * (a, b) only creates adjacencies involving the NEW symbol ab, so a
+ * lower-rank pair can only reappear if its symbols include a
+ * later-created string — impossible when each merge's operands are
+ * single characters or outputs of strictly earlier merges, which holds
+ * for every trained sequence on this corpus ([[graft.BpeSpec]] pins the
+ * trainer/encoder agreement property directly).
+ *
+ * chr(31) (unit separator) is safe as the symbol delimiter: the corpus
+ * is printable ASCII (verified empirically; words are whitespace-split
+ * so no whitespace either), and symbols are substrings of words.
+ */
+object BpeQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.loadSpread(s, dir, name)
+
+  /** Merge rounds — deep enough that multi-round symbols (products of
+    * earlier merges) participate in later merges, small enough that the
+    * generated oracle stays readable. The sf0.01 corpus vocabulary
+    * supports far more than 16 merges at minPairCount=2. */
+  private val NumMerges = 16
+  private val MinPair = 2L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q166_bpe_encode" -> ((s, dir) => {
+      // train-then-tokenize: the merge table is learned from the same
+      // corpus (one corpus scan + NumMerges vocab-frame aggregates),
+      // then applied as a single scan-local codegen projection — the
+      // 100 TB shape: the expensive loop runs on the distinct-word
+      // frame; the corpus itself is touched exactly twice (count, apply).
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.train(docs, col("text"), NumMerges, MinPair)
+      docs.select(explode(Bpe.encode(col("text"), merges)).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy("token")
+    }),
+
+    "q167_bpe_train" -> ((s, dir) => {
+      // the learned artifact itself, rank order — the tokenizer table a
+      // downstream pipeline would broadcast to every encode site.
+      val merges = Bpe.train(t(s, dir, "documents"), col("text"),
+        NumMerges, MinPair)
+      val rows = merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+      s.createDataFrame(rows).toDF("rank", "a", "b").orderBy("rank")
+    })
+  )
+
+  /** Word-count + symbol-string base, then one (pairs → best → vocab)
+    * CTE triple per merge round. LEFT JOIN ON TRUE carries the vocab
+    * through unchanged when a round finds no pair ≥ MinPair (the
+    * trainer's early stop). */
+  private def trainCtes: String = {
+    val sb = new StringBuilder
+    sb ++= raw"""WITH wc AS MATERIALIZED (SELECT w AS word, count(*) AS cnt FROM (
+      |    SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> len(x) > 0)) AS w
+      |    FROM documents) GROUP BY 1),
+      |v0 AS MATERIALIZED (SELECT word,
+      |    chr(31) || array_to_string(string_split(word, ''), chr(31)) || chr(31) AS s,
+      |    cnt FROM wc)""".stripMargin
+    for (i <- 0 until NumMerges) {
+      sb ++= s""",
+        |p$i AS MATERIALIZED (SELECT sy[i] AS a, sy[i+1] AS b, sum(cnt) AS n FROM (
+        |    SELECT sy, cnt, unnest(range(1, len(sy))) AS i FROM (
+        |      SELECT list_filter(string_split(s, chr(31)), x -> x <> '') AS sy, cnt
+        |      FROM v$i))
+        |  GROUP BY 1, 2 HAVING sum(cnt) >= $MinPair),
+        |b$i AS MATERIALIZED (SELECT a, b FROM p$i ORDER BY n DESC, a, b LIMIT 1),
+        |v${i + 1} AS MATERIALIZED (SELECT v.word,
+        |    CASE WHEN b.a IS NOT NULL
+        |      THEN replace(v.s, chr(31) || b.a || chr(31) || b.b || chr(31),
+        |                        chr(31) || b.a || b.b || chr(31))
+        |      ELSE v.s END AS s,
+        |    v.cnt
+        |  FROM v$i v LEFT JOIN b$i b ON TRUE)""".stripMargin
+    }
+    sb.toString
+  }
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q166_bpe_encode" -> (trainCtes + s"""
+      |SELECT token, CAST(sum(cnt) AS BIGINT) AS n FROM (
+      |  SELECT cnt,
+      |    unnest(list_filter(string_split(s, chr(31)), x -> x <> '')) AS token
+      |  FROM v$NumMerges)
+      |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q167_bpe_train" -> (trainCtes + s"""
+      |SELECT CAST(rank AS INTEGER) AS rank, a, b FROM (
+      |${(0 until NumMerges).map(i => s"  SELECT $i AS rank, a, b FROM b$i")
+        .mkString("  UNION ALL\n")}
+      |) ORDER BY rank""".stripMargin)
+  )
+}

@@ -133,9 +133,14 @@ object SketchQueries {
       val docs = t(s, dir, "documents")
       val sk = Sketches.kmvSketch(sourceGrams(s, dir), Seq("source"),
         col("gram"), K)
+      // pairs are emitted key_a < key_b, so the benchmark shard can sit
+      // on either side — match both and flag the opposite key (naming-
+      // independent; the oracle's symmetric join behaves the same way)
       val flagged = Sketches.kmvOverlapPairs(sk, "source", K)
-        .filter(col("key_a") === "src0" && col("n_common") >= 8)
-        .select(col("key_b").as("source"))
+        .filter((col("key_a") === "src0" || col("key_b") === "src0") &&
+          col("n_common") >= 8)
+        .select(when(col("key_a") === "src0", col("key_b"))
+          .otherwise(col("key_a")).as("source"))
       Corpus.decontaminate(
           docs.join(broadcast(flagged), "source"),
           docs.filter(col("source") === "src0"),
