@@ -62,7 +62,8 @@ object SparkEntry {
       graft.queries.CorpusQueries.queries ++
       graft.queries.OpsQueries.queries ++
       graft.queries.SketchQueries.queries ++
-      graft.queries.BpeQueries.queries
+      graft.queries.BpeQueries.queries ++
+      graft.queries.LmQueries.queries
 
   /** Per-query soundness preconditions the correctness harness runs
     * before verifying the named query — a registry, so Verify stays
@@ -98,5 +99,6 @@ object SparkEntry {
       graft.queries.CorpusQueries.oracleSql ++
       graft.queries.OpsQueries.oracleSql ++
       graft.queries.SketchQueries.oracleSql ++
-      graft.queries.BpeQueries.oracleSql
+      graft.queries.BpeQueries.oracleSql ++
+      graft.queries.LmQueries.oracleSql
 }
