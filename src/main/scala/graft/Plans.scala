@@ -105,7 +105,9 @@ object Plans {
       "q160_kmv_sketch",       // bounded bottom-k agg: ≤k-long partials shuffle
       "q162_kmv_overlap",      // all-pairs theta intersect over k-row frames
       "q163_hist_quantile",    // per-day bin partials + ≤bins-row read-out
-      "q165_sketch_screened_decon") // sketch screen composed before exact join
+      "q165_sketch_screened_decon", // sketch screen composed before exact join
+      "q166_bpe_encode",       // trained-table codegen apply: one scan + one agg
+      "q169_lm_doc_nll")       // pair explode + two artifact joins + decimal sum
     // per-query reader notes where the right plan is easy to misread
     val notes = Map(
       "q128_sql_range_join" -> ("The user wrote the naive theta join " +
@@ -278,7 +280,23 @@ object Plans {
         "flagged subset. That containment is the whole point -- at " +
         "100 TB the screen touches k-row sketches + one corpus scan " +
         "for sketch BUILD, and doc-level shingling is paid only where " +
-        "the triage says contamination plausibly lives."))
+        "the triage says contamination plausibly lives."),
+      "q166_bpe_encode" -> ("The merge-table TRAINING already ran by " +
+        "the time this plan exists (16 vocab-frame aggregate rounds + " +
+        "one-row argmax collects -- driver-bounded by construction, " +
+        "never visible in the apply plan). What remains is the whole " +
+        "point: bpe_encode is a codegen projection carrying the ranks " +
+        "as a reference object, so tokenizing the corpus is ONE scan " +
+        "-> Generate(explode) -> hash agg with map-side combine. At " +
+        "100 TB the trained table broadcasts by construction (it IS " +
+        "the expression), and the only Exchange carries token counts."),
+      "q169_lm_doc_nll" -> ("Scoring joins the exploded adjacent-pair " +
+        "stream LEFT against the bigram and unigram artifacts -- both " +
+        "broadcast here (corpus-tiny vocab); at web-corpus vocab AQE " +
+        "falls back to shuffle-hash on the pair/token key. The decimal " +
+        "cast before the doc-key sum is the order-invariance " +
+        "discipline, and the first-token branch unions one row per " +
+        "doc, not a third corpus-wide join."))
     println("# PLANS -- formatted physical plans of representative queries\n")
     println(s"Generated against `$sfDir` (plan shapes are SF-invariant).\n")
     picks.foreach { name =>
