@@ -337,6 +337,67 @@ object Corpus {
   }
 
   /**
+   * Sliding-window repeated-span excision — the alignment-free upgrade
+   * of [[spanDedup]] (ExactSubstr-style: Lee et al. 2021 "Deduplicating
+   * Training Data Makes Language Models Better" §3.1 remove-all-but-one
+   * of any ≥N-token repeated span, realized over STRIDE-1 token windows
+   * instead of a suffix array). Fixed tiles miss any repeat that
+   * straddles a tile boundary or starts off-phase; stride-1 windows
+   * catch every repeated `spanWords`-token span at ANY alignment.
+   *
+   * Pinned semantics: each distinct window value's globally-first
+   * occurrence (lowest (id, position) — id must be orderable) is
+   * canonical; every token covered by any NON-canonical occurrence is
+   * excised; the doc is rebuilt from surviving tokens in order. A
+   * periodic self-overlapping run ("a a a a", W=2) keeps only its first
+   * token — duplicate windows overlap the canonical one, and coverage
+   * excision is deliberately aggressive there (the run IS repetition).
+   * Docs shorter than `spanWords` are never touched.
+   *
+   * Returns (id, n_tokens, n_kept, rebuilt_md5).
+   *
+   * Plan shape (100 TB): window hashing is scan-local (n windows per
+   * n-token doc — stride 1 costs ×1 rows vs tiles, not ×W: one row per
+   * position either way, each carrying a 32-char md5 instead of a
+   * W-word string). ONE corpus-wide Exchange on the window hash decides
+   * winners; the duplicate-coverage explode is bounded by duplicate
+   * mass × W, collapses to a per-doc position set (one doc-key
+   * Exchange over the DUPLICATED docs only), and joins back onto the
+   * base scan (AQE broadcasts while the hit set is small); the rebuild
+   * is a scan-local indexed filter — the clean corpus never
+   * re-shuffles its tokens.
+   */
+  def slidingSpanDedup(docs: DataFrame, idCol: Column, textCol: Column,
+                       spanWords: Int = 8): DataFrame = {
+    require(spanWords >= 2, s"spanWords must be >= 2 (got $spanWords)")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs
+      .select(idCol.as("id"),
+        filter(split(lower(textCol), "\\s+"), t => length(t) > 0).as("_w"))
+      .select(col("id"), col("_w"), size(col("_w")).as("_n"))
+    val grams = base.filter(col("_n") >= spanWords)
+      .select(col("id"), col("_w"),
+        explode(sequence(lit(1), col("_n") - (spanWords - 1))).as("_i"))
+      .select(col("id"), col("_i"),
+        md5(concat_ws(" ", slice(col("_w"), col("_i"), lit(spanWords))))
+          .as("_g"))
+    val dupCover = grams
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("_g")).orderBy(col("id"), col("_i"))))
+      .filter(col("_rn") > 1)
+      .select(col("id"),
+        explode(sequence(col("_i"), col("_i") + (spanWords - 1))).as("_p"))
+      .groupBy("id").agg(collect_set(col("_p")).as("_cov"))
+    base.join(dupCover, Seq("id"), "left")
+      .withColumn("_kept", when(col("_cov").isNull, col("_w"))
+        .otherwise(filter(col("_w"),
+          (_, i) => not(array_contains(col("_cov"), i + lit(1))))))
+      .select(col("id"), col("_n").as("n_tokens"),
+        size(col("_kept")).as("n_kept"),
+        md5(array_join(col("_kept"), " ")).as("rebuilt_md5"))
+  }
+
+  /**
    * Boilerplate excision — the CCNet/C4 LINE-level frequency rule
    * (Wenzek et al. 2020 §3.1 deduplicate-then-filter; the "remove any
    * line repeated across documents" pass every web-corpus pipeline

@@ -42,6 +42,23 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    "q170_sliding_span_dedup" -> ((s, dir) => {
+      // ExactSubstr-style stride-1 repeated-span excision (Lee et al.
+      // 2021): every 4-token window repeated anywhere in the corpus at
+      // ANY alignment loses all but its globally-first occurrence —
+      // the tile-boundary-blind upgrade of q131 (a repeat straddling a
+      // 10-word tile edge is invisible there, excised here). W=4 bites
+      // broadly on this corpus (~47% of docs hold a repeated window)
+      // without reducing it to stubs. Oracle replays the window
+      // hashing, first-wins ranking, coverage explode and indexed
+      // rebuild verbatim.
+      Corpus.slidingSpanDedup(t(s, dir, "documents"), col("doc_id"),
+          col("text"), spanWords = 4)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_kept"),
+          col("rebuilt_md5"))
+        .orderBy("doc_id")
+    }),
+
     "q155_boilerplate" -> ((s, dir) => {
       // CCNet/C4-style boilerplate excision: any 10-word tile whose
       // DOCUMENT frequency reaches 3 is template text, and ALL its
@@ -570,6 +587,31 @@ object CorpusQueries {
         |      ''))) AS rebuilt_md5
         |FROM base b LEFT JOIN kept k USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
+
+    "q170_sliding_span_dedup" ->
+      raw"""WITH toksl AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, i, md5(array_to_string(w[i:i+3], ' ')) AS g
+        |  FROM (SELECT doc_id, w,
+        |      unnest(range(1, greatest(len(w) - 3, 0) + 1)) AS i
+        |    FROM toksl)),
+        |dup AS (SELECT doc_id, i FROM (
+        |    SELECT doc_id, i, row_number() OVER (PARTITION BY g
+        |      ORDER BY doc_id, i) AS rn FROM g) WHERE rn > 1),
+        |cov AS (SELECT doc_id, list(DISTINCT p) AS ps FROM (
+        |    SELECT doc_id, unnest(range(i, i + 4)) AS p FROM dup)
+        |  GROUP BY 1),
+        |fin AS (SELECT t.doc_id, len(t.w) AS n_tokens,
+        |    CASE WHEN c.ps IS NULL THEN t.w
+        |      ELSE list_transform(list_filter(range(1, len(t.w) + 1),
+        |        p -> NOT list_contains(c.ps, p)), p -> t.w[p]) END AS kept
+        |  FROM toksl t LEFT JOIN cov c USING (doc_id))
+        |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+        |  CAST(len(kept) AS INTEGER) AS n_kept,
+        |  md5(coalesce(array_to_string(kept, ' '), '')) AS rebuilt_md5
+        |FROM fin ORDER BY doc_id""".stripMargin,
 
     // q131's tiling + rebuild verbatim; only the keep rule changes —
     // a tile survives iff its distinct-doc frequency stays under 3

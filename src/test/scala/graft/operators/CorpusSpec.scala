@@ -141,6 +141,55 @@ class CorpusSpec extends SparkSpec {
     assert(out(20L) === m("k one a k two b k three c"))
   }
 
+  // ---- slidingSpanDedup ----
+
+  test("slidingSpanDedup: catches a repeat at arbitrary alignment that " +
+      "tile-aligned spanDedup misses; first occurrence keeps its copy") {
+    // W=3. The shared span [a b c] sits at positions 3–5 of doc 1 and
+    // 2–4 of doc 2 — OFF tile phase both times, so spanDedup(3) sees
+    // disjoint tiles and excises nothing; stride-1 windows match it.
+    val docs = Seq(
+      (1L, "p q a b c r"),
+      (2L, "x a b c y z")
+    ).toDF("doc_id", "text")
+    def m(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    val slid = Corpus.slidingSpanDedup(docs, col("doc_id"), col("text"), 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(slid(1L) === ((6, 6, m("p q a b c r")))) // canonical copy intact
+    assert(slid(2L) === ((6, 3, m("x y z"))))       // covered span excised
+    val tiled = Corpus.spanDedup(docs, col("doc_id"), col("text"), 3)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(tiled(2L) === m("x a b c y z"))          // tiles are phase-blind
+  }
+
+  test("slidingSpanDedup: periodic self-overlapping run collapses to its " +
+      "first token; short docs untouched; tokenization normalizes") {
+    val docs = Seq(
+      (1L, "a a a a"),   // windows at 1,2 share one hash → dup at 2
+      (2L, "p q"),       // shorter than W — no windows, fully kept
+      (3L, "B  b a a")   // lower+trim: windows [b b a][b a a], both unique
+    ).toDF("doc_id", "text")
+    def m(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    val out = Corpus.slidingSpanDedup(docs, col("doc_id"), col("text"), 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L) === ((4, 1, m("a")))) // dup window at 2 covers 2-4
+    assert(out(2L) === ((2, 2, m("p q"))))
+    assert(out(3L) === ((4, 4, m("b b a a"))))
+  }
+
+  test("slidingSpanDedup: partition-invariant") {
+    val rnd = new scala.util.Random(5)
+    val vocab = Vector("a", "b", "c", "d")
+    val docs = (1L to 30L).map(i =>
+      (i, Seq.fill(12)(vocab(rnd.nextInt(4))).mkString(" "))).toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Corpus.slidingSpanDedup(d, col("doc_id"), col("text"), 4)
+        .collect().map(r => (r.getLong(0), r.getInt(2), r.getString(3))).toSet
+    assert(run(docs.repartition(1)) === run(docs.repartition(7)))
+  }
+
   // ---- removeBoilerplate ----
 
   test("removeBoilerplate: a tile reaching minDf distinct docs is excised " +
