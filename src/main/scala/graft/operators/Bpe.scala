@@ -67,10 +67,26 @@ object Bpe {
    * Learn up to `numMerges` merges from a word-count frame (cols
    * `word`, `cnt`). Stops early when no adjacent pair reaches
    * `minPairCount`. Returns merges in rank order.
+   *
+   * Adaptive execution: when the distinct-word frame holds at most
+   * `localizeBelow` rows, it is collected once and the merge loop runs
+   * on the driver — numMerges rounds of tiny Spark jobs collapse to one
+   * job + a local loop, with IDENTICAL output (`BpeSpec` pins
+   * local ≡ distributed equality; both share the total tiebreak).
+   * Above the threshold the loop stays fully distributed: a web-scale
+   * corpus has billions of distinct "words" and the vocab frame never
+   * sits on one machine.
    */
   def trainFromCounts(counts: DataFrame, numMerges: Int,
-                      minPairCount: Long = 2L): Seq[(String, String)] = {
+                      minPairCount: Long = 2L,
+                      localizeBelow: Long = 100000L): Seq[(String, String)] = {
     require(numMerges >= 0 && minPairCount >= 1)
+    if (numMerges > 0 && counts.limit(localizeBelow.toInt + 1).count() <= localizeBelow) {
+      return trainLocal(
+        counts.select(col("word"), col("cnt").cast("long")).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq,
+        numMerges, minPairCount)
+    }
     // split("") keeps a trailing "" element (Java split, limit -1) —
     // filter it: "" is the fold's no-pending sentinel and must never be
     // a real symbol
@@ -104,6 +120,72 @@ object Bpe {
     }
     vocab.unpersist()
     merges.toSeq
+  }
+
+  /** Driver-local merge loop for vocab frames under the localize
+    * threshold — same code-point alphabet, pair weighting, tiebreak and
+    * single-pass merge as the distributed rounds. */
+  private def trainLocal(counts: Seq[(String, Long)], numMerges: Int,
+                         minPairCount: Long): Seq[(String, String)] = {
+    def splitCp(w: String): Array[String] = {
+      val out = Array.newBuilder[String]
+      var off = 0
+      while (off < w.length) {
+        val next = w.offsetByCodePoints(off, 1)
+        out += w.substring(off, next); off = next
+      }
+      out.result()
+    }
+    var vocab = counts.map { case (w, c) => (splitCp(w), c) }
+    val merges = Seq.newBuilder[(String, String)]
+    var done = 0
+    var exhausted = false
+    while (done < numMerges && !exhausted) {
+      val pairs = scala.collection.mutable.HashMap[(String, String), Long]()
+      for ((sy, c) <- vocab; j <- 0 until sy.length - 1) {
+        val k = (sy(j), sy(j + 1))
+        pairs(k) = pairs.getOrElse(k, 0L) + c
+      }
+      val cand = pairs.iterator.filter(_._2 >= minPairCount)
+      if (cand.isEmpty) exhausted = true
+      else {
+        // argmax with the distributed loop's total tiebreak (count
+        // desc, a asc, b asc) — string order by CODE POINTS, matching
+        // Spark's UTF8 binary ordering, not Java's UTF-16 compareTo
+        // (they disagree for supplementary vs upper-BMP characters)
+        def cpCompare(x: String, y: String): Int = {
+          var i = 0; var j = 0
+          while (i < x.length && j < y.length) {
+            val cx = x.codePointAt(i); val cy = y.codePointAt(j)
+            if (cx != cy) return Integer.compare(cx, cy)
+            i += Character.charCount(cx); j += Character.charCount(cy)
+          }
+          Integer.compare(x.length - i, y.length - j)
+        }
+        val (a, b) = pairs.iterator.filter(_._2 >= minPairCount)
+          .reduceLeft { (x, y) =>
+            val ((xa, xb), xn) = x; val ((ya, yb), yn) = y
+            val better = yn > xn || (yn == xn && {
+              val ca = cpCompare(ya, xa)
+              ca < 0 || (ca == 0 && cpCompare(yb, xb) < 0)
+            })
+            if (better) y else x
+          }._1
+        merges += ((a, b))
+        vocab = vocab.map { case (sy, c) =>
+          val out = Array.newBuilder[String]
+          var j = 0
+          while (j < sy.length) {
+            if (j < sy.length - 1 && sy(j) == a && sy(j + 1) == b) {
+              out += a + b; j += 2
+            } else { out += sy(j); j += 1 }
+          }
+          (out.result(), c)
+        }
+        done += 1
+      }
+    }
+    merges.result()
   }
 
   /** End-to-end: word-count scan + merge loop. */

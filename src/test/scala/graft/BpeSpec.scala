@@ -96,6 +96,18 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.trainFromCounts(countsDf(counts).coalesce(1), 12) === expect)
   }
 
+  test("adaptive localization: driver-local path ≡ distributed rounds") {
+    val rnd = new scala.util.Random(13)
+    val words = Seq("spark", "sparse", "parse", "parquet", "partition",
+      "spartan", "park", "part", "apart", "depart")
+    val counts = words.map(w => (w, (rnd.nextInt(25) + 1).toLong))
+    val df = countsDf(counts)
+    val local = Bpe.trainFromCounts(df, 10)                    // localizes
+    val dist = Bpe.trainFromCounts(df, 10, localizeBelow = 0L) // forced rounds
+    assert(local === dist)
+    assert(local === refTrain(counts, 10, 2))
+  }
+
   test("trainer early-stops below minPairCount") {
     // every pair unique at cnt=1 → no merge clears minPairCount=2
     val got = Bpe.trainFromCounts(countsDf(Seq(("abc", 1), ("def", 1))), 5)
