@@ -66,6 +66,59 @@ object Md5Prefix32 {
 }
 
 /**
+ * All four 32-bit lanes of one md5 digest as `array<long>` — lane j is
+ * bit-identical to `conv(substring(md5(s), 1 + 8*j, 8), 16, 10)` (and to
+ * DuckDB's `CAST(('0x' || substring(md5(s), 1 + j*8, 8)) AS UBIGINT)`).
+ * One digest feeds four independent uniform draws (the Poisson-bootstrap
+ * hot path): the composed hex-substring-conv form pays three string
+ * allocations PER LANE on 4× the rows; this is one digest pass and four
+ * shifts, no hex string ever materialized.
+ */
+case class Md5Lanes4(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"md5_lanes4 requires string, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(s: Any): Any =
+    Md5Lanes4.compute(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.Md5Lanes4.compute($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Lanes4 =
+    copy(child = newChild)
+
+  override def prettyName: String = "md5_lanes4"
+}
+
+object Md5Lanes4 {
+  private val digests = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
+  /** Scalar kernel; static so generated code calls it directly. */
+  def compute(s: UTF8String): ArrayData = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    val out = new Array[Long](4)
+    var j = 0
+    while (j < 4) {
+      val b = j * 4
+      out(j) = ((d(b) & 0xFFL) << 24) | ((d(b + 1) & 0xFFL) << 16) |
+        ((d(b + 2) & 0xFFL) << 8) | (d(b + 3) & 0xFFL)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/**
  * |a ∩ b| for two SORTED arrays of distinct longs, as a single merge walk.
  *
  * Precondition (caller-enforced, not checked): both inputs sorted ascending

@@ -32,6 +32,22 @@ object MlQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "q171_bootstrap_ci" -> ((s, dir) => {
+      // Poisson-bootstrap 95% CI on mean event value per type
+      // (graft.evaluate.Bootstrap): B=200 replicas from ONE aggregation
+      // pass — deterministic md5-derived Poisson(1) weights, decimal-
+      // exact replica sums, exact order-statistic interval. The oracle
+      // replays hash, inverse-CDF when-chain, and rank selection
+      // verbatim.
+      graft.evaluate.Bootstrap.meanCI(
+          Tables.load(s, dir, "events").filter(col("value").isNotNull),
+          col("event_id"), col("value"), Seq("event_type"),
+          replicas = 200, alpha = 0.05)
+        .select(col("event_type"), col("n"), round(col("mean"), 6).as("mean"),
+          round(col("ci_lo"), 6).as("ci_lo"), round(col("ci_hi"), 6).as("ci_hi"))
+        .orderBy("event_type")
+    }),
+
     "q55_ensemble_vote" -> ((s, dir) => {
       // weighted vote + population-std consensus + confidence bucket
       // (reference: pipeline.py:285-288, 375-389)
@@ -233,7 +249,43 @@ object MlQueries {
       |  CASE WHEN event_type = 'purchase' THEN value END AS outcome_value
       |  FROM events)""".stripMargin
 
+  /** Poisson(1) inverse-CDF CASE chain over the hash uniform — the
+    * byte-identical doubles the Spark when-chain compares against. */
+  private def poissonCase(u: String): String =
+    graft.evaluate.Bootstrap.cdf.zipWithIndex
+      .map { case (c, k) => s"WHEN $u < $c THEN $k" }
+      .mkString("CASE ", " ", " ELSE 8 END")
+
   val oracleSql: Map[String, String] = Map(
+
+    "q171_bootstrap_ci" -> s"""
+      |WITH b AS (SELECT event_type, event_id, value FROM events
+      |  WHERE value IS NOT NULL),
+      |point AS (SELECT event_type, count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mean
+      |  FROM b GROUP BY 1),
+      |drawn AS (SELECT event_type, value, bk * 4 + j AS r,
+      |    ${poissonCase("(CAST(('0x' || substring(md5('bs:' || " +
+      "CAST(event_id AS VARCHAR) || '#' || CAST(bk AS VARCHAR)), " +
+      "1 + j * 8, 8)) AS UBIGINT) % 1000000) / 1e6")} AS w
+      |  FROM b, (SELECT unnest(range(0, 50)) AS bk),
+      |    (SELECT unnest(range(0, 4)) AS j)),
+      |reps AS (SELECT event_type, r, sum(w) AS wn,
+      |    sum(CAST(w * value AS DECIMAL(38,12))) AS ws
+      |  FROM drawn GROUP BY 1, 2 HAVING sum(w) > 0),
+      |m AS (SELECT event_type, r, CAST(ws AS DOUBLE) / wn AS m FROM reps),
+      |rk AS (SELECT event_type, m,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY m, r) AS rk,
+      |    count(*) OVER (PARTITION BY event_type) AS b2 FROM m),
+      |ci AS (SELECT event_type,
+      |    max(CASE WHEN rk = CAST(ceil(b2 * ${(0.05 / 2).toString})
+      |      AS INTEGER) THEN m END) AS ci_lo,
+      |    max(CASE WHEN rk = CAST(ceil(b2 * ${(1 - 0.05 / 2).toString})
+      |      AS INTEGER) THEN m END) AS ci_hi
+      |  FROM rk GROUP BY 1)
+      |SELECT p.event_type, p.n, round(p.mean, 6) AS mean,
+      |  round(c.ci_lo, 6) AS ci_lo, round(c.ci_hi, 6) AS ci_hi
+      |FROM point p LEFT JOIN ci c USING (event_type) ORDER BY 1""".stripMargin,
 
     "q55_ensemble_vote" ->
       s"""WITH $pseudoSql,

@@ -40,6 +40,16 @@ class HashOpsSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("Md5Lanes4 == conv(substring(md5(s), 1+8j, 8), 16, 10) per lane") {
+    val bad = fuzz.select(
+        c(Md5Lanes4(x(col("s")))).as("fast"),
+        array((0 to 3).map(j =>
+          conv(substring(md5(col("s").cast("binary")), 1 + 8 * j, 8), 16, 10)
+            .cast("long")): _*).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(bad.count() === 0)
+  }
+
   test("ShingleHashes == md5-prefix of every charShingle (as sets)") {
     val viaComposed = array_sort(array_distinct(transform(
       TextFunctions.charShingles(lower(col("s")), 5),
