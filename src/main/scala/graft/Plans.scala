@@ -107,7 +107,9 @@ object Plans {
       "q163_hist_quantile",    // per-day bin partials + ≤bins-row read-out
       "q165_sketch_screened_decon", // sketch screen composed before exact join
       "q166_bpe_encode",       // trained-table codegen apply: one scan + one agg
-      "q169_lm_doc_nll")       // pair explode + two artifact joins + decimal sum
+      "q169_lm_doc_nll",       // pair explode + two artifact joins + decimal sum
+      "q170_sliding_span_dedup", // stride-1 window hash + coverage + local rebuild
+      "q171_bootstrap_ci")     // xB lane explode into one partial agg
     // per-query reader notes where the right plan is easy to misread
     val notes = Map(
       "q128_sql_range_join" -> ("The user wrote the naive theta join " +
@@ -290,6 +292,22 @@ object Plans {
         "-> Generate(explode) -> hash agg with map-side combine. At " +
         "100 TB the trained table broadcasts by construction (it IS " +
         "the expression), and the only Exchange carries token counts."),
+      "q170_sliding_span_dedup" -> ("Stride-1 window hashing is " +
+        "scan-local (one md5 row per token position); the single " +
+        "corpus-wide Exchange is the window over the hash that picks " +
+        "global first occurrences. Duplicate coverage explodes ONLY " +
+        "duplicate windows (bounded by dup mass x W), collapses to a " +
+        "per-doc position set, and broadcasts back onto the base scan " +
+        "-- the rebuild is an indexed array filter in the projection, " +
+        "so the clean corpus never re-shuffles its tokens."),
+      "q171_bootstrap_ci" -> ("The repartition before the xB explode " +
+        "is deliberate: a one-split input would run the whole " +
+        "20M-row replica pipeline on one core (measured 19s -> 3.4s). " +
+        "Each md5 digest feeds FOUR replica lanes (Md5Lanes4, no hex " +
+        "string), the Poisson inverse-CDF is a when-chain on the " +
+        "materialized uniform, and the B replica sums come out of one " +
+        "partial-agg Exchange carrying B rows per group -- never BxN. " +
+        "The interval is rank-selected over <=B rows per group."),
       "q169_lm_doc_nll" -> ("Scoring joins the exploded adjacent-pair " +
         "stream LEFT against the bigram and unigram artifacts -- both " +
         "broadcast here (corpus-tiny vocab); at web-corpus vocab AQE " +

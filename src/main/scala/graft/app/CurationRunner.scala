@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{Corpus, Dedup, Sampling, TopK}
+import graft.operators.{Corpus, Dedup, NgramLm, Sampling, TopK}
 
 /**
  * End-to-end training-corpus curation pipeline — the production
@@ -15,7 +15,9 @@ import graft.operators.{Corpus, Dedup, Sampling, TopK}
  * footer can neither contaminate nor glue near-dup clusters) →
  * benchmark decontamination (q133's Bloom path) → near-dup dedup via
  * the materialize-once artifacts (q130, plus the q156 PageRank
- * template-hub audit frame over the stored edges) → token-budget
+ * template-hub audit frame over the stored edges) → bigram-LM
+ * perplexity filter (q169's CCNet gate, trained on the deduped corpus,
+ * count artifacts stored for ingest-time scoring) → token-budget
  * mixing (q140) → leakage-safe train/eval split (q124) → sequence
  * packing (q96). Every stage writes
  * its frame to `outDir` (the artifact IS the interface between stages —
@@ -59,6 +61,7 @@ object CurationRunner {
           defaultBudget: Long = 800L,
           evalFraction: Double = 0.1,
           packCapacity: Int = 512,
+          maxNll: Double = 4.0,
           resume: Boolean = false): CurationReport = {
     val results = scala.collection.mutable.ListBuffer[StageResult]()
     def stage(name: String)(body: => DataFrame): Option[DataFrame] = {
@@ -177,7 +180,30 @@ object CurationRunner {
       }
     }
 
-    val mixed = corpus.flatMap { k =>
+    val lmFiltered = corpus.flatMap { k =>
+      stage("perplexity") {
+        // q169's CCNet gate, CCNet ORDER (dedup first, then LM filter:
+        // a near-dup cluster must not vote its own template text into
+        // the model). The LM is trained on the deduped corpus itself
+        // (in-domain outlier semantics) and the count artifacts are
+        // stored — downstream ingest can score arriving docs against
+        // the SAME model without retraining (the boilerplate_tiles
+        // discipline). Docs above maxNll nats/token are dropped.
+        val uni = NgramLm.unigramCounts(k, col("text"))
+        val bi = NgramLm.bigramCounts(k, col("text"))
+        uni.write.mode("overwrite").parquet(s"$outDir/artifacts/lm_unigrams")
+        bi.write.mode("overwrite").parquet(s"$outDir/artifacts/lm_bigrams")
+        val storedUni = spark.read.parquet(s"$outDir/artifacts/lm_unigrams")
+        val storedBi = spark.read.parquet(s"$outDir/artifacts/lm_bigrams")
+        val keep = NgramLm.scoreNll(k, col("doc_id"), col("text"),
+            storedUni, storedBi)
+          .filter(col("avg_nll") <= maxNll)
+          .select(col("id").as("doc_id"))
+        k.join(keep, Seq("doc_id"), "left_semi")
+      }
+    }
+
+    val mixed = lmFiltered.flatMap { k =>
       stage("mix") {
         // q140: per-source token quotas in deterministic hash order
         val budget = coalesce(

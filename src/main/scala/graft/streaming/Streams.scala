@@ -38,6 +38,11 @@ case class SpanKeep(doc_id: Long, idx: Int)
 case class BoilerplateDoc(doc_id: Long, n_tiles: Long, n_kept: Long,
                           n_dropped: Long, rebuilt_md5: String)
 
+/** Per-doc LM score emitted by [[Streams.lmScoreIngest]] — same values
+  * as the batch `NgramLm.scoreNll` row (`avg_nll` None for token-less
+  * docs, as the batch twin's NULL). */
+case class LmScoredDoc(doc_id: Long, n_tokens: Int, avg_nll: Option[Double])
+
 case class StageCompletion(user_id: Long, stage: Int,
                            ts: java.sql.Timestamp)
 
@@ -564,6 +569,106 @@ object Streams {
                   .map("%02x".format(_)).mkString
                 Iterator.single(BoilerplateDoc(docId, nTiles,
                   kept.size.toLong, nTiles - kept.size, digest))
+              }
+            state.update(true)
+            setGuardedTimeout(state, all.map(_._2.getTime).max, idleTimeout)
+            out
+          }
+      }
+  }
+
+  /**
+   * Ingest-time LM quality scoring — the streaming twin of
+   * [[graft.operators.NgramLm.scoreNll]] (q169's CCNet gate): arriving
+   * docs score against the STORED unigram/bigram count artifacts (the
+   * CurationRunner `lm_*` frames) via stream-static LEFT joins; the
+   * scoring decision itself is STATELESS (the stored model IS the
+   * state) — flatMapGroupsWithState only reassembles the per-doc term
+   * sum and suppresses at-least-once replays (one boolean per doc
+   * within the watermark horizon). All of a doc's term rows come from
+   * ONE input row, so every group completes in its arrival
+   * micro-batch; state never holds partial sums. V and N are read off
+   * the artifact once at query build — model constants, not stream
+   * state.
+   *
+   * Value parity with the batch twin is exact: per-term ln doubles are
+   * accumulated as BigDecimal(scale 18, HALF_UP) — the same
+   * quantize-then-exact-sum the batch plan's DECIMAL(38,18) cast
+   * performs — so stream rows equal batch rows bit-for-bit
+   * (`StreamsSpec` pins it on real documents split across
+   * micro-batches).
+   *
+   * Input: (doc_id, ts, text), watermarked by the caller.
+   */
+  def lmScoreIngest(docs: DataFrame, uni: DataFrame, bi: DataFrame,
+                    k: Double = 0.5, idleTimeout: String = "30 days")
+      : org.apache.spark.sql.Dataset[LmScoredDoc] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import docs.sparkSession.implicits._
+    val consts = uni.agg(count(lit(1)).cast("double"),
+      coalesce(sum("cnt"), lit(0L)).cast("double")).head()
+    val vv = consts.getDouble(0)
+    val nn = consts.getDouble(1)
+    val base = docs
+      .select(col("doc_id"), col("ts"),
+        filter(split(lower(col("text")), "\\s+"), t => length(t) > 0).as("ws"))
+      .withColumn("n_toks", size(col("ws")))
+    // pos 0 scores the first token against the unigram model; pos p>=1
+    // scores (ws[p], ws[p+1]); token-less docs ride a null sentinel row
+    val terms = base
+      .select(col("doc_id"), col("ts"), col("n_toks"), col("ws"),
+        posexplode(when(col("n_toks") > 0, col("ws"))
+          .otherwise(array(lit(null).cast("string")))))
+      .toDF("doc_id", "ts", "n_toks", "ws", "pos", "cur")
+      .withColumn("prev",
+        when(col("pos") >= 1, element_at(col("ws"), col("pos"))))
+      .drop("ws")
+      .join(bi.select(col("t1").as("_bt1"), col("t2").as("_bt2"),
+          col("cnt").as("_cb")),
+        col("prev") === col("_bt1") && col("cur") === col("_bt2"), "left")
+      .join(uni.select(col("token").as("_ut"), col("cnt").as("_cp")),
+        col("prev") === col("_ut"), "left")
+      .join(uni.select(col("token").as("_uc"), col("cnt").as("_cc")),
+        col("cur") === col("_uc"), "left")
+      .withColumn("term",
+        when(col("cur").isNull, lit(null).cast("double"))
+          .when(col("pos") === 0,
+            log((coalesce(col("_cc"), lit(0L)) + k) / (nn + k * vv)))
+          .otherwise(
+            log((coalesce(col("_cb"), lit(0L)) + k) /
+                (coalesce(col("_cp"), lit(0L)) + k * vv))))
+      .select(col("doc_id"), col("ts"), col("n_toks"), col("pos"),
+        col("term"))
+      .as[(Long, java.sql.Timestamp, Int, Int, Option[Double])]
+    terms.groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, LmScoredDoc](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (docId, rows, state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val all = rows.toVector
+            val out =
+              if (state.exists) Iterator.empty
+              else {
+                // earliest copy wins within a batch, one row per pos
+                val minTs = all.map(_._2.getTime).min
+                val chosen = all.filter(_._2.getTime == minTs)
+                  .sortBy(_._4).distinctBy(_._4)
+                val nToks = chosen.head._3
+                val avg =
+                  if (nToks == 0) None
+                  else {
+                    // the batch plan's cast(term as decimal(38,18)) →
+                    // exact sum → cast double, replayed locally
+                    val s = chosen.flatMap(_._5)
+                      .map(t => BigDecimal(t)
+                        .setScale(18, BigDecimal.RoundingMode.HALF_UP))
+                      .sum
+                    Some(-s.toDouble / nToks)
+                  }
+                Iterator.single(LmScoredDoc(docId, nToks, avg))
               }
             state.update(true)
             setGuardedTimeout(state, all.map(_._2.getTime).max, idleTimeout)

@@ -19,9 +19,10 @@ class CurationRunnerSpec extends SparkSpec {
       tokenBudgets = Map("src1" -> 200L), defaultBudget = 400L)
     assert(report.status === "success")
     assert(report.results.map(_.stage) ===
-      Seq("quality", "boilerplate", "clean", "corpus", "mix", "split",
-        "packed"))
-    // the funnel narrows: quality ⊇ boilerplate ⊇ clean ⊇ corpus ⊇ mix = split
+      Seq("quality", "boilerplate", "clean", "corpus", "perplexity",
+        "mix", "split", "packed"))
+    // the funnel narrows: quality ⊇ boilerplate ⊇ clean ⊇ corpus ⊇
+    // perplexity ⊇ mix = split
     assert(report.count("quality") >= report.count("boilerplate"))
     assert(report.count("boilerplate") >= report.count("clean"))
 
@@ -47,9 +48,21 @@ class CurationRunnerSpec extends SparkSpec {
     assert(prFrame.filter(col("pagerank") <= 0).count() === 0)
 
     assert(report.count("clean") >= report.count("corpus"))
-    assert(report.count("corpus") >= report.count("mix"))
+    assert(report.count("corpus") >= report.count("perplexity"))
+    assert(report.count("perplexity") >= report.count("mix"))
     assert(report.count("mix") === report.count("split"))
     assert(report.count("corpus") > 0)
+    assert(report.count("perplexity") > 0)
+
+    // the LM artifacts are real count frames a downstream ingest gate
+    // could score against: positive counts, bigram mass <= unigram mass
+    val uniA = spark.read.parquet(s"$out/artifacts/lm_unigrams")
+    val biA = spark.read.parquet(s"$out/artifacts/lm_bigrams")
+    assert(uniA.filter(col("cnt") <= 0).count() === 0)
+    assert(biA.filter(col("cnt") <= 0).count() === 0)
+    val uniMass = uniA.agg(sum("cnt")).head.getLong(0)
+    val biMass = biA.agg(sum("cnt")).head.getLong(0)
+    assert(biMass < uniMass) // one fewer bigram than tokens per doc
 
     val corpus = spark.read.parquet(s"$out/corpus")
     // benchmark docs never reach the corpus

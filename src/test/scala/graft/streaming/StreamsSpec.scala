@@ -358,6 +358,45 @@ class StreamsSpec extends SparkSpec {
     assert(batch.filter(col("n_dropped") > 0).count() > 0)
   }
 
+  test("lmScoreIngest: rows equal the batch scoreNll twin bit-for-bit on " +
+      "real documents split across micro-batches; replays suppressed") {
+    val batchDocs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val dir = tmp("graft-lm-artifacts")
+    graft.operators.NgramLm.unigramCounts(batchDocs, col("text"))
+      .write.mode("overwrite").parquet(s"$dir/uni")
+    graft.operators.NgramLm.bigramCounts(batchDocs, col("text"))
+      .write.mode("overwrite").parquet(s"$dir/bi")
+    val uni = spark.read.parquet(s"$dir/uni")
+    val bi = spark.read.parquet(s"$dir/bi")
+    val docs = batchDocs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Timestamp.valueOf("2024-01-01 00:00:00"),
+        r.getString(1))).toSeq
+    val mem = MemoryStream[(Long, Timestamp, String)](spark)
+    val out = Streams.lmScoreIngest(
+      mem.toDF.toDF("doc_id", "ts", "text").withWatermark("ts", "1 day"),
+      uni, bi)
+    val q = out.writeStream.format("memory")
+      .queryName("lm_docs_out").outputMode("append")
+      .option("checkpointLocation", tmp("graft-lm-ckpt"))
+      .start()
+    val (b1, rest) = docs.splitAt(docs.size / 3)
+    val (b2, b3) = rest.splitAt(rest.size / 2)
+    mem.addData(b1); q.processAllAvailable()
+    mem.addData(b2); q.processAllAvailable()
+    mem.addData(b3); q.processAllAvailable()
+    // replay a full batch (at-least-once source): no duplicate rows
+    mem.addData(b1); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("lm_docs_out")
+      .select(col("doc_id"), col("n_tokens"), col("avg_nll"))
+    val batch = graft.operators.NgramLm.scoreNll(batchDocs, col("doc_id"),
+        col("text"), uni, bi)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("avg_nll"))
+    assert(streamed.count() == batch.count())
+    // bit-for-bit: except() compares the raw doubles, no rounding
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("T1: watermark drops late rows that arrive after horizon passes") {
     val mem = MemoryStream[(Timestamp, String, Double)](spark)
     val rollup = Streams.dailyRollup(
