@@ -47,6 +47,20 @@ object GraftExtensions {
     if (es.length != n)
       fail(sig, s"expects $n arguments, got ${es.length}")
 
+  private def stringLit(sig: String, es: Seq[Expression], i: Int): String = {
+    val e = es(i)
+    if (!e.foldable)
+      fail(sig, s"argument ${i + 1} must be a foldable string literal, " +
+        s"got ${e.sql}")
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case s: String => s
+      case other =>
+        fail(sig, s"argument ${i + 1} must be a string literal, " +
+          s"got ${if (other == null) "NULL" else other.toString}")
+    }
+  }
+
   private def intLit(sig: String, es: Seq[Expression], i: Int): Int = {
     val e = es(i)
     if (!e.foldable)
@@ -74,6 +88,19 @@ object GraftExtensions {
         arity("array_dot(a, b)", 2)(es => ArrayDot(es.head, es(1)))),
       ("md5_prefix32", "md5_prefix32(s) - first 4 md5 bytes as uint32 long",
         arity("md5_prefix32(s)", 1)(es => Md5Prefix32(es.head))),
+      ("md5_lanes4", "md5_lanes4(s) - all four 32-bit md5 lanes as array<long>",
+        arity("md5_lanes4(s)", 1)(es => Md5Lanes4(es.head))),
+      ("bpe_encode", "bpe_encode(s, merges) - BPE tokens for a 'a b;c d' merge list",
+        arity("bpe_encode(s, merges)", 2)(es =>
+          graft.functions.BpeEncode(es.head,
+            stringLit("bpe_encode(s, merges)", es, 1).split(";").toSeq
+              .filter(_.nonEmpty).map { m =>
+                val ab = m.split(" ", 2)
+                if (ab.length != 2 || ab(0).isEmpty || ab(1).isEmpty)
+                  fail("bpe_encode(s, merges)",
+                    s"bad merge entry '$m' (want 'a b;c d;...')")
+                (ab(0), ab(1))
+              }))),
       ("shingle_hashes", "shingle_hashes(text, n) - md5-prefix hash per n-char window",
         arity("shingle_hashes(text, n)", 2)(es =>
           ShingleHashes(es.head, intLit("shingle_hashes(text, n)", es, 1)))),

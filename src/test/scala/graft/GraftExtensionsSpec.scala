@@ -9,7 +9,8 @@ class GraftExtensionsSpec extends SparkSpec {
 
   test("injection list covers the whole kernel surface") {
     assert(GraftExtensions.injections.map(_._1.funcName).toSet === Set(
-      "jaro_winkler", "array_dot", "md5_prefix32", "shingle_hashes",
+      "jaro_winkler", "array_dot", "md5_prefix32", "md5_lanes4",
+      "bpe_encode", "shingle_hashes",
       "word_ngram_hashes", "minhash_signature", "minhash_doc_state",
       "sorted_intersect_count", "positional_eq_count", "normalized_name"))
   }
@@ -21,6 +22,8 @@ class GraftExtensionsSpec extends SparkSpec {
         |  jaro_winkler('martha', 'marhta') AS jw,
         |  array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot,
         |  md5_prefix32('abc') AS h32,
+        |  md5_lanes4('abc') AS lanes,
+        |  bpe_encode('the newest thing', 'e s;es t;t h;th e') AS bpe,
         |  size(shingle_hashes('abcdefgh', 5)) AS n_shingles,
         |  size(word_ngram_hashes('a b c d', 3)) AS n_grams,
         |  size(minhash_signature('hello world docs', 5, 8)) AS sig_len,
@@ -33,6 +36,11 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getAs[Double]("dot") === 11.0)
     assert(row.getAs[Long]("h32") ===
       java.lang.Long.parseLong("90015098", 16))  // md5('abc') = 900150983...
+    assert(row.getSeq[Long](row.fieldIndex("lanes")).head ===
+      java.lang.Long.parseLong("90015098", 16))  // lane 0 == md5_prefix32
+    assert(row.getSeq[Long](row.fieldIndex("lanes")).size === 4)
+    assert(row.getSeq[String](row.fieldIndex("bpe")) ===
+      Seq("the", "n", "e", "w", "est", "th", "i", "n", "g"))
     assert(row.getAs[Int]("n_shingles") === 4)
     assert(row.getAs[Int]("n_grams") === 2)
     assert(row.getAs[Int]("sig_len") === 8)
