@@ -42,6 +42,39 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    "q172_corpus_datasheet" -> ((s, dir) => {
+      // the corpus datasheet (Gebru et al. 2021 "Datasheets for
+      // Datasets" §3.2 composition questions, as ONE queryable frame):
+      // global size/dup/vocabulary stats from a single multi-agg pass
+      // (two count-distincts → one Expand over one scan), plus the
+      // per-language composition rows from one grouped pass. Long
+      // (metric, value) shape so downstream release gates diff two
+      // datasheets with a join, not a schema migration.
+      val docs = t(s, dir, "documents")
+        .withColumn("_toks", size(filter(split(lower(col("text")), "\\s+"),
+          x => length(x) > 0)).cast("long"))
+      val g = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("_toks")).as("n_tokens"),
+        countDistinct(col("text")).as("n_distinct_texts"),
+        countDistinct(col("source")).as("n_sources")).head()
+      val nDocs = g.getLong(0).toDouble
+      val global = s.createDataFrame(Seq(
+        ("n_docs", nDocs),
+        ("n_tokens", g.getLong(1).toDouble),
+        ("n_sources", g.getLong(3).toDouble),
+        ("exact_dup_frac", (nDocs - g.getLong(2)) / nDocs),
+        ("mean_doc_tokens", g.getLong(1).toDouble / nDocs)))
+        .toDF("metric", "value")
+      val langs = docs.groupBy("lang")
+        .agg(count(lit(1)).as("n"))
+        .select(concat(lit("lang_frac:"), col("lang")).as("metric"),
+          (col("n") / nDocs).as("value"))
+      global.unionByName(langs)
+        .select(col("metric"), round(col("value"), 6).as("value"))
+        .orderBy("metric")
+    }),
+
     "q170_sliding_span_dedup" -> ((s, dir) => {
       // ExactSubstr-style stride-1 repeated-span excision (Lee et al.
       // 2021): every 4-token window repeated anywhere in the corpus at
@@ -587,6 +620,27 @@ object CorpusQueries {
         |      ''))) AS rebuilt_md5
         |FROM base b LEFT JOIN kept k USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
+
+    "q172_corpus_datasheet" ->
+      raw"""WITH d AS (SELECT text, lang, source,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS BIGINT) AS toks
+        |  FROM documents),
+        |g AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |    CAST(sum(toks) AS DOUBLE) AS n_tokens,
+        |    CAST(count(DISTINCT text) AS DOUBLE) AS n_distinct,
+        |    CAST(count(DISTINCT source) AS DOUBLE) AS n_sources
+        |  FROM d),
+        |rows_ AS (
+        |  SELECT 'n_docs' AS metric, n_docs AS value FROM g
+        |  UNION ALL SELECT 'n_tokens', n_tokens FROM g
+        |  UNION ALL SELECT 'n_sources', n_sources FROM g
+        |  UNION ALL SELECT 'exact_dup_frac', (n_docs - n_distinct) / n_docs FROM g
+        |  UNION ALL SELECT 'mean_doc_tokens', n_tokens / n_docs FROM g
+        |  UNION ALL SELECT 'lang_frac:' || lang,
+        |    count(*) / (SELECT n_docs FROM g) FROM d GROUP BY lang)
+        |SELECT metric, round(value, 6) AS value
+        |FROM rows_ ORDER BY metric""".stripMargin,
 
     "q170_sliding_span_dedup" ->
       raw"""WITH toksl AS (SELECT doc_id,
