@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{Corpus, Dedup, NgramLm, Sampling, TopK}
+import graft.operators.{Bpe, Corpus, Dedup, NgramLm, Sampling, TopK}
 
 /**
  * End-to-end training-corpus curation pipeline — the production
@@ -17,9 +17,11 @@ import graft.operators.{Corpus, Dedup, NgramLm, Sampling, TopK}
  * the materialize-once artifacts (q130, plus the q156 PageRank
  * template-hub audit frame over the stored edges) → bigram-LM
  * perplexity filter (q169's CCNet gate, trained on the deduped corpus,
- * count artifacts stored for ingest-time scoring) → token-budget
- * mixing (q140) → leakage-safe train/eval split (q124) → sequence
- * packing (q96). Every stage writes
+ * count artifacts stored for ingest-time scoring) → BPE tokenizer fit
+ * (q167's merge-table artifact, trained on the filtered corpus;
+ * n_tokens re-derived as real tokenizer tokens) → token-budget
+ * mixing (q140, metered in tokenizer tokens) → leakage-safe train/eval
+ * split (q124) → sequence packing (q96). Every stage writes
  * its frame to `outDir` (the artifact IS the interface between stages —
  * downstream consumers read parquet, not lineage), and a sync-log
  * records per-stage status/row counts in the [[PipelineRunner]]
@@ -203,7 +205,28 @@ object CurationRunner {
       }
     }
 
-    val mixed = lmFiltered.flatMap { k =>
+    val tokenized = lmFiltered.flatMap { k =>
+      stage("tokenizer") {
+        // q167's artifact shape for the tokenizer itself: BPE merges
+        // trained on the FILTERED corpus (the text the model will
+        // actually see), stored rank-ordered, re-read, and applied to
+        // re-derive n_tokens as REAL tokenizer tokens — the unit the
+        // downstream budgets meter (whitespace counts under-charge
+        // rare-word-heavy sources, which BPE splits into subwords).
+        val merges = Bpe.train(k, col("text"), numMerges = 64)
+        import spark.implicits._
+        merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+          .toDF("rank", "a", "b")
+          .write.mode("overwrite").parquet(s"$outDir/artifacts/bpe_merges")
+        val stored = spark.read.parquet(s"$outDir/artifacts/bpe_merges")
+          .orderBy("rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        k.withColumn("n_tokens",
+          size(Bpe.encode(col("text"), stored)).cast("long"))
+      }
+    }
+
+    val mixed = tokenized.flatMap { k =>
       stage("mix") {
         // q140: per-source token quotas in deterministic hash order
         val budget = coalesce(

@@ -20,9 +20,9 @@ class CurationRunnerSpec extends SparkSpec {
     assert(report.status === "success")
     assert(report.results.map(_.stage) ===
       Seq("quality", "boilerplate", "clean", "corpus", "perplexity",
-        "mix", "split", "packed"))
+        "tokenizer", "mix", "split", "packed"))
     // the funnel narrows: quality ⊇ boilerplate ⊇ clean ⊇ corpus ⊇
-    // perplexity ⊇ mix = split
+    // perplexity = tokenizer ⊇ mix = split
     assert(report.count("quality") >= report.count("boilerplate"))
     assert(report.count("boilerplate") >= report.count("clean"))
 
@@ -49,10 +49,26 @@ class CurationRunnerSpec extends SparkSpec {
 
     assert(report.count("clean") >= report.count("corpus"))
     assert(report.count("corpus") >= report.count("perplexity"))
-    assert(report.count("perplexity") >= report.count("mix"))
+    assert(report.count("perplexity") === report.count("tokenizer"))
+    assert(report.count("tokenizer") >= report.count("mix"))
     assert(report.count("mix") === report.count("split"))
     assert(report.count("corpus") > 0)
     assert(report.count("perplexity") > 0)
+
+    // the tokenizer stage stored a rank-ordered merge table and
+    // re-metered n_tokens in BPE tokens (each word >= 1 token, so BPE
+    // counts are never below the whitespace word count)
+    val mergesA = spark.read.parquet(s"$out/artifacts/bpe_merges")
+    assert(mergesA.count() > 0)
+    assert(mergesA.select("rank").distinct().count() === mergesA.count())
+    val tokFrame = spark.read.parquet(s"$out/tokenizer")
+      .select(col("doc_id"), col("n_tokens").as("bpe_tok"))
+    val wsFrame = spark.read.parquet(s"$out/perplexity")
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("ws_tok"))
+    assert(tokFrame.join(wsFrame, "doc_id")
+      .filter(col("bpe_tok") < col("ws_tok")).count() === 0)
 
     // the LM artifacts are real count frames a downstream ingest gate
     // could score against: positive counts, bigram mass <= unigram mass
