@@ -34,6 +34,41 @@ object SimilaritySearch {
       Seq(col("cosine").desc, col("id").asc), k)
   }
 
+  /**
+   * Hard-negative mining for contrastive/retrieval training — the
+   * in-batch-random upgrade every dual-encoder pipeline runs
+   * (Karpukhin et al. 2020, DPR §4.2: negatives NEAR the decision
+   * boundary train far better than random draws, which q92 provides):
+   * for each query vector, the `k` most-cosine-similar corpus vectors
+   * whose `label` DIFFERS from the query's own.
+   *
+   * Returns (q_id, neg_id, cosine, neg_rank).
+   *
+   * Plan (mining-batch shape): the query batch broadcasts onto ONE
+   * corpus scan — a |Q|·N pair projection with the cosine inside
+   * whole-stage codegen — then a per-query top-k window. Brute force
+   * is the right tool while |Q| is a training batch (hundreds); for
+   * corpus-scale Q, mine through the stored IVF index instead
+   * (q141/q143: probe lists bound the pair space per query).
+   */
+  def hardNegatives(corpus: DataFrame, idCol: Column, vecCol: Column,
+                    labelCol: Column, queries: DataFrame, qId: Column,
+                    qVec: Column, qLabel: Column, k: Int): DataFrame = {
+    val q = broadcast(queries.select(qId.as("q_id"), qVec.as("_qv"),
+      qLabel.as("_ql")))
+    val pairs = corpus
+      .select(idCol.as("neg_id"), vecCol.as("_v"), labelCol.as("_l"))
+      .crossJoin(q)
+      .filter(col("_l") =!= col("_ql"))
+      .select(col("q_id"), col("neg_id"),
+        graft.functions.VectorFunctions.cosine(col("_v"), col("_qv"))
+          .as("cosine"))
+      .filter(col("cosine").isNotNull)
+    TopK.topKPerGroup(pairs, Seq(col("q_id")),
+        Seq(col("cosine").desc, col("neg_id").asc), k, rankCol = "neg_rank")
+      .select(col("q_id"), col("neg_id"), col("cosine"), col("neg_rank"))
+  }
+
   /** Deterministic ±1 hyperplane weight for (plane, dim): parity of the
     * first md5 hex digit of "p:d". Portable to any md5-capable engine. */
   private def planeWeight(p: Int, d: Int): Int = {

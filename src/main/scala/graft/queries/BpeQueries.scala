@@ -63,6 +63,34 @@ object BpeQueries {
         .orderBy("token")
     }),
 
+    "q173_bpe_compression" -> ((s, dir) => {
+      // tokenizer fertility audit: chars-per-token and tokens-per-word
+      // per source under the corpus-trained table — the compression
+      // metric tokenizer teams track (a source with low chars/token
+      // signals vocabulary mismatch and blows the token budget).
+      // One encode pass; ratios from exact long sums.
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.train(docs, col("text"), NumMerges, MinPair)
+      val toks = filter(split(lower(col("text")), "\\s+"),
+        x => length(x) > 0)
+      docs.select(col("source"),
+          size(Bpe.encode(col("text"), merges)).cast("long").as("_ntok"),
+          size(toks).cast("long").as("_nw"),
+          // sum of word lengths == length of the concatenation — stays
+          // codegen'd where an aggregate() lambda would interpret
+          length(concat_ws("", toks)).cast("long").as("_nch"))
+        .groupBy("source")
+        .agg(sum(col("_ntok")).as("n_tokens"),
+          sum(col("_nch")).as("n_chars"),
+          sum(col("_nw")).as("n_words"))
+        .select(col("source"), col("n_tokens"), col("n_chars"), col("n_words"),
+          round(col("n_chars").cast("double") /
+            col("n_tokens").cast("double"), 6).as("chars_per_token"),
+          round(col("n_tokens").cast("double") /
+            col("n_words").cast("double"), 6).as("tokens_per_word"))
+        .orderBy("source")
+    }),
+
     "q167_bpe_train" -> ((s, dir) => {
       // the learned artifact itself, rank order — the tokenizer table a
       // downstream pipeline would broadcast to every encode site.
@@ -113,6 +141,25 @@ object BpeQueries {
       |    unnest(list_filter(string_split(s, chr(31)), x -> x <> '')) AS token
       |  FROM v$NumMerges)
       |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q173_bpe_compression" -> (trainCtes + s""",
+      |wsrc AS (SELECT source, w AS word, count(*) AS cnt FROM (
+      |    SELECT source, unnest(list_filter(string_split_regex(lower(text), '${"\\s+"}'),
+      |      x -> len(x) > 0)) AS w
+      |    FROM documents) GROUP BY 1, 2),
+      |wtok AS (SELECT word,
+      |    len(list_filter(string_split(s, chr(31)), x -> x <> '')) AS ntok
+      |  FROM v$NumMerges)
+      |SELECT source,
+      |  CAST(sum(cnt * ntok) AS BIGINT) AS n_tokens,
+      |  CAST(sum(cnt * len(word)) AS BIGINT) AS n_chars,
+      |  CAST(sum(cnt) AS BIGINT) AS n_words,
+      |  round(CAST(sum(cnt * len(word)) AS DOUBLE) /
+      |    CAST(sum(cnt * ntok) AS DOUBLE), 6) AS chars_per_token,
+      |  round(CAST(sum(cnt * ntok) AS DOUBLE) /
+      |    CAST(sum(cnt) AS DOUBLE), 6) AS tokens_per_word
+      |FROM wsrc JOIN wtok USING (word)
+      |GROUP BY source ORDER BY source""".stripMargin),
 
     "q167_bpe_train" -> (trainCtes + s"""
       |SELECT CAST(rank AS INTEGER) AS rank, a, b FROM (

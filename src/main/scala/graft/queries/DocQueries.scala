@@ -337,6 +337,22 @@ object DocQueries {
         .orderBy("id", "nn_rank")
     }),
 
+    "q174_hard_negatives" -> ((s, dir) => {
+      // DPR-style hard-negative mining: for each of the first 20
+      // vectors (the "query batch"), the top-4 most-similar vectors of
+      // a DIFFERENT label — boundary-adjacent negatives, the upgrade
+      // over q92's random draws. Query batch broadcasts onto one
+      // corpus scan; oracle replays the cross-label ranking exactly.
+      val e = t(s, dir, "embeddings")
+      SimilaritySearch.hardNegatives(e, col("vec_id"), col("embedding"),
+          col("label"),
+          e.filter(col("vec_id") < 20), col("vec_id"), col("embedding"),
+          col("label"), k = 4)
+        .select(col("q_id"), col("neg_id"),
+          round(col("cosine"), 6).as("cosine"), col("neg_rank"))
+        .orderBy("q_id", "neg_rank")
+    }),
+
     "q50_lsh_buckets" -> ((s, dir) => {
       // hyperplane LSH bucket histogram (the ANN scale path's partitioning)
       SimilaritySearch.lshBuckets(t(s, dir, "embeddings"), col("vec_id"),
@@ -727,6 +743,17 @@ object DocQueries {
         |  CAST(row_number() OVER (PARTITION BY id ORDER BY cosine DESC, neighbor ASC)
         |    AS INTEGER) AS nn_rank
         |FROM p QUALIFY nn_rank <= 3 ORDER BY id, nn_rank""".stripMargin,
+
+    "q174_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe, label AS ql
+        |  FROM embeddings WHERE vec_id < 20),
+        |p AS (SELECT q.q_id, e.vec_id AS neg_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS cosine
+        |  FROM embeddings e, q WHERE e.label <> q.ql)
+        |SELECT q_id, neg_id, round(cosine, 6) AS cosine,
+        |  CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cosine DESC, neg_id ASC) AS INTEGER) AS neg_rank
+        |FROM p QUALIFY neg_rank <= 4 ORDER BY q_id, neg_rank""".stripMargin,
 
     "q50_lsh_buckets" ->
       s"""SELECT ${lshBucketSql(4, 64)} AS bucket, count(*) AS n
