@@ -46,7 +46,8 @@ class PlanLintSpec extends SparkSpec {
     "q109_rfm" -> "broadcast 1-row order-statistic edges frame crossJoined for scan-local scoring",
     "q162_kmv_overlap" -> "broadcast |sources|-row theta frame: the all-pairs (a < b) scaffold over sketch keys — k-scale by construction",
     "q165_sketch_screened_decon" -> "same |sources|-row theta scaffold as q162 (the screen stage reuses kmvOverlapPairs)",
-    "q163_hist_quantile" -> "broadcast |probs|-row frame crossJoined onto ≤bins histogram rows per group")
+    "q163_hist_quantile" -> "broadcast |probs|-row frame crossJoined onto ≤bins histogram rows per group",
+    "q174_hard_negatives" -> "broadcast 20-row query batch × corpus: the brute-force mining contract (all cross-label pairs scored by design; corpus-scale Q routes through the stored IVF index instead)")
 
   /** Expand is legitimate only for SQL grouping sets. */
   private val expandAllowed: Map[String, String] = Map(
