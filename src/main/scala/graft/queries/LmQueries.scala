@@ -38,6 +38,37 @@ object LmQueries {
         .limit(50)
     }),
 
+    "q175_filter_reasons" -> ((s, dir) => {
+      // the Dolma-style explainable gate (Soldaini et al. 2024 §3:
+      // attributes computed once, filter policies mix them): every doc
+      // carries WHICH rules it violated — length bounds, duplicate-word
+      // fraction, LM perplexity — not just a boolean. Pipelines audit
+      // drop composition per source from exactly this frame. All four
+      // signals are scan-local or reuse the q169 scoring joins; the
+      // reasons array is deterministic (sorted, comma-joined).
+      val docs = t(s, dir, "documents")
+      val uni = NgramLm.unigramCounts(docs, col("text"))
+      val bi = NgramLm.bigramCounts(docs, col("text"))
+      val nll = NgramLm.scoreNll(docs, col("doc_id"), col("text"), uni, bi, K)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("avg_nll"))
+      val toks = filter(split(lower(col("text")), "\\s+"),
+        x => length(x) > 0)
+      val sig = docs.select(col("doc_id"),
+        (lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
+          .as("_dw"))
+      nll.join(sig, "doc_id")
+        .withColumn("_reasons", array_sort(filter(array(
+          when(col("n_tokens") < 30, lit("short")),
+          when(col("n_tokens") > 75, lit("long")),
+          when(col("_dw") > 0.65, lit("dup_words")),
+          when(col("avg_nll") > KeepNll, lit("high_nll"))),
+          x => x.isNotNull)))
+        .select(col("doc_id"), col("n_tokens"),
+          (size(col("_reasons")) === 0).as("keep"),
+          array_join(col("_reasons"), ",").as("reasons"))
+        .orderBy("doc_id")
+    }),
+
     "q169_lm_doc_nll" -> ((s, dir) => {
       // train-then-score on the same corpus snapshot (the in-domain
       // filter configuration: outliers vs the corpus's own statistics),
@@ -97,6 +128,44 @@ object LmQueries {
       |  round(sc.s / nd.n_tokens, 6) AS avg_nll,
       |  sc.s / nd.n_tokens <= $KeepNll AS keep
       |FROM nd LEFT JOIN sc ON sc.doc_id = nd.doc_id
-      |ORDER BY nd.doc_id""".stripMargin)
+      |ORDER BY nd.doc_id""".stripMargin),
+
+    "q175_filter_reasons" -> (lmCtes + s""",
+      |consts AS (SELECT CAST(count(*) AS DOUBLE) AS v,
+      |    CAST(sum(cnt) AS DOUBLE) AS n FROM uni),
+      |pairs AS (SELECT doc_id, w[i] AS prev, w[i+1] AS cur FROM (
+      |    SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toksl)),
+      |firstt AS (SELECT doc_id, w[1] AS cur FROM toksl WHERE len(w) >= 1),
+      |terms AS (
+      |  SELECT p.doc_id,
+      |    CAST(ln((coalesce(b.cnt, 0) + $K) /
+      |             (coalesce(u.cnt, 0) + $K * c.v)) AS DECIMAL(38,18)) AS term
+      |  FROM pairs p
+      |  LEFT JOIN big b ON b.t1 = p.prev AND b.t2 = p.cur
+      |  LEFT JOIN uni u ON u.token = p.prev
+      |  CROSS JOIN consts c
+      |  UNION ALL
+      |  SELECT f.doc_id,
+      |    CAST(ln((coalesce(u.cnt, 0) + $K) /
+      |             (c.n + $K * c.v)) AS DECIMAL(38,18))
+      |  FROM firstt f LEFT JOIN uni u ON u.token = f.cur
+      |  CROSS JOIN consts c),
+      |sc AS (SELECT doc_id, -CAST(sum(term) AS DOUBLE) AS s
+      |  FROM terms GROUP BY 1),
+      |sig AS (SELECT doc_id, len(w) AS n_tokens,
+      |    1 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dwf
+      |  FROM toksl),
+      |flagged AS (SELECT g.doc_id, g.n_tokens,
+      |    list_sort(list_filter([
+      |      CASE WHEN g.n_tokens < 30 THEN 'short' END,
+      |      CASE WHEN g.n_tokens > 75 THEN 'long' END,
+      |      CASE WHEN g.dwf > 0.65 THEN 'dup_words' END,
+      |      CASE WHEN sc.s / g.n_tokens > $KeepNll THEN 'high_nll' END],
+      |      x -> x IS NOT NULL)) AS rs
+      |  FROM sig g LEFT JOIN sc ON sc.doc_id = g.doc_id)
+      |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+      |  len(rs) = 0 AS keep,
+      |  coalesce(array_to_string(rs, ','), '') AS reasons
+      |FROM flagged ORDER BY doc_id""".stripMargin)
   )
 }
