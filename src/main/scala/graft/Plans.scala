@@ -109,7 +109,8 @@ object Plans {
       "q166_bpe_encode",       // trained-table codegen apply: one scan + one agg
       "q169_lm_doc_nll",       // pair explode + two artifact joins + decimal sum
       "q170_sliding_span_dedup", // stride-1 window hash + coverage + local rebuild
-      "q171_bootstrap_ci")     // xB lane explode into one partial agg
+      "q171_bootstrap_ci",     // xB lane explode into one partial agg
+      "q174_hard_negatives")   // broadcast query batch x corpus + top-k window
     // per-query reader notes where the right plan is easy to misread
     val notes = Map(
       "q128_sql_range_join" -> ("The user wrote the naive theta join " +
