@@ -69,6 +69,34 @@ object LmQueries {
         .orderBy("doc_id")
     }),
 
+    "q176_lm_shard_merge" -> ((s, dir) => {
+      // LM mergeability through the oracle itself (the q161 discipline
+      // for the count-artifact family): the bigram model is built as
+      // PER-SOURCE shard artifacts, parquet-roundtripped, and merged by
+      // union+sum — while the oracle computes the single-pass global
+      // counts. Hash equality IS the merge-correctness proof, so the
+      // oracle below is q168's verbatim. Production shape: each crawl
+      // shard ships its own count frame; the serving model is a rollup,
+      // never a corpus re-scan.
+      val docs = t(s, dir, "documents")
+      val shardArtifacts = docs
+        .select(col("source"),
+          filter(split(lower(col("text")), "\\s+"),
+            t => length(t) > 0).as("_w"))
+        .select(col("source"), explode(arrays_zip(
+          slice(col("_w"), lit(1), greatest(size(col("_w")) - 1, lit(0))),
+          slice(col("_w"), lit(2), greatest(size(col("_w")) - 1, lit(0)))))
+          .as("p"))
+        .select(col("source"), col("p.0").as("t1"), col("p.1").as("t2"))
+        .groupBy("source", "t1", "t2").agg(count(lit(1)).as("cnt"))
+      val out = "/tmp/graft_artifacts_q176"
+      shardArtifacts.write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .groupBy("t1", "t2").agg(sum("cnt").as("cnt"))
+        .orderBy(col("cnt").desc, col("t1").asc, col("t2").asc)
+        .limit(50)
+    }),
+
     "q169_lm_doc_nll" -> ((s, dir) => {
       // train-then-score on the same corpus snapshot (the in-domain
       // filter configuration: outliers vs the corpus's own statistics),
@@ -98,6 +126,12 @@ object LmQueries {
   val oracleSql: Map[String, String] = Map(
 
     "q168_lm_bigram_model" -> (lmCtes + """
+      |SELECT t1, t2, cnt FROM big
+      |ORDER BY cnt DESC, t1, t2 LIMIT 50""".stripMargin),
+
+    // q176 runs the sharded-artifact rollup plan against q168's SQL:
+    // merged-per-source == single-pass-global is the gate
+    "q176_lm_shard_merge" -> (lmCtes + """
       |SELECT t1, t2, cnt FROM big
       |ORDER BY cnt DESC, t1, t2 LIMIT 50""".stripMargin),
 
