@@ -31,6 +31,43 @@ import org.apache.spark.sql.functions._
  */
 object RankingMetrics {
 
+  /**
+   * Per-group NDCG@k — the per-query granularity real eval reports
+   * aggregate over (a single global NDCG hides which segments the
+   * ranker fails; per-group rows feed means, CIs, and slice audits):
+   * (grp, n, n_rel, ndcg), ndcg NULL when the group has no relevant
+   * item (nothing to rank, not a zero). `label` must be 0/1.
+   *
+   * One Exchange on the group key; both rank windows (actual order,
+   * ideal label-sorted order) share it; one aggregate. Scale: group
+   * cardinality bounds every frame after the windows.
+   */
+  def perGroupNdcg(df: DataFrame, groupCol: Column, score: Column,
+                   label: Column, k: Int,
+                   tieBreak: Seq[Column] = Nil): DataFrame = {
+    val base = df.select(groupCol.as("grp") +: score.as("_s") +:
+      label.cast("double").as("_rel") +:
+      tieBreak.zipWithIndex.map { case (c, i) => c.as(s"_t$i") }: _*)
+    val tb = tieBreak.indices.map(i => col(s"_t$i").asc)
+    val wPos = Window.partitionBy(col("grp"))
+      .orderBy(col("_s").desc +: tb: _*)
+    val wIdeal = Window.partitionBy(col("grp"))
+      .orderBy(col("_rel").desc +: tb: _*)
+    base
+      .withColumn("_pos", row_number().over(wPos))
+      .withColumn("_ipos", row_number().over(wIdeal))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_rel")).cast("long").as("n_rel"),
+        sum(when(col("_pos") <= k, col("_rel") / log2(col("_pos") + 1))
+          .otherwise(0.0)).as("_dcg"),
+        sum(when(col("_ipos") <= k, col("_rel") / log2(col("_ipos") + 1))
+          .otherwise(0.0)).as("_idcg"))
+      .select(col("grp"), col("n"), col("n_rel"),
+        (col("_dcg") / when(col("_idcg") === 0.0, lit(null))
+          .otherwise(col("_idcg"))).as("ndcg"))
+  }
+
   /** All metrics for one ranked relation → single row.
     * `label` must be 0/1 (cast from boolean upstream). */
   def evaluate(df: DataFrame, score: Column, label: Column,

@@ -48,6 +48,43 @@ object MlQueries {
         .orderBy("event_type")
     }),
 
+    "q177_per_group_ndcg" -> ((s, dir) => {
+      // q56's global NDCG at per-customer granularity — the slice frame
+      // real eval reports aggregate over (a single global number hides
+      // WHICH segments the ranker fails). NULL ndcg = no relevant item
+      // in the group, not a zero.
+      val scored = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          (col("o_orderkey") % 1000 / 1000.0).as("score"),
+          (col("o_orderstatus") === "F").cast("int").as("label"))
+      graft.evaluate.RankingMetrics.perGroupNdcg(scored, col("o_custkey"),
+          col("score"), col("label"), 5, Seq(col("o_orderkey")))
+        .select(col("grp").as("o_custkey"), col("n"), col("n_rel"),
+          round(col("ndcg"), 6).as("ndcg_5"))
+        .orderBy("o_custkey")
+    }),
+
+    "q178_metric_ci" -> ((s, dir) => {
+      // the q177 slice frame under the q171 uncertainty machinery: a
+      // 95% Poisson-bootstrap CI on mean per-customer NDCG@5 — the
+      // "is ranker A really better than B" number, from ONE aggregation
+      // pass over the per-group metric frame.
+      val scored = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          (col("o_orderkey") % 1000 / 1000.0).as("score"),
+          (col("o_orderstatus") === "F").cast("int").as("label"))
+      val per = graft.evaluate.RankingMetrics.perGroupNdcg(scored,
+          col("o_custkey"), col("score"), col("label"), 5,
+          Seq(col("o_orderkey")))
+        .filter(col("ndcg").isNotNull)
+        .withColumn("scope", lit("all"))
+      graft.evaluate.Bootstrap.meanCI(per, col("grp"), col("ndcg"),
+          Seq("scope"), replicas = 200, alpha = 0.05)
+        .select(col("scope"), col("n"), round(col("mean"), 6).as("mean"),
+          round(col("ci_lo"), 6).as("ci_lo"),
+          round(col("ci_hi"), 6).as("ci_hi"))
+    }),
+
     "q55_ensemble_vote" -> ((s, dir) => {
       // weighted vote + population-std consensus + confidence bucket
       // (reference: pipeline.py:285-288, 375-389)
@@ -256,7 +293,58 @@ object MlQueries {
       .map { case (c, k) => s"WHEN $u < $c THEN $k" }
       .mkString("CASE ", " ", " ELSE 8 END")
 
+  /** Per-customer NDCG@5 over the q56 deterministic fixture — shared by
+    * q177 (the slice frame) and q178 (its bootstrap CI). */
+  private val perNdcgCtes =
+    """WITH s AS (SELECT o_custkey AS grp, o_orderkey,
+      |    (o_orderkey % 1000) / 1000.0 AS score,
+      |    CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS rel
+      |  FROM orders),
+      |r AS (SELECT grp, rel,
+      |    row_number() OVER (PARTITION BY grp
+      |      ORDER BY score DESC, o_orderkey) AS pos,
+      |    row_number() OVER (PARTITION BY grp
+      |      ORDER BY rel DESC, o_orderkey) AS ipos FROM s),
+      |per AS (SELECT grp, count(*) AS n, sum(rel) AS n_rel,
+      |    sum(CASE WHEN pos <= 5 THEN rel / log2(pos + 1) ELSE 0 END) /
+      |      nullif(sum(CASE WHEN ipos <= 5
+      |        THEN rel / log2(ipos + 1) ELSE 0 END), 0) AS ndcg
+      |  FROM r GROUP BY grp)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+
+    "q177_per_group_ndcg" -> (perNdcgCtes + """
+      |SELECT grp AS o_custkey, n, CAST(n_rel AS BIGINT) AS n_rel,
+      |  round(ndcg, 6) AS ndcg_5
+      |FROM per ORDER BY o_custkey""".stripMargin),
+
+    "q178_metric_ci" -> (perNdcgCtes + s""",
+      |v AS (SELECT grp, ndcg AS value FROM per WHERE ndcg IS NOT NULL),
+      |point AS (SELECT count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mean
+      |  FROM v),
+      |drawn AS (SELECT value, bk * 4 + j AS r,
+      |    ${poissonCase("(CAST(('0x' || substring(md5('bs:' || " +
+      "CAST(grp AS VARCHAR) || '#' || CAST(bk AS VARCHAR)), " +
+      "1 + j * 8, 8)) AS UBIGINT) % 1000000) / 1e6")} AS w
+      |  FROM v, (SELECT unnest(range(0, 50)) AS bk),
+      |    (SELECT unnest(range(0, 4)) AS j)),
+      |reps AS (SELECT r, sum(w) AS wn,
+      |    sum(CAST(w * value AS DECIMAL(38,12))) AS ws
+      |  FROM drawn GROUP BY 1 HAVING sum(w) > 0),
+      |m AS (SELECT r, CAST(ws AS DOUBLE) / wn AS m FROM reps),
+      |rk AS (SELECT m,
+      |    row_number() OVER (ORDER BY m, r) AS rk,
+      |    count(*) OVER () AS b2 FROM m),
+      |ci AS (SELECT
+      |    max(CASE WHEN rk = CAST(ceil(b2 * ${(0.05 / 2).toString})
+      |      AS INTEGER) THEN m END) AS ci_lo,
+      |    max(CASE WHEN rk = CAST(ceil(b2 * ${(1 - 0.05 / 2).toString})
+      |      AS INTEGER) THEN m END) AS ci_hi
+      |  FROM rk)
+      |SELECT 'all' AS scope, p.n, round(p.mean, 6) AS mean,
+      |  round(c.ci_lo, 6) AS ci_lo, round(c.ci_hi, 6) AS ci_hi
+      |FROM point p CROSS JOIN ci c""".stripMargin),
 
     "q171_bootstrap_ci" -> s"""
       |WITH b AS (SELECT event_type, event_id, value FROM events

@@ -39,6 +39,33 @@ class RankingMetricsSpec extends SparkSpec {
     assert(m.getAs[Long]("relevant_items") == 3L)
   }
 
+  test("perGroupNdcg: hand computation per group; no-relevant group NULL; " +
+      "single-group value equals the global evaluate") {
+    val grouped = Seq(
+      // group A == the fixture above → same ndcg@5 as global evaluate
+      ("A", 1, 0.9, 1), ("A", 2, 0.8, 0), ("A", 3, 0.7, 1),
+      ("A", 4, 0.6, 1), ("A", 5, 0.4, 0), ("A", 6, 0.3, 0),
+      // group B: relevant item ranked 2nd of 2 → ndcg = (1/log2 3)/(1/log2 2)
+      ("B", 7, 0.9, 0), ("B", 8, 0.8, 1),
+      // group C: nothing relevant → NULL, not 0
+      ("C", 9, 0.9, 0), ("C", 10, 0.1, 0)
+    ).toDF("g", "id", "score", "label")
+    val out = RankingMetrics.perGroupNdcg(grouped, col("g"), col("score"),
+        col("label"), 5, Seq(col("id")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    val dcg = 1 / log2d(2) + 1 / log2d(4) + 1 / log2d(5)
+    val idcg = 1 / log2d(2) + 1 / log2d(3) + 1 / log2d(4)
+    assert(out("A")._1 === 6L && out("A")._2 === 3L)
+    assert(math.abs(out("A")._3.get - dcg / idcg) < 1e-9)
+    val globalA = RankingMetrics.evaluate(df, col("score"), col("label"),
+      tieBreak = Seq(col("id")), ks = Seq(5)).head.getAs[Double]("ndcg_at_5")
+    assert(math.abs(out("A")._3.get - globalA) < 1e-9)
+    assert(math.abs(out("B")._3.get - log2d(2) / log2d(3)) < 1e-9)
+    assert(out("C")._3 === None)
+  }
+
   test("empty-relevant edge: recall and ndcg are 0, not NaN") {
     val none = df.withColumn("label", lit(0))
     val m = RankingMetrics.evaluate(none, col("score"), col("label"),
