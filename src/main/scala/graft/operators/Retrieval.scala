@@ -29,6 +29,26 @@ object Retrieval {
    * document (callers top-k / threshold downstream). Terms are matched on
    * lowercased whitespace tokens.
    */
+  /**
+   * Reciprocal Rank Fusion (Cormack et al. 2009, "Reciprocal rank
+   * fusion outperforms Condorcet..."): fuse N ranked lists by
+   * Σ 1/(k + rank) — the standard hybrid-retrieval merge (lexical BM25
+   * ⊕ dense ANN), rank-based so incomparable score scales fuse without
+   * calibration. Inputs are (id, rank) frames; ids absent from a list
+   * contribute nothing (top-N-truncated lists, the production shape).
+   *
+   * One union + one id-key aggregate; engine-portable EXACTLY (the
+   * fused score is a sum of ≤N reciprocals of small ints — identical
+   * doubles in any engine given identical ranks).
+   */
+  def rrfFuse(lists: Seq[DataFrame], k: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranked list")
+    lists.map(_.select(col("id"), col("rank")))
+      .reduce(_ unionByName _)
+      .groupBy("id")
+      .agg(sum(lit(1.0) / (col("rank") + k)).as("rrf"))
+  }
+
   def bm25(docs: DataFrame, idCol: Column, textCol: Column,
            terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")

@@ -201,6 +201,29 @@ object CorpusQueries {
         .orderBy("rank")
     }),
 
+    "q179_hybrid_rrf" -> ((s, dir) => {
+      // hybrid retrieval: BM25 top-50 (lexical) ⊕ cosine-vs-vec0 top-50
+      // (dense; doc_id ≡ vec_id in the testdata) fused by reciprocal
+      // rank (k=60, the canonical constant), top-20 out. The fused
+      // score is engine-exact given the two rank lists — the oracle
+      // replays both rankers and the fusion.
+      val docs = t(s, dir, "documents")
+      val lex = TopK.globalTopK(
+        Retrieval.bm25(docs, col("doc_id"), col("text"), Bm25Terms),
+        Seq(col("bm25").desc, col("id").asc), 50).select("id", "rank")
+      val e = t(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).map(_.toDouble)
+      val dense = graft.operators.SimilaritySearch
+        .bruteForceTopK(e, col("vec_id"), col("embedding"), qv, 50)
+        .select("id", "rank")
+      TopK.globalTopK(Retrieval.rrfFuse(Seq(lex, dense), 60),
+          Seq(col("rrf").desc, col("id").asc), 20)
+        .select(col("id").as("doc_id"), round(col("rrf"), 6).as("rrf"),
+          col("rank"))
+        .orderBy("rank")
+    }),
+
     "q125_unigram_logprob" -> ((s, dir) => {
       // LM-quality filtering signal: mean unigram log-prob per doc from
       // the corpus's own token statistics (Retrieval.unigramLogProb
@@ -714,6 +737,44 @@ object CorpusQueries {
         |  round(CAST(count(*) AS DOUBLE) / any_value(t.n_grams), 6) AS contamination
         |FROM train t JOIN bench b ON t.h = b.h
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "q179_hybrid_rrf" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, len(w) AS dl,
+        |    len(list_filter(w, x -> x = 'spark'))  AS tf0,
+        |    len(list_filter(w, x -> x = 'vector')) AS tf1,
+        |    len(list_filter(w, x -> x = 'stream')) AS tf2
+        |  FROM toks),
+        |g AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+        |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |  FROM tf),
+        |s AS (SELECT doc_id,
+        |    ln((n - df0 + 0.5)/(df0 + 0.5) + 1.0)
+        |      * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  + ln((n - df1 + 0.5)/(df1 + 0.5) + 1.0)
+        |      * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  + ln((n - df2 + 0.5)/(df2 + 0.5) + 1.0)
+        |      * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS score
+        |  FROM tf, g),
+        |lex AS (SELECT doc_id AS id,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |  FROM s QUALIFY rank <= 50),
+        |qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+        |dsc AS (SELECT vec_id AS id,
+        |    list_cosine_similarity(embedding::DOUBLE[], qe) AS cosine
+        |  FROM embeddings, qv),
+        |dn AS (SELECT id,
+        |    row_number() OVER (ORDER BY cosine DESC, id) AS rank
+        |  FROM dsc QUALIFY rank <= 50),
+        |u AS (SELECT id, rank FROM lex UNION ALL SELECT id, rank FROM dn),
+        |f AS (SELECT id, sum(1.0 / (rank + 60)) AS rrf FROM u GROUP BY 1)
+        |SELECT id AS doc_id, round(rrf, 6) AS rrf,
+        |  CAST(row_number() OVER (ORDER BY rrf DESC, id) AS INTEGER) AS rank
+        |FROM f QUALIFY rank <= 20 ORDER BY rank""".stripMargin,
 
     "q94_bm25" ->
       """WITH toks AS (SELECT doc_id,
