@@ -110,7 +110,12 @@ object Plans {
       "q169_lm_doc_nll",       // pair explode + two artifact joins + decimal sum
       "q170_sliding_span_dedup", // stride-1 window hash + coverage + local rebuild
       "q171_bootstrap_ci",     // xB lane explode into one partial agg
-      "q174_hard_negatives")   // broadcast query batch x corpus + top-k window
+      "q173_bpe_compression",  // trained bpe_encode projection + per-source agg
+      "q174_hard_negatives",   // broadcast query batch x corpus + top-k window
+      "q175_filter_reasons",   // q169 scoring joins + scan-local reason array
+      "q176_lm_shard_merge",   // stored per-shard count artifacts: union+sum rollup
+      "q178_metric_ci",        // per-group NDCG + bootstrap lane explode CI
+      "q180_cms_shard_merge")  // stored per-shard CMS cells: additive merge read-out
     // per-query reader notes where the right plan is easy to misread
     val notes = Map(
       "q128_sql_range_join" -> ("The user wrote the naive theta join " +
@@ -309,6 +314,26 @@ object Plans {
         "materialized uniform, and the B replica sums come out of one " +
         "partial-agg Exchange carrying B rows per group -- never BxN. " +
         "The interval is rank-selected over <=B rows per group."),
+      "q176_lm_shard_merge" -> ("The plan reads the STORED per-source " +
+        "count artifacts (parquet scan of /tmp/graft_artifacts_q176) and " +
+        "merges by ONE hash aggregate (union + sum with map-side " +
+        "combine) — the corpus text appears only in the artifact-build " +
+        "stage that already ran. At 100 TB each crawl shard ships its " +
+        "own count frame and the serving model is this rollup, never a " +
+        "re-scan; the oracle's single-pass global counts hashing equal " +
+        "to this merged read-out IS the mergeability proof."),
+      "q180_cms_shard_merge" -> ("The frequency-sketch complement of " +
+        "q176/q161: stored per-source CMS cell frames (≤ d·w rows each) " +
+        "sum to the global sketch in one hash aggregate, and the 20-row " +
+        "probe frame broadcasts onto it for the min-over-rows read-out — " +
+        "every frame after the artifact build is d·w- or probe-scale, " +
+        "never corpus-scale. Oracle computes the SINGLE-PASS sketch; " +
+        "hash equality proves additive-cell merge correctness."),
+      "q175_filter_reasons" -> ("Every rule signal is scan-local column " +
+        "arithmetic stacked on q169's scoring joins — adding a rule adds " +
+        "a when() column, never a pass; the reasons array is built, " +
+        "sorted, and joined in the projection. The drop-composition " +
+        "audit a pipeline runs daily reads this ONE frame."),
       "q169_lm_doc_nll" -> ("Scoring joins the exploded adjacent-pair " +
         "stream LEFT against the bigram and unigram artifacts -- both " +
         "broadcast here (corpus-tiny vocab); at web-corpus vocab AQE " +

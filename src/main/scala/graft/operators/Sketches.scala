@@ -223,7 +223,7 @@ object Sketches {
     * row r hashes `"r|value"` through the engine-portable 60-bit hash
     * and takes it mod w — the salt-by-row-index construction every
     * oracle can replay verbatim. */
-  private def cmsBuckets(value: Column, depth: Int, width: Int): Column =
+  private[graft] def cmsBuckets(value: Column, depth: Int, width: Int): Column =
     array((0 until depth).map(r =>
       pmod(kmvHash60(concat_ws("|", lit(r.toString), value)),
         lit(width.toLong))): _*)

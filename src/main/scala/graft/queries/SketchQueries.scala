@@ -150,6 +150,38 @@ object SketchQueries {
         .orderBy("doc_id")
     }),
 
+    "q180_cms_shard_merge" -> ((s, dir) => {
+      // CMS mergeability through the oracle itself (the q176/q161
+      // discipline for the frequency-sketch family): per-SOURCE CMS
+      // shard artifacts are built once, parquet-roundtripped, and
+      // merged by plain cell summation — while the oracle computes the
+      // single-pass global sketch. Hash equality IS the
+      // merge-correctness proof. Production shape: each crawl shard
+      // ships its own d×w cell frame; corpus-wide frequency questions
+      // are answered from a rollup of ≤ shards·d·w rows, never a
+      // corpus re-scan.
+      val toks = t(s, dir, "documents")
+        .select(col("source"),
+          explode(filter(split(lower(col("text")), "\\s+"),
+            w => length(w) > 0)).as("token"))
+      val out = "/tmp/graft_artifacts_q180"
+      Sketches.cmsSketch(toks, Seq("source"), col("token"),
+          depth = CmsDepth, width = CmsWidth)
+        .write.mode("overwrite").parquet(out)
+      val stored = s.read.parquet(out)
+      val merged = Sketches.cmsMerge(stored, Seq.empty)
+      val probes = toks.groupBy("token").agg(count(lit(1)).as("cnt_exact"))
+        .orderBy(col("cnt_exact").desc, col("token").asc).limit(20)
+      val nShards = stored.agg(
+        countDistinct(col("source")).as("n_shards"))
+      Sketches.cmsEstimate(merged, Seq.empty,
+          probes.select(col("token").as("v")),
+          depth = CmsDepth, width = CmsWidth)
+        .select(col("v").as("token"), col("est").as("est_merged"))
+        .crossJoin(broadcast(nShards))
+        .orderBy("token")
+    }),
+
     "q163_hist_quantile" -> ((s, dir) => {
       // p50/p90/p99 of event value per type, read from per-(type, day)
       // histogram partials summed to per-type — the additive-sketch
@@ -281,6 +313,30 @@ object SketchQueries {
         |  round(CAST(count(*) AS DOUBLE) / any_value(t.n_grams), 6) AS contamination
         |FROM train t JOIN bench b ON t.th5 = b.bh
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin),
+
+    "q180_cms_shard_merge" ->
+      """WITH toks AS (SELECT
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |tok AS (SELECT unnest(w) AS token FROM toks),
+        |exact AS (SELECT token, count(*) AS cnt_exact FROM tok GROUP BY 1),
+        |probes AS (SELECT token FROM exact
+        |  ORDER BY cnt_exact DESC, token LIMIT 20),
+        |rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        |sketch AS (SELECT r,
+        |    CAST(CAST(('0x' || substring(md5(CAST(r AS VARCHAR) || '|' || token), 1, 15))
+        |      AS UBIGINT) AS BIGINT) % 512 AS bucket, count(*) AS cnt
+        |  FROM tok, rs GROUP BY 1, 2),
+        |pb AS (SELECT p.token, rs.r,
+        |    CAST(CAST(('0x' || substring(md5(CAST(rs.r AS VARCHAR) || '|' || p.token), 1, 15))
+        |      AS UBIGINT) AS BIGINT) % 512 AS bucket
+        |  FROM probes p, rs),
+        |ns AS (SELECT count(DISTINCT source) AS n_shards FROM documents)
+        |SELECT pb.token, min(s.cnt) AS est_merged,
+        |  CAST(any_value(ns.n_shards) AS BIGINT) AS n_shards
+        |FROM pb JOIN sketch s ON s.r = pb.r AND s.bucket = pb.bucket
+        |CROSS JOIN ns
+        |GROUP BY pb.token ORDER BY pb.token""".stripMargin,
 
     "q163_hist_quantile" ->
       """WITH v AS (SELECT event_type, value AS v FROM events

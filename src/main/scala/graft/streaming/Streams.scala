@@ -68,6 +68,17 @@ case class AdmittedDoc(doc_id: Long, stratum: String, n_tokens: Long,
   * history, because bottom-k merge is exact). */
 case class KmvSnapshot(key: String, version: Long, sk: Seq[Long])
 
+/** One non-empty CMS counter cell inside a [[CmsSnapshot]]. */
+case class CmsCell(r: Int, bucket: Long, cnt: Long)
+
+/** Per-trigger count-min sketch snapshot emitted by
+  * [[Streams.cmsIngest]] — consumers keep each key's max `version`
+  * (latest-wins merge, the [[KmvSnapshot]] rule: every snapshot already
+  * counts the key's WHOLE in-horizon history, because CMS cells are
+  * exact additive counters). Cells are the NON-EMPTY entries of the
+  * depth×width matrix, sorted by (r, bucket). */
+case class CmsSnapshot(key: String, version: Long, cells: Seq[CmsCell])
+
 object Streams {
 
   /** Millis in a day-or-smaller interval string ("30 days", "1 hour"). */
@@ -733,6 +744,77 @@ object Streams {
             state.update((ver, merged))
             setGuardedTimeout(state, maxTs, idleTimeout)
             Iterator.single(KmvSnapshot(key, ver, merged))
+          }
+      }
+  }
+
+  /**
+   * Streaming count-min sketch maintenance: the streaming twin of
+   * [[graft.operators.Sketches.cmsSketch]] — per-key (d×w)-bounded
+   * frequency counters over arriving values, maintained incrementally
+   * in `flatMapGroupsWithState`. CMS cells are EXACT additive counts
+   * (the same salted-md5 bucket construction, `Sketches.cmsBuckets`),
+   * so the snapshot after any prefix of micro-batches equals the batch
+   * sketch over exactly those rows, in any arrival order — `StreamsSpec`
+   * asserts final-snapshot ≡ batch-twin equality on real documents
+   * split across micro-batches (the q161-style gate the KMV twin got;
+   * this is the frequency complement).
+   *
+   * Emits a [[CmsSnapshot]] per key per updating trigger; latest wins
+   * downstream (each snapshot summarizes the key's whole in-horizon
+   * history). State per key is AT MOST depth·width counters + a version
+   * counter, event-time evicted — keys-per-horizon × d·w bounded, never
+   * value-domain bounded. Bucket indices are computed SCAN-LOCALLY
+   * before the state shuffle, so the stateful stage moves and stores
+   * only (r, bucket) ints — the value strings never reach state.
+   *
+   * Input: (key string, ts, value string), watermarked by the caller.
+   */
+  def cmsIngest(rows: DataFrame, depth: Int, width: Int,
+                idleTimeout: String = "30 days")
+      : org.apache.spark.sql.Dataset[CmsSnapshot] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import rows.sparkSession.implicits._
+    require(depth >= 1 && width >= 1,
+      s"cmsIngest requires depth/width >= 1 (got $depth x $width)")
+    val bucketed = rows
+      .filter(col("key").isNotNull && col("value").isNotNull)
+      .select(col("key").cast("string").as("key"), col("ts"),
+        graft.operators.Sketches.cmsBuckets(col("value").cast("string"),
+          depth, width).as("bks"))
+      .as[(String, java.sql.Timestamp, Seq[Long])]
+    bucketed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Map[Long, Long]), CmsSnapshot](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, it, state: GroupState[(Long, Map[Long, Long])]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val (ver0, saved) =
+              state.getOption.getOrElse((0L, Map.empty[Long, Long]))
+            // cells keyed as r * width + bucket (one long per cell);
+            // additive fold — ≤ depth·width resident entries always
+            val buf = scala.collection.mutable.HashMap[Long, Long]()
+            saved.foreach { case (c, n) => buf(c) = n }
+            var maxTs = Long.MinValue
+            it.foreach { case (_, ts, bks) =>
+              if (ts.getTime > maxTs) maxTs = ts.getTime
+              var r = 0
+              bks.foreach { b =>
+                val cell = r.toLong * width + b
+                buf(cell) = buf.getOrElse(cell, 0L) + 1L
+                r += 1
+              }
+            }
+            val merged = buf.toMap
+            val ver = ver0 + 1
+            state.update((ver, merged))
+            setGuardedTimeout(state, maxTs, idleTimeout)
+            val cells = merged.toSeq.sorted.map { case (c, n) =>
+              CmsCell((c / width).toInt, c % width, n)
+            }
+            Iterator.single(CmsSnapshot(key, ver, cells))
           }
       }
   }

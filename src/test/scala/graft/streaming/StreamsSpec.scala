@@ -1113,4 +1113,84 @@ class StreamsSpec extends SparkSpec {
     assert(cSk.size === 2, "c's sketch holds both its distinct values")
     q.stop()
   }
+
+  test("cmsIngest: latest per-key snapshot equals the batch cmsSketch " +
+      "over all streamed rows, split across micro-batches (additive-cell " +
+      "merge property end-to-end)") {
+    import graft.operators.Sketches
+    val (depth, width) = (4, 64)
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("source"), col("doc_id"), col("text")).limit(400)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val mem = MemoryStream[(String, Timestamp, String)](spark)
+    val snaps = Streams.cmsIngest(
+      mem.toDF.toDF("key", "ts", "value").withWatermark("ts", "1 day"),
+      depth = depth, width = width)
+    val q = snaps.writeStream.format("memory")
+      .queryName("cms_out").outputMode("update")
+      .option("checkpointLocation", tmp("graft-cms-ckpt"))
+      .start()
+    val t = Timestamp.valueOf("2024-01-01 00:00:00")
+    docs.grouped(150).foreach { chunk =>
+      mem.addData(chunk.map { case (src, _, text) => (src, t, text) }.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val latest = spark.table("cms_out")
+      .as[(String, Long, Seq[(Int, Long, Long)])]
+      .collect().groupBy(_._1)
+      .map { case (key, rows) =>
+        key -> rows.maxBy(_._2)._3.sortBy(c => (c._1, c._2)).toList }
+    val batchDf = docs.toSeq.toDF("key", "doc_id", "value")
+    val batch = Sketches.cmsSketch(batchDf, Seq("key"), col("value"),
+        depth, width)
+      .as[(String, Int, Long, Long)].collect()
+      .groupBy(_._1)
+      .map { case (key, rows) =>
+        key -> rows.map(r => (r._2, r._3, r._4))
+          .sortBy(c => (c._1, c._2)).toList }
+    assert(latest === batch,
+      "streamed final CMS cells must equal the batch twin's exactly")
+    // bounded-state contract: every snapshot holds <= depth*width cells,
+    // all counts positive
+    spark.table("cms_out").as[(String, Long, Seq[(Int, Long, Long)])]
+      .collect().foreach { case (_, _, cells) =>
+        assert(cells.size <= depth * width)
+        assert(cells.forall(c => c._3 > 0 && c._1 >= 0 && c._1 < depth &&
+          c._2 >= 0 && c._2 < width))
+      }
+  }
+
+  test("cmsIngest: idle keys are event-time EVICTED — state rows drop " +
+      "to the in-horizon survivors") {
+    val mem = MemoryStream[(String, Timestamp, String)](spark)
+    val snaps = Streams.cmsIngest(
+      mem.toDF.toDF("key", "ts", "value").withWatermark("ts", "1 hour"),
+      depth = 2, width = 16, idleTimeout = "1 hour")
+    val q = snaps.writeStream.format("memory")
+      .queryName("cms_state_out").outputMode("update")
+      .option("checkpointLocation", tmp("graft-cms-state-ckpt"))
+      .start()
+    def stateRows: Long =
+      q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    mem.addData(("a", Timestamp.valueOf("2024-01-01 00:00:00"), "v1"),
+      ("b", Timestamp.valueOf("2024-01-01 00:00:00"), "v2"))
+    q.processAllAvailable()
+    assert(stateRows === 2L, "two key states after batch 1")
+    mem.addData(("c", Timestamp.valueOf("2024-01-03 00:00:00"), "v3"))
+    q.processAllAvailable()
+    mem.addData(("c", Timestamp.valueOf("2024-01-03 00:10:00"), "v3"))
+    q.processAllAvailable()
+    assert(stateRows === 1L,
+      s"eviction failed: $stateRows key states resident (want 1 — a and " +
+        "b removed, c kept)")
+    // the surviving key's counters accumulated across its batches:
+    // the same value arrived twice, so every cell counts 2
+    val cCells = spark.table("cms_state_out")
+      .as[(String, Long, Seq[(Int, Long, Long)])]
+      .collect().filter(_._1 == "c").maxBy(_._2)._3
+    assert(cCells.size === 2 && cCells.forall(_._3 == 2L),
+      "c's 2 cells (one per row) each count its value twice")
+    q.stop()
+  }
 }
