@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/**
+ * Dictionary phrase tagging — the taxonomy/blocklist gate every corpus
+ * pipeline runs (topic routing, badword screening, licensing-term
+ * detection). Reference tie-in: the reference's keyword-driven insight
+ * labels (`api/main.py` insight categories) are this operation at
+ * dashboard scale; here it is corpus-scale.
+ *
+ * A native engine would run Aho–Corasick per document; the Spark-first
+ * equivalent generates word n-grams SCAN-LOCALLY (one Generate, no
+ * shuffle), hash-joins them against the BROADCAST dictionary
+ * (taxonomy-scale, never corpus-scale), and aggregates per doc — so the
+ * only Exchange carries MATCHED rows: shuffle ∝ hits, never ∝ tokens.
+ * The gram generation and the join probe both stay inside whole-stage
+ * codegen. At 100 TB with a 10^4-phrase taxonomy the dictionary
+ * broadcast is a few MB and the scan is the only corpus-wide pass.
+ */
+object Tagging {
+
+  /**
+   * Tag `docs` against a `(phrase, category)` dictionary of word
+   * n-gram phrases (1..maxPhraseLen words, whitespace-normalized,
+   * lowercase). Returns one row per (id, category) with ≥1 phrase hit:
+   * `(id, category, n_phrases)` where `n_phrases` counts the DISTINCT
+   * dictionary phrases of that category present in the doc (grams are
+   * deduplicated per doc by [[TextFunctions.wordNgrams]] — presence
+   * semantics, not occurrence counts, the blocklist contract).
+   *
+   * Docs with no hits produce no rows — LEFT-join the result back for
+   * a complete per-doc frame (the q181 shape).
+   */
+  def tagPhrases(docs: DataFrame, idCol: Column, textCol: Column,
+                 dict: DataFrame, maxPhraseLen: Int): DataFrame = {
+    require(maxPhraseLen >= 1,
+      s"tagPhrases requires maxPhraseLen >= 1 (got $maxPhraseLen)")
+    val grams = concat(
+      (1 to maxPhraseLen).map(n => TextFunctions.wordNgrams(textCol, n)): _*)
+    docs
+      .select(idCol.as("id"), explode(grams).as("gram"))
+      .join(broadcast(
+        dict.select(lower(col("phrase")).as("gram"), col("category"))
+          .distinct()), "gram")
+      .groupBy("id", "category")
+      .agg(count(lit(1)).as("n_phrases"))
+  }
+}

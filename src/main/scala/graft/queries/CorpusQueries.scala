@@ -562,6 +562,31 @@ object CorpusQueries {
           length(col("chunk")).as("chunk_len"),
           md5(col("chunk").cast("binary")).as("chunk_fp"))
         .orderBy("doc_id", "chunk_id")
+    }),
+
+    "q183_curriculum_phases" -> ((s, dir) => {
+      // curriculum schedule (easy->hard training order): per SOURCE,
+      // rank docs by quality score (q52's formula) and cut into 4
+      // integer-exact phases ((rn-1)*4 div n — replayable, unlike
+      // ntile's remainder spread); emit the per-(source, phase)
+      // schedule card a training loader consumes. Windows key on
+      // source — shuffle-parallel, never a global single-task sort
+      // (the mixture is built per-source anyway, the q140 discipline).
+      val w = org.apache.spark.sql.expressions.Window
+      val base = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("q"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+      base
+        .withColumn("rn", row_number().over(
+          w.partitionBy("source").orderBy(col("q").desc, col("doc_id").asc)))
+        .withColumn("n", count(lit(1)).over(w.partitionBy("source")))
+        .withColumn("phase",
+          (expr("(rn - 1) * 4 div n") + 1).cast("int"))
+        .groupBy("source", "phase")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+          round(min("q"), 6).as("min_q"), round(max("q"), 6).as("max_q"))
+        .orderBy("source", "phase")
     })
   )
 
@@ -1150,6 +1175,37 @@ object CorpusQueries {
         |  CAST(len(substr(text, CAST(chunk_id*100 + 1 AS BIGINT), 120)) AS INTEGER)
         |    AS chunk_len,
         |  md5(substr(text, CAST(chunk_id*100 + 1 AS BIGINT), 120)) AS chunk_fp
-        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q183_curriculum_phases" ->
+      """WITH d AS (SELECT doc_id, source, text,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id, source,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0))
+        |    AS BIGINT) AS nt,
+        |  CAST(len(text) AS DOUBLE) AS chars,
+        |  CAST(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) AS letters,
+        |  CAST(len(regexp_replace(text, '[\w\s]', '', 'g')) AS DOUBLE) AS punct,
+        |  CASE WHEN len(toks)=0 THEN 0.0
+        |    ELSE CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)/len(toks) END AS meanlen,
+        |  CASE WHEN len(toks)=0 THEN 0.0 ELSE CAST(len(list_filter(toks, t -> list_contains(
+        |    ['the','and','of','to','a','in','is','that','for','it'], t))) AS DOUBLE)/len(toks) END AS stopr
+        |  FROM d),
+        |sc AS (SELECT doc_id, source, nt,
+        |  least(chars/500.0, 1.0)*0.25 +
+        |  (CASE WHEN chars=0 THEN 0.0 ELSE letters/chars END)*0.25 +
+        |  (1.0 - CASE WHEN chars=0 THEN 1.0 ELSE punct/chars END)*0.20 +
+        |  (CASE WHEN meanlen >= 3.0 AND meanlen <= 10.0 THEN 1.0 ELSE 0.0 END)*0.15 +
+        |  least(stopr/0.3, 1.0)*0.15 AS q
+        |  FROM m),
+        |ranked AS (SELECT source, q, nt,
+        |    row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM sc)
+        |SELECT source, CAST((rn - 1) * 4 // n + 1 AS INTEGER) AS phase,
+        |  count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  round(min(q), 6) AS min_q, round(max(q), 6) AS max_q
+        |FROM ranked GROUP BY 1, 2 ORDER BY source, phase""".stripMargin
   )
 }

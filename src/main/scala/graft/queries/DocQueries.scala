@@ -441,6 +441,35 @@ object DocQueries {
           round(avg(when(col("fate") === "kept", col("n_tokens"))), 4)
             .as("avg_tokens_kept"))
         .orderBy("source")
+    }),
+
+    "q181_keyword_tags" -> ((s, dir) => {
+      // taxonomy/blocklist tagging (the Dolma attribute discipline:
+      // compute WHICH rules hit, filter policies compose downstream):
+      // a broadcast phrase dictionary (uni+bigrams) probed by
+      // scan-local gram generation — the only Exchange carries matched
+      // rows, so shuffle is proportional to hits, never to tokens.
+      import s.implicits._
+      val dict = Seq(
+        ("hash join", "joins"), ("merge join", "joins"),
+        ("sort merge", "joins"),
+        ("table scan", "scans"), ("full scan", "scans"),
+        ("index scan", "scans"),
+        ("slow query", "perf"), ("slow", "perf"), ("fast", "perf")
+      ).toDF("phrase", "category")
+      val docs = t(s, dir, "documents")
+      val tags = graft.operators.Tagging.tagPhrases(
+          docs, col("doc_id"), col("text"), dict, maxPhraseLen = 2)
+        .groupBy("id")
+        .agg(sum("n_phrases").as("n_hits"),
+          array_join(array_sort(collect_set("category")), ",")
+            .as("categories"))
+      docs.select(col("doc_id"))
+        .join(tags, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          coalesce(col("categories"), lit("")).as("categories"))
+        .orderBy("doc_id")
     })
   )
 
@@ -851,6 +880,31 @@ object DocQueries {
         |  CAST(sum(CASE WHEN fate = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS drop_dup,
         |  CAST(sum(CASE WHEN fate = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS kept,
         |  round(avg(CASE WHEN fate = 'kept' THEN n_tokens END), 4) AS avg_tokens_kept
-        |FROM fated GROUP BY source ORDER BY source""".stripMargin
+        |FROM fated GROUP BY source ORDER BY source""".stripMargin,
+
+    "q181_keyword_tags" ->
+      (s"""WITH d AS (SELECT doc_id, ${toksSql} AS w FROM documents),
+        |g AS (SELECT doc_id, gram FROM (
+        |    SELECT doc_id, unnest(list_distinct(w)) AS gram FROM d
+        |    UNION ALL
+        |    SELECT doc_id, unnest(list_distinct(list_transform(
+        |      range(1, greatest(len(w)-1, 0)+1),
+        |      i -> array_to_string(w[i:i+1], ' ')))) AS gram FROM d)),
+        |dict(phrase, category) AS (VALUES
+        |  ('hash join','joins'), ('merge join','joins'),
+        |  ('sort merge','joins'),
+        |  ('table scan','scans'), ('full scan','scans'),
+        |  ('index scan','scans'),
+        |  ('slow query','perf'), ('slow','perf'), ('fast','perf')),
+        |hits AS (SELECT g.doc_id, dict.category, count(*) AS c
+        |  FROM g JOIN dict ON g.gram = dict.phrase GROUP BY 1, 2),
+        |per AS (SELECT doc_id, sum(c) AS n_hits,
+        |    array_to_string(list_sort(list(DISTINCT category)), ',')
+        |      AS categories
+        |  FROM hits GROUP BY 1)
+        |SELECT d2.doc_id, CAST(coalesce(p.n_hits, 0) AS BIGINT) AS n_hits,
+        |  coalesce(p.categories, '') AS categories
+        |FROM documents d2 LEFT JOIN per p USING (doc_id)
+        |ORDER BY doc_id""").stripMargin
   )
 }

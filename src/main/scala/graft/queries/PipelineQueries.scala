@@ -823,6 +823,28 @@ object PipelineQueries {
         .select(col("id"), col("c0"), col("c1"), col("c2"), col("c3"),
           col("adc_dist"), col("rank").cast("bigint").as("rank"))
         .orderBy("rank")
+    }),
+
+    "q182_semantic_outliers" -> ((s, dir) => {
+      // embedding-space outlier triage (the SemDeDup-adjacent quality
+      // screen): assign every vector to its coarse IVF cell (q72's
+      // broadcast argmax kernel), then flag the bottom 10% of each
+      // cell by cosine-to-centroid — the far-from-every-mode rows that
+      // are disproportionately noise/OOD in web corpora. Integer-exact
+      // decile rule (rk*10 <= n) — no float threshold to disagree on.
+      // Scale: one broadcast NL pass for assignment, one cell-keyed
+      // window; cells are the partition unit, never the whole corpus.
+      val w = org.apache.spark.sql.expressions.Window
+      val a = SimilaritySearch.ivfAssign(
+        Tables.loadSpread(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"), modulus = 50)
+      a.withColumn("rk", row_number().over(
+          w.partitionBy("cid").orderBy(col("cosine").asc, col("id").asc)))
+        .withColumn("n", count(lit(1)).over(w.partitionBy("cid")))
+        .select(col("id").as("vec_id"), col("cid"),
+          round(col("cosine"), 6).as("cos_centroid"),
+          (col("rk") * 10 <= col("n")).as("is_outlier"))
+        .orderBy("vec_id")
     })
   )
 
@@ -1414,5 +1436,24 @@ object PipelineQueries {
         |  CAST(row_number() OVER (ORDER BY cosine DESC, id ASC)
         |    AS INTEGER) AS rank
         |FROM scored QUALIFY rank <= 10 ORDER BY rank""".stripMargin,
+
+    "q182_semantic_outliers" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |scored AS (SELECT e.vec_id AS id, c.cid,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], c.cv) AS cos,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
+        |        c.cid ASC) AS rn
+        |  FROM embeddings e, c),
+        |assigned AS (SELECT id, cid, cos FROM scored WHERE rn = 1),
+        |ranked AS (SELECT id, cid, cos,
+        |    row_number() OVER (PARTITION BY cid ORDER BY cos ASC, id ASC)
+        |      AS rk,
+        |    count(*) OVER (PARTITION BY cid) AS n
+        |  FROM assigned)
+        |SELECT id AS vec_id, cid, round(cos, 6) AS cos_centroid,
+        |  (rk * 10 <= n) AS is_outlier
+        |FROM ranked ORDER BY vec_id""".stripMargin
   )
 }

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Contract gates for [[Tagging.tagPhrases]] (q181's operator): presence
+  * semantics, phrase-length cap, case/whitespace normalization, and
+  * partition invariance — the dictionary-tagging guarantees the
+  * blocklist/taxonomy use cases rely on. */
+class TaggingSpec extends SparkSpec {
+
+  private lazy val sq = spark
+  import sq.implicits._
+
+  private def dict = Seq(
+    ("hash join", "joins"),
+    ("JOIN", "joins"), // dictionary side is lowercased too
+    ("scan", "scans"),
+    ("full table scan", "scans") // 3 words — beyond maxPhraseLen=2
+  ).toDF("phrase", "category")
+
+  test("presence semantics: a phrase occurring many times counts ONCE; " +
+      "distinct phrases of one category accumulate") {
+    val docs = Seq(
+      (1L, "scan scan scan scan"), // 'scan' x4 -> 1
+      (2L, "hash join then a join"), // two distinct joins phrases -> 2
+      (3L, "nothing relevant here")
+    ).toDF("doc_id", "text")
+    val out = Tagging.tagPhrases(docs, col("doc_id"), col("text"), dict, 2)
+      .orderBy("id", "category")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out === Seq((1L, "scans", 1L), (2L, "joins", 2L)))
+  }
+
+  test("maxPhraseLen caps the gram generation: a 3-word dictionary " +
+      "phrase can NEVER match at maxPhraseLen=2, and matches at 3") {
+    val docs = Seq((1L, "a full table scan happened")).toDF("doc_id", "text")
+    val at2 = Tagging.tagPhrases(docs, col("doc_id"), col("text"),
+        dict.filter(col("phrase") === "full table scan"), 2).count()
+    assert(at2 === 0L)
+    val at3 = Tagging.tagPhrases(docs, col("doc_id"), col("text"),
+        dict.filter(col("phrase") === "full table scan"), 3)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(at3 === Seq((1L, "scans", 1L)))
+  }
+
+  test("normalization: matching is lowercase on BOTH sides and " +
+      "whitespace-split (multi-space and newline separators)") {
+    val docs = Seq((1L, "HASH   JOIN\nSCAN")).toDF("doc_id", "text")
+    val out = Tagging.tagPhrases(docs, col("doc_id"), col("text"), dict, 2)
+      .orderBy("category").as[(Long, String, Long)].collect().toSeq
+    // 'hash join' (across the multi-space), 'join' (uppercase dict
+    // entry lowercased), 'scan'
+    assert(out === Seq((1L, "joins", 2L), (1L, "scans", 1L)))
+  }
+
+  test("duplicate dictionary rows collapse (distinct'd) — no double " +
+      "counting from a redundant taxonomy") {
+    val docs = Seq((1L, "scan it")).toDF("doc_id", "text")
+    val dup = dict.union(dict)
+    val out = Tagging.tagPhrases(docs, col("doc_id"), col("text"), dup, 2)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out === Seq((1L, "scans", 1L)))
+  }
+
+  test("partition invariance: 1-partition and 7-partition inputs " +
+      "produce identical tag frames") {
+    val docs = Tables400()
+    val a = Tagging.tagPhrases(docs.repartition(1), col("doc_id"),
+        col("text"), dict, 2)
+      .orderBy("id", "category").collect().toSeq
+    val b = Tagging.tagPhrases(docs.repartition(7), col("doc_id"),
+        col("text"), dict, 2)
+      .orderBy("id", "category").collect().toSeq
+    assert(a === b && a.nonEmpty)
+  }
+
+  private def Tables400() =
+    graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).limit(400)
+}

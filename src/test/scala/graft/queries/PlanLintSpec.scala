@@ -50,7 +50,8 @@ class PlanLintSpec extends SparkSpec {
     "q174_hard_negatives" -> "broadcast 20-row query batch × corpus: the brute-force mining contract (all cross-label pairs scored by design; corpus-scale Q routes through the stored IVF index instead)",
     "q178_metric_ci" -> "the point-estimate row joins the CI row on the literal 'all' scope — constant folding degenerates the 1×1 equi-join to a BNLJ of two single-row frames",
     "q179_hybrid_rrf" -> "q94's broadcast 1-row corpus-stats frame inside the BM25 leg of the fusion",
-    "q180_cms_shard_merge" -> "broadcast 1-row shard-count frame crossJoined onto the 20-row probe read-out")
+    "q180_cms_shard_merge" -> "broadcast 1-row shard-count frame crossJoined onto the 20-row probe read-out",
+    "q182_semantic_outliers" -> "q72's broadcast centroid argmax kernel feeding the per-cell decile window")
 
   /** Expand is legitimate only for SQL grouping sets. */
   private val expandAllowed: Map[String, String] = Map(
