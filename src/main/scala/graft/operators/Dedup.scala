@@ -364,6 +364,63 @@ object Dedup {
     minhashDocState(docs, idCol, textCol, shingleSize, numHashes)
 
   /**
+   * LSH parameter tuning harness: for each banding configuration over
+   * ONE shared signature pass, the candidate-pair precision/recall
+   * against exact-Jaccard ground truth at `threshold` — the operating
+   * curve a dedup owner reads before committing (bands, rows) at
+   * corpus scale. Output: (bands, n_candidates, n_true_pairs,
+   * true_positives, precision, recall), one row per configuration.
+   *
+   * Ground truth is ALL-PAIRS exact Jaccard — by contract this runs on
+   * a SAMPLE (the q185 query caps at doc_id % 10 = 0 and says so);
+   * the harness is tuning instrumentation, never the production dedup
+   * path. Signatures and hash sets are computed once (one scan, one
+   * checkpoint) and every configuration re-bands the same state —
+   * adding a configuration costs one k-scale band self-join, not a
+   * corpus re-hash.
+   */
+  def lshOperatingCurve(docs: DataFrame, idCol: Column, textCol: Column,
+                        shingleSize: Int = 5, numHashes: Int = 16,
+                        bandsConfigs: Seq[Int] = Seq(8, 4),
+                        threshold: Double = 0.25): DataFrame = {
+    require(bandsConfigs.nonEmpty, "need at least one bands configuration")
+    val st = minhashDocState(docs, idCol, textCol, shingleSize, numHashes)
+      .localCheckpoint(true)
+    val a = st.select(col("id").as("a_id"), col("hs").as("a_hs"),
+      col("sz").as("a_sz"))
+    val b = st.select(col("id").as("b_id"), col("hs").as("b_hs"),
+      col("sz").as("b_sz"))
+    val inter = GraftShim.column(SortedIntersectCount(
+      GraftShim.expr(col("a_hs")), GraftShim.expr(col("b_hs")))).cast("double")
+    val truth = a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (inter / (col("a_sz") + col("b_sz") - inter) >= threshold)
+          .as("is_dup"))
+      .localCheckpoint(true)
+    val perConfig = bandsConfigs.map { bands =>
+      val bk = st.select(col("id"),
+        explode(lshBandKeys(col("sig"), numHashes, bands)).as("bk"))
+      bk.as("x")
+        .join(bk.as("y"),
+          col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("a_id"), col("y.id").as("b_id")).distinct()
+        .join(truth, Seq("a_id", "b_id"))
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum(col("is_dup").cast("long")), lit(0L))
+            .as("true_positives"))
+        .withColumn("bands", lit(bands))
+    }.reduce(_ unionByName _)
+    val totals = truth.agg(
+      coalesce(sum(col("is_dup").cast("long")), lit(0L)).as("n_true_pairs"))
+    perConfig.crossJoin(broadcast(totals))
+      .select(col("bands"), col("n_candidates"), col("n_true_pairs"),
+        col("true_positives"),
+        round(col("true_positives") / col("n_candidates"), 6)
+          .as("precision"),
+        round(col("true_positives") / col("n_true_pairs"), 6).as("recall"))
+  }
+
+  /**
    * [[incrementalNearDups]] with the corpus side supplied as a stored
    * signature table (the output of [[minhashStateTable]], typically read
    * back from parquet) instead of raw text — the corpus text is never

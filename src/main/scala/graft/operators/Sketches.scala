@@ -262,6 +262,34 @@ object Sketches {
       .agg(sum(col("cnt")).as("cnt"))
 
   /**
+   * Equi-join SIZE estimate from two CMS sketches (AMS/CM inner
+   * product, Cormode & Muthukrishnan 2005 §4.2): for each depth row r,
+   * Σ_b cntA[r,b]·cntB[r,b] upper-bounds Σ_v fA(v)·fB(v) = |A ⋈ B| on
+   * the sketched key (hash collisions only ADD cross terms); the
+   * estimate is the MIN over the d rows. This is the planner statistic
+   * that prices a join from two d·w-cell artifacts without touching
+   * either table — at 100 TB each side's sketch is built once at
+   * ingest (or maintained by `Streams.cmsIngest`) and every join-order
+   * question afterwards is a d·w-row frame join.
+   *
+   * Inputs are ungrouped sketch frames (r, bucket, cnt) with the SAME
+   * depth/width/salts. Output: one row, (est_join_size). Never an
+   * undercount; deterministic, so the oracle replays it exactly.
+   */
+  def cmsInnerProduct(a: DataFrame, b: DataFrame, depth: Int): DataFrame = {
+    val rp = a.select(col("r"), col("bucket"), col("cnt").as("ca"))
+      .join(b.select(col("r"), col("bucket"), col("cnt").as("cb")),
+        Seq("r", "bucket"))
+      .groupBy("r").agg(sum(col("ca") * col("cb")).as("rp"))
+    // scaffold ALL d rows: a row with zero common buckets proves the
+    // join empty (any shared key would populate every row) — its 0 must
+    // win the min, not vanish from it
+    a.sparkSession.range(depth).select(col("id").cast("int").as("r"))
+      .join(rp, Seq("r"), "left")
+      .agg(min(coalesce(col("rp"), lit(0L))).as("est_join_size"))
+  }
+
+  /**
    * Point-frequency read-out: for each probe value (single-column
    * `probes` frame, column `v`, distinct'd here), est = min over the d
    * rows of the matching bucket's count (0 when a bucket is empty — the

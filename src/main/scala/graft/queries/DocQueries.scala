@@ -470,6 +470,22 @@ object DocQueries {
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           coalesce(col("categories"), lit("")).as("categories"))
         .orderBy("doc_id")
+    }),
+
+    "q185_lsh_operating_curve" -> ((s, dir) => {
+      // the dedup-tuning instrument: precision/recall of LSH candidate
+      // generation vs exact-Jaccard ground truth, per banding config,
+      // from ONE shared signature pass. Runs on the doc_id % 10 SAMPLE
+      // by contract (ground truth is all-pairs — tuning instrumentation,
+      // never the production dedup path; the cap is the query's own
+      // filter, not a silent one). bands=8 (rows 2) trades precision
+      // for recall; bands=4 (rows 4) the reverse — the curve is what
+      // justifies a config before a 100 TB run commits to it.
+      Dedup.lshOperatingCurve(
+          t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+          col("doc_id"), col("text"), shingleSize = 5, numHashes = 16,
+          bandsConfigs = Seq(8, 4), threshold = 0.25)
+        .orderBy("bands")
     })
   )
 
@@ -881,6 +897,50 @@ object DocQueries {
         |  CAST(sum(CASE WHEN fate = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS kept,
         |  round(avg(CASE WHEN fate = 'kept' THEN n_tokens END), 4) AS avg_tokens_kept
         |FROM fated GROUP BY source ORDER BY source""".stripMargin,
+
+    "q185_lsh_operating_curve" ->
+      s"""WITH d AS (SELECT doc_id, $shinglesSql AS sh FROM documents
+        |  WHERE len(text) > 0 AND doc_id % 10 = 0),
+        |hh AS (SELECT doc_id, list_transform(sh,
+        |  x -> CAST(CAST(('0x' || substring(md5(x), 1, 8)) AS UBIGINT) AS BIGINT)) AS hs
+        |  FROM d),
+        |s AS (SELECT doc_id, list_transform(range(0, 16),
+        |  i -> list_min(list_transform(hs,
+        |    h -> (h * (2*i+1) + (i*2654435761) % 4294967311) % 4294967311))) AS sig
+        |  FROM hh),
+        |b8 AS (SELECT doc_id, b,
+        |  md5(array_to_string(sig[(2*b+1):(2*b+2)], '|')) AS key
+        |  FROM s, range(0, 8) t(b)),
+        |b4 AS (SELECT doc_id, b,
+        |  md5(array_to_string(sig[(4*b+1):(4*b+4)], '|')) AS key
+        |  FROM s, range(0, 4) t(b)),
+        |c8 AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        |  FROM b8 x JOIN b8 y ON x.b = y.b AND x.key = y.key
+        |    AND x.doc_id < y.doc_id),
+        |c4 AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        |  FROM b4 x JOIN b4 y ON x.b = y.b AND x.key = y.key
+        |    AND x.doc_id < y.doc_id),
+        |hset AS (SELECT doc_id, list_distinct(hs) AS hs FROM hh),
+        |truth AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    (CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.hs, b.hs))) >= 0.25) AS is_dup
+        |  FROM hset a JOIN hset b ON a.doc_id < b.doc_id),
+        |tot AS (SELECT sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_true
+        |  FROM truth),
+        |cfg AS (
+        |  SELECT 8 AS bands, count(*) AS n_candidates,
+        |    sum(CASE WHEN t.is_dup THEN 1 ELSE 0 END) AS tp
+        |  FROM c8 JOIN truth t USING (a_id, b_id)
+        |  UNION ALL
+        |  SELECT 4 AS bands, count(*) AS n_candidates,
+        |    sum(CASE WHEN t.is_dup THEN 1 ELSE 0 END) AS tp
+        |  FROM c4 JOIN truth t USING (a_id, b_id))
+        |SELECT bands, CAST(n_candidates AS BIGINT) AS n_candidates,
+        |  CAST(tot.n_true AS BIGINT) AS n_true_pairs,
+        |  CAST(coalesce(tp, 0) AS BIGINT) AS true_positives,
+        |  round(CAST(tp AS DOUBLE) / n_candidates, 6) AS precision,
+        |  round(CAST(tp AS DOUBLE) / tot.n_true, 6) AS recall
+        |FROM cfg, tot ORDER BY bands""".stripMargin,
 
     "q181_keyword_tags" ->
       (s"""WITH d AS (SELECT doc_id, ${toksSql} AS w FROM documents),

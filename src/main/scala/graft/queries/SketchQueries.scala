@@ -182,6 +182,32 @@ object SketchQueries {
         .orderBy("token")
     }),
 
+    "q184_join_size_estimate" -> ((s, dir) => {
+      // the planner statistic: |orders JOIN events| on the customer key
+      // priced from two CMS artifacts alone (AMS/CM inner product — min
+      // over depth rows of the bucketwise count product; collisions
+      // only ADD, so never an undercount). exact_join_size rides along
+      // via the agg-then-join form (pre-agg both sides, sum products —
+      // the join itself is never materialized). At 100 TB each table's
+      // sketch is built once at ingest; every join-order question
+      // afterwards touches two d·w-row frames.
+      val orders = t(s, dir, "orders")
+      val events = t(s, dir, "events")
+      val sa = Sketches.cmsSketch(orders, Seq.empty,
+        col("o_custkey").cast("string"), depth = CmsDepth, width = CmsWidth)
+      val sb = Sketches.cmsSketch(events, Seq.empty,
+        col("user_id").cast("string"), depth = CmsDepth, width = CmsWidth)
+      val est = Sketches.cmsInnerProduct(sa, sb, depth = CmsDepth)
+      val ea = orders.groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("ca"))
+      val eb = events.groupBy(col("user_id").as("k"))
+        .agg(count(lit(1)).as("cb"))
+      val exact = ea.join(eb, "k")
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L))
+          .as("exact_join_size"))
+      est.crossJoin(exact)
+    }),
+
     "q163_hist_quantile" -> ((s, dir) => {
       // p50/p90/p99 of event value per type, read from per-(type, day)
       // histogram partials summed to per-type — the additive-sketch
@@ -337,6 +363,31 @@ object SketchQueries {
         |FROM pb JOIN sketch s ON s.r = pb.r AND s.bucket = pb.bucket
         |CROSS JOIN ns
         |GROUP BY pb.token ORDER BY pb.token""".stripMargin,
+
+    "q184_join_size_estimate" ->
+      """WITH ka AS (SELECT CAST(o_custkey AS VARCHAR) AS v FROM orders),
+        |kb AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events),
+        |rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        |sa AS (SELECT r,
+        |    CAST(CAST(('0x' || substring(md5(CAST(r AS VARCHAR) || '|' || v), 1, 15))
+        |      AS UBIGINT) AS BIGINT) % 512 AS bucket, count(*) AS cnt
+        |  FROM ka, rs GROUP BY 1, 2),
+        |sb AS (SELECT r,
+        |    CAST(CAST(('0x' || substring(md5(CAST(r AS VARCHAR) || '|' || v), 1, 15))
+        |      AS UBIGINT) AS BIGINT) % 512 AS bucket, count(*) AS cnt
+        |  FROM kb, rs GROUP BY 1, 2),
+        |prod AS (SELECT sa.r, sum(sa.cnt * sb.cnt) AS p
+        |  FROM sa JOIN sb ON sa.r = sb.r AND sa.bucket = sb.bucket
+        |  GROUP BY 1),
+        |est AS (SELECT min(coalesce(p.p, 0)) AS est_join_size
+        |  FROM rs LEFT JOIN prod p ON p.r = rs.r),
+        |ea AS (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1),
+        |eb AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1),
+        |ex AS (SELECT coalesce(sum(ea.c * eb.c), 0) AS exact_join_size
+        |  FROM ea JOIN eb ON ea.k = eb.k)
+        |SELECT CAST(est_join_size AS BIGINT) AS est_join_size,
+        |  CAST(exact_join_size AS BIGINT) AS exact_join_size
+        |FROM est, ex""".stripMargin,
 
     "q163_hist_quantile" ->
       """WITH v AS (SELECT event_type, value AS v FROM events

@@ -247,4 +247,26 @@ class SketchesSpec extends SparkSpec {
         s"grp $g: hll ${merged(g)} vs exact $n")
     }
   }
+
+  test("cmsInnerProduct: collision-free width reads the EXACT join size; " +
+      "narrow width only ever overcounts; disjoint keys read zero") {
+    val a = (Seq.fill(3)("k1") ++ Seq.fill(2)("k2") ++ Seq("k3"))
+      .toDF("v")
+    val b = (Seq.fill(4)("k1") ++ Seq.fill(5)("k2") ++ Seq.fill(7)("zz"))
+      .toDF("v")
+    // exact |A join B| = 3*4 + 2*5 = 22
+    def est(width: Int): Long = {
+      val sa = Sketches.cmsSketch(a, Seq.empty, col("v"), 4, width)
+      val sb = Sketches.cmsSketch(b, Seq.empty, col("v"), 4, width)
+      Sketches.cmsInnerProduct(sa, sb, 4).head().getLong(0)
+    }
+    assert(est(1 << 16) === 22L, "wide sketch must be collision-exact")
+    assert(est(2) >= 22L, "narrow sketch may only overcount")
+    // disjoint key sets: wide sketch reads 0 (absent depth rows count
+    // as 0 via the scaffold, not vanish from the min)
+    val c = Seq("other1", "other2").toDF("v")
+    val sa = Sketches.cmsSketch(a, Seq.empty, col("v"), 4, 1 << 16)
+    val sc = Sketches.cmsSketch(c, Seq.empty, col("v"), 4, 1 << 16)
+    assert(Sketches.cmsInnerProduct(sa, sc, 4).head().getLong(0) === 0L)
+  }
 }

@@ -51,7 +51,9 @@ class PlanLintSpec extends SparkSpec {
     "q178_metric_ci" -> "the point-estimate row joins the CI row on the literal 'all' scope — constant folding degenerates the 1×1 equi-join to a BNLJ of two single-row frames",
     "q179_hybrid_rrf" -> "q94's broadcast 1-row corpus-stats frame inside the BM25 leg of the fusion",
     "q180_cms_shard_merge" -> "broadcast 1-row shard-count frame crossJoined onto the 20-row probe read-out",
-    "q182_semantic_outliers" -> "q72's broadcast centroid argmax kernel feeding the per-cell decile window")
+    "q182_semantic_outliers" -> "q72's broadcast centroid argmax kernel feeding the per-cell decile window",
+    "q184_join_size_estimate" -> "two 1-row frames (sketch estimate x exact cardinality) crossJoined for the comparison row",
+    "q185_lsh_operating_curve" -> "the tuning harness's ground-truth all-pairs theta join over the doc_id%10 sample (sample-scale by contract) plus the broadcast 1-row totals frame")
 
   /** Expand is legitimate only for SQL grouping sets. */
   private val expandAllowed: Map[String, String] = Map(
