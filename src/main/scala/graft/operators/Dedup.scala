@@ -186,6 +186,52 @@ object Dedup {
     verifyPairs(cand, docState, numHashes, threshold)
   }
 
+  /**
+   * Asymmetric near-duplicate detection: CONTAINMENT
+   * C(A,B) = |A∩B| / min(|A|,|B|) catches subset relations — quotes,
+   * doc-inside-doc inclusions, boilerplate-wrapped copies — that
+   * symmetric Jaccard provably misses (a doc fully contained in one 4×
+   * its size has J ≤ 0.25 but C = 1; Broder 1997 defines both for
+   * exactly this reason). Candidates come from the SAME capped LSH
+   * bands as [[minhashNearDups]]; verification is the exact merge-walk
+   * intersect with NO signature-agreement prune — that gate estimates
+   * JACCARD and would drop exactly the high-containment/low-jaccard
+   * pairs this operator exists to surface. Returns
+   * (a_id, b_id, containment, jaccard) for containment ≥ minContainment.
+   *
+   * Same scale envelope as the near-dup pipeline: one scan into doc
+   * state, capped band self-join, verification only on candidates.
+   * LSH recall for contained-but-dissimilar pairs is inherently lower
+   * than for near-dups (the contained doc's minima are a subset draw) —
+   * the operating point is tunable with more bands, and the q185
+   * harness measures it.
+   */
+  def containmentPairs(docs: DataFrame, idCol: Column, textCol: Column,
+                       shingleSize: Int = 5, numHashes: Int = 16,
+                       bands: Int = 8, minContainment: Double = 0.5,
+                       maxBucketSize: Int = 100): DataFrame = {
+    val docState = minhashDocState(docs, idCol, textCol, shingleSize,
+      numHashes).localCheckpoint(true)
+    val banded = cappedBands(docState, numHashes, bands, maxBucketSize)
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id")).distinct()
+    val withSets = cand
+      .join(docState.select(col("id").as("a_id"), col("hs").as("a_hs"),
+        col("sz").as("a_sz")), "a_id")
+      .join(docState.select(col("id").as("b_id"), col("hs").as("b_hs"),
+        col("sz").as("b_sz")), "b_id")
+    val inter = GraftShim.column(SortedIntersectCount(
+      GraftShim.expr(col("a_hs")), GraftShim.expr(col("b_hs")))).cast("double")
+    withSets
+      .withColumn("_i", inter)
+      .select(col("a_id"), col("b_id"),
+        (col("_i") / least(col("a_sz"), col("b_sz"))).as("containment"),
+        (col("_i") / (col("a_sz") + col("b_sz") - col("_i"))).as("jaccard"))
+      .filter(col("containment") >= minContainment)
+  }
+
   /** The three materialize-once dedup artifacts, each already
     * materialized (checkpointed) and parquet-writable. */
   final case class NearDupArtifacts(signatures: DataFrame, edges: DataFrame,

@@ -587,6 +587,44 @@ object CorpusQueries {
         .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
           round(min("q"), 6).as("min_q"), round(max("q"), 6).as("max_q"))
         .orderBy("source", "phase")
+    }),
+
+    "q186_zipf_fit" -> ((s, dir) => {
+      // Zipf's-law fit of the token frequency distribution — the
+      // corpus-health diagnostic (a slope far from -1 on the log-log
+      // rank/frequency line flags template-dominated or truncated
+      // corpora before training does): OLS over the top-100 tokens,
+      // ln terms quantized DECIMAL(38,18) before summing so the fit is
+      // bit-stable under any partitioning (the q125/q169 discipline).
+      // One corpus scan into a 100-row frame; everything after is
+      // constant-size.
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("token").asc)
+      val cnts = t(s, dir, "documents")
+        .select(explode(filter(split(lower(col("text")), "\\s+"),
+          x => length(x) > 0)).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      val top = cnts.orderBy(col("cnt").desc, col("token").asc).limit(100)
+        .withColumn("rnk", row_number().over(w))
+      val xy = top.select(
+        log(col("rnk").cast("double")).cast("decimal(38,18)").as("x"),
+        log(col("cnt").cast("double")).cast("decimal(38,18)").as("y"),
+        (log(col("rnk").cast("double")) * log(col("cnt").cast("double")))
+          .cast("decimal(38,18)").as("xy"),
+        (log(col("rnk").cast("double")) * log(col("rnk").cast("double")))
+          .cast("decimal(38,18)").as("x2"))
+      xy.agg(count(lit(1)).as("_nl"),
+          sum("x").cast("double").as("sx"), sum("y").cast("double").as("sy"),
+          sum("xy").cast("double").as("sxy"),
+          sum("x2").cast("double").as("sx2"))
+        .select(col("_nl").as("n_tokens"),
+          round((col("_nl").cast("double") * col("sxy") - col("sx") * col("sy")) /
+            (col("_nl").cast("double") * col("sx2") - col("sx") * col("sx")), 6)
+            .as("slope"),
+          round((col("sy") -
+            (col("_nl").cast("double") * col("sxy") - col("sx") * col("sy")) /
+            (col("_nl").cast("double") * col("sx2") - col("sx") * col("sx")) *
+            col("sx")) / col("_nl").cast("double"), 6).as("intercept"))
     })
   )
 
@@ -1206,6 +1244,35 @@ object CorpusQueries {
         |SELECT source, CAST((rn - 1) * 4 // n + 1 AS INTEGER) AS phase,
         |  count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
         |  round(min(q), 6) AS min_q, round(max(q), 6) AS max_q
-        |FROM ranked GROUP BY 1, 2 ORDER BY source, phase""".stripMargin
+        |FROM ranked GROUP BY 1, 2 ORDER BY source, phase""".stripMargin,
+
+    "q186_zipf_fit" ->
+      """WITH tok AS (SELECT
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |cnts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+        |top AS (SELECT token, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, token ASC) AS rnk
+        |  FROM cnts ORDER BY cnt DESC, token ASC LIMIT 100),
+        |xy AS (SELECT
+        |    CAST(ln(CAST(rnk AS DOUBLE)) AS DECIMAL(38,18)) AS x,
+        |    CAST(ln(CAST(cnt AS DOUBLE)) AS DECIMAL(38,18)) AS y,
+        |    CAST(ln(CAST(rnk AS DOUBLE)) * ln(CAST(cnt AS DOUBLE))
+        |      AS DECIMAL(38,18)) AS xy,
+        |    CAST(ln(CAST(rnk AS DOUBLE)) * ln(CAST(rnk AS DOUBLE))
+        |      AS DECIMAL(38,18)) AS x2
+        |  FROM top),
+        |ag AS (SELECT count(*) AS nl, CAST(sum(x) AS DOUBLE) AS sx,
+        |    CAST(sum(y) AS DOUBLE) AS sy, CAST(sum(xy) AS DOUBLE) AS sxy,
+        |    CAST(sum(x2) AS DOUBLE) AS sx2
+        |  FROM xy)
+        |SELECT CAST(nl AS BIGINT) AS n_tokens,
+        |  round((CAST(nl AS DOUBLE) * sxy - sx * sy) /
+        |    (CAST(nl AS DOUBLE) * sx2 - sx * sx), 6) AS slope,
+        |  round((sy - (CAST(nl AS DOUBLE) * sxy - sx * sy) /
+        |    (CAST(nl AS DOUBLE) * sx2 - sx * sx) * sx) /
+        |    CAST(nl AS DOUBLE), 6) AS intercept
+        |FROM ag""".stripMargin
   )
 }

@@ -486,6 +486,23 @@ object DocQueries {
           col("doc_id"), col("text"), shingleSize = 5, numHashes = 16,
           bandsConfigs = Seq(8, 4), threshold = 0.25)
         .orderBy("bands")
+    }),
+
+    "q187_containment_pairs" -> ((s, dir) => {
+      // asymmetric near-dup detection: containment |A∩B|/min(|A|,|B|)
+      // catches quotes/inclusions that Jaccard provably misses (full
+      // containment in a 4x-larger doc is J <= 0.25 but C = 1 — Broder
+      // 1997 defines both for this reason). Same capped LSH candidate
+      // envelope as q43; exact verify WITHOUT the jaccard-estimating
+      // signature prune, which would drop exactly the
+      // high-containment/low-jaccard pairs this exists to find.
+      Dedup.containmentPairs(t(s, dir, "documents"), col("doc_id"),
+          col("text"), shingleSize = 5, numHashes = 16, bands = 8,
+          minContainment = 0.5, maxBucketSize = 100)
+        .select(col("a_id"), col("b_id"),
+          round(col("containment"), 6).as("containment"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a_id", "b_id")
     })
   )
 
@@ -941,6 +958,36 @@ object DocQueries {
         |  round(CAST(tp AS DOUBLE) / n_candidates, 6) AS precision,
         |  round(CAST(tp AS DOUBLE) / tot.n_true, 6) AS recall
         |FROM cfg, tot ORDER BY bands""".stripMargin,
+
+    "q187_containment_pairs" ->
+      s"""WITH d AS (SELECT doc_id, $shinglesSql AS sh FROM documents WHERE len(text) > 0),
+        |hh AS (SELECT doc_id, list_transform(sh,
+        |  x -> CAST(CAST(('0x' || substring(md5(x), 1, 8)) AS UBIGINT) AS BIGINT)) AS hs
+        |  FROM d),
+        |s AS (SELECT doc_id, list_transform(range(0, 16),
+        |  i -> list_min(list_transform(hs,
+        |    h -> (h * (2*i+1) + (i*2654435761) % 4294967311) % 4294967311))) AS sig
+        |  FROM hh),
+        |bands0 AS (SELECT doc_id, b,
+        |  md5(array_to_string(sig[(2*b+1):(2*b+2)], '|')) AS key
+        |  FROM s, range(0, 8) t(b)),
+        |bands AS (SELECT * FROM (SELECT doc_id, b, key,
+        |  count(*) OVER (PARTITION BY b, key) AS sz FROM bands0)
+        |  WHERE sz <= 100),
+        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        |  FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
+        |    AND x.doc_id < y.doc_id),
+        |hset AS (SELECT doc_id, list_distinct(hs) AS hs FROM hh),
+        |v AS (SELECT a_id, b_id,
+        |  CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+        |    least(len(a.hs), len(b.hs)) AS containment,
+        |  CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.hs, b.hs))) AS jaccard
+        |  FROM cand JOIN hset a ON a.doc_id = a_id
+        |  JOIN hset b ON b.doc_id = b_id)
+        |SELECT a_id, b_id, round(containment, 6) AS containment,
+        |  round(jaccard, 6) AS jaccard
+        |FROM v WHERE containment >= 0.5 ORDER BY a_id, b_id""".stripMargin,
 
     "q181_keyword_tags" ->
       (s"""WITH d AS (SELECT doc_id, ${toksSql} AS w FROM documents),

@@ -845,6 +845,68 @@ object PipelineQueries {
           round(col("cosine"), 6).as("cos_centroid"),
           (col("rk") * 10 <= col("n")).as("is_outlier"))
         .orderBy("vec_id")
+    }),
+
+    "q188_decayed_engagement" -> ((s, dir) => {
+      // exponential time-decay features (half-life 7 days, lambda =
+      // ln2/7 embedded as the exact double literal both engines parse
+      // bit-identically): per user, decayed value mass and decayed
+      // event count as of the stream's max ts — the recency-weighted
+      // engagement feature ML models consume. Scan-local age/exp
+      // arithmetic on exact microsecond longs; per-term DECIMAL(38,18)
+      // quantization before the user-key sum (order-invariant); ONE
+      // Exchange (the groupBy), plus the broadcast 1-row t_ref frame.
+      val lam = 0.09902102579427789 // ln(2)/7, Double.toString exact
+      val ev = t(s, dir, "events")
+      val ref = ev.agg(max(col("ts")).as("t_ref"))
+      val decay = exp(lit(-lam) *
+        ((unix_micros(col("t_ref")) - unix_micros(col("ts")))
+          .cast("double") / lit(86400000000.0)))
+      ev.crossJoin(broadcast(ref))
+        .select(col("user_id"),
+          (col("value") * decay).cast("decimal(38,18)").as("wv"),
+          decay.cast("decimal(38,18)").as("wc"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("wv").cast("double"), 6).as("decayed_value"),
+          round(sum("wc").cast("double"), 6).as("decayed_count"))
+        .orderBy("user_id")
+    }),
+
+    "q189_sequence_nll" -> ((s, dir) => {
+      // per-user journey surprisal under the corpus's own first-order
+      // Markov model (q146's transition matrix with the START state):
+      // avg negative log-likelihood per transition — the sequence-
+      // anomaly score behind bot/fraud triage and data-drift review.
+      // The matrix is |types|²-tiny (broadcast join onto the pair
+      // stream); per-term ln quantized DECIMAL(38,18) before the
+      // user-key sum. Scoring the training corpus itself means every
+      // observed transition has probability > 0 — no smoothing term.
+      val w = org.apache.spark.sql.expressions.Window
+      val byUser = w.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val seq0 = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev",
+          coalesce(lag(col("event_type"), 1).over(byUser), lit("START")))
+      val m = seq0.groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("nt", sum(col("n")).over(w.partitionBy(col("prev"))))
+      val mr = m.select(col("prev").as("_mp"), col("next").as("_mn"),
+        col("n"), col("nt"))
+      seq0.join(broadcast(mr),
+          col("prev") === col("_mp") && col("event_type") === col("_mn"))
+        .select(col("user_id"),
+          (-log(col("n").cast("double") / col("nt").cast("double")))
+            .cast("decimal(38,18)").as("nll"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_transitions"),
+          sum("nll").cast("double").as("_s"))
+        .select(col("user_id"), col("n_transitions"),
+          round(col("_s") / col("n_transitions").cast("double"), 6)
+            .as("avg_nll"))
+        .orderBy("user_id")
     })
   )
 
@@ -1454,6 +1516,41 @@ object PipelineQueries {
         |  FROM assigned)
         |SELECT id AS vec_id, cid, round(cos, 6) AS cos_centroid,
         |  (rk * 10 <= n) AS is_outlier
-        |FROM ranked ORDER BY vec_id""".stripMargin
+        |FROM ranked ORDER BY vec_id""".stripMargin,
+
+    "q188_decayed_engagement" ->
+      """WITH ref AS (SELECT max(ts) AS t_ref FROM events),
+        |t AS (SELECT user_id,
+        |    exp(-0.09902102579427789 *
+        |      (CAST(epoch_us(ref.t_ref) - epoch_us(ts) AS DOUBLE)
+        |        / 86400000000.0)) AS dk,
+        |    value
+        |  FROM events, ref),
+        |q AS (SELECT user_id,
+        |    CAST(value * dk AS DECIMAL(38,18)) AS wv,
+        |    CAST(dk AS DECIMAL(38,18)) AS wc
+        |  FROM t)
+        |SELECT user_id, count(*) AS n_events,
+        |  round(CAST(sum(wv) AS DOUBLE), 6) AS decayed_value,
+        |  round(CAST(sum(wc) AS DOUBLE), 6) AS decayed_count
+        |FROM q GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q189_sequence_nll" ->
+      """WITH seq AS (SELECT user_id, event_type,
+        |    coalesce(lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id), 'START') AS prev
+        |  FROM events),
+        |m AS (SELECT prev, event_type AS next, count(*) AS n
+        |  FROM seq GROUP BY 1, 2),
+        |mt AS (SELECT prev, next, n, sum(n) OVER (PARTITION BY prev) AS nt
+        |  FROM m),
+        |sc AS (SELECT s.user_id,
+        |    CAST(-ln(CAST(mt.n AS DOUBLE) / CAST(mt.nt AS DOUBLE))
+        |      AS DECIMAL(38,18)) AS nll
+        |  FROM seq s JOIN mt ON mt.prev = s.prev AND mt.next = s.event_type)
+        |SELECT user_id, count(*) AS n_transitions,
+        |  round(CAST(sum(nll) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS avg_nll
+        |FROM sc GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }
