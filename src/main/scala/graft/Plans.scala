@@ -115,7 +115,11 @@ object Plans {
       "q175_filter_reasons",   // q169 scoring joins + scan-local reason array
       "q176_lm_shard_merge",   // stored per-shard count artifacts: union+sum rollup
       "q178_metric_ci",        // per-group NDCG + bootstrap lane explode CI
-      "q180_cms_shard_merge")  // stored per-shard CMS cells: additive merge read-out
+      "q180_cms_shard_merge",  // stored per-shard CMS cells: additive merge read-out
+      "q181_keyword_tags",     // scan-local grams x broadcast dictionary
+      "q184_join_size_estimate", // CMS inner product vs agg-then-join exact
+      "q185_lsh_operating_curve", // shared-signature re-banding x2 + all-pairs truth
+      "q187_containment_pairs")  // capped bands + exact verify, no sig prune
     // per-query reader notes where the right plan is easy to misread
     val notes = Map(
       "q128_sql_range_join" -> ("The user wrote the naive theta join " +
@@ -334,6 +338,28 @@ object Plans {
         "a when() column, never a pass; the reasons array is built, " +
         "sorted, and joined in the projection. The drop-composition " +
         "audit a pipeline runs daily reads this ONE frame."),
+      "q181_keyword_tags" -> ("Gram generation is ONE scan-local " +
+        "Generate; the dictionary is the broadcast build side of a hash " +
+        "join, so the only Exchange (the per-doc agg) carries MATCHED " +
+        "rows — shuffle is proportional to hits, never to tokens. The " +
+        "left join back onto the doc spine broadcasts the tag frame."),
+      "q184_join_size_estimate" -> ("Both CMS builds are one " +
+        "map-side-combined hash aggregate each (<= d*w cells move); the " +
+        "inner product joins two <= 2048-row frames and the exact side " +
+        "is the agg-then-join form — the join being priced is NEVER " +
+        "materialized. The final BNLJ is the allowlisted 1-row x 1-row " +
+        "comparison scaffold."),
+      "q185_lsh_operating_curve" -> ("ONE signature pass " +
+        "(localCheckpointed doc state) feeds the ground-truth all-pairs " +
+        "theta join (sample-scale BY CONTRACT: the query's own " +
+        "doc_id%10 filter) and both band self-joins — re-banding reads " +
+        "the checkpointed state, never re-hashing text. Each config's " +
+        "candidates equi-join truth on (a_id, b_id)."),
+      "q187_containment_pairs" -> ("The same capped-band candidate " +
+        "envelope as q43 (bucket cap bounds pair fan-out), but verify " +
+        "joins the hash sets DIRECTLY — no signature-agreement gate, " +
+        "which estimates JACCARD and is unsound for containment. Cost " +
+        "of soundness: every banded candidate pays one merge walk."),
       "q169_lm_doc_nll" -> ("Scoring joins the exploded adjacent-pair " +
         "stream LEFT against the bigram and unigram artifacts -- both " +
         "broadcast here (corpus-tiny vocab); at web-corpus vocab AQE " +
