@@ -102,6 +102,9 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, idCol: Column, textCol: Column,
                         shingleSize: Int, numHashes: Int): DataFrame =
     docs
+      // empty text hashes to ONE shingle (of ""), which would make all
+      // empty docs mutual near-dups; every oracle filters len(text) > 0
+      .filter(length(textCol) > 0)
       .select(idCol.as("id"),
         GraftShim.column(graft.functions.MinhashSignature(
           GraftShim.expr(lower(textCol)), shingleSize, numHashes)).as("sig"))
@@ -296,6 +299,8 @@ object Dedup {
                               shingleSize: Int, numHashes: Int,
                               extra: Seq[(String, Column)] = Nil): DataFrame =
     docs
+      // same empty-text exclusion as minhashSignatures (oracle parity)
+      .filter(length(textCol) > 0)
       .select(Seq(idCol.as("id")) ++
         extra.map { case (n, c) => c.as(n) } :+
         GraftShim.column(graft.functions.MinhashDocState(

@@ -277,8 +277,15 @@ object Sketches {
    * undercount; deterministic, so the oracle replays it exactly.
    */
   def cmsInnerProduct(a: DataFrame, b: DataFrame, depth: Int): DataFrame = {
-    val rp = a.select(col("r"), col("bucket"), col("cnt").as("ca"))
-      .join(b.select(col("r"), col("bucket"), col("cnt").as("cb")),
+    // products and their sum ride DECIMAL, not Long: at ~1e12 rows per
+    // side a bucket product is ~4e18 and the row sum exceeds
+    // Long.MaxValue — a silent wrap would UNDERCOUNT, the one error
+    // direction the estimator contract rules out (the oracle's HUGEINT
+    // stays exact, so a wrap is also a cross-engine divergence)
+    val rp = a.select(col("r"), col("bucket"),
+        col("cnt").cast("decimal(19,0)").as("ca"))
+      .join(b.select(col("r"), col("bucket"),
+          col("cnt").cast("decimal(19,0)").as("cb")),
         Seq("r", "bucket"))
       .groupBy("r").agg(sum(col("ca") * col("cb")).as("rp"))
     // scaffold ALL d rows: a row with zero common buckets proves the
@@ -286,7 +293,8 @@ object Sketches {
     // win the min, not vanish from it
     a.sparkSession.range(depth).select(col("id").cast("int").as("r"))
       .join(rp, Seq("r"), "left")
-      .agg(min(coalesce(col("rp"), lit(0L))).as("est_join_size"))
+      .agg(min(coalesce(col("rp"), lit(0L).cast("decimal(38,0)")))
+        .as("est_join_size"))
   }
 
   /**

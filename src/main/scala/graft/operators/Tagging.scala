@@ -25,8 +25,9 @@ object Tagging {
 
   /**
    * Tag `docs` against a `(phrase, category)` dictionary of word
-   * n-gram phrases (1..maxPhraseLen words, whitespace-normalized,
-   * lowercase). Returns one row per (id, category) with ≥1 phrase hit:
+   * n-gram phrases (1..maxPhraseLen words; the dictionary side is
+   * lowercased and whitespace-collapsed here, so multi-space/tab
+   * taxonomy rows match the single-space grams). Returns one row per (id, category) with ≥1 phrase hit:
    * `(id, category, n_phrases)` where `n_phrases` counts the DISTINCT
    * dictionary phrases of that category present in the doc (grams are
    * deduplicated per doc by [[TextFunctions.wordNgrams]] — presence
@@ -44,7 +45,15 @@ object Tagging {
     docs
       .select(idCol.as("id"), explode(grams).as("gram"))
       .join(broadcast(
-        dict.select(lower(col("phrase")).as("gram"), col("category"))
+        // normalize the dictionary the way wordNgrams normalizes text:
+        // lowercase AND collapse/trim whitespace to single spaces — a
+        // taxonomy row with a double space or tab would otherwise
+        // silently never match
+        dict.select(
+            trim(regexp_replace(lower(col("phrase")), "\\s+", " "))
+              .as("gram"),
+            col("category"))
+          .filter(length(col("gram")) > 0)
           .distinct()), "gram")
       .groupBy("id", "category")
       .agg(count(lit(1)).as("n_phrases"))

@@ -582,7 +582,7 @@ object CorpusQueries {
           w.partitionBy("source").orderBy(col("q").desc, col("doc_id").asc)))
         .withColumn("n", count(lit(1)).over(w.partitionBy("source")))
         .withColumn("phase",
-          (expr("(rn - 1) * 4 div n") + 1).cast("int"))
+          (expr("(CAST(rn AS BIGINT) - 1) * 4 div n") + 1).cast("int"))
         .groupBy("source", "phase")
         .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
           round(min("q"), 6).as("min_q"), round(max("q"), 6).as("max_q"))

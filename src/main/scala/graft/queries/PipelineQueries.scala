@@ -838,11 +838,16 @@ object PipelineQueries {
       val a = SimilaritySearch.ivfAssign(
         Tables.loadSpread(s, dir, "embeddings"),
         col("vec_id"), col("embedding"), modulus = 50)
-      a.withColumn("rk", row_number().over(
-          w.partitionBy("cid").orderBy(col("cosine").asc, col("id").asc)))
+      // rank on the ROUNDED cosine (6dp, id tiebreak): Spark computes
+      // dot(unit,unit), DuckDB dot/(|a||b|) — equal mathematically, not
+      // bitwise; ranking raw doubles could flip the decile flag on a
+      // 1-ulp near-tie. 6dp is where both engines provably agree.
+      a.withColumn("c6", round(col("cosine"), 6))
+        .withColumn("rk", row_number().over(
+          w.partitionBy("cid").orderBy(col("c6").asc, col("id").asc)))
         .withColumn("n", count(lit(1)).over(w.partitionBy("cid")))
         .select(col("id").as("vec_id"), col("cid"),
-          round(col("cosine"), 6).as("cos_centroid"),
+          col("c6").as("cos_centroid"),
           (col("rk") * 10 <= col("n")).as("is_outlier"))
         .orderBy("vec_id")
     }),
@@ -890,6 +895,9 @@ object PipelineQueries {
           col("event_type"))
         .withColumn("prev",
           coalesce(lag(col("event_type"), 1).over(byUser), lit("START")))
+        // feeds the matrix AND the scoring join — materialize the
+        // scan + per-user window once (the q169/q185 discipline)
+        .localCheckpoint(true)
       val m = seq0.groupBy(col("prev"), col("event_type").as("next"))
         .agg(count(lit(1)).as("n"))
         .withColumn("nt", sum(col("n")).over(w.partitionBy(col("prev"))))
@@ -1509,12 +1517,12 @@ object PipelineQueries {
         |        c.cid ASC) AS rn
         |  FROM embeddings e, c),
         |assigned AS (SELECT id, cid, cos FROM scored WHERE rn = 1),
-        |ranked AS (SELECT id, cid, cos,
-        |    row_number() OVER (PARTITION BY cid ORDER BY cos ASC, id ASC)
-        |      AS rk,
+        |ranked AS (SELECT id, cid, round(cos, 6) AS c6,
+        |    row_number() OVER (PARTITION BY cid
+        |      ORDER BY round(cos, 6) ASC, id ASC) AS rk,
         |    count(*) OVER (PARTITION BY cid) AS n
         |  FROM assigned)
-        |SELECT id AS vec_id, cid, round(cos, 6) AS cos_centroid,
+        |SELECT id AS vec_id, cid, c6 AS cos_centroid,
         |  (rk * 10 <= n) AS is_outlier
         |FROM ranked ORDER BY vec_id""".stripMargin,
 

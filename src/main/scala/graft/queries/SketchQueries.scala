@@ -172,7 +172,9 @@ object SketchQueries {
       val merged = Sketches.cmsMerge(stored, Seq.empty)
       val probes = toks.groupBy("token").agg(count(lit(1)).as("cnt_exact"))
         .orderBy(col("cnt_exact").desc, col("token").asc).limit(20)
-      val nShards = stored.agg(
+      // count shards from the TABLE, as the oracle does — a source whose
+      // docs yield zero tokens writes no cells into the artifact
+      val nShards = t(s, dir, "documents").agg(
         countDistinct(col("source")).as("n_shards"))
       Sketches.cmsEstimate(merged, Seq.empty,
           probes.select(col("token").as("v")),
@@ -197,14 +199,18 @@ object SketchQueries {
         col("o_custkey").cast("string"), depth = CmsDepth, width = CmsWidth)
       val sb = Sketches.cmsSketch(events, Seq.empty,
         col("user_id").cast("string"), depth = CmsDepth, width = CmsWidth)
+      // the operator's internal math is DECIMAL (overflow-safe at its
+      // 100 TB envelope); this oracle-scale read-out casts to BIGINT
       val est = Sketches.cmsInnerProduct(sa, sb, depth = CmsDepth)
+        .select(col("est_join_size").cast("long").as("est_join_size"))
       val ea = orders.groupBy(col("o_custkey").as("k"))
         .agg(count(lit(1)).as("ca"))
       val eb = events.groupBy(col("user_id").as("k"))
         .agg(count(lit(1)).as("cb"))
       val exact = ea.join(eb, "k")
-        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L))
-          .as("exact_join_size"))
+        .agg(coalesce(sum(col("ca").cast("decimal(19,0)") *
+            col("cb").cast("decimal(19,0)")), lit(0).cast("decimal(38,0)"))
+          .cast("long").as("exact_join_size"))
       est.crossJoin(exact)
     }),
 

@@ -719,7 +719,10 @@ object Streams {
     val hashed = rows
       .select(col("key").cast("string").as("key"), col("ts"),
         graft.operators.Sketches.kmvHash60(col("value")).as("hv"))
-      .filter(col("key").isNotNull && col("hv").isNotNull)
+      // ts too: a null event time would NPE in the state function and
+      // kill the stream (the row is meaningless to a watermarked query)
+      .filter(col("key").isNotNull && col("hv").isNotNull &&
+        col("ts").isNotNull)
       .as[(String, java.sql.Timestamp, Long)]
     hashed.groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Seq[Long]), KmvSnapshot](
@@ -778,7 +781,8 @@ object Streams {
     require(depth >= 1 && width >= 1,
       s"cmsIngest requires depth/width >= 1 (got $depth x $width)")
     val bucketed = rows
-      .filter(col("key").isNotNull && col("value").isNotNull)
+      .filter(col("key").isNotNull && col("value").isNotNull &&
+        col("ts").isNotNull)
       .select(col("key").cast("string").as("key"), col("ts"),
         graft.operators.Sketches.cmsBuckets(col("value").cast("string"),
           depth, width).as("bks"))

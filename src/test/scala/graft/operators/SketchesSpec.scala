@@ -258,7 +258,8 @@ class SketchesSpec extends SparkSpec {
     def est(width: Int): Long = {
       val sa = Sketches.cmsSketch(a, Seq.empty, col("v"), 4, width)
       val sb = Sketches.cmsSketch(b, Seq.empty, col("v"), 4, width)
-      Sketches.cmsInnerProduct(sa, sb, 4).head().getLong(0)
+      Sketches.cmsInnerProduct(sa, sb, 4).head()
+        .getDecimal(0).longValueExact()
     }
     assert(est(1 << 16) === 22L, "wide sketch must be collision-exact")
     assert(est(2) >= 22L, "narrow sketch may only overcount")
@@ -267,6 +268,7 @@ class SketchesSpec extends SparkSpec {
     val c = Seq("other1", "other2").toDF("v")
     val sa = Sketches.cmsSketch(a, Seq.empty, col("v"), 4, 1 << 16)
     val sc = Sketches.cmsSketch(c, Seq.empty, col("v"), 4, 1 << 16)
-    assert(Sketches.cmsInnerProduct(sa, sc, 4).head().getLong(0) === 0L)
+    assert(Sketches.cmsInnerProduct(sa, sc, 4).head()
+      .getDecimal(0).longValueExact() === 0L)
   }
 }

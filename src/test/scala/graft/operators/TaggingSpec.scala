@@ -55,6 +55,17 @@ class TaggingSpec extends SparkSpec {
     assert(out === Seq((1L, "joins", 2L), (1L, "scans", 1L)))
   }
 
+  test("dictionary whitespace is normalized: double-space / tab / " +
+      "newline taxonomy rows match the single-space grams") {
+    val docs = Seq((1L, "a hash join happened")).toDF("doc_id", "text")
+    val messy = Seq(("hash  join", "joins"), ("hash\tjoin", "joins"),
+      ("  hash join  ", "joins")).toDF("phrase", "category")
+    val out = Tagging.tagPhrases(docs, col("doc_id"), col("text"), messy, 2)
+      .as[(Long, String, Long)].collect().toSeq
+    // all three rows normalize to the SAME phrase -> distinct'd to one
+    assert(out === Seq((1L, "joins", 1L)))
+  }
+
   test("duplicate dictionary rows collapse (distinct'd) — no double " +
       "counting from a redundant taxonomy") {
     val docs = Seq((1L, "scan it")).toDF("doc_id", "text")
