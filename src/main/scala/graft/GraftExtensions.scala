@@ -122,7 +122,13 @@ object GraftExtensions {
         arity("positional_eq_count(a, b)", 2)(es =>
           PositionalEqCount(es.head, es(1)))),
       ("normalized_name", "normalized_name(s) - struct<norm, tokens> company normalize",
-        arity("normalized_name(s)", 1)(es => NormalizedName(es.head))))
+        arity("normalized_name(s)", 1)(es => NormalizedName(es.head))),
+      ("phrase_hits", "phrase_hits(s, phrases, maxLen) - sorted indices of 'p1;p2;...' phrases present as word n-grams",
+        arity("phrase_hits(s, phrases, maxLen)", 3)(es =>
+          graft.functions.PhraseHits(es.head,
+            stringLit("phrase_hits(s, phrases, maxLen)", es, 1)
+              .split(";").toSeq.filter(_.nonEmpty),
+            intLit("phrase_hits(s, phrases, maxLen)", es, 2)))))
     fns.map { case (name, usage, builder) =>
       (FunctionIdentifier(name), info(name, usage), builder)
     }

@@ -58,4 +58,40 @@ object Tagging {
       .groupBy("id", "category")
       .agg(count(lit(1)).as("n_phrases"))
   }
+
+  /**
+   * The fixed-taxonomy fast path: same output frame as [[tagPhrases]]
+   * (TaggingSpec pins equality), but matching runs inside ONE codegen
+   * projection ([[graft.functions.PhraseHits]] — the dictionary rides
+   * into generated code as a reference map), so the corpus never
+   * materializes its gram stream: no Generate, no corpus-scale join
+   * probe; only MATCHED phrase indices leave the scan. Use when the
+   * taxonomy fits a plan constant (the common 10^2–10^5-phrase case);
+   * [[tagPhrases]] remains the path for dictionaries that must stay a
+   * DataFrame.
+   */
+  def tagPhrasesKernel(docs: DataFrame, idCol: Column, textCol: Column,
+                       dict: Seq[(String, String)],
+                       maxPhraseLen: Int): DataFrame = {
+    require(maxPhraseLen >= 1,
+      s"tagPhrasesKernel requires maxPhraseLen >= 1 (got $maxPhraseLen)")
+    // one index per DISTINCT normalized phrase; a phrase may carry
+    // several categories (distinct (phrase, category) pairs, as
+    // tagPhrases' dict distinct)
+    val norm = dict.map { case (p, c) =>
+      (p.toLowerCase.trim.replaceAll("\\s+", " "), c)
+    }.filter(_._1.nonEmpty).distinct
+    val phrases = norm.map(_._1).distinct
+    val pi = phrases.zipWithIndex.toMap
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cats = norm.map { case (p, c) => (pi(p), c) }.toDF("pi", "category")
+    docs
+      .select(idCol.as("id"),
+        explode(org.apache.spark.sql.graftshim.GraftShim.column(graft.functions.PhraseHits(
+          org.apache.spark.sql.graftshim.GraftShim.expr(textCol), phrases, maxPhraseLen))).as("pi"))
+      .join(broadcast(cats), "pi")
+      .groupBy("id", "category")
+      .agg(count(lit(1)).as("n_phrases"))
+  }
 }

@@ -12,7 +12,8 @@ class GraftExtensionsSpec extends SparkSpec {
       "jaro_winkler", "array_dot", "md5_prefix32", "md5_lanes4",
       "bpe_encode", "shingle_hashes",
       "word_ngram_hashes", "minhash_signature", "minhash_doc_state",
-      "sorted_intersect_count", "positional_eq_count", "normalized_name"))
+      "sorted_intersect_count", "positional_eq_count", "normalized_name",
+      "phrase_hits"))
   }
 
   test("all kernels are callable from pure SQL after registerAll") {
@@ -30,7 +31,8 @@ class GraftExtensionsSpec extends SparkSpec {
         |  minhash_doc_state('hello world docs', 5, 8).sz AS hs_sz,
         |  sorted_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS inter,
         |  positional_eq_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS poseq,
-        |  normalized_name('Acme Corp Intl.').norm AS norm
+        |  normalized_name('Acme Corp Intl.').norm AS norm,
+        |  phrase_hits('a hash  JOIN here', 'hash join;scan;here', 2) AS ph
         |""".stripMargin).head
     assert(math.abs(row.getAs[Double]("jw") - 0.9611111111111111) < 1e-12)
     assert(row.getAs[Double]("dot") === 11.0)
@@ -50,6 +52,8 @@ class GraftExtensionsSpec extends SparkSpec {
     // reference order: abbrevs expand FIRST (corp->corporation,
     // intl->international), then both land in the legal-suffix stop set
     assert(row.getAs[String]("norm") === "acme")
+    // 'hash join' (idx 0, across the doc's double space) + 'here' (idx 2)
+    assert(row.getSeq[Int](row.fieldIndex("ph")) === Seq(0, 2))
   }
 
   test("bad arity and non-literal int args raise clean AnalysisException") {

@@ -74,7 +74,12 @@ class HashOpsSpec extends SparkSpec {
 
   test("MinhashSignature == explode + min-aggregate formulation") {
     val numHashes = 8
-    val withId = fuzz.withColumn("id", monotonically_increasing_id())
+    // the operator excludes empty text BY CONTRACT (every dedup oracle
+    // filters len(text) > 0; '' hashes to one shingle and would make
+    // all empty docs mutual near-dups) — compare on the same domain,
+    // and pin the exclusion itself below
+    val withId = fuzz.filter(length(col("s")) > 0)
+      .withColumn("id", monotonically_increasing_id())
     // reference: explode hashed shingles, take affine minima per doc
     val exploded = withId.select(col("id"),
       explode(c(ShingleHashes(x(lower(col("s"))), 5))).as("h"))
@@ -91,6 +96,11 @@ class HashOpsSpec extends SparkSpec {
       .filter(col("fast") =!= col("ref"))
     assert(bad.count() === 0)
     assert(ref.count() === fast.count())
+    // the exclusion contract: empty text produces NO signature row
+    val withEmpty = fuzz.withColumn("id", monotonically_increasing_id())
+    assert(graft.operators.Dedup.minhashSignatures(
+        withEmpty, col("id"), col("s"), 5, numHashes).count()
+      === withEmpty.filter(length(col("s")) > 0).count())
   }
 
   test("MinhashDocState: hs is sorted distinct shingle hashes; sig matches") {

@@ -87,6 +87,43 @@ class TaggingSpec extends SparkSpec {
     assert(a === b && a.nonEmpty)
   }
 
+  test("tagPhrasesKernel ≡ tagPhrases: the codegen kernel and the " +
+      "explode+broadcast-join form produce the SAME frame on real " +
+      "documents (messy dictionary included)") {
+    val docs = Tables400()
+    val dictRows = Seq(
+      ("hash join", "joins"), ("JOIN", "joins"), ("scan", "scans"),
+      ("fast", "perf"), ("slow  query", "perf"), // double space
+      ("scan", "ops") // one phrase, second category
+    )
+    val a = Tagging.tagPhrases(docs, col("doc_id"), col("text"),
+        dictRows.toDF("phrase", "category"), 2)
+      .orderBy("id", "category").collect().toSeq
+    val b = Tagging.tagPhrasesKernel(docs, col("doc_id"), col("text"),
+        dictRows, 2)
+      .orderBy("id", "category").collect().toSeq
+    assert(a === b && a.nonEmpty)
+  }
+
+  test("PhraseHits returns sorted DISTINCT indices; repeated phrase " +
+      "occurrences count once; maxLen caps the probe") {
+    import org.apache.spark.sql.graftshim.GraftShim
+    val phrases = Seq("b c", "a", "z", "a b c")
+    def hits(text: String, maxLen: Int): Seq[Int] = {
+      Seq(text).toDF("t")
+        .select(GraftShim.column(graft.functions.PhraseHits(
+          GraftShim.expr(col("t")), phrases, maxLen)).as("h"))
+        .as[Seq[Int]].head()
+    }
+    // 'a' twice -> once; 'b c' and 'a b c' both present; sorted output
+    assert(hits("a b c a", 3) === Seq(0, 1, 3))
+    // maxLen 2 can no longer see the 3-gram
+    assert(hits("a b c a", 2) === Seq(0, 1))
+    // case + whitespace normalization on the TEXT side
+    assert(hits("A   B\nC", 3) === Seq(0, 1, 3))
+    assert(hits("nothing here", 3) === Seq())
+  }
+
   private def Tables400() =
     graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("text")).limit(400)
