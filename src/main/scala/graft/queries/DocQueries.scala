@@ -472,6 +472,33 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    "q190_keyword_tags_kernel" -> ((s, dir) => {
+      // q181's EXACT semantics through the PhraseHits codegen kernel
+      // (tagPhrasesKernel): the dictionary is a plan constant, the
+      // corpus never materializes its gram stream, and the SAME DuckDB
+      // oracle gates both paths — the kernel is driver-verified, not
+      // just spec-pinned.
+      val dict = Seq(
+        ("hash join", "joins"), ("merge join", "joins"),
+        ("sort merge", "joins"),
+        ("table scan", "scans"), ("full scan", "scans"),
+        ("index scan", "scans"),
+        ("slow query", "perf"), ("slow", "perf"), ("fast", "perf"))
+      val docs = t(s, dir, "documents")
+      val tags = graft.operators.Tagging.tagPhrasesKernel(
+          docs, col("doc_id"), col("text"), dict, maxPhraseLen = 2)
+        .groupBy("id")
+        .agg(sum("n_phrases").as("n_hits"),
+          array_join(array_sort(collect_set("category")), ",")
+            .as("categories"))
+      docs.select(col("doc_id"))
+        .join(tags, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          coalesce(col("categories"), lit("")).as("categories"))
+        .orderBy("doc_id")
+    }),
+
     "q185_lsh_operating_curve" -> ((s, dir) => {
       // the dedup-tuning instrument: precision/recall of LSH candidate
       // generation vs exact-Jaccard ground truth, per banding config,
@@ -991,6 +1018,31 @@ object DocQueries {
 
     "q181_keyword_tags" ->
       (s"""WITH d AS (SELECT doc_id, ${toksSql} AS w FROM documents),
+        |g AS (SELECT doc_id, gram FROM (
+        |    SELECT doc_id, unnest(list_distinct(w)) AS gram FROM d
+        |    UNION ALL
+        |    SELECT doc_id, unnest(list_distinct(list_transform(
+        |      range(1, greatest(len(w)-1, 0)+1),
+        |      i -> array_to_string(w[i:i+1], ' ')))) AS gram FROM d)),
+        |dict(phrase, category) AS (VALUES
+        |  ('hash join','joins'), ('merge join','joins'),
+        |  ('sort merge','joins'),
+        |  ('table scan','scans'), ('full scan','scans'),
+        |  ('index scan','scans'),
+        |  ('slow query','perf'), ('slow','perf'), ('fast','perf')),
+        |hits AS (SELECT g.doc_id, dict.category, count(*) AS c
+        |  FROM g JOIN dict ON g.gram = dict.phrase GROUP BY 1, 2),
+        |per AS (SELECT doc_id, sum(c) AS n_hits,
+        |    array_to_string(list_sort(list(DISTINCT category)), ',')
+        |      AS categories
+        |  FROM hits GROUP BY 1)
+        |SELECT d2.doc_id, CAST(coalesce(p.n_hits, 0) AS BIGINT) AS n_hits,
+        |  coalesce(p.categories, '') AS categories
+        |FROM documents d2 LEFT JOIN per p USING (doc_id)
+        |ORDER BY doc_id""").stripMargin,
+
+    // q190 gates the PhraseHits kernel path against the SAME semantics
+    "q190_keyword_tags_kernel" -> (s"""WITH d AS (SELECT doc_id, ${toksSql} AS w FROM documents),
         |g AS (SELECT doc_id, gram FROM (
         |    SELECT doc_id, unnest(list_distinct(w)) AS gram FROM d
         |    UNION ALL
