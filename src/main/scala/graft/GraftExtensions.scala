@@ -124,11 +124,16 @@ object GraftExtensions {
       ("normalized_name", "normalized_name(s) - struct<norm, tokens> company normalize",
         arity("normalized_name(s)", 1)(es => NormalizedName(es.head))),
       ("phrase_hits", "phrase_hits(s, phrases, maxLen) - sorted indices of 'p1;p2;...' phrases present as word n-grams",
-        arity("phrase_hits(s, phrases, maxLen)", 3)(es =>
+        arity("phrase_hits(s, phrases, maxLen)", 3)(es => {
+          val sig = "phrase_hits(s, phrases, maxLen)"
+          val maxLen = intLit(sig, es, 2)
+          if (maxLen < 1) fail(sig, s"maxLen must be >= 1, got $maxLen")
+          // keep EMPTY segments: indices must stay aligned with the
+          // user's p1;p2;... positions (PhraseHits skips empties while
+          // preserving indices)
           graft.functions.PhraseHits(es.head,
-            stringLit("phrase_hits(s, phrases, maxLen)", es, 1)
-              .split(";").toSeq.filter(_.nonEmpty),
-            intLit("phrase_hits(s, phrases, maxLen)", es, 2)))))
+            stringLit(sig, es, 1).split(";", -1).toSeq, maxLen)
+        })))
     fns.map { case (name, usage, builder) =>
       (FunctionIdentifier(name), info(name, usage), builder)
     }

@@ -43,7 +43,8 @@ case class PhraseHits(child: Expression, phrases: Seq[String], maxLen: Int)
   @transient private lazy val index: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer]()
     phrases.zipWithIndex.foreach { case (p, i) =>
-      val norm = p.toLowerCase.trim.replaceAll("\\s+", " ")
+      val norm = p.toLowerCase(java.util.Locale.ROOT).trim
+        .replaceAll("\\s+", " ")
       if (norm.nonEmpty && !m.containsKey(norm)) m.put(norm, i)
     }
     m
@@ -70,7 +71,8 @@ object PhraseHits {
   def compute(text: UTF8String,
               index: java.util.HashMap[String, Integer],
               maxLen: Int): ArrayData = {
-    val words0 = text.toString.toLowerCase.split("\\s+")
+    val words0 = text.toString.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+")
     // drop empties (leading-whitespace split artifact)
     var n = 0
     var i = 0
@@ -85,7 +87,7 @@ object PhraseHits {
     }
     val hits = new java.util.TreeSet[Integer]()
     var p = 0
-    while (p < words.length) {
+    while (maxLen >= 1 && p < words.length) {
       val sb = new java.lang.StringBuilder(words(p))
       var len = 1
       var done = false

@@ -180,13 +180,21 @@ object Dedup {
     * verify joins. */
   private[graft] def nearDupPairsFromState(docState: DataFrame,
       numHashes: Int, bands: Int, threshold: Double,
-      maxBucketSize: Int): DataFrame = {
+      maxBucketSize: Int): DataFrame =
+    verifyPairs(candidatePairsFromState(docState, numHashes, bands,
+      maxBucketSize), docState, numHashes, threshold)
+
+  /** The capped-band candidate envelope shared by [[minhashNearDups]]
+    * and [[containmentPairs]]: band the state, self-join within
+    * (band, key) buckets, a < b, distinct — ONE definition so the two
+    * operators' candidate semantics cannot drift. */
+  private def candidatePairsFromState(docState: DataFrame, numHashes: Int,
+      bands: Int, maxBucketSize: Int): DataFrame = {
     val banded = cappedBands(docState, numHashes, bands, maxBucketSize)
-    val cand = banded.as("x").join(banded.as("y"),
+    banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id")).distinct()
-    verifyPairs(cand, docState, numHashes, threshold)
   }
 
   /**
@@ -215,11 +223,8 @@ object Dedup {
                        maxBucketSize: Int = 100): DataFrame = {
     val docState = minhashDocState(docs, idCol, textCol, shingleSize,
       numHashes).localCheckpoint(true)
-    val banded = cappedBands(docState, numHashes, bands, maxBucketSize)
-    val cand = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a_id"), col("y.id").as("b_id")).distinct()
+    val cand = candidatePairsFromState(docState, numHashes, bands,
+      maxBucketSize)
     val withSets = cand
       .join(docState.select(col("id").as("a_id"), col("hs").as("a_hs"),
         col("sz").as("a_sz")), "a_id")

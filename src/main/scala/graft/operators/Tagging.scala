@@ -79,7 +79,8 @@ object Tagging {
     // several categories (distinct (phrase, category) pairs, as
     // tagPhrases' dict distinct)
     val norm = dict.map { case (p, c) =>
-      (p.toLowerCase.trim.replaceAll("\\s+", " "), c)
+      (p.toLowerCase(java.util.Locale.ROOT).trim
+        .replaceAll("\\s+", " "), c)
     }.filter(_._1.nonEmpty).distinct
     val phrases = norm.map(_._1).distinct
     val pi = phrases.zipWithIndex.toMap

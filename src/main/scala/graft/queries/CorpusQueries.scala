@@ -617,7 +617,7 @@ object CorpusQueries {
           sum("x").cast("double").as("sx"), sum("y").cast("double").as("sy"),
           sum("xy").cast("double").as("sxy"),
           sum("x2").cast("double").as("sx2"))
-        .select(col("_nl").as("n_tokens"),
+        .select(col("_nl").as("n_points"),
           round((col("_nl").cast("double") * col("sxy") - col("sx") * col("sy")) /
             (col("_nl").cast("double") * col("sx2") - col("sx") * col("sx")), 6)
             .as("slope"),
@@ -1267,7 +1267,7 @@ object CorpusQueries {
         |    CAST(sum(y) AS DOUBLE) AS sy, CAST(sum(xy) AS DOUBLE) AS sxy,
         |    CAST(sum(x2) AS DOUBLE) AS sx2
         |  FROM xy)
-        |SELECT CAST(nl AS BIGINT) AS n_tokens,
+        |SELECT CAST(nl AS BIGINT) AS n_points,
         |  round((CAST(nl AS DOUBLE) * sxy - sx * sy) /
         |    (CAST(nl AS DOUBLE) * sx2 - sx * sx), 6) AS slope,
         |  round((sy - (CAST(nl AS DOUBLE) * sxy - sx * sy) /

@@ -33,6 +33,42 @@ object DocQueries {
   private val toksSql =
     """list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"""
 
+  /** q181/q190 shared taxonomy — ONE source of truth for both query
+    * paths and both oracle VALUES clauses (the kernel gate must test
+    * the same semantics as the join gate by construction). */
+  private val keywordDict: Seq[(String, String)] = Seq(
+    ("hash join", "joins"), ("merge join", "joins"),
+    ("sort merge", "joins"),
+    ("table scan", "scans"), ("full scan", "scans"),
+    ("index scan", "scans"),
+    ("slow query", "perf"), ("slow", "perf"), ("fast", "perf"))
+
+  private def keywordValuesSql: String = keywordDict
+    .map { case (p, c) => s"('$p','$c')" }.mkString(", ")
+
+  /** The single oracle gating BOTH tagging paths (q181 join form, q190
+    * PhraseHits kernel form) — dict VALUES interpolated from
+    * [[keywordDict]], so query and oracle cannot drift apart. */
+  private lazy val keywordTagsOracle: String =
+    s"""WITH d AS (SELECT doc_id, ${toksSql} AS w FROM documents),
+      |g AS (SELECT doc_id, gram FROM (
+      |    SELECT doc_id, unnest(list_distinct(w)) AS gram FROM d
+      |    UNION ALL
+      |    SELECT doc_id, unnest(list_distinct(list_transform(
+      |      range(1, greatest(len(w)-1, 0)+1),
+      |      i -> array_to_string(w[i:i+1], ' ')))) AS gram FROM d)),
+      |dict(phrase, category) AS (VALUES $keywordValuesSql),
+      |hits AS (SELECT g.doc_id, dict.category, count(*) AS c
+      |  FROM g JOIN dict ON g.gram = dict.phrase GROUP BY 1, 2),
+      |per AS (SELECT doc_id, sum(c) AS n_hits,
+      |    array_to_string(list_sort(list(DISTINCT category)), ',')
+      |      AS categories
+      |  FROM hits GROUP BY 1)
+      |SELECT d2.doc_id, CAST(coalesce(p.n_hits, 0) AS BIGINT) AS n_hits,
+      |  coalesce(p.categories, '') AS categories
+      |FROM documents d2 LEFT JOIN per p USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** distinct char-5 shingles of lower(text). */
   private val shinglesSql =
     """list_distinct(list_transform(range(1, greatest(len(lower(text))-4, 1)+1),
@@ -450,13 +486,7 @@ object DocQueries {
       // scan-local gram generation — the only Exchange carries matched
       // rows, so shuffle is proportional to hits, never to tokens.
       import s.implicits._
-      val dict = Seq(
-        ("hash join", "joins"), ("merge join", "joins"),
-        ("sort merge", "joins"),
-        ("table scan", "scans"), ("full scan", "scans"),
-        ("index scan", "scans"),
-        ("slow query", "perf"), ("slow", "perf"), ("fast", "perf")
-      ).toDF("phrase", "category")
+      val dict = keywordDict.toDF("phrase", "category")
       val docs = t(s, dir, "documents")
       val tags = graft.operators.Tagging.tagPhrases(
           docs, col("doc_id"), col("text"), dict, maxPhraseLen = 2)
@@ -478,15 +508,9 @@ object DocQueries {
       // corpus never materializes its gram stream, and the SAME DuckDB
       // oracle gates both paths — the kernel is driver-verified, not
       // just spec-pinned.
-      val dict = Seq(
-        ("hash join", "joins"), ("merge join", "joins"),
-        ("sort merge", "joins"),
-        ("table scan", "scans"), ("full scan", "scans"),
-        ("index scan", "scans"),
-        ("slow query", "perf"), ("slow", "perf"), ("fast", "perf"))
       val docs = t(s, dir, "documents")
       val tags = graft.operators.Tagging.tagPhrasesKernel(
-          docs, col("doc_id"), col("text"), dict, maxPhraseLen = 2)
+          docs, col("doc_id"), col("text"), keywordDict, maxPhraseLen = 2)
         .groupBy("id")
         .agg(sum("n_phrases").as("n_hits"),
           array_join(array_sort(collect_set("category")), ",")
@@ -598,10 +622,11 @@ object DocQueries {
         |GROUP BY p_name HAVING count(*) > 1 ORDER BY dup_key""".stripMargin,
 
     "q42_minhash_sig" ->
-      s"""WITH d AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+      s"""WITH d AS (SELECT doc_id, $shinglesSql AS sh FROM documents
+        |  WHERE len(text) > 0),
         |h AS (SELECT doc_id, list_transform(sh,
         |  x -> CAST(CAST(('0x' || substring(md5(x), 1, 8)) AS UBIGINT) AS BIGINT)) AS hs
-        |  FROM d WHERE len(sh) > 0)
+        |  FROM d)
         |SELECT doc_id, array_to_string(list_transform(range(0, 8),
         |  i -> list_min(list_transform(hs,
         |    h -> (h * (2*i+1) + (i*2654435761) % 4294967311) % 4294967311))), ',') AS sig
@@ -1016,54 +1041,10 @@ object DocQueries {
         |  round(jaccard, 6) AS jaccard
         |FROM v WHERE containment >= 0.5 ORDER BY a_id, b_id""".stripMargin,
 
-    "q181_keyword_tags" ->
-      (s"""WITH d AS (SELECT doc_id, ${toksSql} AS w FROM documents),
-        |g AS (SELECT doc_id, gram FROM (
-        |    SELECT doc_id, unnest(list_distinct(w)) AS gram FROM d
-        |    UNION ALL
-        |    SELECT doc_id, unnest(list_distinct(list_transform(
-        |      range(1, greatest(len(w)-1, 0)+1),
-        |      i -> array_to_string(w[i:i+1], ' ')))) AS gram FROM d)),
-        |dict(phrase, category) AS (VALUES
-        |  ('hash join','joins'), ('merge join','joins'),
-        |  ('sort merge','joins'),
-        |  ('table scan','scans'), ('full scan','scans'),
-        |  ('index scan','scans'),
-        |  ('slow query','perf'), ('slow','perf'), ('fast','perf')),
-        |hits AS (SELECT g.doc_id, dict.category, count(*) AS c
-        |  FROM g JOIN dict ON g.gram = dict.phrase GROUP BY 1, 2),
-        |per AS (SELECT doc_id, sum(c) AS n_hits,
-        |    array_to_string(list_sort(list(DISTINCT category)), ',')
-        |      AS categories
-        |  FROM hits GROUP BY 1)
-        |SELECT d2.doc_id, CAST(coalesce(p.n_hits, 0) AS BIGINT) AS n_hits,
-        |  coalesce(p.categories, '') AS categories
-        |FROM documents d2 LEFT JOIN per p USING (doc_id)
-        |ORDER BY doc_id""").stripMargin,
+    "q181_keyword_tags" -> keywordTagsOracle,
 
-    // q190 gates the PhraseHits kernel path against the SAME semantics
-    "q190_keyword_tags_kernel" -> (s"""WITH d AS (SELECT doc_id, ${toksSql} AS w FROM documents),
-        |g AS (SELECT doc_id, gram FROM (
-        |    SELECT doc_id, unnest(list_distinct(w)) AS gram FROM d
-        |    UNION ALL
-        |    SELECT doc_id, unnest(list_distinct(list_transform(
-        |      range(1, greatest(len(w)-1, 0)+1),
-        |      i -> array_to_string(w[i:i+1], ' ')))) AS gram FROM d)),
-        |dict(phrase, category) AS (VALUES
-        |  ('hash join','joins'), ('merge join','joins'),
-        |  ('sort merge','joins'),
-        |  ('table scan','scans'), ('full scan','scans'),
-        |  ('index scan','scans'),
-        |  ('slow query','perf'), ('slow','perf'), ('fast','perf')),
-        |hits AS (SELECT g.doc_id, dict.category, count(*) AS c
-        |  FROM g JOIN dict ON g.gram = dict.phrase GROUP BY 1, 2),
-        |per AS (SELECT doc_id, sum(c) AS n_hits,
-        |    array_to_string(list_sort(list(DISTINCT category)), ',')
-        |      AS categories
-        |  FROM hits GROUP BY 1)
-        |SELECT d2.doc_id, CAST(coalesce(p.n_hits, 0) AS BIGINT) AS n_hits,
-        |  coalesce(p.categories, '') AS categories
-        |FROM documents d2 LEFT JOIN per p USING (doc_id)
-        |ORDER BY doc_id""").stripMargin
+    // q190 gates the PhraseHits kernel path against the SAME semantics —
+    // literally the same oracle string (one definition above)
+    "q190_keyword_tags_kernel" -> keywordTagsOracle
   )
 }
