@@ -214,8 +214,8 @@ object Dedup {
    * state, capped band self-join, verification only on candidates.
    * LSH recall for contained-but-dissimilar pairs is inherently lower
    * than for near-dups (the contained doc's minima are a subset draw) —
-   * the operating point is tunable with more bands, and the q185
-   * harness measures it.
+   * the operating point is tunable with more bands, measurable with a
+   * q185-style harness swapped to containment ground truth.
    */
   def containmentPairs(docs: DataFrame, idCol: Column, textCol: Column,
                        shingleSize: Int = 5, numHashes: Int = 16,

@@ -75,6 +75,40 @@ object Retrieval {
   }
 
   /**
+   * Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty 2001
+   * §2.2) — the standard LM alternative to [[bm25]]:
+   * score(d) = Σ_t ln((tf_t + μ·ctf_t/|C|) / (|d| + μ)). Same plan shape
+   * as bm25: per-doc tfs and length are scan-local, the corpus stats
+   * (total tokens, per-term collection frequencies) are ONE aggregate
+   * broadcast back as a 1-row frame, and scoring is pure column
+   * arithmetic — one scan + one broadcast, no per-term shuffles.
+   *
+   * A term with zero collection frequency scores ln(0) = -Infinity
+   * (standard QL; the smoothing mass is proportional to ctf) — filter
+   * out-of-vocabulary terms upstream if that is not wanted.
+   */
+  def queryLikelihood(docs: DataFrame, idCol: Column, textCol: Column,
+                      terms: Seq[String], mu: Double = 300.0): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    require(mu > 0, s"Dirichlet mu must be positive (got $mu)")
+    val toks = graft.functions.TextAnalysis.words(textCol)
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(toks, x => x === t.toLowerCase)).cast("long").as(s"_tf$i")
+    }
+    val withDl = docs.select(idCol.as("id") +:
+      size(toks).cast("long").as("_dl") +: tfCols: _*)
+    val statAggs = sum(col("_dl")).cast("double").as("_ctot") +:
+      terms.indices.map(i => sum(col(s"_tf$i")).cast("double").as(s"_ctf$i"))
+    val stats = withDl.agg(statAggs.head, statAggs.tail: _*)
+    val scored = withDl.crossJoin(broadcast(stats))
+    val termScores: Seq[Column] = terms.indices.map { i =>
+      log((col(s"_tf$i") + lit(mu) * col(s"_ctf$i") / col("_ctot")) /
+        (col("_dl") + lit(mu)))
+    }
+    scored.select(col("id"), termScores.reduce(_ + _).as("ql"))
+  }
+
+  /**
    * Corpus-statistics quality score: mean unigram log-probability per
    * document — the LM-filtering primitive (docs of improbable tokens are
    * OCR noise, lists, boilerplate; Gopher/CCNet-style pipelines cut on

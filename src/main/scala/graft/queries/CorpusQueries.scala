@@ -201,6 +201,19 @@ object CorpusQueries {
         .orderBy("rank")
     }),
 
+    "q191_ql_retrieval" -> ((s, dir) => {
+      // Dirichlet query-likelihood (Zhai & Lafferty 2001) for the same
+      // fixed 3-term query as q94 — the language-model ranker beside
+      // BM25. Same plan envelope: scan-local tfs/length, ONE broadcast
+      // corpus-stats row, pure column arithmetic, top-15 out.
+      val scored = Retrieval.queryLikelihood(t(s, dir, "documents"),
+        col("doc_id"), col("text"), Bm25Terms, mu = 300.0)
+      TopK.globalTopK(scored, Seq(col("ql").desc, col("id").asc), 15)
+        .select(col("id").as("doc_id"), round(col("ql"), 6).as("ql"),
+          col("rank"))
+        .orderBy("rank")
+    }),
+
     "q179_hybrid_rrf" -> ((s, dir) => {
       // hybrid retrieval: BM25 top-50 (lexical) ⊕ cosine-vs-vec0 top-50
       // (dense; doc_id ≡ vec_id in the testdata) fused by reciprocal
@@ -864,6 +877,29 @@ object CorpusQueries {
         |SELECT doc_id, round(score, 6) AS bm25,
         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
         |FROM s QUALIFY rank <= 20 ORDER BY rank""".stripMargin,
+
+    "q191_ql_retrieval" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, len(w) AS dl,
+        |    len(list_filter(w, x -> x = 'spark'))  AS tf0,
+        |    len(list_filter(w, x -> x = 'vector')) AS tf1,
+        |    len(list_filter(w, x -> x = 'stream')) AS tf2
+        |  FROM toks),
+        |g AS (SELECT CAST(sum(dl) AS DOUBLE) AS ctot,
+        |    CAST(sum(tf0) AS DOUBLE) AS ctf0,
+        |    CAST(sum(tf1) AS DOUBLE) AS ctf1,
+        |    CAST(sum(tf2) AS DOUBLE) AS ctf2
+        |  FROM tf),
+        |s AS (SELECT doc_id,
+        |    ln((tf0 + 300.0 * ctf0 / ctot) / (dl + 300.0))
+        |  + ln((tf1 + 300.0 * ctf1 / ctot) / (dl + 300.0))
+        |  + ln((tf2 + 300.0 * ctf2 / ctot) / (dl + 300.0)) AS score
+        |  FROM tf, g)
+        |SELECT doc_id, round(score, 6) AS ql,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+        |FROM s QUALIFY rank <= 15 ORDER BY rank""".stripMargin,
 
     "q125_unigram_logprob" ->
       """WITH toks AS (SELECT doc_id, unnest(list_filter(

@@ -54,7 +54,8 @@ class PlanLintSpec extends SparkSpec {
     "q182_semantic_outliers" -> "q72's broadcast centroid argmax kernel feeding the per-cell decile window",
     "q184_join_size_estimate" -> "two 1-row frames (sketch estimate x exact cardinality) crossJoined for the comparison row",
     "q185_lsh_operating_curve" -> "the tuning harness's ground-truth all-pairs theta join over the doc_id%10 sample (sample-scale by contract) plus the broadcast 1-row totals frame",
-    "q188_decayed_engagement" -> "broadcast 1-row t_ref (max ts) frame crossJoined onto the events scan")
+    "q188_decayed_engagement" -> "broadcast 1-row t_ref (max ts) frame crossJoined onto the events scan",
+    "q191_ql_retrieval" -> "q94's broadcast 1-row corpus-stats frame, the query-likelihood variant")
 
   /** Expand is legitimate only for SQL grouping sets. */
   private val expandAllowed: Map[String, String] = Map(
