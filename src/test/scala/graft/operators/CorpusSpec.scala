@@ -351,6 +351,21 @@ class CorpusSpec extends SparkSpec {
     assert(upper === lower && upper > 0.0)
   }
 
+  test("queryLikelihood: hand-computed Dirichlet smoothing; uppercase " +
+      "terms match lowercased tokens") {
+    // corpus "a b" + "b b": |C| = 4, ctf(b) = 3; mu = 2
+    // doc1 (tf=1, dl=2): ln((1 + 2*3/4) / (2+2)) = ln(0.625)
+    // doc2 (tf=2, dl=2): ln((2 + 2*3/4) / (2+2)) = ln(0.875)
+    val docs = Seq((1L, "a b"), (2L, "b b")).toDF("doc_id", "text")
+    val out = Retrieval.queryLikelihood(docs, col("doc_id"), col("text"),
+        Seq("B"), mu = 2.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(1L) - math.log(0.625)) < 1e-12)
+    assert(math.abs(out(2L) - math.log(0.875)) < 1e-12)
+    // the better-matching doc scores higher (less negative)
+    assert(out(2L) > out(1L))
+  }
+
   test("winsorizedRollup: null values are excluded, not rank-poisoning") {
     val df = ((1 to 20).map(i => ("a", Some(i.toDouble), i.toLong)) ++
       Seq(("a", None, 100L), ("a", None, 101L)))
