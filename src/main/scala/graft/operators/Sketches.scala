@@ -164,12 +164,20 @@ object Sketches {
     * partial frames of any finer grouping (per day, per shard, per
     * partition) sum to the coarser histogram, so the raw data is scanned
     * once ever. */
+  /** The clamped bin index of `value` for a [lo, hi) fixed-bin histogram
+    * — ONE definition shared by the batch sketch and the streaming twin
+    * (`Streams.histIngest`), so their cells agree by construction. */
+  private[graft] def histBin(value: Column, lo: Double, hi: Double,
+                             bins: Int): Column = {
+    val width = (hi - lo) / bins
+    least(greatest(floor((value - lit(lo)) / lit(width)), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("long")
+  }
+
   def histogramSketch(df: DataFrame, group: Seq[String], value: Column,
                       lo: Double, hi: Double, bins: Int): DataFrame = {
     require(bins >= 1 && hi > lo, s"need bins >= 1 and hi > lo")
-    val width = (hi - lo) / bins
-    val bin = least(greatest(floor((value - lit(lo)) / lit(width)), lit(0.0)),
-      lit((bins - 1).toDouble)).cast("long")
+    val bin = histBin(value, lo, hi, bins)
     df.filter(value.isNotNull)
       .groupBy(group.map(col) :+ bin.as("bin"): _*)
       .agg(count(lit(1)).as("cnt"))

@@ -79,6 +79,15 @@ case class CmsCell(r: Int, bucket: Long, cnt: Long)
   * depth×width matrix, sorted by (r, bucket). */
 case class CmsSnapshot(key: String, version: Long, cells: Seq[CmsCell])
 
+/** One non-empty histogram bin inside a [[HistSnapshot]]. */
+case class HistCell(bin: Long, cnt: Long)
+
+/** Per-trigger fixed-bin histogram snapshot emitted by
+  * [[Streams.histIngest]] — latest-wins merge, the [[CmsSnapshot]]
+  * rule (bin counts are exact additive counters; every snapshot
+  * already counts the key's whole in-horizon history). */
+case class HistSnapshot(key: String, version: Long, cells: Seq[HistCell])
+
 object Streams {
 
   /** Millis in a day-or-smaller interval string ("30 days", "1 hour"). */
@@ -780,15 +789,68 @@ object Streams {
     import rows.sparkSession.implicits._
     require(depth >= 1 && width >= 1,
       s"cmsIngest requires depth/width >= 1 (got $depth x $width)")
+    import rows.sparkSession.implicits._
     val bucketed = rows
       .filter(col("key").isNotNull && col("value").isNotNull &&
         col("ts").isNotNull)
       .select(col("key").cast("string").as("key"), col("ts"),
-        graft.operators.Sketches.cmsBuckets(col("value").cast("string"),
-          depth, width).as("bks"))
+        // cells keyed as r * width + bucket (one long per cell)
+        transform(graft.operators.Sketches.cmsBuckets(
+            col("value").cast("string"), depth, width),
+          (b, r) => r.cast("long") * width + b).as("cells"))
       .as[(String, java.sql.Timestamp, Seq[Long])]
-    bucketed.groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Map[Long, Long]), CmsSnapshot](
+    additiveCellIngest(bucketed, idleTimeout).map { case (key, ver, cells) =>
+      CmsSnapshot(key, ver,
+        cells.map { case (c, n) => CmsCell((c / width).toInt, c % width, n) })
+    }
+  }
+
+  /**
+   * Streaming fixed-bin histogram maintenance: the streaming twin of
+   * [[graft.operators.Sketches.histogramSketch]] — the quantile
+   * complement of [[cmsIngest]], on the SAME additive-cell state
+   * engine. Bin indices are computed scan-locally by the batch twin's
+   * own `Sketches.histBin` (one shared definition), so the latest
+   * snapshot after any micro-batch split equals the batch sketch over
+   * exactly those rows (`StreamsSpec` pins it); quantile read-outs run
+   * `Sketches.histogramQuantiles` over the ≤`bins`-row snapshot.
+   * State per key is AT MOST `bins` counters, event-time evicted.
+   *
+   * Input: (key string, ts, value numeric), watermarked by the caller.
+   */
+  def histIngest(rows: DataFrame, lo: Double, hi: Double, bins: Int,
+                 idleTimeout: String = "30 days")
+      : org.apache.spark.sql.Dataset[HistSnapshot] = {
+    import rows.sparkSession.implicits._
+    require(bins >= 1 && hi > lo, s"need bins >= 1 and hi > lo")
+    val binned = rows
+      .filter(col("key").isNotNull && col("value").isNotNull &&
+        col("ts").isNotNull)
+      .select(col("key").cast("string").as("key"), col("ts"),
+        array(graft.operators.Sketches.histBin(col("value"), lo, hi, bins))
+          .as("cells"))
+      .as[(String, java.sql.Timestamp, Seq[Long])]
+    additiveCellIngest(binned, idleTimeout).map { case (key, ver, cells) =>
+      HistSnapshot(key, ver, cells.map { case (b, n) => HistCell(b, n) })
+    }
+  }
+
+  /** The shared additive-cell state engine behind [[cmsIngest]] and
+    * [[histIngest]]: per key, a map of cell-id → exact count folded
+    * incrementally (bounded by the caller's cell domain — d·w for CMS,
+    * `bins` for histograms), event-time evicted; emits (key, version,
+    * sorted (cell, cnt)) per updating trigger. Exact additive counts
+    * make any micro-batch split order-invariant — the twins' equality
+    * gates rest on this one fold. */
+  private def additiveCellIngest(
+      rows: org.apache.spark.sql.Dataset[(String, java.sql.Timestamp, Seq[Long])],
+      idleTimeout: String)
+      : org.apache.spark.sql.Dataset[(String, Long, Seq[(Long, Long)])] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Map[Long, Long]),
+          (String, Long, Seq[(Long, Long)])](
         OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
         case (key, it, state: GroupState[(Long, Map[Long, Long])]) =>
           if (state.hasTimedOut) {
@@ -797,28 +859,18 @@ object Streams {
           } else {
             val (ver0, saved) =
               state.getOption.getOrElse((0L, Map.empty[Long, Long]))
-            // cells keyed as r * width + bucket (one long per cell);
-            // additive fold — ≤ depth·width resident entries always
             val buf = scala.collection.mutable.HashMap[Long, Long]()
             saved.foreach { case (c, n) => buf(c) = n }
             var maxTs = Long.MinValue
-            it.foreach { case (_, ts, bks) =>
+            it.foreach { case (_, ts, cells) =>
               if (ts.getTime > maxTs) maxTs = ts.getTime
-              var r = 0
-              bks.foreach { b =>
-                val cell = r.toLong * width + b
-                buf(cell) = buf.getOrElse(cell, 0L) + 1L
-                r += 1
-              }
+              cells.foreach { c => buf(c) = buf.getOrElse(c, 0L) + 1L }
             }
             val merged = buf.toMap
             val ver = ver0 + 1
             state.update((ver, merged))
             setGuardedTimeout(state, maxTs, idleTimeout)
-            val cells = merged.toSeq.sorted.map { case (c, n) =>
-              CmsCell((c / width).toInt, c % width, n)
-            }
-            Iterator.single(CmsSnapshot(key, ver, cells))
+            Iterator.single((key, ver, merged.toSeq.sorted))
           }
       }
   }

@@ -1193,4 +1193,80 @@ class StreamsSpec extends SparkSpec {
       "c's 2 cells (one per row) each count its value twice")
     q.stop()
   }
+
+  test("histIngest: latest per-key snapshot equals the batch " +
+      "histogramSketch over all streamed rows, split across " +
+      "micro-batches (additive-bin merge property end-to-end)") {
+    import graft.operators.Sketches
+    val (lo, hi, bins) = (0.0, 500.0, 50)
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_type"), col("value")).filter(col("value").isNotNull)
+      .limit(600)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val mem = MemoryStream[(String, Timestamp, Double)](spark)
+    val snaps = Streams.histIngest(
+      mem.toDF.toDF("key", "ts", "value").withWatermark("ts", "1 day"),
+      lo = lo, hi = hi, bins = bins)
+    val q = snaps.writeStream.format("memory")
+      .queryName("hist_out").outputMode("update")
+      .option("checkpointLocation", tmp("graft-hist-ckpt"))
+      .start()
+    val t = Timestamp.valueOf("2024-01-01 00:00:00")
+    ev.grouped(200).foreach { chunk =>
+      mem.addData(chunk.map { case (k, v) => (k, t, v) }.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val latest = spark.table("hist_out")
+      .as[(String, Long, Seq[(Long, Long)])]
+      .collect().groupBy(_._1)
+      .map { case (key, rows) =>
+        key -> rows.maxBy(_._2)._3.sortBy(_._1).toList }
+    val batchDf = ev.toSeq.toDF("key", "value")
+    val batch = Sketches.histogramSketch(batchDf, Seq("key"), col("value"),
+        lo, hi, bins)
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1)
+      .map { case (key, rows) =>
+        key -> rows.map(r => (r._2, r._3)).sortBy(_._1).toList }
+    assert(latest === batch,
+      "streamed final histogram bins must equal the batch twin's exactly")
+    // bounded-state contract: <= bins cells, all in range, counts positive
+    spark.table("hist_out").as[(String, Long, Seq[(Long, Long)])]
+      .collect().foreach { case (_, _, cells) =>
+        assert(cells.size <= bins)
+        assert(cells.forall(c => c._2 > 0 && c._1 >= 0 && c._1 < bins))
+      }
+  }
+
+  test("histIngest: idle keys are event-time EVICTED — state rows drop " +
+      "to the in-horizon survivors") {
+    val mem = MemoryStream[(String, Timestamp, Double)](spark)
+    val snaps = Streams.histIngest(
+      mem.toDF.toDF("key", "ts", "value").withWatermark("ts", "1 hour"),
+      lo = 0.0, hi = 10.0, bins = 10, idleTimeout = "1 hour")
+    val q = snaps.writeStream.format("memory")
+      .queryName("hist_state_out").outputMode("update")
+      .option("checkpointLocation", tmp("graft-hist-state-ckpt"))
+      .start()
+    def stateRows: Long =
+      q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    mem.addData(("a", Timestamp.valueOf("2024-01-01 00:00:00"), 1.5),
+      ("b", Timestamp.valueOf("2024-01-01 00:00:00"), 2.5))
+    q.processAllAvailable()
+    assert(stateRows === 2L, "two key states after batch 1")
+    mem.addData(("c", Timestamp.valueOf("2024-01-03 00:00:00"), 3.5))
+    q.processAllAvailable()
+    mem.addData(("c", Timestamp.valueOf("2024-01-03 00:10:00"), 3.7))
+    q.processAllAvailable()
+    assert(stateRows === 1L,
+      s"eviction failed: $stateRows key states resident (want 1 — a and " +
+        "b removed, c kept)")
+    // both of c's values land in bin 3 — one cell counting 2
+    val cCells = spark.table("hist_state_out")
+      .as[(String, Long, Seq[(Long, Long)])]
+      .collect().filter(_._1 == "c").maxBy(_._2)._3
+    assert(cCells === Seq((3L, 2L)))
+    q.stop()
+  }
 }
