@@ -197,9 +197,13 @@ object CurationRunner {
         bi.write.mode("overwrite").parquet(s"$outDir/artifacts/lm_bigrams")
         val storedUni = spark.read.parquet(s"$outDir/artifacts/lm_unigrams")
         val storedBi = spark.read.parquet(s"$outDir/artifacts/lm_bigrams")
+        // NULL avg_nll means "nothing to score" (token-less doc), not a
+        // zero — the scoreNll contract. Policy here is KEEP: the LM gate
+        // only drops docs it positively scored as outliers; empty docs
+        // are the quality stage's concern, not perplexity's.
         val keep = NgramLm.scoreNll(k, col("doc_id"), col("text"),
             storedUni, storedBi)
-          .filter(col("avg_nll") <= maxNll)
+          .filter(col("avg_nll").isNull || col("avg_nll") <= maxNll)
           .select(col("id").as("doc_id"))
         k.join(keep, Seq("doc_id"), "left_semi")
       }

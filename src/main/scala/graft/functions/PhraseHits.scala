@@ -39,11 +39,15 @@ case class PhraseHits(child: Expression, phrases: Seq[String], maxLen: Int)
       s"phrase_hits requires string, got ${child.dataType.catalogString}")
 
   /** phrase (lowercased, whitespace-collapsed, trimmed) → index; first
-    * index wins on duplicates — mirror of tagPhrases' dict distinct. */
+    * index wins on duplicates — mirror of tagPhrases' dict distinct.
+    * Lowercasing goes through UTF8String — the SAME primitive Spark's
+    * `lower()` uses on the join-form side — so kernel and join form
+    * agree beyond ASCII (İ, ſ and friends differ under Java's
+    * locale-based toLowerCase). */
   @transient private lazy val index: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer]()
     phrases.zipWithIndex.foreach { case (p, i) =>
-      val norm = p.toLowerCase(java.util.Locale.ROOT).trim
+      val norm = UTF8String.fromString(p).toLowerCase.toString.trim
         .replaceAll("\\s+", " ")
       if (norm.nonEmpty && !m.containsKey(norm)) m.put(norm, i)
     }
@@ -71,8 +75,9 @@ object PhraseHits {
   def compute(text: UTF8String,
               index: java.util.HashMap[String, Integer],
               maxLen: Int): ArrayData = {
-    val words0 = text.toString.toLowerCase(java.util.Locale.ROOT)
-      .split("\\s+")
+    // UTF8String.toLowerCase == Spark's lower(): bit-parity with the
+    // composed tagPhrases form on non-ASCII case mappings
+    val words0 = text.toLowerCase.toString.split("\\s+")
     // drop empties (leading-whitespace split artifact)
     var n = 0
     var i = 0

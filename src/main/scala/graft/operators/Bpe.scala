@@ -81,7 +81,11 @@ object Bpe {
                       minPairCount: Long = 2L,
                       localizeBelow: Long = 100000L): Seq[(String, String)] = {
     require(numMerges >= 0 && minPairCount >= 1)
-    if (numMerges > 0 && counts.limit(localizeBelow.toInt + 1).count() <= localizeBelow) {
+    // clamp: limit() takes an Int; a threshold at/above Int.MaxValue would
+    // overflow to a negative limit and fail the probe query at runtime
+    val localizeLim = math.min(localizeBelow, Int.MaxValue - 1L)
+    if (numMerges > 0 &&
+        counts.limit(localizeLim.toInt + 1).count() <= localizeLim) {
       return trainLocal(
         counts.select(col("word"), col("cnt").cast("long")).collect()
           .map(r => (r.getString(0), r.getLong(1))).toSeq,
@@ -192,6 +196,192 @@ object Bpe {
   def train(docs: DataFrame, textCol: Column, numMerges: Int,
             minPairCount: Long = 2L): Seq[(String, String)] =
     trainFromCounts(wordCounts(docs, textCol), numMerges, minPairCount)
+
+  // ---------------------------------------------------------------------
+  // Batched training — R merges in ≪ R rounds
+  // ---------------------------------------------------------------------
+
+  /** Merges in global rank order + rounds actually executed. */
+  final case class BatchedMerges(merges: Seq[(String, String)], rounds: Int)
+
+  /** Symbol delimiter for the batched trainer's string-form vocab (unit
+    * separator U+001F — never inside a whitespace-split word of a
+    * printable corpus; the same convention the DuckDB oracle replay
+    * uses with chr(31)). */
+  private val US = "\u001f"
+
+  /** UTF8-binary string compare (code points) — matches Spark's binary
+    * sort order and DuckDB's default collation; Java compareTo disagrees
+    * for supplementary vs upper-BMP characters. */
+  private def cpCompare(x: String, y: String): Int = {
+    var i = 0; var j = 0
+    while (i < x.length && j < y.length) {
+      val cx = x.codePointAt(i); val cy = y.codePointAt(j)
+      if (cx != cy) return Integer.compare(cx, cy)
+      i += Character.charCount(cx); j += Character.charCount(cy)
+    }
+    Integer.compare(x.length - i, y.length - j)
+  }
+
+  /** The batched round's selection rule: from candidates ordered by
+    * (count desc, a, b), keep a pair iff it shares NO symbol with ANY
+    * strictly higher-ranked candidate — selected or not. Window-rule
+    * (not greedy-vs-selected) on purpose: it is replayable in plain SQL
+    * with row_number + NOT EXISTS, no recursion, so the DuckDB oracle
+    * re-derives the exact same batch. Disjointness means the pairs'
+    * measured counts are still exact at apply time (merging (a,b)
+    * only creates/destroys adjacencies involving a or b). */
+  private def selectDisjoint(
+      cands: Seq[(String, String)]): Seq[(String, String)] =
+    cands.zipWithIndex.collect {
+      case ((a, b), i) if !cands.take(i).exists { case (c, d) =>
+        c == a || c == b || d == a || d == b } => (a, b)
+    }
+
+  /** Shared round loop: ONE pair-count aggregate over the vocab frame +
+    * ONE bounded top-`batchSize` collect + one scan-local apply of the
+    * disjoint subset per round, until `continue(mergeCount, rounds)`
+    * turns false or pairs exhaust. Application is leftmost
+    * non-overlapping `replace` on the U+001F-delimited symbol string —
+    * the SAME string algorithm the local twin (Java `String.replace`)
+    * and the DuckDB oracle (`replace()`) run, so all three agree
+    * bit-for-bit by construction. */
+  private def batchedLoop(counts: DataFrame, batchSize: Int,
+                          minPairCount: Long,
+                          continue: (Int, Int) => Boolean): BatchedMerges = {
+    require(batchSize >= 1 && minPairCount >= 1)
+    var vocab = counts
+      .select(concat(lit(US),
+          concat_ws(US, filter(split(col("word"), ""), s => s =!= lit(""))),
+          lit(US)).as("s"),
+        col("cnt").cast("long").as("cnt"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var round = 0
+    var exhausted = false
+    while (continue(merges.size, round) && !exhausted) {
+      val syms = filter(split(col("s"), US), x => x =!= lit(""))
+      val cands = vocab
+        .select(explode(arrays_zip(
+            slice(syms, lit(1), size(syms) - 1),
+            slice(syms, lit(2), size(syms) - 1))).as("p"),
+          col("cnt"))
+        .groupBy(col("p.0").as("a"), col("p.1").as("b"))
+        .agg(sum(col("cnt")).as("n"))
+        .filter(col("n") >= minPairCount)
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(batchSize).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      if (cands.isEmpty) exhausted = true
+      else {
+        val picked = selectDisjoint(cands)
+        merges ++= picked
+        val newS = picked.foldLeft(col("s")) { case (c, (a, b)) =>
+          replace(c, lit(US + a + US + b + US), lit(US + a + b + US))
+        }
+        val next = vocab.select(newS.as("s"), col("cnt"))
+          .localCheckpoint(true)
+        vocab.unpersist()
+        vocab = next
+        round += 1
+      }
+    }
+    vocab.unpersist()
+    BatchedMerges(merges.toSeq, round)
+  }
+
+  /**
+   * Batched BPE, round-capped: exactly up to `numRounds` rounds — the
+   * oracle-replayable form (the q192 DuckDB replay generates one fixed
+   * CTE block per round). Semantics vs the sequential trainer: within a
+   * round the selected pairs are pairwise symbol-disjoint, so their
+   * pre-round counts are exact and the round ≡ applying them
+   * sequentially; ACROSS rounds the order can differ from strict
+   * argmax-per-merge (a pair created by this round's rank-1 merge may
+   * out-count this round's rank-2 pick — the standard batched-trainer
+   * trade; `batchSize = 1` reduces exactly to the sequential argmax,
+   * which `BpeBatchedSpec` pins).
+   */
+  def trainBatchedRounds(counts: DataFrame, numRounds: Int, batchSize: Int,
+                         minPairCount: Long = 2L): BatchedMerges = {
+    require(numRounds >= 0)
+    batchedLoop(counts, batchSize, minPairCount, (_, r) => r < numRounds)
+  }
+
+  /** Merge-capped batched training: rounds of up to `batchSize` merges
+    * until at least `numMerges` are learned (or pairs exhaust), trimmed
+    * to exactly `numMerges` — the scale entry point: 32k merges cost
+    * ~32k/batch driver round-trips, not 32k (the sequential trainer's
+    * per-round 1-row argmax means R merges = R job launches; at real
+    * tokenizer merge counts driver latency dominates). */
+  def trainBatched(counts: DataFrame, numMerges: Int, batchSize: Int,
+                   minPairCount: Long = 2L): BatchedMerges = {
+    require(numMerges >= 0)
+    val all = batchedLoop(counts, batchSize, minPairCount,
+      (m, _) => m < numMerges)
+    BatchedMerges(all.merges.take(numMerges), all.rounds)
+  }
+
+  /** Driver-local twin of [[trainBatchedRounds]] — same candidate order
+    * (UTF8-binary tiebreak), same window selection rule, same
+    * `String.replace` application on the same delimited string. Spec
+    * harness for distributed ≡ local equality at scale. */
+  def trainBatchedLocal(counts: Seq[(String, Long)], numRounds: Int,
+                        batchSize: Int,
+                        minPairCount: Long = 2L): BatchedMerges = {
+    def splitCp(w: String): Array[String] = {
+      val out = Array.newBuilder[String]
+      var off = 0
+      while (off < w.length) {
+        val next = w.offsetByCodePoints(off, 1)
+        out += w.substring(off, next); off = next
+      }
+      out.result()
+    }
+    var vocab = counts.map { case (w, c) =>
+      (US + splitCp(w).mkString(US) + US, c)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var round = 0
+    var exhausted = false
+    val ord = new Ordering[((String, String), Long)] {
+      def compare(x: ((String, String), Long),
+                  y: ((String, String), Long)): Int = {
+        val byN = java.lang.Long.compare(y._2, x._2)
+        if (byN != 0) byN
+        else {
+          val byA = cpCompare(x._1._1, y._1._1)
+          if (byA != 0) byA else cpCompare(x._1._2, y._1._2)
+        }
+      }
+    }
+    while (round < numRounds && !exhausted) {
+      val pairs = scala.collection.mutable.HashMap[(String, String), Long]()
+      for ((s, c) <- vocab) {
+        val sy = s.split(US).filter(_.nonEmpty)
+        var j = 0
+        while (j < sy.length - 1) {
+          val k = (sy(j), sy(j + 1))
+          pairs(k) = pairs.getOrElse(k, 0L) + c
+          j += 1
+        }
+      }
+      val cands = pairs.iterator.filter(_._2 >= minPairCount).toSeq
+        .sorted(ord).take(batchSize).map(_._1)
+      if (cands.isEmpty) exhausted = true
+      else {
+        val picked = selectDisjoint(cands)
+        merges ++= picked
+        vocab = vocab.map { case (s, c) =>
+          (picked.foldLeft(s) { case (acc, (a, b)) =>
+            acc.replace(US + a + US + b + US, US + a + b + US)
+          }, c)
+        }
+        round += 1
+      }
+    }
+    BatchedMerges(merges.toSeq, round)
+  }
 
   /** The learned table as a tokenizing Column. */
   def encode(text: Column, merges: Seq[(String, String)]): Column =

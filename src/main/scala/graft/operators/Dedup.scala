@@ -438,10 +438,19 @@ object Dedup {
   def lshOperatingCurve(docs: DataFrame, idCol: Column, textCol: Column,
                         shingleSize: Int = 5, numHashes: Int = 16,
                         bandsConfigs: Seq[Int] = Seq(8, 4),
-                        threshold: Double = 0.25): DataFrame = {
+                        threshold: Double = 0.25,
+                        maxDocs: Long = 100000L): DataFrame = {
     require(bandsConfigs.nonEmpty, "need at least one bands configuration")
     val st = minhashDocState(docs, idCol, textCol, shingleSize, numHashes)
       .localCheckpoint(true)
+    // enforce the sample-only contract — ground truth below is ALL-PAIRS
+    // exact Jaccard; an unsampled corpus would silently go O(n^2). The
+    // count is over the already-checkpointed state frame (no re-scan).
+    val nDocs = st.count()
+    require(nDocs <= maxDocs,
+      s"lshOperatingCurve is tuning instrumentation over a SAMPLE: got " +
+        s"$nDocs docs > maxDocs=$maxDocs (all-pairs ground truth is " +
+        s"quadratic). Sample the corpus first, or raise maxDocs knowingly.")
     val a = st.select(col("id").as("a_id"), col("hs").as("a_hs"),
       col("sz").as("a_sz"))
     val b = st.select(col("id").as("b_id"), col("hs").as("b_hs"),

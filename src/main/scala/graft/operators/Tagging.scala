@@ -79,8 +79,9 @@ object Tagging {
     // several categories (distinct (phrase, category) pairs, as
     // tagPhrases' dict distinct)
     val norm = dict.map { case (p, c) =>
-      (p.toLowerCase(java.util.Locale.ROOT).trim
-        .replaceAll("\\s+", " "), c)
+      // UTF8String lowercase — same primitive as tagPhrases' lower()
+      (org.apache.spark.unsafe.types.UTF8String.fromString(p)
+        .toLowerCase.toString.trim.replaceAll("\\s+", " "), c)
     }.filter(_._1.nonEmpty).distinct
     val phrases = norm.map(_._1).distinct
     val pi = phrases.zipWithIndex.toMap

@@ -48,6 +48,14 @@ object BpeQueries {
   private val NumMerges = 16
   private val MinPair = 2L
 
+  /** q192 batched-trainer shape: 4 rounds × up-to-12 disjoint merges —
+    * small enough that the generated round-replay oracle stays readable,
+    * deep enough that later rounds merge symbols built by earlier
+    * batches AND the disjointness screen demonstrably rejects
+    * candidates (top-12 char pairs share letters heavily). */
+  private val BatchRounds = 4
+  private val BatchSize = 12
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q166_bpe_encode" -> ((s, dir) => {
@@ -98,6 +106,23 @@ object BpeQueries {
         NumMerges, MinPair)
       val rows = merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
       s.createDataFrame(rows).toDF("rank", "a", "b").orderBy("rank")
+    }),
+
+    "q192_bpe_batched_train" -> ((s, dir) => {
+      // the BATCHED trainer (real-tokenizer merge counts need rounds ≪
+      // merges: the sequential argmax is one Spark job per merge, so 32k
+      // merges = 32k driver round-trips). Each round collects the top
+      // BatchSize candidate pairs once, keeps the subset disjoint from
+      // all higher-ranked candidates (their measured counts stay exact
+      // at apply time), and applies them in one scan-local projection.
+      // The oracle replays the identical rounds in DuckDB — same window
+      // selection rule via row_number + NOT EXISTS, same leftmost
+      // non-overlapping replace() on the chr(31)-delimited vocab.
+      val res = Bpe.trainBatchedRounds(
+        Bpe.wordCounts(t(s, dir, "documents"), col("text")),
+        BatchRounds, BatchSize, MinPair)
+      val rows = res.merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+      s.createDataFrame(rows).toDF("rank", "a", "b").orderBy("rank")
     })
   )
 
@@ -133,7 +158,61 @@ object BpeQueries {
     sb.toString
   }
 
+  /** Round-replay of the BATCHED trainer: per round, candidate ranking
+    * (row_number over the total (n desc, a, b) order, LIMIT BatchSize),
+    * the disjointness window screen (NOT EXISTS a conflicting
+    * strictly-higher-ranked candidate — the exact rule
+    * [[graft.operators.Bpe.trainBatchedRounds]] applies), then
+    * BatchSize fixed apply sub-steps (LEFT JOIN on sk = k carries the
+    * vocab through unchanged when fewer pairs were selected). Global
+    * rank = row_number over (round, within-round selection order). */
+  private def batchedCtes: String = {
+    val sb = new StringBuilder
+    sb ++= raw"""WITH bwc AS MATERIALIZED (SELECT w AS word, count(*) AS cnt FROM (
+      |    SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> len(x) > 0)) AS w
+      |    FROM documents) GROUP BY 1),
+      |bv0 AS MATERIALIZED (SELECT
+      |    chr(31) || array_to_string(string_split(word, ''), chr(31)) || chr(31) AS s,
+      |    cnt FROM bwc)""".stripMargin
+    for (r <- 0 until BatchRounds) {
+      sb ++= s""",
+        |bp$r AS MATERIALIZED (SELECT sy[i] AS a, sy[i+1] AS b, sum(cnt) AS n FROM (
+        |    SELECT sy, cnt, unnest(range(1, len(sy))) AS i FROM (
+        |      SELECT list_filter(string_split(s, chr(31)), x -> x <> '') AS sy, cnt
+        |      FROM bv$r))
+        |  GROUP BY 1, 2 HAVING sum(cnt) >= $MinPair),
+        |bc$r AS MATERIALIZED (SELECT a, b,
+        |    row_number() OVER (ORDER BY n DESC, a, b) AS rk
+        |  FROM bp$r ORDER BY n DESC, a, b LIMIT $BatchSize),
+        |bk$r AS MATERIALIZED (SELECT a, b,
+        |    row_number() OVER (ORDER BY rk) AS sk
+        |  FROM bc$r c1
+        |  WHERE NOT EXISTS (SELECT 1 FROM bc$r c2 WHERE c2.rk < c1.rk
+        |    AND (c2.a IN (c1.a, c1.b) OR c2.b IN (c1.a, c1.b))))""".stripMargin
+      for (k <- 1 to BatchSize) {
+        val prev = if (k == 1) s"bv$r" else s"ba${r}_${k - 1}"
+        sb ++= s""",
+          |ba${r}_$k AS (SELECT CASE WHEN m.a IS NOT NULL
+          |      THEN replace(v.s, chr(31) || m.a || chr(31) || m.b || chr(31),
+          |                        chr(31) || m.a || m.b || chr(31))
+          |      ELSE v.s END AS s, v.cnt
+          |  FROM $prev v LEFT JOIN (SELECT a, b FROM bk$r WHERE sk = $k) m ON TRUE)""".stripMargin
+      }
+      sb ++= s""",
+        |bv${r + 1} AS MATERIALIZED (SELECT s, cnt FROM ba${r}_$BatchSize)""".stripMargin
+    }
+    sb.toString
+  }
+
   val oracleSql: Map[String, String] = Map(
+
+    "q192_bpe_batched_train" -> (batchedCtes + s"""
+      |SELECT CAST(row_number() OVER (ORDER BY r, sk) - 1 AS INTEGER) AS rank, a, b
+      |FROM (
+      |${(0 until BatchRounds).map(r => s"  SELECT $r AS r, sk, a, b FROM bk$r")
+        .mkString("  UNION ALL\n")}
+      |) ORDER BY rank""".stripMargin),
 
     "q166_bpe_encode" -> (trainCtes + s"""
       |SELECT token, CAST(sum(cnt) AS BIGINT) AS n FROM (

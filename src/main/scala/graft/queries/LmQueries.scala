@@ -89,7 +89,7 @@ object LmQueries {
           .as("p"))
         .select(col("source"), col("p.0").as("t1"), col("p.1").as("t2"))
         .groupBy("source", "t1", "t2").agg(count(lit(1)).as("cnt"))
-      val out = "/tmp/graft_artifacts_q176"
+      val out = Scratch.path(s, "q176")
       shardArtifacts.write.mode("overwrite").parquet(out)
       s.read.parquet(out)
         .groupBy("t1", "t2").agg(sum("cnt").as("cnt"))

@@ -69,7 +69,7 @@ object SketchQueries {
       // merging: bottom-k of unioned bottom-k's ≡ bottom-k of the whole,
       // so the oracle ranks the global domain directly). The raw corpus
       // is scanned exactly once.
-      val out = "/tmp/graft_artifacts_q161"
+      val out = Scratch.path(s, "q161")
       Sketches.kmvSketch(sourceGrams(s, dir), Seq("source"), col("gram"), K)
         .write.mode("overwrite").parquet(out)
       val stored = s.read.parquet(out)
@@ -164,7 +164,7 @@ object SketchQueries {
         .select(col("source"),
           explode(filter(split(lower(col("text")), "\\s+"),
             w => length(w) > 0)).as("token"))
-      val out = "/tmp/graft_artifacts_q180"
+      val out = Scratch.path(s, "q180")
       Sketches.cmsSketch(toks, Seq("source"), col("token"),
           depth = CmsDepth, width = CmsWidth)
         .write.mode("overwrite").parquet(out)
