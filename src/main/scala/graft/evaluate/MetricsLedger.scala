@@ -69,9 +69,13 @@ object MetricsLedger {
     (c.filter(u < 0.7), c.filter(u >= 0.7))
   }
 
-  /** Ordering-gate protocol (EvalProtocolSpec test 1): 300 accounts,
-    * probScale 3.0, NDCG@50 for the ensemble and the three baselines. */
-  def orderingGateMetrics(spark: SparkSession): Seq[(String, Double)] = {
+  /** Ordering-gate fixture, trained once: 300 accounts, probScale 3.0,
+    * seeded split + canonical layout, the four-model ensemble fit.
+    * Returns (fitted model, cached test frame, unpersist thunk). Shared
+    * by the metric ledger AND the recommendation-list golden
+    * (`EnsembleGoldenSpec`) so both gate the SAME fit protocol. */
+  def orderingFixture(spark: SparkSession)
+      : (graft.ml.EnsembleModel, DataFrame, () => Unit) = {
     val accts = Synthetic.accounts(spark, 300).cache()
     val cands = Synthetic.labeledCandidates(accts, window = 30,
       probScale = 3.0).cache()
@@ -79,7 +83,30 @@ object MetricsLedger {
     val testC = test.cache()
     val ens = new Ensemble(featureCols,
       numTrees = 20, rfDepth = 6, xgbIter = 10, gbtIter = 10, mlpIter = 15)
-    val scored = ens.fit(train).scoreAll(testC).cache()
+    val model = ens.fit(train)
+    (model, testC,
+      () => { accts.unpersist(); cands.unpersist(); testC.unpersist(); () })
+  }
+
+  /** The served recommendation list as an artifact: top-k test pairs by
+    * (ensemble score desc, ids) — the end-to-end "did the model change"
+    * golden (VERDICT r13 #2). Deterministic at fixed seed + canonical
+    * layout; `EnsembleGoldenSpec` diffs it against the committed file
+    * and proves weight sensitivity on the same fit. */
+  def topPairs(model: graft.ml.EnsembleModel, test: DataFrame,
+               k: Int): Seq[(String, String)] =
+    model.scoreAll(test)
+      .orderBy(col("score").desc, col("account1_id"), col("account2_id"))
+      .select(col("account1_id").cast("string"),
+        col("account2_id").cast("string"))
+      .limit(k).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+
+  /** Ordering-gate protocol (EvalProtocolSpec test 1): 300 accounts,
+    * probScale 3.0, NDCG@50 for the ensemble and the three baselines. */
+  def orderingGateMetrics(spark: SparkSession): Seq[(String, Double)] = {
+    val (model, testC, cleanup) = orderingFixture(spark)
+    val scored = model.scoreAll(testC).cache()
     def ndcg50(df: DataFrame, score: String): Double =
       RankingMetrics.evaluate(df, col(score), col("label"),
           tieBreak = Seq(col("account1_id"), col("account2_id")),
@@ -96,8 +123,7 @@ object MetricsLedger {
       "similarity_ndcg_at_50" -> ndcg50(
         RankingMetrics.withSimilarityScore(
           testC, featureCols.map(col), "s"), "s"))
-    accts.unpersist(); cands.unpersist(); testC.unpersist()
-    scored.unpersist()
+    cleanup(); scored.unpersist()
     out
   }
 
