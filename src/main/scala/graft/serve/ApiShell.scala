@@ -1,0 +1,234 @@
+package graft.serve
+
+import org.apache.spark.sql.DataFrame
+
+import graft.sources.ResilientClient.{Clock, TokenBucket}
+
+/**
+ * Driver-side serving shell over the engine's filter/sort/page/export
+ * surface — the reference's API layer re-expressed without an HTTP
+ * framework (reference `src/api/main.py`): bearer-token auth with
+ * signed expiring tokens (`create_access_token` :227-233, `login`
+ * :330-341, `verify_token` :242-268 incl. the user-still-exists
+ * check), per-identifier rejecting rate limiting (`get_identifier` +
+ * Limiter :61-77 — keyed by bearer token, else client host, else
+ * "anonymous"; over-limit requests get 429, they do not queue), the
+ * filtered recommendation listing (:432-478) and export (:794-857 —
+ * csv/excel/json, 400 otherwise).
+ *
+ * The HTTP/ASGI transport itself is out of engine scope; everything a
+ * transport would delegate to — admission, authn, the query compile,
+ * pagination, serialization — lives here and is spec-driven
+ * (`ApiShellSpec` runs filter/sort/paginate/export end-to-end through
+ * the shell). The engine side stays [[Serve]]: the shell only parses
+ * parameters and enforces policy, so a real HTTP binding is a
+ * ~20-line adapter.
+ *
+ * Scale: policy state (users, buckets) is driver-side and O(clients);
+ * every data operation is a Spark plan over the recommendations frame —
+ * nothing here collects.
+ */
+object ApiShell {
+
+  final case class User(username: String, password: String, role: String)
+
+  /** In-memory user registry (the reference's `users` table; the DB is
+    * storage detail — the POLICY the shell reproduces is that token
+    * verification re-checks existence, so deleting a user revokes
+    * outstanding tokens, main.py:256-263). */
+  final class UserStore {
+    private val users = scala.collection.mutable.Map[String, User]()
+    def put(u: User): Unit = synchronized { users(u.username) = u }
+    def delete(username: String): Unit = synchronized { users -= username }
+    def get(username: String): Option[User] = synchronized {
+      users.get(username)
+    }
+  }
+
+  /** HMAC-SHA256 compact tokens (the reference's HS256 JWT,
+    * main.py:101-102,227-233): base64url(header).base64url(payload).sig
+    * with `sub`/`role`/`exp` claims; verification recomputes the
+    * signature (constant-time compare) and enforces expiry. */
+  final class TokenService(secret: String, clock: Clock,
+                           expirationHours: Int = 24) {
+    private def b64(b: Array[Byte]): String =
+      java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(b)
+    private def hmac(data: String): Array[Byte] = {
+      val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+      mac.init(new javax.crypto.spec.SecretKeySpec(
+        secret.getBytes("UTF-8"), "HmacSHA256"))
+      mac.doFinal(data.getBytes("UTF-8"))
+    }
+
+    def issue(sub: String, role: String): String = {
+      val header = b64("""{"alg":"HS256","typ":"JWT"}""".getBytes("UTF-8"))
+      val exp = clock.nowMs / 1000 + expirationHours.toLong * 3600
+      val payload = b64(
+        s"""{"sub":"$sub","role":"$role","exp":$exp}""".getBytes("UTF-8"))
+      val body = s"$header.$payload"
+      s"$body.${b64(hmac(body))}"
+    }
+
+    /** Right((sub, role)) or Left(reason) — reasons mirror the
+      * reference's 401 details. */
+    def verify(token: String): Either[String, (String, String)] = {
+      token.split('.') match {
+        case Array(h, p, sig) =>
+          val expected = hmac(s"$h.$p")
+          val given =
+            try java.util.Base64.getUrlDecoder.decode(sig)
+            catch { case _: IllegalArgumentException => Array.empty[Byte] }
+          if (!java.security.MessageDigest.isEqual(expected, given))
+            Left("Invalid token")
+          else {
+            val payload =
+              try new String(java.util.Base64.getUrlDecoder.decode(p), "UTF-8")
+              catch { case _: IllegalArgumentException => "" }
+            val claims = "\"(sub|role|exp)\":(?:\"([^\"]*)\"|([0-9]+))".r
+              .findAllMatchIn(payload)
+              .map(m => m.group(1) ->
+                Option(m.group(2)).getOrElse(m.group(3))).toMap
+            (claims.get("sub"), claims.get("role"), claims.get("exp")) match {
+              case (Some(sub), Some(role), Some(exp)) =>
+                if (exp.toLong < clock.nowMs / 1000) Left("Token expired")
+                else Right((sub, role))
+              case _ => Left("Invalid authentication credentials")
+            }
+          }
+        case _ => Left("Invalid token")
+      }
+    }
+  }
+
+  sealed trait Result
+  /** 200 with a frame — the transport would serialize it. */
+  final case class Ok(df: DataFrame) extends Result
+  /** 200 with a small text body (token grants, export paths, health). */
+  final case class OkText(body: String) extends Result
+  /** Non-2xx with the reference's status + detail. */
+  final case class ApiError(status: Int, detail: String) extends Result
+
+  /**
+   * The request surface. `recs` is the recommendations frame the
+   * listing/export endpoints serve (reference: the
+   * cross_sell_recommendations table). Column conventions are
+   * [[Serve.compile]]'s defaults.
+   */
+  final class Shell(recs: DataFrame, users: UserStore,
+                    tokens: TokenService, clock: Clock,
+                    callsPerMinute: Int = 100) {
+
+    private val buckets =
+      scala.collection.mutable.Map[String, TokenBucket]()
+
+    /** Reference get_identifier (main.py:63-70): bearer token if
+      * present, else client host, else "anonymous". */
+    private def identifier(bearer: Option[String],
+                           clientHost: Option[String]): String =
+      bearer.orElse(clientHost).getOrElse("anonymous")
+
+    private def admit(bearer: Option[String],
+                      clientHost: Option[String]): Boolean = {
+      val key = identifier(bearer, clientHost)
+      val bucket = synchronized {
+        buckets.getOrElseUpdate(key, new TokenBucket(callsPerMinute, clock))
+      }
+      bucket.tryAcquire()
+    }
+
+    /** POST /api/auth/token (main.py:330-341). */
+    def login(username: String, password: String): Result =
+      users.get(username) match {
+        case Some(u) if u.password == password =>
+          OkText(tokens.issue(u.username, u.role))
+        case _ => ApiError(401, "Incorrect username or password")
+      }
+
+    /** Limiter-then-auth, the reference's middleware order: over-limit
+      * requests 429 before the token is even inspected; then signature/
+      * expiry, then the user-still-exists revocation check. */
+    private def guarded(bearer: Option[String], clientHost: Option[String])
+                       (f: (String, String) => Result): Result = {
+      if (!admit(bearer, clientHost))
+        ApiError(429, "Rate limit exceeded")
+      else bearer match {
+        case None => ApiError(401, "Not authenticated")
+        case Some(t) => tokens.verify(t) match {
+          case Left(reason) => ApiError(401, reason)
+          case Right((sub, role)) => users.get(sub) match {
+            case None => ApiError(401, "Invalid authentication credentials")
+            case Some(_) => f(sub, role)
+          }
+        }
+      }
+    }
+
+    /** Parse the reference's OpportunityFilter query params
+      * (main.py:156-168). Bad values are a 400, not a crash. */
+    private def parseFilter(params: Map[String, String])
+        : Either[Result, Serve.RecFilter] =
+      try Right(Serve.RecFilter(
+        minScore = params.get("min_score").map(_.toDouble),
+        maxScore = params.get("max_score").map(_.toDouble),
+        confidenceLevels = params.get("confidence_levels")
+          .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil),
+        recommendationTypes = params.get("recommendation_types")
+          .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil),
+        orgIds = params.get("org_ids")
+          .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil),
+        createdFrom = params.get("date_from")
+          .map(java.sql.Timestamp.valueOf),
+        createdTo = params.get("date_to")
+          .map(java.sql.Timestamp.valueOf)))
+      catch {
+        case e: IllegalArgumentException =>
+          Left(ApiError(400, s"Invalid filter parameter: ${e.getMessage}"))
+      }
+
+    private def compiled(params: Map[String, String])
+        : Either[Result, DataFrame] =
+      parseFilter(params).flatMap { f =>
+        try {
+          val filtered = recs.filter(Serve.compile(f))
+          Right(Serve.page(filtered,
+            sortBy = params.getOrElse("sort_by", "score"),
+            ascending = params.get("sort_order").contains("asc"),
+            limit = params.get("limit").map(_.toInt).getOrElse(100),
+            offset = params.get("offset").map(_.toInt).getOrElse(0)))
+        } catch {
+          case e: NumberFormatException =>
+            Left(ApiError(400, s"Invalid paging parameter: ${e.getMessage}"))
+        }
+      }
+
+    /** GET /api/recommendations (main.py:432-478). */
+    def recommendations(params: Map[String, String],
+                        bearer: Option[String],
+                        clientHost: Option[String] = None): Result =
+      guarded(bearer, clientHost) { (_, _) =>
+        compiled(params).fold(identity, Ok(_))
+      }
+
+    /** GET /api/export/{format} (main.py:794-857): csv/excel/json over
+      * the SAME filter+page compile; anything else is a 400. Writes to
+      * `path`, returns it. */
+    def export(format: String, path: String, params: Map[String, String],
+               bearer: Option[String],
+               clientHost: Option[String] = None): Result =
+      guarded(bearer, clientHost) { (_, _) =>
+        if (!Set("csv", "excel", "json").contains(format))
+          ApiError(400, "Format must be csv, excel, or json")
+        else compiled(params).fold(identity, { df =>
+          format match {
+            case "csv" => Serve.exportCsv(df, path)
+            case "json" => Serve.exportJson(df, path)
+            case "excel" => Serve.exportExcel(df, path)
+          }
+          OkText(path)
+        })
+      }
+
+    /** GET /api/health (main.py:302) — unauthenticated, unlimited. */
+    def health: Result = OkText("""{"status":"healthy"}""")
+  }
+}

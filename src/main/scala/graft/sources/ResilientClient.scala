@@ -75,6 +75,19 @@ object ResilientClient {
       }
       tokens -= 1
     }
+
+    /** Non-blocking admission (the API-limiter mode, reference
+      * api/main.py:61-77 — a web limiter REJECTS over-limit calls with
+      * 429 rather than queueing them): same refill arithmetic, returns
+      * false instead of sleeping when no token is available. */
+    def tryAcquire(): Boolean = synchronized {
+      val now = clock.nowMs
+      tokens = math.min(callsPerMinute.toDouble,
+        tokens + (now - updatedAtMs) / 1000.0 * (callsPerMinute / 60.0))
+      updatedAtMs = now
+      if (tokens < 1) false
+      else { tokens -= 1; true }
+    }
   }
 
   /** Exponential backoff (the reference's `backoff.expo`, max_tries=3
