@@ -201,9 +201,45 @@ object MetricsLedger {
     out
   }
 
+  /** Salted-vs-unsalted ER wall-time on the q159 planted-skew frame
+    * (VERDICT r13 #5): the salt's effect as a MEASURED ledger row, not
+    * an assertion. Both variants run the identical resolve over the
+    * identical frame (q159's one hot default-key block holding ~20% of
+    * rows), noop-materialized, best of 2 to damp JIT order effects;
+    * `er_salt_speedup_x` = unsalted / salted wall-time. NOTE: these are
+    * wall-clock rows in a seeded-metric ledger — cross-round moves here
+    * are adjudicated like bench timing flags, not like metric drift.
+    * Local-mode caveat recorded in SCALING.md: AQE skew splitting and a
+    * 32-thread shared heap damp the hot-task effect that dominates on a
+    * real cluster, so the ratio here is a floor on the cluster benefit.
+    * Skipped (empty) when the SF dir is absent. */
+  def skewEvidence(spark: SparkSession): Seq[(String, Double)] = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (!new java.io.File(s"$dir/customer.parquet").exists()) return Nil
+    val cols = EntityResolution.AccountCols()
+    def run(salt: Int): Double = {
+      val acc = graft.queries.ErQueries.skewedAccountsForSpec(spark, dir)
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        EntityResolution.resolve(
+            acc.filter(col("Id") % 2 === 0), acc.filter(col("Id") % 2 === 1),
+            cols, EntityResolution.Config(matchThreshold = 0.85), salt = salt)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    // interleave-free fixed order, salted first: if JIT warmup leaks
+    // across variants it favors the UNSALTED run, biasing the ratio down
+    val salted = run(8)
+    val unsalted = run(1)
+    Seq("er_skew_salted_sec" -> salted,
+      "er_skew_unsalted_sec" -> unsalted,
+      "er_salt_speedup_x" -> unsalted / salted)
+  }
+
   def computeAll(spark: SparkSession): Seq[(String, Double)] =
     orderingGateMetrics(spark) ++ referenceConfigMetrics(spark) ++
-      erMetrics(spark) ++ AnnRecall.measure(spark)
+      erMetrics(spark) ++ AnnRecall.measure(spark) ++ skewEvidence(spark)
 
   /** A move is flagged when it exceeds max(0.02 absolute, 15% of prev) —
     * wide enough for partition-layout float jitter, tight enough that a
