@@ -105,6 +105,9 @@ object ApiShell {
   final case class Ok(df: DataFrame) extends Result
   /** 200 with a small text body (token grants, export paths, health). */
   final case class OkText(body: String) extends Result
+  /** 200 with a multi-section response (the insights endpoint bundles
+    * summary + top list + breakdowns + trend in one payload). */
+  final case class OkSections(sections: Map[String, DataFrame]) extends Result
   /** Non-2xx with the reference's status + detail. */
   final case class ApiError(status: Int, detail: String) extends Result
 
@@ -114,9 +117,28 @@ object ApiShell {
    * cross_sell_recommendations table). Column conventions are
    * [[Serve.compile]]'s defaults.
    */
+  /**
+   * @param scoreExprs the point-scoring expressions ([[Serve.scoreOne]]
+   *   shape) — must yield a `score` column; any other produced columns
+   *   are treated as per-model scores and surfaced only under
+   *   `include_explanation` (main.py:629-634). Empty = untrained
+   *   fallback (score 0.5, main.py:604-607).
+   * @param accounts optional (account_id, summary) frame backing
+   *   GET /api/accounts/{id}/summary.
+   * @param onUpdate mutation callback for PATCH — production wiring is a
+   *   `Layout.upsertByKey` point update on the recommendations table
+   *   (the q151 path); the shell enforces auth, existence, and the
+   *   status→timestamp policy, and hands the stamped column map over.
+   *   Returns false on store failure (→ 500).
+   */
   final class Shell(recs: DataFrame, users: UserStore,
                     tokens: TokenService, clock: Clock,
-                    callsPerMinute: Int = 100) {
+                    callsPerMinute: Int = 100,
+                    scoreExprs: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+                    accounts: Option[DataFrame] = None,
+                    onUpdate: (Long, Map[String, String]) => Boolean =
+                      (_, _) => false) {
+    import org.apache.spark.sql.functions._
 
     private val buckets =
       scala.collection.mutable.Map[String, TokenBucket]()
@@ -230,5 +252,114 @@ object ApiShell {
 
     /** GET /api/health (main.py:302) — unauthenticated, unlimited. */
     def health: Result = OkText("""{"status":"healthy"}""")
+
+    /** GET /api/recommendations/{id} (main.py:515-552). The existence
+      * probe is a point lookup; at table scale this is the
+      * Layout-bucketed point read, not a full scan. */
+    def recommendation(id: Long, bearer: Option[String],
+                       clientHost: Option[String] = None): Result =
+      guarded(bearer, clientHost) { (_, _) =>
+        val one = recs.filter(col("id") === id)
+        if (one.isEmpty) ApiError(404, "Recommendation not found")
+        else Ok(one)
+      }
+
+    /** PATCH /api/recommendations/{id} (main.py:554-587): status /
+      * assigned_to / notes updates; `status = "converted"` additionally
+      * stamps `actioned_at`, and every update stamps `updated_at`
+      * (main.py:575-582) — both from the shell clock, ISO-8601. The
+      * write itself goes through `onUpdate`. */
+    def updateRecommendation(id: Long, update: Map[String, String],
+                             bearer: Option[String],
+                             clientHost: Option[String] = None): Result =
+      guarded(bearer, clientHost) { (_, _) =>
+        if (recs.filter(col("id") === id).isEmpty)
+          ApiError(404, "Recommendation not found")
+        else {
+          val allowed = update.view
+            .filterKeys(Set("status", "assigned_to", "notes")).toMap
+          val now = java.time.Instant.ofEpochMilli(clock.nowMs).toString
+          val stamped = allowed ++
+            (if (allowed.get("status").contains("converted"))
+              Map("actioned_at" -> now) else Map.empty) +
+            ("updated_at" -> now)
+          if (onUpdate(id, stamped))
+            OkText("Recommendation updated successfully")
+          else ApiError(500, "Failed to update recommendation")
+        }
+      }
+
+    /** POST /api/score (main.py:589-641): the engine's point-scoring
+      * path ([[Serve.scoreOne]] — the same expression graph as the
+      * batch scorer on a 1-row frame) wrapped in the reference's
+      * response policy: confidence bands >0.8/>0.7/>0.6
+      * (main.py:609-617 — the API's own bands, distinct from the
+      * pipeline's bucketing), estimated_value = 100000·score (:623),
+      * next action gated at 0.7 (:624-626), per-model scores only
+      * under include_explanation (:629-634), untrained fallback 0.5
+      * (:604-607). */
+    def score(pair: DataFrame, includeExplanation: Boolean = false,
+              bearer: Option[String] = None,
+              clientHost: Option[String] = None): Result =
+      guarded(bearer, clientHost) { (_, _) =>
+        val scored =
+          if (scoreExprs.nonEmpty) Serve.scoreOne(pair, scoreExprs)
+          else pair.withColumn("score", lit(0.5))
+        val modelCols = scoreExprs.map(_._1).filter(_ != "score")
+        val out = scored
+          .withColumn("confidence_level",
+            when(col("score") > 0.8, "Very High")
+              .when(col("score") > 0.7, "High")
+              .when(col("score") > 0.6, "Medium")
+              .otherwise("Low"))
+          .withColumn("recommendation_type", lit("Industry Expansion"))
+          .withColumn("estimated_value", col("score") * 100000)
+          .withColumn("next_best_action",
+            when(col("score") > 0.7, "Schedule introduction call")
+              .otherwise("Add to nurture campaign"))
+        Ok(if (includeExplanation) out else out.drop(modelCols: _*))
+      }
+
+    /** GET /api/insights (main.py:644-778): one bundled response —
+      * summary stats, top-5 opportunities, industry breakdown, action
+      * distribution, daily trend — all over the days_back window
+      * anchored at `asOf` (frozen, never wall-clock: the A6
+      * discipline). days_back validated 1..365 (:646, FastAPI 422). */
+    def insights(daysBack: Int, asOf: java.sql.Timestamp,
+                 bearer: Option[String],
+                 clientHost: Option[String] = None,
+                 industry: org.apache.spark.sql.Column = col("org1_industry"),
+                 action: org.apache.spark.sql.Column = col("next_best_action"))
+        : Result =
+      guarded(bearer, clientHost) { (_, _) =>
+        if (daysBack < 1 || daysBack > 365)
+          ApiError(422, "days_back must be between 1 and 365")
+        else {
+          val cutoff = new java.sql.Timestamp(
+            asOf.getTime - daysBack.toLong * 86400 * 1000)
+          val windowed = recs.filter(col("created_at") >= cutoff)
+          OkSections(Map(
+            "summary" -> Serve.insightsSummary(windowed),
+            "top_opportunities" ->
+              Serve.page(windowed, "score", ascending = false,
+                limit = 5, offset = 0),
+            "industry_breakdown" -> Serve.breakdown(windowed, industry),
+            "action_distribution" -> Serve.breakdown(windowed, action),
+            "trend_data" -> Serve.dailyTrend(windowed, col("created_at"),
+              lit(asOf), daysBack)))
+        }
+      }
+
+    /** GET /api/accounts/{id}/summary (main.py:780-791): the stored
+      * NLP summary ([[Summarize]]-produced engine-side). */
+    def accountSummary(accountId: String, bearer: Option[String],
+                       clientHost: Option[String] = None): Result =
+      guarded(bearer, clientHost) { (_, _) =>
+        accounts.map(_.filter(col("account_id") === accountId)
+            .select("account_id", "summary")) match {
+          case Some(row) if !row.isEmpty => Ok(row)
+          case _ => ApiError(404, "Account not found")
+        }
+      }
   }
 }

@@ -149,6 +149,187 @@ class ApiShellSpec extends SparkSpec {
     }
   }
 
+  test("recommendation detail: 200 with the row, 404 when absent") {
+    val (shell, _, _, _) = mkShell()
+    val t = bearerOf(shell.login("alice", "s3cret"))
+    shell.recommendation(2L, Some(t)) match {
+      case Ok(df) =>
+        assert(df.select("score").as[Double].collect().toSeq == Seq(0.7))
+      case other => fail(s"expected the row, got $other")
+    }
+    assert(shell.recommendation(99L, Some(t)) ==
+      ApiError(404, "Recommendation not found"))
+  }
+
+  test("patch: converted stamps actioned_at, every update stamps " +
+      "updated_at; unknown fields dropped; store failure is a 500") {
+    var captured: (Long, Map[String, String]) = (0L, Map.empty)
+    val clock = new VClock
+    val users = new UserStore
+    users.put(User("alice", "s3cret", "admin"))
+    val tokens = new TokenService("test-secret", clock)
+    val shell = new Shell(recs, users, tokens, clock,
+      onUpdate = (id, m) => { captured = (id, m); id != 3L })
+    val t = bearerOf(shell.login("alice", "s3cret"))
+    assert(shell.updateRecommendation(99L, Map("status" -> "contacted"),
+      Some(t)) == ApiError(404, "Recommendation not found"))
+    assert(shell.updateRecommendation(1L,
+      Map("status" -> "converted", "notes" -> "won", "hack" -> "x"),
+      Some(t)) == OkText("Recommendation updated successfully"))
+    val (id, m) = captured
+    assert(id == 1L)
+    assert(m.get("status").contains("converted") &&
+      m.get("notes").contains("won") && !m.contains("hack"))
+    assert(m.contains("actioned_at") && m.contains("updated_at"))
+    // non-converted status: no actioned_at
+    assert(shell.updateRecommendation(2L, Map("status" -> "contacted"),
+      Some(t)) == OkText("Recommendation updated successfully"))
+    assert(!captured._2.contains("actioned_at"))
+    // store rejects → 500
+    assert(shell.updateRecommendation(3L, Map("notes" -> "x"), Some(t)) ==
+      ApiError(500, "Failed to update recommendation"))
+  }
+
+  test("patch wired to the Layout point-upsert persists the change") {
+    import graft.sources.Layout
+    val dir = java.nio.file.Files.createTempDirectory("graft-api-recs").toString
+    recs.write.mode("overwrite").parquet(dir)
+    val clock = new VClock
+    val users = new UserStore
+    users.put(User("alice", "s3cret", "admin"))
+    val tokens = new TokenService("test-secret", clock)
+    val stored = spark.read.parquet(dir)
+      .withColumn("status", lit("new")).withColumn("updated_at", lit(""))
+    // production wiring: read the row, apply the stamped fields, point-
+    // upsert by key — the q151 path
+    val shell = new Shell(stored, users, tokens, clock,
+      onUpdate = (id, m) => {
+        val cur = spark.read.parquet(dir)
+          .withColumn("status", lit("new")).withColumn("updated_at", lit(""))
+        val patched = cur.filter(col("id") === id)
+          .withColumn("status", lit(m.getOrElse("status", "new")))
+          .withColumn("updated_at", lit(m("updated_at")))
+        // write the patched table back via upsert on the augmented view
+        val tmpDir = s"$dir-aug"
+        cur.write.mode("overwrite").parquet(tmpDir)
+        Layout.upsertByKey(spark, tmpDir, patched, "id")
+        spark.read.parquet(tmpDir).filter(col("id") === id)
+          .select("status").as[String].head() == m.getOrElse("status", "new")
+      })
+    val t = bearerOf(shell.login("alice", "s3cret"))
+    assert(shell.updateRecommendation(2L, Map("status" -> "contacted"),
+      Some(t)) == OkText("Recommendation updated successfully"))
+    val back = spark.read.parquet(s"$dir-aug")
+    assert(back.filter(col("id") === 2).select("status")
+      .as[String].head() == "contacted")
+    assert(back.filter(col("id") === 1).select("status")
+      .as[String].head() == "new") // untouched rows intact
+  }
+
+  test("score: reference response policy over the engine's scoreOne") {
+    val clock = new VClock
+    val users = new UserStore
+    users.put(User("alice", "s3cret", "admin"))
+    val tokens = new TokenService("test-secret", clock)
+    // two "model" columns + their mean as the ensemble score
+    val exprs = Seq(
+      "score_a" -> (col("x") * 2.0),
+      "score_b" -> (col("x") * 0.5),
+      "score" -> ((col("x") * 2.0 + col("x") * 0.5) / 2.0))
+    val shell = new Shell(recs, users, tokens, clock, scoreExprs = exprs)
+    val t = bearerOf(shell.login("alice", "s3cret"))
+    val pair = Seq(0.6).toDF("x") // score = (1.2 + 0.3) / 2 = 0.75
+    shell.score(pair, includeExplanation = false, Some(t)) match {
+      case Ok(df) =>
+        val row = df.head()
+        assert(row.getAs[Double]("score") == 0.75)
+        assert(row.getAs[String]("confidence_level") == "High")
+        assert(row.getAs[Double]("estimated_value") == 75000.0)
+        assert(row.getAs[String]("next_best_action") ==
+          "Schedule introduction call")
+        assert(!df.columns.contains("score_a"), "explanation off")
+      case other => fail(s"score failed: $other")
+    }
+    shell.score(pair, includeExplanation = true, Some(t)) match {
+      case Ok(df) =>
+        assert(df.columns.contains("score_a") && df.columns.contains("score_b"))
+      case other => fail(s"score failed: $other")
+    }
+    // band edges: 0.81 Very High, 0.65 Medium, 0.5 Low + nurture action
+    def bandOf(x: Double): (String, String) = {
+      val s = new Shell(recs, users, tokens, clock,
+        scoreExprs = Seq("score" -> lit(x)))
+      s.score(pair, bearer = Some(t)) match {
+        case Ok(df) =>
+          val r = df.head()
+          (r.getAs[String]("confidence_level"),
+            r.getAs[String]("next_best_action"))
+        case other => fail(s"score failed: $other")
+      }
+    }
+    assert(bandOf(0.81) == ("Very High", "Schedule introduction call"))
+    assert(bandOf(0.65) == ("Medium", "Add to nurture campaign"))
+    assert(bandOf(0.5) == ("Low", "Add to nurture campaign"))
+    // untrained fallback: score 0.5, Low, nurture (main.py:604-607)
+    val bare = new Shell(recs, users, tokens, clock)
+    bare.score(pair, bearer = Some(t)) match {
+      case Ok(df) =>
+        val r = df.head()
+        assert(r.getAs[Double]("score") == 0.5 &&
+          r.getAs[String]("confidence_level") == "Low")
+      case other => fail(s"fallback failed: $other")
+    }
+  }
+
+  test("insights: bundled sections over the frozen asOf window; 422 on " +
+      "out-of-range days_back") {
+    val (shell, _, _, _) = mkShell()
+    val t = bearerOf(shell.login("alice", "s3cret"))
+    val asOf = java.sql.Timestamp.valueOf("2024-03-16 00:00:00")
+    assert(shell.insights(0, asOf, Some(t)) ==
+      ApiError(422, "days_back must be between 1 and 365"))
+    assert(shell.insights(366, asOf, Some(t)) ==
+      ApiError(422, "days_back must be between 1 and 365"))
+    // 12-day window from asOf: ids 2, 3, 4 (id 1 created 03-01)
+    shell.insights(12, asOf, Some(t),
+        industry = col("recommendation_type"),
+        action = col("confidence")) match {
+      case OkSections(s) =>
+        assert(s.keySet == Set("summary", "top_opportunities",
+          "industry_breakdown", "action_distribution", "trend_data"))
+        val sum = s("summary").head()
+        assert(sum.getAs[Long]("total_recommendations") == 3L)
+        assert(s("top_opportunities").select("id").as[Int].collect()
+          .toSeq == Seq(4, 2, 3)) // score desc within the window
+        assert(s("industry_breakdown").count() == 3) // 3 distinct types
+        assert(s("trend_data").count() == 3)         // 3 distinct days
+      case other => fail(s"insights failed: $other")
+    }
+  }
+
+  test("account summary: stored NLP summary by id, 404 otherwise") {
+    val clock = new VClock
+    val users = new UserStore
+    users.put(User("alice", "s3cret", "admin"))
+    val tokens = new TokenService("test-secret", clock)
+    val accts = Seq(("A1", "Acme does widgets.")).toDF("account_id", "summary")
+    val shell = new Shell(recs, users, tokens, clock,
+      accounts = Some(accts))
+    val t = bearerOf(shell.login("alice", "s3cret"))
+    shell.accountSummary("A1", Some(t)) match {
+      case Ok(df) =>
+        assert(df.select("summary").as[String].head() == "Acme does widgets.")
+      case other => fail(s"expected summary, got $other")
+    }
+    assert(shell.accountSummary("A2", Some(t)) ==
+      ApiError(404, "Account not found"))
+    // no accounts frame configured at all → 404, not a crash
+    val bare = new Shell(recs, users, tokens, clock)
+    val t2 = bearerOf(bare.login("alice", "s3cret"))
+    assert(bare.accountSummary("A1", Some(t2)) ==
+      ApiError(404, "Account not found"))
+  }
+
   test("health is unauthenticated and unlimited") {
     val (shell, _, _, _) = mkShell(callsPerMinute = 1)
     (1 to 5).foreach { _ =>
