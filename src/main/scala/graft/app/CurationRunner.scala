@@ -40,6 +40,17 @@ import graft.operators.{Bpe, Corpus, Dedup, NgramLm, Sampling, TopK}
  */
 object CurationRunner {
 
+  /** The perplexity stage's keep predicate over `avg_nll`. NULL means
+    * "nothing to score" (token-less doc — the scoreNll contract), not a
+    * zero, and the policy is KEEP: the LM gate only drops docs it
+    * positively scored as outliers; empty docs are the quality stage's
+    * concern. Named (not inline) so the NULL branch is unit-testable —
+    * inside [[run]] the quality gate's minTokens makes it unreachable,
+    * which is exactly why an inline `<=` (which silently drops NULLs)
+    * survived review before r14. */
+  def lmKeep(maxNll: Double): org.apache.spark.sql.Column =
+    col("avg_nll").isNull || col("avg_nll") <= maxNll
+
   import PipelineRunner.StageResult
 
   final case class CurationReport(results: Seq[StageResult]) {
@@ -197,13 +208,9 @@ object CurationRunner {
         bi.write.mode("overwrite").parquet(s"$outDir/artifacts/lm_bigrams")
         val storedUni = spark.read.parquet(s"$outDir/artifacts/lm_unigrams")
         val storedBi = spark.read.parquet(s"$outDir/artifacts/lm_bigrams")
-        // NULL avg_nll means "nothing to score" (token-less doc), not a
-        // zero — the scoreNll contract. Policy here is KEEP: the LM gate
-        // only drops docs it positively scored as outliers; empty docs
-        // are the quality stage's concern, not perplexity's.
         val keep = NgramLm.scoreNll(k, col("doc_id"), col("text"),
             storedUni, storedBi)
-          .filter(col("avg_nll").isNull || col("avg_nll") <= maxNll)
+          .filter(lmKeep(maxNll))
           .select(col("id").as("doc_id"))
         k.join(keep, Seq("doc_id"), "left_semi")
       }

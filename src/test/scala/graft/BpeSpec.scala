@@ -108,6 +108,15 @@ class BpeSpec extends SparkSpec {
     assert(local === refTrain(counts, 10, 2))
   }
 
+  test("localizeBelow at/above Int.MaxValue is clamped, not overflowed") {
+    // pre-r14 this overflowed limit() to a negative value and failed at
+    // runtime; the clamp makes any huge threshold mean "always localize"
+    val counts = Seq[(String, Long)](("low", 5), ("newest", 6))
+    val got = Bpe.trainFromCounts(countsDf(counts), 2,
+      localizeBelow = Long.MaxValue)
+    assert(got === refTrain(counts, 2, 2))
+  }
+
   test("trainer early-stops below minPairCount") {
     // every pair unique at cnt=1 → no merge clears minPairCount=2
     val got = Bpe.trainFromCounts(countsDf(Seq(("abc", 1), ("def", 1))), 5)

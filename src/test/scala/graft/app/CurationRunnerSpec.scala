@@ -135,6 +135,18 @@ class CurationRunnerSpec extends SparkSpec {
     }
   }
 
+  test("lmKeep: NULL avg_nll (token-less doc) is KEPT, scored outliers " +
+      "drop — the scoreNll NULL contract is policy, not accident") {
+    val scored = Seq(
+      (1L, Some(2.5)),   // in-domain → keep
+      (2L, Some(9.0)),   // outlier → drop
+      (3L, None)         // nothing to score → keep
+    ).toDF("id", "avg_nll")
+    val kept = scored.filter(CurationRunner.lmKeep(maxNll = 4.0))
+      .select("id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 3L))
+  }
+
   test("resume = true reads stored stages back instead of recomputing; " +
       "a missing late artifact recomputes only from there") {
     val out = freshDir()

@@ -88,6 +88,22 @@ class DedupSpec extends SparkSpec {
     assert(viaDriver === viaLoop)
   }
 
+  test("lshOperatingCurve refuses an over-maxDocs corpus (the all-pairs " +
+      "ground truth is quadratic; the sample-only contract is enforced, " +
+      "not just documented)") {
+    val docs = (1L to 30L).map(i => (i, s"doc number $i with words"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.lshOperatingCurve(docs, col("doc_id"), col("text"),
+        maxDocs = 10L)
+    }
+    assert(e.getMessage.contains("SAMPLE"))
+    // under the cap it runs
+    assert(Dedup.lshOperatingCurve(
+      docs.filter(col("doc_id") <= 10), col("doc_id"), col("text"),
+      bandsConfigs = Seq(4), maxDocs = 10L).count() == 1)
+  }
+
   test("ngram jaccard: overlapping vs disjoint") {
     val docs = Seq((1L, "a b c d e", "g"), (2L, "a b c d x", "g"),
       (3L, "p q r s t", "g")).toDF("id", "text", "grp")

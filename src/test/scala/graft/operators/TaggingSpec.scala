@@ -105,6 +105,34 @@ class TaggingSpec extends SparkSpec {
     assert(a === b && a.nonEmpty)
   }
 
+  test("kernel ≡ join form beyond ASCII: UTF8String lowercasing on " +
+      "BOTH paths (Turkish dotted I, long s, sigma)") {
+    // Java toLowerCase(ROOT) maps \u0130 to i + combining dot (TWO code
+    // points) while UTF8String.toLowerCase (Spark's lower()) maps it to
+    // a single char — before r14 the kernel used the former and could
+    // tag differently from the join form on such text. Pin parity on
+    // the exact characters that diverge.
+    val docs = Seq(
+      (1L, "\u0130stanbul b\u00fcy\u00fck \u015fehir"), // İstanbul
+      (2L, "wa\u017fer etching basics"),                   // ſ (long s)
+      (3L, "\u03a3\u03bf\u03c6\u03cc\u03c2 plan")      // Σοφός
+    ).toDF("doc_id", "text")
+    val dictRows = Seq(
+      ("\u0130stanbul", "city"), ("istanbul", "city2"),
+      ("wa\u017fer etching", "fab"), ("wafer", "fab2"),
+      ("\u03c3\u03bf\u03c6\u03cc\u03c2", "wise"))
+    val a = Tagging.tagPhrases(docs, col("doc_id"), col("text"),
+        dictRows.toDF("phrase", "category"), 2)
+      .orderBy("id", "category").collect().toSeq
+    val b = Tagging.tagPhrasesKernel(docs, col("doc_id"), col("text"),
+        dictRows, 2)
+      .orderBy("id", "category").collect().toSeq
+    assert(a === b)
+    // and the matching itself is real: the lowercased-dict entries hit
+    val cats = b.map(_.getString(1)).toSet
+    assert(cats.contains("fab"), s"long-s phrase must match (got $cats)")
+  }
+
   test("PhraseHits returns sorted DISTINCT indices; repeated phrase " +
       "occurrences count once; maxLen caps the probe") {
     import org.apache.spark.sql.graftshim.GraftShim
