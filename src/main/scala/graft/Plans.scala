@@ -438,6 +438,27 @@ object Plans {
         "partitions -- the 100 TB path when groups are few and huge " +
         "(q123: 5 event types).")
 
+    val bpeCounts = graft.operators.Bpe.wordCounts(docs, col("text"))
+    val (bpeCands, bpeApply) = graft.operators.Bpe.batchedRoundPlans(
+      bpeCounts, batchSize = 12, minPairCount = 2L,
+      merges = Seq(("t", "h"), ("e", "r")))
+    dump("Batched BPE round: candidate aggregate (stage plan behind q192)",
+      bpeCands,
+      "One round of the batched trainer = this aggregate over the " +
+        "checkpointed vocab frame (adjacent-pair explode -> hash agg -> " +
+        "threshold -> total-order TakeOrdered of the top batchSize " +
+        "candidates, a BOUNDED collect) + the apply projection below. " +
+        "R merges cost ~R/batch of these round-trips instead of R " +
+        "1-row argmax jobs -- the q167 loop at real tokenizer merge " +
+        "counts.")
+    dump("Batched BPE round: apply projection (chained replace)",
+      bpeApply,
+      "The round's selected (pairwise symbol-disjoint) merges applied " +
+        "as nested scan-local string `replace`s on the delimited vocab " +
+        "-- whole-stage codegen, no shuffle; the same leftmost " +
+        "non-overlapping algorithm the local twin and the DuckDB " +
+        "oracle replay run, so all three agree bit-for-bit.")
+
     dump("entry (flagship)", SparkEntry.entry(spark))
 
     // ---- AutoBinRangeJoin optimizer rule: naive SQL, scale-safe plan ----

@@ -322,6 +322,38 @@ object Bpe {
     BatchedMerges(all.merges.take(numMerges), all.rounds)
   }
 
+  /** Instrumentation for the PLANS.md stage dump: the two per-round
+    * plans of the batched trainer — the candidate-pair aggregate
+    * (pair counts → threshold → total-order top-batchSize) and the
+    * chained-replace apply projection for `merges` — which the
+    * query-level plan hides behind the per-round localCheckpoint. */
+  def batchedRoundPlans(counts: DataFrame, batchSize: Int,
+                        minPairCount: Long,
+                        merges: Seq[(String, String)])
+      : (DataFrame, DataFrame) = {
+    val vocab = counts
+      .select(concat(lit(US),
+          concat_ws(US, filter(split(col("word"), ""), s => s =!= lit(""))),
+          lit(US)).as("s"),
+        col("cnt").cast("long").as("cnt"))
+    val syms = filter(split(col("s"), US), x => x =!= lit(""))
+    val cands = vocab
+      .select(explode(arrays_zip(
+          slice(syms, lit(1), size(syms) - 1),
+          slice(syms, lit(2), size(syms) - 1))).as("p"),
+        col("cnt"))
+      .groupBy(col("p.0").as("a"), col("p.1").as("b"))
+      .agg(sum(col("cnt")).as("n"))
+      .filter(col("n") >= minPairCount)
+      .orderBy(col("n").desc, col("a").asc, col("b").asc)
+      .limit(batchSize)
+    val applied = vocab.select(
+      merges.foldLeft(col("s")) { case (c, (a, b)) =>
+        replace(c, lit(US + a + US + b + US), lit(US + a + b + US))
+      }.as("s"), col("cnt"))
+    (cands, applied)
+  }
+
   /** Driver-local twin of [[trainBatchedRounds]] — same candidate order
     * (UTF8-binary tiebreak), same window selection rule, same
     * `String.replace` application on the same delimited string. Spec
