@@ -131,7 +131,7 @@ object ApiShell {
    *   status→timestamp policy, and hands the stamped column map over.
    *   Returns false on store failure (→ 500).
    */
-  final class Shell(recs: DataFrame, users: UserStore,
+  final class Shell(recs0: => DataFrame, users: UserStore,
                     tokens: TokenService, clock: Clock,
                     callsPerMinute: Int = 100,
                     scoreExprs: Seq[(String, org.apache.spark.sql.Column)] = Nil,
@@ -139,6 +139,16 @@ object ApiShell {
                     onUpdate: (Long, Map[String, String]) => Boolean =
                       (_, _) => false) {
     import org.apache.spark.sql.functions._
+
+    /** BY-NAME on purpose: the recommendations table is MUTABLE (the
+      * PATCH endpoint rewrites lake files through the Layout
+      * transaction), and a DataFrame captures its file listing at
+      * construction — a shell holding one frame for its lifetime would
+      * resolve deleted files after the first update
+      * (`ApiJourneySpec` proves the round trip). Each request re-plans;
+      * at catalog scale this is the metastore-backed relation whose
+      * listing refresh the maintenance job triggers. */
+    private def recs: DataFrame = recs0
 
     private val buckets =
       scala.collection.mutable.Map[String, TokenBucket]()

@@ -151,6 +151,9 @@ object Layout {
       f.getPath.getName -> s"compacted-$gen-$i.parquet"
     }
     swapIn(fs, path, tmp, plan.toSeq, snapshot.map(_.getName).toSeq)
+    // drop cached file listings: a plan built over the dir BEFORE the
+    // swap would otherwise resolve deleted files at execution time
+    spark.catalog.refreshByPath(dir)
     newFiles.length
   }
 
@@ -259,6 +262,10 @@ object Layout {
     }
     swapIn(fs, path, tmp, plan.toSeq,
       affectedSet.toSeq.sortBy(_.getName).map(_.getName))
+    // a long-lived serving plan over the dir (ApiShell's listing) must
+    // not resolve the pre-swap file set — refresh the path's cached
+    // listings as part of the transaction
+    spark.catalog.refreshByPath(dir)
     UpsertStats(newFiles.length, snapshot.length - affectedSet.size,
       matched, keys.length - matched)
   }
@@ -359,6 +366,7 @@ object Layout {
     }
     swapIn(fs, path, tmp, plan.toSeq,
       affectedSet.toSeq.sortBy(_.getName).map(_.getName))
+    spark.catalog.refreshByPath(dir)
     DeleteStats(newFiles.length, snapshot.length - affectedSet.size, matched)
   }
 
