@@ -241,13 +241,21 @@ object MetricsLedger {
     orderingGateMetrics(spark) ++ referenceConfigMetrics(spark) ++
       erMetrics(spark) ++ AnnRecall.measure(spark) ++ skewEvidence(spark)
 
+  /** Wall-clock rows (the skew-evidence timings) are measurements of
+    * the HOST, not of seeded model output — run-to-run noise there is
+    * bench-flag territory (BENCH_METHOD.md), not metric drift; flagging
+    * them here would emit phantom moves every round. */
+  private def isWallClock(key: String): Boolean =
+    key.endsWith("_sec") || key.endsWith("_speedup_x")
+
   /** A move is flagged when it exceeds max(0.02 absolute, 15% of prev) —
     * wide enough for partition-layout float jitter, tight enough that a
-    * changed trainer default or broken feature trips it. */
+    * changed trainer default or broken feature trips it. Wall-clock
+    * rows are recorded but never flagged. */
   def flagged(now: Seq[(String, Double)], prev: Map[String, Double])
       : Seq[(String, Double, Double)] =
     now.collect {
-      case (k, v) if prev.contains(k) &&
+      case (k, v) if !isWallClock(k) && prev.contains(k) &&
           math.abs(v - prev(k)) > math.max(0.02, 0.15 * math.abs(prev(k))) =>
         (k, prev(k), v)
     }
