@@ -237,9 +237,39 @@ object MetricsLedger {
       "er_salt_speedup_x" -> unsalted / salted)
   }
 
+  /** NewtonBoost drift fingerprint: a lean second-order-booster fit on
+    * the ordering fixture's generator (COVERAGE M4's in-engine XGBoost
+    * semantics). Both rows are EXACT — the model is bit-deterministic
+    * under any partition layout (decimal histograms, NewtonBoostSpec) —
+    * so any move here is a real behavior change (a Spark `percentile`
+    * shift, a split-search edit), not jitter. `mean_margin` fingerprints
+    * the additive model itself; `auc` reads its holdout ordering. */
+  def newtonBoostMetrics(spark: SparkSession): Seq[(String, Double)] = {
+    val accts = Synthetic.accounts(spark, 300).cache()
+    val cands = Synthetic.labeledCandidates(accts, window = 30,
+      probScale = 3.0).cache()
+    val (train, test) = split(withPairFeatures(cands))
+    val testC = test.cache()
+    val m = graft.ml.NewtonBoost.fit(train, featureCols, "label",
+      graft.ml.NewtonBoost.Params(rounds = 12, maxDepth = 3,
+        learningRate = 0.3, maxBins = 16))
+    val scored = testC.select(col("label"), m.score.as("score"),
+      m.margin.as("margin")).cache()
+    val out = Seq(
+      "xgb_newton_auc" ->
+        RankingMetrics.auc(scored, col("score"), col("label")),
+      "xgb_newton_mean_margin" ->
+        scored.agg(avg(col("margin").cast("decimal(38,18)"))
+          .cast("double")).head.getDouble(0))
+    accts.unpersist(); cands.unpersist(); testC.unpersist()
+    scored.unpersist()
+    out
+  }
+
   def computeAll(spark: SparkSession): Seq[(String, Double)] =
     orderingGateMetrics(spark) ++ referenceConfigMetrics(spark) ++
-      erMetrics(spark) ++ AnnRecall.measure(spark) ++ skewEvidence(spark)
+      erMetrics(spark) ++ newtonBoostMetrics(spark) ++
+      AnnRecall.measure(spark) ++ skewEvidence(spark)
 
   /** Wall-clock rows (the skew-evidence timings) are measurements of
     * the HOST, not of seeded model output — run-to-run noise there is

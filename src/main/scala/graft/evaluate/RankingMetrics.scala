@@ -190,4 +190,21 @@ object RankingMetrics {
     * SURVEY §7.4.3 — so the random stream is a hash of the row key). */
   def hashRandomScore(key: Column, seed: Int = 42): Column =
     pmod(hash(key, lit(seed)), lit(1000000)).cast("double") / 1000000.0
+
+  /** AUC via the Mann-Whitney rank-sum (ties broken by label, so the
+    * value is deterministic). The global row_number window means ONE
+    * ordered pass over the scored frame — an eval-protocol-scale
+    * helper (holdout sets), not a corpus sweep; at 100 TB bucket the
+    * scores and trapezoid the per-bucket TP/FP counts instead. */
+  def auc(scored: DataFrame, score: Column, label: Column): Double = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(score, label)
+    val ranked = scored.withColumn("_r", row_number().over(w))
+      .withColumn("_pos", label.cast("int"))
+    val agg = ranked.agg(
+      sum(when(col("_pos") === 1, col("_r"))).as("rankSum"),
+      sum(col("_pos")).as("nPos"), count(lit(1)).as("n")).head
+    val nPos = agg.getLong(1).toDouble
+    val nNeg = agg.getLong(2) - nPos
+    (agg.getLong(0) - nPos * (nPos + 1) / 2) / (nPos * nNeg)
+  }
 }
