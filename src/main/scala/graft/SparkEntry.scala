@@ -63,7 +63,9 @@ object SparkEntry {
       graft.queries.OpsQueries.queries ++
       graft.queries.SketchQueries.queries ++
       graft.queries.BpeQueries.queries ++
-      graft.queries.LmQueries.queries
+      graft.queries.LmQueries.queries ++
+      graft.queries.BoostQueries.queries ++
+      graft.queries.DsirQueries.queries
 
   /** Per-query soundness preconditions the correctness harness runs
     * before verifying the named query — a registry, so Verify stays
@@ -100,5 +102,7 @@ object SparkEntry {
       graft.queries.OpsQueries.oracleSql ++
       graft.queries.SketchQueries.oracleSql ++
       graft.queries.BpeQueries.oracleSql ++
-      graft.queries.LmQueries.oracleSql
+      graft.queries.LmQueries.oracleSql ++
+      graft.queries.BoostQueries.oracleSql ++
+      graft.queries.DsirQueries.oracleSql
 }

@@ -74,12 +74,22 @@ object NewtonBoost {
     require(baseScore > 0 && baseScore < 1, "base_score must be in (0,1)")
   }
 
-  sealed trait Node extends Serializable
-  final case class Leaf(weight: Double) extends Node
+  sealed trait Node extends Serializable {
+    /** The Newton leaf weight this node WOULD take if it were a leaf —
+      * for a Split, computed from its own (G, H); the per-row
+      * path-attribution (`Model.contributions`) telescopes these. */
+    def value: Double
+  }
+  final case class Leaf(weight: Double) extends Node {
+    def value: Double = weight
+  }
   /** `threshold` is the raw-value cut (left ⟺ value < threshold);
     * `bin` the equivalent binned cut (left ⟺ binIdx <= bin). */
   final case class Split(feature: Int, bin: Int, threshold: Double,
-      defaultLeft: Boolean, left: Node, right: Node) extends Node
+      defaultLeft: Boolean, nodeValue: Double, left: Node, right: Node)
+      extends Node {
+    def value: Double = nodeValue
+  }
 
   final case class Model(
       featureCols: Seq[String],
@@ -90,14 +100,16 @@ object NewtonBoost {
     /** Raw additive margin as a pure codegen column expression over the
       * ORIGINAL feature columns — the model is embedded in the plan, no
       * broadcast, no UDF; scoring fuses into whatever reads it. */
+    private def goLeftCol(f: Int, thr: Double, dl: Boolean): Column = {
+      val c = col(featureCols(f))
+      if (dl) c.isNull || (c < lit(thr)) else c.isNotNull && (c < lit(thr))
+    }
+
     def margin: Column = {
       def eval(n: Node): Column = n match {
         case Leaf(w) => lit(w)
-        case Split(f, _, thr, dl, l, r) =>
-          val c = col(featureCols(f))
-          val goLeft =
-            if (dl) c.isNull || (c < lit(thr)) else c.isNotNull && (c < lit(thr))
-          when(goLeft, eval(l)).otherwise(eval(r))
+        case Split(f, _, thr, dl, _, l, r) =>
+          when(goLeftCol(f, thr, dl), eval(l)).otherwise(eval(r))
       }
       trees.map(eval).foldLeft(lit(logit(baseScore)))(_ + _ * lit(learningRate))
     }
@@ -105,11 +117,96 @@ object NewtonBoost {
     /** P(y=1) = sigmoid(margin). */
     def score: Column = lit(1.0) / (lit(1.0) + exp(-margin))
 
+    /** Margin share attributable to the model structure's root values —
+      * `bias + Σ_f contribution(f) == margin` EXACTLY, per row (the
+      * Saabas telescoping identity; NewtonBoostSpec pins it to 0 diff). */
+    def bias: Column = lit(
+      logit(baseScore) + learningRate * trees.map(_.value).sum)
+
+    /** Per-row, per-feature PATH-ATTRIBUTION contribution (Saabas,
+      * "Interpreting random forests", 2014; the per-row explanation the
+      * reference's M10 SHAP stub never delivers — api/main.py:882-890
+      * hard-codes importances): walking each tree, every split on
+      * feature f contributes value(child reached) − value(node). Pure
+      * codegen CASE expressions — explanation streams row-parallel with
+      * zero shuffles, and unused features are identically 0. */
+    def contribution(f: Int): Column = {
+      def walk(n: Node): Column = n match {
+        case _: Leaf => lit(0.0)
+        case s @ Split(sf, _, thr, dl, _, l, r) =>
+          val dL = (if (sf == f) l.value - s.value else 0.0)
+          val dR = (if (sf == f) r.value - s.value else 0.0)
+          when(goLeftCol(sf, thr, dl), lit(dL) + walk(l))
+            .otherwise(lit(dR) + walk(r))
+      }
+      trees.map(walk).reduce(_ + _) * lit(learningRate)
+    }
+
+    /** All features' contributions as (name, column) pairs. */
+    def contributions: Seq[(String, Column)] =
+      featureCols.indices.map(i => featureCols(i) -> contribution(i))
+
+    // ---- ANSI-SQL compilation (the DuckDB-oracle replay of model
+    // application). Each generator mirrors its Column twin's expression
+    // tree NODE FOR NODE — same literals, same association order — so
+    // margins and contributions are bit-identical engine-to-engine, no
+    // tolerance needed. Literals are emitted in scientific notation:
+    // a bare `0.3` parses as DECIMAL in both Spark SQL and DuckDB
+    // (decimal arithmetic ≠ the Column twin's IEEE doubles), while
+    // `0.3E0` parses as DOUBLE in both; Double.toString round-trips
+    // exactly, so both engines hold the identical bit pattern.
+
+    private def dbl(x: Double): String = {
+      val s = x.toString
+      if (s.contains("E") || s.contains("e")) s else s + "E0"
+    }
+
+    private def goLeftSql(f: Int, thr: Double, dl: Boolean): String = {
+      val c = featureCols(f)
+      if (dl) s"($c IS NULL OR $c < ${dbl(thr)})"
+      else s"($c IS NOT NULL AND $c < ${dbl(thr)})"
+    }
+
+    /** `margin` as SQL. */
+    def marginSql: String = {
+      def eval(n: Node): String = n match {
+        case Leaf(w) => dbl(w)
+        case Split(f, _, thr, dl, _, l, r) =>
+          s"(CASE WHEN ${goLeftSql(f, thr, dl)} THEN ${eval(l)} " +
+            s"ELSE ${eval(r)} END)"
+      }
+      trees.map(eval).foldLeft(dbl(logit(baseScore))) {
+        (acc, t) => s"($acc + ($t * ${dbl(learningRate)}))"
+      }
+    }
+
+    /** `score` as SQL (sigmoid of the margin). */
+    def scoreSql: String = s"(1.0E0 / (1.0E0 + exp(-$marginSql)))"
+
+    /** `bias` as SQL (a constant — the identical Scala-computed double
+      * the Column twin embeds via lit). */
+    def biasSql: String =
+      dbl(logit(baseScore) + learningRate * trees.map(_.value).sum)
+
+    /** `contribution(f)` as SQL. */
+    def contributionSql(f: Int): String = {
+      def walk(n: Node): String = n match {
+        case _: Leaf => "0.0E0"
+        case s @ Split(sf, _, thr, dl, _, l, r) =>
+          val dL = dbl(if (sf == f) l.value - s.value else 0.0)
+          val dR = dbl(if (sf == f) r.value - s.value else 0.0)
+          s"(CASE WHEN ${goLeftSql(sf, thr, dl)} THEN ($dL + ${walk(l)}) " +
+            s"ELSE ($dR + ${walk(r)}) END)"
+      }
+      val summed = trees.map(walk).reduce((a, b) => s"($a + $b)")
+      s"($summed * ${dbl(learningRate)})"
+    }
+
     def toJson: String = {
       def nodeJson(n: Node): String = n match {
         case Leaf(w) => s"""{"w":${w.toString}}"""
-        case Split(f, b, t, dl, l, r) =>
-          s"""{"f":$f,"b":$b,"t":${t.toString},"dl":$dl,""" +
+        case Split(f, b, t, dl, v, l, r) =>
+          s"""{"f":$f,"b":$b,"t":${t.toString},"dl":$dl,"v":${v.toString},""" +
             s""""l":${nodeJson(l)},"r":${nodeJson(r)}}"""
       }
       val feats = featureCols.map(f => "\"" + f + "\"").mkString(",")
@@ -188,7 +285,7 @@ object NewtonBoost {
       // Margin update: binned-column form of the tree, pure codegen.
       def eval(n: Node): Column = n match {
         case Leaf(w) => lit(w)
-        case Split(f, b, _, dl, l, r) =>
+        case Split(f, b, _, dl, _, l, r) =>
           val c = col(s"_b$f")
           val goLeft =
             if (dl) (c === -1) || (c <= b) else (c =!= -1) && (c <= b)
@@ -219,7 +316,8 @@ object NewtonBoost {
     val gCol = ((prob - col("_y")) * keep).as("_g")
     val hCol = (prob * (lit(1.0) - prob) * keep).as("_h")
 
-    val splits = mutable.Map.empty[Int, (Int, Int, Double, Boolean, Int, Int)]
+    val splits =
+      mutable.Map.empty[Int, (Int, Int, Double, Boolean, Double, Int, Int)]
     val leaves = mutable.Map.empty[Int, Double]
     // Stats a child inherits from its parent's chosen split — exact
     // (decimal-summed) so depth-capped leaves need no extra job.
@@ -261,8 +359,8 @@ object NewtonBoost {
           bestSplit(byFeat, cuts, total, p) match {
             case Some(c) =>
               val (l, r) = (nextId, nextId + 1); nextId += 2
-              splits(nodeId) =
-                (c.feature, c.bin, cuts(c.feature)(c.bin), c.missingLeft, l, r)
+              splits(nodeId) = (c.feature, c.bin, cuts(c.feature)(c.bin),
+                c.missingLeft, leafWeight(total, p), l, r)
               childStats(l) = c.lStat; childStats(r) = c.rStat
               grown += l; grown += r
             case None =>
@@ -274,7 +372,7 @@ object NewtonBoost {
         // Route rows of split nodes to their children (codegen CASE).
         var e: Column = col("_n")
         for (nodeId <- active; s <- splits.get(nodeId)) {
-          val (f, b, _, dl, l, r) = s
+          val (f, b, _, dl, _, l, r) = s
           val c = col(s"_b$f")
           val goLeft =
             if (dl) (c === -1) || (c <= b) else (c =!= -1) && (c <= b)
@@ -290,7 +388,8 @@ object NewtonBoost {
       leaves(nodeId) = leafWeight(childStats(nodeId), p)
 
     def build(id: Int): Node = splits.get(id) match {
-      case Some((f, b, thr, dl, l, r)) => Split(f, b, thr, dl, build(l), build(r))
+      case Some((f, b, thr, dl, v, l, r)) =>
+        Split(f, b, thr, dl, v, build(l), build(r))
       case None => Leaf(leaves(id))
     }
     build(0)
@@ -354,11 +453,12 @@ object NewtonBoost {
       val m = P.objStart()
       if (m == "w") { val w = P.num(); P.objEnd(); Leaf(w) }
       else {
-        // keys arrive in toJson order: f,b,t,dl,l,r
+        // keys arrive in toJson order: f,b,t,dl,v,l,r
         val f = P.num().toInt; P.key("b"); val b = P.num().toInt
         P.key("t"); val t = P.num(); P.key("dl"); val dl = P.bool()
+        P.key("v"); val v = P.num()
         P.key("l"); val l = node(); P.key("r"); val r = node()
-        P.objEnd(); Split(f, b, t, dl, l, r)
+        P.objEnd(); Split(f, b, t, dl, v, l, r)
       }
     }
     while (P.hasKey) P.nextKey() match {

@@ -29,7 +29,7 @@ class NewtonBoostSpec extends SparkSpec {
     // the middle cut: G_L=1, H_L=0.5 → w_L = −1/(0.5+1) = −2/3; w_R = +2/3.
     val m = NewtonBoost.fit(tiny, Seq("x"), "label", p1(identity))
     m.trees.head match {
-      case NewtonBoost.Split(0, _, thr, dl, NewtonBoost.Leaf(wl), NewtonBoost.Leaf(wr)) =>
+      case NewtonBoost.Split(0, _, thr, dl, _, NewtonBoost.Leaf(wl), NewtonBoost.Leaf(wr)) =>
         assert(thr == 2.5)
         assert(dl) // no missing mass: directions tie, tie-break picks left
         assert(math.abs(wl - (-2.0 / 3)) < 1e-12)
@@ -54,7 +54,7 @@ class NewtonBoostSpec extends SparkSpec {
     // α = 0.5 on |G| = 1 per side → w = ∓0.5/1.5 = ∓1/3 (still splits).
     val m = NewtonBoost.fit(tiny, Seq("x"), "label", p1(_.copy(alpha = 0.5)))
     m.trees.head match {
-      case NewtonBoost.Split(_, _, _, _, NewtonBoost.Leaf(wl), NewtonBoost.Leaf(wr)) =>
+      case NewtonBoost.Split(_, _, _, _, _, NewtonBoost.Leaf(wl), NewtonBoost.Leaf(wr)) =>
         assert(math.abs(wl - (-1.0 / 3)) < 1e-12)
         assert(math.abs(wr - 1.0 / 3) < 1e-12)
       case other => fail(s"expected split, got $other")
@@ -80,7 +80,7 @@ class NewtonBoostSpec extends SparkSpec {
     val df = rows.toDF("x", "label")
     val m = NewtonBoost.fit(df, Seq("x"), "label", p1(identity))
     m.trees.head match {
-      case NewtonBoost.Split(_, _, thr, dl, _, NewtonBoost.Leaf(wr)) =>
+      case NewtonBoost.Split(_, _, thr, dl, _, _, NewtonBoost.Leaf(wr)) =>
         assert(thr == 2.5)
         assert(!dl)
         assert(math.abs(wr - 1.0) < 1e-12)
@@ -120,6 +120,43 @@ class NewtonBoostSpec extends SparkSpec {
     def go() = NewtonBoost.fit(keyed, MetricsLedger.featureCols, "label",
       params, idCol = Some("pair_id"))
     assert(go().toJson == go().toJson)
+  }
+
+  test("path attribution: bias + contributions telescope to the margin exactly") {
+    val (train, test) = fixture
+    val m = NewtonBoost.fit(train, MetricsLedger.featureCols, "label",
+      NewtonBoost.Params(rounds = 5, maxDepth = 3, maxBins = 16))
+    val reconstructed = m.contributions.map(_._2).foldLeft(m.bias)(_ + _)
+    val maxDiff = test.select(abs(m.margin - reconstructed).as("d"))
+      .agg(max(col("d"))).head.getDouble(0)
+    assert(maxDiff < 1e-12, s"telescoping identity broken by $maxDiff")
+  }
+
+  test("a feature the model never splits on contributes exactly zero") {
+    // x2 is constant → zero cuts → unsplittable; its attribution must be
+    // identically 0 while x1 carries the whole margin.
+    val df = Seq((1.0, 7.0, 0), (2.0, 7.0, 0), (3.0, 7.0, 1), (4.0, 7.0, 1))
+      .toDF("x1", "x2", "label")
+    val m = NewtonBoost.fit(df, Seq("x1", "x2"), "label", p1(identity))
+    val row = df.agg(max(abs(m.contribution(1))).as("c2"),
+      max(abs(m.contribution(0))).as("c1")).head
+    assert(row.getDouble(0) == 0.0)
+    assert(row.getDouble(1) > 0.0)
+  }
+
+  test("SQL compilation matches the Column twin bit-for-bit in-engine") {
+    val m = graft.queries.BoostQueries.model
+    val li = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
+      "lineitem")
+    li.createOrReplaceTempView("li_boost_sql_twin")
+    val viaSql = spark.sql(
+      s"SELECT ${m.marginSql} AS sm, ${m.contributionSql(0)} AS sc " +
+        "FROM li_boost_sql_twin")
+    val viaCol = li.select(m.margin.as("cm"), m.contribution(0).as("cc"))
+    val diff = viaCol.orderBy("cm").collect().map(_.getDouble(0))
+      .zip(viaSql.orderBy("sm").collect().map(_.getDouble(0)))
+      .map { case (a, b) => math.abs(a - b) }.max
+    assert(diff == 0.0, s"SQL/Column margin divergence $diff")
   }
 
   test("JSON roundtrip reproduces the model exactly") {
