@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dsir
+import graft.sources.Tables
+
+/**
+ * DSIR domain-targeted selection queries (q194–q195): hashed-n-gram
+ * importance weights and the Gumbel top-k sample, trained and applied
+ * in-engine on the synthetic corpus ([[graft.operators.Dsir]]; Xie et
+ * al. 2023). Target domain = source 'src0' (the same held-out-source
+ * convention as the decontamination queries q93/q133); raw pool =
+ * every other source; selection draws from the raw pool with
+ * probability ∝ importance weight.
+ *
+ * Oracle parity: bucket hashing is the engine-portable md5-prefix
+ * (replayed verbatim in DuckDB); per-bucket log-ratios are row-local
+ * double arithmetic with identical literal spelling (`E0` doubles, the
+ * BoostQueries discipline) and association order on both sides; the
+ * per-doc sum is DECIMAL(38,18)-exact; reported floats round to 6dp;
+ * the top-k cut orders by the UNROUNDED Gumbel key with a doc_id
+ * tiebreak on both sides.
+ */
+object DsirQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.loadSpread(s, dir, name)
+
+  private val B = 4096          // hash buckets (k*B = 2048.0, an exact double)
+  private val K = 0.5           // add-k smoothing
+  private val SelectK = 80      // Gumbel top-k sample size
+  private val Salt = "dsir"
+
+  private def weights(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val target = docs.filter(col("source") === "src0")
+    val raw = docs.filter(col("source") =!= "src0")
+    val ratio = Dsir.logRatio(
+      Dsir.bucketCounts(target, col("text"), B),
+      Dsir.bucketCounts(raw, col("text"), B), B, K)
+    Dsir.importanceWeights(raw, col("doc_id"), col("text"), ratio, B)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q194_dsir_weights" -> ((s, dir) => {
+      // every raw-pool doc's hashed-n-gram log importance weight —
+      // the fit-and-score pass (two bucket-count artifacts, one
+      // broadcast ratio join, one per-doc aggregate)
+      weights(s, dir)
+        .select(col("id").as("doc_id"), col("n_grams"),
+          round(col("log_w"), 6).as("log_w"))
+        .orderBy("doc_id")
+    }),
+
+    "q195_dsir_select" -> ((s, dir) => {
+      // the Gumbel top-k draw: a probability-∝-w sample WITHOUT
+      // replacement, deterministic in (corpus, salt) — global top-k
+      // compiles to TakeOrderedAndProject, rank runs on k rows
+      Dsir.gumbelTopK(weights(s, dir), col("id"), col("log_w"),
+          SelectK, Salt)
+        .select(col("sel_rank"), col("id").as("doc_id"),
+          round(col("log_w"), 6).as("log_w"),
+          round(col("key"), 6).as("key"))
+        .orderBy("sel_rank")
+    }))
+
+  // Shared CTE pipeline: tokenize → unigram++bigram grams → md5 bucket
+  // → per-corpus bucket counts → smoothed log-ratio over the FULL
+  // domain → per-doc DECIMAL-exact weight sum. Mirrors the Column
+  // pipeline literal for literal.
+  private val dsirCtes =
+    raw"""WITH toksl AS (SELECT doc_id, source,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+      |  FROM documents),
+      |grams AS (SELECT doc_id, source, unnest(list_concat(w,
+      |    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS gram
+      |  FROM toksl),
+      |bk AS (SELECT doc_id, source,
+      |    CAST(CAST(('0x' || substring(md5('dsir:' || gram), 1, 8)) AS UBIGINT)
+      |      % 4096 AS BIGINT) AS bucket
+      |  FROM grams),
+      |tcnt AS (SELECT bucket, count(*) AS c FROM bk WHERE source = 'src0' GROUP BY 1),
+      |rcnt AS (SELECT bucket, count(*) AS c FROM bk WHERE source <> 'src0' GROUP BY 1),
+      |tot AS (SELECT (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) FROM tcnt) AS tn,
+      |               (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) FROM rcnt) AS rn),
+      |dom AS (SELECT unnest(range(0, 4096)) AS bucket),
+      |ratio AS (SELECT d.bucket,
+      |    (ln(CAST(coalesce(t.c, 0) AS DOUBLE) + 0.5E0) - ln(tn + 2048.0E0))
+      |  - (ln(CAST(coalesce(r.c, 0) AS DOUBLE) + 0.5E0) - ln(rn + 2048.0E0)) AS logr
+      |  FROM dom d LEFT JOIN tcnt t ON t.bucket = d.bucket
+      |             LEFT JOIN rcnt r ON r.bucket = d.bucket
+      |  CROSS JOIN tot),
+      |wts AS (SELECT bk.doc_id, CAST(count(*) AS INTEGER) AS n_grams,
+      |    CAST(sum(CAST(ratio.logr AS DECIMAL(38,18))) AS DOUBLE) AS log_w
+      |  FROM bk JOIN ratio ON ratio.bucket = bk.bucket
+      |  WHERE bk.source <> 'src0' GROUP BY 1)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q194_dsir_weights" -> (dsirCtes + """
+      |SELECT doc_id, n_grams, round(log_w, 6) AS log_w
+      |FROM wts ORDER BY doc_id""".stripMargin),
+
+    "q195_dsir_select" -> (dsirCtes + """,
+      |sel AS (SELECT doc_id, log_w,
+      |    log_w + (-ln(-ln((CAST(CAST(CAST(('0x' || substring(
+      |        md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8))
+      |        AS UBIGINT) % 1000000 AS BIGINT) AS DOUBLE) + 0.5E0)
+      |      / 1000000.0E0))) AS key
+      |  FROM wts)
+      |SELECT CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INTEGER)
+      |    AS sel_rank,
+      |  doc_id, round(log_w, 6) AS log_w, round(key, 6) AS key
+      |FROM sel ORDER BY key DESC, doc_id LIMIT 80""".stripMargin))
+}

@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ml.NewtonBoost
+import graft.sources.Tables
+
+/**
+ * Discriminative model-based quality filter (q196) — the fastText/
+ * logistic-classifier pipeline stage of the GPT-3/LLaMA lineage (Brown
+ * et al. 2020 Appendix A: train a classifier to separate a trusted
+ * target corpus from the raw pool, keep raw documents the classifier
+ * scores target-like), realized with the in-engine second-order
+ * booster ([[graft.ml.NewtonBoost]]) over four scan-local text
+ * features. The generative counterpart is DSIR (q194/q195): same
+ * target-vs-raw framing, hashed-n-gram LM ratio instead of a trained
+ * discriminator — shipping both is exactly the ablation the curation
+ * literature runs.
+ *
+ * Features are cheap, row-local, and engine-portable (the q52/q175
+ * expression conventions): whitespace token count, mean word length,
+ * stopword ratio, duplicate-word fraction. The model is a frozen
+ * fixture trained in-engine on sf0.01 (label: source = 'src0', the
+ * target-domain convention shared with q93/q133/q194) and embedded in
+ * the plan as pure codegen CASE expressions — scoring is one
+ * projection fused into the scan, no shuffle, no broadcast: the 100 TB
+ * filter shape. `graft.tools.FitFixtures` regenerates the JSON;
+ * QualityModelSpec asserts the refit matches the frozen literal byte
+ * for byte (NewtonBoost fits are partition-invariant), so the fixture
+ * can never silently drift from the code that claims to produce it.
+ *
+ * Oracle parity: features are identical double arithmetic both sides;
+ * the margin SQL is compiled from the same JSON node for node
+ * ([[NewtonBoost.Model.marginSql]], the q193 discipline); floats round
+ * to 6dp; `keep` thresholds the UNROUNDED margin at 0 (= score 0.5)
+ * identically on both sides.
+ */
+object QualityModelQueries {
+
+  /** Must match the q52 oracle's stopword list verbatim. */
+  private val Stopwords =
+    Seq("the", "and", "of", "to", "a", "in", "is", "that", "for", "it")
+
+  val featureCols: Seq[String] =
+    Seq("n_tokens_d", "mean_len", "stop_ratio", "dup_frac")
+
+  private def toksC: Column =
+    filter(split(lower(col("text")), "\\s+"), x => length(x) > 0)
+
+  /** (doc_id, source, n_tokens_d, mean_len, stop_ratio, dup_frac) —
+    * one codegen projection over the scan; zero-token docs get 0.0
+    * ratios (mirrored in the oracle's CASE guards). */
+  def features(docs: DataFrame): DataFrame = {
+    val n = size(col("_w"))
+    docs.select(col("doc_id"), col("source"), toksC.as("_w"))
+      .select(col("doc_id"), col("source"),
+        n.cast("double").as("n_tokens_d"),
+        when(n === 0, lit(0.0)).otherwise(
+          aggregate(transform(col("_w"), t => length(t).cast("long")),
+            lit(0L), (acc, x) => acc + x).cast("double") / n).as("mean_len"),
+        when(n === 0, lit(0.0)).otherwise(
+          size(filter(col("_w"), t => t.isin(Stopwords: _*))).cast("double") / n)
+          .as("stop_ratio"),
+        when(n === 0, lit(0.0)).otherwise(
+          lit(1.0) - size(array_distinct(col("_w"))).cast("double") / n)
+          .as("dup_frac"))
+  }
+
+  /** Refit the fixture: 4 rounds, depth 3, lr 0.3, 16 hist bins on the
+    * named dir's documents, label = (source = 'src0'). Deterministic —
+    * rerunning reproduces [[modelJson]] exactly. */
+  def fit(s: SparkSession, dir: String): NewtonBoost.Model = {
+    val f = features(Tables.load(s, dir, "documents"))
+      .withColumn("label", (col("source") === "src0").cast("int"))
+    NewtonBoost.fit(f, featureCols, "label",
+      NewtonBoost.Params(rounds = 4, maxDepth = 3, learningRate = 0.3,
+        maxBins = 16))
+  }
+
+  /** Frozen fixture — regenerate with `tools/run.sh graft.tools.FitFixtures`. */
+  val modelJson: String =
+    """PLACEHOLDER"""
+
+  def model: NewtonBoost.Model = NewtonBoost.fromJson(modelJson)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q196_quality_model" -> ((s, dir) => {
+      // frozen-classifier scoring of every document: features + margin
+      // + score in ONE whole-stage-codegen projection over the scan
+      val m = model
+      features(Tables.loadSpread(s, dir, "documents"))
+        .withColumn("_mr", m.margin)
+        .select(col("doc_id"),
+          round(col("n_tokens_d"), 6).as("n_tokens_d"),
+          round(col("mean_len"), 6).as("mean_len"),
+          round(col("stop_ratio"), 6).as("stop_ratio"),
+          round(col("dup_frac"), 6).as("dup_frac"),
+          round(col("_mr"), 6).as("margin"),
+          round(lit(1.0) / (lit(1.0) + exp(-col("_mr"))), 6).as("score"),
+          (col("_mr") >= 0.0).as("keep"))
+        .orderBy("doc_id")
+    }))
+
+  val oracleSql: Map[String, String] = {
+    val m = model
+    val stops = Stopwords.map(s => s"'$s'").mkString(", ")
+    Map(
+      "q196_quality_model" ->
+        raw"""WITH d AS (SELECT doc_id,
+           |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+           |  FROM documents),
+           |f AS (SELECT doc_id,
+           |    CAST(len(toks) AS DOUBLE) AS n_tokens_d,
+           |    CASE WHEN len(toks) = 0 THEN 0.0E0
+           |      ELSE CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks)
+           |      END AS mean_len,
+           |    CASE WHEN len(toks) = 0 THEN 0.0E0
+           |      ELSE CAST(len(list_filter(toks, t -> list_contains([$stops], t))) AS DOUBLE) / len(toks)
+           |      END AS stop_ratio,
+           |    CASE WHEN len(toks) = 0 THEN 0.0E0
+           |      ELSE 1.0E0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+           |      END AS dup_frac
+           |  FROM d),
+           |s AS (SELECT doc_id, n_tokens_d, mean_len, stop_ratio, dup_frac,
+           |    ${m.marginSql} AS _mr
+           |  FROM f)
+           |SELECT doc_id,
+           |  round(n_tokens_d, 6) AS n_tokens_d, round(mean_len, 6) AS mean_len,
+           |  round(stop_ratio, 6) AS stop_ratio, round(dup_frac, 6) AS dup_frac,
+           |  round(_mr, 6) AS margin,
+           |  round((1.0E0 / (1.0E0 + exp(-_mr))), 6) AS score,
+           |  _mr >= 0.0E0 AS keep
+           |FROM s ORDER BY doc_id""".stripMargin)
+  }
+}
