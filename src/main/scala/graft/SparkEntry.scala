@@ -65,7 +65,8 @@ object SparkEntry {
       graft.queries.BpeQueries.queries ++
       graft.queries.LmQueries.queries ++
       graft.queries.BoostQueries.queries ++
-      graft.queries.DsirQueries.queries
+      graft.queries.DsirQueries.queries ++
+      graft.queries.QualityModelQueries.queries
 
   /** Per-query soundness preconditions the correctness harness runs
     * before verifying the named query — a registry, so Verify stays
@@ -104,5 +105,6 @@ object SparkEntry {
       graft.queries.BpeQueries.oracleSql ++
       graft.queries.LmQueries.oracleSql ++
       graft.queries.BoostQueries.oracleSql ++
-      graft.queries.DsirQueries.oracleSql
+      graft.queries.DsirQueries.oracleSql ++
+      graft.queries.QualityModelQueries.oracleSql
 }

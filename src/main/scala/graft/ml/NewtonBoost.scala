@@ -353,7 +353,13 @@ object NewtonBoost {
           leaves(nodeId) = leafWeight(childStats.getOrElse(nodeId,
             Cell(0, 0, 0)), p)
         case Some(byFeat) =>
-          val t0 = byFeat(0).values
+          // sum the node total in SORTED bin order: Map.values iterates
+          // small maps in insertion order (= collect()'s partition-
+          // dependent row order), and a double sum is order-sensitive —
+          // the one fold here that isn't decimal-exact must be
+          // canonically ordered or the model drifts 1 ulp across
+          // parallelism levels
+          val t0 = byFeat(0).toSeq.sortBy(_._1).map(_._2)
           val total = Cell(t0.map(_.g).sum, t0.map(_.h).sum,
             t0.map(_.cnt).sum)
           bestSplit(byFeat, cuts, total, p) match {

@@ -30,7 +30,7 @@ object BoostQueries {
   /** Frozen fixture (trained by NewtonBoost.fit, seed-deterministic;
     * regenerating with the same inputs reproduces it bit-for-bit). */
   val modelJson: String =
-    """{"features":["l_quantity","l_extendedprice","l_discount","l_tax"],"lr":0.3,"base":0.5,"trees":[{"f":1,"b":12,"t":85555.27125,"dl":true,"v":-0.6635557629491368,"l":{"f":0,"b":0,"t":4.0,"dl":true,"v":-0.670221930508266,"l":{"f":2,"b":7,"t":0.08,"dl":true,"v":-0.616140350877193,"l":{"w":-0.6851940584571155},"r":{"w":-0.42503259452411996}},"r":{"f":1,"b":11,"t":79194.095,"dl":true,"v":-0.673520954953385,"l":{"w":-0.6695280994269274},"r":{"w":-0.7210031347962382}}},"r":{"f":2,"b":5,"t":0.06,"dl":true,"v":-0.6344410876132931,"l":{"f":3,"b":4,"t":0.04,"dl":true,"v":-0.6703385711971489,"l":{"w":-0.6292466765140325},"r":{"w":-0.7016431248198328}},"r":{"f":3,"b":6,"t":0.06,"dl":true,"v":-0.5903638151425762,"l":{"w":-0.6124785346307956},"r":{"w":-0.5404388714733542}}}},{"f":3,"b":6,"t":0.06,"dl":true,"v":-0.46988649023270906,"l":{"f":1,"b":14,"t":98461.299375,"dl":true,"v":-0.47665701896348167,"l":{"f":1,"b":9,"t":66366.74,"dl":true,"v":-0.4809748104935088,"l":{"w":-0.48954158503676115},"r":{"w":-0.4635829138275792}},"r":{"f":0,"b":14,"t":47.0,"dl":true,"v":-0.4113124450207654,"l":{"w":-0.39275273469554517},"r":{"w":-0.6271996393060432}}},"r":{"f":1,"b":0,"t":7506.844375000001,"dl":true,"v":-0.4548127412279276,"l":{"f":0,"b":13,"t":44.0,"dl":true,"v":-0.327704241990623,"l":{"w":-0.39069579149941386},"r":{"w":0.022137914623309666}},"r":{"f":2,"b":8,"t":0.09,"dl":true,"v":-0.46328074296828026,"l":{"w":-0.4724403079896353},"r":{"w":-0.4088483286256075}}}},{"f":0,"b":0,"t":4.0,"dl":true,"v":-0.3365026461910362,"l":{"f":2,"b":7,"t":0.08,"dl":true,"v":-0.2990941076730864,"l":{"f":3,"b":1,"t":0.01,"dl":true,"v":-0.34657227973578586,"l":{"w":-0.6305359249642467},"r":{"w":-0.32711874462032314}},"r":{"f":3,"b":3,"t":0.03,"dl":true,"v":-0.16897296895783737,"l":{"w":-0.32885209096608764},"r":{"w":-0.09916705893093007}}},"r":{"f":2,"b":0,"t":0.01,"dl":true,"v":-0.3388444610244146,"l":{"f":0,"b":10,"t":35.0,"dl":true,"v":-0.2898489561428273,"l":{"w":-0.3634160484472566},"r":{"w":-0.1389951521091624}},"r":{"f":3,"b":1,"t":0.01,"dl":true,"v":-0.34133795475745143,"l":{"w":-0.3092602871104468},"r":{"w":-0.34348020427692694}}}},{"f":1,"b":12,"t":85555.27125,"dl":true,"v":-0.24121036228283838,"l":{"f":2,"b":5,"t":0.06,"dl":true,"v":-0.2450807914389115,"l":{"f":1,"b":8,"t":59701.800625,"dl":true,"v":-0.23556383432731476,"l":{"w":-0.22248029026519578},"r":{"w":-0.26537020185298094}},"r":{"f":0,"b":3,"t":13.0,"dl":true,"v":-0.2568100922421473,"l":{"w":-0.21253301392763724},"r":{"w":-0.271019437406903}}},"r":{"f":2,"b":6,"t":0.07,"dl":true,"v":-0.22441634268141955,"l":{"f":0,"b":10,"t":35.0,"dl":true,"v":-0.24570134081532152,"l":{"w":-0.27035191797425234},"r":{"w":-0.19420037994135714}},"r":{"f":0,"b":10,"t":35.0,"dl":true,"v":-0.1844294537682898,"l":{"w":-0.14563458826135622},"r":{"w":-0.2707101802185973}}}}]}"""
+    """{"features":["l_quantity","l_extendedprice","l_discount","l_tax"],"lr":0.3,"base":0.5,"trees":[{"f":1,"b":12,"t":85555.27125,"dl":true,"v":-0.6635557629491368,"l":{"f":0,"b":0,"t":4.0,"dl":true,"v":-0.670221930508266,"l":{"f":2,"b":7,"t":0.08,"dl":true,"v":-0.616140350877193,"l":{"w":-0.6851940584571155},"r":{"w":-0.42503259452411996}},"r":{"f":1,"b":11,"t":79194.095,"dl":true,"v":-0.673520954953385,"l":{"w":-0.6695280994269274},"r":{"w":-0.7210031347962382}}},"r":{"f":2,"b":5,"t":0.06,"dl":true,"v":-0.6344410876132931,"l":{"f":3,"b":4,"t":0.04,"dl":true,"v":-0.6703385711971489,"l":{"w":-0.6292466765140325},"r":{"w":-0.7016431248198328}},"r":{"f":3,"b":6,"t":0.06,"dl":true,"v":-0.5903638151425762,"l":{"w":-0.6124785346307956},"r":{"w":-0.5404388714733542}}}},{"f":3,"b":6,"t":0.06,"dl":true,"v":-0.4698864902327091,"l":{"f":1,"b":14,"t":98461.299375,"dl":true,"v":-0.47665701896348156,"l":{"f":1,"b":9,"t":66366.74,"dl":true,"v":-0.48097481049350876,"l":{"w":-0.48954158503676115},"r":{"w":-0.46358291382757894}},"r":{"f":0,"b":14,"t":47.0,"dl":true,"v":-0.41131244502076547,"l":{"w":-0.39275273469554517},"r":{"w":-0.6271996393060444}}},"r":{"f":1,"b":0,"t":7506.844375000001,"dl":true,"v":-0.4548127412279275,"l":{"f":0,"b":13,"t":44.0,"dl":true,"v":-0.3277042419906231,"l":{"w":-0.39069579149941386},"r":{"w":0.02213791462330904}},"r":{"f":2,"b":8,"t":0.09,"dl":true,"v":-0.46328074296828026,"l":{"w":-0.4724403079896353},"r":{"w":-0.4088483286256075}}}},{"f":0,"b":0,"t":4.0,"dl":true,"v":-0.3365026461910362,"l":{"f":2,"b":7,"t":0.08,"dl":true,"v":-0.29909410767308653,"l":{"f":3,"b":1,"t":0.01,"dl":true,"v":-0.34657227973578597,"l":{"w":-0.6305359249642468},"r":{"w":-0.3271187446203232}},"r":{"f":3,"b":3,"t":0.03,"dl":true,"v":-0.16897296895783737,"l":{"w":-0.32885209096608764},"r":{"w":-0.09916705893093007}}},"r":{"f":2,"b":0,"t":0.01,"dl":true,"v":-0.3388444610244147,"l":{"f":0,"b":10,"t":35.0,"dl":true,"v":-0.2898489561428273,"l":{"w":-0.3634160484472566},"r":{"w":-0.1389951521091624}},"r":{"f":3,"b":1,"t":0.01,"dl":true,"v":-0.34133795475745143,"l":{"w":-0.30926028711044684},"r":{"w":-0.34348020427692694}}}},{"f":1,"b":12,"t":85555.27125,"dl":true,"v":-0.24121036228283835,"l":{"f":2,"b":5,"t":0.06,"dl":true,"v":-0.24508079143891146,"l":{"f":1,"b":8,"t":59701.800625,"dl":true,"v":-0.2355638343273148,"l":{"w":-0.22248029026519578},"r":{"w":-0.26537020185298105}},"r":{"f":0,"b":3,"t":13.0,"dl":true,"v":-0.25681009224214724,"l":{"w":-0.21253301392763724},"r":{"w":-0.27101943740690276}}},"r":{"f":2,"b":6,"t":0.07,"dl":true,"v":-0.22441634268141958,"l":{"f":0,"b":10,"t":35.0,"dl":true,"v":-0.24570134081532152,"l":{"w":-0.27035191797425234},"r":{"w":-0.1942003799413572}},"r":{"f":0,"b":10,"t":35.0,"dl":true,"v":-0.1844294537682898,"l":{"w":-0.14563458826135622},"r":{"w":-0.2707101802185973}}}}]}"""
 
   def model: NewtonBoost.Model = NewtonBoost.fromJson(modelJson)
 

@@ -33,8 +33,10 @@ import graft.sources.Tables
  * Oracle parity: features are identical double arithmetic both sides;
  * the margin SQL is compiled from the same JSON node for node
  * ([[NewtonBoost.Model.marginSql]], the q193 discipline); floats round
- * to 6dp; `keep` thresholds the UNROUNDED margin at 0 (= score 0.5)
- * identically on both sides.
+ * to 6dp; `keep` thresholds the UNROUNDED margin identically on both
+ * sides at [[KeepMargin]] — the fixture's margins take 8 distinct
+ * values on this corpus and the cut sits in a 0.12-wide gap between
+ * clusters (−1.1876 vs −1.3097), far beyond float-noise scale.
  */
 object QualityModelQueries {
 
@@ -44,6 +46,12 @@ object QualityModelQueries {
 
   val featureCols: Seq[String] =
     Seq("n_tokens_d", "mean_len", "stop_ratio", "dup_frac")
+
+  /** Keep cut on the raw margin: the class is rare (~5% prior), so the
+    * useful gate is "enriched well above prior", not score ≥ 0.5 —
+    * keeps the top margin clusters (the docs the trees actively pushed
+    * target-ward). */
+  val KeepMargin: Double = -1.25
 
   private def toksC: Column =
     filter(split(lower(col("text")), "\\s+"), x => length(x) > 0)
@@ -80,11 +88,11 @@ object QualityModelQueries {
 
   /** Frozen fixture — regenerate with `tools/run.sh graft.tools.FitFixtures`. */
   val modelJson: String =
-    """PLACEHOLDER"""
+    """{"features":["n_tokens_d","mean_len","stop_ratio","dup_frac"],"lr":0.3,"base":0.5,"trees":[{"w":-1.7857142857142858},{"w":-1.358885247480313},{"f":1,"b":13,"t":4.729518581081081,"dl":true,"v":-1.1302048679665857,"l":{"w":-1.1717972791367766},"r":{"f":2,"b":1,"t":0.022222222222222223,"dl":true,"v":-0.7772571592396708,"l":{"w":-1.142934868748517},"r":{"f":0,"b":6,"t":48.0,"dl":true,"v":-0.46413772024622435,"l":{"w":-0.6378060315891196},"r":{"w":-0.11437773619456018}}}},{"f":1,"b":13,"t":4.729518581081081,"dl":true,"v":-0.9756353460949838,"l":{"w":-1.0161094418382506},"r":{"f":0,"b":3,"t":32.0,"dl":true,"v":-0.6554593002720045,"l":{"w":-1.0242765540173846},"r":{"f":3,"b":4,"t":0.4358974358974359,"dl":true,"v":-0.37409436444255384,"l":{"w":0.32877107012568113},"r":{"w":-0.5834219053480925}}}}]}"""
 
   def model: NewtonBoost.Model = NewtonBoost.fromJson(modelJson)
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q196_quality_model" -> ((s, dir) => {
       // frozen-classifier scoring of every document: features + margin
@@ -99,11 +107,11 @@ object QualityModelQueries {
           round(col("dup_frac"), 6).as("dup_frac"),
           round(col("_mr"), 6).as("margin"),
           round(lit(1.0) / (lit(1.0) + exp(-col("_mr"))), 6).as("score"),
-          (col("_mr") >= 0.0).as("keep"))
+          (col("_mr") >= KeepMargin).as("keep"))
         .orderBy("doc_id")
     }))
 
-  val oracleSql: Map[String, String] = {
+  lazy val oracleSql: Map[String, String] = {
     val m = model
     val stops = Stopwords.map(s => s"'$s'").mkString(", ")
     Map(
@@ -131,7 +139,7 @@ object QualityModelQueries {
            |  round(stop_ratio, 6) AS stop_ratio, round(dup_frac, 6) AS dup_frac,
            |  round(_mr, 6) AS margin,
            |  round((1.0E0 / (1.0E0 + exp(-_mr))), 6) AS score,
-           |  _mr >= 0.0E0 AS keep
+           |  _mr >= -1.25E0 AS keep
            |FROM s ORDER BY doc_id""".stripMargin)
   }
 }
