@@ -119,7 +119,11 @@ object Plans {
       "q181_keyword_tags",     // scan-local grams x broadcast dictionary
       "q184_join_size_estimate", // CMS inner product vs agg-then-join exact
       "q185_lsh_operating_curve", // shared-signature re-banding x2 + all-pairs truth
-      "q187_containment_pairs")  // capped bands + exact verify, no sig prune
+      "q187_containment_pairs",  // capped bands + exact verify, no sig prune
+      "q193_boost_score",        // frozen-model margin+attribution: 1 Project post-sort
+      "q194_dsir_weights",       // gram explode + broadcast ratio join + doc agg
+      "q195_dsir_select",        // Gumbel keys -> TakeOrdered top-k, rank on k rows
+      "q196_quality_model")      // features + frozen margin: ONE codegen projection
     // per-query reader notes where the right plan is easy to misread
     val notes = Map(
       "q128_sql_range_join" -> ("The user wrote the naive theta join " +
