@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{Bpe, Corpus, Dedup, NgramLm, Sampling, TopK}
+import graft.operators.{Bpe, Corpus, Dedup, Dsir, NgramLm, Sampling, TopK}
 
 /**
  * End-to-end training-corpus curation pipeline — the production
@@ -17,7 +17,10 @@ import graft.operators.{Bpe, Corpus, Dedup, NgramLm, Sampling, TopK}
  * the materialize-once artifacts (q130, plus the q156 PageRank
  * template-hub audit frame over the stored edges) → bigram-LM
  * perplexity filter (q169's CCNet gate, trained on the deduped corpus,
- * count artifacts stored for ingest-time scoring) → BPE tokenizer fit
+ * count artifacts stored for ingest-time scoring) → OPTIONAL DSIR
+ * domain selection (q194/q195's importance-resampling pass when
+ * `dsirTarget` names a trusted source: ratio model stored, Gumbel
+ * top-⌈fraction·n⌉ draw) → BPE tokenizer fit
  * (q167's merge-table artifact, trained on the filtered corpus;
  * n_tokens re-derived as real tokenizer tokens) → token-budget
  * mixing (q140, metered in tokenizer tokens) → leakage-safe train/eval
@@ -75,7 +78,12 @@ object CurationRunner {
           evalFraction: Double = 0.1,
           packCapacity: Int = 512,
           maxNll: Double = 4.0,
+          dsirTarget: Option[String] = None,
+          dsirKeepFraction: Double = 0.5,
+          dsirBuckets: Int = 4096,
           resume: Boolean = false): CurationReport = {
+    require(dsirKeepFraction > 0 && dsirKeepFraction <= 1,
+      "dsirKeepFraction must be in (0,1]")
     val results = scala.collection.mutable.ListBuffer[StageResult]()
     def stage(name: String)(body: => DataFrame): Option[DataFrame] = {
       val t0 = System.currentTimeMillis()
@@ -216,7 +224,41 @@ object CurationRunner {
       }
     }
 
-    val tokenized = lmFiltered.flatMap { k =>
+    val selected = lmFiltered.flatMap { k =>
+      dsirTarget match {
+        case None => Some(k) // stage absent: no artifact, no log row
+        case Some(tgt) => stage("select") {
+          // q194/q195's DSIR pass as a pipeline stage: hashed-n-gram
+          // bucket models fit on the EXTERNAL trusted sample vs the
+          // surviving corpus, the smoothed log-ratio table stored (the
+          // lm_* artifact discipline — ingest-time scoring reuses the
+          // model without refitting), and a Gumbel top-k draw keeps
+          // ceil(fraction·n) docs with probability ∝ importance weight.
+          // Runs AFTER dedup + perplexity (selection reweights a clean
+          // pool; selecting first would spend the quota on docs later
+          // stages delete).
+          val target = docs.filter(col("source") === tgt)
+          val ratio = Dsir.logRatio(
+            Dsir.bucketCounts(target, col("text"), dsirBuckets),
+            Dsir.bucketCounts(k, col("text"), dsirBuckets), dsirBuckets)
+          ratio.write.mode("overwrite")
+            .parquet(s"$outDir/artifacts/dsir_ratio")
+          val storedRatio = spark.read.parquet(s"$outDir/artifacts/dsir_ratio")
+          val w = Dsir.importanceWeights(k, col("doc_id"), col("text"),
+            storedRatio, dsirBuckets)
+          val keepK = math.ceil(w.count() * dsirKeepFraction).toLong
+          require(keepK <= Int.MaxValue,
+            s"select quota $keepK exceeds the top-k path; gate on a " +
+              "log_w threshold for corpora this large")
+          val picked = Dsir.gumbelTopK(w, col("id"), col("log_w"),
+              keepK.toInt, salt = "curation-dsir")
+            .select(col("id").as("doc_id"), col("log_w"))
+          k.join(picked, "doc_id")
+        }
+      }
+    }
+
+    val tokenized = selected.flatMap { k =>
       stage("tokenizer") {
         // q167's artifact shape for the tokenizer itself: BPE merges
         // trained on the FILTERED corpus (the text the model will
@@ -313,13 +355,15 @@ object CurationRunner {
       col("b_id").isin(docIds: _*)
     val targets: Seq[(String, org.apache.spark.sql.Column)] = Seq(
       "quality" -> byDoc, "boilerplate" -> byDoc, "clean" -> byDoc,
-      "corpus" -> byDoc, "mix" -> byDoc, "split" -> byDoc,
+      "corpus" -> byDoc, "perplexity" -> byDoc, "select" -> byDoc,
+      "tokenizer" -> byDoc, "mix" -> byDoc, "split" -> byDoc,
       "packed" -> byId, // packSequences emits the key as `id`
       "artifacts/signatures" -> byId,
       "artifacts/edges" -> byEdge,
       "artifacts/labels" -> byId,
-      // tile keys are md5 hashes, not doc rows — nothing to erase there;
-      // the pagerank audit frame IS doc-keyed
+      // tile keys are md5 hashes and dsir_ratio is bucket-keyed —
+      // no doc rows to erase there; the pagerank audit frame IS
+      // doc-keyed
       "artifacts/pagerank" -> byId)
     // existence via the Hadoop FileSystem, not java.io.File — outDir may
     // be hdfs://... or s3a://...; a local-only check would silently

@@ -184,7 +184,8 @@ class CurationRunnerSpec extends SparkSpec {
     val anyDoc = spark.read.parquet(s"$out/corpus")
       .select("doc_id").as[Long].head
     val subjects = Seq(edgeDoc, anyDoc).distinct
-    val before = Seq("quality", "boilerplate", "clean", "corpus", "mix",
+    val before = Seq("quality", "boilerplate", "clean", "corpus",
+      "perplexity", "tokenizer", "mix",
       "split", "packed", "artifacts/signatures", "artifacts/edges",
       "artifacts/labels", "artifacts/pagerank")
       .map(n => n -> spark.read.parquet(s"$out/$n").count()).toMap
@@ -210,6 +211,41 @@ class CurationRunnerSpec extends SparkSpec {
     // the edge-bearing subject really had artifact rows to erase
     assert(rep.deleted("artifacts/edges") > 0)
     assert(rep.deleted("artifacts/signatures") >= subjects.size - 1)
+  }
+
+  test("dsirTarget adds the select stage: quota honored, weight-ordered " +
+      "enrichment, ratio artifact stored, deterministic") {
+    val out = freshDir()
+    val report = CurationRunner.run(spark, docs, out,
+      dsirTarget = Some("src0"), dsirKeepFraction = 0.5, dsirBuckets = 512)
+    assert(report.status === "success")
+    assert(report.results.map(_.stage).contains("select"))
+    val nPool = report.count("perplexity")
+    val nKept = report.count("select")
+    assert(nKept === math.ceil(nPool * 0.5).toLong)
+    assert(report.count("tokenizer") === nKept)
+    // the stored ratio model covers the full bucket domain
+    assert(spark.read.parquet(s"$out/artifacts/dsir_ratio").count() === 512L)
+    // kept docs carry their weight; the draw favors heavy docs — mean
+    // kept log_w must exceed the pool mean (w-proportional sampling)
+    val kept = spark.read.parquet(s"$out/select")
+      .select(col("doc_id"), col("log_w"))
+    val ratio = spark.read.parquet(s"$out/artifacts/dsir_ratio")
+    val pool = graft.operators.Dsir.importanceWeights(
+      spark.read.parquet(s"$out/perplexity"), col("doc_id"), col("text"),
+      ratio, 512)
+    val poolMean = pool.agg(avg("log_w")).head.getDouble(0)
+    val keptMean = kept.agg(avg("log_w")).head.getDouble(0)
+    assert(keptMean > poolMean,
+      s"kept mean $keptMean not above pool mean $poolMean")
+    // determinism: a second run keeps the identical doc set
+    val out2 = freshDir()
+    CurationRunner.run(spark, docs, out2,
+      dsirTarget = Some("src0"), dsirKeepFraction = 0.5, dsirBuckets = 512)
+    val k1 = kept.select("doc_id").as[Long].collect().toSet
+    val k2 = spark.read.parquet(s"$out2/select")
+      .select("doc_id").as[Long].collect().toSet
+    assert(k1 === k2)
   }
 
   test("re-run over the same outDir is idempotent (stage overwrite)") {
