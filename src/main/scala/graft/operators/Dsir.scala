@@ -64,20 +64,26 @@ object Dsir {
     pmod(GraftShim.column(Md5Prefix32(
       GraftShim.expr(concat(lit("dsir:"), gram)))), lit(numBuckets.toLong))
 
+  /** Unigram ++ adjacent-bigram gram array for a text column — the ONE
+    * gram definition both the batch pass and the streaming ingest twin
+    * ([[graft.streaming.Streams.dsirScoreIngest]]) evaluate, so their
+    * feature streams agree by construction. */
+  def grams(text: Column): Column = {
+    val w = toks(text)
+    val bigrams = zip_with(
+      slice(w, lit(1), greatest(size(w) - 1, lit(0))),
+      slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    concat(w, bigrams)
+  }
+
   /** One row per gram OCCURRENCE: (id, bucket). Unigrams ++ adjacent
     * bigrams, hashed. Scan-local — the only shuffle downstream is the
     * consumer's aggregate. */
   def docBuckets(docs: DataFrame, id: Column, text: Column,
-                 numBuckets: Int): DataFrame = {
-    val w = toks(text)
-    val bigrams = zip_with(
-      slice(col("_w"), lit(1), greatest(size(col("_w")) - 1, lit(0))),
-      slice(col("_w"), lit(2), greatest(size(col("_w")) - 1, lit(0))),
-      (a, b) => concat(a, lit(" "), b))
-    docs.select(id.as("id"), w.as("_w"))
-      .select(col("id"), explode(concat(col("_w"), bigrams)).as("gram"))
+                 numBuckets: Int): DataFrame =
+    docs.select(id.as("id"), explode(grams(text)).as("gram"))
       .select(col("id"), bucketOf(col("gram"), numBuckets).as("bucket"))
-  }
 
   /** (bucket, cnt) hashed-gram model artifact for one corpus — additive
     * and mergeable (union → groupBy → sum), one map-side-combined

@@ -43,6 +43,12 @@ case class BoilerplateDoc(doc_id: Long, n_tiles: Long, n_kept: Long,
   * docs, as the batch twin's NULL). */
 case class LmScoredDoc(doc_id: Long, n_tokens: Int, avg_nll: Option[Double])
 
+/** Per-doc DSIR importance weight emitted by
+  * [[Streams.dsirScoreIngest]] — same values as the batch
+  * `Dsir.importanceWeights` row (docs with zero grams are absent, as
+  * in the batch twin). */
+case class DsirScoredDoc(doc_id: Long, n_grams: Int, log_w: Double)
+
 case class StageCompletion(user_id: Long, stage: Int,
                            ts: java.sql.Timestamp)
 
@@ -689,6 +695,73 @@ object Streams {
                     Some(-s.toDouble / nToks)
                   }
                 Iterator.single(LmScoredDoc(docId, nToks, avg))
+              }
+            state.update(true)
+            setGuardedTimeout(state, all.map(_._2.getTime).max, idleTimeout)
+            out
+          }
+      }
+  }
+
+  /**
+   * Ingest-time DSIR importance weighting — the streaming twin of
+   * [[graft.operators.Dsir.importanceWeights]] (q194's fit-and-score
+   * pass with the fit already done): arriving docs score against the
+   * STORED bucket log-ratio artifact (the CurationRunner `dsir_ratio`
+   * frame) via a stream-static join on the gram bucket; the decision
+   * is STATELESS (the stored model IS the state) —
+   * flatMapGroupsWithState only reassembles the per-doc weight sum and
+   * suppresses at-least-once replays (one boolean per doc within the
+   * watermark horizon). All of a doc's gram rows come from ONE input
+   * row, so every group completes in its arrival micro-batch.
+   *
+   * Value parity with the batch twin is exact: gram generation is the
+   * shared [[graft.operators.Dsir.grams]] expression, and per-gram
+   * log-ratios accumulate as BigDecimal(scale 18, HALF_UP) — the same
+   * quantize-then-exact-sum the batch plan's DECIMAL(38,18) cast
+   * performs — so stream rows equal batch rows bit-for-bit
+   * (`StreamsSpec` pins it on real documents split across
+   * micro-batches). Docs with zero grams are absent, as in batch.
+   *
+   * Input: (doc_id, ts, text), watermarked by the caller. `ratio` is
+   * the full-domain [[graft.operators.Dsir.logRatio]] artifact.
+   */
+  def dsirScoreIngest(docs: DataFrame, ratio: DataFrame, numBuckets: Int,
+                      idleTimeout: String = "30 days")
+      : org.apache.spark.sql.Dataset[DsirScoredDoc] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import docs.sparkSession.implicits._
+    val terms = docs
+      .select(col("doc_id"), col("ts"),
+        posexplode(graft.operators.Dsir.grams(col("text"))))
+      .toDF("doc_id", "ts", "pos", "gram")
+      .withColumn("bucket",
+        graft.operators.Dsir.bucketOf(col("gram"), numBuckets))
+      .join(ratio.select(col("bucket"), col("logr")), Seq("bucket"))
+      .select(col("doc_id"), col("ts"), col("pos"), col("logr"))
+      .as[(Long, java.sql.Timestamp, Int, Double)]
+    terms.groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, DsirScoredDoc](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (docId, rows, state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val all = rows.toVector
+            val out =
+              if (state.exists) Iterator.empty
+              else {
+                // earliest copy wins within a batch, one row per pos
+                val minTs = all.map(_._2.getTime).min
+                val chosen = all.filter(_._2.getTime == minTs)
+                  .sortBy(_._3).distinctBy(_._3)
+                // the batch plan's cast(logr as decimal(38,18)) →
+                // exact sum → cast double, replayed locally
+                val s = chosen.map(r => BigDecimal(r._4)
+                  .setScale(18, BigDecimal.RoundingMode.HALF_UP)).sum
+                Iterator.single(
+                  DsirScoredDoc(docId, chosen.size, s.toDouble))
               }
             state.update(true)
             setGuardedTimeout(state, all.map(_._2.getTime).max, idleTimeout)

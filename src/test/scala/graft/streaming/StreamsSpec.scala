@@ -397,6 +397,45 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("dsirScoreIngest: rows equal the batch importanceWeights twin " +
+      "bit-for-bit across micro-batches; replays suppressed") {
+    val B = 512
+    val batchDocs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val target = batchDocs.filter(col("source") === "src0")
+    val raw = batchDocs.filter(col("source") =!= "src0")
+    val dir = tmp("graft-dsir-artifacts")
+    graft.operators.Dsir.logRatio(
+        graft.operators.Dsir.bucketCounts(target, col("text"), B),
+        graft.operators.Dsir.bucketCounts(raw, col("text"), B), B)
+      .write.mode("overwrite").parquet(s"$dir/ratio")
+    val ratio = spark.read.parquet(s"$dir/ratio")
+    val docs = raw.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Timestamp.valueOf("2024-01-01 00:00:00"),
+        r.getString(1))).toSeq
+    val mem = MemoryStream[(Long, Timestamp, String)](spark)
+    val out = Streams.dsirScoreIngest(
+      mem.toDF.toDF("doc_id", "ts", "text").withWatermark("ts", "1 day"),
+      ratio, B)
+    val q = out.writeStream.format("memory")
+      .queryName("dsir_docs_out").outputMode("append")
+      .option("checkpointLocation", tmp("graft-dsir-ckpt"))
+      .start()
+    val (b1, b2) = docs.splitAt(docs.size / 2)
+    mem.addData(b1); q.processAllAvailable()
+    mem.addData(b2); q.processAllAvailable()
+    // replay a full batch (at-least-once source): no duplicate rows
+    mem.addData(b1); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("dsir_docs_out")
+      .select(col("doc_id"), col("n_grams"), col("log_w"))
+    val batch = graft.operators.Dsir.importanceWeights(raw, col("doc_id"),
+        col("text"), ratio, B)
+      .select(col("id").as("doc_id"), col("n_grams"), col("log_w"))
+    assert(streamed.count() == batch.count())
+    // bit-for-bit: except() compares the raw doubles, no rounding
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("T1: watermark drops late rows that arrive after horizon passes") {
     val mem = MemoryStream[(Timestamp, String, Double)](spark)
     val rollup = Streams.dailyRollup(
