@@ -65,6 +65,35 @@ object DsirQueries {
           round(col("log_w"), 6).as("log_w"),
           round(col("key"), 6).as("key"))
         .orderBy("sel_rank")
+    }),
+
+    "q197_dsir_shard_merge" -> ((s, dir) => {
+      // artifact mergeability through the oracle itself (the q176
+      // discipline): the raw-pool bucket model is built as PER-SOURCE
+      // shard artifacts, parquet-roundtripped, merged by union+sum,
+      // and the merged model scores the pool — while the oracle
+      // computes the single-pass global fit. Hash equality IS the
+      // merge-correctness proof, so the oracle is q194's verbatim.
+      // Production shape: each crawl shard ships its own count frame;
+      // the serving ratio is a rollup, never a corpus re-fit.
+      val docs = t(s, dir, "documents")
+      val target = docs.filter(col("source") === "src0")
+      val raw = docs.filter(col("source") =!= "src0")
+      val shardArtifacts = Dsir.docBuckets(
+          raw.select(col("source"), col("doc_id"), col("text")),
+          col("source"), col("text"), B)
+        .groupBy(col("id").as("shard"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val out = Scratch.path(s, "q197")
+      shardArtifacts.write.mode("overwrite").parquet(out)
+      val mergedRaw = s.read.parquet(out)
+        .groupBy("bucket").agg(sum("cnt").as("cnt"))
+      val ratio = Dsir.logRatio(
+        Dsir.bucketCounts(target, col("text"), B), mergedRaw, B, K)
+      Dsir.importanceWeights(raw, col("doc_id"), col("text"), ratio, B)
+        .select(col("id").as("doc_id"), col("n_grams"),
+          round(col("log_w"), 6).as("log_w"))
+        .orderBy("doc_id")
     }))
 
   // Shared CTE pipeline: tokenize → unigram++bigram grams → md5 bucket
@@ -101,6 +130,12 @@ object DsirQueries {
   val oracleSql: Map[String, String] = Map(
 
     "q194_dsir_weights" -> (dsirCtes + """
+      |SELECT doc_id, n_grams, round(log_w, 6) AS log_w
+      |FROM wts ORDER BY doc_id""".stripMargin),
+
+    // q197 runs the sharded-artifact rollup plan against q194's SQL:
+    // merged-per-source == single-pass-global is the gate
+    "q197_dsir_shard_merge" -> (dsirCtes + """
       |SELECT doc_id, n_grams, round(log_w, 6) AS log_w
       |FROM wts ORDER BY doc_id""".stripMargin),
 

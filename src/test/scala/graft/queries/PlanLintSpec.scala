@@ -50,6 +50,9 @@ class PlanLintSpec extends SparkSpec {
     "q174_hard_negatives" -> "broadcast 20-row query batch × corpus: the brute-force mining contract (all cross-label pairs scored by design; corpus-scale Q routes through the stored IVF index instead)",
     "q178_metric_ci" -> "the point-estimate row joins the CI row on the literal 'all' scope — constant folding degenerates the 1×1 equi-join to a BNLJ of two single-row frames",
     "q179_hybrid_rrf" -> "q94's broadcast 1-row corpus-stats frame inside the BM25 leg of the fusion",
+    "q194_dsir_weights" -> "broadcast 1-row model-totals frame (Tn,Rn) crossJoined onto the bucket-domain ratio table (numBuckets rows)",
+    "q195_dsir_select" -> "same DSIR ratio build: 1-row totals frame onto the bucket domain",
+    "q197_dsir_shard_merge" -> "same DSIR ratio build over the MERGED shard artifacts: 1-row totals onto the bucket domain",
     "q180_cms_shard_merge" -> "broadcast 1-row shard-count frame crossJoined onto the 20-row probe read-out",
     "q182_semantic_outliers" -> "q72's broadcast centroid argmax kernel feeding the per-cell decile window",
     "q184_join_size_estimate" -> "two 1-row frames (sketch estimate x exact cardinality) crossJoined for the comparison row",
