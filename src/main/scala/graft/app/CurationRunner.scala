@@ -244,15 +244,23 @@ object CurationRunner {
           ratio.write.mode("overwrite")
             .parquet(s"$outDir/artifacts/dsir_ratio")
           val storedRatio = spark.read.parquet(s"$outDir/artifacts/dsir_ratio")
+          // weights materialized ONCE (the explode+join+agg pass is
+          // the expensive part); the quota count and the top-k draw
+          // both read the pinned frame
           val w = Dsir.importanceWeights(k, col("doc_id"), col("text"),
-            storedRatio, dsirBuckets)
+            storedRatio, dsirBuckets).localCheckpoint(true)
           val keepK = math.ceil(w.count() * dsirKeepFraction).toLong
           require(keepK <= Int.MaxValue,
             s"select quota $keepK exceeds the top-k path; gate on a " +
               "log_w threshold for corpora this large")
-          val picked = Dsir.gumbelTopK(w, col("id"), col("log_w"),
-              keepK.toInt, salt = "curation-dsir")
-            .select(col("id").as("doc_id"), col("log_w"))
+          // an empty surviving pool (or all-gram-less docs) must flow
+          // through as an empty frame like every other stage, not fail
+          // on gumbelTopK's k > 0 contract
+          val picked =
+            (if (keepK == 0) w
+             else Dsir.gumbelTopK(w, col("id"), col("log_w"),
+               keepK.toInt, salt = "curation-dsir"))
+              .select(col("id").as("doc_id"), col("log_w"))
           k.join(picked, "doc_id")
         }
       }

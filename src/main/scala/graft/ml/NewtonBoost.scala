@@ -459,11 +459,19 @@ object NewtonBoost {
       val m = P.objStart()
       if (m == "w") { val w = P.num(); P.objEnd(); Leaf(w) }
       else {
-        // keys arrive in toJson order: f,b,t,dl,v,l,r
+        // keys arrive in toJson order: f,b,t,dl,v,l,r. "v" (the node
+        // value for path attribution, added r14) is OPTIONAL on read:
+        // pre-r14 JSON (f,b,t,dl,l,r) loads with v = 0 — margins and
+        // scores are exact (they never read v) and the telescoping
+        // identity still holds (bias + Σ contributions ≡ margin);
+        // only the per-feature attribution SPLIT degrades. Re-save to
+        // upgrade.
         val f = P.num().toInt; P.key("b"); val b = P.num().toInt
         P.key("t"); val t = P.num(); P.key("dl"); val dl = P.bool()
-        P.key("v"); val v = P.num()
-        P.key("l"); val l = node(); P.key("r"); val r = node()
+        val nk = P.nextKey()
+        val (v, lk) = if (nk == "v") (P.num(), P.nextKey()) else (0.0, nk)
+        require(lk == "l", s"expected key l, got $lk")
+        val l = node(); P.key("r"); val r = node()
         P.objEnd(); Split(f, b, t, dl, v, l, r)
       }
     }

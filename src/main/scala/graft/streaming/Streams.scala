@@ -636,16 +636,16 @@ object Streams {
     val vv = consts.getDouble(0)
     val nn = consts.getDouble(1)
     val base = docs
-      .select(col("doc_id"), col("ts"),
+      .select(col("doc_id"), col("ts"), xxhash64(col("text")).as("th"),
         filter(split(lower(col("text")), "\\s+"), t => length(t) > 0).as("ws"))
       .withColumn("n_toks", size(col("ws")))
     // pos 0 scores the first token against the unigram model; pos p>=1
     // scores (ws[p], ws[p+1]); token-less docs ride a null sentinel row
     val terms = base
-      .select(col("doc_id"), col("ts"), col("n_toks"), col("ws"),
+      .select(col("doc_id"), col("ts"), col("th"), col("n_toks"), col("ws"),
         posexplode(when(col("n_toks") > 0, col("ws"))
           .otherwise(array(lit(null).cast("string")))))
-      .toDF("doc_id", "ts", "n_toks", "ws", "pos", "cur")
+      .toDF("doc_id", "ts", "th", "n_toks", "ws", "pos", "cur")
       .withColumn("prev",
         when(col("pos") >= 1, element_at(col("ws"), col("pos"))))
       .drop("ws")
@@ -663,9 +663,9 @@ object Streams {
           .otherwise(
             log((coalesce(col("_cb"), lit(0L)) + k) /
                 (coalesce(col("_cp"), lit(0L)) + k * vv))))
-      .select(col("doc_id"), col("ts"), col("n_toks"), col("pos"),
-        col("term"))
-      .as[(Long, java.sql.Timestamp, Int, Int, Option[Double])]
+      .select(col("doc_id"), col("ts"), col("th"), col("n_toks"),
+        col("pos"), col("term"))
+      .as[(Long, java.sql.Timestamp, Long, Int, Int, Option[Double])]
     terms.groupByKey(_._1)
       .flatMapGroupsWithState[Boolean, LmScoredDoc](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
@@ -678,17 +678,22 @@ object Streams {
             val out =
               if (state.exists) Iterator.empty
               else {
-                // earliest copy wins within a batch, one row per pos
+                // earliest copy wins within a batch; among equal-ts
+                // copies with DIFFERENT text, the min content hash
+                // wins deterministically — never a pos-interleaved
+                // chimera of two payloads
                 val minTs = all.map(_._2.getTime).min
-                val chosen = all.filter(_._2.getTime == minTs)
-                  .sortBy(_._4).distinctBy(_._4)
-                val nToks = chosen.head._3
+                val atTs = all.filter(_._2.getTime == minTs)
+                val minTh = atTs.map(_._3).min
+                val chosen = atTs.filter(_._3 == minTh)
+                  .sortBy(_._5).distinctBy(_._5)
+                val nToks = chosen.head._4
                 val avg =
                   if (nToks == 0) None
                   else {
                     // the batch plan's cast(term as decimal(38,18)) →
                     // exact sum → cast double, replayed locally
-                    val s = chosen.flatMap(_._5)
+                    val s = chosen.flatMap(_._6)
                       .map(t => BigDecimal(t)
                         .setScale(18, BigDecimal.RoundingMode.HALF_UP))
                       .sum
@@ -732,14 +737,14 @@ object Streams {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import docs.sparkSession.implicits._
     val terms = docs
-      .select(col("doc_id"), col("ts"),
+      .select(col("doc_id"), col("ts"), xxhash64(col("text")).as("th"),
         posexplode(graft.operators.Dsir.grams(col("text"))))
-      .toDF("doc_id", "ts", "pos", "gram")
+      .toDF("doc_id", "ts", "th", "pos", "gram")
       .withColumn("bucket",
         graft.operators.Dsir.bucketOf(col("gram"), numBuckets))
       .join(ratio.select(col("bucket"), col("logr")), Seq("bucket"))
-      .select(col("doc_id"), col("ts"), col("pos"), col("logr"))
-      .as[(Long, java.sql.Timestamp, Int, Double)]
+      .select(col("doc_id"), col("ts"), col("th"), col("pos"), col("logr"))
+      .as[(Long, java.sql.Timestamp, Long, Int, Double)]
     terms.groupByKey(_._1)
       .flatMapGroupsWithState[Boolean, DsirScoredDoc](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
@@ -752,13 +757,18 @@ object Streams {
             val out =
               if (state.exists) Iterator.empty
               else {
-                // earliest copy wins within a batch, one row per pos
+                // earliest copy wins within a batch; among equal-ts
+                // copies with DIFFERENT text, the min content hash
+                // wins deterministically — never a pos-interleaved
+                // chimera of two payloads
                 val minTs = all.map(_._2.getTime).min
-                val chosen = all.filter(_._2.getTime == minTs)
-                  .sortBy(_._3).distinctBy(_._3)
+                val atTs = all.filter(_._2.getTime == minTs)
+                val minTh = atTs.map(_._3).min
+                val chosen = atTs.filter(_._3 == minTh)
+                  .sortBy(_._4).distinctBy(_._4)
                 // the batch plan's cast(logr as decimal(38,18)) →
                 // exact sum → cast double, replayed locally
-                val s = chosen.map(r => BigDecimal(r._4)
+                val s = chosen.map(r => BigDecimal(r._5)
                   .setScale(18, BigDecimal.RoundingMode.HALF_UP)).sum
                 Iterator.single(
                   DsirScoredDoc(docId, chosen.size, s.toDouble))

@@ -145,18 +145,22 @@ class NewtonBoostSpec extends SparkSpec {
   }
 
   test("SQL compilation matches the Column twin bit-for-bit in-engine") {
+    // key-paired rows (not sorted multisets), margin AND attribution:
+    // a contributionSql bug that preserves margins must fail here
     val m = graft.queries.BoostQueries.model
     val li = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
       "lineitem")
     li.createOrReplaceTempView("li_boost_sql_twin")
-    val viaSql = spark.sql(
-      s"SELECT ${m.marginSql} AS sm, ${m.contributionSql(0)} AS sc " +
-        "FROM li_boost_sql_twin")
-    val viaCol = li.select(m.margin.as("cm"), m.contribution(0).as("cc"))
-    val diff = viaCol.orderBy("cm").collect().map(_.getDouble(0))
-      .zip(viaSql.orderBy("sm").collect().map(_.getDouble(0)))
-      .map { case (a, b) => math.abs(a - b) }.max
-    assert(diff == 0.0, s"SQL/Column margin divergence $diff")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("l_orderkey", "l_linenumber").collect()
+        .map(r => (r.getDouble(2), r.getDouble(3)))
+    val viaSql = rows(spark.sql(
+      s"SELECT l_orderkey, l_linenumber, ${m.marginSql} AS sm, " +
+        s"${m.contributionSql(0)} AS sc FROM li_boost_sql_twin"))
+    val viaCol = rows(li.select(col("l_orderkey"), col("l_linenumber"),
+      m.margin.as("cm"), m.contribution(0).as("cc")))
+    assert(viaCol.sameElements(viaSql),
+      "SQL/Column margin or contribution divergence")
   }
 
   test("JSON roundtrip reproduces the model exactly") {

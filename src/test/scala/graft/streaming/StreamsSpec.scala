@@ -436,6 +436,44 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("dsirScoreIngest: equal-ts duplicate doc_ids with different text " +
+      "resolve to ONE payload (min content hash), never a chimera") {
+    val B = 64
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "beta gamma delta"))
+      .toDF("doc_id", "text")
+    val dir = tmp("graft-dsir-dup")
+    graft.operators.Dsir.logRatio(
+        graft.operators.Dsir.bucketCounts(corpus.limit(1), col("text"), B),
+        graft.operators.Dsir.bucketCounts(corpus, col("text"), B), B)
+      .write.mode("overwrite").parquet(s"$dir/ratio")
+    val ratio = spark.read.parquet(s"$dir/ratio")
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    val textA = "alpha beta gamma alpha"
+    val textB = "delta epsilon zeta eta theta"
+    val mem = MemoryStream[(Long, Timestamp, String)](spark)
+    val out = Streams.dsirScoreIngest(
+      mem.toDF.toDF("doc_id", "ts", "text").withWatermark("ts", "1 day"),
+      ratio, B)
+    val q = out.writeStream.format("memory")
+      .queryName("dsir_dup_out").outputMode("append")
+      .option("checkpointLocation", tmp("graft-dsir-dup-ckpt"))
+      .start()
+    mem.addData(Seq((7L, ts, textA), (7L, ts, textB)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dsir_dup_out").collect()
+    assert(got.length == 1)
+    // the winner is whichever text has the smaller xxhash64 — its
+    // batch score must match exactly
+    val winner = Seq(textA, textB).minBy(t =>
+      corpus.sparkSession.range(1).select(xxhash64(lit(t))).head.getLong(0))
+    val expect = graft.operators.Dsir.importanceWeights(
+        Seq((7L, winner)).toDF("doc_id", "text"), col("doc_id"),
+        col("text"), ratio, B).head()
+    assert(got.head.getInt(1) == expect.getInt(1))
+    assert(got.head.getDouble(2) == expect.getDouble(2))
+  }
+
   test("T1: watermark drops late rows that arrive after horizon passes") {
     val mem = MemoryStream[(Timestamp, String, Double)](spark)
     val rollup = Streams.dailyRollup(
