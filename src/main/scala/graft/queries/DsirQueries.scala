@@ -67,6 +67,32 @@ object DsirQueries {
         .orderBy("sel_rank")
     }),
 
+    "q198_dsir_select_audit" -> ((s, dir) => {
+      // the analyst-facing audit of the q195 draw: per source, pool
+      // size, kept count, keep rate, and mean log-weight of pool vs
+      // kept — the frame a curation reviewer reads to see WHERE the
+      // selection quota went (domain-composition shift is the whole
+      // point of DSIR, so it must be observable, not asserted). One
+      // extra broadcast join + one 20-row aggregate over q195's pass.
+      val docs = t(s, dir, "documents")
+      val w = weights(s, dir)
+      val picked = Dsir.gumbelTopK(w, col("id"), col("log_w"),
+          SelectK, Salt)
+        .select(col("id"), lit(1).as("kept"))
+      w.join(broadcast(picked), Seq("id"), "left")
+        .join(docs.select(col("doc_id").as("id"), col("source")), "id")
+        .groupBy("source")
+        .agg(count(lit(1)).cast("int").as("n_pool"),
+          coalesce(sum("kept"), lit(0)).cast("int").as("n_kept"),
+          round(coalesce(sum("kept"), lit(0)).cast("double") /
+            count(lit(1)), 6).as("keep_rate"),
+          // decimal-exact sum → double → /count: partition-invariant
+          // where a plain double avg would not be
+          round(sum(col("log_w").cast("decimal(38,18)")).cast("double") /
+            count(lit(1)), 6).as("mean_log_w"))
+        .orderBy("source")
+    }),
+
     "q197_dsir_shard_merge" -> ((s, dir) => {
       // artifact mergeability through the oracle itself (the q176
       // discipline): the raw-pool bucket model is built as PER-SOURCE
@@ -138,6 +164,27 @@ object DsirQueries {
     "q197_dsir_shard_merge" -> (dsirCtes + """
       |SELECT doc_id, n_grams, round(log_w, 6) AS log_w
       |FROM wts ORDER BY doc_id""".stripMargin),
+
+    "q198_dsir_select_audit" -> (dsirCtes + """,
+      |sel AS (SELECT doc_id, log_w,
+      |    log_w + (-ln(-ln((CAST(CAST(CAST(('0x' || substring(
+      |        md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8))
+      |        AS UBIGINT) % 1000000 AS BIGINT) AS DOUBLE) + 0.5E0)
+      |      / 1000000.0E0))) AS key
+      |  FROM wts),
+      |picked AS (SELECT doc_id, 1 AS kept FROM sel
+      |  ORDER BY key DESC, doc_id LIMIT 80)
+      |SELECT d.source,
+      |  CAST(count(*) AS INTEGER) AS n_pool,
+      |  CAST(coalesce(sum(p.kept), 0) AS INTEGER) AS n_kept,
+      |  round(CAST(coalesce(sum(p.kept), 0) AS DOUBLE) / count(*), 6)
+      |    AS keep_rate,
+      |  round(CAST(sum(CAST(w.log_w AS DECIMAL(38,18))) AS DOUBLE)
+      |    / count(*), 6) AS mean_log_w
+      |FROM wts w
+      |LEFT JOIN picked p ON p.doc_id = w.doc_id
+      |JOIN documents d ON d.doc_id = w.doc_id
+      |GROUP BY d.source ORDER BY d.source""".stripMargin),
 
     "q195_dsir_select" -> (dsirCtes + """,
       |sel AS (SELECT doc_id, log_w,
