@@ -146,6 +146,19 @@ object NewtonBoost {
     def contributions: Seq[(String, Column)] =
       featureCols.indices.map(i => featureCols(i) -> contribution(i))
 
+    /** Global feature importance as mean |path contribution| over a
+      * frame — the dataset-level aggregate of the Saabas per-row
+      * attribution (features the model never splits on score exactly
+      * 0). ONE pass, one single-row aggregate; the per-row walks are
+      * the same codegen CASE columns scoring uses, so this runs at
+      * scan speed on any corpus size. */
+    def importance(df: DataFrame): Seq[(String, Double)] = {
+      val aggs = featureCols.indices.map(i =>
+        avg(abs(contribution(i))).as(s"_i$i"))
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      featureCols.indices.map(i => featureCols(i) -> row.getDouble(i))
+    }
+
     // ---- ANSI-SQL compilation (the DuckDB-oracle replay of model
     // application). Each generator mirrors its Column twin's expression
     // tree NODE FOR NODE — same literals, same association order — so

@@ -142,6 +142,9 @@ class NewtonBoostSpec extends SparkSpec {
       max(abs(m.contribution(0))).as("c1")).head
     assert(row.getDouble(0) == 0.0)
     assert(row.getDouble(1) > 0.0)
+    // the global aggregate mirrors it: x1 carries all importance
+    val imp = m.importance(df).toMap
+    assert(imp("x2") == 0.0 && imp("x1") > 0.0)
   }
 
   test("SQL compilation matches the Column twin bit-for-bit in-engine") {
