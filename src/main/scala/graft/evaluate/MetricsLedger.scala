@@ -266,10 +266,62 @@ object MetricsLedger {
     out
   }
 
+  /** DSIR selection efficacy on a planted two-domain corpus: 50
+    * target-sample docs + a 400-doc pool (200 sharing the target's
+    * content vocabulary, 200 off-domain; all share function words, the
+    * realistic confounder). Measures (a) the mean log-weight gap
+    * between the two pool classes (decimal-exact means) and (b) the
+    * fraction of the Gumbel top-200 draw that is target-like. Fully
+    * seed-deterministic (md5 picks, md5 Gumbel), so these are metric
+    * rows, not wall-clock rows — a move means changed code. */
+  def dsirMetrics(spark: SparkSession): Seq[(String, Double)] = {
+    val B = 1024
+    val vocabT = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val vocabO = Seq("omega", "psi", "chi", "phi", "upsilon", "tau")
+    val shared = Seq("the", "data", "row", "table", "value", "scan")
+    def text(domainVocab: Seq[String], salt: Int): Column =
+      concat_ws(" ", (0 until 12).map(j =>
+        if (j % 2 == 0) Synthetic.pick(col("id"), salt * 100 + j, domainVocab)
+        else Synthetic.pick(col("id"), salt * 100 + j, shared)): _*)
+    val base = spark.range(450)
+    val target = base.filter(col("id") < 50)
+      .select(col("id").as("doc_id"), text(vocabT, 1).as("text"))
+    val pool = base.filter(col("id") >= 50 && col("id") < 250)
+      .select(col("id").as("doc_id"), text(vocabT, 2).as("text"),
+        lit(1).as("is_like"))
+      .unionByName(base.filter(col("id") >= 250)
+        .select(col("id").as("doc_id"), text(vocabO, 3).as("text"),
+          lit(0).as("is_like")))
+      .cache()
+    val ratio = graft.operators.Dsir.logRatio(
+      graft.operators.Dsir.bucketCounts(target, col("text"), B),
+      graft.operators.Dsir.bucketCounts(
+        pool.select("doc_id", "text"), col("text"), B), B)
+    val w = graft.operators.Dsir.importanceWeights(pool, col("doc_id"),
+        col("text"), ratio, B)
+      .join(pool.select(col("doc_id").as("id"), col("is_like")), "id")
+      .cache()
+    val means = w.groupBy("is_like")
+      .agg((sum(col("log_w").cast("decimal(38,18)")).cast("double") /
+        count(lit(1))).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val prec = graft.operators.Dsir.gumbelTopK(w, col("id"),
+        col("log_w"), 200)
+      .join(w.select(col("id"), col("is_like")), "id")
+      .agg((sum("is_like").cast("double") / count(lit(1))))
+      .head.getDouble(0)
+    val out = Seq(
+      "dsir_weight_separation" -> (means(1) - means(0)),
+      "dsir_select_precision_at200" -> prec)
+    pool.unpersist(); w.unpersist()
+    out
+  }
+
   def computeAll(spark: SparkSession): Seq[(String, Double)] =
     orderingGateMetrics(spark) ++ referenceConfigMetrics(spark) ++
       erMetrics(spark) ++ newtonBoostMetrics(spark) ++
-      AnnRecall.measure(spark) ++ skewEvidence(spark)
+      AnnRecall.measure(spark) ++ skewEvidence(spark) ++
+      dsirMetrics(spark)
 
   /** Wall-clock rows (the skew-evidence timings) are measurements of
     * the HOST, not of seeded model output — run-to-run noise there is
