@@ -93,6 +93,36 @@ object DsirQueries {
         .orderBy("source")
     }),
 
+    "q199_selector_agreement" -> ((s, dir) => {
+      // the generative-vs-discriminative ablation frame: per raw-pool
+      // doc, the DSIR log-weight + top-k membership AND the frozen
+      // quality classifier's margin + keep flag, with an agreement
+      // bit. The two selectors share the target-vs-raw framing but
+      // disagree exactly where hashed-n-gram evidence and the four
+      // scan-local features diverge — this frame is WHERE a curation
+      // reviewer looks first. Both passes are the audited q194/q196
+      // plans; the join is id-keyed.
+      val docs = t(s, dir, "documents")
+      val w = weights(s, dir)
+      val picked = Dsir.gumbelTopK(w, col("id"), col("log_w"),
+          SelectK, Salt)
+        .select(col("id"), lit(true).as("dsir_sel"))
+      val m = QualityModelQueries.model
+      val quality = QualityModelQueries
+        .features(docs.filter(col("source") =!= "src0"))
+        .withColumn("_mr", m.margin)
+        .select(col("doc_id").as("id"),
+          round(col("_mr"), 6).as("margin"),
+          (col("_mr") >= QualityModelQueries.KeepMargin).as("q_keep"))
+      w.join(broadcast(picked), Seq("id"), "left")
+        .withColumn("dsir_sel", coalesce(col("dsir_sel"), lit(false)))
+        .join(quality, "id")
+        .select(col("id").as("doc_id"), round(col("log_w"), 6).as("log_w"),
+          col("dsir_sel"), col("margin"), col("q_keep"),
+          (col("dsir_sel") === col("q_keep")).as("agree"))
+        .orderBy("doc_id")
+    }),
+
     "q197_dsir_shard_merge" -> ((s, dir) => {
       // artifact mergeability through the oracle itself (the q176
       // discipline): the raw-pool bucket model is built as PER-SOURCE
@@ -164,6 +194,33 @@ object DsirQueries {
     "q197_dsir_shard_merge" -> (dsirCtes + """
       |SELECT doc_id, n_grams, round(log_w, 6) AS log_w
       |FROM wts ORDER BY doc_id""".stripMargin),
+
+    "q199_selector_agreement" -> (dsirCtes + s""",
+      |sel AS (SELECT doc_id, log_w,
+      |    log_w + (-ln(-ln((CAST(CAST(CAST(('0x' || substring(
+      |        md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8))
+      |        AS UBIGINT) % 1000000 AS BIGINT) AS DOUBLE) + 0.5E0)
+      |      / 1000000.0E0))) AS key
+      |  FROM wts),
+      |picked AS (SELECT doc_id, true AS dsir_sel FROM sel
+      |  ORDER BY key DESC, doc_id LIMIT 80),
+      |qd AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents WHERE source <> 'src0'),
+      |qf AS (SELECT doc_id,
+      |    ${QualityModelQueries.featureSql}
+      |  FROM qd),
+      |qm AS (SELECT doc_id, ${QualityModelQueries.model.marginSql} AS _mr
+      |  FROM qf)
+      |SELECT w.doc_id, round(w.log_w, 6) AS log_w,
+      |  coalesce(p.dsir_sel, false) AS dsir_sel,
+      |  round(qm._mr, 6) AS margin,
+      |  qm._mr >= -1.25E0 AS q_keep,
+      |  coalesce(p.dsir_sel, false) = (qm._mr >= -1.25E0) AS agree
+      |FROM wts w
+      |LEFT JOIN picked p ON p.doc_id = w.doc_id
+      |JOIN qm ON qm.doc_id = w.doc_id
+      |ORDER BY w.doc_id""".stripMargin),
 
     "q198_dsir_select_audit" -> (dsirCtes + """,
       |sel AS (SELECT doc_id, log_w,

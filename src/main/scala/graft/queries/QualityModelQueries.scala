@@ -111,25 +111,32 @@ object QualityModelQueries {
         .orderBy("doc_id")
     }))
 
+  /** The four feature expressions as DuckDB SQL over a `toks` list
+    * column — shared with the q199 oracle so the two replays can never
+    * diverge. */
+  lazy val featureSql: String = {
+    val stops = Stopwords.map(s => s"'$s'").mkString(", ")
+    raw"""CAST(len(toks) AS DOUBLE) AS n_tokens_d,
+       |    CASE WHEN len(toks) = 0 THEN 0.0E0
+       |      ELSE CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks)
+       |      END AS mean_len,
+       |    CASE WHEN len(toks) = 0 THEN 0.0E0
+       |      ELSE CAST(len(list_filter(toks, t -> list_contains([$stops], t))) AS DOUBLE) / len(toks)
+       |      END AS stop_ratio,
+       |    CASE WHEN len(toks) = 0 THEN 0.0E0
+       |      ELSE 1.0E0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+       |      END AS dup_frac""".stripMargin
+  }
+
   lazy val oracleSql: Map[String, String] = {
     val m = model
-    val stops = Stopwords.map(s => s"'$s'").mkString(", ")
     Map(
       "q196_quality_model" ->
         raw"""WITH d AS (SELECT doc_id,
            |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
            |  FROM documents),
            |f AS (SELECT doc_id,
-           |    CAST(len(toks) AS DOUBLE) AS n_tokens_d,
-           |    CASE WHEN len(toks) = 0 THEN 0.0E0
-           |      ELSE CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks)
-           |      END AS mean_len,
-           |    CASE WHEN len(toks) = 0 THEN 0.0E0
-           |      ELSE CAST(len(list_filter(toks, t -> list_contains([$stops], t))) AS DOUBLE) / len(toks)
-           |      END AS stop_ratio,
-           |    CASE WHEN len(toks) = 0 THEN 0.0E0
-           |      ELSE 1.0E0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
-           |      END AS dup_frac
+           |    $featureSql
            |  FROM d),
            |s AS (SELECT doc_id, n_tokens_d, mean_len, stop_ratio, dup_frac,
            |    ${m.marginSql} AS _mr

@@ -54,6 +54,7 @@ class PlanLintSpec extends SparkSpec {
     "q195_dsir_select" -> "same DSIR ratio build: 1-row totals frame onto the bucket domain",
     "q197_dsir_shard_merge" -> "same DSIR ratio build over the MERGED shard artifacts: 1-row totals onto the bucket domain",
     "q198_dsir_select_audit" -> "same DSIR ratio build inside the audited weight pass: 1-row totals onto the bucket domain",
+    "q199_selector_agreement" -> "same DSIR ratio build inside the agreement frame's weight pass: 1-row totals onto the bucket domain",
     "q180_cms_shard_merge" -> "broadcast 1-row shard-count frame crossJoined onto the 20-row probe read-out",
     "q182_semantic_outliers" -> "q72's broadcast centroid argmax kernel feeding the per-cell decile window",
     "q184_join_size_estimate" -> "two 1-row frames (sketch estimate x exact cardinality) crossJoined for the comparison row",

@@ -474,6 +474,37 @@ class StreamsSpec extends SparkSpec {
     assert(got.head.getDouble(2) == expect.getDouble(2))
   }
 
+  test("quality-model gate is stateless streaming: the frozen-booster " +
+      "projection runs unchanged on a stream, rows ≡ batch bit-for-bit") {
+    // q196's scoring is ONE codegen projection (features + margin) —
+    // no state, no watermark, no twin method needed: the batch Columns
+    // apply verbatim to a streaming frame. This pins that contract.
+    val m = graft.queries.QualityModelQueries.model
+    val batchDocs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def score(df: org.apache.spark.sql.DataFrame) =
+      graft.queries.QualityModelQueries.features(df)
+        .withColumn("margin", m.margin)
+        .select(col("doc_id"), col("margin"),
+          (col("margin") >= graft.queries.QualityModelQueries.KeepMargin)
+            .as("keep"))
+    val docs = batchDocs.select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val mem = MemoryStream[(Long, String, String)](spark)
+    val q = score(mem.toDF.toDF("doc_id", "text", "source"))
+      .writeStream.format("memory")
+      .queryName("qm_gate_out").outputMode("append")
+      .option("checkpointLocation", tmp("graft-qm-ckpt"))
+      .start()
+    val (b1, b2) = docs.splitAt(docs.size / 2)
+    mem.addData(b1); q.processAllAvailable()
+    mem.addData(b2); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("qm_gate_out")
+    val batch = score(batchDocs)
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("T1: watermark drops late rows that arrive after horizon passes") {
     val mem = MemoryStream[(Timestamp, String, Double)](spark)
     val rollup = Streams.dailyRollup(
