@@ -115,6 +115,38 @@ object Bench {
         .filter(_.getName.startsWith(prefix))
         .map(_.getUsage.getUsed).sum / 1e6
     }
+    // ---- host-contention sentinel (VERDICT r14 #1) ----------------------
+    // Three consecutive rounds spent judge/builder cycles re-litigating
+    // whether bench flags were host contention (a noisy microVM neighbor
+    // is invisible from inside the guest except through wall-time). Two
+    // in-artifact signals make flags self-adjudicating:
+    //  (a) /proc/loadavg (1-min) sampled per calibration point — external
+    //      load shows up ON TOP of the bench's own (the bench's own
+    //      footprint at a sample point is roughly constant round-over-round);
+    //  (b) a FIXED-COST calibration query (pure CPU, no IO, no code that
+    //      any measured query exercises) interleaved every ~20 queries:
+    //      its wall-time ratio vs the run-start floor is a direct probe of
+    //      how much CPU the host was actually giving us in that window.
+    // A regression flag whose neighborhood calibration drifted >1.3× is
+    // auto-labeled "contended"; only "open" flags need human adjudication.
+    def loadAvg1m: Double =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def calOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 48L << 20, 1L, cpus.toInt)
+        .select(sum(xxhash64(col("id")))).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calOnce(); calOnce() // JIT the calibration shape off-ledger
+    val cal0 = Seq(calOnce(), calOnce(), calOnce()).min
+    // (query-index, calibration sec, loadavg) — sampled before q0 and then
+    // after every 20th query; each measured query adjudicates against the
+    // samples bracketing it
+    val calSamples = scala.collection.mutable.ArrayBuffer(
+      (0, cal0, loadAvg1m))
+    System.err.println(f"[bench] sentinel cal0=$cal0%.3fs load=${loadAvg1m}%.2f")
     // Best-of-2 per query: HOF-heavy expressions pay multi-second
     // first-execution codegen/JIT that lands on whichever query runs first
     // with that plan shape — r4 recorded q20 (a trivial md5 projection) at
@@ -135,9 +167,21 @@ object Bench {
       rdds.values.foreach(_.unpersist(blocking = true))
       (rdds.size, usedBytes)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
-      .map { case (name, fn) =>
+    val qIndex: Map[String, Int] =
+      queryList.map(_._1).zipWithIndex.toMap
+    val results = queryList
+      .zipWithIndex
+      .map { case ((name, fn), qIdx) =>
+      // sentinel sample point: one fixed-cost calibration + loadavg read
+      // every 20 queries (cheap — ~0.3s each, ~10 samples over a full run)
+      if (qIdx > 0 && qIdx % 20 == 0) {
+        val c = calOnce(); val l = loadAvg1m
+        calSamples += ((qIdx, c, l))
+        System.err.println(
+          f"[bench] sentinel@q$qIdx cal=$c%.3fs (x${c / cal0}%.2f) load=$l%.2f")
+      }
       // each run reports (sec, ok, rdds-left-pinned, storage-bytes-in-use)
       // — the last two sampled AFTER timing stops, then cleared off-ledger
       // so runs of the same query stay independent too
@@ -189,6 +233,28 @@ object Bench {
     val total = results.collect { case (_, v, true) => v }.sum
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    // closing sentinel sample: queries after the last %20 point (and the
+    // metrics ledger below) adjudicate against the run's end state
+    locally {
+      val c = calOnce(); val l = loadAvg1m
+      calSamples += ((queryList.size, c, l))
+      System.err.println(
+        f"[bench] sentinel@end cal=$c%.3fs (x${c / cal0}%.2f) load=$l%.2f")
+    }
+    // neighborhood calibration drift for a query at index i: the WORSE of
+    // the two samples bracketing it, as a ratio over the run-start floor —
+    // conservative in the right direction (a contended window anywhere
+    // near the query marks it contended, never clean)
+    def calRatioAt(i: Int): Double = {
+      val before = calSamples.filter(_._1 <= i).lastOption
+      val after = calSamples.find(_._1 > i)
+      (before.toSeq ++ after.toSeq).map(_._2 / cal0).max
+    }
+    def loadAt(i: Int): Double = {
+      val before = calSamples.filter(_._1 <= i).lastOption
+      val after = calSamples.find(_._1 > i)
+      (before.toSeq ++ after.toSeq).map(_._3).max
+    }
     // Cross-round regression gate: per-query ratio vs the previous
     // round's bench_detail, flagging >1.5× moves above a 0.2 s noise
     // floor — so a cluster like r7's q75–q94 (+57 s on untouched code)
@@ -201,11 +267,25 @@ object Bench {
       .filter { case (_, v, p, r) => r > 1.5 && math.max(v, p) > 0.2 }
       .sortBy(-_._4)
     flagged.foreach { case (k, v, p, r) =>
-      System.err.println(f"[bench] REGRESSION $k prev=$p%.2fs now=$v%.2fs x$r%.2f")
+      val i = qIndex.getOrElse(k, 0)
+      val cx = calRatioAt(i)
+      val verdict = if (cx > 1.3) "contended" else "open"
+      System.err.println(f"[bench] REGRESSION $k prev=$p%.2fs now=$v%.2fs " +
+        f"x$r%.2f cal_x=$cx%.2f load=${loadAt(i)}%.2f [$verdict]")
     }
     val deltaJson = flagged
-      .map { case (k, v, p, r) => f""""$k":{"prev":$p%.3f,"now":$v%.3f,"x":$r%.2f}""" }
+      .map { case (k, v, p, r) =>
+        val i = qIndex.getOrElse(k, 0)
+        val cx = calRatioAt(i)
+        val verdict = if (cx > 1.3) "contended" else "open"
+        f""""$k":{"prev":$p%.3f,"now":$v%.3f,"x":$r%.2f,"cal_x":$cx%.2f,"load":${loadAt(i)}%.2f,"verdict":"$verdict"}"""
+      }
       .mkString("{", ",", "}")
+    val openFlags = flagged.count { case (k, _, _, _) =>
+      calRatioAt(qIndex.getOrElse(k, 0)) <= 1.3 }
+    val sentinelJson = calSamples
+      .map { case (i, c, l) => f"[$i,$c%.3f,$l%.2f]" }
+      .mkString(f"""{"cal0":$cal0%.3f,"samples":[""", ",", "]}")
     val prevTotal = deltas.map(_._3).sum
     val sharedNow = deltas.map(_._2).sum
     // metric-golden ledger (VERDICT r8 #5): seeded ML quality values next
@@ -251,7 +331,7 @@ object Bench {
     // Full per-query detail: stderr + side file (the driver's tail buffer
     // is ~2000 chars; a JSON line with all ~80 queries overflows it and
     // the driver records parsed:null — seen rounds 1-3).
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"failed":$failed,"shared_prev_total":$prevTotal%.3f,"shared_now_total":$sharedNow%.3f,"regressions_vs_prev":$deltaJson,"code_cache_peak_mb":$codeCachePeakMB%.1f,"code_cache_reserved_mb":$codeCacheReservedMB%.1f,"code_cache_alert":$codeCacheAlert,"queries":${qmap(results)},"sf":"$sfDir"}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"failed":$failed,"shared_prev_total":$prevTotal%.3f,"shared_now_total":$sharedNow%.3f,"regressions_vs_prev":$deltaJson,"open_flags":$openFlags,"sentinel":$sentinelJson,"code_cache_peak_mb":$codeCachePeakMB%.1f,"code_cache_reserved_mb":$codeCacheReservedMB%.1f,"code_cache_alert":$codeCacheAlert,"queries":${qmap(results)},"sf":"$sfDir"}"""
     System.err.println("[bench] full: " + full)
     // a restricted local run (`only` non-empty) must NOT overwrite the
     // full-round baseline the next driver run gates against
@@ -262,7 +342,7 @@ object Bench {
     // stdout contract line: total + the slowest 15 (the ones worth
     // grading) — guaranteed to fit the tail buffer
     val slow = results.filter(_._3).sortBy(-_._2).take(15).sortBy(_._1)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"failed":$failed,"nflagged":${flagged.size},"queries":${qmap(slow)},"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"failed":$failed,"nflagged":${flagged.size},"open_flags":$openFlags,"queries":${qmap(slow)},"sf":"$sfDir"}""")
     spark.stop()
     // the headroom assertion proper — AFTER every artifact and the stdout
     // contract line are safely out, so a trip loses nothing but still

@@ -255,14 +255,29 @@ object MetricsLedger {
         learningRate = 0.3, maxBins = 16))
     val scored = testC.select(col("label"), m.score.as("score"),
       m.margin.as("margin")).cache()
+    // the substitute it replaced in the M4 slot (r15): same budget
+    // GBTClassifier, same canonical-layout fixture — the ledger keeps
+    // the NewtonBoost-vs-GBT ordering measured, not asserted
+    val assembler = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("features")
+    val gbt = new org.apache.spark.ml.classification.GBTClassifier()
+      .setMaxIter(12).setMaxDepth(3).setStepSize(0.3).setSeed(42)
+      .setLabelCol("label").setFeaturesCol("features")
+    val gbtScored = new org.apache.spark.ml.Pipeline()
+      .setStages(Array(assembler, gbt)).fit(train).transform(testC)
+      .withColumn("score",
+        org.apache.spark.ml.functions.vector_to_array(col("probability"))(1))
+      .select(col("label"), col("score")).cache()
     val out = Seq(
       "xgb_newton_auc" ->
         RankingMetrics.auc(scored, col("score"), col("label")),
+      "xgb_gbt_auc" ->
+        RankingMetrics.auc(gbtScored, col("score"), col("label")),
       "xgb_newton_mean_margin" ->
         scored.agg(avg(col("margin").cast("decimal(38,18)"))
           .cast("double")).head.getDouble(0))
     accts.unpersist(); cands.unpersist(); testC.unpersist()
-    scored.unpersist()
+    scored.unpersist(); gbtScored.unpersist()
     out
   }
 

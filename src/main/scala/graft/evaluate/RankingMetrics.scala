@@ -191,20 +191,30 @@ object RankingMetrics {
   def hashRandomScore(key: Column, seed: Int = 42): Column =
     pmod(hash(key, lit(seed)), lit(1000000)).cast("double") / 1000000.0
 
-  /** AUC via the Mann-Whitney rank-sum (ties broken by label, so the
-    * value is deterministic). The global row_number window means ONE
-    * ordered pass over the scored frame — an eval-protocol-scale
-    * helper (holdout sets), not a corpus sweep; at 100 TB bucket the
-    * scores and trapezoid the per-bucket TP/FP counts instead. */
+  /** AUC via the Mann-Whitney rank-sum with MIDRANKS over tied scores
+    * (the sklearn/Mann-Whitney definition: a pos/neg tie counts 0.5,
+    * not a full positive win — material when the scorer emits few
+    * distinct margins, e.g. a small frozen tree model). Tied scores
+    * share rank mean(first..last) via one groupBy on the score value.
+    * The global row_number window means ONE ordered pass over the
+    * scored frame — an eval-protocol-scale helper (holdout sets), not
+    * a corpus sweep; at 100 TB bucket the scores and trapezoid the
+    * per-bucket TP/FP counts instead. */
   def auc(scored: DataFrame, score: Column, label: Column): Double = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(score, label)
-    val ranked = scored.withColumn("_r", row_number().over(w))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(score)
+    val ranked = scored
+      .withColumn("_s", score.cast("double"))
+      .withColumn("_r", row_number().over(w))
       .withColumn("_pos", label.cast("int"))
-    val agg = ranked.agg(
-      sum(when(col("_pos") === 1, col("_r"))).as("rankSum"),
-      sum(col("_pos")).as("nPos"), count(lit(1)).as("n")).head
+    // midrank per score group: (min rank + max rank) / 2
+    val mid = ranked.groupBy(col("_s"))
+      .agg(((min(col("_r")) + max(col("_r"))) / 2.0).as("_mr"),
+        sum(col("_pos")).as("_gp"), count(lit(1)).as("_gn"))
+    val agg = mid.agg(
+      sum(col("_mr") * col("_gp")).as("rankSum"),
+      sum(col("_gp")).as("nPos"), sum(col("_gn")).as("n")).head
     val nPos = agg.getLong(1).toDouble
     val nNeg = agg.getLong(2) - nPos
-    (agg.getLong(0) - nPos * (nPos + 1) / 2) / (nPos * nNeg)
+    (agg.getDouble(0) - nPos * (nPos + 1) / 2) / (nPos * nNeg)
   }
 }

@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
  * torch/xgboost and the build is zero-egress):
  *   - nn  (torch MLP 64/32/16, dropout .3, sigmoid)  → MultilayerPerceptronClassifier
  *     layers [d,64,32,16,2] (no dropout/batchnorm in MLlib; softmax pair ≙ sigmoid)
- *   - xgb (XGBClassifier 100/d6/lr.1)                → GBTClassifier(100, d6, step .1)
+ *   - xgb (XGBClassifier 100/d6/lr.1)                → [[NewtonBoost]] (default:
+ *     TRUE second-order XGBoost semantics in-engine — Newton leaves, gain−γ,
+ *     L1/L2, sparsity-aware missing; `xgbNewton = false` falls back to the
+ *     pre-r15 GBTClassifier(100, d6, step .1) substitute)
  *   - rf  (RandomForestClassifier 100/d10)           → RandomForestClassifier(100, d10)
  *   - gbt (GradientBoostingClassifier 100/d5/lr.1)   → GBTClassifier(100, d5, step .1)
  * Ensemble weights stay the reference's 0.3/0.3/0.2/0.2; evaluation gates
@@ -39,7 +42,8 @@ final class Ensemble(
     gbtIter: Int = 100,
     mlpIter: Int = 50,
     scale: Boolean = false,
-    seed: Long = 42L) extends Serializable {
+    seed: Long = 42L,
+    xgbNewton: Boolean = true) extends Serializable {
 
   // `scale = true` fits a real StandardScaler (zero-mean unit-variance)
   // between assembly and every model — the M9 path the reference
@@ -79,20 +83,43 @@ final class Ensemble(
 
   /** Fit all four models on `train` (must contain featureCols + integer
     * `label`). Small bounded input (post-top-k candidates) → single fit
-    * per model; MLlib distributes tree building over partitions. */
+    * per model; MLlib distributes tree building over partitions.
+    *
+    * With `xgbNewton` (default) the xgb slot is the in-engine
+    * [[NewtonBoost]] — reference hyperparameters mapped 1:1
+    * (n_estimators=xgbIter, max_depth=6, learning_rate=0.1, xgboost's
+    * own λ=1/γ=0/α=0/min_child_weight=1 defaults). Trees are
+    * scale-invariant so the NewtonBoost slot always fits on the RAW
+    * feature columns (xgboost never scales its inputs either); it is
+    * also bit-deterministic at any partition layout — the one slot
+    * whose output needs no canonicalization. */
   def fit(train: DataFrame): EnsembleModel = {
     val d = featureCols.size
     val models = estimators(d).map { case (name, est) =>
-      val stages: Array[org.apache.spark.ml.PipelineStage] =
-        if (scale) Array(assembler, scalerStage,
-          est.asInstanceOf[org.apache.spark.ml.PipelineStage])
-        else Array(assembler, est.asInstanceOf[org.apache.spark.ml.PipelineStage])
-      val pipe = new Pipeline().setStages(stages)
-      name -> pipe.fit(train)
+      if (name == "xgb" && xgbNewton)
+        name -> (NewtonSlot(NewtonBoost.fit(train, featureCols, "label",
+          NewtonBoost.Params(rounds = xgbIter, maxDepth = 6,
+            learningRate = 0.1))): SlotModel)
+      else {
+        val stages: Array[org.apache.spark.ml.PipelineStage] =
+          if (scale) Array(assembler, scalerStage,
+            est.asInstanceOf[org.apache.spark.ml.PipelineStage])
+          else Array(assembler, est.asInstanceOf[org.apache.spark.ml.PipelineStage])
+        val pipe = new Pipeline().setStages(stages)
+        name -> (MllibSlot(pipe.fit(train)): SlotModel)
+      }
     }
     new EnsembleModel(models, Scoring.referenceWeights.toMap)
   }
 }
+
+/** One fitted slot of the ensemble zoo: an MLlib pipeline (vector-in,
+  * probability-out transform) or an in-engine [[NewtonBoost]] model
+  * (a pure codegen column over the raw feature columns — no assembler,
+  * no broadcast, fuses into whole-stage codegen with the vote). */
+sealed trait SlotModel extends Serializable
+final case class MllibSlot(pipe: PipelineModel) extends SlotModel
+final case class NewtonSlot(model: NewtonBoost.Model) extends SlotModel
 
 /**
  * Fitted ensemble: scoring transform + persistence
@@ -100,16 +127,19 @@ final class Ensemble(
  * orchestrator.py:355-373 — joblib pkl → PipelineModel.save dirs).
  */
 final class EnsembleModel(
-    val models: Seq[(String, PipelineModel)],
+    val models: Seq[(String, SlotModel)],
     val weights: Map[String, Double]) extends Serializable {
 
   /** Per-model P(class=1) columns appended as score_<name>. */
   def withModelScores(df: DataFrame): DataFrame =
-    models.foldLeft(df) { case (acc, (name, m)) =>
-      val scored = m.transform(acc)
-        .withColumn(s"score_$name", vector_to_array(col("probability"))(1))
-      scored.drop("features", "raw_features", "rawPrediction",
-        "probability", "prediction")
+    models.foldLeft(df) {
+      case (acc, (name, MllibSlot(m))) =>
+        val scored = m.transform(acc)
+          .withColumn(s"score_$name", vector_to_array(col("probability"))(1))
+        scored.drop("features", "raw_features", "rawPrediction",
+          "probability", "prediction")
+      case (acc, (name, NewtonSlot(nb))) =>
+        acc.withColumn(s"score_$name", nb.score)
     }
 
   private def scoreCols: Seq[(Column, Double)] =
@@ -176,7 +206,7 @@ final class EnsembleModel(
     * we return the real thing MLlib computes for free). */
   def featureImportances(name: String): Option[org.apache.spark.ml.linalg.Vector] =
     models.collectFirst {
-      case (`name`, m) => m.stages.last match {
+      case (`name`, MllibSlot(m)) => m.stages.last match {
         case rf: org.apache.spark.ml.classification.RandomForestClassificationModel =>
           rf.featureImportances
         case gbt: org.apache.spark.ml.classification.GBTClassificationModel =>
@@ -185,7 +215,12 @@ final class EnsembleModel(
     }
 
   def save(dir: String): Unit = {
-    models.foreach { case (name, m) => m.write.overwrite().save(s"$dir/$name") }
+    models.foreach {
+      case (name, MllibSlot(m)) => m.write.overwrite().save(s"$dir/$name")
+      // NewtonBoost slots persist as the model's own tree JSON — the
+      // same serialization `marginSql`/`fromJson` already roundtrip
+      case (name, NewtonSlot(nb)) => nb.save(s"$dir/$name.newton.json")
+    }
     // weights as a tiny deterministic JSON (no external json dep)
     val json = weights.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
@@ -200,8 +235,13 @@ object EnsembleModel {
       java.nio.file.Paths.get(s"$dir/weights.json"))
     val weights = "\"([a-z]+)\":([0-9.]+)".r.findAllMatchIn(txt)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    val models = weights.keys.toSeq.sorted.map { name =>
-      name -> PipelineModel.load(s"$dir/$name")
+    val models: Seq[(String, SlotModel)] = weights.keys.toSeq.sorted.map { name =>
+      // slot kind is detected from what save() wrote: a NewtonBoost
+      // tree-JSON file, else an MLlib PipelineModel directory
+      val newtonPath = java.nio.file.Paths.get(s"$dir/$name.newton.json")
+      if (java.nio.file.Files.exists(newtonPath))
+        name -> (NewtonSlot(NewtonBoost.load(newtonPath.toString)): SlotModel)
+      else name -> (MllibSlot(PipelineModel.load(s"$dir/$name")): SlotModel)
     }
     new EnsembleModel(models, weights)
   }

@@ -344,11 +344,16 @@ object NewtonBoost {
         .filter(col("_n").isInCollection(active))
         .select(Seq(col("_n"),
           posexplode(array(binCols.map(col): _*)).as(Seq("_f", "_bin")),
-          gCol, hCol): _*)
+          gCol, hCol, keep.cast("long").as("_k")): _*)
         .groupBy("_n", "_f", "_bin")
         .agg(sum(col("_g").cast(Dec)).as("g"),
           sum(col("_h").cast(Dec)).as("h"),
-          count(lit(1)).as("c"))
+          // cell count = rows SAMPLED this round (sum of the keep mask,
+          // not a raw row count): with subsample < 1, split-eligibility
+          // guards and min-count checks must see only the round's row
+          // subset — xgboost's per-round semantics — else masked rows
+          // (g=h=0) still satisfy cnt>0 and shift split choices.
+          sum(col("_k")).as("c"))
         .collect()
 
       // node -> feature -> bin -> Cell (bin -1 = missing).

@@ -60,14 +60,46 @@ object ApiShell {
       mac.doFinal(data.getBytes("UTF-8"))
     }
 
+    // Claim strings are JSON-escaped on issue and the verifier parses
+    // the payload positionally (anchored full-match, escape-aware), so
+    // a username containing '"' or JSON fragments cannot inject claim
+    // text into a signed token.
+    private def jsonEscape(s: String): String =
+      s.flatMap {
+        case '"'           => "\\\""
+        case '\\'          => "\\\\"
+        case c if c < ' '  => f"\\u${c.toInt}%04x"
+        case c             => c.toString
+      }
+    private def jsonUnescape(s: String): String = {
+      val out = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case 'u' if i + 5 < s.length =>
+              out.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+              i += 6
+            case e => out.append(e); i += 2
+          }
+        } else { out.append(c); i += 1 }
+      }
+      out.toString
+    }
+
     def issue(sub: String, role: String): String = {
       val header = b64("""{"alg":"HS256","typ":"JWT"}""".getBytes("UTF-8"))
       val exp = clock.nowMs / 1000 + expirationHours.toLong * 3600
       val payload = b64(
-        s"""{"sub":"$sub","role":"$role","exp":$exp}""".getBytes("UTF-8"))
+        s"""{"sub":"${jsonEscape(sub)}","role":"${jsonEscape(role)}","exp":$exp}"""
+          .getBytes("UTF-8"))
       val body = s"$header.$payload"
       s"$body.${b64(hmac(body))}"
     }
+
+    private val PayloadShape =
+      """\{"sub":"((?:[^"\\]|\\.)*)","role":"((?:[^"\\]|\\.)*)","exp":([0-9]+)\}""".r
 
     /** Right((sub, role)) or Left(reason) — reasons mirror the
       * reference's 401 details. */
@@ -84,14 +116,10 @@ object ApiShell {
             val payload =
               try new String(java.util.Base64.getUrlDecoder.decode(p), "UTF-8")
               catch { case _: IllegalArgumentException => "" }
-            val claims = "\"(sub|role|exp)\":(?:\"([^\"]*)\"|([0-9]+))".r
-              .findAllMatchIn(payload)
-              .map(m => m.group(1) ->
-                Option(m.group(2)).getOrElse(m.group(3))).toMap
-            (claims.get("sub"), claims.get("role"), claims.get("exp")) match {
-              case (Some(sub), Some(role), Some(exp)) =>
+            payload match {
+              case PayloadShape(sub, role, exp) =>
                 if (exp.toLong < clock.nowMs / 1000) Left("Token expired")
-                else Right((sub, role))
+                else Right((jsonUnescape(sub), jsonUnescape(role)))
               case _ => Left("Invalid authentication credentials")
             }
           }
@@ -168,9 +196,15 @@ object ApiShell {
       bucket.tryAcquire()
     }
 
-    /** POST /api/auth/token (main.py:330-341). */
-    def login(username: String, password: String): Result =
-      users.get(username) match {
+    /** POST /api/auth/token (main.py:330-341). The reference's default
+      * limiter applies to every non-exempt route — only /api/health is
+      * `@limiter.exempt` — so login admits through the same bucket,
+      * keyed by client host (no bearer exists yet); unlimited login
+      * would otherwise allow brute-forcing the password compare. */
+    def login(username: String, password: String,
+              clientHost: Option[String] = None): Result =
+      if (!admit(None, clientHost)) ApiError(429, "Rate limit exceeded")
+      else users.get(username) match {
         case Some(u) if u.password == password =>
           OkText(tokens.issue(u.username, u.role))
         case _ => ApiError(401, "Incorrect username or password")
@@ -187,9 +221,13 @@ object ApiShell {
         case None => ApiError(401, "Not authenticated")
         case Some(t) => tokens.verify(t) match {
           case Left(reason) => ApiError(401, reason)
-          case Right((sub, role)) => users.get(sub) match {
+          case Right((sub, _)) => users.get(sub) match {
             case None => ApiError(401, "Invalid authentication credentials")
-            case Some(_) => f(sub, role)
+            // The role comes from the STORE, not the token claim — the
+            // reference's verify_token returns user_obj.role re-read per
+            // request (main.py:268), so a demotion takes effect
+            // immediately instead of riding the token for 24h.
+            case Some(u) => f(sub, u.role)
           }
         }
       }
@@ -262,6 +300,16 @@ object ApiShell {
 
     /** GET /api/health (main.py:302) — unauthenticated, unlimited. */
     def health: Result = OkText("""{"status":"healthy"}""")
+
+    /** GET /api/auth/me — the authenticated identity as the HANDLERS see
+      * it: sub from the verified token, role re-read from the store
+      * (main.py:268 returns user_obj.role, not the claim). Exists so the
+      * role-freshness policy is observable/testable at the surface. */
+    def whoami(bearer: Option[String],
+               clientHost: Option[String] = None): Result =
+      guarded(bearer, clientHost) { (sub, role) =>
+        OkText(s"""{"username":"$sub","role":"$role"}""")
+      }
 
     /** GET /api/recommendations/{id} (main.py:515-552). The existence
       * probe is a point lookup; at table scale this is the

@@ -107,6 +107,25 @@ class RankingMetricsSpec extends SparkSpec {
       s"full relation must never be globally sorted:\n$plan")
   }
 
+  test("auc uses midranks over tied scores (Mann-Whitney/sklearn): a " +
+      "pos/neg tie counts half, not a positive win") {
+    // untied sanity: perfect separation = 1.0, inverted = 0.0
+    val sep = Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0))
+      .toDF("score", "label")
+    assert(RankingMetrics.auc(sep, col("score"), col("label")) == 1.0)
+    // all scores identical, one pos one neg → AUC exactly 0.5
+    // (label-ascending tie-break would have scored this 1.0)
+    val tied = Seq((0.5, 1), (0.5, 0)).toDF("score", "label")
+    assert(RankingMetrics.auc(tied, col("score"), col("label")) == 0.5)
+    // mixed: scores [.9(+), .5(+), .5(-), .5(-), .1(-)]
+    // pairs: (.9 vs 3 negs)=3 wins; (.5+ vs two .5-)=2 halves; (.5+ vs .1)=1
+    // AUC = (3 + 1 + 1) / (2*3) = 5/6
+    val mixed = Seq((0.9, 1), (0.5, 1), (0.5, 0), (0.5, 0), (0.1, 0))
+      .toDF("score", "label")
+    assert(math.abs(RankingMetrics.auc(mixed, col("score"), col("label"))
+      - 5.0 / 6.0) < 1e-12)
+  }
+
   test("baselines: popularity sigmoid and similarity min-max") {
     val b = df.select(col("id"), (col("id") * 1.0).as("f0"),
       (col("id") * 2.0).as("f1"))

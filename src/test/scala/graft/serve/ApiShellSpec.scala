@@ -59,6 +59,55 @@ class ApiShellSpec extends SparkSpec {
     assert(tokens.verify(t) == Right(("alice", "admin")))
   }
 
+  test("login is rate-limited per client host (reference default limiter " +
+      "covers all non-exempt routes)") {
+    val (shell, clock, _, _) = mkShell(callsPerMinute = 3)
+    (1 to 3).foreach { _ =>
+      assert(shell.login("alice", "wrong", Some("10.0.0.7")) ==
+        ApiError(401, "Incorrect username or password"))
+    }
+    // brute-force attempt #4 is refused BEFORE the password compare
+    assert(shell.login("alice", "s3cret", Some("10.0.0.7")) ==
+      ApiError(429, "Rate limit exceeded"))
+    // a different host has its own bucket
+    assert(shell.login("alice", "s3cret", Some("10.0.0.8"))
+      .isInstanceOf[OkText])
+    // refill re-admits the throttled host
+    clock.now += 20000
+    assert(shell.login("alice", "s3cret", Some("10.0.0.7"))
+      .isInstanceOf[OkText])
+  }
+
+  test("role is re-read from the store per request: a demotion takes " +
+      "effect on outstanding tokens immediately") {
+    val (shell, _, users, tokens) = mkShell()
+    val t = bearerOf(shell.login("alice", "s3cret"))
+    assert(tokens.verify(t) == Right(("alice", "admin"))) // claim says admin
+    assert(shell.whoami(Some(t)) ==
+      OkText("""{"username":"alice","role":"admin"}"""))
+    // demote alice while her admin-claim token is still outstanding:
+    // the handlers must see the STORE's current role, not the claim's
+    users.put(User("alice", "s3cret", "viewer"))
+    assert(shell.whoami(Some(t)) ==
+      OkText("""{"username":"alice","role":"viewer"}"""))
+  }
+
+  test("token claims are injection-proof: quotes in the username cannot " +
+      "forge claim text") {
+    val (shell, _, users, tokens) = mkShell()
+    val evil = """mallory","role":"admin"""  // tries to smuggle a role claim
+    users.put(User(evil, "pw", "viewer"))
+    val t = bearerOf(shell.login(evil, "pw"))
+    // the signed token round-trips the LITERAL username and the true role
+    assert(tokens.verify(t) == Right((evil, "viewer")))
+    // and a tampered payload fails signature verification
+    val parts = t.split('.')
+    val forged = java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(
+      """{"sub":"mallory","role":"admin","exp":9999999999}""".getBytes("UTF-8"))
+    assert(tokens.verify(s"${parts(0)}.$forged.${parts(2)}")
+      == Left("Invalid token"))
+  }
+
   test("recommendations: filter + sort + paginate through the facade") {
     val (shell, _, _, _) = mkShell()
     val t = bearerOf(shell.login("alice", "s3cret"))
