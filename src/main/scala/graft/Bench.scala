@@ -135,8 +135,9 @@ object Bench {
       catch { case _: Throwable => -1.0 }
     def calOnce(): Double = {
       val t0 = System.nanoTime()
+      // bit_xor, not sum: 48M uniform longs overflow a long sum under ANSI
       spark.range(0L, 48L << 20, 1L, cpus.toInt)
-        .select(sum(xxhash64(col("id")))).head()
+        .select(expr("bit_xor(xxhash64(id))")).head()
       (System.nanoTime() - t0) / 1e9
     }
     calOnce(); calOnce() // JIT the calibration shape off-ledger

@@ -87,7 +87,13 @@ object SparkEntry {
       "q36_er_confusion" ->
         ((s, dir) => graft.queries.ErQueries.assertScoreMarginsSound(s, dir)),
       "q147_score_calibration" ->
-        ((s, dir) => graft.queries.ErQueries.assertScoreMarginsSound(s, dir)))
+        ((s, dir) => graft.queries.ErQueries.assertScoreMarginsSound(s, dir)),
+      // q200/q201: the DuckDB replay's byte map is space-only; exact iff
+      // the corpus is printable ASCII + space (the kernel maps all 256)
+      "q200_bpe_byte_train" ->
+        ((s, dir) => graft.queries.BpeQueries.assertByteLevelOracleSound(s, dir)),
+      "q201_bpe_byte_fertility" ->
+        ((s, dir) => graft.queries.BpeQueries.assertByteLevelOracleSound(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

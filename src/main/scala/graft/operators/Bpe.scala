@@ -420,4 +420,32 @@ object Bpe {
     org.apache.spark.sql.graftshim.GraftShim.column(
       graft.functions.BpeEncode(
         org.apache.spark.sql.graftshim.GraftShim.expr(text), merges))
+
+  // ---------------------------------------------------------------------
+  // Byte-level variant (GPT-2 lineage) — see functions/ByteLevelBpe.scala
+  // ---------------------------------------------------------------------
+
+  /** Byte-level (word, cnt) frequencies: GPT-2-pretokenized (case
+    * preserved, leading space part of the token), UTF-8 bytes mapped to
+    * the printable byte alphabet — ONE corpus scan through the
+    * [[graft.functions.ByteLevelWords]] kernel. The resulting counts
+    * frame feeds [[trainBatchedRounds]] unchanged: mapped symbols are
+    * single BMP chars, so the trainer's per-char alphabet split IS the
+    * byte alphabet, and chr(31) can never occur in a symbol (the map's
+    * range contains no control characters at all). */
+  def byteLevelWords(textCol: Column): Column =
+    org.apache.spark.sql.graftshim.GraftShim.column(
+      graft.functions.ByteLevelWords(
+        org.apache.spark.sql.graftshim.GraftShim.expr(textCol)))
+
+  def byteLevelWordCounts(docs: DataFrame, textCol: Column): DataFrame =
+    docs.select(explode(byteLevelWords(textCol)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** The learned byte-level table as a tokenizing Column (pretokenize →
+    * byte-map → lowest-rank merge loop, scan-local codegen). */
+  def encodeByteLevel(text: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.graftshim.GraftShim.column(
+      graft.functions.ByteLevelEncode(
+        org.apache.spark.sql.graftshim.GraftShim.expr(text), merges))
 }

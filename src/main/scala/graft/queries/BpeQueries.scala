@@ -48,6 +48,32 @@ object BpeQueries {
   private val NumMerges = 16
   private val MinPair = 2L
 
+  /** Byte-level trainer shape (q200/q201): 8 rounds × up-to-24 disjoint
+    * merges over the GPT-2 byte alphabet. The documents corpus has only
+    * ~61 distinct byte-pretokens (tiny synthetic vocabulary), bounding
+    * TOTAL possible merges at a few hundred — so corpus-scale merge
+    * counts (the 1024-merge gate) live in `ByteLevelBpeSpec` on a
+    * synthetic wide-vocabulary corpus, exactly as q192's scale gate
+    * does; the oracle-gated query trains to the depth this corpus
+    * supports, with multi-round symbol reuse exercised. */
+  private val ByteRounds = 8
+  private val ByteBatch = 24
+
+  /** The oracle's byte-map replay (`replace(w, ' ', chr(288))`) is exact
+    * only while every corpus byte is printable ASCII or space — space is
+    * then the ONLY remapped byte (the engine-side kernel maps all 256).
+    * Any other byte appearing in a future testdata regen must fail the
+    * gate loudly, not silently hash-diverge. */
+  def assertByteLevelOracleSound(s: SparkSession, dir: String): Unit = {
+    val bad = t(s, dir, "documents")
+      .filter(length(regexp_replace(col("text"), "[ -~]", "")) > 0)
+      .limit(1).count()
+    require(bad == 0,
+      "byte-level BPE oracle precondition violated: documents.text " +
+        "contains bytes outside printable ASCII + space; the DuckDB " +
+        "replay's space-only byte map no longer matches the kernel")
+  }
+
   /** q192 batched-trainer shape: 4 rounds × up-to-12 disjoint merges —
     * small enough that the generated round-replay oracle stays readable,
     * deep enough that later rounds merge symbols built by earlier
@@ -123,6 +149,55 @@ object BpeQueries {
         BatchRounds, BatchSize, MinPair)
       val rows = res.merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
       s.createDataFrame(rows).toDF("rank", "a", "b").orderBy("rank")
+    }),
+
+    "q200_bpe_byte_train" -> ((s, dir) => {
+      // BYTE-LEVEL batched training (GPT-2 lineage): pretokenize with
+      // the RE2-compatible GPT-2 regex (case preserved, leading space
+      // in-token), map UTF-8 bytes to the printable byte alphabet, then
+      // the SAME batched round loop as q192 — one corpus scan, rounds
+      // over the distinct-pretoken frame. The oracle replays the
+      // identical rounds in DuckDB with a recursive-CTE apply (one
+      // recursion step per selected merge, in selection order), the
+      // same window disjointness screen, and the space→chr(288) byte
+      // map the ASCII precondition guarantees is complete.
+      val res = Bpe.trainBatchedRounds(
+        Bpe.byteLevelWordCounts(t(s, dir, "documents"), col("text")),
+        ByteRounds, ByteBatch, MinPair)
+      val rows = res.merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+      s.createDataFrame(rows).toDF("rank", "a", "b").orderBy("rank")
+    }),
+
+    "q201_bpe_byte_fertility" -> ((s, dir) => {
+      // byte-level fertility audit (q173's form, real-tokenizer units):
+      // bytes-per-token and tokens-per-pretoken per source under the
+      // corpus-trained byte-level table — the compression numbers the
+      // mixing budgets (q140 form) should meter, since token counts from
+      // a byte-level tokenizer are what any production tokenizer
+      // produces on arbitrary text. Spark RE-TOKENIZES through the
+      // codegen encoder while the oracle reads token counts off the
+      // final replay vocab — trainer and encoder are cross-checked
+      // end-to-end (the q166 discipline).
+      val docs = t(s, dir, "documents")
+      val res = Bpe.trainBatchedRounds(
+        Bpe.byteLevelWordCounts(docs, col("text")),
+        ByteRounds, ByteBatch, MinPair)
+      docs.select(col("source"),
+          size(Bpe.encodeByteLevel(col("text"), res.merges))
+            .cast("long").as("_ntok"),
+          octet_length(col("text")).cast("long").as("_nb"),
+          size(Bpe.byteLevelWords(col("text"))).cast("long").as("_nw"))
+        .groupBy("source")
+        .agg(sum(col("_ntok")).as("n_tokens"),
+          sum(col("_nb")).as("n_bytes"),
+          sum(col("_nw")).as("n_pretokens"))
+        .select(col("source"), col("n_tokens"), col("n_bytes"),
+          col("n_pretokens"),
+          round(col("n_bytes").cast("double") /
+            col("n_tokens").cast("double"), 6).as("bytes_per_token"),
+          round(col("n_tokens").cast("double") /
+            col("n_pretokens").cast("double"), 6).as("tokens_per_pretoken"))
+        .orderBy("source")
     })
   )
 
@@ -205,7 +280,88 @@ object BpeQueries {
     sb.toString
   }
 
+  /** Byte-level round replay: the q192 window-rule CTEs over the
+    * byte-mapped pretoken vocab, with the per-round apply as a
+    * RECURSIVE CTE (one step per selected merge in sk order — exactly
+    * the trainer's foldLeft; within-round disjointness makes the order
+    * immaterial anyway, so the replay binds the SELECTION, the
+    * recursion binds the application). `word` is threaded through the
+    * recursion so the fertility oracle can read per-word token counts
+    * off the final vocab. The byte map is space→chr(288) ONLY — exact
+    * under the ASCII precondition `assertByteLevelOracleSound` enforces
+    * per verify run. The pretokenizer string is the SAME regex the
+    * Scala kernel compiles ([[graft.functions.ByteLevelBpe]]); RE2 and
+    * java.util.regex agree on it (no lookahead, leftmost-first
+    * alternation in both). */
+  private def byteCtes: String = {
+    val pretokSql =
+      raw"''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+    val sb = new StringBuilder
+    sb ++= s"""WITH RECURSIVE zwc AS MATERIALIZED (SELECT w AS word, count(*) AS cnt FROM (
+      |    SELECT replace(unnest(regexp_extract_all(text, '$pretokSql', 0)),
+      |      ' ', chr(288)) AS w
+      |    FROM documents) GROUP BY 1),
+      |zv0 AS MATERIALIZED (SELECT word,
+      |    chr(31) || array_to_string(string_split(word, ''), chr(31)) || chr(31) AS s,
+      |    cnt FROM zwc)""".stripMargin
+    for (r <- 0 until ByteRounds) {
+      sb ++= s""",
+        |zp$r AS MATERIALIZED (SELECT sy[i] AS a, sy[i+1] AS b, sum(cnt) AS n FROM (
+        |    SELECT sy, cnt, unnest(range(1, len(sy))) AS i FROM (
+        |      SELECT list_filter(string_split(s, chr(31)), x -> x <> '') AS sy, cnt
+        |      FROM zv$r))
+        |  GROUP BY 1, 2 HAVING sum(cnt) >= $MinPair),
+        |zc$r AS MATERIALIZED (SELECT a, b,
+        |    row_number() OVER (ORDER BY n DESC, a, b) AS rk
+        |  FROM zp$r ORDER BY n DESC, a, b LIMIT $ByteBatch),
+        |zk$r AS MATERIALIZED (SELECT a, b,
+        |    row_number() OVER (ORDER BY rk) AS sk
+        |  FROM zc$r c1
+        |  WHERE NOT EXISTS (SELECT 1 FROM zc$r c2 WHERE c2.rk < c1.rk
+        |    AND (c2.a IN (c1.a, c1.b) OR c2.b IN (c1.a, c1.b)))),
+        |za$r AS (SELECT word, s, cnt, 0 AS k FROM zv$r
+        |  UNION ALL
+        |  SELECT v.word, CASE WHEN m.a IS NOT NULL
+        |      THEN replace(v.s, chr(31) || m.a || chr(31) || m.b || chr(31),
+        |                        chr(31) || m.a || m.b || chr(31))
+        |      ELSE v.s END AS s, v.cnt, v.k + 1
+        |  FROM za$r v LEFT JOIN zk$r m ON m.sk = v.k + 1
+        |  WHERE v.k < (SELECT coalesce(max(sk), 0) FROM zk$r)),
+        |zv${r + 1} AS MATERIALIZED (SELECT word, s, cnt FROM za$r
+        |  WHERE k = (SELECT coalesce(max(sk), 0) FROM zk$r))""".stripMargin
+    }
+    sb.toString
+  }
+
   val oracleSql: Map[String, String] = Map(
+
+    "q200_bpe_byte_train" -> (byteCtes + s"""
+      |SELECT CAST(row_number() OVER (ORDER BY r, sk) - 1 AS INTEGER) AS rank, a, b
+      |FROM (
+      |${(0 until ByteRounds).map(r => s"  SELECT $r AS r, sk, a, b FROM zk$r")
+        .mkString("  UNION ALL\n")}
+      |) ORDER BY rank""".stripMargin),
+
+    "q201_bpe_byte_fertility" -> (byteCtes + s""",
+      |zwsrc AS (SELECT source, w AS word, count(*) AS cnt FROM (
+      |    SELECT source, replace(unnest(regexp_extract_all(text,
+      |      '${raw"''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"}', 0)),
+      |      ' ', chr(288)) AS w
+      |    FROM documents) GROUP BY 1, 2),
+      |zwtok AS (SELECT word,
+      |    len(list_filter(string_split(s, chr(31)), x -> x <> '')) AS ntok,
+      |    len(word) AS nb
+      |  FROM zv$ByteRounds)
+      |SELECT source,
+      |  CAST(sum(cnt * ntok) AS BIGINT) AS n_tokens,
+      |  CAST(sum(cnt * nb) AS BIGINT) AS n_bytes,
+      |  CAST(sum(cnt) AS BIGINT) AS n_pretokens,
+      |  round(CAST(sum(cnt * nb) AS DOUBLE) /
+      |    CAST(sum(cnt * ntok) AS DOUBLE), 6) AS bytes_per_token,
+      |  round(CAST(sum(cnt * ntok) AS DOUBLE) /
+      |    CAST(sum(cnt) AS DOUBLE), 6) AS tokens_per_pretoken
+      |FROM zwsrc JOIN zwtok USING (word)
+      |GROUP BY source ORDER BY source""".stripMargin),
 
     "q192_bpe_batched_train" -> (batchedCtes + s"""
       |SELECT CAST(row_number() OVER (ORDER BY r, sk) - 1 AS INTEGER) AS rank, a, b
