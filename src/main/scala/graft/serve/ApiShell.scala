@@ -16,13 +16,12 @@ import graft.sources.ResilientClient.{Clock, TokenBucket}
  * filtered recommendation listing (:432-478) and export (:794-857 —
  * csv/excel/json, 400 otherwise).
  *
- * The HTTP/ASGI transport itself is out of engine scope; everything a
- * transport would delegate to — admission, authn, the query compile,
- * pagination, serialization — lives here and is spec-driven
- * (`ApiShellSpec` runs filter/sort/paginate/export end-to-end through
- * the shell). The engine side stays [[Serve]]: the shell only parses
- * parameters and enforces policy, so a real HTTP binding is a
- * ~20-line adapter.
+ * The HTTP transport is [[HttpAdapter]] — a JDK-only
+ * (`com.sun.net.httpserver`) binding proven end-to-end over a real
+ * localhost socket by `ApiShellHttpSpec` (login → list → patch →
+ * export → 429). Everything a transport delegates to — admission,
+ * authn, the query compile, pagination, serialization — lives HERE and
+ * is spec-driven (`ApiShellSpec`); the engine side stays [[Serve]].
  *
  * Scale: policy state (users, buckets) is driver-side and O(clients);
  * every data operation is a Spark plan over the recommendations frame —

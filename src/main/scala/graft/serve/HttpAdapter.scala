@@ -1,0 +1,151 @@
+package graft.serve
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.serve.ApiShell._
+
+/**
+ * The HTTP binding [[ApiShell]]'s scaladoc claimed was "a ~20-line
+ * adapter" — now proven, JDK-only (`com.sun.net.httpserver`, zero
+ * dependencies): every route delegates to the Shell, which owns ALL
+ * policy (admission, authn, role freshness, query compile, pagination,
+ * serialization targets). The adapter does exactly the transport jobs:
+ * route matching, query-string/body parsing, bearer extraction, status
+ * + body emission. Reference surface: src/api/main.py (FastAPI/uvicorn
+ * is the transport detail this replaces).
+ *
+ * Scale/ops shape: the engine work per request is a Spark plan built by
+ * the Shell — the adapter never touches data. The JDK server's executor
+ * is the caller's choice (default: a small fixed pool); production
+ * placement is one adapter per driver, the same topology as any Spark
+ * job server. Start with [[HttpAdapter.start]] (port 0 = ephemeral,
+ * returned for the spec to dial); stop with [[HttpAdapter.Handle.stop]].
+ */
+object HttpAdapter {
+
+  final case class Handle(server: HttpServer) {
+    def port: Int = server.getAddress.getPort
+    def stop(): Unit = server.stop(0)
+  }
+
+  private def queryParams(ex: HttpExchange): Map[String, String] = {
+    val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    q.split('&').filter(_.contains('=')).map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      java.net.URLDecoder.decode(k, "UTF-8") ->
+        java.net.URLDecoder.decode(v, "UTF-8")
+    }.toMap
+  }
+
+  private def bearer(ex: HttpExchange): Option[String] =
+    Option(ex.getRequestHeaders.getFirst("Authorization"))
+      .filter(_.startsWith("Bearer ")).map(_.drop(7))
+
+  private def clientHost(ex: HttpExchange): Option[String] =
+    Option(ex.getRemoteAddress).map(_.getAddress.getHostAddress)
+
+  private def body(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+
+  /** application/x-www-form-urlencoded or flat-JSON bodies → map (the
+    * reference's token route takes an OAuth2 form; PATCH takes JSON). */
+  private def bodyParams(s: String): Map[String, String] =
+    if (s.trim.startsWith("{"))
+      "\"([A-Za-z_]+)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+        .findAllMatchIn(s).map(m => m.group(1) -> m.group(2)).toMap
+    else s.split('&').filter(_.contains('=')).map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      java.net.URLDecoder.decode(k, "UTF-8") ->
+        java.net.URLDecoder.decode(v, "UTF-8")
+    }.toMap
+
+  private def send(ex: HttpExchange, status: Int, bodyStr: String,
+                   contentType: String = "application/json"): Unit = {
+    val bytes = bodyStr.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) {
+      val os = ex.getResponseBody
+      try os.write(bytes) finally os.close()
+    }
+    ex.close()
+  }
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    }
+
+  /** Serialize a Shell result: Ok frames as a JSON array of row objects
+    * (bounded by the Shell's own pagination), errors as the reference's
+    * {"detail": …} with the mapped status. */
+  private def emit(ex: HttpExchange, r: Result): Unit = r match {
+    case Ok(df) =>
+      send(ex, 200, df.toJSON.collect().mkString("[", ",", "]"))
+    case OkText(t) =>
+      val b = if (t.trim.startsWith("{")) t
+      else s"""{"result":"${jsonEscape(t)}"}"""
+      send(ex, 200, b)
+    case OkSections(sections) =>
+      val b = sections.toSeq.sortBy(_._1).map { case (k, df) =>
+        s""""$k":${df.toJSON.collect().mkString("[", ",", "]")}"""
+      }.mkString("{", ",", "}")
+      send(ex, 200, b)
+    case ApiError(status, detail) =>
+      send(ex, status, s"""{"detail":"${jsonEscape(detail)}"}""")
+  }
+
+  private val RecId = "/api/recommendations/([0-9]+)".r
+  private val Export = "/api/export/([a-z]+)".r
+
+  /** Bind `shell` on `port` (0 = ephemeral). One handler, routed by
+    * (method, path) — the Shell decides everything else. */
+  def start(shell: Shell, port: Int = 0,
+            exportDir: String =
+              System.getProperty("java.io.tmpdir")): Handle = {
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", port), 0)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    server.createContext("/", (ex: HttpExchange) => {
+      try {
+        val path = ex.getRequestURI.getPath
+        val method = ex.getRequestMethod.toUpperCase
+        (method, path) match {
+          case ("GET", "/api/health") => emit(ex, shell.health)
+          case ("POST", "/api/auth/token") =>
+            val p = bodyParams(body(ex))
+            emit(ex, shell.login(p.getOrElse("username", ""),
+              p.getOrElse("password", ""), clientHost(ex)))
+          case ("GET", "/api/auth/me") =>
+            emit(ex, shell.whoami(bearer(ex), clientHost(ex)))
+          case ("GET", "/api/recommendations") =>
+            emit(ex, shell.recommendations(queryParams(ex), bearer(ex),
+              clientHost(ex)))
+          case ("GET", RecId(id)) =>
+            emit(ex, shell.recommendation(id.toLong, bearer(ex),
+              clientHost(ex)))
+          case ("PATCH", RecId(id)) =>
+            emit(ex, shell.updateRecommendation(id.toLong,
+              bodyParams(body(ex)), bearer(ex), clientHost(ex)))
+          case ("GET", Export(format)) =>
+            val out = s"$exportDir/graft_export_${System.nanoTime()}.$format"
+            emit(ex, shell.export(format, out, queryParams(ex), bearer(ex),
+              clientHost(ex)))
+          case _ =>
+            send(ex, 404, """{"detail":"Not found"}""")
+        }
+      } catch {
+        case e: Throwable =>
+          try send(ex, 500,
+            s"""{"detail":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
+          catch { case _: Throwable => () }
+      }
+    })
+    server.start()
+    Handle(server)
+  }
+}
