@@ -127,6 +127,37 @@ object ApiShell {
     }
   }
 
+  /**
+   * Registry-driven model resolution for [[Shell]] scoring: read the
+   * manifest at `registryDir`, load the PRODUCTION version's NewtonBoost
+   * artifact, and compile it to the point-scoring expressions — so an
+   * A/B promote (the q152 protocol → `Registry.promote`) flips what the
+   * live `/api/score` serves, with no shell restart. No production
+   * version → empty exprs → the Shell's untrained 0.5 fallback
+   * (main.py:604-607).
+   *
+   * The compiled exprs are cached per (version, artifact path): a
+   * promote changes the production version, which misses the cache and
+   * loads the new artifact; repeat requests under one version never
+   * re-read the manifest's model file. The manifest itself is re-read
+   * per request — it is one tiny JSON file, and its freshness IS the
+   * feature.
+   */
+  def registryScoreExprs(spark: org.apache.spark.sql.SparkSession,
+                         registryDir: String)
+      : Seq[(String, org.apache.spark.sql.Column)] =
+    graft.ml.Registry.read(spark, registryDir).production match {
+      case None => Nil
+      case Some(e) =>
+        val key = s"${e.version}@${e.path}"
+        modelCache.getOrElseUpdate(key,
+          Seq("score" -> graft.ml.NewtonBoost.load(e.path).score))
+    }
+
+  private val modelCache =
+    scala.collection.concurrent.TrieMap[
+      String, Seq[(String, org.apache.spark.sql.Column)]]()
+
   sealed trait Result
   /** 200 with a frame — the transport would serialize it. */
   final case class Ok(df: DataFrame) extends Result
@@ -161,11 +192,21 @@ object ApiShell {
   final class Shell(recs0: => DataFrame, users: UserStore,
                     tokens: TokenService, clock: Clock,
                     callsPerMinute: Int = 100,
-                    scoreExprs: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+                    scoreExprs0: => Seq[(String, org.apache.spark.sql.Column)] = Nil,
                     accounts: Option[DataFrame] = None,
                     onUpdate: (Long, Map[String, String]) => Boolean =
                       (_, _) => false) {
     import org.apache.spark.sql.functions._
+
+    /** BY-NAME like `recs`: the scoring expressions are RESOLVED PER
+      * REQUEST, so a registry-backed caller ([[registryScoreExprs]])
+      * makes promote/rollback change what serves immediately — the
+      * reference's ABTestManager.promote_model intent
+      * (feedback_logging.py:572-595), but against the durable manifest
+      * instead of an in-memory traffic dict. Literal callers are
+      * unaffected (a constant Seq re-evaluates to itself). */
+    private def scoreExprs: Seq[(String, org.apache.spark.sql.Column)] =
+      scoreExprs0
 
     /** BY-NAME on purpose: the recommendations table is MUTABLE (the
       * PATCH endpoint rewrites lake files through the Layout

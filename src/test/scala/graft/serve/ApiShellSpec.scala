@@ -285,7 +285,7 @@ class ApiShellSpec extends SparkSpec {
       "score_a" -> (col("x") * 2.0),
       "score_b" -> (col("x") * 0.5),
       "score" -> ((col("x") * 2.0 + col("x") * 0.5) / 2.0))
-    val shell = new Shell(recs, users, tokens, clock, scoreExprs = exprs)
+    val shell = new Shell(recs, users, tokens, clock, scoreExprs0 = exprs)
     val t = bearerOf(shell.login("alice", "s3cret"))
     val pair = Seq(0.6).toDF("x") // score = (1.2 + 0.3) / 2 = 0.75
     shell.score(pair, includeExplanation = false, Some(t)) match {
@@ -307,7 +307,7 @@ class ApiShellSpec extends SparkSpec {
     // band edges: 0.81 Very High, 0.65 Medium, 0.5 Low + nurture action
     def bandOf(x: Double): (String, String) = {
       val s = new Shell(recs, users, tokens, clock,
-        scoreExprs = Seq("score" -> lit(x)))
+        scoreExprs0 = Seq("score" -> lit(x)))
       s.score(pair, bearer = Some(t)) match {
         case Ok(df) =>
           val r = df.head()
@@ -384,5 +384,44 @@ class ApiShellSpec extends SparkSpec {
     (1 to 5).foreach { _ =>
       assert(shell.health == OkText("""{"status":"healthy"}"""))
     }
+  }
+
+  test("registry-driven serving: a promote flips the served model on the " +
+      "next request, rollback restores it — no shell restart") {
+    import graft.ml.{NewtonBoost, Registry}
+    val dir = java.nio.file.Files.createTempDirectory("graft-reg").toString
+    // two one-leaf boosters with opposite margins: served score tells
+    // exactly which artifact answered
+    NewtonBoost.Model(Seq("f"), Seq(NewtonBoost.Leaf(1.0)), 1.0, 0.5)
+      .save(s"$dir/a.json")
+    NewtonBoost.Model(Seq("f"), Seq(NewtonBoost.Leaf(-1.0)), 1.0, 0.5)
+      .save(s"$dir/b.json")
+    val clock = new VClock
+    val users = new UserStore
+    users.put(User("alice", "s3cret", "admin"))
+    val tokens = new TokenService("reg-secret", clock)
+    val shell = new Shell(recs, users, tokens, clock,
+      scoreExprs0 = ApiShell.registryScoreExprs(spark, dir))
+    val t = bearerOf(shell.login("alice", "s3cret"))
+    val pair = Seq(0.0).toDF("f")
+    def served(): Double = shell.score(pair, bearer = Some(t)) match {
+      case Ok(df) => df.select("score").head.getDouble(0)
+      case other => fail(s"expected scored frame, got $other")
+    }
+    // no production version → the reference's untrained 0.5 fallback
+    assert(served() == 0.5)
+    Registry.register(spark, dir, "v1", s"$dir/a.json")
+    Registry.promote(spark, dir, "v1")
+    val sA = served()
+    assert(math.abs(sA - 1.0 / (1.0 + math.exp(-1.0))) < 1e-12)
+    // promote a challenger: the SAME shell serves it on the next request
+    Registry.register(spark, dir, "v2", s"$dir/b.json")
+    Registry.promote(spark, dir, "v2")
+    val sB = served()
+    assert(math.abs(sB - 1.0 / (1.0 + math.exp(1.0))) < 1e-12)
+    assert(sA != sB)
+    // emergency rollback re-serves the incumbent
+    Registry.rollback(spark, dir, "v1")
+    assert(served() == sA)
   }
 }
