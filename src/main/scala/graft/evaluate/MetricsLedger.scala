@@ -332,11 +332,104 @@ object MetricsLedger {
     out
   }
 
+  /** DSIR end-to-end EFFICACY (the ablation Xie et al. §5 actually
+    * runs, VERDICT r14 #6): train the q196-config quality model on a
+    * DSIR-selected vs a uniformly-random-selected subset of the SAME
+    * pool at the SAME budget (150 docs × fixed 12 tokens each — equal
+    * token budget by construction) and compare downstream holdout AUC
+    * on TARGET-domain data.
+    *
+    * Planted mechanism: the task label is carried by stop_ratio (y=1 →
+    * 6/12 stopwords, y=0 → 2/12) in the TARGET domain and INVERTED in
+    * the off domain — training on off-domain rows actively mis-teaches
+    * the downstream model, the realistic failure mode domain-mismatched
+    * pretraining data causes. DSIR sees only vocabulary (content words
+    * differ per domain; stopwords are shared across domains like real
+    * function words), so its selection advantage is honest: nothing
+    * leaks the label to the selector. The random baseline is the
+    * Gumbel top-k at CONSTANT weight (uniform, same tie-break
+    * machinery) — the two arms differ in the weights alone.
+    *
+    * Seed-deterministic end to end (md5 text/labels/draws,
+    * partition-invariant NewtonBoost), so these are metric rows: a move
+    * means changed code. `DsirEfficacySpec` gates the ordering. */
+  def dsirEfficacyMetrics(spark: SparkSession): Seq[(String, Double)] = {
+    val B = 1024
+    val vocabT = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val vocabO = Seq("omega", "psi", "chi", "phi", "upsilon", "tau")
+    val stops = Seq("the", "and", "of", "to", "a", "in")
+    // 12 words; stop positions carry the label: 6 stops when hi, 2 when lo
+    def text(domainVocab: Seq[String], hiStops: Column, salt: Int): Column =
+      concat_ws(" ", (0 until 12).map { j =>
+        val isStop =
+          when(hiStops, lit(j % 2 == 0)).otherwise(lit(j == 0 || j == 6))
+        when(isStop, Synthetic.pick(col("id"), salt * 100 + j, stops))
+          .otherwise(Synthetic.pick(col("id"), salt * 100 + j, domainVocab))
+      }: _*)
+    def labeled(ids: DataFrame, domainVocab: Seq[String], inverted: Boolean,
+                salt: Int): DataFrame = {
+      val y = (Synthetic.u(col("id"), salt = salt) < 0.5).cast("int")
+      val hi = if (inverted) y === 0 else y === 1
+      ids.select(col("id").as("doc_id"), lit("pool").as("source"),
+        text(domainVocab, hi, salt).as("text"), y.as("label"))
+    }
+    val base = spark.range(1400).toDF()
+    // unlabeled target sample for the selector (its own id range + salt)
+    val targetSample = base.filter(col("id") < 60)
+      .select(col("id").as("doc_id"), text(vocabT,
+        Synthetic.u(col("id"), salt = 7) < 0.5, 1).as("text"))
+    // pool: 300 target-like + 300 off-domain (inverted feature-label)
+    val pool = labeled(base.filter(col("id") >= 100 && col("id") < 400),
+        vocabT, inverted = false, salt = 2)
+      .unionByName(labeled(base.filter(col("id") >= 400 && col("id") < 700),
+        vocabO, inverted = true, salt = 3))
+      .cache()
+    // held-out target-domain eval set, disjoint ids
+    val eval = labeled(base.filter(col("id") >= 700 && col("id") < 1100),
+      vocabT, inverted = false, salt = 4).cache()
+
+    val ratio = graft.operators.Dsir.logRatio(
+      graft.operators.Dsir.bucketCounts(targetSample, col("text"), B),
+      graft.operators.Dsir.bucketCounts(
+        pool.select("doc_id", "text"), col("text"), B), B)
+    val w = graft.operators.Dsir.importanceWeights(pool, col("doc_id"),
+      col("text"), ratio, B).cache()
+    val budget = 150
+    def subset(sel: DataFrame): DataFrame =
+      pool.join(sel.select(col("id").as("doc_id")), "doc_id")
+    val dsirSel = subset(graft.operators.Dsir.gumbelTopK(
+      w, col("id"), col("log_w"), budget))
+    val randSel = subset(graft.operators.Dsir.gumbelTopK(
+      w.withColumn("_u0", lit(0.0)), col("id"), col("_u0"), budget))
+
+    def holdoutAuc(train: DataFrame): Double = {
+      val feats = graft.queries.QualityModelQueries.features(train)
+        .join(train.select(col("doc_id"), col("label")), "doc_id")
+      val m = graft.ml.NewtonBoost.fit(canon(feats, col("doc_id")),
+        graft.queries.QualityModelQueries.featureCols, "label",
+        graft.ml.NewtonBoost.Params(rounds = 4, maxDepth = 3,
+          learningRate = 0.3, maxBins = 16))
+      val scored = graft.queries.QualityModelQueries.features(eval)
+        .join(eval.select(col("doc_id"), col("label")), "doc_id")
+        .select(col("label"), m.score.as("score"))
+      RankingMetrics.auc(scored, col("score"), col("label"))
+    }
+    val out = Seq(
+      "dsir_efficacy_dsir_auc" -> holdoutAuc(dsirSel),
+      "dsir_efficacy_random_auc" -> holdoutAuc(randSel),
+      "dsir_efficacy_select_target_frac" ->
+        subset(graft.operators.Dsir.gumbelTopK(
+            w, col("id"), col("log_w"), budget))
+          .agg(avg((col("doc_id") < 400).cast("double"))).head.getDouble(0))
+    pool.unpersist(); eval.unpersist(); w.unpersist()
+    out
+  }
+
   def computeAll(spark: SparkSession): Seq[(String, Double)] =
     orderingGateMetrics(spark) ++ referenceConfigMetrics(spark) ++
       erMetrics(spark) ++ newtonBoostMetrics(spark) ++
       AnnRecall.measure(spark) ++ skewEvidence(spark) ++
-      dsirMetrics(spark)
+      dsirMetrics(spark) ++ dsirEfficacyMetrics(spark)
 
   /** Wall-clock rows (the skew-evidence timings) are measurements of
     * the HOST, not of seeded model output — run-to-run noise there is
