@@ -66,7 +66,8 @@ object SparkEntry {
       graft.queries.LmQueries.queries ++
       graft.queries.BoostQueries.queries ++
       graft.queries.DsirQueries.queries ++
-      graft.queries.QualityModelQueries.queries
+      graft.queries.QualityModelQueries.queries ++
+      graft.queries.FunnelQueries.queries
 
   /** Per-query soundness preconditions the correctness harness runs
     * before verifying the named query — a registry, so Verify stays
@@ -112,5 +113,6 @@ object SparkEntry {
       graft.queries.LmQueries.oracleSql ++
       graft.queries.BoostQueries.oracleSql ++
       graft.queries.DsirQueries.oracleSql ++
-      graft.queries.QualityModelQueries.oracleSql
+      graft.queries.QualityModelQueries.oracleSql ++
+      graft.queries.FunnelQueries.oracleSql
 }

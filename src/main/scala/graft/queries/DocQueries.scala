@@ -565,23 +565,28 @@ object DocQueries {
     * (or union-finds) to convergence, the oracle always runs 12 rounds;
     * both sit at the same fixpoint (the min label reaches every node by
     * round 8 at sf0.01; rounds 8-20 all give the same census). */
-  private lazy val dupClustersCte: String = {
+  /** [[dupClustersCte]] parameterized by the input relation — the
+    * funnel oracle (q202) replays the SAME LSH+CC chain over an
+    * upstream stage CTE instead of the raw table. */
+  private[queries] def dupClustersCteFrom(rel: String): String = {
     val step = (k: Int) =>
       s"""l${k + 1} AS MATERIALIZED (SELECT l.id,
          |  least(l.component, coalesce(min(n.component), l.component)) AS component
          |  FROM l$k l LEFT JOIN sym ON sym.src = l.id
          |  LEFT JOIN l$k n ON n.id = sym.dst
          |  GROUP BY l.id, l.component)""".stripMargin
-    s"""$lshSymCte,
+    s"""${lshSymCteFrom(rel)},
       |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS component FROM sym),
       |${(0 until 12).map(step).mkString(",\n")}""".stripMargin
   }
 
+  private lazy val dupClustersCte: String = dupClustersCteFrom("documents")
+
   /** The edge half of [[dupClustersCte]]: q43's LSH pipeline ending in
     * the symmetrized `sym(src, dst)` edge list — shared by the CC label
     * rounds above and q156's PageRank rounds. */
-  private lazy val lshSymCte: String =
-    s"""d AS (SELECT doc_id, $shinglesSql AS sh FROM documents WHERE len(text) > 0),
+  private[queries] def lshSymCteFrom(rel: String): String =
+    s"""d AS (SELECT doc_id, $shinglesSql AS sh FROM $rel WHERE len(text) > 0),
       |hh AS MATERIALIZED (SELECT doc_id, list_transform(sh,
       |  x -> CAST(CAST(('0x' || substring(md5(x), 1, 8)) AS UBIGINT) AS BIGINT)) AS hs
       |  FROM d),
@@ -610,6 +615,8 @@ object DocQueries {
       |edges AS MATERIALIZED (SELECT a_id, b_id FROM j WHERE jaccard >= 0.25),
       |sym AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM edges
       |  UNION ALL SELECT b_id, a_id FROM edges)""".stripMargin
+
+  private lazy val lshSymCte: String = lshSymCteFrom("documents")
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_first_order" ->

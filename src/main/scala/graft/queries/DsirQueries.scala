@@ -155,11 +155,13 @@ object DsirQueries {
   // Shared CTE pipeline: tokenize → unigram++bigram grams → md5 bucket
   // → per-corpus bucket counts → smoothed log-ratio over the FULL
   // domain → per-doc DECIMAL-exact weight sum. Mirrors the Column
-  // pipeline literal for literal.
-  private val dsirCtes =
-    raw"""WITH toksl AS (SELECT doc_id, source,
+  // pipeline literal for literal. Parameterized by the input relation
+  // (rows with source = 'src0' are the target, the rest the pool) so
+  // the funnel oracle (q202) can replay it over a stage CTE.
+  private[queries] def dsirCtesBodyFrom(rel: String): String =
+    raw"""toksl AS (SELECT doc_id, source,
       |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
-      |  FROM documents),
+      |  FROM $rel),
       |grams AS (SELECT doc_id, source, unnest(list_concat(w,
       |    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS gram
       |  FROM toksl),
@@ -182,6 +184,8 @@ object DsirQueries {
       |    CAST(sum(CAST(ratio.logr AS DECIMAL(38,18))) AS DOUBLE) AS log_w
       |  FROM bk JOIN ratio ON ratio.bucket = bk.bucket
       |  WHERE bk.source <> 'src0' GROUP BY 1)""".stripMargin
+
+  private val dsirCtes = "WITH " + dsirCtesBodyFrom("documents")
 
   val oracleSql: Map[String, String] = Map(
 
