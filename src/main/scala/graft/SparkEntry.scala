@@ -67,7 +67,8 @@ object SparkEntry {
       graft.queries.BoostQueries.queries ++
       graft.queries.DsirQueries.queries ++
       graft.queries.QualityModelQueries.queries ++
-      graft.queries.FunnelQueries.queries
+      graft.queries.FunnelQueries.queries ++
+      graft.queries.AnnCurveQueries.queries
 
   /** Per-query soundness preconditions the correctness harness runs
     * before verifying the named query — a registry, so Verify stays
@@ -114,5 +115,6 @@ object SparkEntry {
       graft.queries.BoostQueries.oracleSql ++
       graft.queries.DsirQueries.oracleSql ++
       graft.queries.QualityModelQueries.oracleSql ++
-      graft.queries.FunnelQueries.oracleSql
+      graft.queries.FunnelQueries.oracleSql ++
+      graft.queries.AnnCurveQueries.oracleSql
 }

@@ -293,4 +293,19 @@ object AnnRecall {
       "ann_ivfpq_residual_kmeans_recall_at_10" -> residKmR,
       "ann_ivfpq_kmeans_refined_recall_at_10" -> refinedR)
   }
+
+  /** The q203 (nprobe, refineFactor) operating curve as ledger rows —
+    * recall@10 AND scanned fraction per config, off the stored
+    * modulus-quantizer index (one source of truth with the oracle-gated
+    * query: `AnnCurveQueries.curve`). Seed-deterministic goldens like
+    * every other row here; the recall/cost dial is thereby MEASURED
+    * per round, and a move means the index build changed. */
+  def operatingCurve(spark: SparkSession, dir: String = GateDir)
+      : Seq[(String, Double)] =
+    graft.queries.AnnCurveQueries.curve(spark, dir).collect().toSeq
+      .flatMap { r =>
+        val p = r.getInt(0); val f = r.getInt(1)
+        Seq(s"ann_curve_np${p}_rf${f}_recall" -> r.getDouble(2),
+          s"ann_curve_np${p}_rf${f}_scan" -> r.getDouble(3))
+      }
 }

@@ -428,7 +428,8 @@ object MetricsLedger {
   def computeAll(spark: SparkSession): Seq[(String, Double)] =
     orderingGateMetrics(spark) ++ referenceConfigMetrics(spark) ++
       erMetrics(spark) ++ newtonBoostMetrics(spark) ++
-      AnnRecall.measure(spark) ++ skewEvidence(spark) ++
+      AnnRecall.measure(spark) ++ AnnRecall.operatingCurve(spark) ++
+      skewEvidence(spark) ++
       dsirMetrics(spark) ++ dsirEfficacyMetrics(spark)
 
   /** Wall-clock rows (the skew-evidence timings) are measurements of

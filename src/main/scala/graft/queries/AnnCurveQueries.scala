@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.SimilaritySearch
+import graft.sources.Tables
+
+/**
+ * IVF-PQ (nprobe, refineFactor) operating curve (q203 — VERDICT r14
+ * #4, the q185 discipline applied to ANN): off ONE stored index, every
+ * config's measured recall@10 against exact-cosine ground truth AND its
+ * scanned fraction — the recall/cost dial a 100 TB deployment tunes
+ * BEFORE committing to a probe budget, measured rather than asserted.
+ *
+ * Protocol: the q158 index parameters (ivfModulus 200 → coarse lists,
+ * pqModulus 100 codebook, m=4 × 16-d subspaces), the AnnRecall query
+ * protocol (vec_id % 50 == 7 queries, self-matches excluded), configs
+ * = {1,2,3} probes × {1,3} refine factors. The index is built once,
+ * parquet-roundtripped, and every config row reads the SAME stored
+ * frames (centroids/assignments/codebook/codes) — so the curve is a
+ * property of the artifact a cluster would actually serve from.
+ * `scanned_frac` = probed-list candidate pairs / (queries × corpus):
+ * the fraction of the corpus the ADC stage touches, the cost axis.
+ *
+ * Plan shape: centroid ranking and the ADC lookup table are
+ * query×centroid / query×codebook BROADCAST joins (tiny right sides);
+ * candidates come from the stored assignment lists; per-config ranking
+ * is one window over (config, query) partitions. The ONLY all-pairs
+ * pass is the ground truth — the instrument's cost, never the serving
+ * path's (q185's contract).
+ *
+ * The DuckDB oracle replays the identical math: same modulus
+ * centroids/codebook, same sub-distance double arithmetic as the
+ * q141/q158 oracles, same tie-breaks, multi-query + config-joined.
+ */
+object AnnCurveQueries {
+
+  private val IvfModulus = 200
+  private val PqModulus = 100
+  private val M = 4
+  private val SubDim = 16
+  private val K = 10
+  private val Configs = Seq((1, 1), (1, 3), (2, 1), (2, 3), (3, 1), (3, 3))
+
+  /** The curve frame — shared by the q203 oracle row and the
+    * `MetricsLedger` ann-curve golden rows (one source of truth). */
+  def curve(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.loadSpread(s, dir, "embeddings")
+    // ONE index, stored and read back (the q158 stored-frame contract)
+    val idx = SimilaritySearch.ivfPqIndex(e, col("vec_id"),
+      col("embedding"), IvfModulus, PqModulus, M, SubDim)
+    val out = Scratch.path(s, "q203")
+    idx.ivf.centroids.write.mode("overwrite").parquet(s"$out/centroids")
+    idx.ivf.assignments.write.mode("overwrite").parquet(s"$out/assignments")
+    idx.codebook.write.mode("overwrite").parquet(s"$out/codebook")
+    idx.codes.write.mode("overwrite").parquet(s"$out/codes")
+    val cents = s.read.parquet(s"$out/centroids")
+    val assign = s.read.parquet(s"$out/assignments").select("id", "cid")
+    val cb = s.read.parquet(s"$out/codebook")
+      .select(col("cid").as("code"), col("cv"))
+    val codes = s.read.parquet(s"$out/codes")
+      .select(col("id"), col("s"), col("cid").as("code"))
+
+    val q = e.filter(pmod(col("vec_id"), lit(50)) === 7)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        VectorFunctions.unit(col("embedding")).as("qu"))
+      .filter(col("qu").isNotNull)
+    // bounded driver scalars: corpus size and query count (the
+    // scanned-fraction denominator), never row data
+    val n = e.count()
+    val nq = q.count()
+    import s.implicits._
+    val cfg = Configs.toDF("nprobe", "refine_factor")
+
+    // centroid ranking ONCE per query; configs join on the rank prefix
+    val ranked = q.select(col("qid"), col("qu"))
+      .crossJoin(broadcast(cents))
+      .select(col("qid"), col("cid"),
+        VectorFunctions.dot(col("qu"), col("cu")).as("qcos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("qcos").desc, col("cid").asc)))
+    val probed = ranked.join(broadcast(cfg), col("rn") <= col("nprobe"))
+      .select("nprobe", "refine_factor", "qid", "cid")
+    val cand = probed.join(assign, "cid")
+      .filter(col("id") =!= col("qid"))
+      .select("nprobe", "refine_factor", "qid", "id")
+    val scanned = cand.groupBy("nprobe", "refine_factor")
+      .agg((count(lit(1)).cast("double") / lit(n * nq).cast("double"))
+        .as("scanned_frac"))
+
+    // ADC lookup table: (qid, s, code) → query→sub-centroid distance
+    val dq = q.select(col("qid"), col("qv"),
+        explode(sequence(lit(0), lit(M - 1))).as("s"))
+      .crossJoin(broadcast(cb))
+      .select(col("qid"), col("s"), col("code"),
+        VectorFunctions.sqDist(
+          slice(col("qv"), col("s") * SubDim + 1, lit(SubDim)),
+          slice(col("cv"), col("s") * SubDim + 1, lit(SubDim))).as("dq"))
+    // fixed-order d0+d1+d2+d3 (the adcTopK discipline): order-invariant
+    val adc = cand.join(codes, "id")
+      .join(broadcast(dq), Seq("qid", "s", "code"))
+      .groupBy("nprobe", "refine_factor", "qid", "id")
+      .agg(
+        max(when(col("s") === 0, col("dq"))).as("d0"),
+        max(when(col("s") === 1, col("dq"))).as("d1"),
+        max(when(col("s") === 2, col("dq"))).as("d2"),
+        max(when(col("s") === 3, col("dq"))).as("d3"))
+      .withColumn("adcd",
+        col("d0") + col("d1") + col("d2") + col("d3"))
+    val cfgWin = Window.partitionBy("nprobe", "refine_factor", "qid")
+    val shortlist = adc
+      .withColumn("rk", row_number().over(
+        cfgWin.orderBy(col("adcd").asc, col("id").asc)))
+      .filter(col("rk") <= col("refine_factor") * K)
+      .select("nprobe", "refine_factor", "qid", "id")
+    // exact-cosine re-rank within the shortlist (the q154 refine stage)
+    val units = e.select(col("vec_id").as("id"),
+        VectorFunctions.unit(col("embedding")).as("u"))
+      .filter(col("u").isNotNull)
+    val refined = shortlist
+      .join(units, "id")
+      .join(broadcast(q.select(col("qid"), col("qu"))), "qid")
+      .withColumn("cos", VectorFunctions.dot(col("u"), col("qu")))
+      .withColumn("fr", row_number().over(
+        cfgWin.orderBy(col("cos").desc, col("id").asc)))
+      .filter(col("fr") <= K)
+      .select("nprobe", "refine_factor", "qid", "id")
+    // ground truth: exact cosine top-K per query over the full corpus
+    val truth = units
+      .crossJoin(broadcast(q.select(col("qid"), col("qu"))))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("cos", VectorFunctions.dot(col("u"), col("qu")))
+      .withColumn("tr", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("id").asc)))
+      .filter(col("tr") <= K)
+      .select("qid", "id")
+    val rec = refined.join(truth, Seq("qid", "id"))
+      .groupBy("nprobe", "refine_factor")
+      .agg((count(lit(1)).cast("double") / lit(K.toLong * nq).cast("double"))
+        .as("recall_at_10"))
+    cfg.join(rec, Seq("nprobe", "refine_factor"), "left")
+      .join(scanned, Seq("nprobe", "refine_factor"), "left")
+      .select(col("nprobe"), col("refine_factor"),
+        round(coalesce(col("recall_at_10"), lit(0.0)), 6).as("recall_at_10"),
+        round(coalesce(col("scanned_frac"), lit(0.0)), 6).as("scanned_frac"))
+      .orderBy("nprobe", "refine_factor")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q203_ann_operating_curve" -> ((s, dir) => curve(s, dir)))
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q203_ann_operating_curve" -> {
+      val sub = (v: String) =>
+        s"""list_sum([ ($v[sub.s*$SubDim+i] - cb.cv[sub.s*$SubDim+i])
+           |         * ($v[sub.s*$SubDim+i] - cb.cv[sub.s*$SubDim+i])
+           |           FOR i IN range(1, ${SubDim + 1}) ])""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 7),
+        |nq AS (SELECT CAST(count(*) AS DOUBLE) AS nq FROM q),
+        |cfg AS (SELECT * FROM (VALUES ${Configs.map { case (p, r) =>
+           s"($p, $r)" }.mkString(", ")}) t(nprobe, refine_factor)),
+        |ivfc AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % $IvfModulus = 0),
+        |ranked AS (SELECT q.qid, ivfc.cid,
+        |    row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_cosine_similarity(ivfc.cv, q.qv) DESC,
+        |        ivfc.cid ASC) AS rn
+        |  FROM q, ivfc),
+        |assigned AS (SELECT e.vec_id AS id, ivfc.cid FROM e, ivfc
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_cosine_similarity(e.v, ivfc.cv) DESC,
+        |      ivfc.cid ASC) = 1),
+        |probed AS (SELECT c.nprobe, c.refine_factor, r.qid, r.cid
+        |  FROM ranked r JOIN cfg c ON r.rn <= c.nprobe),
+        |cand AS (SELECT p.nprobe, p.refine_factor, p.qid, a.id
+        |  FROM probed p JOIN assigned a ON a.cid = p.cid
+        |  WHERE a.id <> p.qid),
+        |scanned AS (SELECT nprobe, refine_factor,
+        |    count(*) / (nn.n * nq.nq) AS scanned_frac
+        |  FROM cand, nn, nq GROUP BY nprobe, refine_factor, nn.n, nq.nq),
+        |cbk AS (SELECT vec_id AS code, v AS cv FROM e WHERE vec_id % $PqModulus = 0),
+        |sub AS (SELECT unnest(range(0, $M)) AS s),
+        |codes AS (SELECT e.vec_id AS id, sub.s, cb.code FROM e, sub, cbk cb
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id, sub.s
+        |    ORDER BY ${sub("e.v")}, cb.code) = 1),
+        |dq AS (SELECT q.qid, sub.s, cb.code, ${sub("q.qv")} AS dq
+        |  FROM q, sub, cbk cb),
+        |adc AS (SELECT c.nprobe, c.refine_factor, c.qid, c.id,
+        |    max(CASE WHEN k.s = 0 THEN d.dq END)
+        |      + max(CASE WHEN k.s = 1 THEN d.dq END)
+        |      + max(CASE WHEN k.s = 2 THEN d.dq END)
+        |      + max(CASE WHEN k.s = 3 THEN d.dq END) AS adcd
+        |  FROM cand c JOIN codes k ON k.id = c.id
+        |    JOIN dq d ON d.qid = c.qid AND d.s = k.s AND d.code = k.code
+        |  GROUP BY c.nprobe, c.refine_factor, c.qid, c.id),
+        |short AS (SELECT nprobe, refine_factor, qid, id FROM adc
+        |  QUALIFY row_number() OVER (PARTITION BY nprobe, refine_factor, qid
+        |    ORDER BY adcd ASC, id ASC) <= refine_factor * $K),
+        |refined AS (SELECT s.nprobe, s.refine_factor, s.qid, s.id
+        |  FROM short s JOIN e ON e.vec_id = s.id JOIN q ON q.qid = s.qid
+        |  QUALIFY row_number() OVER (PARTITION BY s.nprobe, s.refine_factor, s.qid
+        |    ORDER BY list_cosine_similarity(e.v, q.qv) DESC, s.id ASC) <= $K),
+        |truth AS (SELECT q.qid, e.vec_id AS id FROM e, q
+        |  WHERE e.vec_id <> q.qid
+        |  QUALIFY row_number() OVER (PARTITION BY q.qid
+        |    ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id ASC)
+        |      <= $K),
+        |rec AS (SELECT r.nprobe, r.refine_factor,
+        |    count(*) / ($K * nq.nq) AS recall_at_10
+        |  FROM refined r JOIN truth t ON t.qid = r.qid AND t.id = r.id, nq
+        |  GROUP BY r.nprobe, r.refine_factor, nq.nq)
+        |SELECT c.nprobe, c.refine_factor,
+        |  round(coalesce(rec.recall_at_10, 0.0), 6) AS recall_at_10,
+        |  round(coalesce(sc.scanned_frac, 0.0), 6) AS scanned_frac
+        |FROM cfg c
+        |LEFT JOIN rec ON rec.nprobe = c.nprobe
+        |  AND rec.refine_factor = c.refine_factor
+        |LEFT JOIN scanned sc ON sc.nprobe = c.nprobe
+        |  AND sc.refine_factor = c.refine_factor
+        |ORDER BY c.nprobe, c.refine_factor""".stripMargin
+    })
+}

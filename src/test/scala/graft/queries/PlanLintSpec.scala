@@ -60,7 +60,9 @@ class PlanLintSpec extends SparkSpec {
     "q184_join_size_estimate" -> "two 1-row frames (sketch estimate x exact cardinality) crossJoined for the comparison row",
     "q185_lsh_operating_curve" -> "the tuning harness's ground-truth all-pairs theta join over the doc_id%10 sample (sample-scale by contract) plus the broadcast 1-row totals frame",
     "q188_decayed_engagement" -> "broadcast 1-row t_ref (max ts) frame crossJoined onto the events scan",
-    "q191_ql_retrieval" -> "q94's broadcast 1-row corpus-stats frame, the query-likelihood variant")
+    "q191_ql_retrieval" -> "q94's broadcast 1-row corpus-stats frame, the query-likelihood variant",
+    "q202_curation_funnel" -> "the q194/q195 DSIR ratio build inside the selection stage: broadcast 1-row totals frame onto the bucket domain (numBuckets rows)",
+    "q203_ann_operating_curve" -> "the instrument's broadcast query-batch joins: queries × centroid table (probe ranking), queries × PQ codebook (ADC lookup build), and queries × corpus for the ground-truth all-pairs pass — tuning harness contract like q185, never the serving path")
 
   /** Expand is legitimate only for SQL grouping sets. */
   private val expandAllowed: Map[String, String] = Map(
