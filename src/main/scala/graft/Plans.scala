@@ -123,7 +123,11 @@ object Plans {
       "q193_boost_score",        // frozen-model margin+attribution: 1 Project post-sort
       "q194_dsir_weights",       // gram explode + broadcast ratio join + doc agg
       "q195_dsir_select",        // Gumbel keys -> TakeOrdered top-k, rank on k rows
-      "q196_quality_model")      // features + frozen margin: ONE codegen projection
+      "q196_quality_model",      // features + frozen margin: ONE codegen projection
+      "q199_selector_agreement", // q194 weight pass + q196 projection + id join
+      "q200_bpe_byte_train",     // byte-level batched rounds (kernel scan + vocab aggs)
+      "q202_curation_funnel",    // 5-stage composed funnel (quality->decon->dedup->DSIR->mix)
+      "q203_ann_operating_curve")// config-joined probe/ADC/refine off the stored index
     // per-query reader notes where the right plan is easy to misread
     val notes = Map(
       "q128_sql_range_join" -> ("The user wrote the naive theta join " +
