@@ -133,6 +133,17 @@ object Bench {
       try new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
+    // (steal jiffies, total jiffies) from /proc/stat — hypervisor CPU
+    // steal is the contention channel loadavg CANNOT see: measured on
+    // this host, a sustained 32-core burn loses 8-20% of its cycles to
+    // steal while idle steal reads 0.0% (BENCH_METHOD r15). Per-window
+    // steal fraction = Δsteal/Δtotal between sentinel samples.
+    def stealCounters: (Long, Long) =
+      try {
+        val parts = scala.io.Source.fromFile("/proc/stat").getLines()
+          .next().split("\\s+").drop(1).map(_.toLong)
+        (if (parts.length > 7) parts(7) else 0L, parts.sum)
+      } catch { case _: Throwable => (0L, 0L) }
     def calOnce(): Double = {
       val t0 = System.nanoTime()
       // bit_xor, not sum: 48M uniform longs overflow a long sum under ANSI
@@ -142,11 +153,11 @@ object Bench {
     }
     calOnce(); calOnce() // JIT the calibration shape off-ledger
     val cal0 = Seq(calOnce(), calOnce(), calOnce()).min
-    // (query-index, calibration sec, loadavg) — sampled before q0 and then
-    // after every 20th query; each measured query adjudicates against the
-    // samples bracketing it
+    // (query-index, calibration sec, loadavg, steal, total) — sampled
+    // before q0 and then after every 20th query; each measured query
+    // adjudicates against the samples bracketing it
     val calSamples = scala.collection.mutable.ArrayBuffer(
-      (0, cal0, loadAvg1m))
+      (0, cal0, loadAvg1m, stealCounters._1, stealCounters._2))
     System.err.println(f"[bench] sentinel cal0=$cal0%.3fs load=${loadAvg1m}%.2f")
     // Best-of-2 per query: HOF-heavy expressions pay multi-second
     // first-execution codegen/JIT that lands on whichever query runs first
@@ -178,10 +189,14 @@ object Bench {
       // sentinel sample point: one fixed-cost calibration + loadavg read
       // every 20 queries (cheap — ~0.3s each, ~10 samples over a full run)
       if (qIdx > 0 && qIdx % 20 == 0) {
-        val c = calOnce(); val l = loadAvg1m
-        calSamples += ((qIdx, c, l))
+        val c = calOnce(); val l = loadAvg1m; val (sj, tj) = stealCounters
+        val prev = calSamples.last
+        val stealPct =
+          if (tj > prev._5) 100.0 * (sj - prev._4) / (tj - prev._5) else 0.0
+        calSamples += ((qIdx, c, l, sj, tj))
         System.err.println(
-          f"[bench] sentinel@q$qIdx cal=$c%.3fs (x${c / cal0}%.2f) load=$l%.2f")
+          f"[bench] sentinel@q$qIdx cal=$c%.3fs (x${c / cal0}%.2f) " +
+            f"load=$l%.2f steal=$stealPct%.1f%%")
       }
       // each run reports (sec, ok, rdds-left-pinned, storage-bytes-in-use)
       // — the last two sampled AFTER timing stops, then cleared off-ledger
@@ -237,24 +252,38 @@ object Bench {
     // closing sentinel sample: queries after the last %20 point (and the
     // metrics ledger below) adjudicate against the run's end state
     locally {
-      val c = calOnce(); val l = loadAvg1m
-      calSamples += ((queryList.size, c, l))
+      val c = calOnce(); val l = loadAvg1m; val (sj, tj) = stealCounters
+      val prev = calSamples.last
+      val stealPct =
+        if (tj > prev._5) 100.0 * (sj - prev._4) / (tj - prev._5) else 0.0
+      calSamples += ((queryList.size, c, l, sj, tj))
       System.err.println(
-        f"[bench] sentinel@end cal=$c%.3fs (x${c / cal0}%.2f) load=$l%.2f")
+        f"[bench] sentinel@end cal=$c%.3fs (x${c / cal0}%.2f) " +
+          f"load=$l%.2f steal=$stealPct%.1f%%")
     }
     // neighborhood calibration drift for a query at index i: the WORSE of
     // the two samples bracketing it, as a ratio over the run-start floor —
     // conservative in the right direction (a contended window anywhere
     // near the query marks it contended, never clean)
-    def calRatioAt(i: Int): Double = {
+    def bracket(i: Int) = {
       val before = calSamples.filter(_._1 <= i).lastOption
       val after = calSamples.find(_._1 > i)
-      (before.toSeq ++ after.toSeq).map(_._2 / cal0).max
+      (before.toSeq ++ after.toSeq)
     }
-    def loadAt(i: Int): Double = {
-      val before = calSamples.filter(_._1 <= i).lastOption
-      val after = calSamples.find(_._1 > i)
-      (before.toSeq ++ after.toSeq).map(_._3).max
+    def calRatioAt(i: Int): Double = bracket(i).map(_._2 / cal0).max
+    def loadAt(i: Int): Double = bracket(i).map(_._3).max
+    // steal fraction over the window ENDING at the bracketing after-sample
+    // (or the last window if none follows)
+    def stealAt(i: Int): Double = {
+      val idx = calSamples.indexWhere(_._1 > i) match {
+        case -1 => calSamples.size - 1
+        case x => x
+      }
+      if (idx <= 0) 0.0
+      else {
+        val a = calSamples(idx - 1); val b = calSamples(idx)
+        if (b._5 > a._5) 100.0 * (b._4 - a._4) / (b._5 - a._5) else 0.0
+      }
     }
     // Cross-round regression gate: per-query ratio vs the previous
     // round's bench_detail, flagging >1.5× moves above a 0.2 s noise
@@ -267,25 +296,27 @@ object Bench {
     val flagged = deltas
       .filter { case (_, v, p, r) => r > 1.5 && math.max(v, p) > 0.2 }
       .sortBy(-_._4)
+    // contended = the neighborhood calibration drifted >1.3x OR the
+    // window's hypervisor steal exceeded 5% (the idle baseline is 0.0%;
+    // a quiet full-load run sits well under 5% — BENCH_METHOD r15)
+    def verdictAt(i: Int): String =
+      if (calRatioAt(i) > 1.3 || stealAt(i) > 5.0) "contended" else "open"
     flagged.foreach { case (k, v, p, r) =>
       val i = qIndex.getOrElse(k, 0)
-      val cx = calRatioAt(i)
-      val verdict = if (cx > 1.3) "contended" else "open"
       System.err.println(f"[bench] REGRESSION $k prev=$p%.2fs now=$v%.2fs " +
-        f"x$r%.2f cal_x=$cx%.2f load=${loadAt(i)}%.2f [$verdict]")
+        f"x$r%.2f cal_x=${calRatioAt(i)}%.2f load=${loadAt(i)}%.2f " +
+        f"steal=${stealAt(i)}%.1f%% [${verdictAt(i)}]")
     }
     val deltaJson = flagged
       .map { case (k, v, p, r) =>
         val i = qIndex.getOrElse(k, 0)
-        val cx = calRatioAt(i)
-        val verdict = if (cx > 1.3) "contended" else "open"
-        f""""$k":{"prev":$p%.3f,"now":$v%.3f,"x":$r%.2f,"cal_x":$cx%.2f,"load":${loadAt(i)}%.2f,"verdict":"$verdict"}"""
+        f""""$k":{"prev":$p%.3f,"now":$v%.3f,"x":$r%.2f,"cal_x":${calRatioAt(i)}%.2f,"load":${loadAt(i)}%.2f,"steal_pct":${stealAt(i)}%.1f,"verdict":"${verdictAt(i)}"}"""
       }
       .mkString("{", ",", "}")
     val openFlags = flagged.count { case (k, _, _, _) =>
-      calRatioAt(qIndex.getOrElse(k, 0)) <= 1.3 }
+      verdictAt(qIndex.getOrElse(k, 0)) == "open" }
     val sentinelJson = calSamples
-      .map { case (i, c, l) => f"[$i,$c%.3f,$l%.2f]" }
+      .map { case (i, c, l, _, _) => f"[$i,$c%.3f,$l%.2f,${stealAt(math.max(0, i - 1))}%.1f]" }
       .mkString(f"""{"cal0":$cal0%.3f,"samples":[""", ",", "]}")
     val prevTotal = deltas.map(_._3).sum
     val sharedNow = deltas.map(_._2).sum
