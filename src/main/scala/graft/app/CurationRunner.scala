@@ -81,6 +81,7 @@ object CurationRunner {
           dsirTarget: Option[String] = None,
           dsirKeepFraction: Double = 0.5,
           dsirBuckets: Int = 4096,
+          byteLevelTokenizer: Boolean = false,
           resume: Boolean = false): CurationReport = {
     require(dsirKeepFraction > 0 && dsirKeepFraction <= 1,
       "dsirKeepFraction must be in (0,1]")
@@ -274,7 +275,17 @@ object CurationRunner {
         // re-derive n_tokens as REAL tokenizer tokens — the unit the
         // downstream budgets meter (whitespace counts under-charge
         // rare-word-heavy sources, which BPE splits into subwords).
-        val merges = Bpe.train(k, col("text"), numMerges = 64)
+        // `byteLevelTokenizer` switches to the GPT-2-lineage byte-level
+        // trainer/encoder (q200/q201): case-preserving pretokens, no
+        // out-of-alphabet sequence on ANY text — the unit a production
+        // tokenizer actually produces, so budgets stop drifting on
+        // non-ASCII/whitespace-heavy sources; trained via the batched
+        // rounds (merges ≫ driver round-trips at real vocab sizes).
+        val merges =
+          if (byteLevelTokenizer)
+            Bpe.trainBatched(Bpe.byteLevelWordCounts(k, col("text")),
+              numMerges = 64, batchSize = 16).merges
+          else Bpe.train(k, col("text"), numMerges = 64)
         import spark.implicits._
         merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
           .toDF("rank", "a", "b")
@@ -283,7 +294,8 @@ object CurationRunner {
           .orderBy("rank").collect()
           .map(r => (r.getString(1), r.getString(2))).toSeq
         k.withColumn("n_tokens",
-          size(Bpe.encode(col("text"), stored)).cast("long"))
+          (if (byteLevelTokenizer) size(Bpe.encodeByteLevel(col("text"), stored))
+           else size(Bpe.encode(col("text"), stored))).cast("long"))
       }
     }
 

@@ -135,6 +135,34 @@ class CurationRunnerSpec extends SparkSpec {
     }
   }
 
+  test("byteLevelTokenizer: budgets meter GPT-2-lineage byte-level " +
+      "tokens; stored merges drive the encoder exactly") {
+    val out = freshDir()
+    val report = CurationRunner.run(spark, docs, out,
+      byteLevelTokenizer = true)
+    assert(report.status === "success")
+    assert(report.count("tokenizer") > 0)
+    // the stored merge table replayed through the byte-level encoder
+    // reproduces the stage's own n_tokens column bit-for-bit
+    val stored = spark.read.parquet(s"$out/artifacts/bpe_merges")
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(stored.nonEmpty)
+    val tok = spark.read.parquet(s"$out/tokenizer")
+    assert(tok.filter(
+      size(graft.operators.Bpe.encodeByteLevel(col("text"), stored))
+        .cast("long") =!= col("n_tokens")).count() === 0)
+    // byte-level pretokens preserve case and attach the leading space,
+    // so token counts are >= the pretoken count and every token
+    // concatenation is a lossless segmentation of the mapped text
+    assert(tok.filter(col("n_tokens") <
+      size(graft.operators.Bpe.byteLevelWords(col("text")))).count() === 0)
+    // and the mix stage metered THESE tokens (cum_tokens consistent)
+    val mix = spark.read.parquet(s"$out/mix")
+    assert(mix.join(tok.select(col("doc_id"), col("n_tokens").as("t_tok")),
+      "doc_id").filter(col("n_tokens") =!= col("t_tok")).count() === 0)
+  }
+
   test("lmKeep: NULL avg_nll (token-less doc) is KEPT, scored outliers " +
       "drop — the scoreNll NULL contract is policy, not accident") {
     val scored = Seq(
