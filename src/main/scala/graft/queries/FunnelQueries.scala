@@ -62,7 +62,11 @@ object FunnelQueries {
       val contaminated = Corpus.decontaminateBloom(quality, bench,
           col("doc_id"), col("text"), n = 5)
         .select(col("id").as("doc_id"))
+      // materialize once (the Dedup-family convention): `clean` feeds
+      // the LSH edge build AND two later joins — without the checkpoint
+      // each consumer re-derives the 5-gram decontamination join
       val clean = quality.join(contaminated, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
       // q127: LSH near-dup edges → CC labels → singletons ∪ canonical
       val edges = Dedup.minhashNearDups(clean, col("doc_id"), col("text"),
           shingleSize = 5, numHashes = 16, bands = 8, threshold = 0.25)
@@ -73,12 +77,15 @@ object FunnelQueries {
             "id"),
           Seq(col("component")), Seq(col("n_chars").desc, col("id").asc), 1)
         .select(col("id").as("doc_id"))
+      // `corpus` feeds the DSIR bucket counts, the weight pass, and the
+      // final mix join — same materialize-once rationale
       val corpus = clean
         .join(labels.select(col("id").as("doc_id")), Seq("doc_id"),
           "left_anti")
         .select(col("doc_id"))
         .unionByName(canon)
         .join(clean, "doc_id")
+        .localCheckpoint(true)
       // q194/q195: DSIR weights against the benchmark target + Gumbel
       // top-k draw over the deduped survivors
       val ratio = Dsir.logRatio(
