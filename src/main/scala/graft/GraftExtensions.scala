@@ -81,6 +81,15 @@ object GraftExtensions {
     def arity(sig: String, n: Int)(build: Seq[Expression] => Expression)
         : Seq[Expression] => Expression =
       es => { checkArity(sig, es, n); build(es) }
+    // shared 'a b;c d;...' merge-list literal parser (arg index 1)
+    def parseMerges(sig: String, es: Seq[Expression]): Seq[(String, String)] =
+      stringLit(sig, es, 1).split(";").toSeq
+        .filter(_.nonEmpty).map { m =>
+          val ab = m.split(" ", 2)
+          if (ab.length != 2 || ab(0).isEmpty || ab(1).isEmpty)
+            fail(sig, s"bad merge entry '$m' (want 'a b;c d;...')")
+          (ab(0), ab(1))
+        }
     val fns: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
       ("jaro_winkler", "jaro_winkler(a, b) - reference Jaro-Winkler similarity",
         arity("jaro_winkler(a, b)", 2)(es => JaroWinkler(es.head, es(1)))),
@@ -93,14 +102,16 @@ object GraftExtensions {
       ("bpe_encode", "bpe_encode(s, merges) - BPE tokens for a 'a b;c d' merge list",
         arity("bpe_encode(s, merges)", 2)(es =>
           graft.functions.BpeEncode(es.head,
-            stringLit("bpe_encode(s, merges)", es, 1).split(";").toSeq
-              .filter(_.nonEmpty).map { m =>
-                val ab = m.split(" ", 2)
-                if (ab.length != 2 || ab(0).isEmpty || ab(1).isEmpty)
-                  fail("bpe_encode(s, merges)",
-                    s"bad merge entry '$m' (want 'a b;c d;...')")
-                (ab(0), ab(1))
-              }))),
+            parseMerges("bpe_encode(s, merges)", es)))),
+      // byte-level symbols never contain a raw space (0x20 maps to Ġ),
+      // so the same 'a b;c d' merge-list encoding is unambiguous here
+      ("byte_level_words", "byte_level_words(s) - GPT-2 byte-level pretokens (case-preserving, space-mapped)",
+        arity("byte_level_words(s)", 1)(es =>
+          graft.functions.ByteLevelWords(es.head))),
+      ("byte_level_encode", "byte_level_encode(s, merges) - byte-level BPE tokens for a 'a b;c d' merge list",
+        arity("byte_level_encode(s, merges)", 2)(es =>
+          graft.functions.ByteLevelEncode(es.head,
+            parseMerges("byte_level_encode(s, merges)", es)))),
       ("shingle_hashes", "shingle_hashes(text, n) - md5-prefix hash per n-char window",
         arity("shingle_hashes(text, n)", 2)(es =>
           ShingleHashes(es.head, intLit("shingle_hashes(text, n)", es, 1)))),

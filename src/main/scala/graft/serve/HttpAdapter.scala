@@ -53,7 +53,11 @@ object HttpAdapter {
   private def bodyParams(s: String): Map[String, String] =
     if (s.trim.startsWith("{"))
       "\"([A-Za-z_]+)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
-        .findAllMatchIn(s).map(m => m.group(1) -> m.group(2)).toMap
+        .findAllMatchIn(s).map { m =>
+          // unescape \" \\ etc. so a PATCH note with quotes round-trips
+          m.group(1) -> "\\\\(.)".r.replaceAllIn(m.group(2),
+            mm => scala.util.matching.Regex.quoteReplacement(mm.group(1)))
+        }.toMap
     else s.split('&').filter(_.contains('=')).map { kv =>
       val Array(k, v) = kv.split("=", 2)
       java.net.URLDecoder.decode(k, "UTF-8") ->

@@ -10,7 +10,8 @@ class GraftExtensionsSpec extends SparkSpec {
   test("injection list covers the whole kernel surface") {
     assert(GraftExtensions.injections.map(_._1.funcName).toSet === Set(
       "jaro_winkler", "array_dot", "md5_prefix32", "md5_lanes4",
-      "bpe_encode", "shingle_hashes",
+      "bpe_encode", "byte_level_words", "byte_level_encode",
+      "shingle_hashes",
       "word_ngram_hashes", "minhash_signature", "minhash_doc_state",
       "sorted_intersect_count", "positional_eq_count", "normalized_name",
       "phrase_hits"))
@@ -25,6 +26,8 @@ class GraftExtensionsSpec extends SparkSpec {
         |  md5_prefix32('abc') AS h32,
         |  md5_lanes4('abc') AS lanes,
         |  bpe_encode('the newest thing', 'e s;es t;t h;th e') AS bpe,
+        |  byte_level_words('Hi there42') AS blw,
+        |  byte_level_encode('Hi there42', 'Ġ t;Ġt h;Ġth e') AS ble,
         |  size(shingle_hashes('abcdefgh', 5)) AS n_shingles,
         |  size(word_ngram_hashes('a b c d', 3)) AS n_grams,
         |  size(minhash_signature('hello world docs', 5, 8)) AS sig_len,
@@ -43,6 +46,10 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getSeq[Long](row.fieldIndex("lanes")).size === 4)
     assert(row.getSeq[String](row.fieldIndex("bpe")) ===
       Seq("the", "n", "e", "w", "est", "th", "i", "n", "g"))
+    assert(row.getSeq[String](row.fieldIndex("blw")) ===
+      Seq("Hi", "Ġthere", "42"))
+    assert(row.getSeq[String](row.fieldIndex("ble")) ===
+      Seq("H", "i", "Ġthe", "r", "e", "4", "2"))
     assert(row.getAs[Int]("n_shingles") === 4)
     assert(row.getAs[Int]("n_grams") === 2)
     assert(row.getAs[Int]("sig_len") === 8)
