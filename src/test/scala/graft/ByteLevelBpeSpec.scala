@@ -85,6 +85,43 @@ class ByteLevelBpeSpec extends SparkSpec {
     assert(maxTok > 1, "training must produce multi-symbol tokens")
   }
 
+  test("decode(encode(x)) == x for every string — the byte-level " +
+      "lossless guarantee, incl. non-ASCII, supplementary chars, " +
+      "whitespace runs, and untrained symbols") {
+    val merges = Seq(("Ġ", "t"), ("h", "e"), ("Ġt", "he"))
+    val ranks = new java.util.HashMap[String, Integer]()
+    merges.zipWithIndex.foreach { case ((a, b), r) =>
+      ranks.put(a + " " + b, r) }
+    val cases = Seq(
+      "Hello  world42! x", "it's Dan'll", "é résumé naïve",
+      "mixed ascii și 中文 😀 end", "  leading and trailing  ",
+      "tabs\tand\nnewlines\r\n", "")
+    for (x <- cases) {
+      val toks = ByteLevelBpe.encode(
+        org.apache.spark.unsafe.types.UTF8String.fromString(x), ranks)
+      val back = ByteLevelBpe.decode(
+        (0 until toks.numElements()).map(i =>
+          toks.getUTF8String(i).toString))
+      assert(back == x, s"roundtrip broke for '$x' -> '$back'")
+    }
+    // deterministic random strings over a wide codepoint range
+    val rnd = new scala.util.Random(7L)
+    for (_ <- 0 until 50) {
+      val x = new String((0 until 40).flatMap { _ =>
+        Character.toChars(rnd.nextInt(0x2FFF) match {
+          case c if Character.isDefined(c) && !Character.isSurrogate(c.toChar) => c
+          case _ => 'a'.toInt
+        })
+      }.toArray)
+      val toks = ByteLevelBpe.encode(
+        org.apache.spark.unsafe.types.UTF8String.fromString(x), ranks)
+      val back = ByteLevelBpe.decode(
+        (0 until toks.numElements()).map(i =>
+          toks.getUTF8String(i).toString))
+      assert(back == x)
+    }
+  }
+
   test("byte-level counts feed the trainers unchanged: batchSize=1 " +
       "reduces to the sequential argmax; merges partition-invariant") {
     val seqMerges = Bpe.trainFromCounts(
