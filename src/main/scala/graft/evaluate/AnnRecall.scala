@@ -233,6 +233,32 @@ object AnnRecall {
       Seq(col("qid")), Seq(col("adc").asc, col("id").asc), K)
     val ivfpqKmR = recall(ivfpqKmTop, l2Truth)
 
+    // (nprobe, refineFactor) operating curve over the SAME trained index
+    // frames — the q203 instrument at production-quantizer quality:
+    // recall@10 vs l2Truth after the rf·K ADC shortlist + exact re-rank,
+    // plus the scanned candidate fraction (the cost axis). The
+    // oracle-gated q203 curve runs the modulus quantizers, whose
+    // measured recall ceiling (~0.17 at full scan) is the argument FOR
+    // these trained rows: quantizer quality binds before probe budget.
+    val nTotal = e.count()
+    val curveRows = Seq((5, 1), (10, 1), (10, 3), (15, 3)).flatMap {
+      case (np, rf) =>
+        val probedNp = TopK.topKPerGroup(ql2, Seq(col("qid")),
+          Seq(col("cd").asc, col("cid").asc), np).select("qid", "cid")
+        val cand = probedNp.join(l2assign, "cid").select("qid", "id")
+          .filter(col("id") =!= col("qid")).cache()
+        val scanFrac = cand.count().toDouble / (NQueries.toLong * nTotal)
+        val shortl = TopK.topKPerGroup(cand.join(adcT, Seq("qid", "id")),
+          Seq(col("qid")), Seq(col("adc").asc, col("id").asc), rf * K)
+        val top = TopK.topKPerGroup(
+          shortl.select("qid", "id").join(pairs, Seq("qid", "id")),
+          Seq(col("qid")), Seq(col("l2").asc, col("id").asc), K)
+        val rec = recall(top, l2Truth)
+        cand.unpersist()
+        Seq(s"ann_curve_trained_np${np}_rf${rf}_recall" -> rec,
+          s"ann_curve_trained_np${np}_rf${rf}_scan" -> scanFrac)
+    }
+
     // trained residual IVF-PQ: codebook trained ON the residuals,
     // per-list query residual tables
     val residT = embsRaw
@@ -291,7 +317,7 @@ object AnnRecall {
       "ann_ivf_kmeans_recall_at_10" -> ivfKmR,
       "ann_ivfpq_kmeans_recall_at_10" -> ivfpqKmR,
       "ann_ivfpq_residual_kmeans_recall_at_10" -> residKmR,
-      "ann_ivfpq_kmeans_refined_recall_at_10" -> refinedR)
+      "ann_ivfpq_kmeans_refined_recall_at_10" -> refinedR) ++ curveRows
   }
 
   /** The q203 (nprobe, refineFactor) operating curve as ledger rows —

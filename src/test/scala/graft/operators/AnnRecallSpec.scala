@@ -63,7 +63,24 @@ class AnnRecallSpec extends SparkSpec {
   }
 
   test("fixture sanity: the protocol measured every family") {
-    assert(r.keySet === floors.map(_._1).toSet)
+    assert(floors.map(_._1).toSet.subsetOf(r.keySet))
+    // the rest are the trained operating-curve rows (recall + scan
+    // fraction per (nprobe, refineFactor) — both in [0,1])
+    assert((r.keySet -- floors.map(_._1).toSet)
+      .forall(_.startsWith("ann_curve_trained_")))
     assert(r.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("trained operating curve is coherent: scan grows with nprobe, " +
+      "recall never drops with a wider probe or a deeper refine") {
+    assert(r("ann_curve_trained_np10_rf1_scan") >
+      r("ann_curve_trained_np5_rf1_scan"))
+    assert(r("ann_curve_trained_np15_rf3_scan") >
+      r("ann_curve_trained_np10_rf3_scan"))
+    assert(r("ann_curve_trained_np10_rf1_recall") >=
+      r("ann_curve_trained_np5_rf1_recall"))
+    assert(r("ann_curve_trained_np10_rf3_recall") >=
+      r("ann_curve_trained_np10_rf1_recall") - 1e-9,
+      "a 3x-deeper exact-re-ranked shortlist must not lose recall")
   }
 }
