@@ -305,7 +305,19 @@ object NewtonBoost {
           when(goLeft, eval(l)).otherwise(eval(r))
       }
       work = work.withColumn("_m", col("_m") + lit(p.learningRate) * eval(tree))
-      if ((round + 1) % p.checkpointEvery == 0 && round + 1 < p.rounds) {
+      // depth-aware checkpoint interval: each unmaterialized round rides
+      // ~2^(maxDepth+1) CASE nodes in the margin chain, and the chain
+      // inlines into the NEXT round's histogram-aggregate codegen —
+      // 8 pending depth-6 trees overflow Janino's method limit (the
+      // whole hot loop then silently falls back to interpreted mode,
+      // observed as "Failed to compile" ERRORs in the r15 ensemble
+      // fits). Cap pending CASE nodes at ~256: depth ≤ 4 keeps the
+      // configured interval; depth 6 checkpoints every 2 rounds. Pure
+      // lineage truncation — the fitted model is bit-identical at any
+      // interval, so frozen fixtures are unaffected.
+      val ckptEvery = math.max(1,
+        math.min(p.checkpointEvery, 256 >> math.min(p.maxDepth + 1, 30)))
+      if ((round + 1) % ckptEvery == 0 && round + 1 < p.rounds) {
         val ckpt = work.localCheckpoint(true)
         GraftShim.freeLocalCheckpoint(lastCkpt)
         lastCkpt = ckpt
@@ -329,6 +341,7 @@ object NewtonBoost {
     val gCol = ((prob - col("_y")) * keep).as("_g")
     val hCol = (prob * (lit(1.0) - prob) * keep).as("_h")
 
+    val levelCkpts = mutable.ArrayBuffer.empty[DataFrame]
     val splits =
       mutable.Map.empty[Int, (Int, Int, Double, Boolean, Double, Int, Int)]
     val leaves = mutable.Map.empty[Int, Double]
@@ -404,9 +417,25 @@ object NewtonBoost {
             when(goLeft, lit(l)).otherwise(lit(r))).otherwise(e)
         }
         frame = frame.withColumn("_n", e)
+        // Deep levels must MATERIALIZE the routing: the lazy `_n` CASE
+        // chains across levels and inlines into the next level's
+        // histogram-aggregate codegen — at ≥16 active children the
+        // accumulated chain blows Janino's 64 KB method limit and the
+        // whole hot loop silently drops to interpreted mode ("Failed
+        // to compile" ERRORs, one per depth-≥5 round, r15). Shallow
+        // trees (the frozen-fixture configs, depth ≤ 3 → ≤ 8 children)
+        // never hit this branch, so their plans are byte-identical.
+        // Values are unaffected at any depth — pure lineage truncation.
+        if (grown.size >= 16) {
+          val ckpt = frame.localCheckpoint(true)
+          levelCkpts += ckpt
+          frame = ckpt
+        }
       }
       active = grown.toSeq
     }
+    levelCkpts.foreach(GraftShim.freeLocalCheckpoint)
+    levelCkpts.clear()
     // Depth-capped nodes become leaves on their inherited stats.
     for (nodeId <- active)
       leaves(nodeId) = leafWeight(childStats(nodeId), p)
