@@ -140,8 +140,11 @@ object Bench {
     // steal fraction = Δsteal/Δtotal between sentinel samples.
     def stealCounters: (Long, Long) =
       try {
-        val parts = scala.io.Source.fromFile("/proc/stat").getLines()
-          .next().split("\\s+").drop(1).map(_.toLong)
+        // Files.readAllBytes, not Source.fromFile: one read, no handle
+        // left open across a 200-query run
+        val first = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/stat"))).linesIterator.next()
+        val parts = first.split("\\s+").drop(1).map(_.toLong)
         (if (parts.length > 7) parts(7) else 0L, parts.sum)
       } catch { case _: Throwable => (0L, 0L) }
     def calOnce(): Double = {
@@ -156,9 +159,14 @@ object Bench {
     // (query-index, calibration sec, loadavg, steal, total) — sampled
     // before q0 and then after every 20th query; each measured query
     // adjudicates against the samples bracketing it
+    // ONE snapshot for the baseline sample: calling stealCounters per
+    // tuple field would pair steal from one /proc/stat read with a total
+    // from a later read, skewing the first window's steal% adjudication
+    val (steal0, total0) = stealCounters
+    val load0 = loadAvg1m
     val calSamples = scala.collection.mutable.ArrayBuffer(
-      (0, cal0, loadAvg1m, stealCounters._1, stealCounters._2))
-    System.err.println(f"[bench] sentinel cal0=$cal0%.3fs load=${loadAvg1m}%.2f")
+      (0, cal0, load0, steal0, total0))
+    System.err.println(f"[bench] sentinel cal0=$cal0%.3fs load=$load0%.2f")
     // Best-of-2 per query: HOF-heavy expressions pay multi-second
     // first-execution codegen/JIT that lands on whichever query runs first
     // with that plan shape — r4 recorded q20 (a trivial md5 projection) at

@@ -212,6 +212,23 @@ final class EnsembleModel(
         case gbt: org.apache.spark.ml.classification.GBTClassificationModel =>
           gbt.featureImportances
       }
+      // NewtonBoost slot (the default xgb since r15): xgboost-style
+      // 'weight' importance — normalized split counts from the stored
+      // trees, data-free like MLlib's impurity importances. Without this
+      // the default-config ensemble silently returned None for the very
+      // slot callers most ask about. (Data-DEPENDENT attribution lives on
+      // NewtonBoost.Model.importance — the Saabas aggregate over a frame.)
+      case (`name`, NewtonSlot(nb)) =>
+        val counts = Array.fill(nb.featureCols.size)(0.0)
+        def walk(n: NewtonBoost.Node): Unit = n match {
+          case s: NewtonBoost.Split =>
+            counts(s.feature) += 1.0; walk(s.left); walk(s.right)
+          case _ => ()
+        }
+        nb.trees.foreach(walk)
+        val tot = counts.sum
+        org.apache.spark.ml.linalg.Vectors.dense(
+          if (tot == 0.0) counts else counts.map(_ / tot))
     }
 
   def save(dir: String): Unit = {

@@ -62,30 +62,10 @@ object ApiShell {
     // Claim strings are JSON-escaped on issue and the verifier parses
     // the payload positionally (anchored full-match, escape-aware), so
     // a username containing '"' or JSON fragments cannot inject claim
-    // text into a signed token.
-    private def jsonEscape(s: String): String =
-      s.flatMap {
-        case '"'           => "\\\""
-        case '\\'          => "\\\\"
-        case c if c < ' '  => f"\\u${c.toInt}%04x"
-        case c             => c.toString
-      }
-    private def jsonUnescape(s: String): String = {
-      val out = new StringBuilder
-      var i = 0
-      while (i < s.length) {
-        val c = s.charAt(i)
-        if (c == '\\' && i + 1 < s.length) {
-          s.charAt(i + 1) match {
-            case 'u' if i + 5 < s.length =>
-              out.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
-              i += 6
-            case e => out.append(e); i += 2
-          }
-        } else { out.append(c); i += 1 }
-      }
-      out.toString
-    }
+    // text into a signed token. Escape table shared with every other
+    // hand-built JSON in the layer ([[Json]]).
+    private def jsonEscape(s: String): String = Json.escape(s)
+    private def jsonUnescape(s: String): String = Json.unescape(s)
 
     def issue(sub: String, role: String): String = {
       val header = b64("""{"alg":"HS256","typ":"JWT"}""".getBytes("UTF-8"))
@@ -348,7 +328,10 @@ object ApiShell {
     def whoami(bearer: Option[String],
                clientHost: Option[String] = None): Result =
       guarded(bearer, clientHost) { (sub, role) =>
-        OkText(s"""{"username":"$sub","role":"$role"}""")
+        // same escape as token issuance: a username that round-trips
+        // through a token must not inject duplicate keys here either
+        OkText(
+          s"""{"username":"${Json.escape(sub)}","role":"${Json.escape(role)}"}""")
       }
 
     /** GET /api/recommendations/{id} (main.py:515-552). The existence
@@ -400,10 +383,17 @@ object ApiShell {
               bearer: Option[String] = None,
               clientHost: Option[String] = None): Result =
       guarded(bearer, clientHost) { (_, _) =>
+        // bind the by-name thunk ONCE per request: a registry-backed
+        // provider must not be re-read between the emptiness check, the
+        // scoring fold, and the explanation column list (a promote /
+        // demote landing mid-request would mix two registry states —
+        // worst case scoreOne folds zero exprs and the confidence
+        // expression throws on the missing score column)
+        val exprs = scoreExprs
         val scored =
-          if (scoreExprs.nonEmpty) Serve.scoreOne(pair, scoreExprs)
+          if (exprs.nonEmpty) Serve.scoreOne(pair, exprs)
           else pair.withColumn("score", lit(0.5))
-        val modelCols = scoreExprs.map(_._1).filter(_ != "score")
+        val modelCols = exprs.map(_._1).filter(_ != "score")
         val out = scored
           .withColumn("confidence_level",
             when(col("score") > 0.8, "Very High")

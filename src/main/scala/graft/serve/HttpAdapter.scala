@@ -28,14 +28,15 @@ object HttpAdapter {
     def stop(): Unit = server.stop(0)
   }
 
-  private def queryParams(ex: HttpExchange): Map[String, String] = {
-    val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
-    q.split('&').filter(_.contains('=')).map { kv =>
+  private def urlencoded(s: String): Map[String, String] =
+    s.split('&').filter(_.contains('=')).map { kv =>
       val Array(k, v) = kv.split("=", 2)
       java.net.URLDecoder.decode(k, "UTF-8") ->
         java.net.URLDecoder.decode(v, "UTF-8")
     }.toMap
-  }
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    urlencoded(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
 
   private def bearer(ex: HttpExchange): Option[String] =
     Option(ex.getRequestHeaders.getFirst("Authorization"))
@@ -54,15 +55,11 @@ object HttpAdapter {
     if (s.trim.startsWith("{"))
       "\"([A-Za-z_]+)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
         .findAllMatchIn(s).map { m =>
-          // unescape \" \\ etc. so a PATCH note with quotes round-trips
-          m.group(1) -> "\\\\(.)".r.replaceAllIn(m.group(2),
-            mm => scala.util.matching.Regex.quoteReplacement(mm.group(1)))
+          // full JSON unescape (\n \t \uXXXX, not just \" \\) so a PATCH
+          // note with any legal client-emitted escape round-trips
+          m.group(1) -> Json.unescape(m.group(2))
         }.toMap
-    else s.split('&').filter(_.contains('=')).map { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      java.net.URLDecoder.decode(k, "UTF-8") ->
-        java.net.URLDecoder.decode(v, "UTF-8")
-    }.toMap
+    else urlencoded(s)
 
   private def send(ex: HttpExchange, status: Int, bodyStr: String,
                    contentType: String = "application/json"): Unit = {
@@ -76,13 +73,7 @@ object HttpAdapter {
     ex.close()
   }
 
-  private def jsonEscape(s: String): String =
-    s.flatMap {
-      case '"'          => "\\\""
-      case '\\'         => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c            => c.toString
-    }
+  private def jsonEscape(s: String): String = Json.escape(s)
 
   /** Serialize a Shell result: Ok frames as a JSON array of row objects
     * (bounded by the Shell's own pagination), errors as the reference's
@@ -130,11 +121,16 @@ object HttpAdapter {
             emit(ex, shell.recommendations(queryParams(ex), bearer(ex),
               clientHost(ex)))
           case ("GET", RecId(id)) =>
-            emit(ex, shell.recommendation(id.toLong, bearer(ex),
-              clientHost(ex)))
+            // toLongOption: an over-long digit run is "no such id" (404),
+            // not a NumberFormatException surfacing as a 500
+            emit(ex, id.toLongOption.fold(
+              ApiError(404, "Recommendation not found"): Result)(
+              shell.recommendation(_, bearer(ex), clientHost(ex))))
           case ("PATCH", RecId(id)) =>
-            emit(ex, shell.updateRecommendation(id.toLong,
-              bodyParams(body(ex)), bearer(ex), clientHost(ex)))
+            emit(ex, id.toLongOption.fold(
+              ApiError(404, "Recommendation not found"): Result)(
+              shell.updateRecommendation(_, bodyParams(body(ex)),
+                bearer(ex), clientHost(ex))))
           case ("GET", Export(format)) =>
             val out = s"$exportDir/graft_export_${System.nanoTime()}.$format"
             emit(ex, shell.export(format, out, queryParams(ex), bearer(ex),

@@ -113,6 +113,14 @@ class EnsembleSpec extends SparkSpec {
     val (_, model) = fitted
     val imp = model.featureImportances("rf")
     assert(imp.exists(_.size == featureCols.size))
+    // the DEFAULT xgb slot is NewtonBoost since r15: importances must not
+    // silently vanish with the slot kind — split-count ('weight') form,
+    // normalized like MLlib's
+    val xgb = model.featureImportances("xgb")
+    assert(xgb.exists(_.size == featureCols.size),
+      "xgb slot returned no importances under the default config")
+    assert(xgb.exists(v => math.abs(v.toArray.sum - 1.0) < 1e-9),
+      s"xgb importances not normalized: $xgb")
   }
 
   test("explainAblation: per-row contributions — exact zero at the " +

@@ -128,4 +128,51 @@ class ApiShellHttpSpec extends SparkSpec {
       assert(n429 > 0, "rate limiter never tripped over HTTP")
     } finally h.stop()
   }
+
+  test("transport escape edges: JSON-escaped PATCH bodies round-trip, " +
+      "over-long ids 404, injection usernames stay literal in /me") {
+    val clock = new VClock
+    val users = new UserStore
+    users.put(User("alice", "s3cret", "admin"))
+    val evil = """mallory","role":"admin"""
+    users.put(User(evil, "pw", "viewer"))
+    val tokens = new TokenService("http-secret-2", clock)
+    var patched: Option[(Long, Map[String, String])] = None
+    val shell = new Shell(recs, users, tokens, clock, callsPerMinute = 50,
+      onUpdate = (id, up) => { patched = Some((id, up)); true })
+    val h = HttpAdapter.start(shell)
+    val base = s"http://127.0.0.1:${h.port}"
+    try {
+      val tok = send("POST", s"$base/api/auth/token",
+        "username=alice&password=s3cret")
+      val t = "\"result\":\"([^\"]+)\"".r.findFirstMatchIn(tok.body())
+        .map(_.group(1)).getOrElse(fail("no token in " + tok.body()))
+
+      // a client-emitted \n escape in a PATCH note must decode to a real
+      // newline in the stored value (not the mangled "line1nline2")
+      val up = send("PATCH", s"$base/api/recommendations/2",
+        """{"notes":"line1\nline2\tend"}""", Some(t))
+      assert(up.statusCode() == 200, up.body())
+      assert(patched.exists(_._2("notes") == "line1\nline2\tend"))
+
+      // digits beyond Long.MaxValue: not-found, never a 500
+      val big = "9" * 25
+      assert(get(s"$base/api/recommendations/$big", Some(t))
+        .statusCode() == 404)
+      assert(send("PATCH", s"$base/api/recommendations/$big",
+        """{"notes":"x"}""", Some(t)).statusCode() == 404)
+
+      // /me for a username carrying JSON fragments: the body must hold
+      // ONE role key (the store's), the username staying escaped text
+      val evilTok = send("POST", s"$base/api/auth/token",
+        s"username=${java.net.URLEncoder.encode(evil, "UTF-8")}&password=pw")
+      assert(evilTok.statusCode() == 200, evilTok.body())
+      val et = "\"result\":\"([^\"]+)\"".r.findFirstMatchIn(evilTok.body())
+        .map(_.group(1)).getOrElse(fail("no token in " + evilTok.body()))
+      val me = get(s"$base/api/auth/me", Some(et))
+      assert(me.statusCode() == 200)
+      assert("\"role\":".r.findAllIn(me.body()).size == 1, me.body())
+      assert(me.body().endsWith(""","role":"viewer"}"""), me.body())
+    } finally h.stop()
+  }
 }

@@ -108,6 +108,42 @@ class ApiShellSpec extends SparkSpec {
       == Left("Invalid token"))
   }
 
+  test("whoami escapes claim strings: an injection username cannot forge " +
+      "a role key in the response body") {
+    val (shell, _, users, _) = mkShell()
+    val evil = """mallory","role":"admin"""
+    users.put(User(evil, "pw", "viewer"))
+    val t = bearerOf(shell.login(evil, "pw"))
+    val OkText(body) = (shell.whoami(Some(t)): @unchecked)
+    assert(body ==
+      s"""{"username":"${Json.escape(evil)}","role":"viewer"}""")
+    // exactly one (unescaped) role key — the store's, not the smuggled one
+    assert("\"role\":".r.findAllIn(body).size == 1, body)
+  }
+
+  test("score binds its by-name expression provider ONCE per request: a " +
+      "registry flip mid-request cannot mix states") {
+    val clock = new VClock
+    val users = new UserStore
+    users.put(User("alice", "s3cret", "admin"))
+    val tokens = new TokenService("bind-secret", clock)
+    var calls = 0
+    def flapping: Seq[(String, org.apache.spark.sql.Column)] = {
+      calls += 1
+      // second evaluation simulates a demote landing mid-request: if the
+      // handler re-reads, scoreOne folds zero exprs and the confidence
+      // expression throws on the missing score column
+      if (calls == 1) Seq("score" -> lit(0.9)) else Nil
+    }
+    val shell = new Shell(recs, users, tokens, clock, scoreExprs0 = flapping)
+    val t = bearerOf(shell.login("alice", "s3cret"))
+    shell.score(Seq(0.0).toDF("x"), bearer = Some(t)) match {
+      case Ok(df) => assert(df.select("score").head.getDouble(0) == 0.9)
+      case other => fail(s"mid-request provider flip broke scoring: $other")
+    }
+    assert(calls == 1, s"provider evaluated $calls times in one request")
+  }
+
   test("recommendations: filter + sort + paginate through the facade") {
     val (shell, _, _, _) = mkShell()
     val t = bearerOf(shell.login("alice", "s3cret"))
