@@ -205,12 +205,15 @@ final class EnsembleModel(
     * imported but never invoked; api/main.py:882-890 returns constants —
     * we return the real thing MLlib computes for free). */
   def featureImportances(name: String): Option[org.apache.spark.ml.linalg.Vector] =
-    models.collectFirst {
-      case (`name`, MllibSlot(m)) => m.stages.last match {
+    models.collectFirst { case (`name`, slot) => slot }.flatMap {
+      case MllibSlot(m) => m.stages.last match {
         case rf: org.apache.spark.ml.classification.RandomForestClassificationModel =>
-          rf.featureImportances
+          Some(rf.featureImportances)
         case gbt: org.apache.spark.ml.classification.GBTClassificationModel =>
-          gbt.featureImportances
+          Some(gbt.featureImportances)
+        // a non-tree slot (the MLP) has no importances: None, not a
+        // MatchError escaping a "read a model diagnostic" call
+        case _ => None
       }
       // NewtonBoost slot (the default xgb since r15): xgboost-style
       // 'weight' importance — normalized split counts from the stored
@@ -218,7 +221,7 @@ final class EnsembleModel(
       // the default-config ensemble silently returned None for the very
       // slot callers most ask about. (Data-DEPENDENT attribution lives on
       // NewtonBoost.Model.importance — the Saabas aggregate over a frame.)
-      case (`name`, NewtonSlot(nb)) =>
+      case NewtonSlot(nb) =>
         val counts = Array.fill(nb.featureCols.size)(0.0)
         def walk(n: NewtonBoost.Node): Unit = n match {
           case s: NewtonBoost.Split =>
@@ -227,8 +230,8 @@ final class EnsembleModel(
         }
         nb.trees.foreach(walk)
         val tot = counts.sum
-        org.apache.spark.ml.linalg.Vectors.dense(
-          if (tot == 0.0) counts else counts.map(_ / tot))
+        Some(org.apache.spark.ml.linalg.Vectors.dense(
+          if (tot == 0.0) counts else counts.map(_ / tot)))
     }
 
   def save(dir: String): Unit = {

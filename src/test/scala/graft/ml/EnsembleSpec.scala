@@ -121,6 +121,9 @@ class EnsembleSpec extends SparkSpec {
       "xgb slot returned no importances under the default config")
     assert(xgb.exists(v => math.abs(v.toArray.sum - 1.0) < 1e-9),
       s"xgb importances not normalized: $xgb")
+    // non-tree slot: None, never a MatchError
+    assert(model.featureImportances("nn").isEmpty)
+    assert(model.featureImportances("no_such_slot").isEmpty)
   }
 
   test("explainAblation: per-row contributions — exact zero at the " +
