@@ -71,7 +71,7 @@ object BpeEncode {
 
   /** Tokenize one word (already lowercased, non-empty): leftmost
     * lowest-rank merge to fixpoint. */
-  private def encodeWord(word: String,
+  private[functions] def encodeWord(word: String,
                          ranks: java.util.HashMap[String, Integer]): Array[String] = {
     // iterate by code points, not UTF-16 units — the trainer's
     // split(word, "") alphabet is code points, and the two must agree

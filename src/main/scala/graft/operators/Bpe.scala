@@ -448,4 +448,13 @@ object Bpe {
     org.apache.spark.sql.graftshim.GraftShim.column(
       graft.functions.ByteLevelEncode(
         org.apache.spark.sql.graftshim.GraftShim.expr(text), merges))
+
+  /** The merge loop over a single ALREADY byte-mapped pretoken (a
+    * [[byteLevelWords]] element) — the vocab-frame tokenization path:
+    * the corpus pays one pretokenize pass, the merge walk runs per
+    * DISTINCT word. */
+  def encodeMappedWord(word: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.graftshim.GraftShim.column(
+      graft.functions.ByteLevelEncodeMapped(
+        org.apache.spark.sql.graftshim.GraftShim.expr(word), merges))
 }

@@ -65,13 +65,26 @@ object BpeQueries {
     * Any other byte appearing in a future testdata regen must fail the
     * gate loudly, not silently hash-diverge. */
   def assertByteLevelOracleSound(s: SparkSession, dir: String): Unit = {
-    val bad = t(s, dir, "documents")
+    val docs = t(s, dir, "documents")
+    // NULL text would make the ASCII filter predicate NULL and slip the
+    // gate — reject it explicitly
+    require(docs.filter(col("text").isNull).limit(1).count() == 0,
+      "byte-level BPE oracle precondition violated: NULL documents.text")
+    val bad = docs
       .filter(length(regexp_replace(col("text"), "[ -~]", "")) > 0)
       .limit(1).count()
     require(bad == 0,
       "byte-level BPE oracle precondition violated: documents.text " +
         "contains bytes outside printable ASCII + space; the DuckDB " +
         "replay's space-only byte map no longer matches the kernel")
+    // every source must contribute >=1 non-empty text: the q201 oracle
+    // derives its per-source frame from the pretoken stream (inner join),
+    // so an all-empty source would drop the row the engine emits
+    require(docs.groupBy(col("source"))
+        .agg(max(length(col("text"))).as("m"))
+        .filter(col("m") === 0).limit(1).count() == 0,
+      "byte-level BPE oracle precondition violated: a documents.source " +
+        "has only empty text; the fertility oracle would drop its row")
   }
 
   /** q192 batched-trainer shape: 4 rounds × up-to-12 disjoint merges —
@@ -174,23 +187,30 @@ object BpeQueries {
       // corpus-trained byte-level table — the compression numbers the
       // mixing budgets (q140 form) should meter, since token counts from
       // a byte-level tokenizer are what any production tokenizer
-      // produces on arbitrary text. Spark RE-TOKENIZES through the
-      // codegen encoder while the oracle reads token counts off the
-      // final replay vocab — trainer and encoder are cross-checked
-      // end-to-end (the q166 discipline).
+      // produces on arbitrary text. Spark re-tokenizes the distinct-word
+      // frame through the codegen merge kernel while the oracle reads
+      // token counts off the final replay vocab — trainer and encoder
+      // stay cross-checked end-to-end (the q166 discipline).
       val docs = t(s, dir, "documents")
       val res = Bpe.trainBatchedRounds(
         Bpe.byteLevelWordCounts(docs, col("text")),
         ByteRounds, ByteBatch, MinPair)
-      docs.select(col("source"),
-          size(Bpe.encodeByteLevel(col("text"), res.merges))
+      // vocab-frame shape (the q166 discipline, and the oracle's own
+      // zwsrc/zwtok frames): the corpus pays ONE pretokenize pass; the
+      // merge walk runs on the distinct (source, word) frame. Pretokens
+      // segment the text losslessly, so sum(len(word)*cnt) = text bytes
+      // (1 byte = 1 mapped char on the ASCII-gated domain).
+      val words = docs.select(col("source"),
+          explode(Bpe.byteLevelWords(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+      words.select(col("source"), col("cnt"),
+          size(Bpe.encodeMappedWord(col("w"), res.merges))
             .cast("long").as("_ntok"),
-          octet_length(col("text")).cast("long").as("_nb"),
-          size(Bpe.byteLevelWords(col("text"))).cast("long").as("_nw"))
+          length(col("w")).cast("long").as("_nb"))
         .groupBy("source")
-        .agg(sum(col("_ntok")).as("n_tokens"),
-          sum(col("_nb")).as("n_bytes"),
-          sum(col("_nw")).as("n_pretokens"))
+        .agg(sum(col("cnt") * col("_ntok")).as("n_tokens"),
+          sum(col("cnt") * col("_nb")).as("n_bytes"),
+          sum(col("cnt")).as("n_pretokens"))
         .select(col("source"), col("n_tokens"), col("n_bytes"),
           col("n_pretokens"),
           round(col("n_bytes").cast("double") /
@@ -289,13 +309,13 @@ object BpeQueries {
     * recursion so the fertility oracle can read per-word token counts
     * off the final vocab. The byte map is space→chr(288) ONLY — exact
     * under the ASCII precondition `assertByteLevelOracleSound` enforces
-    * per verify run. The pretokenizer string is the SAME regex the
-    * Scala kernel compiles ([[graft.functions.ByteLevelBpe]]); RE2 and
-    * java.util.regex agree on it (no lookahead, leftmost-first
-    * alternation in both). */
+    * per verify run. The pretokenizer is DERIVED from the one kernel
+    * constant ([[graft.functions.ByteLevelBpe.sqlQuoted]]); RE2 and
+    * java.util.regex agree on it over the gated ASCII domain (no
+    * lookahead, leftmost-first alternation in both — but NOT on all of
+    * `\s`: see the Pretokenizer scaladoc's vertical-tab caveat). */
   private def byteCtes: String = {
-    val pretokSql =
-      raw"''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+    val pretokSql = graft.functions.ByteLevelBpe.sqlQuoted
     val sb = new StringBuilder
     sb ++= s"""WITH RECURSIVE zwc AS MATERIALIZED (SELECT w AS word, count(*) AS cnt FROM (
       |    SELECT replace(unnest(regexp_extract_all(text, '$pretokSql', 0)),
@@ -345,7 +365,7 @@ object BpeQueries {
     "q201_bpe_byte_fertility" -> (byteCtes + s""",
       |zwsrc AS (SELECT source, w AS word, count(*) AS cnt FROM (
       |    SELECT source, replace(unnest(regexp_extract_all(text,
-      |      '${raw"''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"}', 0)),
+      |      '${graft.functions.ByteLevelBpe.sqlQuoted}', 0)),
       |      ' ', chr(288)) AS w
       |    FROM documents) GROUP BY 1, 2),
       |zwtok AS (SELECT word,
