@@ -95,7 +95,11 @@ object SparkEntry {
       "q200_bpe_byte_train" ->
         ((s, dir) => graft.queries.BpeQueries.assertByteLevelOracleSound(s, dir)),
       "q201_bpe_byte_fertility" ->
-        ((s, dir) => graft.queries.BpeQueries.assertByteLevelOracleSound(s, dir)))
+        ((s, dir) => graft.queries.BpeQueries.assertByteLevelOracleSound(s, dir)),
+      // q203: Spark drops null/zero-norm embeddings, the oracle keeps
+      // raw vectors — parity holds only while none exist
+      "q203_ann_operating_curve" ->
+        ((s, dir) => graft.queries.AnnCurveQueries.assertEmbeddingsSound(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -26,6 +26,11 @@ import org.apache.spark.sql.SparkSession
  */
 object Registry {
 
+  /** The reference ModelStage enum — the only stage strings reads
+    * recognize. */
+  private val Stages =
+    Set("development", "staging", "production", "archived")
+
   final case class Entry(version: String, stage: String, path: String)
 
   final case class Manifest(entries: Seq[Entry]) {
@@ -53,6 +58,20 @@ object Registry {
     * half-written FIRST manifest; read() instead falls back to the
     * side file passively. Writers must be serialized by the caller —
     * the same single-maintainer contract as the Layout swap jobs. */
+  /** A complete side file ends with ']' — the whole JSON lands in one
+    * write buffer, so truncation cannot preserve the terminator. Used
+    * by the WRITE path only (writers are serialized, so the re-open
+    * cannot race a rename; the read path judges completeness on its
+    * own single read). */
+  private def sideComplete(f: org.apache.hadoop.fs.FileSystem,
+                           tmp: Path): Boolean =
+    try {
+      val in = f.open(tmp)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      txt.trim.endsWith("]")
+    } catch { case _: java.io.FileNotFoundException => false }
+
   private def heal(f: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
     val p = manifestPath(dir)
     val tmp = tmpPath(dir)
@@ -81,47 +100,40 @@ object Registry {
     // if both probes miss, the rename may have completed BETWEEN them —
     // re-probe main once before concluding empty (writers are
     // serialized, so one transition is the only thing a read can race).
-    def parse(path: Path): Option[Manifest] = {
-      val txt =
-        try {
-          val in = f.open(path)
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        } catch {
-          // deleted between exists() and open() by the racing writer —
-          // caller re-probes
-          case _: java.io.FileNotFoundException => return None
-        }
-      val entry = """\{"version":"([^"]+)","stage":"([^"]+)","path":"([^"]*)"\}""".r
-      Some(Manifest(entry.findAllMatchIn(txt)
-        .map(m => Entry(m.group(1), m.group(2), m.group(3))).toSeq))
-    }
+    def parseText(path: Path): Option[String] =
+      try {
+        val in = f.open(path)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      } catch {
+        // deleted between exists() and open() by the racing writer —
+        // None so the caller RE-PROBES (mapping this to an empty
+        // manifest would let a fully-successful transition read as
+        // "no versions registered" for one racing reader)
+        case _: java.io.FileNotFoundException => None
+      }
+    val entry = """\{"version":"([^"]+)","stage":"([^"]+)","path":"([^"]*)"\}""".r
+    def manifestOf(txt: String): Manifest =
+      Manifest(entry.findAllMatchIn(txt)
+        .map(m => Entry(m.group(1), m.group(2), m.group(3))).toSeq)
     def attempt(): Option[Manifest] =
-      if (f.exists(p)) parse(p)
+      if (f.exists(p)) parseText(p).map(manifestOf)
       else {
         val tmp = tmpPath(dir)
-        if (f.exists(tmp)) {
-          // torn side file → no committed state
-          parse(tmp) // complete check below
-            .filter(_ => sideComplete(f, tmp))
-            .orElse(Some(Manifest(Seq.empty)))
+        if (f.exists(tmp)) parseText(tmp) match {
+          case None => None // rename landed mid-probe: re-probe main
+          // completeness judged on the SAME read (a second open would
+          // re-widen the rename race): a complete side file ends with
+          // ']' — the whole JSON lands in one write buffer
+          case Some(txt) if txt.trim.endsWith("]") => Some(manifestOf(txt))
+          // genuinely torn side file with no main: nothing committed
+          case Some(_) => Some(Manifest(Seq.empty))
         } else None
       }
     attempt()
       .orElse(attempt()) // one re-probe closes the rename race window
       .getOrElse(Manifest(Seq.empty))
   }
-
-  /** A complete side file ends with ']' — the whole JSON lands in one
-    * write buffer, so truncation cannot preserve the terminator. */
-  private def sideComplete(f: org.apache.hadoop.fs.FileSystem,
-                           tmp: Path): Boolean =
-    try {
-      val in = f.open(tmp)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      txt.trim.endsWith("]")
-    } catch { case _: java.io.FileNotFoundException => false }
 
   // the manifest is line-protocol JSON parsed by regex (the
   // EnsembleModel.save no-external-dep discipline): reject strings the
@@ -163,6 +175,11 @@ object Registry {
     * re-register of an existing version replaces its entry. */
   def register(spark: SparkSession, dir: String, version: String,
                artifactPath: String, stage: String = "development"): Manifest = {
+    // the lifecycle enum is enforced on the one caller-supplied stage
+    // entry point: a typo ("Production", "prod") would otherwise write
+    // an entry no lookup recognizes and skip the incumbent demotion
+    require(Stages.contains(stage),
+      s"unknown stage '$stage' (one of ${Stages.toSeq.sorted.mkString(", ")})")
     val m = read(spark, dir)
     // registering straight into production is a promote: the incumbent
     // archives in the SAME transition, or the single-production

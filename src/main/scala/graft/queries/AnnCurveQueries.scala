@@ -75,19 +75,30 @@ object AnnCurveQueries {
     import s.implicits._
     val cfg = Configs.toDF("nprobe", "refine_factor")
 
-    // centroid ranking ONCE per query; configs join on the rank prefix
+    // Every HEAVY stage runs once, config-free; configs are derived by
+    // filters afterwards. This works because (a) each corpus id belongs
+    // to exactly ONE list, so a candidate pair (qid, id) carries a
+    // single centroid rank rn and the nprobe candidate sets are nested
+    // prefixes of the max-nprobe set; (b) adcd is a pure (qid, id)
+    // value, independent of config; (c) the exact cosine is a pure
+    // (qid, id) value — only the CUTOFFS (rn <= nprobe, rk <=
+    // refine_factor*K, fr <= K) are per-config, and those are cheap
+    // filters/windows over already-shortlisted rows.
+    val maxProbe = Configs.map(_._1).max
+    // centroid ranking ONCE per query
     val ranked = q.select(col("qid"), col("qu"))
       .crossJoin(broadcast(cents))
       .select(col("qid"), col("cid"),
         VectorFunctions.dot(col("qu"), col("cu")).as("qcos"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("qcos").desc, col("cid").asc)))
-    val probed = ranked.join(broadcast(cfg), col("rn") <= col("nprobe"))
-      .select("nprobe", "refine_factor", "qid", "cid")
-    val cand = probed.join(assign, "cid")
+      .filter(col("rn") <= maxProbe)
+    // candidates ONCE at max nprobe, tagged with their list's rank
+    val cand = ranked.select("qid", "cid", "rn").join(assign, "cid")
       .filter(col("id") =!= col("qid"))
-      .select("nprobe", "refine_factor", "qid", "id")
-    val scanned = cand.groupBy("nprobe", "refine_factor")
+      .select("qid", "id", "rn")
+    val scanned = cand.join(broadcast(cfg), col("rn") <= col("nprobe"))
+      .groupBy("nprobe", "refine_factor")
       .agg((count(lit(1)).cast("double") / lit(n * nq).cast("double"))
         .as("scanned_frac"))
 
@@ -99,31 +110,40 @@ object AnnCurveQueries {
         VectorFunctions.sqDist(
           slice(col("qv"), col("s") * SubDim + 1, lit(SubDim)),
           slice(col("cv"), col("s") * SubDim + 1, lit(SubDim))).as("dq"))
-    // fixed-order d0+d1+d2+d3 (the adcTopK discipline): order-invariant
+    // the ADC distance ONCE per candidate pair; fixed-order d0+..+d(M-1)
+    // derived from M (the adcTopK discipline: order-invariant, and the
+    // term list tracks the constant instead of hardcoding four)
+    val dCols = (0 until M).map(i =>
+      max(when(col("s") === i, col("dq"))).as(s"d$i"))
     val adc = cand.join(codes, "id")
       .join(broadcast(dq), Seq("qid", "s", "code"))
-      .groupBy("nprobe", "refine_factor", "qid", "id")
-      .agg(
-        max(when(col("s") === 0, col("dq"))).as("d0"),
-        max(when(col("s") === 1, col("dq"))).as("d1"),
-        max(when(col("s") === 2, col("dq"))).as("d2"),
-        max(when(col("s") === 3, col("dq"))).as("d3"))
+      .groupBy(col("qid"), col("id"))
+      .agg(max(col("rn")).as("rn"), dCols: _*)
       .withColumn("adcd",
-        col("d0") + col("d1") + col("d2") + col("d3"))
-    val cfgWin = Window.partitionBy("nprobe", "refine_factor", "qid")
-    val shortlist = adc
+        (0 until M).map(i => col(s"d$i")).reduce(_ + _))
+    // per-nprobe ADC rank (refine_factor only moves the cutoff)
+    val byProbe = adc
+      .join(broadcast(cfg.select("nprobe").distinct()),
+        col("rn") <= col("nprobe"))
       .withColumn("rk", row_number().over(
-        cfgWin.orderBy(col("adcd").asc, col("id").asc)))
+        Window.partitionBy("nprobe", "qid")
+          .orderBy(col("adcd").asc, col("id").asc)))
+    val shortlist = byProbe.join(broadcast(cfg), Seq("nprobe"))
       .filter(col("rk") <= col("refine_factor") * K)
       .select("nprobe", "refine_factor", "qid", "id")
-    // exact-cosine re-rank within the shortlist (the q154 refine stage)
+    // exact-cosine re-rank within the shortlist (the q154 refine stage);
+    // the cosine itself is computed once per DISTINCT shortlisted pair
     val units = e.select(col("vec_id").as("id"),
         VectorFunctions.unit(col("embedding")).as("u"))
       .filter(col("u").isNotNull)
-    val refined = shortlist
+    val pairCos = shortlist.select("qid", "id").distinct()
       .join(units, "id")
       .join(broadcast(q.select(col("qid"), col("qu"))), "qid")
-      .withColumn("cos", VectorFunctions.dot(col("u"), col("qu")))
+      .select(col("qid"), col("id"),
+        VectorFunctions.dot(col("u"), col("qu")).as("cos"))
+    val cfgWin = Window.partitionBy("nprobe", "refine_factor", "qid")
+    val refined = shortlist
+      .join(pairCos, Seq("qid", "id"))
       .withColumn("fr", row_number().over(
         cfgWin.orderBy(col("cos").desc, col("id").asc)))
       .filter(col("fr") <= K)
@@ -147,6 +167,22 @@ object AnnCurveQueries {
         round(coalesce(col("recall_at_10"), lit(0.0)), 6).as("recall_at_10"),
         round(coalesce(col("scanned_frac"), lit(0.0)), 6).as("scanned_frac"))
       .orderBy("nprobe", "refine_factor")
+  }
+
+  /** Oracle-parity precondition: the Spark side drops null/zero-norm
+    * vectors (unit() returns null) while the DuckDB replay keeps every
+    * raw vector — a zero-norm embedding would shrink Spark's query/
+    * truth denominators and feed the oracle's list_cosine_similarity a
+    * zero vector. Fail the gate loudly instead. */
+  def assertEmbeddingsSound(s: SparkSession, dir: String): Unit = {
+    val bad = Tables.load(s, dir, "embeddings")
+      .filter(col("embedding").isNull ||
+        VectorFunctions.unit(col("embedding")).isNull)
+      .limit(1).count()
+    require(bad == 0,
+      "ANN curve precondition violated: embeddings contains a null or " +
+        "zero-norm vector; Spark filters it while the DuckDB oracle " +
+        "keeps it — the two engines would diverge")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

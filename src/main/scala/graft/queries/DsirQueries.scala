@@ -158,6 +158,16 @@ object DsirQueries {
   // pipeline literal for literal. Parameterized by the input relation
   // (rows with source = 'src0' are the target, the rest the pool) so
   // the funnel oracle (q202) can replay it over a stage CTE.
+  /** The Gumbel-key SQL twin of [[graft.operators.Dsir.gumbel]] (salt
+    * "dsir", md5-bucket uniform, -ln(-ln((u+0.5)/1e6))) — ONE derivation
+    * point for every oracle that replays the selection draw (q195/q198/
+    * q199 and the funnel's fsel). Emitted over a `log_w` column. */
+  private[queries] def gumbelKeySql: String =
+    """log_w + (-ln(-ln((CAST(CAST(CAST(('0x' || substring(
+      |        md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8))
+      |        AS UBIGINT) % 1000000 AS BIGINT) AS DOUBLE) + 0.5E0)
+      |      / 1000000.0E0))) AS key""".stripMargin
+
   private[queries] def dsirCtesBodyFrom(rel: String): String =
     raw"""toksl AS (SELECT doc_id, source,
       |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
@@ -201,10 +211,7 @@ object DsirQueries {
 
     "q199_selector_agreement" -> (dsirCtes + s""",
       |sel AS (SELECT doc_id, log_w,
-      |    log_w + (-ln(-ln((CAST(CAST(CAST(('0x' || substring(
-      |        md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8))
-      |        AS UBIGINT) % 1000000 AS BIGINT) AS DOUBLE) + 0.5E0)
-      |      / 1000000.0E0))) AS key
+      |    $gumbelKeySql
       |  FROM wts),
       |picked AS (SELECT doc_id, true AS dsir_sel FROM sel
       |  ORDER BY key DESC, doc_id LIMIT 80),
@@ -226,12 +233,9 @@ object DsirQueries {
       |JOIN qm ON qm.doc_id = w.doc_id
       |ORDER BY w.doc_id""".stripMargin),
 
-    "q198_dsir_select_audit" -> (dsirCtes + """,
+    "q198_dsir_select_audit" -> (dsirCtes + s""",
       |sel AS (SELECT doc_id, log_w,
-      |    log_w + (-ln(-ln((CAST(CAST(CAST(('0x' || substring(
-      |        md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8))
-      |        AS UBIGINT) % 1000000 AS BIGINT) AS DOUBLE) + 0.5E0)
-      |      / 1000000.0E0))) AS key
+      |    $gumbelKeySql
       |  FROM wts),
       |picked AS (SELECT doc_id, 1 AS kept FROM sel
       |  ORDER BY key DESC, doc_id LIMIT 80)
@@ -247,12 +251,9 @@ object DsirQueries {
       |JOIN documents d ON d.doc_id = w.doc_id
       |GROUP BY d.source ORDER BY d.source""".stripMargin),
 
-    "q195_dsir_select" -> (dsirCtes + """,
+    "q195_dsir_select" -> (dsirCtes + s""",
       |sel AS (SELECT doc_id, log_w,
-      |    log_w + (-ln(-ln((CAST(CAST(CAST(('0x' || substring(
-      |        md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8))
-      |        AS UBIGINT) % 1000000 AS BIGINT) AS DOUBLE) + 0.5E0)
-      |      / 1000000.0E0))) AS key
+      |    $gumbelKeySql
       |  FROM wts)
       |SELECT CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INTEGER)
       |    AS sel_rank,

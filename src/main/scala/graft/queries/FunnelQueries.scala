@@ -150,10 +150,7 @@ object FunnelQueries {
         |  UNION ALL SELECT doc_id, source, text FROM fcorp),
         |${DsirQueries.dsirCtesBodyFrom("fd")},
         |fsel AS (SELECT doc_id, log_w,
-        |    log_w + (-ln(-ln((CAST(CAST(CAST(('0x' || substring(
-        |        md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8))
-        |        AS UBIGINT) % 1000000 AS BIGINT) AS DOUBLE) + 0.5E0)
-        |      / 1000000.0E0))) AS key
+        |    ${DsirQueries.gumbelKeySql}
         |  FROM wts),
         |fpicked AS (SELECT doc_id FROM fsel ORDER BY key DESC, doc_id
         |  LIMIT $FunnelK),

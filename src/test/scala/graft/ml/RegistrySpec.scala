@@ -178,4 +178,17 @@ class RegistrySpec extends SparkSpec {
     assert(m.entries.size === 1)
     assert(m("v1.0") === Registry.Entry("v1.0", "staging", "new/path"))
   }
+
+  test("a stage outside the lifecycle enum is rejected at register " +
+      "(a typo would silently skip incumbent demotion and every lookup)") {
+    val dir = freshDir()
+    Registry.register(spark, dir, "v1", "p1")
+    intercept[IllegalArgumentException] {
+      Registry.register(spark, dir, "v2", "p2", stage = "Production")
+    }
+    intercept[IllegalArgumentException] {
+      Registry.register(spark, dir, "v2", "p2", stage = "prod")
+    }
+    assert(Registry.read(spark, dir).entries.map(_.version) === Seq("v1"))
+  }
 }
