@@ -228,7 +228,13 @@ object CurationRunner {
     val selected = lmFiltered.flatMap { k =>
       dsirTarget match {
         case None => Some(k) // stage absent: no artifact, no log row
-        case Some(tgt) => stage("select") {
+        case Some(tgt) =>
+          // the weights checkpoint is released once the stage WRITE has
+          // materialized its consumer (the NewtonBoost free() discipline
+          // — without this the frame stays pinned in block storage
+          // through BPE training, mixing, split and packing)
+          var wPinned: Option[DataFrame] = None
+          val out = stage("select") {
           // q194/q195's DSIR pass as a pipeline stage: hashed-n-gram
           // bucket models fit on the EXTERNAL trusted sample vs the
           // surviving corpus, the smoothed log-ratio table stored (the
@@ -250,6 +256,7 @@ object CurationRunner {
           // both read the pinned frame
           val w = Dsir.importanceWeights(k, col("doc_id"), col("text"),
             storedRatio, dsirBuckets).localCheckpoint(true)
+          wPinned = Some(w)
           val keepK = math.ceil(w.count() * dsirKeepFraction).toLong
           require(keepK <= Int.MaxValue,
             s"select quota $keepK exceeds the top-k path; gate on a " +
@@ -263,7 +270,10 @@ object CurationRunner {
                keepK.toInt, salt = "curation-dsir"))
               .select(col("id").as("doc_id"), col("log_w"))
           k.join(picked, "doc_id")
-        }
+          }
+          wPinned.foreach(
+            org.apache.spark.sql.graftshim.GraftShim.freeLocalCheckpoint)
+          out
       }
     }
 

@@ -418,9 +418,10 @@ object MetricsLedger {
       "dsir_efficacy_dsir_auc" -> holdoutAuc(dsirSel),
       "dsir_efficacy_random_auc" -> holdoutAuc(randSel),
       "dsir_efficacy_select_target_frac" ->
-        subset(graft.operators.Dsir.gumbelTopK(
-            w, col("id"), col("log_w"), budget))
-          .agg(avg((col("doc_id") < 400).cast("double"))).head.getDouble(0))
+        // the SAME deterministic draw as dsirSel — reuse it, don't
+        // re-run the global top-k + pool join
+        dsirSel.agg(avg((col("doc_id") < 400).cast("double")))
+          .head.getDouble(0))
     pool.unpersist(); eval.unpersist(); w.unpersist()
     out
   }
@@ -468,10 +469,16 @@ object MetricsLedger {
     moves.foreach { case (k, p, v) =>
       System.err.println(f"[metrics] MOVE $k prev=$p%.4f now=$v%.4f")
     }
+    // Locale.ROOT, never the f-interpolator: a comma-decimal default
+    // locale (de_DE) would write 0,712345 — invalid JSON AND invisible
+    // to the prev-parse regex, silently disarming the move gate
+    def d6(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
     val metricsJson = now
-      .map { case (k, v) => f""""$k":$v%.6f""" }.mkString("{", ",", "}")
+      .map { case (k, v) => s""""$k":${d6(v)}""" }.mkString("{", ",", "}")
     val movesJson = moves
-      .map { case (k, p, v) => f""""$k":{"prev":$p%.6f,"now":$v%.6f}""" }
+      .map { case (k, p, v) =>
+        s""""$k":{"prev":${d6(p)},"now":${d6(v)}}""" }
       .mkString("{", ",", "}")
     val w = new java.io.PrintWriter(path)
     try w.println(

@@ -494,26 +494,46 @@ object Corpus {
     spliceRebuilt(base, kept, spanWords)
   }
 
+  /** The tiling EXPRESSIONS over a pre-split `ws` word-array column —
+    * THE one definition of the tile arithmetic. The streaming twins
+    * ([[graft.streaming.Streams.spanDedupIngest]] /
+    * `boilerplateIngest`) build their row-parity-pinned plans from
+    * these same expressions, so an edit to the tokenizer split, the
+    * tile slice, or the tail rule changes batch and stream together. */
+  private[graft] def tileCount(ws: Column, spanWords: Int): Column =
+    (size(ws).cast("long") / spanWords).cast("long")
+
+  /** The complete `spanWords`-word tiles, in document order (empty
+    * array for a doc shorter than one tile). */
+  private[graft] def tileArray(ws: Column, spanWords: Int): Column = {
+    val w = lit(spanWords)
+    when(tileCount(ws, spanWords) > 0, transform(
+      sequence(lit(0), (tileCount(ws, spanWords) - 1).cast("int")),
+      i => concat_ws(" ", slice(ws, i * w + 1, w))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** The always-kept partial tail after the last complete tile. */
+  private[graft] def tailText(ws: Column, spanWords: Int): Column =
+    concat_ws(" ",
+      slice(ws, (tileCount(ws, spanWords) * spanWords + 1).cast("int"),
+        (size(ws).cast("long") - tileCount(ws, spanWords) * spanWords)
+          .cast("int")))
+
   /** Shared tiling kernel of [[spanDedup]] / [[removeBoilerplate]]:
     * scan-local split into complete `spanWords`-word tiles plus the
     * always-kept partial tail. Returns (base with tail_txt, exploded
     * (id, idx, tile) rows). */
   private def tileDocs(docs: DataFrame, idCol: Column, textCol: Column,
                        spanWords: Int): (DataFrame, DataFrame) = {
-    val w = lit(spanWords)
     val base = docs
       .select(idCol.as("id"), split(textCol, " ").as("ws"))
-      .select(col("id"), col("ws"), size(col("ws")).cast("long").as("n_words"))
-      .withColumn("n_tiles", (col("n_words") / spanWords).cast("long"))
+      .withColumn("n_tiles", tileCount(col("ws"), spanWords))
       // the trailing partial tile never enters the excision decision
-      .withColumn("tail_txt", concat_ws(" ",
-        slice(col("ws"), (col("n_tiles") * spanWords + 1).cast("int"),
-          (col("n_words") - col("n_tiles") * spanWords).cast("int"))))
+      .withColumn("tail_txt", tailText(col("ws"), spanWords))
     val tiles = base
       .filter(col("n_tiles") > 0)
-      .select(col("id"), posexplode(transform(
-        sequence(lit(0), (col("n_tiles") - 1).cast("int")),
-        i => concat_ws(" ", slice(col("ws"), i * w + 1, w)))))
+      .select(col("id"), posexplode(tileArray(col("ws"), spanWords)))
       .toDF("id", "idx", "tile")
     (base, tiles)
   }

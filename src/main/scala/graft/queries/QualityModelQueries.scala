@@ -130,6 +130,13 @@ object QualityModelQueries {
 
   lazy val oracleSql: Map[String, String] = {
     val m = model
+    // the ONE tunable cut, emitted as a DOUBLE literal (E0 appended
+    // unless toString already carries an exponent) — retuning
+    // KeepMargin can never desynchronize the oracle from the Spark gate
+    val keepLit = {
+      val t = KeepMargin.toString
+      if (t.contains("E") || t.contains("e")) t else t + "E0"
+    }
     Map(
       "q196_quality_model" ->
         raw"""WITH d AS (SELECT doc_id,
@@ -146,7 +153,7 @@ object QualityModelQueries {
            |  round(stop_ratio, 6) AS stop_ratio, round(dup_frac, 6) AS dup_frac,
            |  round(_mr, 6) AS margin,
            |  round((1.0E0 / (1.0E0 + exp(-_mr))), 6) AS score,
-           |  _mr >= -1.25E0 AS keep
+           |  _mr >= $keepLit AS keep
            |FROM s ORDER BY doc_id""".stripMargin)
   }
 }

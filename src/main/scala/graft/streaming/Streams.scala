@@ -155,6 +155,11 @@ object Streams {
   def readEvents(spark: SparkSession, dir: String,
                  watermark: String = "1 day",
                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    // SESSION-WIDE by contract, not an accident: Tables.load sets the
+    // same flag (Tables.scala — every engine session reads TIMESTAMP
+    // (NANOS) parquet as long + explicit conversion), so batch and
+    // stream decode identically. Scoping it per-read would let the two
+    // paths diverge on the same files.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // fall back ONLY when the directory is genuinely absent or holds no
     // data files (the start-stream-before-data pattern). The emptiness is
@@ -460,15 +465,15 @@ object Streams {
       : org.apache.spark.sql.Dataset[SpanKeep] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import docs.sparkSession.implicits._
-    val w = lit(spanWords)
     val base = docs
       .select(col("doc_id"), col("ts"), split(col("text"), " ").as("ws"))
-      .withColumn("n_tiles", (size(col("ws")) / spanWords).cast("int"))
+      .withColumn("n_tiles",
+        graft.operators.Corpus.tileCount(col("ws"), spanWords).cast("int"))
       .filter(col("n_tiles") > 0)
     val tiles = base
       .select(col("doc_id"), col("ts"), posexplode(transform(
-        sequence(lit(0), col("n_tiles") - 1),
-        i => md5(concat_ws(" ", slice(col("ws"), i * w + 1, w))))))
+        graft.operators.Corpus.tileArray(col("ws"), spanWords),
+        t => md5(t))))
       .toDF("doc_id", "ts", "idx", "h")
       .as[(Long, java.sql.Timestamp, Int, String)]
     tiles.groupByKey(_._4)
@@ -525,37 +530,39 @@ object Streams {
       : org.apache.spark.sql.Dataset[BoilerplateDoc] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import docs.sparkSession.implicits._
-    val w = lit(spanWords)
     val base = docs
-      .select(col("doc_id"), col("ts"), split(col("text"), " ").as("ws"))
-      .withColumn("n_words", size(col("ws")).cast("long"))
-      .withColumn("n_tiles", (col("n_words") / spanWords).cast("long"))
+      .select(col("doc_id"), col("ts"), split(col("text"), " ").as("ws"),
+        // content hash for the equal-timestamp duplicate tiebreak (the
+        // lmScoreIngest/dsirScoreIngest discipline): two same-ts copies
+        // with DIFFERENT text must resolve to ONE copy, never splice
+        xxhash64(col("text")).as("th"))
+      .withColumn("n_tiles",
+        graft.operators.Corpus.tileCount(col("ws"), spanWords))
       // the trailing partial tile never enters the excision decision
-      // (same rule as the batch tiling kernel)
-      .withColumn("tail_txt", concat_ws(" ",
-        slice(col("ws"), (col("n_tiles") * spanWords + 1).cast("int"),
-          (col("n_words") - col("n_tiles") * spanWords).cast("int"))))
+      // (the batch tiling kernel's OWN expression — shared, not copied)
+      .withColumn("tail_txt",
+        graft.operators.Corpus.tailText(col("ws"), spanWords))
     // complete tiles + one always-null sentinel: the sentinel keeps
     // zero-tile docs alive through explode and the key join, and
     // carries (n_tiles, tail_txt) to the reassembly group
     val tiles = base
-      .select(col("doc_id"), col("ts"), col("n_tiles"), col("tail_txt"),
+      .select(col("doc_id"), col("ts"), col("th"), col("n_tiles"),
+        col("tail_txt"),
         posexplode(concat(
-          when(col("n_tiles") > 0, transform(
-            sequence(lit(0), (col("n_tiles") - 1).cast("int")),
-            i => concat_ws(" ", slice(col("ws"), i * w + 1, w))))
-            .otherwise(array().cast("array<string>")),
+          graft.operators.Corpus.tileArray(col("ws"), spanWords),
           array(lit(null).cast("string")))))
-      .toDF("doc_id", "ts", "n_tiles", "tail_txt", "idx", "tile")
+      .toDF("doc_id", "ts", "th", "n_tiles", "tail_txt", "idx", "tile")
     // stream-static left join: flag = tile's md5 is in the artifact.
     // null sentinel tiles never match (null key joins nothing) and
     // survive the LEFT join unflagged.
     val flagged = tiles
       .join(tileKeys.select(col("k").as("_bk")),
         md5(col("tile")) === col("_bk"), "left")
-      .select(col("doc_id"), col("ts"), col("n_tiles"), col("tail_txt"),
+      .select(col("doc_id"), col("ts"), col("th"), col("n_tiles"),
+        col("tail_txt"),
         col("idx"), col("tile"), col("_bk").isNotNull.as("is_boiler"))
-      .as[(Long, java.sql.Timestamp, Long, String, Int, Option[String], Boolean)]
+      .as[(Long, java.sql.Timestamp, Long, Long, String, Int,
+        Option[String], Boolean)]
     flagged.groupByKey(_._1)
       .flatMapGroupsWithState[Boolean, BoilerplateDoc](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
@@ -570,18 +577,21 @@ object Streams {
               else {
                 // within-batch duplicate doc_ids (at-least-once
                 // redelivery inside ONE trigger): keep the EARLIEST
-                // copy's rows only, then one row per tile index —
-                // without this, two copies' tiles would splice into a
+                // copy's rows only — and among equal-ts copies with
+                // DIFFERENT text, the min content hash wins (sibling
+                // ingest twins' rule) — then one row per tile index.
+                // Without this, two copies' tiles would splice into a
                 // single corrupted doc (n_kept > n_tiles, negative
                 // n_dropped) where the batch twin emits one clean row
                 val minTs = all.map(_._2.getTime).min
-                val chosen = all.filter(_._2.getTime == minTs)
-                  .sortBy(r => (r._5, r._7, r._6.getOrElse("")))
-                  .distinctBy(_._5)
-                val nTiles = chosen.head._3
-                val tail = chosen.head._4
-                val kept = chosen.filter(r => r._6.isDefined && !r._7)
-                  .sortBy(_._5).map(_._6.get)
+                val atTs = all.filter(_._2.getTime == minTs)
+                val minTh = atTs.map(_._3).min
+                val chosen = atTs.filter(_._3 == minTh)
+                  .sortBy(_._6).distinctBy(_._6)
+                val nTiles = chosen.head._4
+                val tail = chosen.head._5
+                val kept = chosen.filter(r => r._7.isDefined && !r._8)
+                  .sortBy(_._6).map(_._7.get)
                 val body = kept.mkString(" ")
                 // batch twin: md5(trim(concat_ws(" ", body, tail_txt)))
                 // — Spark's trim strips ONLY spaces (0x20); Java's
@@ -872,7 +882,6 @@ object Streams {
     import rows.sparkSession.implicits._
     require(depth >= 1 && width >= 1,
       s"cmsIngest requires depth/width >= 1 (got $depth x $width)")
-    import rows.sparkSession.implicits._
     val bucketed = rows
       .filter(col("key").isNotNull && col("value").isNotNull &&
         col("ts").isNotNull)
@@ -1500,11 +1509,15 @@ object Streams {
                          outDir: String, checkpoint: String): DataFrame = {
     val rollup = dailyRollup(readEvents(spark, eventsDir))
     val writer = rollup.writeStream
-      .outputMode("update")
+      // COMPLETE mode + overwrite, matching the contract above: update
+      // mode + append would re-emit a changed window on the next drain
+      // (or next micro-batch within one drain) and the directory would
+      // then hold BOTH the stale and the updated row for that day —
+      // double-counting on read. Complete re-emits the full aggregate,
+      // overwrite keeps exactly the latest rollup.
+      .outputMode("complete")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // update-mode emits changed windows per batch; a single
-        // AvailableNow drain emits each window once → plain append.
-        batch.write.mode("append").parquet(outDir)
+        batch.write.mode("overwrite").parquet(outDir)
         ()
       }
     runAvailableNow(writer, checkpoint)

@@ -34,6 +34,31 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("T2: a SECOND drain after new files re-emits updated windows " +
+      "without duplicating day rows (rewrite, not append)") {
+    val dir = tmp("graft-events2")
+    val out = tmp("graft-rollup-out2")
+    val ckpt = tmp("graft-rollup-ckpt2")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(s"$dir/events.parquet"))
+    Streams.rollupAvailableNow(spark, dir, out, ckpt)
+    // new events land in ALREADY-ROLLED-UP days (a raw-schema copy of
+    // the same file); the scheduled re-drain must yield each (day,
+    // type) exactly once, with the updated counts
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(s"$dir/more.parquet"))
+    val streamed = Streams.rollupAvailableNow(spark, dir, out, ckpt)
+      .select("day", "event_type", "n", "total_value")
+    assert(streamed.groupBy("day", "event_type").count()
+      .filter(col("count") > 1).isEmpty,
+      "a re-drained window appears twice in the rollup output")
+    val once = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val batch = Streams.dailyRollup(once.unionByName(once))
+      .select("day", "event_type", "n", "total_value")
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "re-drained rollup diverges from the batch rollup over all files")
+  }
+
   test("slidingRollup: streamed AvailableNow drain equals the batch " +
       "sliding-window aggregate (q126 shape)") {
     val dir = tmp("graft-sliding-events")
