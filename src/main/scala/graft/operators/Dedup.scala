@@ -221,8 +221,11 @@ object Dedup {
                        shingleSize: Int = 5, numHashes: Int = 16,
                        bands: Int = 8, minContainment: Double = 0.5,
                        maxBucketSize: Int = 100): DataFrame = {
+    // persist-use-free, the minhashNearDups discipline: an eager
+    // localCheckpoint here would pin the corpus-sized state frame for
+    // the session's lifetime (the result below references it lazily)
     val docState = minhashDocState(docs, idCol, textCol, shingleSize,
-      numHashes).localCheckpoint(true)
+      numHashes).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = candidatePairsFromState(docState, numHashes, bands,
       maxBucketSize)
     val withSets = cand
@@ -232,12 +235,15 @@ object Dedup {
         col("sz").as("b_sz")), "b_id")
     val inter = GraftShim.column(SortedIntersectCount(
       GraftShim.expr(col("a_hs")), GraftShim.expr(col("b_hs")))).cast("double")
-    withSets
+    val out = withSets
       .withColumn("_i", inter)
       .select(col("a_id"), col("b_id"),
         (col("_i") / least(col("a_sz"), col("b_sz"))).as("containment"),
         (col("_i") / (col("a_sz") + col("b_sz") - col("_i"))).as("jaccard"))
       .filter(col("containment") >= minContainment)
+      .localCheckpoint(true)
+    docState.unpersist()
+    out
   }
 
   /** The three materialize-once dedup artifacts, each already
@@ -442,7 +448,7 @@ object Dedup {
                         maxDocs: Long = 100000L): DataFrame = {
     require(bandsConfigs.nonEmpty, "need at least one bands configuration")
     val st = minhashDocState(docs, idCol, textCol, shingleSize, numHashes)
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // enforce the sample-only contract — ground truth below is ALL-PAIRS
     // exact Jaccard; an unsampled corpus would silently go O(n^2). The
     // count is over the already-checkpointed state frame (no re-scan).
@@ -457,11 +463,14 @@ object Dedup {
       col("sz").as("b_sz"))
     val inter = GraftShim.column(SortedIntersectCount(
       GraftShim.expr(col("a_hs")), GraftShim.expr(col("b_hs")))).cast("double")
+    // persisted, not checkpointed: this is the O(n^2) all-pairs frame,
+    // the largest intermediate in the file — it must be releasable once
+    // the per-config aggregate below has materialized
     val truth = a.join(b, col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         (inter / (col("a_sz") + col("b_sz") - inter) >= threshold)
           .as("is_dup"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val perConfig = bandsConfigs.map { bands =>
       val bk = st.select(col("id"),
         explode(lshBandKeys(col("sig"), numHashes, bands)).as("bk"))
@@ -477,12 +486,19 @@ object Dedup {
     }.reduce(_ unionByName _)
     val totals = truth.agg(
       coalesce(sum(col("is_dup").cast("long")), lit(0L)).as("n_true_pairs"))
-    perConfig.crossJoin(broadcast(totals))
+    // the tiny per-config result materializes eagerly; both heavyweight
+    // inputs release (the file's free() discipline — a leaked all-pairs
+    // frame is exactly the "contiguous bench regression cluster" shape)
+    val out = perConfig.crossJoin(broadcast(totals))
       .select(col("bands"), col("n_candidates"), col("n_true_pairs"),
         col("true_positives"),
         round(col("true_positives") / col("n_candidates"), 6)
           .as("precision"),
         round(col("true_positives") / col("n_true_pairs"), 6).as("recall"))
+      .localCheckpoint(true)
+    st.unpersist()
+    truth.unpersist()
+    out
   }
 
   /**
@@ -587,13 +603,20 @@ object Dedup {
     // expression form's hex-digit d (1-based from the LEFT), bit b nibble
     // test becomes (v >> (4*(hexDigits-d) + b)) & 1
     val e = docs
-      .select(Seq(idCol.as("id"), explode_outer(tokensCol).as("t")) ++
+      .select(Seq(idCol.as("id"), explode_outer(tokensCol).as("t"),
+        // distinguishes explode_outer's synthetic empty-doc row (must
+        // contribute 0, matching the expression form's empty aggregate)
+        // from a GENUINE null element (which the expression form scores
+        // -1 per bit via its otherwise branch) — without this the two
+        // forms disagree on any doc whose token array contains nulls
+        (tokensCol.isNull || size(tokensCol) <= 0).as("_empty")) ++
         extra.map { case (n, c) => c.as(n) }: _*)
       .withColumn("v",
         conv(substring(hashStr(col("t")), 1, hexDigits), 16, 10).cast("long"))
     val sums = (0 until bits).map { j =>
       val shift = 4 * (hexDigits - 1 - j / 4) + (j % 4)
-      sum(when(col("v").isNull, 0)
+      sum(when(col("_empty"), 0)
+        .when(col("v").isNull, -1)
         .when(shiftright(col("v"), shift) % 2 === 1, 1)
         .otherwise(-1)).as(s"_s$j")
     }
@@ -605,9 +628,14 @@ object Dedup {
           .reduce(_ + _).as("fp"): _*)
   }
 
-  /** Hamming distance between two int fingerprints. */
-  def hammingDist(a: Column, b: Column, bits: Int = 32): Column =
-    bit_count(a.bitwiseXOR(b)).cast("int")
+  /** Hamming distance between two fingerprints over the low `bits`
+    * bits (bits=32 = the full int width — the mask the signature always
+    * advertised but previously ignored). */
+  def hammingDist(a: Column, b: Column, bits: Int = 32): Column = {
+    require(bits >= 1 && bits <= 32, "bits must be in [1, 32]")
+    val mask = if (bits == 32) -1 else (1 << bits) - 1
+    bit_count(a.bitwiseXOR(b).bitwiseAND(lit(mask))).cast("int")
+  }
 
   /** SimHash near-dup pairs within a blocking key: fingerprint both sides,
     * pair within block, keep Hamming ≤ maxDist. Fingerprints are computed
@@ -672,7 +700,6 @@ object Dedup {
         explode(GraftShim.column(WordNgramHashes(
           GraftShim.expr(lower(textCol)), n))).as("h"))
       .distinct()
-    val sizes = postings.groupBy("id").agg(count(lit(1)).as("sz"))
     val filtered = maxDf match {
       case Some(cap) =>
         val dfW = org.apache.spark.sql.expressions.Window
@@ -681,6 +708,12 @@ object Dedup {
           .filter(col("_df") <= cap).drop("_df")
       case None => postings
     }
+    // sizes from the SAME capped postings the intersection sees: a
+    // dropped hot gram is nonexistent on BOTH sides of J (the ppjoin
+    // convention). Sizing from uncapped postings would deflate J for
+    // every doc carrying boilerplate grams and silently drop pairs
+    // whose capped-consistent Jaccard clears the threshold.
+    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = filtered.as("x").join(filtered.as("y"),
         col("x.block") === col("y.block") && col("x.h") === col("y.h") &&
           col("x.id") < col("y.id"))

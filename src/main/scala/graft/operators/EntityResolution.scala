@@ -108,28 +108,31 @@ object EntityResolution {
           greatest(col("a_employees"), col("b_employees"))).otherwise(0.5))
   }
 
+  // the component scores are SHARED by ruleScore and matchReasons — a
+  // tweak to one greatest(...) must change the gating score and the
+  // reported reason together, never one without the other
+  private def domainComponent: Column =
+    when(col("domain_exact_match") > 0, 1.0)
+      .otherwise(col("domain_similarity"))
+  private def nameComponent: Column =
+    when(col("name_exact_match") > 0, 1.0)
+      .otherwise(greatest(col("name_jaro_winkler"), col("name_jaccard"),
+        col("name_levenshtein")))
+
   /** Rule-based score (reference: entity_resolution.py:352-396):
     * domain/name/metadata components weighted 0.4/0.4/0.2. */
   def ruleScore(cfg: Config = Config()): Column = {
-    val domainScore = when(col("domain_exact_match") > 0, 1.0)
-      .otherwise(col("domain_similarity"))
-    val nameScore = when(col("name_exact_match") > 0, 1.0)
-      .otherwise(greatest(col("name_jaro_winkler"), col("name_jaccard"),
-        col("name_levenshtein")))
     val metadataScore = col("same_country") * 0.4 +
       col("same_industry") * 0.3 + col("size_ratio") * 0.3
-    domainScore * cfg.domainWeight + nameScore * cfg.nameWeight +
+    domainComponent * cfg.domainWeight + nameComponent * cfg.nameWeight +
       metadataScore * cfg.metadataWeight
   }
 
   /** Human-readable match reasons (reference: entity_resolution.py:358-385)
     * as an array column, nulls filtered. */
   def matchReasons: Column = {
-    val domainScore = when(col("domain_exact_match") > 0, 1.0)
-      .otherwise(col("domain_similarity"))
-    val nameScore = when(col("name_exact_match") > 0, 1.0)
-      .otherwise(greatest(col("name_jaro_winkler"), col("name_jaccard"),
-        col("name_levenshtein")))
+    val domainScore = domainComponent
+    val nameScore = nameComponent
     filter(array(
       when(col("domain_exact_match") > 0, lit("Exact domain match"))
         .otherwise(when(domainScore > 0.8,

@@ -44,22 +44,25 @@ import org.apache.spark.sql.functions._
  */
 object GraphRank {
 
-  /** PageRank over undirected (a_id, b_id) edges →
-    * (id, deg, pagerank). */
-  def pageRank(edges: DataFrame, iterations: Int = 3,
-               damping: Double = 0.85): DataFrame = {
+  /** Symmetrized (src, dst) edge frame — both directions of every
+    * undirected edge. ONE definition for the in-session path and the
+    * artifact writer. */
+  private def symmetrize(edges: DataFrame): DataFrame =
+    edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+
+  /** The power-iteration rounds + final (id, deg, pagerank) projection,
+    * shared by [[pageRank]] and [[pageRankFromEdgeArtifact]]: the two
+    * paths' "output bit-identical" contract is enforced by sharing the
+    * ONE loop (decimal(38,18) contribution sums, damped update), not by
+    * keeping two copies in sync. `symDeg` = (src, dst, deg); `deg` =
+    * one row per src. */
+  private def iterate(symDeg: DataFrame, deg: DataFrame,
+                      iterations: Int, damping: Double): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50], got $iterations")
     require(damping > 0 && damping < 1,
       s"damping must be in (0,1), got $damping")
-    val sym = edges
-      .select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .localCheckpoint()
-    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
-    // (src, dst, deg): each edge annotated with its source's out-degree,
-    // built once and reused by every round's join
-    val symDeg = sym.join(deg, "src").localCheckpoint()
     var ranks = deg.select(col("src").as("id"), lit(1.0).as("rank"))
     for (_ <- 1 to iterations) {
       ranks = symDeg
@@ -76,6 +79,18 @@ object GraphRank {
       .select(col("id"), col("deg"), col("rank").as("pagerank"))
   }
 
+  /** PageRank over undirected (a_id, b_id) edges →
+    * (id, deg, pagerank). */
+  def pageRank(edges: DataFrame, iterations: Int = 3,
+               damping: Double = 0.85): DataFrame = {
+    val sym = symmetrize(edges).localCheckpoint()
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    // (src, dst, deg): each edge annotated with its source's out-degree,
+    // built once and reused by every round's join
+    val symDeg = sym.join(deg, "src").localCheckpoint()
+    iterate(symDeg, deg, iterations, damping)
+  }
+
   /**
    * Write the symmetrized, degree-annotated edge list as a BUCKETED
    * managed table keyed by `src` — the storage layout the per-round
@@ -89,9 +104,7 @@ object GraphRank {
    */
   def writeEdgeArtifact(edges: DataFrame, table: String,
                         buckets: Int): Unit = {
-    val sym = edges
-      .select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val sym = symmetrize(edges)
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
     graft.sources.Bucketing.writeBucketed(sym.join(deg, "src"), table,
       "src", buckets)
@@ -112,26 +125,9 @@ object GraphRank {
   def pageRankFromEdgeArtifact(spark: org.apache.spark.sql.SparkSession,
                                table: String, iterations: Int = 3,
                                damping: Double = 0.85): DataFrame = {
-    require(iterations >= 1 && iterations <= 50,
-      s"iterations must be in [1, 50], got $iterations")
-    require(damping > 0 && damping < 1,
-      s"damping must be in (0,1), got $damping")
     val symDeg = spark.table(table)
     // one row per src, computed ON the bucket distribution (no Exchange)
     val deg = symDeg.groupBy("src").agg(max(col("deg")).as("deg"))
-    var ranks = deg.select(col("src").as("id"), lit(1.0).as("rank"))
-    for (_ <- 1 to iterations) {
-      ranks = symDeg
-        .join(ranks.withColumnRenamed("id", "src"), "src")
-        .select(col("dst"),
-          (col("rank") / col("deg")).cast("decimal(38,18)").as("c"))
-        .groupBy("dst")
-        .agg(sum(col("c")).as("cs"))
-        .select(col("dst").as("id"),
-          (lit(1.0) - lit(damping) +
-            lit(damping) * col("cs").cast("double")).as("rank"))
-    }
-    ranks.join(deg.select(col("src").as("id"), col("deg")), "id")
-      .select(col("id"), col("deg"), col("rank").as("pagerank"))
+    iterate(symDeg, deg, iterations, damping)
   }
 }

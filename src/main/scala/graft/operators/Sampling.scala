@@ -54,7 +54,11 @@ object Sampling {
     * stable under repartitioning and replayable cross-engine. */
   def sampleByWeight(df: DataFrame, key: Column, weight: Column,
                      scale: Double = 1.0, salt: String = "wsample"): DataFrame =
-    df.filter(hashUniform(key, salt) < least(weight * scale, lit(1.0)))
+    // NULL weight = weight 0 (dropped) — spelled out because least()
+    // SKIPS null operands, so the bare form would keep an un-scored row
+    // with probability 1, the opposite of any sane missing-score policy
+    df.filter(hashUniform(key, salt) <
+      least(coalesce(weight, lit(0.0)) * scale, lit(1.0)))
 
   /** Deterministic fixed-k sample per stratum: the k rows with the
     * smallest md5(salt:key) per stratum (ties broken by key) — an exact-k
@@ -91,7 +95,11 @@ object Sampling {
       .select(col("_st"),
         least(lit(1.0), (col("_total") * targetFraction) *
           (pow(col("_n"), alpha) / col("_zsum")) / col("_n")).as("_rate"))
-    df.join(broadcast(rates), stratum === col("_st"))
+    // NULL-SAFE join: a null stratum is a legitimate group of its own
+    // (the groupBy above already counts it) — plain equality would drop
+    // every null-stratum row AND leave their mass in _total/_zsum, so
+    // the realized kept share would undershoot targetFraction
+    df.join(broadcast(rates), stratum <=> col("_st"))
       .filter(hashUniform(key, salt) < col("_rate"))
       .withColumn("rate", col("_rate"))
       .drop("_st", "_rate")

@@ -639,8 +639,11 @@ object SimilaritySearch {
                            k: Int, seed: Long = 42L,
                            trainFrac: Double = 1.0): DataFrame = {
     val spark = embs.sparkSession
+    // null vectors would crash the MLlib fit (the cosine twin filters
+    // via unit()-null); drop them here the same way
     val e = embs.select(idCol.as("id"),
       transform(vecCol, x => x.cast("double")).as("v"))
+      .filter(col("v").isNotNull)
     val train = if (trainFrac >= 1.0) e
       else e.filter(Sampling.hashUniform(col("id"), "ivf-km-l2") < trainFrac)
     val centers = fitKMeans(
@@ -696,6 +699,7 @@ object SimilaritySearch {
     val spark = vecs.sparkSession
     val e = vecs.select(idCol.as("id"),
       transform(vecCol, x => x.cast("double")).as("v"))
+      .filter(col("v").isNotNull) // null vector = no trainable features
     val train = (if (trainFrac >= 1.0) e
       else e.filter(Sampling.hashUniform(col("id"), "pq-km") < trainFrac))
     val canon = canonForFit(train, col("id")).cache()

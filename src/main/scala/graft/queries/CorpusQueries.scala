@@ -1062,7 +1062,7 @@ object CorpusQueries {
         |    least(1.0, (total * 0.5) * (pow(n, 0.5) / zsum) / n) AS r
         |  FROM n, tot)
         |SELECT d.doc_id, d.lang, round(r.r, 6) AS rate
-        |FROM documents d JOIN rates r ON d.lang = r.lang
+        |FROM documents d JOIN rates r ON d.lang IS NOT DISTINCT FROM r.lang
         |WHERE CAST(('0x' || substring(md5('tmix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
         |    AS UBIGINT) % 1000000 / 1000000.0 < r.r
         |ORDER BY d.doc_id""".stripMargin,

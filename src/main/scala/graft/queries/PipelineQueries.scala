@@ -1177,7 +1177,7 @@ object PipelineQueries {
         |FROM documents
         |WHERE CAST(('0x' || substring(md5('wsample:' || doc_id), 1, 8)) AS UBIGINT)
         |    % 1000000 / 1000000.0
-        |  < least(least(n_chars / 2000.0, 1.0) * 1.0, 1.0)
+        |  < least(coalesce(least(n_chars / 2000.0, 1.0), 0) * 1.0, 1.0)
         |ORDER BY doc_id""".stripMargin,
 
     "q80_cube_rollup" ->

@@ -269,8 +269,8 @@ class DedupSpec extends SparkSpec {
     assert(pairs(Some(100)) === exact) // cap above every df: identical
     // cap=3 < df("x y z")=4: the boilerplate gram stops generating pairs, so
     // pairs overlapping ONLY on it vanish; 1-2 still meet via content grams
-    // (sizes stay exact — only the intersection is computed on capped
-    // postings, matching the operator's documented approximation)
+    // (capped grams are nonexistent on BOTH sides of J — sizes come from
+    // the same capped postings as the intersection, the ppjoin convention)
     val capped = pairs(Some(3))
     assert(capped.keySet === Set((1L, 2L)))
     assert(exact.keySet.contains((3L, 4L)))
