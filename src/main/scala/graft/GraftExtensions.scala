@@ -95,6 +95,8 @@ object GraftExtensions {
         arity("jaro_winkler(a, b)", 2)(es => JaroWinkler(es.head, es(1)))),
       ("array_dot", "array_dot(a, b) - double-precision dot product",
         arity("array_dot(a, b)", 2)(es => ArrayDot(es.head, es(1)))),
+      ("array_unit", "array_unit(a) - v/||v|| (null on zero norm)",
+        arity("array_unit(a)", 1)(es => graft.functions.ArrayUnit(es.head))),
       ("md5_prefix32", "md5_prefix32(s) - first 4 md5 bytes as uint32 long",
         arity("md5_prefix32(s)", 1)(es => Md5Prefix32(es.head))),
       ("md5_lanes4", "md5_lanes4(s) - all four 32-bit md5 lanes as array<long>",

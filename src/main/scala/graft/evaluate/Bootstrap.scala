@@ -76,7 +76,12 @@ object Bootstrap {
              alpha: Double = 0.05, salt: String = "bs"): DataFrame = {
     require(replicas >= 2 && alpha > 0 && alpha < 1)
     val g = groupBy.map(col)
+    // mean over the NON-NULL values: sum() skips nulls but count(*)
+    // would count them, silently deflating the point mean and every
+    // replica mean toward 0 (null-as-zero) — the one null policy no
+    // caller ever wants from a "mean"
     val base = df.select(g :+ key.as("_k") :+ value.as("_v"): _*)
+      .filter(col("_v").isNotNull)
 
     val point = base.groupBy(g: _*)
       .agg(count(lit(1)).as("n"),

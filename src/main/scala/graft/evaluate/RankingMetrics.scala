@@ -213,8 +213,15 @@ object RankingMetrics {
     val agg = mid.agg(
       sum(col("_mr") * col("_gp")).as("rankSum"),
       sum(col("_gp")).as("nPos"), sum(col("_gn")).as("n")).head
+    // fail LOUDLY on degenerate eval slices: an empty frame NPEs on the
+    // null sum and a single-class frame divides to NaN/Infinity — both
+    // would otherwise propagate silently into quality reports
+    require(!agg.isNullAt(1) && !agg.isNullAt(2),
+      "auc: empty scored frame")
     val nPos = agg.getLong(1).toDouble
     val nNeg = agg.getLong(2) - nPos
+    require(nPos > 0 && nNeg > 0,
+      s"auc undefined on a single-class frame (nPos=$nPos, nNeg=$nNeg)")
     (agg.getDouble(0) - nPos * (nPos + 1) / 2) / (nPos * nNeg)
   }
 }

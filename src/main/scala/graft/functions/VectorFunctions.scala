@@ -38,15 +38,16 @@ object VectorFunctions {
     when(na === 0.0 || nb === 0.0, lit(null)).otherwise(d / (na * nb))
   }
 
-  /** v/‖v‖ as a double array; null for null/zero-norm input. For
-    * PAIRWISE ops, normalize each side BELOW the pair join — cosine then
-    * degenerates to a single dot pass per pair instead of dot + two norms
-    * (3× the lambda work, paid O(pairs) instead of O(rows)). */
-  def unit(a: Column): Column = {
-    val n = norm(a)
-    when(a.isNull || n === 0.0, lit(null))
-      .otherwise(transform(a, x => x.cast("double") / n))
-  }
+  /** v/‖v‖ as a double array; null for null/zero-norm input (or a null
+    * element). For PAIRWISE ops, normalize each side BELOW the pair
+    * join — cosine then degenerates to a single dot pass per pair
+    * instead of dot + two norms (paid O(pairs) instead of O(rows)).
+    * Native kernel ([[graft.functions.ArrayUnit]]): the transform-HOF
+    * form re-evaluated the captured norm PER ELEMENT (O(D²)/row). */
+  def unit(a: Column): Column =
+    org.apache.spark.sql.graftshim.GraftShim.column(
+      graft.functions.ArrayUnit(
+        org.apache.spark.sql.graftshim.GraftShim.expr(a)))
 
   /** Squared euclidean distance. */
   def sqDist(a: Column, b: Column): Column =

@@ -96,9 +96,17 @@ object Contracts {
   private def columnAggs(c: ColumnContract): Seq[Column] = {
     val v = col(c.name)
     val nonNull = v.isNotNull
+    // dups ONLY for unique-contracted columns (the streaming twin's
+    // rule, Streams.contractWindows): an unconditional count_distinct
+    // per column makes Spark plan a multi-distinct Expand — one
+    // replicated projection of the whole scan PER COLUMN — for counters
+    // validate() never reads on non-unique columns
     val base = Seq(
-      sum(v.isNull.cast("long")).as(s"${c.name}__nulls"),
-      (count(when(nonNull, 1)) - count_distinct(v)).as(s"${c.name}__dups"))
+      sum(v.isNull.cast("long")).as(s"${c.name}__nulls")) ++
+      (if (c.unique)
+        Seq((count(when(nonNull, 1)) - count_distinct(v))
+          .as(s"${c.name}__dups"))
+      else Nil)
     val range =
       c.minValue.toSeq.map(lo =>
         sum((nonNull && v < lo).cast("long")).as(s"${c.name}__below")) ++
@@ -123,6 +131,25 @@ object Contracts {
     val (checked, missing) = contract.columns.partition(c => present(c.name))
     missing.filterNot(c => contract.requiredColumns.contains(c.name))
       .foreach(c => warnings += s"Expected column '${c.name}' not found")
+
+    // dtype is a CHECKED claim, not documentation: a numeric column
+    // silently re-typed to string upstream would otherwise pass (the
+    // comparison casts null out non-numeric strings), reporting
+    // is_valid on a frame the contract no longer describes
+    val schemaTypes = df.schema.map(f => f.name -> f.dataType).toMap
+    checked.foreach { c =>
+      val ok = (c.dtype, schemaTypes(c.name)) match {
+        case ("numeric", t) => t.isInstanceOf[org.apache.spark.sql.types.NumericType]
+        case ("string", t) => t == org.apache.spark.sql.types.StringType
+        case ("datetime", t) =>
+          t == org.apache.spark.sql.types.TimestampType ||
+            t == org.apache.spark.sql.types.DateType
+        case ("boolean", t) => t == org.apache.spark.sql.types.BooleanType
+        case _ => true // unknown vocab entries stay unchecked
+      }
+      if (!ok) errors += s"Column '${c.name}' has type " +
+        s"${schemaTypes(c.name).catalogString} but contract declares '${c.dtype}'"
+    }
 
     val aggCols = count(lit(1)).as("__rows") +: checked.flatMap(columnAggs)
     val row = df.agg(aggCols.head, aggCols.tail: _*).head
@@ -174,40 +201,51 @@ object Contracts {
     val spark = df.sparkSession
     import spark.implicits._
     val checked = contract.columns.filter(c => df.columns.contains(c.name))
-    val aggCols = checked.flatMap(columnAggs)
+    // the __rows sentinel keeps the agg non-empty when NO contract
+    // column is present (validate() has the same guard) — an empty
+    // profile, not empty.head
+    val aggCols = count(lit(1)).as("__rows") +: checked.flatMap(columnAggs)
     val row = df.agg(aggCols.head, aggCols.tail: _*).head
-    row.schema.fieldNames.map { f =>
-      val Array(colName, check) = f.split("__", 2)
+    row.schema.fieldNames.filter(_ != "__rows").map { f =>
+      // split at the LAST separator: contract columns may themselves
+      // contain "__" (snake-cased warehouse feeds), the check suffix
+      // never does
+      val cut = f.lastIndexOf("__")
+      val (colName, check) = (f.substring(0, cut), f.substring(cut + 2))
       val cnt = if (row.isNullAt(row.fieldIndex(f))) 0L
         else row.getAs[Any](f).toString.toLong
       (colName, check, cnt)
     }.toSeq.toDF("column", "check", "violations")
   }
 
-  /** Quality-monitor rollup over a validation-history frame
-    * (reference: data_contracts.py:216-231 A10): success rate, avg rows,
-    * total errors. */
   /** Schema drift between an expected and an observed frame: one row per
     * added / removed / type-changed column. The upstream-broke-the-feed
     * check a multi-org ingest runs BEFORE row-level validation (a type
     * change fails fast here instead of as a thousand row violations).
     * Pure schema comparison — no jobs, no scan. */
-  def schemaDrift(expected: DataFrame, observed: DataFrame): Seq[Drift] = {
+  def schemaDrift(expected: DataFrame,
+                  observed: DataFrame): Seq[SchemaDriftRow] = {
     val e = expected.schema.map(f => f.name -> f.dataType.catalogString).toMap
     val o = observed.schema.map(f => f.name -> f.dataType.catalogString).toMap
     val removed = (e.keySet -- o.keySet).toSeq.sorted
-      .map(c => Drift(c, "removed", e(c), null))
+      .map(c => SchemaDriftRow(c, "removed", e(c), null))
     val added = (o.keySet -- e.keySet).toSeq.sorted
-      .map(c => Drift(c, "added", null, o(c)))
+      .map(c => SchemaDriftRow(c, "added", null, o(c)))
     val changed = (e.keySet & o.keySet).toSeq.sorted
       .filter(c => e(c) != o(c))
-      .map(c => Drift(c, "type_changed", e(c), o(c)))
+      .map(c => SchemaDriftRow(c, "type_changed", e(c), o(c)))
     removed ++ added ++ changed
   }
 
-  final case class Drift(column: String, change: String,
-                         expected_type: String, observed_type: String)
+  // named to NOT shadow graft.quality.Drift (the PSI monitor object) —
+  // inside this package `Drift(...)` and `Drift.psiBins` previously
+  // resolved to unrelated things depending on scope
+  final case class SchemaDriftRow(column: String, change: String,
+                                  expected_type: String, observed_type: String)
 
+  /** Quality-monitor rollup over a validation-history frame
+    * (reference: data_contracts.py:216-231 A10): success rate, avg rows,
+    * total errors. */
   def qualitySummary(history: DataFrame): DataFrame =
     history.agg(
       avg(col("is_valid").cast("double")).as("success_rate"),

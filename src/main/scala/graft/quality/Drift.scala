@@ -30,8 +30,18 @@ object Drift {
   def psiBins(ref: DataFrame, cur: DataFrame, v: Column,
               bins: Int = 10, eps: Double = 1e-6): DataFrame = {
     require(bins > 1, "need at least 2 bins")
-    val edges = graft.operators.RobustStats.orderStatEdges(ref, v, bins)
-    psiFromEdges(ref, cur, v, edges, bins, eps)
+    // the slim ref values materialize ONCE: edge selection AND the ref
+    // binning pass both read them (otherwise an expensive upstream ref
+    // pipeline executes twice — the referenceProfile discipline); the
+    // per-bin result is tiny, so it checkpoints eagerly and the value
+    // frame frees instead of leaking into the session
+    val vals = ref.select(v.cast("double").as("v"))
+      .filter(col("v").isNotNull).localCheckpoint()
+    val edges = graft.operators.RobustStats.orderStatEdges(vals, col("v"), bins)
+    val out = psiFromEdges(vals, cur, v, edges, bins, eps)
+      .localCheckpoint(true)
+    org.apache.spark.sql.graftshim.GraftShim.freeLocalCheckpoint(vals)
+    out
   }
 
   /**
@@ -49,10 +59,16 @@ object Drift {
                     accuracy: Int = 10000): DataFrame = {
     require(bins > 1, "need at least 2 bins")
     val probs = (1 until bins).map(_.toDouble / bins)
+    // same materialize-once + free as psiBins
+    val vals = ref.select(v.cast("double").as("v"))
+      .filter(col("v").isNotNull).localCheckpoint()
     val edges = graft.operators.Sketches
-      .approxQuantiles(ref.select(v.as("v")), Nil, col("v"), probs, accuracy)
+      .approxQuantiles(vals, Nil, col("v"), probs, accuracy)
       .select(sort_array(col("approx_quantiles")).as("e"))
-    psiFromEdges(ref, cur, v, edges, bins, eps)
+    val out = psiFromEdges(vals, cur, col("v"), edges, bins, eps)
+      .localCheckpoint(true)
+    org.apache.spark.sql.graftshim.GraftShim.freeLocalCheckpoint(vals)
+    out
   }
 
   /** The reference side of a drift monitor, collected to the driver:
@@ -89,19 +105,21 @@ object Drift {
     (edges, props)
   }
 
-  private def psiFromEdges(ref: DataFrame, cur: DataFrame, v: Column,
+  private def psiFromEdges(refVals: DataFrame, cur: DataFrame, curV: Column,
                            edges: DataFrame, bins: Int, eps: Double): DataFrame = {
     // nulls are excluded from BOTH windows (a null would land in bin 0 —
     // `filter(e, _ < null)` is empty — inflating bin-0 drift); track null
-    // RATE drift separately with Contracts' null profiling
-    def binned(df: DataFrame): DataFrame =
+    // RATE drift separately with Contracts' null profiling.
+    // refVals arrives pre-projected to a non-null "v" column (the
+    // materialize-once frame); cur binds through ITS caller column.
+    def binned(df: DataFrame, v: Column): DataFrame =
       df.select(v.cast("double").as("v")).filter(col("v").isNotNull)
         .crossJoin(broadcast(edges))
         .select(size(filter(col("e"), x => x < col("v"))).as("bin"))
         .groupBy("bin").agg(count(lit(1)).as("c"))
-    val rb = binned(ref).select(col("bin"), col("c").as("rc"))
-    val cb = binned(cur).select(col("bin"), col("c").as("cc"))
-    val allBins = ref.sparkSession.range(0, bins)
+    val rb = binned(refVals, col("v")).select(col("bin"), col("c").as("rc"))
+    val cb = binned(cur, curV).select(col("bin"), col("c").as("cc"))
+    val allBins = refVals.sparkSession.range(0, bins)
       .select(col("id").cast("int").as("bin"))
     val withTotals = allBins
       .join(rb, Seq("bin"), "left").join(cb, Seq("bin"), "left")

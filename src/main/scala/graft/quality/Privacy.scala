@@ -37,6 +37,9 @@ object Privacy {
    */
   def kAnonymize(df: DataFrame, quasi: Seq[String], k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    require(quasi.nonEmpty,
+      "kAnonymize needs at least one quasi-identifier column (an empty " +
+        "list would silently degrade the release gate to a global count)")
     // the audit frame IS the suppression gate's input — one counting
     // semantics for both (a future approximate/weighted count changes
     // the gate and the reviewer report together)

@@ -140,20 +140,14 @@ object ServeQueries {
         |    count(o_orderkey) - count(DISTINCT o_orderkey) FROM orders
         |  UNION ALL SELECT 'o_custkey', 'nulls',
         |    count(*) FILTER (o_custkey IS NULL) FROM orders
-        |  UNION ALL SELECT 'o_custkey', 'dups',
-        |    count(o_custkey) - count(DISTINCT o_custkey) FROM orders
         |  UNION ALL SELECT 'o_totalprice', 'nulls',
         |    count(*) FILTER (o_totalprice IS NULL) FROM orders
-        |  UNION ALL SELECT 'o_totalprice', 'dups',
-        |    count(o_totalprice) - count(DISTINCT o_totalprice) FROM orders
         |  UNION ALL SELECT 'o_totalprice', 'below',
         |    count(*) FILTER (o_totalprice < 1000.0) FROM orders
         |  UNION ALL SELECT 'o_totalprice', 'above',
         |    count(*) FILTER (o_totalprice > 300000.0) FROM orders
         |  UNION ALL SELECT 'o_orderstatus', 'nulls',
         |    count(*) FILTER (o_orderstatus IS NULL) FROM orders
-        |  UNION ALL SELECT 'o_orderstatus', 'dups',
-        |    count(o_orderstatus) - count(DISTINCT o_orderstatus) FROM orders
         |  UNION ALL SELECT 'o_orderstatus', 'invalid',
         |    count(*) FILTER (o_orderstatus IS NOT NULL
         |      AND o_orderstatus NOT IN ('O','F')) FROM orders)

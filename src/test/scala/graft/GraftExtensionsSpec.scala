@@ -9,7 +9,7 @@ class GraftExtensionsSpec extends SparkSpec {
 
   test("injection list covers the whole kernel surface") {
     assert(GraftExtensions.injections.map(_._1.funcName).toSet === Set(
-      "jaro_winkler", "array_dot", "md5_prefix32", "md5_lanes4",
+      "jaro_winkler", "array_dot", "array_unit", "md5_prefix32", "md5_lanes4",
       "bpe_encode", "byte_level_words", "byte_level_encode",
       "shingle_hashes",
       "word_ngram_hashes", "minhash_signature", "minhash_doc_state",

@@ -37,7 +37,6 @@ class PlanLintSpec extends SparkSpec {
     "q128_sql_range_join" -> "the rule's residual branch: BNLJ kept ONLY for over-cap intervals (empty at runtime, AQE-collapsed)",
     "q106_temperature_mix" -> "broadcast per-stratum rate frame (|strata| rows)",
     "q138_cluster_balanced_sample" -> "q72's broadcast centroid argmax kernel + q106's broadcast per-cluster rate frame",
-    "q102_psi_drift" -> "broadcast 1-row shared-edges frame against both samples",
     "q33_pair_features" -> "candidate-capped θ-join: both sides are top-100-per-org by contract (reference pipeline.py:335-336 caps pairs at 10k/org-pair) — the score-threshold condition has no equi-key by design",
     "q35_recommendations" -> "same candidate-capped θ-join as q33 feeding the ranked output",
     "q74_tfidf" -> "broadcast 1-row corpus-size frame (N for idf) crossJoined onto term stats",
@@ -58,7 +57,11 @@ class PlanLintSpec extends SparkSpec {
     "q180_cms_shard_merge" -> "broadcast 1-row shard-count frame crossJoined onto the 20-row probe read-out",
     "q182_semantic_outliers" -> "q72's broadcast centroid argmax kernel feeding the per-cell decile window",
     "q184_join_size_estimate" -> "two 1-row frames (sketch estimate x exact cardinality) crossJoined for the comparison row",
-    "q185_lsh_operating_curve" -> "the tuning harness's ground-truth all-pairs theta join over the doc_id%10 sample (sample-scale by contract) plus the broadcast 1-row totals frame",
+    // q185 and q102 no longer appear here: both now materialize their
+    // result eagerly (leak-hygiene localCheckpoint) so the declared plan
+    // is a checkpoint scan — their deliberate BNLJs (q185's sample-scale
+    // all-pairs truth; q102's broadcast 1-row edge frame) still execute
+    // inside the checkpoint and stay documented in the operator scaladoc
     "q188_decayed_engagement" -> "broadcast 1-row t_ref (max ts) frame crossJoined onto the events scan",
     "q191_ql_retrieval" -> "q94's broadcast 1-row corpus-stats frame, the query-likelihood variant",
     "q202_curation_funnel" -> "the q194/q195 DSIR ratio build inside the selection stage: broadcast 1-row totals frame onto the bucket domain (numBuckets rows)",
