@@ -154,8 +154,65 @@ object Bench {
         .select(expr("bit_xor(xxhash64(id))")).head()
       (System.nanoTime() - t0) / 1e9
     }
+    // Off-ledger storage hygiene + ledger: how many RDDs a run left pinned
+    // (localCheckpoint finals, lazily-consumed intermediates) and how much
+    // block-manager storage was in use, then release everything so the
+    // next run starts storage-clean. Per-query isolation-honesty: without
+    // this, pinned blocks from checkpoint-heavy queries leak memory
+    // pressure into whichever queries run next (the r6 q67-q75 cluster).
+    def clearPinned(): (Int, Long) = {
+      val sc = spark.sparkContext
+      val rdds = sc.getPersistentRDDs
+      val usedBytes = sc.getExecutorMemoryStatus.values
+        .map { case (maxMem, remaining) => maxMem - remaining }.sum
+      rdds.values.foreach(_.unpersist(blocking = true))
+      (rdds.size, usedBytes)
+    }
     calOnce(); calOnce() // JIT the calibration shape off-ledger
     val cal0 = Seq(calOnce(), calOnce(), calOnce()).min
+    // ---- isolation mode (VERDICT r15 #1) --------------------------------
+    // `Bench --isolate qA qB ...`: each named query runs ALONE — sentinel
+    // calibration immediately before and after, N=3 timed runs, pinned
+    // command-line order — so a tail flag from the full-suite run can be
+    // adjudicated with evidence instead of argument: a query that reads
+    // 30× in the 200-query session but clean here, bracketed by clean
+    // sentinels, is session/host state, not the query's plan. Prints one
+    // JSON line (never touches bench_detail.json — isolation numbers and
+    // full-run numbers are different populations).
+    if (args.headOption.contains("--isolate")) {
+      val names = args.drop(1).toSeq
+      require(names.nonEmpty, "--isolate needs query names")
+      names.foreach(n => require(SparkEntry.queries.contains(n),
+        s"unknown query $n"))
+      def d3(v: Double) =
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      val rows = names.map { name =>
+        val calB = calOnce(); val (sB, tB) = stealCounters; val lB = loadAvg1m
+        val runs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          val sec = (System.nanoTime() - t0) / 1e9
+          clearPinned()
+          sec
+        }
+        val calA = calOnce(); val (sA, tA) = stealCounters; val lA = loadAvg1m
+        val stealPct =
+          if (tA > tB) 100.0 * (sA - sB) / (tA - tB) else 0.0
+        System.err.println(f"[bench] isolate $name min=${runs.min}%.2fs " +
+          f"(runs: ${runs.map(r => f"$r%.2f").mkString(", ")}) " +
+          f"cal=[$calB%.3f,$calA%.3f] (floor $cal0%.3f) " +
+          f"load=[$lB%.2f,$lA%.2f] steal=$stealPct%.1f%%")
+        s""""$name":{"min":${d3(runs.min)},"runs":[${runs.map(d3).mkString(",")}],""" +
+          s""""cal_before":${d3(calB)},"cal_after":${d3(calA)},""" +
+          s""""load_before":${d3(lB)},"load_after":${d3(lA)},""" +
+          s""""steal_pct":${d3(stealPct)}}"""
+      }
+      println(s"""{"mode":"isolate","cal0":${d3(cal0)},""" +
+        s""""queries":${rows.mkString("{", ",", "}")},"sf":"$sfDir"}""")
+      spark.stop()
+      return
+    }
     // (query-index, calibration sec, loadavg, steal, total) — sampled
     // before q0 and then after every 20th query; each measured query
     // adjudicates against the samples bracketing it
@@ -173,20 +230,6 @@ object Bench {
     // 3.7s cold vs sub-second hot purely from run-order luck. The second
     // run measures the plan, not the JIT lottery; regressions in the
     // reported min are real. Both raw times go to stderr.
-    // Off-ledger storage hygiene + ledger: how many RDDs a run left pinned
-    // (localCheckpoint finals, lazily-consumed intermediates) and how much
-    // block-manager storage was in use, then release everything so the
-    // next run starts storage-clean. Per-query isolation-honesty: without
-    // this, pinned blocks from checkpoint-heavy queries leak memory
-    // pressure into whichever queries run next (the r6 q67-q75 cluster).
-    def clearPinned(): (Int, Long) = {
-      val sc = spark.sparkContext
-      val rdds = sc.getPersistentRDDs
-      val usedBytes = sc.getExecutorMemoryStatus.values
-        .map { case (maxMem, remaining) => maxMem - remaining }.sum
-      rdds.values.foreach(_.unpersist(blocking = true))
-      (rdds.size, usedBytes)
-    }
     val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
     val qIndex: Map[String, Int] =

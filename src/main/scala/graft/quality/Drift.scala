@@ -65,7 +65,7 @@ object Drift {
     val edges = graft.operators.Sketches
       .approxQuantiles(vals, Nil, col("v"), probs, accuracy)
       .select(sort_array(col("approx_quantiles")).as("e"))
-    val out = psiFromEdges(vals, cur, col("v"), edges, bins, eps)
+    val out = psiFromEdges(vals, cur, v, edges, bins, eps)
       .localCheckpoint(true)
     org.apache.spark.sql.graftshim.GraftShim.freeLocalCheckpoint(vals)
     out

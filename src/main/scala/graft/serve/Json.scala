@@ -29,7 +29,10 @@ private[serve] object Json {
       val c = s.charAt(i)
       if (c == '\\' && i + 1 < s.length) {
         s.charAt(i + 1) match {
-          case 'u' if i + 5 < s.length =>
+          case 'u' if i + 5 < s.length &&
+            s.substring(i + 2, i + 6).forall(h =>
+              (h >= '0' && h <= '9') || (h >= 'a' && h <= 'f') ||
+                (h >= 'A' && h <= 'F')) =>
             out.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
             i += 6
           case 'n' => out.append('\n'); i += 2

@@ -80,11 +80,15 @@ object ScalingProbe {
       (name, times, growth)
     }
 
+    // Locale.ROOT, never the f-interpolator: a comma-decimal default
+    // locale would emit 0,123 — invalid JSON (the writeLedger discipline)
+    def d3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def d2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val json = rows.map { case (name, t, g) =>
-      s""""$name":{"t_sf0001":${f"${t("sf0.001")}%.3f"},""" +
-        s""""t_sf001":${f"${t("sf0.01")}%.3f"},""" +
-        s""""t_sf01":${f"${t("sf0.1")}%.3f"},""" +
-        s""""growth_x10":${f"$g%.2f"}}"""
+      s""""$name":{"t_sf0001":${d3(t("sf0.001"))},""" +
+        s""""t_sf001":${d3(t("sf0.01"))},""" +
+        s""""t_sf01":${d3(t("sf0.1"))},""" +
+        s""""growth_x10":${d2(g)}}"""
     }.mkString("{", ",", "}")
     java.nio.file.Files.write(
       java.nio.file.Paths.get("scaling_detail.json"),

@@ -51,6 +51,27 @@ class DriftSpec extends SparkSpec {
     assert(psi(clean, dirty) < 1e-9)
   }
 
+  test("monitored column need not be named 'v' (both forms)") {
+    // regression: psiBinsApprox once hardcoded col("v") for the current
+    // frame, so a cur frame without a 'v' column threw (or silently
+    // scored the wrong column)
+    val ref = (1 to 2000).map(_.toDouble).toDF("score")
+    val cur = (1 to 2000).map(i => i * 1.4).toDF("score")
+    val exact = Drift.psiBins(ref, cur, col("score"))
+      .agg(sum("psi_term")).head.getDouble(0)
+    val approx = Drift.psiBinsApprox(ref, cur, col("score"))
+      .agg(sum("psi_term")).head.getDouble(0)
+    assert(exact > 0.05 && approx > 0.05)
+    assert(math.abs(exact - approx) < 0.02)
+    // a decoy 'v' column must NOT be the one scored: monitored column
+    // is constant → PSI ≈ 0 even though 'v' is wildly drifted
+    val curDecoy = (1 to 2000)
+      .map(i => (500.0, i * 1000.0)).toDF("score", "v")
+    val refC = (1 to 2000).map(_ => 500.0).toDF("score")
+    assert(Drift.psiBinsApprox(refC, curDecoy, col("score"))
+      .agg(sum("psi_term")).head.getDouble(0) < 1e-6)
+  }
+
   test("empty current bins get the epsilon floor, not infinity") {
     val ref = (1 to 100).map(_.toDouble).toDF("v")
     val cur = Seq(1.0, 2.0, 3.0).toDF("v") // all mass in bin 0

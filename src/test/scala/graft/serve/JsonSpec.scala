@@ -18,6 +18,16 @@ class JsonSpec extends AnyFunSuite {
     assert(Json.unescape("\\u0041") == "A")
   }
 
+  test("unescape is lenient on malformed \\u escapes (never throws)") {
+    // an untrusted client body with \uZZZZ must surface as a 4xx-able
+    // parse, not a NumberFormatException → 500 through the catch-all
+    // "\\u" built by concat: the Scala lexer would otherwise eat \uXXXX
+    assert(Json.unescape("a\\" + "uZZZZb") == "auZZZZb")
+    assert(Json.unescape("\\" + "u12G4") == "u12G4")
+    assert(Json.unescape("tail\\" + "u12") == "tailu12") // truncated
+    assert(Json.unescape("okA\\" + "uXYXY") == "okAuXYXY")
+  }
+
   test("escape emits the named forms for the common controls") {
     assert(Json.escape("a\nb\tc\"d\\e") == """a\nb\tc\"d\\e""")
     assert(Json.escape("") == "\\u0001")
