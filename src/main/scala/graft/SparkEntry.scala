@@ -99,6 +99,8 @@ object SparkEntry {
       // q203: Spark drops null/zero-norm embeddings, the oracle keeps
       // raw vectors — parity holds only while none exist
       "q203_ann_operating_curve" ->
+        ((s, dir) => graft.queries.AnnCurveQueries.assertEmbeddingsSound(s, dir)),
+      "q204_ann_spilled_curve" ->
         ((s, dir) => graft.queries.AnnCurveQueries.assertEmbeddingsSound(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

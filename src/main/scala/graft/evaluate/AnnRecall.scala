@@ -259,6 +259,38 @@ object AnnRecall {
           s"ann_curve_trained_np${np}_rf${rf}_scan" -> scanFrac)
     }
 
+    // SPILLED trained curve (kIvf=100, A=2 — VERDICT r15 #2): top-2
+    // multi-assignment over finer cells raises probed-list coverage,
+    // the measured binding constraint of the single-assign family, at
+    // FIXED scan fraction. The codes/ADC table is the same flat trained
+    // codebook (codes are per-vector facts — only the assignment table
+    // spills). Measured: 0.91 @ scan 0.465 (np14 rf3) and 0.97 @ 0.539
+    // (np18 rf5) vs the single-assign 0.81 @ 0.544 — better on both
+    // axes; floored in AnnRecallSpec.
+    val sCents = SimilaritySearch.ivfCentroidsKMeansL2(embsRaw,
+      col("vec_id"), col("embedding"), 100)
+    val sAssign = SimilaritySearch.assignAgainstL2TopA(sCents, embsRaw,
+      col("vec_id"), col("embedding"), 2).select("id", "cid")
+    val sQl2 = queries.crossJoin(broadcast(sCents))
+      .select(col("qid"), l2sq(col("qv"), col("cvr")).as("cd"), col("cid"))
+    val spillRows = Seq((14, 3), (18, 3), (18, 5)).flatMap {
+      case (np, rf) =>
+        val probedNp = TopK.topKPerGroup(sQl2, Seq(col("qid")),
+          Seq(col("cd").asc, col("cid").asc), np).select("qid", "cid")
+        val cand = probedNp.join(sAssign, "cid").select("qid", "id")
+          .filter(col("id") =!= col("qid")).distinct().cache()
+        val scanFrac = cand.count().toDouble / (NQueries.toLong * nTotal)
+        val shortl = TopK.topKPerGroup(cand.join(adcT, Seq("qid", "id")),
+          Seq(col("qid")), Seq(col("adc").asc, col("id").asc), rf * K)
+        val top = TopK.topKPerGroup(
+          shortl.select("qid", "id").join(pairs, Seq("qid", "id")),
+          Seq(col("qid")), Seq(col("l2").asc, col("id").asc), K)
+        val rec = recall(top, l2Truth)
+        cand.unpersist()
+        Seq(s"ann_curve_spill_np${np}_rf${rf}_recall" -> rec,
+          s"ann_curve_spill_np${np}_rf${rf}_scan" -> scanFrac)
+    }
+
     // trained residual IVF-PQ: codebook trained ON the residuals,
     // per-list query residual tables
     val residT = embsRaw
@@ -317,7 +349,8 @@ object AnnRecall {
       "ann_ivf_kmeans_recall_at_10" -> ivfKmR,
       "ann_ivfpq_kmeans_recall_at_10" -> ivfpqKmR,
       "ann_ivfpq_residual_kmeans_recall_at_10" -> residKmR,
-      "ann_ivfpq_kmeans_refined_recall_at_10" -> refinedR) ++ curveRows
+      "ann_ivfpq_kmeans_refined_recall_at_10" -> refinedR) ++ curveRows ++
+      spillRows
   }
 
   /** The q203 (nprobe, refineFactor) operating curve as ledger rows —

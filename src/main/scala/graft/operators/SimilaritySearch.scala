@@ -670,6 +670,41 @@ object SimilaritySearch {
       .groupBy("id").agg(max(col("sc")).as("m"))
       .select(col("id"), (-col("m.ncid")).as("cid"), (-col("m.nd")).as("l2sq"))
 
+  /**
+   * Top-A min-L2 "spilled" assignment — multi-assignment, the standard
+   * coverage fix for an inverted file (Lv et al. 2007's multi-probe is
+   * the query-side dual; FAISS ships the storage-side form as
+   * IndexIVF spilling): each vector is stored in its A nearest lists
+   * instead of exactly one. A probe of `nprobe` lists then finds a
+   * vector if ANY of its A home lists is probed, so probed-list
+   * coverage — the measured 0.81 recall@10 ceiling of the
+   * single-assignment trained family (SCALING.md §7j) — rises at the
+   * cost of A× assignment/code storage and A× list length (scan cost
+   * per probed list). Net: coverage per scanned candidate IMPROVES
+   * when the fixture's lists are coarse relative to the true-neighbor
+   * radius, which is exactly the regime the 0.81 ceiling diagnosed.
+   *
+   * Same broadcast-NL + bounded per-id top-A plan as
+   * [[assignAgainstL2]] (the shuffle carries A rows per vector);
+   * `arank` (1..A) records the home-list rank so a consumer can
+   * reconstruct the A=1 assignment by filtering. Deterministic
+   * lowest-cid tiebreak.
+   */
+  def assignAgainstL2TopA(cents: DataFrame, embs: DataFrame,
+                          idCol: Column, vecCol: Column,
+                          a: Int): DataFrame = {
+    require(a >= 1, s"multi-assignment width must be >= 1 (got $a)")
+    val scored = embs.select(idCol.as("id"),
+        transform(vecCol, x => x.cast("double")).as("v"))
+      .filter(col("v").isNotNull)
+      .join(broadcast(cents))
+      .select(col("id"), col("cid"),
+        graft.functions.VectorFunctions.sqDist(col("v"), col("cvr")).as("l2sq"))
+    TopK.topKPerGroup(scored, Seq(col("id")),
+        Seq(col("l2sq").asc, col("cid").asc), a, rankCol = "arank")
+      .select(col("id"), col("cid"), col("arank"))
+  }
+
   /** The query's `nprobe` nearest RAW-centroid lists by L2 — the L2
     * twin of `probedCids`. */
   private def probedCidsL2(cents: DataFrame, query: Seq[Double],
@@ -883,6 +918,55 @@ object SimilaritySearch {
     refineTopK(embs, idCol, vecCol,
       ivfPqTopKTrainedFromIndex(index, query, nprobe, m, subDim,
         refineFactor * k),
+      query, k)
+  }
+
+  /**
+   * Trained IVF-PQ index with SPILLED (top-A multi-) assignment — the
+   * round-16 answer to the measured 0.81 probed-list-coverage ceiling
+   * (SCALING.md §7j): same artifacts as [[ivfPqIndexTrained]] except
+   * the assignment table stores each vector under its A nearest lists
+   * ([[assignAgainstL2TopA]]; `arank` kept so A=1 is recoverable by
+   * filter). Codes stay one row per (vector, subspace) — only the
+   * assignment table grows A×. Measured on the gate fixture (kIvf=100,
+   * A=2 vs the single-assign kIvf=25/nprobe=10 point): refined
+   * recall@10 0.94 @ scan 0.539 (nprobe 18, rf 3) and 0.91 @ 0.465
+   * (nprobe 14) vs 0.81 @ 0.544 — better on both axes, pinned by
+   * `AnnRecallSpec` floors and the `ann_curve_spill_*` ledger rows.
+   */
+  def ivfPqIndexTrainedSpilled(embs: DataFrame, idCol: Column,
+                               vecCol: Column, kIvf: Int, a: Int,
+                               kSub: Int, m: Int, subDim: Int,
+                               seed: Long = 42L,
+                               trainFrac: Double = 1.0): IvfPqTrainedIndex = {
+    val cents = ivfCentroidsKMeansL2(embs, idCol, vecCol, kIvf, seed,
+      trainFrac)
+    val cb = pqCodebookSubKMeans(embs, idCol, vecCol, m, subDim, kSub,
+      seed, trainFrac)
+    IvfPqTrainedIndex(cents,
+      assignAgainstL2TopA(cents, embs, idCol, vecCol, a),
+      cb, pqCodesSub(embs, idCol, vecCol, cb, m, subDim))
+  }
+
+  /** Two-stage serving over a SPILLED trained index: probed lists →
+    * member ids DEDUPED (a vector whose multiple home lists are all
+    * probed must contribute one candidate, not A) → ADC shortlist of
+    * R = `refineFactor`·k over stored codes → exact-cosine re-rank.
+    * The distinct is one extra Exchange on the candidate id set —
+    * bounded by the scanned fraction, never the corpus. */
+  def ivfPqTopKTrainedSpilledRefinedFromIndex(index: IvfPqTrainedIndex,
+                                              embs: DataFrame, idCol: Column,
+                                              vecCol: Column,
+                                              query: Seq[Double], nprobe: Int,
+                                              m: Int, subDim: Int, k: Int,
+                                              refineFactor: Int = 3): DataFrame = {
+    require(refineFactor >= 1, s"refineFactor must be >= 1 (got $refineFactor)")
+    val probed = probedCidsL2(index.centroids, query, nprobe)
+    val members = index.assignments.join(broadcast(probed), "cid")
+      .select("id").distinct()
+    refineTopK(embs, idCol, vecCol,
+      adcTopKSub(index.codes.join(members, "id"), index.codebook, query,
+        m, subDim, refineFactor * k),
       query, k)
   }
 

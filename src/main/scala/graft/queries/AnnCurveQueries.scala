@@ -185,8 +185,158 @@ object AnnCurveQueries {
         "keeps it — the two engines would diverge")
   }
 
+  // ---- q204: the SPILLED trained curve (VERDICT r15 #2) ---------------
+  private val SpillKIvf = 100
+  private val SpillA = 2
+  private val SpillM = 8
+  private val SpillSubDim = 8
+  private val SpillKSub = 256
+  private val Dim = 64
+  private val SpillConfigs = Seq((14, 3), (18, 3), (18, 5))
+
+  /** Stored-artifact dir for q204, keyed by the SF basename so a bench
+    * run at sf0.1 never clobbers the artifacts a Verify run at sf0.01
+    * just wrote for duckcheck (the static oracle SQL reads the sf0.01
+    * path — duckcheck only ever runs at the correctness-gate SF). */
+  private def spillOut(dir: String): String =
+    s"/tmp/graft_q204_${new java.io.File(dir).getName}"
+
+  /**
+   * q204 — the trained+spilled operating curve that breaks the 0.81
+   * coverage ceiling, off STORED artifacts: seeded k-means coarse
+   * centers (kIvf=100) + top-2 multi-assignment (A×) +
+   * trained per-subspace PQ (m=8 × 8-d × 256), ADC shortlist rf·K,
+   * exact-L2 re-rank; per config (nprobe, refineFactor) the measured
+   * probed-list coverage, refined recall@10 against exact-L2 truth,
+   * and scanned fraction.
+   *
+   * Oracle discipline for a TRAINED index: k-means itself is not
+   * SQL-replayable, so the index artifacts (centroids, codebook) are
+   * parquet-written by THIS query and the DuckDB oracle reads the same
+   * files — then independently recomputes everything downstream of
+   * training: the top-2 assignment kernel, the PQ encode argmin, the
+   * probe ranking, scan/coverage accounting, the fixed-order ADC sum,
+   * the exact-L2 refine, and the recall rollup. Training is gated by
+   * the seeded AnnRecallSpec goldens; the whole search path is gated
+   * cross-engine here. Single-pass plan (the q203 shape): every heavy
+   * stage runs once at max nprobe, configs are filters; the only
+   * all-pairs pass is the ground truth (contracted instrument cost).
+   */
+  def spilledCurve(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.loadSpread(s, dir, "embeddings")
+    val idx = SimilaritySearch.ivfPqIndexTrainedSpilled(e, col("vec_id"),
+      col("embedding"), SpillKIvf, SpillA, SpillKSub, SpillM, SpillSubDim)
+    val out = spillOut(dir)
+    idx.centroids.write.mode("overwrite").parquet(s"$out/centroids")
+    idx.codebook.write.mode("overwrite").parquet(s"$out/codebook")
+    idx.assignments.write.mode("overwrite").parquet(s"$out/assignments")
+    idx.codes.write.mode("overwrite").parquet(s"$out/codes")
+    val cents = s.read.parquet(s"$out/centroids")
+    val assign = s.read.parquet(s"$out/assignments").select("id", "cid")
+    val cb = s.read.parquet(s"$out/codebook")
+      .select(col("s"), col("cid").as("code"), col("cvs"))
+    val codes = s.read.parquet(s"$out/codes")
+      .select(col("id"), col("s"), col("cid").as("code"))
+
+    def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      VectorFunctions.sqDist(a, b)
+    val q = e.filter(pmod(col("vec_id"), lit(50)) === 7)
+      .select(col("vec_id").as("qid"),
+        transform(col("embedding"), x => x.cast("double")).as("qv"))
+    val n = e.count()
+    val nq = q.count()
+    import s.implicits._
+    val cfg = SpillConfigs.toDF("nprobe", "refine_factor")
+    val maxProbe = SpillConfigs.map(_._1).max
+    val K10 = K
+
+    // per-query centroid ranking once, at max nprobe
+    val ranked = q.crossJoin(broadcast(cents))
+      .select(col("qid"), col("cid"), l2(col("qv"), col("cvr")).as("cd"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cd").asc, col("cid").asc)))
+      .filter(col("rn") <= maxProbe)
+    // spilled candidates: a pair is scanned at nprobe np iff the MIN
+    // probe rank over the vector's (multiple) probed home lists <= np —
+    // the groupBy both DEDUPES multi-home pairs and carries that rank
+    val candMin = ranked.select("qid", "cid", "rn").join(assign, "cid")
+      .filter(col("id") =!= col("qid"))
+      .groupBy("qid", "id").agg(min(col("rn")).as("rn"))
+      .localCheckpoint()
+    val scanned = candMin.join(broadcast(cfg), col("rn") <= col("nprobe"))
+      .groupBy("nprobe", "refine_factor")
+      .agg((count(lit(1)).cast("double") / lit(n * nq).cast("double"))
+        .as("scanned_frac"))
+
+    // exact-L2 ground truth (the metric PQ approximates) — the one
+    // contracted all-pairs instrument pass
+    val ev = e.select(col("vec_id").as("id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val truth = ev.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), l2(col("v"), col("qv")).as("l2"))
+      .withColumn("tr", row_number().over(
+        Window.partitionBy("qid").orderBy(col("l2").asc, col("id").asc)))
+      .filter(col("tr") <= K10).select("qid", "id")
+      .localCheckpoint()
+    val coverage = truth.join(candMin, Seq("qid", "id"))
+      .join(broadcast(cfg), col("rn") <= col("nprobe"))
+      .groupBy("nprobe", "refine_factor")
+      .agg((count(lit(1)).cast("double") / lit(K10.toLong * nq).cast("double"))
+        .as("coverage"))
+
+    // ADC once per candidate pair (codes are per-vector facts)
+    val dq = q.select(col("qid"), col("qv"),
+        explode(sequence(lit(0), lit(SpillM - 1))).as("s"))
+      .join(broadcast(cb), Seq("s"))
+      .select(col("qid"), col("s"), col("code"),
+        l2(slice(col("qv"), col("s") * SpillSubDim + 1, lit(SpillSubDim)),
+          col("cvs")).as("dq"))
+    val dCols = (0 until SpillM).map(i =>
+      max(when(col("s") === i, col("dq"))).as(s"d$i"))
+    val adc = candMin.join(codes, "id")
+      .join(broadcast(dq), Seq("qid", "s", "code"))
+      .groupBy(col("qid"), col("id"))
+      .agg(max(col("rn")).as("rn"), dCols: _*)
+      .withColumn("adcd",
+        (0 until SpillM).map(i => col(s"d$i")).reduce(_ + _))
+    val byProbe = adc
+      .join(broadcast(cfg.select("nprobe").distinct()),
+        col("rn") <= col("nprobe"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("nprobe", "qid")
+          .orderBy(col("adcd").asc, col("id").asc)))
+    val shortlist = byProbe.join(broadcast(cfg), Seq("nprobe"))
+      .filter(col("rk") <= col("refine_factor") * K10)
+      .select("nprobe", "refine_factor", "qid", "id")
+    // exact-L2 re-rank; the pair L2 computed once per distinct pair
+    val pairL2 = shortlist.select("qid", "id").distinct()
+      .join(ev, "id")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("id"), l2(col("v"), col("qv")).as("l2"))
+    val refined = shortlist.join(pairL2, Seq("qid", "id"))
+      .withColumn("fr", row_number().over(
+        Window.partitionBy("nprobe", "refine_factor", "qid")
+          .orderBy(col("l2").asc, col("id").asc)))
+      .filter(col("fr") <= K10)
+      .select("nprobe", "refine_factor", "qid", "id")
+    val rec = refined.join(truth, Seq("qid", "id"))
+      .groupBy("nprobe", "refine_factor")
+      .agg((count(lit(1)).cast("double") / lit(K10.toLong * nq).cast("double"))
+        .as("recall_at_10"))
+    cfg.join(coverage, Seq("nprobe", "refine_factor"), "left")
+      .join(rec, Seq("nprobe", "refine_factor"), "left")
+      .join(scanned, Seq("nprobe", "refine_factor"), "left")
+      .select(col("nprobe"), col("refine_factor"),
+        round(coalesce(col("coverage"), lit(0.0)), 6).as("coverage"),
+        round(coalesce(col("recall_at_10"), lit(0.0)), 6).as("recall_at_10"),
+        round(coalesce(col("scanned_frac"), lit(0.0)), 6).as("scanned_frac"))
+      .orderBy("nprobe", "refine_factor")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q203_ann_operating_curve" -> ((s, dir) => curve(s, dir)))
+    "q203_ann_operating_curve" -> ((s, dir) => curve(s, dir)),
+    "q204_ann_spilled_curve" -> ((s, dir) => spilledCurve(s, dir)))
 
   val oracleSql: Map[String, String] = Map(
 
@@ -254,6 +404,100 @@ object AnnCurveQueries {
         |  round(coalesce(rec.recall_at_10, 0.0), 6) AS recall_at_10,
         |  round(coalesce(sc.scanned_frac, 0.0), 6) AS scanned_frac
         |FROM cfg c
+        |LEFT JOIN rec ON rec.nprobe = c.nprobe
+        |  AND rec.refine_factor = c.refine_factor
+        |LEFT JOIN scanned sc ON sc.nprobe = c.nprobe
+        |  AND sc.refine_factor = c.refine_factor
+        |ORDER BY c.nprobe, c.refine_factor""".stripMargin
+    },
+
+    // Replays the ENTIRE search path downstream of the k-means fits
+    // from the stored q204 artifacts (centroids + codebook parquet,
+    // written by the Spark query this run): top-2 assignment, PQ
+    // encode, probe ranking, scan/coverage, fixed-order ADC, exact-L2
+    // refine, recall. Path is the correctness-gate SF's — duckcheck
+    // only runs at sf0.01.
+    "q204_ann_spilled_curve" -> {
+      val fullL2 = (a: String, b: String) =>
+        s"""list_sum([ ($a[i] - $b[i]) * ($a[i] - $b[i])
+           |           FOR i IN range(1, ${Dim + 1}) ])""".stripMargin
+      val subL2 = (v: String) =>
+        s"""list_sum([ ($v[cb.s*$SpillSubDim+i] - cb.cvs[i])
+           |         * ($v[cb.s*$SpillSubDim+i] - cb.cvs[i])
+           |           FOR i IN range(1, ${SpillSubDim + 1}) ])""".stripMargin
+      val adcSum = (0 until SpillM)
+        .map(i => s"max(CASE WHEN k.s = $i THEN d.dq END)")
+        .mkString("\n        |      + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 7),
+        |nq AS (SELECT CAST(count(*) AS DOUBLE) AS nq FROM q),
+        |cfg AS (SELECT * FROM (VALUES ${SpillConfigs.map { case (p, r) =>
+           s"($p, $r)" }.mkString(", ")}) t(nprobe, refine_factor)),
+        |cents AS (SELECT cid, cvr
+        |  FROM read_parquet('/tmp/graft_q204_sf0.01/centroids/*.parquet')),
+        |cb AS (SELECT s, cid AS code, cvs
+        |  FROM read_parquet('/tmp/graft_q204_sf0.01/codebook/*.parquet')),
+        |ranked AS (SELECT q.qid, c.cid,
+        |    row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY ${fullL2("q.qv", "c.cvr")} ASC, c.cid ASC) AS rn
+        |  FROM q, cents c
+        |  QUALIFY rn <= ${SpillConfigs.map(_._1).max}),
+        |assigned AS (SELECT e.vec_id AS id, c.cid FROM e, cents c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY ${fullL2("e.v", "c.cvr")} ASC, c.cid ASC) <= $SpillA),
+        |candmin AS (SELECT r.qid, a.id, min(r.rn) AS rn
+        |  FROM ranked r JOIN assigned a ON a.cid = r.cid
+        |  WHERE a.id <> r.qid GROUP BY r.qid, a.id),
+        |scanned AS (SELECT c.nprobe, c.refine_factor,
+        |    count(*) / (nn.n * nq.nq) AS scanned_frac
+        |  FROM candmin m JOIN cfg c ON m.rn <= c.nprobe, nn, nq
+        |  GROUP BY c.nprobe, c.refine_factor, nn.n, nq.nq),
+        |truth AS (SELECT q.qid, e.vec_id AS id FROM e, q
+        |  WHERE e.vec_id <> q.qid
+        |  QUALIFY row_number() OVER (PARTITION BY q.qid
+        |    ORDER BY ${fullL2("e.v", "q.qv")} ASC, e.vec_id ASC) <= $K),
+        |cov AS (SELECT c.nprobe, c.refine_factor,
+        |    count(*) / ($K * nq.nq) AS coverage
+        |  FROM truth t JOIN candmin m ON m.qid = t.qid AND m.id = t.id
+        |    JOIN cfg c ON m.rn <= c.nprobe, nq
+        |  GROUP BY c.nprobe, c.refine_factor, nq.nq),
+        |codes AS (SELECT e.vec_id AS id, cb.s, cb.code FROM e, cb
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id, cb.s
+        |    ORDER BY ${subL2("e.v")} ASC, cb.code ASC) = 1),
+        |dq AS (SELECT q.qid, cb.s, cb.code, ${subL2("q.qv")} AS dq
+        |  FROM q, cb),
+        |adc AS (SELECT m.qid, m.id, m.rn,
+        |    $adcSum AS adcd
+        |  FROM candmin m JOIN codes k ON k.id = m.id
+        |    JOIN dq d ON d.qid = m.qid AND d.s = k.s AND d.code = k.code
+        |  GROUP BY m.qid, m.id, m.rn),
+        |byprobe AS (SELECT np.nprobe, a.qid, a.id,
+        |    row_number() OVER (PARTITION BY np.nprobe, a.qid
+        |      ORDER BY a.adcd ASC, a.id ASC) AS rk
+        |  FROM adc a JOIN (SELECT DISTINCT nprobe FROM cfg) np
+        |    ON a.rn <= np.nprobe),
+        |short AS (SELECT c.nprobe, c.refine_factor, b.qid, b.id
+        |  FROM byprobe b JOIN cfg c ON c.nprobe = b.nprobe
+        |  WHERE b.rk <= c.refine_factor * $K),
+        |pairl2 AS (SELECT p.qid, p.id, ${fullL2("e.v", "q.qv")} AS l2
+        |  FROM (SELECT DISTINCT qid, id FROM short) p
+        |    JOIN e ON e.vec_id = p.id JOIN q ON q.qid = p.qid),
+        |refined AS (SELECT s.nprobe, s.refine_factor, s.qid, s.id
+        |  FROM short s JOIN pairl2 p ON p.qid = s.qid AND p.id = s.id
+        |  QUALIFY row_number() OVER (PARTITION BY s.nprobe, s.refine_factor,
+        |      s.qid ORDER BY p.l2 ASC, s.id ASC) <= $K),
+        |rec AS (SELECT r.nprobe, r.refine_factor,
+        |    count(*) / ($K * nq.nq) AS recall_at_10
+        |  FROM refined r JOIN truth t ON t.qid = r.qid AND t.id = r.id, nq
+        |  GROUP BY r.nprobe, r.refine_factor, nq.nq)
+        |SELECT c.nprobe, c.refine_factor,
+        |  round(coalesce(cov.coverage, 0.0), 6) AS coverage,
+        |  round(coalesce(rec.recall_at_10, 0.0), 6) AS recall_at_10,
+        |  round(coalesce(sc.scanned_frac, 0.0), 6) AS scanned_frac
+        |FROM cfg c
+        |LEFT JOIN cov ON cov.nprobe = c.nprobe
+        |  AND cov.refine_factor = c.refine_factor
         |LEFT JOIN rec ON rec.nprobe = c.nprobe
         |  AND rec.refine_factor = c.refine_factor
         |LEFT JOIN scanned sc ON sc.nprobe = c.nprobe

@@ -36,7 +36,15 @@ class AnnRecallSpec extends SparkSpec {
     ("ann_ivfpq_residual_kmeans_recall_at_10", 0.50,
       "trained residual IVF-PQ (codebook on residuals)"),
     ("ann_ivfpq_kmeans_refined_recall_at_10", 0.75,
-      "refined two-stage serving (R=3k ADC shortlist + exact re-rank)"))
+      "refined two-stage serving (R=3k ADC shortlist + exact re-rank)"),
+    // spilled (top-2 multi-assignment, kIvf=100) trained serving — the
+    // r16 coverage fix: measured 0.97 @ scan 0.539 (np18 rf5), 0.91 @
+    // 0.465 (np14 rf3); floors hold the VERDICT r15 #2 bar (>= 0.9 at
+    // the old operating point's scan) with golden-drift headroom
+    ("ann_curve_spill_np18_rf5_recall", 0.90,
+      "spilled trained serving (kIvf=100, A=2, nprobe 18, rf 5)"),
+    ("ann_curve_spill_np14_rf3_recall", 0.85,
+      "spilled trained serving (kIvf=100, A=2, nprobe 14, rf 3)"))
 
   floors.foreach { case (key, floor, label) =>
     test(s"$label recall@10 >= $floor floor, measured and ledgered") {
@@ -64,10 +72,11 @@ class AnnRecallSpec extends SparkSpec {
 
   test("fixture sanity: the protocol measured every family") {
     assert(floors.map(_._1).toSet.subsetOf(r.keySet))
-    // the rest are the trained operating-curve rows (recall + scan
-    // fraction per (nprobe, refineFactor) — both in [0,1])
+    // the rest are the trained/spilled operating-curve rows (recall +
+    // scan fraction per (nprobe, refineFactor) — both in [0,1])
     assert((r.keySet -- floors.map(_._1).toSet)
-      .forall(_.startsWith("ann_curve_trained_")))
+      .forall(k => k.startsWith("ann_curve_trained_") ||
+        k.startsWith("ann_curve_spill_")))
     assert(r.values.forall(v => v >= 0.0 && v <= 1.0))
   }
 
@@ -82,5 +91,19 @@ class AnnRecallSpec extends SparkSpec {
     assert(r("ann_curve_trained_np10_rf3_recall") >=
       r("ann_curve_trained_np10_rf1_recall") - 1e-9,
       "a 3x-deeper exact-re-ranked shortlist must not lose recall")
+  }
+
+  test("spilled multi-assignment beats the single-assign operating point " +
+      "on BOTH axes (the r15 #2 bar: >= 0.9 recall at the old scan)") {
+    // old operating point: single-assign kIvf=25, np10, rf3 — the 0.81
+    // @ 0.544 ceiling. The spilled np18/rf5 config must dominate it.
+    assert(r("ann_curve_spill_np18_rf5_recall") >=
+      r("ann_curve_trained_np10_rf3_recall"),
+      "spill must not lose recall vs the single-assign point")
+    assert(r("ann_curve_spill_np18_rf5_scan") <=
+      r("ann_curve_trained_np10_rf3_scan") + 1e-9,
+      "spill must not scan more than the single-assign point")
+    assert(r("ann_curve_spill_np18_rf5_recall") >= 0.90,
+      "the VERDICT r15 #2 target: recall@10 >= 0.9 at today's scan")
   }
 }
