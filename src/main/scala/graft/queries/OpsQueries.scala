@@ -32,6 +32,56 @@ object OpsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "q205_schema_evolution" -> ((s, dir) => {
+      // the alembic analog (VERDICT r15 #3): one logical orders table
+      // split into two PHYSICAL schema generations — v1 (even keys,
+      // pre-migration names, no priority column) and v2 (odd keys,
+      // o_totalprice RENAMED to total_price, o_orderpriority ADDED) —
+      // written to scratch parquet, then read back through
+      // SchemaEvolution.readEvolved with the migration declared:
+      // v1's rename ledger + a server_default for the added column +
+      // a contract on each generation. The rollup groups by priority,
+      // so pre-migration rows surface under the declared default —
+      // the oracle replays the same split/merge from the base table.
+      import org.apache.spark.sql.types._
+      val orders = t(s, dir, "orders")
+      val out = Scratch.path(s, "q205")
+      orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$out/v1")
+      orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").as("total_price"), col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$out/v2")
+      val target = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_custkey", LongType),
+        StructField("total_price", DoubleType),
+        StructField("o_orderpriority", StringType)))
+      def base(name: String) = Seq(
+        Contracts.ColumnContract("o_orderkey", "numeric",
+          nullable = false, unique = true),
+        Contracts.ColumnContract("o_custkey", "numeric", nullable = false),
+        Contracts.ColumnContract(name, "numeric", nullable = false,
+          minValue = Some(0)))
+      val merged = graft.sources.SchemaEvolution.readEvolved(s, Seq(
+          graft.sources.SchemaEvolution.Generation(s"$out/v1",
+            renames = Map("o_totalprice" -> "total_price")),
+          graft.sources.SchemaEvolution.Generation(s"$out/v2")),
+        target,
+        defaults = Map("o_orderpriority" -> lit("0-PRE_MIGRATION")),
+        contracts = Map(
+          0 -> Contracts.DataContract("orders_v1", base("o_totalprice"),
+            requiredColumns = Seq("o_orderkey", "o_totalprice")),
+          1 -> Contracts.DataContract("orders_v2", base("total_price"),
+            requiredColumns = Seq("o_orderkey", "total_price"))))
+      merged.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("total_price").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     "q111_stamped_extract" -> ((s, dir) => {
       // S9: metadata stamp on an extract (reference: base.py:151-156
       // appends _org_id/_org_name/_extracted_at to every entity frame)
@@ -269,6 +319,17 @@ object OpsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // replays the generation split + migration merge from the base
+    // table: even keys are v1 (no priority column → the declared
+    // default), odd keys are v2 (renamed price column — same values)
+    "q205_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '0-PRE_MIGRATION'
+        |    ELSE o_orderpriority END AS o_orderpriority,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "q129_bulk_csv_scan" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_regionkey < 3 ORDER BY n_nationkey""".stripMargin,

@@ -74,6 +74,67 @@ class ContractsSpec extends SparkSpec {
       ("score", "type_changed", "double", "int")))
   }
 
+  test("schema evolution: rename + default-fill + cast merges two " +
+      "generations into the current schema (the alembic analog)") {
+    import org.apache.spark.sql.types._
+    val target = StructType(Seq(
+      StructField("id", LongType),
+      StructField("total_price", DoubleType),
+      StructField("priority", StringType)))
+    // v1: pre-migration names (price), int ids, no priority column
+    val v1 = Seq((1, 10.5), (2, 20.0)).toDF("id", "price")
+    // v2: current names, priority present
+    val v2 = Seq((3L, 30.0, "HIGH")).toDF("id", "total_price", "priority")
+    val merged = graft.sources.SchemaEvolution.alignGenerations(
+      Seq(v1 -> Map("price" -> "total_price"), v2 -> Map.empty),
+      target, defaults = Map("priority" -> lit("PRE_MIGRATION")))
+    // names + types must match the target exactly; nullability may be
+    // STRICTER (a generation whose source column is provably non-null
+    // keeps that fact through the cast)
+    assert(merged.schema.map(f => (f.name, f.dataType)) ==
+      target.map(f => (f.name, f.dataType)))
+    val rows = merged.orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L)) // int → long cast
+    assert(rows.map(_.getString(2)).toSeq ==
+      Seq("PRE_MIGRATION", "PRE_MIGRATION", "HIGH"))
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(10.5, 20.0, 30.0))
+  }
+
+  test("schema evolution is strict: an undeclared generation column " +
+      "fails the read instead of silently dropping data") {
+    import org.apache.spark.sql.types._
+    val target = StructType(Seq(StructField("id", LongType)))
+    val gen = Seq((1L, "oops")).toDF("id", "legacy_notes")
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.SchemaEvolution.alignGenerations(
+        Seq(gen -> Map.empty), target)
+    }
+    assert(e.getMessage.contains("legacy_notes"))
+    // declaring the drop makes the same read legal
+    val ok = graft.sources.SchemaEvolution.alignGenerations(
+      Seq(gen -> Map.empty), target, dropped = Set("legacy_notes"))
+    assert(ok.columns.toSeq == Seq("id") && ok.count() == 1)
+  }
+
+  test("schema evolution: a generation failing its version's contract " +
+      "fails the read loudly") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("se_spec").toString
+    Seq((1L, -5.0)).toDF("id", "price")
+      .write.mode("overwrite").parquet(s"$dir/v1")
+    val target = StructType(Seq(
+      StructField("id", LongType), StructField("price", DoubleType)))
+    val c = DataContract("v1",
+      Seq(ColumnContract("price", "numeric", minValue = Some(0))),
+      requiredColumns = Seq("id"))
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.SchemaEvolution.readEvolved(spark,
+        Seq(graft.sources.SchemaEvolution.Generation(s"$dir/v1")),
+        target, contracts = Map(0 -> c))
+    }
+    assert(e.getMessage.contains("v1"))
+  }
+
   test("quality summary rollup (A10)") {
     val hist = Seq((true, 100L, 0L), (false, 50L, 3L))
       .toDF("is_valid", "row_count", "error_count")
