@@ -82,6 +82,38 @@ object OpsQueries {
         .orderBy("o_orderpriority")
     }),
 
+    "q207_ops_metrics_rollup" -> ((s, dir) => {
+      // the Grafana panel math (VERDICT r15 #5; reference
+      // observability/grafana-dashboard.json: Success Rate / P95
+      // Latency / Request Rate / Error Rate) over a DETERMINISTIC
+      // request log derived from orders — the OpsMetrics.rollup
+      // operator the /api/metrics endpoint serves, oracle-gated: per
+      // route template the counts, success/error rates, total rows
+      // served, and the EXACT-rank p95 latency (value at ⌈0.95·n⌉,
+      // unique-key tiebreak — no histogram interpolation to diverge
+      // between engines).
+      val log = t(s, dir, "orders").select(
+        col("o_orderkey").as("req_id"),
+        when(col("o_orderkey") % 4 === 0, "/api/recommendations")
+          .when(col("o_orderkey") % 4 === 1, "/api/recommendations/{id}")
+          .when(col("o_orderkey") % 4 === 2, "/api/export/{format}")
+          .otherwise("/api/insights").as("route"),
+        when(col("o_orderkey") % 50 >= 45,
+            when(col("o_orderkey") % 50 === 49, 500)
+              .when(col("o_orderkey") % 50 === 48, 429)
+              .otherwise(401))
+          .otherwise(200).as("status"),
+        ((col("o_orderkey") % 997) / 2.0 + 1.0).as("latency_ms"),
+        (col("o_orderkey") % 100).as("rows"))
+      graft.serve.OpsMetrics.rollup(log, tiebreak = col("req_id"))
+        .select(col("route"), col("n_requests"),
+          round(col("success_rate"), 6).as("success_rate"),
+          round(col("error_rate"), 6).as("error_rate"),
+          round(col("p95_latency_ms"), 6).as("p95_latency_ms"),
+          col("rows_served"))
+        .orderBy("route")
+    }),
+
     "q111_stamped_extract" -> ((s, dir) => {
       // S9: metadata stamp on an extract (reference: base.py:151-156
       // appends _org_id/_org_name/_extracted_at to every entity frame)
@@ -319,6 +351,41 @@ object OpsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // replays the synthetic request log + the panel math: rates as
+    // avg-of-indicator, p95 as the exact rank-⌈0.95·n⌉ order statistic
+    // with the same unique tiebreak
+    "q207_ops_metrics_rollup" ->
+      """WITH log AS (SELECT o_orderkey AS req_id,
+        |    CASE WHEN o_orderkey % 4 = 0 THEN '/api/recommendations'
+        |         WHEN o_orderkey % 4 = 1 THEN '/api/recommendations/{id}'
+        |         WHEN o_orderkey % 4 = 2 THEN '/api/export/{format}'
+        |         ELSE '/api/insights' END AS route,
+        |    CASE WHEN o_orderkey % 50 >= 45 THEN
+        |           CASE WHEN o_orderkey % 50 = 49 THEN 500
+        |                WHEN o_orderkey % 50 = 48 THEN 429
+        |                ELSE 401 END
+        |         ELSE 200 END AS status,
+        |    (o_orderkey % 997) / 2.0 + 1.0 AS latency_ms,
+        |    o_orderkey % 100 AS rows
+        |  FROM orders),
+        |aggs AS (SELECT route, count(*) AS n_requests,
+        |    avg(CASE WHEN status < 400 THEN 1.0 ELSE 0.0 END) AS success_rate,
+        |    avg(CASE WHEN status >= 500 THEN 1.0 ELSE 0.0 END) AS error_rate,
+        |    CAST(sum(rows) AS BIGINT) AS rows_served
+        |  FROM log GROUP BY route),
+        |p95 AS (SELECT route, latency_ms AS p95_latency_ms FROM (
+        |    SELECT route, latency_ms,
+        |      row_number() OVER (PARTITION BY route
+        |        ORDER BY latency_ms ASC, req_id ASC) AS rn,
+        |      count(*) OVER (PARTITION BY route) AS cnt
+        |    FROM log)
+        |  WHERE rn = CAST(ceiling(CAST(cnt AS DOUBLE) * 0.95) AS BIGINT))
+        |SELECT a.route, a.n_requests, round(a.success_rate, 6) AS success_rate,
+        |  round(a.error_rate, 6) AS error_rate,
+        |  round(p.p95_latency_ms, 6) AS p95_latency_ms, a.rows_served
+        |FROM aggs a LEFT JOIN p95 p ON p.route = a.route
+        |ORDER BY a.route""".stripMargin,
 
     // replays the generation split + migration merge from the base
     // table: even keys are v1 (no priority column → the declared

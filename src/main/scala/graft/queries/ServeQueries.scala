@@ -71,6 +71,40 @@ object ServeQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "q206_export_roundtrip" -> ((s, dir) => {
+      // S13 hash-gated (VERDICT r15 #4; reference api/main.py:794-858):
+      // the export surface closes its own loop — the same frame is
+      // written through exportJson AND exportCsv, read back through
+      // readJsonl/readCsv with the explicit schemas, and the result is
+      // the INTERSECTION of the two roundtrips (exact row equality on
+      // every column). A row any export path drops, mangles, or
+      // re-types falls out of the intersect and the row count misses
+      // the oracle, which replays the source filter directly — so the
+      // green row certifies both serializers and both readers
+      // value-exactly, not just "a file appeared".
+      import org.apache.spark.sql.types._
+      val src = Tables.load(s, dir, "orders")
+        .filter(col("o_totalprice") > 100000)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), to_date(col("o_orderdate")).as("o_orderdate"))
+      val out = Scratch.path(s, "q206")
+      Serve.exportJson(src, s"$out/json")
+      Serve.exportCsv(src, s"$out/csv")
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType),
+        StructField("o_orderdate", DateType)))
+      Serve.readJsonl(s, s"$out/json", schema)
+        .intersect(Serve.readCsv(s, s"$out/csv", schema))
+        // rendered as a string for the cross-engine compare (the q11
+        // date discipline); the roundtrip itself ran on the DATE type
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+        .orderBy("o_orderkey")
+    }),
+
     "q58_contract_profile" -> ((s, dir) => {
       // one-agg-pass contract violation counters (reference:
       // data_contracts.py:103-192 P6/A11), relational face
@@ -131,6 +165,15 @@ object ServeQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // the export loop must hand back exactly the source selection —
+    // the oracle never sees the files, it recomputes what a lossless
+    // export+read pair must return
+    "q206_export_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate
+        |FROM orders WHERE o_totalprice > 100000
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q58_contract_profile" ->
       """WITH c AS (

@@ -175,7 +175,8 @@ object ApiShell {
                     scoreExprs0: => Seq[(String, org.apache.spark.sql.Column)] = Nil,
                     accounts: Option[DataFrame] = None,
                     onUpdate: (Long, Map[String, String]) => Boolean =
-                      (_, _) => false) {
+                      (_, _) => false,
+                    recorder: Option[OpsMetrics.Recorder] = None) {
     import org.apache.spark.sql.functions._
 
     /** BY-NAME like `recs`: the scoring expressions are RESOLVED PER
@@ -320,6 +321,23 @@ object ApiShell {
 
     /** GET /api/health (main.py:302) — unauthenticated, unlimited. */
     def health: Result = OkText("""{"status":"healthy"}""")
+
+    /** GET /api/metrics — the Grafana panel rollup (success rate, error
+      * rate, exact p95 latency, request/row counts per route template)
+      * over the transport's request ledger; guarded like every
+      * non-health route. 404 when the deployment wired no recorder —
+      * an absent observability surface must be loud, not an empty
+      * frame that reads as "zero traffic". */
+    def metrics(bearer: Option[String],
+                clientHost: Option[String] = None): Result =
+      guarded(bearer, clientHost) { (_, _) =>
+        recorder match {
+          case None => ApiError(404, "Metrics not enabled")
+          case Some(r) =>
+            Ok(OpsMetrics.rollup(r.toDF(recs.sparkSession))
+              .orderBy("route"))
+        }
+      }
 
     /** GET /api/auth/me — the authenticated identity as the HANDLERS see
       * it: sub from the verified token, role re-read from the store

@@ -77,72 +77,106 @@ object HttpAdapter {
 
   /** Serialize a Shell result: Ok frames as a JSON array of row objects
     * (bounded by the Shell's own pagination), errors as the reference's
-    * {"detail": …} with the mapped status. */
-  private def emit(ex: HttpExchange, r: Result): Unit = r match {
+    * {"detail": …} with the mapped status. Returns (status, rows
+    * serialized) — the per-request facts the ops recorder ledgers. */
+  private def emit(ex: HttpExchange, r: Result): (Int, Long) = r match {
     case Ok(df) =>
-      send(ex, 200, df.toJSON.collect().mkString("[", ",", "]"))
+      val rows = df.toJSON.collect()
+      send(ex, 200, rows.mkString("[", ",", "]"))
+      (200, rows.length.toLong)
     case OkText(t) =>
       val b = if (t.trim.startsWith("{")) t
       else s"""{"result":"${jsonEscape(t)}"}"""
       send(ex, 200, b)
+      (200, 0L)
     case OkSections(sections) =>
+      var rows = 0L
       val b = sections.toSeq.sortBy(_._1).map { case (k, df) =>
-        s""""$k":${df.toJSON.collect().mkString("[", ",", "]")}"""
+        val rs = df.toJSON.collect()
+        rows += rs.length
+        s""""$k":${rs.mkString("[", ",", "]")}"""
       }.mkString("{", ",", "}")
       send(ex, 200, b)
+      (200, rows)
     case ApiError(status, detail) =>
       send(ex, status, s"""{"detail":"${jsonEscape(detail)}"}""")
+      (status, 0L)
   }
 
   private val RecId = "/api/recommendations/([0-9]+)".r
   private val Export = "/api/export/([a-z]+)".r
 
   /** Bind `shell` on `port` (0 = ephemeral). One handler, routed by
-    * (method, path) — the Shell decides everything else. */
+    * (method, path) — the Shell decides everything else. When
+    * `recorder` is set, every served request (including 404s and
+    * handler 500s) ledgers one [[OpsMetrics.RequestMetric]] labeled by
+    * ROUTE TEMPLATE (`/api/recommendations/{id}`, never the raw path —
+    * the Prometheus bounded-label-cardinality rule), and the Shell's
+    * `/api/metrics` endpoint serves the Grafana rollup over it. */
   def start(shell: Shell, port: Int = 0,
             exportDir: String =
-              System.getProperty("java.io.tmpdir")): Handle = {
+              System.getProperty("java.io.tmpdir"),
+            recorder: Option[OpsMetrics.Recorder] = None): Handle = {
     val server = HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", port), 0)
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
     server.createContext("/", (ex: HttpExchange) => {
+      val t0 = System.nanoTime()
+      val method = ex.getRequestMethod.toUpperCase
+      def ledger(route: String, status: Int, rows: Long): Unit =
+        recorder.foreach(_.record(OpsMetrics.RequestMetric(
+          System.currentTimeMillis(), route, method, status,
+          (System.nanoTime() - t0) / 1e6, rows)))
+      var route = "unmatched"
       try {
         val path = ex.getRequestURI.getPath
-        val method = ex.getRequestMethod.toUpperCase
-        (method, path) match {
-          case ("GET", "/api/health") => emit(ex, shell.health)
+        val routed: Option[(String, Result)] = (method, path) match {
+          case ("GET", "/api/health") =>
+            Some("/api/health" -> shell.health)
           case ("POST", "/api/auth/token") =>
             val p = bodyParams(body(ex))
-            emit(ex, shell.login(p.getOrElse("username", ""),
+            Some("/api/auth/token" -> shell.login(
+              p.getOrElse("username", ""),
               p.getOrElse("password", ""), clientHost(ex)))
           case ("GET", "/api/auth/me") =>
-            emit(ex, shell.whoami(bearer(ex), clientHost(ex)))
+            Some("/api/auth/me" -> shell.whoami(bearer(ex), clientHost(ex)))
+          case ("GET", "/api/metrics") =>
+            Some("/api/metrics" -> shell.metrics(bearer(ex), clientHost(ex)))
           case ("GET", "/api/recommendations") =>
-            emit(ex, shell.recommendations(queryParams(ex), bearer(ex),
-              clientHost(ex)))
+            Some("/api/recommendations" -> shell.recommendations(
+              queryParams(ex), bearer(ex), clientHost(ex)))
           case ("GET", RecId(id)) =>
             // toLongOption: an over-long digit run is "no such id" (404),
             // not a NumberFormatException surfacing as a 500
-            emit(ex, id.toLongOption.fold(
+            Some("/api/recommendations/{id}" -> id.toLongOption.fold(
               ApiError(404, "Recommendation not found"): Result)(
               shell.recommendation(_, bearer(ex), clientHost(ex))))
           case ("PATCH", RecId(id)) =>
-            emit(ex, id.toLongOption.fold(
+            Some("/api/recommendations/{id}" -> id.toLongOption.fold(
               ApiError(404, "Recommendation not found"): Result)(
               shell.updateRecommendation(_, bodyParams(body(ex)),
                 bearer(ex), clientHost(ex))))
           case ("GET", Export(format)) =>
             val out = s"$exportDir/graft_export_${System.nanoTime()}.$format"
-            emit(ex, shell.export(format, out, queryParams(ex), bearer(ex),
-              clientHost(ex)))
-          case _ =>
+            Some("/api/export/{format}" -> shell.export(format, out,
+              queryParams(ex), bearer(ex), clientHost(ex)))
+          case _ => None
+        }
+        routed match {
+          case Some((tpl, result)) =>
+            route = tpl
+            val (status, rows) = emit(ex, result)
+            ledger(tpl, status, rows)
+          case None =>
             send(ex, 404, """{"detail":"Not found"}""")
+            ledger("unmatched", 404, 0L)
         }
       } catch {
         case e: Throwable =>
           try send(ex, 500,
             s"""{"detail":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
           catch { case _: Throwable => () }
+          ledger(route, 500, 0L)
       }
     })
     server.start()

@@ -175,4 +175,73 @@ class ApiShellHttpSpec extends SparkSpec {
       assert(me.body().endsWith(""","role":"viewer"}"""), me.body())
     } finally h.stop()
   }
+
+  test("/api/metrics serves the Grafana rollup over the transport's " +
+      "request ledger (route templates, statuses, rows served)") {
+    val clock = new VClock
+    val users = new UserStore
+    users.put(User("alice", "s3cret", "admin"))
+    val tokens = new TokenService("http-secret", clock)
+    val rec = new OpsMetrics.Recorder()
+    val shell = new Shell(recs, users, tokens, clock, callsPerMinute = 50,
+      recorder = Some(rec))
+    val h = HttpAdapter.start(shell, recorder = Some(rec))
+    val base = s"http://127.0.0.1:${h.port}"
+    try {
+      get(s"$base/api/health")
+      val tok = send("POST", s"$base/api/auth/token",
+        "username=alice&password=s3cret")
+      val t = "\"result\":\"([^\"]+)\"".r.findFirstMatchIn(tok.body())
+        .map(_.group(1)).getOrElse(fail("no token"))
+      assert(get(s"$base/api/recommendations", Some(t)).statusCode() == 200)
+      assert(get(s"$base/api/recommendations/1", Some(t)).statusCode() == 200)
+      assert(get(s"$base/api/recommendations/999", Some(t))
+        .statusCode() == 404)
+      assert(get(s"$base/no/such/route").statusCode() == 404)
+      assert(get(s"$base/api/auth/me").statusCode() == 401) // no bearer
+
+      // ledger facts: route TEMPLATES (never raw ids), real statuses,
+      // serialized row counts
+      val snap = rec.snapshot
+      assert(snap.exists(m =>
+        m.route == "/api/recommendations" && m.status == 200 && m.rows == 3))
+      assert(snap.count(_.route == "/api/recommendations/{id}") == 2)
+      assert(snap.exists(m =>
+        m.route == "/api/recommendations/{id}" && m.status == 404))
+      assert(snap.exists(m => m.route == "unmatched" && m.status == 404))
+      assert(snap.exists(m => m.route == "/api/auth/me" && m.status == 401))
+      assert(snap.forall(m => m.latency_ms >= 0.0))
+
+      // the endpoint itself: guarded, serves the rollup frame
+      assert(get(s"$base/api/metrics").statusCode() == 401)
+      val metrics = get(s"$base/api/metrics", Some(t))
+      assert(metrics.statusCode() == 200, metrics.body())
+      assert(metrics.body().contains("\"route\":\"/api/recommendations\""))
+      assert(metrics.body().contains("\"n_requests\""))
+      assert(metrics.body().contains("\"p95_latency_ms\""))
+      // the {id} row aggregates a 200 and a 404 → success_rate 0.5
+      assert(metrics.body().contains(
+        """"route":"/api/recommendations/{id}","n_requests":2,"success_rate":0.5"""),
+        metrics.body())
+    } finally h.stop()
+  }
+
+  test("/api/metrics without a wired recorder is a loud 404, " +
+      "not an empty frame") {
+    val clock = new VClock
+    val users = new UserStore
+    users.put(User("alice", "s3cret", "admin"))
+    val tokens = new TokenService("http-secret", clock)
+    val shell = new Shell(recs, users, tokens, clock, callsPerMinute = 10)
+    val h = HttpAdapter.start(shell)
+    val base = s"http://127.0.0.1:${h.port}"
+    try {
+      val tok = send("POST", s"$base/api/auth/token",
+        "username=alice&password=s3cret")
+      val t = "\"result\":\"([^\"]+)\"".r.findFirstMatchIn(tok.body())
+        .map(_.group(1)).getOrElse(fail("no token"))
+      val r = get(s"$base/api/metrics", Some(t))
+      assert(r.statusCode() == 404 && r.body().contains("Metrics not enabled"))
+    } finally h.stop()
+  }
 }
