@@ -127,7 +127,12 @@ object Plans {
       "q199_selector_agreement", // q194 weight pass + q196 projection + id join
       "q200_bpe_byte_train",     // byte-level batched rounds (kernel scan + vocab aggs)
       "q202_curation_funnel",    // 5-stage composed funnel (quality->decon->dedup->DSIR->mix)
-      "q203_ann_operating_curve")// config-joined probe/ADC/refine off the stored index
+      "q203_ann_operating_curve",// config-joined probe/ADC/refine off the stored index
+      "q204_ann_spilled_curve",  // trained+spilled curve off stored k-means artifacts
+      "q205_schema_evolution",   // two-generation rename/default/cast union
+      "q206_export_roundtrip",   // export->read-back intersect, both serializers
+      "q207_ops_metrics_rollup", // Grafana panel math: agg pass + exact-p95 window
+      "q208_microbatch_batch_twin") // drained+replayed sink read (partition discovery)
     // per-query reader notes where the right plan is easy to misread
     val notes = Map(
       "q128_sql_range_join" -> ("The user wrote the naive theta join " +

@@ -50,26 +50,33 @@ object CorpusQueries {
       // per-language composition rows from one grouped pass. Long
       // (metric, value) shape so downstream release gates diff two
       // datasheets with a join, not a schema migration.
+      // zero driver reads (VERDICT r15 #8): the one-row global agg is
+      // materialized ONCE (localCheckpoint — both the datasheet rows
+      // and the per-language denominator read it) and stays a frame —
+      // the metric rows derive via explode(map), the denominator rides
+      // a broadcast crossJoin
       val docs = t(s, dir, "documents")
         .withColumn("_toks", size(filter(split(lower(col("text")), "\\s+"),
           x => length(x) > 0)).cast("long"))
-      val g = docs.agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("_toks")).as("n_tokens"),
-        countDistinct(col("text")).as("n_distinct_texts"),
-        countDistinct(col("source")).as("n_sources")).head()
-      val nDocs = g.getLong(0).toDouble
-      val global = s.createDataFrame(Seq(
-        ("n_docs", nDocs),
-        ("n_tokens", g.getLong(1).toDouble),
-        ("n_sources", g.getLong(3).toDouble),
-        ("exact_dup_frac", (nDocs - g.getLong(2)) / nDocs),
-        ("mean_doc_tokens", g.getLong(1).toDouble / nDocs)))
-        .toDF("metric", "value")
+      val gAgg = docs.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        sum(col("_toks")).cast("double").as("n_tokens"),
+        countDistinct(col("text")).cast("double").as("n_distinct_texts"),
+        countDistinct(col("source")).cast("double").as("n_sources"))
+        .localCheckpoint()
+      val global = gAgg.select(explode(map(
+        lit("n_docs"), col("n_docs"),
+        lit("n_tokens"), col("n_tokens"),
+        lit("n_sources"), col("n_sources"),
+        lit("exact_dup_frac"),
+        (col("n_docs") - col("n_distinct_texts")) / col("n_docs"),
+        lit("mean_doc_tokens"), col("n_tokens") / col("n_docs")))
+        .as(Seq("metric", "value")))
       val langs = docs.groupBy("lang")
         .agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(gAgg.select(col("n_docs"))))
         .select(concat(lit("lang_frac:"), col("lang")).as("metric"),
-          (col("n") / nDocs).as("value"))
+          (col("n") / col("n_docs")).as("value"))
       global.unionByName(langs)
         .select(col("metric"), round(col("value"), 6).as("value"))
         .orderBy("metric")

@@ -39,7 +39,13 @@ object ScalingProbe {
     "q124_leakage_safe_split", // CC-aware split (artifact consumer)
     "q160_kmv_sketch",       // mergeable sketch build
     "q194_dsir_weights",     // DSIR bucket-model scoring
-    "q69_asof_join")         // as-of timeline join (union+window)
+    "q69_asof_join",         // as-of timeline join (union+window)
+    // r15/r16 hot families (VERDICT r15 #7)
+    "q202_curation_funnel",  // composed end-to-end funnel
+    "q203_ann_operating_curve", // stored-index ANN curve (+ truth pass)
+    "q200_bpe_byte_train",   // byte-level BPE training rounds
+    "q204_ann_spilled_curve", // trained+spilled ANN curve (k-means fits)
+    "q208_microbatch_batch_twin") // micro-batch drain + forced replay
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/root/testdata")
