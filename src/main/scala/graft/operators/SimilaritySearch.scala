@@ -970,6 +970,94 @@ object SimilaritySearch {
       query, k)
   }
 
+  /**
+   * OPQ — Optimized Product Quantization (Ge et al. 2013, the
+   * non-parametric alternation): learn an orthogonal rotation R so the
+   * PQ subspace split falls along directions the codebooks can spend
+   * their budget on, instead of whatever basis the embeddings arrived
+   * in. Alternation per iteration: (1) train per-subspace codebooks on
+   * the rotated sample, (2) encode + reconstruct x̂ (in rotated space),
+   * (3) solve the orthogonal Procrustes problem min_R ‖R·x − x̂‖_F —
+   * R = U·Vᵀ from the SVD of M = Σ x̂·xᵀ. The rotation composes with
+   * everything downstream unchanged: rotate vectors and query, then
+   * flat trained PQ / ADC exactly as [[pqCodesSub]]/[[adcTopKSub]].
+   *
+   * Scale shape: training runs on the `trainFrac` hash-sample (the
+   * k-means discipline); the d×d scatter M is ONE aggregation pass
+   * (outer-product explode → per-cell sum — d² cells, never row data,
+   * to the driver) and the SVD is a driver-side d×d breeze call
+   * (64×64 here — microseconds). Applying R at encode/search time is
+   * a per-row d² matvec — the same order as the PQ encode argmin
+   * itself (m·k·subDim), and a once-per-corpus-version index pass.
+   *
+   * Returns (R rows as a Seq[Seq[Double]] — R(i) is output-dim i's
+   * weight row — and the codebook trained on the FINAL rotation).
+   */
+  def opqTrain(embs: DataFrame, idCol: Column, vecCol: Column,
+               m: Int, subDim: Int, kSub: Int, iters: Int = 3,
+               seed: Long = 42L, trainFrac: Double = 1.0)
+      : (Seq[Seq[Double]], DataFrame) = {
+    require(iters >= 1, s"need at least one alternation (got $iters)")
+    val d = m * subDim
+    val spark = embs.sparkSession
+    val e = embs.select(idCol.as("id"),
+        transform(vecCol, x => x.cast("double")).as("v"))
+      .filter(col("v").isNotNull)
+    val train = (if (trainFrac >= 1.0) e
+      else e.filter(Sampling.hashUniform(col("id"), "opq") < trainFrac))
+      .localCheckpoint()
+    var r: Seq[Seq[Double]] =
+      Seq.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var cb: DataFrame = null
+    var it = 0
+    while (it < iters) {
+      val rot = train.select(col("id"), rotated(col("v"), r, d).as("v"))
+        .localCheckpoint()
+      cb = pqCodebookSubKMeans(rot, col("id"), col("v"), m, subDim, kSub,
+        seed)
+      // last iteration: codebooks already match the final R — skip the
+      // Procrustes update they would feed
+      if (it < iters - 1) {
+        val codes = pqCodesSub(rot, col("id"), col("v"), cb, m, subDim)
+        // x̂ assembled in subspace order from the code's sub-centroids
+        val xhat = codes.join(broadcast(cb), Seq("s", "cid"))
+          .groupBy("id")
+          .agg(flatten(array_sort(collect_list(struct(col("s"),
+            col("cvs")))).getField("cvs")).as("xhat"))
+        // scatter M = Σ x̂·xᵀ — d² cells via outer-product explode +
+        // per-cell partial sums; only the d² aggregates reach the driver
+        val cells = train.join(xhat, "id")
+          .select(posexplode(flatten(
+            transform(col("xhat"), h => transform(col("v"), x => h * x)))))
+          .groupBy("pos").agg(sum("col").as("c"))
+          .collect().map(row => row.getInt(0) -> row.getDouble(1)).toMap
+        val mMat = breeze.linalg.DenseMatrix.tabulate(d, d)(
+          (i, j) => cells.getOrElse(i * d + j, 0.0))
+        val svd = breeze.linalg.svd(mMat)
+        val rNew = svd.U * svd.Vt
+        r = Seq.tabulate(d, d)((i, j) => rNew(i, j))
+      }
+      // the fits and the scatter collect both ran eagerly above, and the
+      // returned codebook is a local row set — the rotated frame's
+      // blocks free on EVERY path (a per-iteration leak would pin
+      // iters × sample in the block manager)
+      org.apache.spark.sql.graftshim.GraftShim.freeLocalCheckpoint(rot)
+      it += 1
+    }
+    org.apache.spark.sql.graftshim.GraftShim.freeLocalCheckpoint(train)
+    (r, cb)
+  }
+
+  /** R·v as a column expression: R broadcast as literal rows, one dot
+    * per output dimension. O(d²)/row — the once-per-corpus-version
+    * index-build pass, same order as the PQ encode argmin itself. */
+  def rotated(vecCol: Column, r: Seq[Seq[Double]], d: Int): Column = {
+    val rLit = array(r.map(row => array(row.map(lit): _*)): _*)
+    transform(sequence(lit(0), lit(d - 1)), i =>
+      aggregate(zip_with(element_at(rLit, i + 1), vecCol,
+        (a, b) => a * b.cast("double")), lit(0.0), _ + _))
+  }
+
   /** Per-list ADC tail shared by the trained residual path: join codes
     * (id, s, cid ← code, cid list) to per-(list, s, code) query-residual
     * distances, fixed-order sum, top-k. */

@@ -102,6 +102,47 @@ object AnnCoverageProbe {
       }
       Seq(cents, assign, codes, adc).foreach(_.unpersist())
     }
+    // OPQ vs flat trained PQ at the SAME code budget: full-corpus ADC
+    // recall (no IVF — isolates quantizer quality), m=8 x 8-d x 256
+    locally {
+      val M = 8; val SubDim = 8; val KSub = 256; val D = 64
+      def adcRecall(vecs: org.apache.spark.sql.DataFrame,
+                    qs: org.apache.spark.sql.DataFrame,
+                    cb: org.apache.spark.sql.DataFrame): Double = {
+        val codes = SimilaritySearch.pqCodesSub(vecs, col("id"), col("v"),
+          cb, M, SubDim)
+        val qd = qs.crossJoin(broadcast(cb))
+          .select(col("qid"), col("s"), col("cid"),
+            l2sq(slice(col("qv"), col("s") * SubDim + 1, lit(SubDim)),
+              col("cvs")).as("dq"))
+        val adc = codes.join(broadcast(qd), Seq("s", "cid"))
+          .groupBy("qid", "id").agg(sum("dq").as("adc"))
+          .filter(col("id") =!= col("qid"))
+        val top = TopK.topKPerGroup(adc, Seq(col("qid")),
+          Seq(col("adc").asc, col("id").asc), K)
+        truth.join(top.select("qid", "id"), Seq("qid", "id")).count()
+          .toDouble / (K * nq)
+      }
+      val ev = e.select(col("id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val qv = queries.select(col("qid"), col("qv"))
+      // flat baseline
+      val cbFlat = SimilaritySearch.pqCodebookSubKMeans(ev, col("id"),
+        col("v"), M, SubDim, KSub)
+      println(f"OPQ  baseline flat ADC recall = ${adcRecall(ev, qv, cbFlat)}%.3f")
+      for (iters <- Seq(2, 3)) {
+        val t0 = System.nanoTime()
+        val (r, cbOpq) = SimilaritySearch.opqTrain(ev, col("id"), col("v"),
+          M, SubDim, KSub, iters = iters)
+        val trainS = (System.nanoTime() - t0) / 1e9
+        val evR = ev.select(col("id"),
+          SimilaritySearch.rotated(col("v"), r, D).as("v"))
+        val qR = qv.select(col("qid"),
+          SimilaritySearch.rotated(col("qv"), r, D).as("qv"))
+        println(f"OPQ  iters=$iters ADC recall = ${adcRecall(evR, qR, cbOpq)}%.3f" +
+          f"  (train ${trainS}%.1fs)")
+      }
+    }
     for (kIvf <- Seq[Int]()) {
       val cents = SimilaritySearch.ivfCentroidsKMeansL2(e, col("id"),
         col("embedding"), kIvf).cache()

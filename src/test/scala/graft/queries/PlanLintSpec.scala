@@ -65,7 +65,9 @@ class PlanLintSpec extends SparkSpec {
     "q188_decayed_engagement" -> "broadcast 1-row t_ref (max ts) frame crossJoined onto the events scan",
     "q191_ql_retrieval" -> "q94's broadcast 1-row corpus-stats frame, the query-likelihood variant",
     "q202_curation_funnel" -> "the q194/q195 DSIR ratio build inside the selection stage: broadcast 1-row totals frame onto the bucket domain (numBuckets rows)",
-    "q203_ann_operating_curve" -> "the instrument's broadcast query-batch joins: queries × centroid table (probe ranking), queries × PQ codebook (ADC lookup build), and queries × corpus for the ground-truth all-pairs pass — tuning harness contract like q185, never the serving path")
+    "q203_ann_operating_curve" -> "the instrument's broadcast query-batch joins: queries × centroid table (probe ranking), queries × PQ codebook (ADC lookup build), and queries × corpus for the ground-truth all-pairs pass — tuning harness contract like q185, never the serving path",
+    "q204_ann_spilled_curve" -> "q203's instrument contract over the trained+spilled index: broadcast query batch × stored centroids/codebook, plus the contracted all-pairs ground-truth pass",
+    "q172_corpus_datasheet" -> "broadcast 1-row global-stats frame (the checkpointed multi-agg) crossJoined as the per-language denominator — the r16 zero-driver-read rewrite of the former .head() scalar pull")
 
   /** Expand is legitimate only for SQL grouping sets. */
   private val expandAllowed: Map[String, String] = Map(
