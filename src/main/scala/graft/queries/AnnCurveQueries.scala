@@ -227,10 +227,26 @@ object AnnCurveQueries {
     val idx = SimilaritySearch.ivfPqIndexTrainedSpilled(e, col("vec_id"),
       col("embedding"), SpillKIvf, SpillA, SpillKSub, SpillM, SpillSubDim)
     val out = spillOut(dir)
-    idx.centroids.write.mode("overwrite").parquet(s"$out/centroids")
-    idx.codebook.write.mode("overwrite").parquet(s"$out/codebook")
-    idx.assignments.write.mode("overwrite").parquet(s"$out/assignments")
-    idx.codes.write.mode("overwrite").parquet(s"$out/codes")
+    // publish via session-private staging + rename: the oracle's
+    // read_parquet path must be FIXED (static SQL), but a concurrent
+    // same-SF session mode("overwrite")-writing the shared path
+    // directly would delete files under another session's scan for the
+    // whole k-means-build window; staging shrinks the exposure to the
+    // delete+rename instants
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val stage = s"${Scratch.path(s, "q204_stage")}"
+    Seq("centroids" -> idx.centroids, "codebook" -> idx.codebook,
+      "assignments" -> idx.assignments, "codes" -> idx.codes)
+      .foreach { case (name, df) =>
+        df.write.mode("overwrite").parquet(s"$stage/$name")
+      }
+    fs.mkdirs(new org.apache.hadoop.fs.Path(out))
+    Seq("centroids", "codebook", "assignments", "codes").foreach { name =>
+      val dst = new org.apache.hadoop.fs.Path(s"$out/$name")
+      fs.delete(dst, true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$stage/$name"), dst)
+    }
     val cents = s.read.parquet(s"$out/centroids")
     val assign = s.read.parquet(s"$out/assignments").select("id", "cid")
     val cb = s.read.parquet(s"$out/codebook")

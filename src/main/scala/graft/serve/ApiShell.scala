@@ -322,6 +322,12 @@ object ApiShell {
     /** GET /api/health (main.py:302) — unauthenticated, unlimited. */
     def health: Result = OkText("""{"status":"healthy"}""")
 
+    /** The ops ledger this shell serves metrics over — the transport
+      * adapter reads it from HERE (one wiring point; a second recorder
+      * instance passed to the adapter could silently diverge from the
+      * one /api/metrics rolls up). */
+    private[serve] def opsRecorder: Option[OpsMetrics.Recorder] = recorder
+
     /** GET /api/metrics — the Grafana panel rollup (success rate, error
       * rate, exact p95 latency, request/row counts per route template)
       * over the transport's request ledger; guarded like every

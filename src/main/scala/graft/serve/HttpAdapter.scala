@@ -107,76 +107,90 @@ object HttpAdapter {
   private val Export = "/api/export/([a-z]+)".r
 
   /** Bind `shell` on `port` (0 = ephemeral). One handler, routed by
-    * (method, path) — the Shell decides everything else. When
-    * `recorder` is set, every served request (including 404s and
-    * handler 500s) ledgers one [[OpsMetrics.RequestMetric]] labeled by
-    * ROUTE TEMPLATE (`/api/recommendations/{id}`, never the raw path —
-    * the Prometheus bounded-label-cardinality rule), and the Shell's
-    * `/api/metrics` endpoint serves the Grafana rollup over it. */
+    * (method, path) — the Shell decides everything else. When the
+    * Shell carries an ops recorder (the ONE wiring point — the adapter
+    * reads it from the Shell, so /api/metrics can never serve a
+    * different ledger than the one being fed), every served request
+    * (including 404s and handler 500s) ledgers one
+    * [[OpsMetrics.RequestMetric]] labeled by ROUTE TEMPLATE
+    * (`/api/recommendations/{id}`, never the raw path — the Prometheus
+    * bounded-label-cardinality rule). */
   def start(shell: Shell, port: Int = 0,
             exportDir: String =
-              System.getProperty("java.io.tmpdir"),
-            recorder: Option[OpsMetrics.Recorder] = None): Handle = {
+              System.getProperty("java.io.tmpdir")): Handle = {
+    val recorder = shell.opsRecorder
     val server = HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", port), 0)
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
     server.createContext("/", (ex: HttpExchange) => {
       val t0 = System.nanoTime()
       val method = ex.getRequestMethod.toUpperCase
-      def ledger(route: String, status: Int, rows: Long): Unit =
+      val path = ex.getRequestURI.getPath
+      // route template resolved from (method, path) ALONE, before any
+      // body read or shell work — an exception anywhere below ledgers
+      // under the CORRECT template (the per-route Grafana error-rate
+      // panel would otherwise show zero while 500s pile up under
+      // "unmatched")
+      val route = (method, path) match {
+        case ("GET", "/api/health") => "/api/health"
+        case ("POST", "/api/auth/token") => "/api/auth/token"
+        case ("GET", "/api/auth/me") => "/api/auth/me"
+        case ("GET", "/api/metrics") => "/api/metrics"
+        case ("GET", "/api/recommendations") => "/api/recommendations"
+        case ("GET", RecId(_)) | ("PATCH", RecId(_)) =>
+          "/api/recommendations/{id}"
+        case ("GET", Export(_)) => "/api/export/{format}"
+        case _ => "unmatched"
+      }
+      def ledger(status: Int, rows: Long): Unit =
         recorder.foreach(_.record(OpsMetrics.RequestMetric(
           System.currentTimeMillis(), route, method, status,
           (System.nanoTime() - t0) / 1e6, rows)))
-      var route = "unmatched"
       try {
-        val path = ex.getRequestURI.getPath
-        val routed: Option[(String, Result)] = (method, path) match {
-          case ("GET", "/api/health") =>
-            Some("/api/health" -> shell.health)
+        val routed: Option[Result] = (method, path) match {
+          case ("GET", "/api/health") => Some(shell.health)
           case ("POST", "/api/auth/token") =>
             val p = bodyParams(body(ex))
-            Some("/api/auth/token" -> shell.login(
-              p.getOrElse("username", ""),
+            Some(shell.login(p.getOrElse("username", ""),
               p.getOrElse("password", ""), clientHost(ex)))
           case ("GET", "/api/auth/me") =>
-            Some("/api/auth/me" -> shell.whoami(bearer(ex), clientHost(ex)))
+            Some(shell.whoami(bearer(ex), clientHost(ex)))
           case ("GET", "/api/metrics") =>
-            Some("/api/metrics" -> shell.metrics(bearer(ex), clientHost(ex)))
+            Some(shell.metrics(bearer(ex), clientHost(ex)))
           case ("GET", "/api/recommendations") =>
-            Some("/api/recommendations" -> shell.recommendations(
-              queryParams(ex), bearer(ex), clientHost(ex)))
+            Some(shell.recommendations(queryParams(ex), bearer(ex),
+              clientHost(ex)))
           case ("GET", RecId(id)) =>
             // toLongOption: an over-long digit run is "no such id" (404),
             // not a NumberFormatException surfacing as a 500
-            Some("/api/recommendations/{id}" -> id.toLongOption.fold(
+            Some(id.toLongOption.fold(
               ApiError(404, "Recommendation not found"): Result)(
               shell.recommendation(_, bearer(ex), clientHost(ex))))
           case ("PATCH", RecId(id)) =>
-            Some("/api/recommendations/{id}" -> id.toLongOption.fold(
+            Some(id.toLongOption.fold(
               ApiError(404, "Recommendation not found"): Result)(
               shell.updateRecommendation(_, bodyParams(body(ex)),
                 bearer(ex), clientHost(ex))))
           case ("GET", Export(format)) =>
             val out = s"$exportDir/graft_export_${System.nanoTime()}.$format"
-            Some("/api/export/{format}" -> shell.export(format, out,
-              queryParams(ex), bearer(ex), clientHost(ex)))
+            Some(shell.export(format, out, queryParams(ex), bearer(ex),
+              clientHost(ex)))
           case _ => None
         }
         routed match {
-          case Some((tpl, result)) =>
-            route = tpl
+          case Some(result) =>
             val (status, rows) = emit(ex, result)
-            ledger(tpl, status, rows)
+            ledger(status, rows)
           case None =>
             send(ex, 404, """{"detail":"Not found"}""")
-            ledger("unmatched", 404, 0L)
+            ledger(404, 0L)
         }
       } catch {
         case e: Throwable =>
           try send(ex, 500,
             s"""{"detail":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
           catch { case _: Throwable => () }
-          ledger(route, 500, 0L)
+          ledger(500, 0L)
       }
     })
     server.start()

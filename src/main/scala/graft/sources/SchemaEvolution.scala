@@ -61,6 +61,23 @@ object SchemaEvolution {
       val missingRenameSrc = renames.keySet -- df.columns.toSet
       require(missingRenameSrc.isEmpty,
         s"generation $i: rename sources not present: $missingRenameSrc")
+      // a rename whose target already exists (a dual-write backfill
+      // keeping both old and new columns) would produce DUPLICATE
+      // column names and surface later as a confusing
+      // AMBIGUOUS_REFERENCE — refuse here with the operator's own
+      // message instead (drop one of the columns explicitly first)
+      val collide = renames.filter { case (from, to) =>
+        df.columns.contains(to) && from != to
+      }
+      require(collide.isEmpty,
+        s"generation $i: rename target(s) already present alongside " +
+          s"their source: ${collide.map { case (f, t) => s"$f->$t" }
+            .mkString(", ")} — a dual-write generation must drop one " +
+          "copy explicitly before the merge")
+      val dupTargets = renames.values.groupBy(identity)
+        .collect { case (t, vs) if vs.size > 1 => t }
+      require(dupTargets.isEmpty,
+        s"generation $i: multiple columns renamed to ${dupTargets.mkString(", ")}")
       val renamed = renames.foldLeft(df) { case (d, (from, to)) =>
         d.withColumnRenamed(from, to)
       }

@@ -143,18 +143,18 @@ object AnnCoverageProbe {
           f"  (train ${trainS}%.1fs)")
       }
     }
-    for (kIvf <- Seq[Int]()) {
+    for (kIvf <- Seq(25, 50, 100)) {
       val cents = SimilaritySearch.ivfCentroidsKMeansL2(e, col("id"),
         col("embedding"), kIvf).cache()
       val kEff = cents.count() // empty clusters drop; k is an upper bound
       val ql2 = queries.crossJoin(broadcast(cents))
         .select(col("qid"), col("cid"), l2sq(col("qv"), col("cvr")).as("cd"))
         .cache()
-      for (a <- Seq(2)) {
+      for (a <- Seq(1, 2, 3)) {
         val assign = SimilaritySearch.assignAgainstL2TopA(cents, e,
           col("id"), col("embedding"), a).select("id", "cid").cache()
         assign.count()
-        for (np <- Seq(16, 17, 18, 19)) {
+        for (np <- Seq(3, 5, 7, 10, 13, 14, 15, 16, 17, 18, 19, 20, 27)) {
           if (np <= kEff) {
             val probed = TopK.topKPerGroup(ql2, Seq(col("qid")),
               Seq(col("cd").asc, col("cid").asc), np).select("qid", "cid")

@@ -69,7 +69,15 @@ object ScalingProbe {
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // Bench's clearPinned discipline: checkpoint-heavy queries (the
+      // LSH/CC family, q204's candidate/truth frames) would otherwise
+      // leave pinned blocks leaking memory pressure into every LATER
+      // measurement — the r6 q67-q75 failure mode, which would corrupt
+      // the growth factors this probe exists to measure
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      sec
     }
 
     val rows = names.map { name =>

@@ -116,6 +116,20 @@ class ContractsSpec extends SparkSpec {
     assert(ok.columns.toSeq == Seq("id") && ok.count() == 1)
   }
 
+  test("schema evolution: a dual-write generation (rename target " +
+      "already present) is refused with the operator's message, not an " +
+      "AMBIGUOUS_REFERENCE crash") {
+    import org.apache.spark.sql.types._
+    val target = StructType(Seq(
+      StructField("id", LongType), StructField("total_price", DoubleType)))
+    val dual = Seq((1L, 10.0, 10.0)).toDF("id", "price", "total_price")
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.SchemaEvolution.alignGenerations(
+        Seq(dual -> Map("price" -> "total_price")), target)
+    }
+    assert(e.getMessage.contains("price->total_price"))
+  }
+
   test("schema evolution: a generation failing its version's contract " +
       "fails the read loudly") {
     import org.apache.spark.sql.types._

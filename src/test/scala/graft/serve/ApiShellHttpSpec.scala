@@ -185,7 +185,8 @@ class ApiShellHttpSpec extends SparkSpec {
     val rec = new OpsMetrics.Recorder()
     val shell = new Shell(recs, users, tokens, clock, callsPerMinute = 50,
       recorder = Some(rec))
-    val h = HttpAdapter.start(shell, recorder = Some(rec))
+    // ONE wiring point: the adapter reads the recorder from the Shell
+    val h = HttpAdapter.start(shell)
     val base = s"http://127.0.0.1:${h.port}"
     try {
       get(s"$base/api/health")
