@@ -1058,6 +1058,61 @@ object SimilaritySearch {
         (a, b) => a * b.cast("double")), lit(0.0), _ + _))
   }
 
+  /**
+   * 1-bit binary quantization: sign bits packed into 64-bit words —
+   * the memory-bound scale path PAST int8 (q76) and PQ (8 B/vector):
+   * a 64-d float32 vector becomes ONE long (256× smaller), and
+   * distance is xor+popcount — no float math, no lookup table, the
+   * cheapest candidate-generation scan there is (the standard
+   * binary-embedding serving trick; re-rank survivors by exact metric
+   * exactly like [[refineTopK]]). Bit i of word w = (v[w·64+i] > 0) —
+   * the zero-threshold sign code, reproducible on any engine.
+   */
+  def binarySignCode(vecCol: Column, dims: Int): Column = {
+    require(dims >= 1, s"dims must be positive (got $dims)")
+    val words = (dims + 63) / 64
+    array((0 until words).map { w =>
+      val lo = w * 64
+      val hi = math.min(dims, lo + 64)
+      (lo until hi).map(i =>
+        when(element_at(vecCol, i + 1).cast("double") > 0,
+          lit(1L << (i - lo))).otherwise(lit(0L)))
+        .reduce(_ + _)
+    }: _*)
+  }
+
+  /** Hamming distance between two packed code arrays: per-word
+    * xor+popcount, summed in word order. */
+  def hammingDistance(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+      (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), _ + _)
+
+  /** The driver-side twin of [[binarySignCode]] for a literal query
+    * vector. */
+  def binarySignCodeLocal(v: Seq[Double], dims: Int): Seq[Long] = {
+    require(v.length == dims, s"query has ${v.length} dims, expected $dims")
+    val words = (dims + 63) / 64
+    (0 until words).map { w =>
+      val lo = w * 64
+      val hi = math.min(dims, lo + 64)
+      (lo until hi).foldLeft(0L)((acc, i) =>
+        if (v(i) > 0) acc | (1L << (i - lo)) else acc)
+    }
+  }
+
+  /** Binary-code top-k: one packed-code projection + xor/popcount scan
+    * + TakeOrdered — no shuffle of anything but k rows. Returns
+    * (id, hamming, rank). */
+  def binaryHammingTopK(embs: DataFrame, idCol: Column, vecCol: Column,
+                        query: Seq[Double], dims: Int, k: Int): DataFrame = {
+    val qCode = array(binarySignCodeLocal(query, dims).map(lit): _*)
+    TopK.globalTopK(
+      embs.select(idCol.as("id"),
+        hammingDistance(binarySignCode(vecCol, dims), qCode).as("hamming")),
+      Seq(col("hamming").asc, col("id").asc), k)
+  }
+
   /** Per-list ADC tail shared by the trained residual path: join codes
     * (id, s, cid ← code, cid list) to per-(list, s, code) query-residual
     * distances, fixed-order sum, top-k. */

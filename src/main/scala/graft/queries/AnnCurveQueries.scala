@@ -224,8 +224,16 @@ object AnnCurveQueries {
    */
   def spilledCurve(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.loadSpread(s, dir, "embeddings")
+    val n = e.count()
+    // the k-means fits see a BOUNDED hash-sample (~2k vectors) — the
+    // 100 TB build contract demonstrated in the declared query itself,
+    // not just documented: training cost stops growing with the
+    // corpus, and the oracle is unaffected because it replays from the
+    // STORED centroids/codebook whatever sample trained them
+    val trainFrac = if (n <= 2048L) 1.0 else 2048.0 / n
     val idx = SimilaritySearch.ivfPqIndexTrainedSpilled(e, col("vec_id"),
-      col("embedding"), SpillKIvf, SpillA, SpillKSub, SpillM, SpillSubDim)
+      col("embedding"), SpillKIvf, SpillA, SpillKSub, SpillM, SpillSubDim,
+      trainFrac = trainFrac)
     val out = spillOut(dir)
     // publish via session-private staging + rename: the oracle's
     // read_parquet path must be FIXED (static SQL), but a concurrent
@@ -259,7 +267,6 @@ object AnnCurveQueries {
     val q = e.filter(pmod(col("vec_id"), lit(50)) === 7)
       .select(col("vec_id").as("qid"),
         transform(col("embedding"), x => x.cast("double")).as("qv"))
-    val n = e.count()
     val nq = q.count()
     import s.implicits._
     val cfg = SpillConfigs.toDF("nprobe", "refine_factor")

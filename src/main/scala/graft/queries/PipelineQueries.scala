@@ -356,6 +356,21 @@ object PipelineQueries {
         .orderBy("rank")
     }),
 
+    "q209_binary_hamming_topk" -> ((s, dir) => {
+      // 1-bit binary embeddings + Hamming top-k — the memory-bound
+      // scale path PAST int8 (q76) and PQ: 64-d float32 → ONE long
+      // (256× smaller), distance = xor+popcount, no float math in the
+      // scan (SimilaritySearch.binarySignCode scaladoc). The serving
+      // composition re-ranks survivors exactly (refineTopK); the
+      // declared query gates the code/distance/rank math.
+      val e = Tables.loadSpread(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).map(_.toDouble)
+      graft.operators.SimilaritySearch.binaryHammingTopK(
+        e, col("vec_id"), col("embedding"), q, dims = 64, k = 20)
+        .orderBy("rank")
+    }),
+
     "q76_int8_topk" -> ((s, dir) => {
       // scalar int8 quantization + integer-dot top-k — the memory-bound
       // scale path (4× smaller vectors, exact integer arithmetic both
@@ -1182,6 +1197,28 @@ object PipelineQueries {
         |    e.vec_id ASC) AS INTEGER) AS rank
         |FROM embeddings e JOIN members m ON e.vec_id = m.id, q
         |QUALIFY rank <= 10 ORDER BY rank""".stripMargin,
+
+    // replays the sign-bit packing (disjoint powers of two summed ==
+    // OR), the per-word xor+popcount, and the (hamming, id) rank
+    "q209_binary_hamming_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |codes AS (SELECT vec_id AS id,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CASE WHEN v[i] > 0
+        |        THEN CASE WHEN i = 64
+        |          THEN CAST(-9223372036854775808 AS BIGINT)
+        |          ELSE (CAST(1 AS BIGINT) << (i - 1)) END
+        |        ELSE 0 END))
+        |      AS BIGINT) AS c
+        |  FROM e),
+        |q AS (SELECT c AS qc FROM codes WHERE id = 0),
+        |scored AS (SELECT id,
+        |    CAST(bit_count(xor(c, qc)) AS BIGINT) AS hamming
+        |  FROM codes, q)
+        |SELECT id, hamming,
+        |  CAST(row_number() OVER (ORDER BY hamming ASC, id ASC)
+        |    AS INTEGER) AS rank
+        |FROM scored QUALIFY rank <= 20 ORDER BY rank""".stripMargin,
 
     "q76_int8_topk" ->
       """WITH quant AS (SELECT vec_id AS id,
