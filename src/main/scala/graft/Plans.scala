@@ -132,7 +132,8 @@ object Plans {
       "q205_schema_evolution",   // two-generation rename/default/cast union
       "q206_export_roundtrip",   // export->read-back intersect, both serializers
       "q207_ops_metrics_rollup", // Grafana panel math: agg pass + exact-p95 window
-      "q208_microbatch_batch_twin") // drained+replayed sink read (partition discovery)
+      "q208_microbatch_batch_twin", // drained+replayed sink read (partition discovery)
+      "q209_binary_hamming_topk") // packed sign-bit projection + popcount TakeOrdered
     // per-query reader notes where the right plan is easy to misread
     val notes = Map(
       "q128_sql_range_join" -> ("The user wrote the naive theta join " +

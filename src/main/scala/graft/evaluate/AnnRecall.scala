@@ -339,6 +339,24 @@ object AnnRecall {
       Seq(col("qid")), Seq(col("l2").asc, col("id").asc), K)
     val refinedR = recall(refinedTop, l2Truth)
 
+    // binary sign codes (q209 family): 256×-compressed hamming
+    // shortlist (R = 10·K of the 500-vector corpus — a 20% scan) +
+    // exact-cosine re-rank, vs cosine truth
+    val bcodes = e.select(col("id"),
+      SimilaritySearch.binarySignCode(col("embedding"), 64).as("c"))
+    val qcodes = queries.select(col("qid"),
+      SimilaritySearch.binarySignCode(col("qv"), 64).as("qc"))
+    val bshort = TopK.topKPerGroup(
+      bcodes.crossJoin(broadcast(qcodes))
+        .filter(col("id") =!= col("qid"))
+        .select(col("qid"), col("id"),
+          SimilaritySearch.hammingDistance(col("c"), col("qc")).as("h")),
+      Seq(col("qid")), Seq(col("h").asc, col("id").asc), 10 * K)
+    val binTop = TopK.topKPerGroup(
+      bshort.select("qid", "id").join(pairs, Seq("qid", "id")),
+      Seq(col("qid")), Seq(col("cos").desc, col("id").asc), K)
+    val binR = recall(binTop, cosTruth)
+
     Seq(e, pairs, cosTruth, l2Truth, codes, codesFlat).foreach(_.unpersist())
     Seq(
       "ann_ivf_recall_at_10" -> ivfR,
@@ -349,7 +367,8 @@ object AnnRecall {
       "ann_ivf_kmeans_recall_at_10" -> ivfKmR,
       "ann_ivfpq_kmeans_recall_at_10" -> ivfpqKmR,
       "ann_ivfpq_residual_kmeans_recall_at_10" -> residKmR,
-      "ann_ivfpq_kmeans_refined_recall_at_10" -> refinedR) ++ curveRows ++
+      "ann_ivfpq_kmeans_refined_recall_at_10" -> refinedR,
+      "ann_binary_refined_recall_at_10" -> binR) ++ curveRows ++
       spillRows
   }
 

@@ -1113,6 +1113,20 @@ object SimilaritySearch {
       Seq(col("hamming").asc, col("id").asc), k)
   }
 
+  /** The binary serving composition: xor/popcount shortlist of
+    * R = `refineFactor`·k (the 256×-compressed scan), exact-cosine
+    * re-rank of only those R raw vectors ([[refineTopK]]) — the
+    * standard two-stage binary-embedding retrieval. */
+  def binaryRefinedTopK(embs: DataFrame, idCol: Column, vecCol: Column,
+                        query: Seq[Double], dims: Int, k: Int,
+                        refineFactor: Int = 10): DataFrame = {
+    require(refineFactor >= 1, s"refineFactor must be >= 1 (got $refineFactor)")
+    refineTopK(embs, idCol, vecCol,
+      binaryHammingTopK(embs, idCol, vecCol, query, dims,
+        refineFactor * k),
+      query, k)
+  }
+
   /** Per-list ADC tail shared by the trained residual path: join codes
     * (id, s, cid ← code, cid list) to per-(list, s, code) query-residual
     * distances, fixed-order sum, top-k. */

@@ -44,7 +44,13 @@ class AnnRecallSpec extends SparkSpec {
     ("ann_curve_spill_np18_rf5_recall", 0.90,
       "spilled trained serving (kIvf=100, A=2, nprobe 18, rf 5)"),
     ("ann_curve_spill_np14_rf3_recall", 0.85,
-      "spilled trained serving (kIvf=100, A=2, nprobe 14, rf 3)"))
+      "spilled trained serving (kIvf=100, A=2, nprobe 14, rf 3)"),
+    // binary sign codes: 256x-compressed hamming shortlist (20% scan)
+    // + exact re-rank — measured 0.90 (sign codes track cosine tightly
+    // on unit-ish vectors); floor holds production-grade headroom for
+    // the q209 family
+    ("ann_binary_refined_recall_at_10", 0.80,
+      "binary hamming shortlist (R=10k, 20% scan) + exact re-rank"))
 
   floors.foreach { case (key, floor, label) =>
     test(s"$label recall@10 >= $floor floor, measured and ledgered") {
