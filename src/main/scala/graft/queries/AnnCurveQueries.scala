@@ -249,11 +249,18 @@ object AnnCurveQueries {
       .foreach { case (name, df) =>
         df.write.mode("overwrite").parquet(s"$stage/$name")
       }
-    fs.mkdirs(new org.apache.hadoop.fs.Path(out))
+    require(fs.mkdirs(new org.apache.hadoop.fs.Path(out)),
+      s"q204: cannot create artifact dir $out")
     Seq("centroids", "codebook", "assignments", "codes").foreach { name =>
       val dst = new org.apache.hadoop.fs.Path(s"$out/$name")
       fs.delete(dst, true)
-      fs.rename(new org.apache.hadoop.fs.Path(s"$stage/$name"), dst)
+      // rename returns FALSE (no exception) when e.g. a concurrent
+      // same-SF session re-created dst between the delete and here —
+      // proceeding would read a MIX of two sessions' artifacts and
+      // produce a silently wrong curve; fail loudly instead
+      require(fs.rename(new org.apache.hadoop.fs.Path(s"$stage/$name"), dst),
+        s"q204: publishing $name to $dst failed (concurrent same-SF " +
+          "session racing on the shared artifact path?) — rerun")
     }
     val cents = s.read.parquet(s"$out/centroids")
     val assign = s.read.parquet(s"$out/assignments").select("id", "cid")

@@ -126,60 +126,62 @@ object HttpAdapter {
       val t0 = System.nanoTime()
       val method = ex.getRequestMethod.toUpperCase
       val path = ex.getRequestURI.getPath
-      // route template resolved from (method, path) ALONE, before any
-      // body read or shell work — an exception anywhere below ledgers
-      // under the CORRECT template (the per-route Grafana error-rate
-      // panel would otherwise show zero while 500s pile up under
-      // "unmatched")
-      val route = (method, path) match {
-        case ("GET", "/api/health") => "/api/health"
-        case ("POST", "/api/auth/token") => "/api/auth/token"
-        case ("GET", "/api/auth/me") => "/api/auth/me"
-        case ("GET", "/api/metrics") => "/api/metrics"
-        case ("GET", "/api/recommendations") => "/api/recommendations"
-        case ("GET", RecId(_)) | ("PATCH", RecId(_)) =>
-          "/api/recommendations/{id}"
-        case ("GET", Export(_)) => "/api/export/{format}"
-        case _ => "unmatched"
+      // ONE route table: each match arm yields (template, thunk). The
+      // template is bound BEFORE the thunk runs (no body read, no shell
+      // work), so an exception anywhere below ledgers under the CORRECT
+      // template — and a future endpoint cannot forget a parallel
+      // template match, because there isn't one (the per-route Grafana
+      // error-rate panel would otherwise show zero while 500s pile up
+      // under "unmatched").
+      val routed: Option[(String, () => Result)] = (method, path) match {
+        case ("GET", "/api/health") =>
+          Some("/api/health" -> (() => shell.health))
+        case ("POST", "/api/auth/token") =>
+          Some("/api/auth/token" -> { () =>
+            val p = bodyParams(body(ex))
+            shell.login(p.getOrElse("username", ""),
+              p.getOrElse("password", ""), clientHost(ex))
+          })
+        case ("GET", "/api/auth/me") =>
+          Some("/api/auth/me" ->
+            (() => shell.whoami(bearer(ex), clientHost(ex))))
+        case ("GET", "/api/metrics") =>
+          Some("/api/metrics" ->
+            (() => shell.metrics(bearer(ex), clientHost(ex))))
+        case ("GET", "/api/recommendations") =>
+          Some("/api/recommendations" ->
+            (() => shell.recommendations(queryParams(ex), bearer(ex),
+              clientHost(ex))))
+        case ("GET", RecId(id)) =>
+          // toLongOption: an over-long digit run is "no such id" (404),
+          // not a NumberFormatException surfacing as a 500
+          Some("/api/recommendations/{id}" ->
+            (() => id.toLongOption.fold(
+              ApiError(404, "Recommendation not found"): Result)(
+              shell.recommendation(_, bearer(ex), clientHost(ex)))))
+        case ("PATCH", RecId(id)) =>
+          Some("/api/recommendations/{id}" ->
+            (() => id.toLongOption.fold(
+              ApiError(404, "Recommendation not found"): Result)(
+              shell.updateRecommendation(_, bodyParams(body(ex)),
+                bearer(ex), clientHost(ex)))))
+        case ("GET", Export(format)) =>
+          Some("/api/export/{format}" -> { () =>
+            val out = s"$exportDir/graft_export_${System.nanoTime()}.$format"
+            shell.export(format, out, queryParams(ex), bearer(ex),
+              clientHost(ex))
+          })
+        case _ => None
       }
+      val route = routed.fold("unmatched")(_._1)
       def ledger(status: Int, rows: Long): Unit =
         recorder.foreach(_.record(OpsMetrics.RequestMetric(
           System.currentTimeMillis(), route, method, status,
           (System.nanoTime() - t0) / 1e6, rows)))
       try {
-        val routed: Option[Result] = (method, path) match {
-          case ("GET", "/api/health") => Some(shell.health)
-          case ("POST", "/api/auth/token") =>
-            val p = bodyParams(body(ex))
-            Some(shell.login(p.getOrElse("username", ""),
-              p.getOrElse("password", ""), clientHost(ex)))
-          case ("GET", "/api/auth/me") =>
-            Some(shell.whoami(bearer(ex), clientHost(ex)))
-          case ("GET", "/api/metrics") =>
-            Some(shell.metrics(bearer(ex), clientHost(ex)))
-          case ("GET", "/api/recommendations") =>
-            Some(shell.recommendations(queryParams(ex), bearer(ex),
-              clientHost(ex)))
-          case ("GET", RecId(id)) =>
-            // toLongOption: an over-long digit run is "no such id" (404),
-            // not a NumberFormatException surfacing as a 500
-            Some(id.toLongOption.fold(
-              ApiError(404, "Recommendation not found"): Result)(
-              shell.recommendation(_, bearer(ex), clientHost(ex))))
-          case ("PATCH", RecId(id)) =>
-            Some(id.toLongOption.fold(
-              ApiError(404, "Recommendation not found"): Result)(
-              shell.updateRecommendation(_, bodyParams(body(ex)),
-                bearer(ex), clientHost(ex))))
-          case ("GET", Export(format)) =>
-            val out = s"$exportDir/graft_export_${System.nanoTime()}.$format"
-            Some(shell.export(format, out, queryParams(ex), bearer(ex),
-              clientHost(ex)))
-          case _ => None
-        }
         routed match {
-          case Some(result) =>
-            val (status, rows) = emit(ex, result)
+          case Some((_, run)) =>
+            val (status, rows) = emit(ex, run())
             ledger(status, rows)
           case None =>
             send(ex, 404, """{"detail":"Not found"}""")

@@ -61,26 +61,27 @@ object SchemaEvolution {
       val missingRenameSrc = renames.keySet -- df.columns.toSet
       require(missingRenameSrc.isEmpty,
         s"generation $i: rename sources not present: $missingRenameSrc")
-      // a rename whose target already exists (a dual-write backfill
-      // keeping both old and new columns) would produce DUPLICATE
-      // column names and surface later as a confusing
-      // AMBIGUOUS_REFERENCE — refuse here with the operator's own
-      // message instead (drop one of the columns explicitly first)
-      val collide = renames.filter { case (from, to) =>
-        df.columns.contains(to) && from != to
-      }
-      require(collide.isEmpty,
-        s"generation $i: rename target(s) already present alongside " +
-          s"their source: ${collide.map { case (f, t) => s"$f->$t" }
-            .mkString(", ")} — a dual-write generation must drop one " +
-          "copy explicitly before the merge")
-      val dupTargets = renames.values.groupBy(identity)
-        .collect { case (t, vs) if vs.size > 1 => t }
-      require(dupTargets.isEmpty,
-        s"generation $i: multiple columns renamed to ${dupTargets.mkString(", ")}")
-      val renamed = renames.foldLeft(df) { case (d, (from, to)) =>
-        d.withColumnRenamed(from, to)
-      }
+      // renames apply ATOMICALLY (one projection, every mapping read
+      // against the ORIGINAL names) — so a replacement chain like
+      // {price_v2 -> price, price -> price_legacy} is legal, while a
+      // sequential foldLeft of withColumnRenamed would create duplicate
+      // names mid-chain depending on map order. Any duplicate in the
+      // FINAL name list (e.g. a dual-write generation keeping both
+      // `price` and `total_price` while renaming price -> total_price)
+      // is refused here with the operator's own message instead of a
+      // downstream AMBIGUOUS_REFERENCE crash.
+      val finalNames = df.columns.map(c => renames.getOrElse(c, c))
+      val dups = finalNames.groupBy(identity)
+        .collect { case (nm, vs) if vs.length > 1 => nm }
+      require(dups.isEmpty,
+        s"generation $i: renames produce duplicate column name(s) " +
+          s"${dups.mkString(", ")} (sources: ${df.columns
+            .zip(finalNames).collect { case (c, f) if dups.exists(_ == f) =>
+              s"$c->$f" }.mkString(", ")}) — a dual-write generation " +
+          "must drop one copy explicitly before the merge")
+      val renamed = df.select(df.columns.zip(finalNames).map {
+        case (c, f) => col(c).as(f)
+      }.toSeq: _*)
       val extra = renamed.columns.toSet -- target.fieldNames.toSet -- dropped
       require(extra.isEmpty,
         s"generation $i carries columns ${extra.toSeq.sorted.mkString(", ")} " +

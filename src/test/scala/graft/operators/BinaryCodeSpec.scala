@@ -35,6 +35,38 @@ class BinaryCodeSpec extends SparkSpec {
       s"expected ${flips.size} flipped bits, measured $ham")
   }
 
+  test("binaryRefinedTopK: with a full-coverage shortlist the two-stage " +
+      "composition IS exact cosine top-k; with a tight shortlist every " +
+      "hit comes from the hamming stage, exact-ordered") {
+    import graft.functions.VectorFunctions
+    val dims = 64
+    val rnd = new scala.util.Random(23)
+    val vecs = (0L until 40L).map(i => (i, Seq.fill(dims)(rnd.nextGaussian())))
+    val df = vecs.toDF("id", "v")
+    val q = vecs(7)._2
+    val qArr = array(q.map(lit): _*)
+    val brute = TopK.globalTopK(
+      df.select(col("id"),
+        VectorFunctions.dot(VectorFunctions.unit(col("v")),
+          VectorFunctions.unit(qArr)).as("cos")),
+      Seq(col("cos").desc, col("id").asc), 5)
+      .collect().map(_.getLong(0)).toSeq
+    // rf*k = 40 >= n: shortlist covers the corpus -> exact top-k
+    val full = SimilaritySearch.binaryRefinedTopK(df, col("id"), col("v"),
+      q, dims, k = 5, refineFactor = 8).collect()
+    assert(full.map(_.getLong(0)).toSeq == brute)
+    // tight shortlist: every returned id must be in the hamming top-10,
+    // ordered by exact cosine desc
+    val short = SimilaritySearch.binaryHammingTopK(df, col("id"), col("v"),
+      q, dims, k = 10).collect().map(_.getLong(0)).toSet
+    val tight = SimilaritySearch.binaryRefinedTopK(df, col("id"), col("v"),
+      q, dims, k = 5, refineFactor = 2).collect()
+    assert(tight.length == 5)
+    tight.foreach(r => assert(short.contains(r.getLong(0))))
+    val cosSeq = tight.map(_.getAs[Double]("cosine")).toSeq
+    assert(cosSeq == cosSeq.sorted.reverse)
+  }
+
   test("hamming identities: d(a,a)=0, symmetric, top-k ranks self first") {
     val dims = 70
     val rnd = new scala.util.Random(11)

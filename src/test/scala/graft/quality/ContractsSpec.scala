@@ -130,6 +130,22 @@ class ContractsSpec extends SparkSpec {
     assert(e.getMessage.contains("price->total_price"))
   }
 
+  test("schema evolution: renames apply atomically — a replacement " +
+      "chain (v2 takes the name, old goes to _legacy) is legal") {
+    import org.apache.spark.sql.types._
+    val target = StructType(Seq(
+      StructField("id", LongType),
+      StructField("price", DoubleType),
+      StructField("price_legacy", DoubleType)))
+    val gen = Seq((1L, 99.0, 11.0)).toDF("id", "price_v2", "price")
+    val merged = graft.sources.SchemaEvolution.alignGenerations(
+      Seq(gen -> Map("price_v2" -> "price", "price" -> "price_legacy")),
+      target)
+    val r = merged.head
+    assert(r.getDouble(1) == 99.0, "price must carry v2's values")
+    assert(r.getDouble(2) == 11.0, "price_legacy must carry the old values")
+  }
+
   test("schema evolution: a generation failing its version's contract " +
       "fails the read loudly") {
     import org.apache.spark.sql.types._
