@@ -948,6 +948,22 @@ object SimilaritySearch {
       cb, pqCodesSub(embs, idCol, vecCol, cb, m, subDim))
   }
 
+  /** Delta append against a STORED spilled trained index — the q134
+    * incremental-maintenance discipline for this family: assign (top-A)
+    * and PQ-encode ONLY the new vectors against the stored
+    * centroids/codebook (work ∝ delta; the corpus is never re-read or
+    * re-encoded). Returns the delta's (assignments, codes) to land as
+    * new generations (the idempotentBatchWriter batch_id layout);
+    * because assignments and codes are per-vector pure functions of the
+    * stored quantizers, base ∪ delta ≡ the full one-shot build
+    * (`SpilledServingSpec` pins it). */
+  def ivfPqAppendTrainedSpilled(index: IvfPqTrainedIndex,
+                                delta: DataFrame, idCol: Column,
+                                vecCol: Column, a: Int, m: Int,
+                                subDim: Int): (DataFrame, DataFrame) =
+    (assignAgainstL2TopA(index.centroids, delta, idCol, vecCol, a),
+      pqCodesSub(delta, idCol, vecCol, index.codebook, m, subDim))
+
   /** Two-stage serving over a SPILLED trained index: probed lists →
     * member ids DEDUPED (a vector whose multiple home lists are all
     * probed must contribute one candidate, not A) → ADC shortlist of

@@ -77,5 +77,22 @@ class SpilledServingSpec extends SparkSpec {
     // the spill is live in the artifacts: A rows per vector
     assert(stored.assignments.groupBy("id").count()
       .filter(col("count") =!= A).count() == 0)
+
+    // delta append ≡ one-shot build: assignments and codes are
+    // per-vector pure functions of the stored quantizers, so appending
+    // a held-out delta against the STORED index reproduces exactly the
+    // full build's rows for those vectors (work ∝ delta — the q134
+    // incremental-maintenance discipline)
+    val delta = e.filter(col("vec_id") % 5 === 0)
+    val (dAssign, dCodes) = SimilaritySearch.ivfPqAppendTrainedSpilled(
+      stored, delta, col("vec_id"), col("embedding"), A, M, SubDim)
+    val deltaIds = delta.select(col("vec_id").as("id"))
+    assert(dAssign.exceptAll(stored.assignments.join(deltaIds, "id"))
+      .isEmpty && stored.assignments.join(deltaIds, "id")
+      .exceptAll(dAssign).isEmpty,
+      "appended assignments must equal the full build's rows")
+    assert(dCodes.exceptAll(stored.codes.join(deltaIds, "id")).isEmpty &&
+      stored.codes.join(deltaIds, "id").exceptAll(dCodes).isEmpty,
+      "appended codes must equal the full build's rows")
   }
 }
