@@ -194,6 +194,40 @@ object Streams {
       .withWatermark("ts", watermark)
   }
 
+  /**
+   * Streaming ops-metrics rollup — the /api/metrics Grafana panel math
+   * ([[graft.serve.OpsMetrics.rollup]], q207) over a request-log
+   * STREAM: per (tumbling window, route template) the request count,
+   * success/error rates, p95 latency, and rows served. This is the
+   * production shape of the panels proper (Prometheus `rate(...[5m])`
+   * IS a windowed stream rollup); the in-process Recorder is the
+   * point-in-time scrape surface.
+   *
+   * p95 here is the mergeable `percentile_approx` sketch, NOT the
+   * batch rollup's exact rank selection — the psiBins/psiBinsApprox
+   * split: exact rank needs a per-group global sort (fine on a bounded
+   * batch log, unbounded state on a stream); the sketch's rank error is
+   * immaterial against an alerting threshold. State per window = the
+   * route-template label set × one sketch, bounded by construction;
+   * the caller applies `withWatermark` on `ts` (repo-wide convention)
+   * so closed windows evict.
+   */
+  def opsMetricsRollup(reqs: DataFrame,
+                       windowLength: String = "5 minutes",
+                       accuracy: Int = 10000): DataFrame =
+    reqs
+      .groupBy(window(col("ts"), windowLength), col("route"))
+      .agg(count(lit(1)).as("n_requests"),
+        avg((col("status") < 400).cast("double")).as("success_rate"),
+        avg((col("status") >= 500).cast("double")).as("error_rate"),
+        percentile_approx(col("latency_ms"), lit(0.95), lit(accuracy))
+          .as("p95_latency_ms"),
+        sum(col("rows")).as("rows_served"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("window_start"), col("route"), col("n_requests"),
+        col("success_rate"), col("error_rate"), col("p95_latency_ms"),
+        col("rows_served"))
+
   /** T4: event-time daily rollup — count + sum(value) per (day, type).
     * On a stream the watermark bounds state; on a batch frame the same
     * expression is the dashboard rollup (q25). */

@@ -1402,4 +1402,46 @@ class StreamsSpec extends SparkSpec {
     assert(cCells === Seq((3L, 2L)))
     q.stop()
   }
+
+  test("opsMetricsRollup: streamed request-log panels across micro-batches " +
+      "equal the batch twin; late row lands in ITS window") {
+    val mem = MemoryStream[(Timestamp, String, Int, Double, Long)](spark)
+    val out = Streams.opsMetricsRollup(
+      mem.toDF.toDF("ts", "route", "status", "latency_ms", "rows")
+        .withWatermark("ts", "1 hour"))
+    val q = out.writeStream.format("memory")
+      .queryName("ops_out").outputMode("update")
+      .option("checkpointLocation", tmp("graft-ops-ckpt"))
+      .start()
+    val t = (m: Int) => Timestamp.valueOf(f"2024-01-01 10:${m}%02d:00")
+    val rowsIn = Seq(
+      (t(0), "/api/recommendations", 200, 12.0, 3L),
+      (t(1), "/api/recommendations", 500, 90.0, 0L),
+      (t(2), "/api/recommendations/{id}", 200, 5.0, 1L),
+      (t(6), "/api/recommendations", 200, 8.0, 3L))
+    mem.addData(rowsIn.take(2): _*)
+    q.processAllAvailable()
+    // second batch carries a LATE row for the first window (in-horizon)
+    mem.addData(rowsIn.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    import spark.implicits._
+    // latest update per (window, route) snapshot == the batch twin over
+    // all rows — the panel math is batch-identical including the sketch
+    val streamed = spark.table("ops_out")
+      .groupBy("window_start", "route")
+      .agg(max(struct(col("n_requests"), col("success_rate"),
+        col("error_rate"), col("p95_latency_ms"), col("rows_served")))
+        .as("m"))
+      .select(col("window_start"), col("route"), col("m.*"))
+    val batch = Streams.opsMetricsRollup(
+      rowsIn.toDF("ts", "route", "status", "latency_ms", "rows"))
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streamed ops panels diverge from the batch twin")
+    // the 5xx landed in the first recommendations window: error_rate 0.5
+    val w0 = batch.filter(col("route") === "/api/recommendations" &&
+      col("window_start") === "2024-01-01 10:00:00").head
+    assert(w0.getAs[Long]("n_requests") == 2L)
+    assert(math.abs(w0.getAs[Double]("error_rate") - 0.5) < 1e-12)
+  }
 }
