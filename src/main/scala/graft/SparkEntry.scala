@@ -68,7 +68,8 @@ object SparkEntry {
       graft.queries.DsirQueries.queries ++
       graft.queries.QualityModelQueries.queries ++
       graft.queries.FunnelQueries.queries ++
-      graft.queries.AnnCurveQueries.queries
+      graft.queries.AnnCurveQueries.queries ++
+      graft.queries.AnnServingQueries.queries
 
   /** Per-query soundness preconditions the correctness harness runs
     * before verifying the named query — a registry, so Verify stays
@@ -101,6 +102,10 @@ object SparkEntry {
       "q203_ann_operating_curve" ->
         ((s, dir) => graft.queries.AnnCurveQueries.assertEmbeddingsSound(s, dir)),
       "q204_ann_spilled_curve" ->
+        ((s, dir) => graft.queries.AnnCurveQueries.assertEmbeddingsSound(s, dir)),
+      "q210_opq_adc_recall" ->
+        ((s, dir) => graft.queries.AnnCurveQueries.assertEmbeddingsSound(s, dir)),
+      "q211_ann_twostage_curve" ->
         ((s, dir) => graft.queries.AnnCurveQueries.assertEmbeddingsSound(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -122,5 +127,6 @@ object SparkEntry {
       graft.queries.DsirQueries.oracleSql ++
       graft.queries.QualityModelQueries.oracleSql ++
       graft.queries.FunnelQueries.oracleSql ++
-      graft.queries.AnnCurveQueries.oracleSql
+      graft.queries.AnnCurveQueries.oracleSql ++
+      graft.queries.AnnServingQueries.oracleSql
 }

@@ -386,4 +386,27 @@ object AnnRecall {
         Seq(s"ann_curve_np${p}_rf${f}_recall" -> r.getDouble(2),
           s"ann_curve_np${p}_rf${f}_scan" -> r.getDouble(3))
       }
+
+  /** q210 (OPQ vs flat PQ on the anisotropic-mixed fixture) as ledger
+    * rows — one source of truth with the oracle-gated query. The pair
+    * is the VERDICT r16 #3 comparison golden: `opq_adc_recall` must
+    * stay above `pq_flat_adc_recall` (floored in OpqSpec's gate on
+    * the same regime). */
+  def opqGate(spark: SparkSession, dir: String = GateDir)
+      : Seq[(String, Double)] =
+    graft.queries.AnnServingQueries.opqRecall(spark, dir).collect().toSeq
+      .map(r => (if (r.getString(0) == "opq") "opq_adc_recall"
+        else "pq_flat_adc_recall") -> r.getDouble(1))
+
+  /** q211 (binary stage-0 → trained-PQ ADC → exact refine) as ledger
+    * rows — recall AND the ADC-stage scan fraction per (bpct, rf)
+    * config, one source of truth with the oracle-gated query. */
+  def twoStageCurve(spark: SparkSession, dir: String = GateDir)
+      : Seq[(String, Double)] =
+    graft.queries.AnnServingQueries.twoStageCurve(spark, dir).collect()
+      .toSeq.flatMap { r =>
+        val b = r.getInt(0); val f = r.getInt(1)
+        Seq(s"ann_b2_bp${b}_rf${f}_recall" -> r.getDouble(2),
+          s"ann_b2_bp${b}_rf${f}_scan" -> r.getDouble(3))
+      }
 }

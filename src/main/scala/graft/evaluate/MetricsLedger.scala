@@ -426,10 +426,25 @@ object MetricsLedger {
     out
   }
 
+  /** The streaming-p95 substitution bound (VERDICT r16 #5): max
+    * relative divergence of `percentile_approx` (the streaming twin's
+    * mergeable sketch, at its shipped accuracy) vs the batch exact-rank
+    * p95, on the adversarial heavy-tail fixture — the documented
+    * substitution carries a measured number, spec-floored in
+    * `OpsP95DivergenceSpec`. */
+  def opsP95Metrics(spark: SparkSession): Seq[(String, Double)] = {
+    val rows = graft.serve.OpsMetrics.p95ApproxDivergence(spark).collect()
+    Seq(
+      "ops_p95_approx_rel_err" -> rows.map(_.getAs[Double]("rel_err")).max,
+      "ops_p95_exact_ms" -> rows.map(_.getAs[Double]("p95_exact")).max)
+  }
+
   def computeAll(spark: SparkSession): Seq[(String, Double)] =
     orderingGateMetrics(spark) ++ referenceConfigMetrics(spark) ++
       erMetrics(spark) ++ newtonBoostMetrics(spark) ++
       AnnRecall.measure(spark) ++ AnnRecall.operatingCurve(spark) ++
+      AnnRecall.opqGate(spark) ++ AnnRecall.twoStageCurve(spark) ++
+      opsP95Metrics(spark) ++
       skewEvidence(spark) ++
       dsirMetrics(spark) ++ dsirEfficacyMetrics(spark)
 

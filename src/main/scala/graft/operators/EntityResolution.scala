@@ -224,6 +224,30 @@ object EntityResolution {
       .filter(col("match_type") === "exact" || col("match_score") >= cfg.matchThreshold)
   }
 
+  /**
+   * Pre-flight block-budget instrument (SCALING.md §q32): per blocking
+   * key, both sides' row counts and the pair space the blocked join
+   * will generate — two aggregations + one equi-join on the key, NEVER
+   * the pair space itself, so it costs O(n) where the join it predicts
+   * costs O(Σ na·nb). A blocked-ER pair space is QUADRATIC in block
+   * size at fixed key cardinality (measured on the gate fixture:
+   * 61 → 6,010 → 596,153 pairs across the three SF decades once the
+   * country×size-band key saturates its 100 blocks), so a 100 TB
+   * deployment MUST measure this before committing to a key — hot rows
+   * here mean: refine the key (`blockOn`), or salt (`salt = S`) when
+   * the heat is balance rather than volume. Ordered hottest-first.
+   */
+  def blockPairStats(a: DataFrame, b: DataFrame,
+                     aKey: Column = col("a_block"),
+                     bKey: Column = col("b_block")): DataFrame = {
+    val na = a.groupBy(aKey.as("block")).agg(count(lit(1)).as("na"))
+    val nb = b.groupBy(bKey.as("block")).agg(count(lit(1)).as("nb"))
+    na.join(nb, "block")
+      .select(col("block"), col("na"), col("nb"),
+        (col("na") * col("nb")).as("pairs"))
+      .orderBy(col("pairs").desc, col("block").asc)
+  }
+
   /** ER confusion metrics at a threshold (reference:
     * entity_resolution.py:554-613, SURVEY A14): one agg pass over a frame
     * with boolean `pred` and `label` columns. */

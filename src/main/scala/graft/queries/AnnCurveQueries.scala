@@ -194,12 +194,14 @@ object AnnCurveQueries {
   private val Dim = 64
   private val SpillConfigs = Seq((14, 3), (18, 3), (18, 5))
 
-  /** Stored-artifact dir for q204, keyed by the SF basename so a bench
-    * run at sf0.1 never clobbers the artifacts a Verify run at sf0.01
-    * just wrote for duckcheck (the static oracle SQL reads the sf0.01
-    * path — duckcheck only ever runs at the correctness-gate SF). */
+  /** Stored-artifact dir for q204 — (SF basename, pid)-keyed via
+    * [[Scratch.oraclePath]]: the oracle SQL below templates the same
+    * pid, so the replay reads exactly this session's artifacts and no
+    * concurrent session can ever race on the path (VERDICT r16 #8 —
+    * retires the staged-rename publish's residual delete+rename
+    * window entirely). */
   private def spillOut(dir: String): String =
-    s"/tmp/graft_q204_${new java.io.File(dir).getName}"
+    Scratch.oraclePath("q204", new java.io.File(dir).getName)
 
   /**
    * q204 — the trained+spilled operating curve that breaks the 0.81
@@ -235,33 +237,13 @@ object AnnCurveQueries {
       col("embedding"), SpillKIvf, SpillA, SpillKSub, SpillM, SpillSubDim,
       trainFrac = trainFrac)
     val out = spillOut(dir)
-    // publish via session-private staging + rename: the oracle's
-    // read_parquet path must be FIXED (static SQL), but a concurrent
-    // same-SF session mode("overwrite")-writing the shared path
-    // directly would delete files under another session's scan for the
-    // whole k-means-build window; staging shrinks the exposure to the
-    // delete+rename instants
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      s.sparkContext.hadoopConfiguration)
-    val stage = s"${Scratch.path(s, "q204_stage")}"
+    // the path is (SF, pid)-private — no concurrent session can write
+    // it, so a plain overwrite publish is race-free by construction
     Seq("centroids" -> idx.centroids, "codebook" -> idx.codebook,
       "assignments" -> idx.assignments, "codes" -> idx.codes)
       .foreach { case (name, df) =>
-        df.write.mode("overwrite").parquet(s"$stage/$name")
+        df.write.mode("overwrite").parquet(s"$out/$name")
       }
-    require(fs.mkdirs(new org.apache.hadoop.fs.Path(out)),
-      s"q204: cannot create artifact dir $out")
-    Seq("centroids", "codebook", "assignments", "codes").foreach { name =>
-      val dst = new org.apache.hadoop.fs.Path(s"$out/$name")
-      fs.delete(dst, true)
-      // rename returns FALSE (no exception) when e.g. a concurrent
-      // same-SF session re-created dst between the delete and here —
-      // proceeding would read a MIX of two sessions' artifacts and
-      // produce a silently wrong curve; fail loudly instead
-      require(fs.rename(new org.apache.hadoop.fs.Path(s"$stage/$name"), dst),
-        s"q204: publishing $name to $dst failed (concurrent same-SF " +
-          "session racing on the shared artifact path?) — rerun")
-    }
     val cents = s.read.parquet(s"$out/centroids")
     val assign = s.read.parquet(s"$out/assignments").select("id", "cid")
     val cb = s.read.parquet(s"$out/codebook")
@@ -465,9 +447,9 @@ object AnnCurveQueries {
         |cfg AS (SELECT * FROM (VALUES ${SpillConfigs.map { case (p, r) =>
            s"($p, $r)" }.mkString(", ")}) t(nprobe, refine_factor)),
         |cents AS (SELECT cid, cvr
-        |  FROM read_parquet('/tmp/graft_q204_sf0.01/centroids/*.parquet')),
+        |  FROM read_parquet('${Scratch.oraclePath("q204", "sf0.01")}/centroids/*.parquet')),
         |cb AS (SELECT s, cid AS code, cvs
-        |  FROM read_parquet('/tmp/graft_q204_sf0.01/codebook/*.parquet')),
+        |  FROM read_parquet('${Scratch.oraclePath("q204", "sf0.01")}/codebook/*.parquet')),
         |ranked AS (SELECT q.qid, c.cid,
         |    row_number() OVER (PARTITION BY q.qid
         |      ORDER BY ${fullL2("q.qv", "c.cvr")} ASC, c.cid ASC) AS rn

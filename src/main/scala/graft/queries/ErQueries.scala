@@ -283,6 +283,27 @@ object ErQueries {
         .orderBy("account1_id", "account2_id")
     }),
 
+    "q213_er_block_stats" -> ((s, dir) => {
+      // the pre-flight block-budget instrument (SCALING.md §q32): per
+      // q32 blocking key (country × size band), both sides' counts and
+      // the pair space the blocked join WILL generate — O(n) to
+      // measure what costs O(Σ na·nb) to run. The gate row pins the
+      // instrument's math; its sf-decade readings (61 → 6,010 →
+      // 596,153 pairs) are the SCALING.md quadratic-pair-space
+      // evidence.
+      val acc = accounts(s, dir)
+      val a = EntityResolution.prepSide(acc.filter(col("Id") % 2 === 0),
+        cols, "a")
+      val b = EntityResolution.prepSide(acc.filter(col("Id") % 2 === 1),
+        cols, "b")
+      EntityResolution.blockPairStats(a, b,
+          concat(col("a_country"), lit("|"),
+            floor(col("a_employees") / 300).cast("long")),
+          concat(col("b_country"), lit("|"),
+            floor(col("b_employees") / 300).cast("long")))
+        .orderBy(col("pairs").desc, col("block").asc)
+    }),
+
     "q159_er_salted_skew" -> ((s, dir) => {
       // q32's resolve under a HOT default blocking key, salted 8 ways
       // (SaltedJoin.joinOn via resolve(salt = 8): a-side rows salted on
@@ -570,6 +591,22 @@ object ErQueries {
         |  round(CASE WHEN a_emp > 0 AND b_emp > 0
         |    THEN least(a_emp, b_emp) / greatest(a_emp, b_emp) ELSE 0.5 END, 6) AS size_ratio
         |FROM toks ORDER BY a_id, b_id""".stripMargin,
+
+    // replays the block-budget instrument: per-key counts on each
+    // parity side and their product, hottest first
+    "q213_er_block_stats" ->
+      s"""WITH $accSql,
+        |na AS (SELECT country || '|' ||
+        |      CAST(CAST(floor(employees / 300) AS BIGINT) AS VARCHAR)
+        |      AS block, CAST(count(*) AS BIGINT) AS na
+        |  FROM acc WHERE id % 2 = 0 GROUP BY 1),
+        |nb AS (SELECT country || '|' ||
+        |      CAST(CAST(floor(employees / 300) AS BIGINT) AS VARCHAR)
+        |      AS block, CAST(count(*) AS BIGINT) AS nb
+        |  FROM acc WHERE id % 2 = 1 GROUP BY 1)
+        |SELECT na.block, na.na, nb.nb, na.na * nb.nb AS pairs
+        |FROM na JOIN nb ON na.block = nb.block
+        |ORDER BY pairs DESC, na.block ASC""".stripMargin,
 
     // Full resolve() parity including both Jaro-Winkler features via the
     // recursive-CTE JW kernel (class scaladoc). The two-phase prune on the

@@ -106,6 +106,53 @@ object FunnelQueries {
           col("n_tokens").cast("bigint").as("n_tokens"),
           col("pos"), col("cum_tokens"))
         .orderBy("doc_id")
+    }),
+
+    "q212_funnel_evolved" -> ((s, dir) => {
+      // the alembic analog IN COMPOSITION (VERDICT r16 #6): the funnel
+      // spine's ingest reads a TWO-GENERATION staged documents table
+      // through SchemaEvolution.readEvolved — v1 (even doc_ids) carries
+      // the pre-migration column name (`body`) and predates the `lang`
+      // column (filled from the declared default 'und'), v2 (odd) is
+      // the current schema — then runs the q202-family quality gate +
+      // exact-hash dedup + per-(source, lang) datasheet rollup over the
+      // MERGED frame. The default-filled rows surface as lang='und'
+      // groups, so the migration semantics are visible in the gated
+      // output, not just in q205's standalone rollup.
+      import org.apache.spark.sql.types._
+      val docs = t(s, dir, "documents")
+      val out = Scratch.path(s, "q212")
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id"), col("text").as("body"), col("source"),
+          col("n_chars"))
+        .write.mode("overwrite").parquet(s"$out/v1")
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars"),
+          col("lang"))
+        .write.mode("overwrite").parquet(s"$out/v2")
+      val target = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType),
+        StructField("lang", StringType)))
+      val merged = graft.sources.SchemaEvolution.readEvolved(s, Seq(
+          graft.sources.SchemaEvolution.Generation(s"$out/v1",
+            renames = Map("body" -> "text")),
+          graft.sources.SchemaEvolution.Generation(s"$out/v2")),
+        target, defaults = Map("lang" -> lit("und")))
+      val quality = merged.filter(TextAnalysis.tokenCount(col("text"))
+        .between(MinTokens, MaxTokens))
+      val keep = quality.withColumn("h", md5(col("text")))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("h")
+            .orderBy(col("doc_id").asc)))
+        .filter(col("rn") === 1)
+      keep.groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).cast("bigint")
+            .as("n_tokens"))
+        .orderBy("source", "lang")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -167,5 +214,28 @@ object FunnelQueries {
         |  pos, cum_tokens
         |FROM mixc WHERE cum_tokens <= $Budget
         |ORDER BY doc_id""".stripMargin
+    },
+
+    // replays the generation split + migration merge from the base
+    // documents table (the q205 discipline applied to the funnel
+    // ingest): even doc_ids are v1 — pre-migration name, lang filled
+    // from the declared default — odd are v2; then the quality gate,
+    // the md5 exact dedup (min doc_id survives), and the datasheet
+    // rollup over the merged frame
+    "q212_funnel_evolved" -> {
+      val tokCount =
+        raw"len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0))"
+      raw"""WITH merged AS (SELECT doc_id, text, source,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'und' ELSE lang END AS lang
+        |  FROM documents),
+        |q AS (SELECT * FROM merged
+        |  WHERE $tokCount BETWEEN $MinTokens AND $MaxTokens),
+        |keep AS (SELECT * FROM q
+        |  QUALIFY row_number() OVER (PARTITION BY md5(text)
+        |    ORDER BY doc_id ASC) = 1)
+        |SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum($tokCount) AS BIGINT) AS n_tokens
+        |FROM keep GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin
     })
 }

@@ -370,7 +370,8 @@ object OpsQueries {
         |    o_orderkey % 100 AS rows
         |  FROM orders),
         |aggs AS (SELECT route, count(*) AS n_requests,
-        |    avg(CASE WHEN status < 400 THEN 1.0 ELSE 0.0 END) AS success_rate,
+        |    avg(CASE WHEN status BETWEEN 200 AND 299 THEN 1.0 ELSE 0.0 END)
+        |      AS success_rate,
         |    avg(CASE WHEN status >= 500 THEN 1.0 ELSE 0.0 END) AS error_rate,
         |    CAST(sum(rows) AS BIGINT) AS rows_served
         |  FROM log GROUP BY route),

@@ -333,7 +333,11 @@ object ApiShell {
       * over the transport's request ledger; guarded like every
       * non-health route. 404 when the deployment wired no recorder —
       * an absent observability surface must be loud, not an empty
-      * frame that reads as "zero traffic". */
+      * frame that reads as "zero traffic". Every row carries the
+      * recorder's truncation signal (`window_dropped` rows evicted by
+      * the capacity bound, `window_oldest_ts_ms` left edge of the
+      * surviving history) so a consumer can tell a bounded window from
+      * full history. */
     def metrics(bearer: Option[String],
                 clientHost: Option[String] = None): Result =
       guarded(bearer, clientHost) { (_, _) =>
@@ -341,6 +345,10 @@ object ApiShell {
           case None => ApiError(404, "Metrics not enabled")
           case Some(r) =>
             Ok(OpsMetrics.rollup(r.toDF(recs.sparkSession))
+              .withColumn("window_dropped", lit(r.dropped))
+              .withColumn("window_oldest_ts_ms",
+                lit(r.oldestRetainedTsMs.map(Long.box).orNull)
+                  .cast("long"))
               .orderBy("route"))
         }
       }

@@ -31,15 +31,31 @@ object OpsMetrics {
 
   /** Thread-safe bounded request ledger: at `maxEntries` the OLDEST
     * half is dropped (amortized O(1) per record) — an ops buffer must
-    * never become the memory leak it is meant to detect. */
+    * never become the memory leak it is meant to detect. Truncation is
+    * NOT silent: [[dropped]] counts every evicted row and
+    * [[oldestRetainedTsMs]] marks where history now starts, so a
+    * consumer can tell a bounded window from full history (a saturated
+    * recorder otherwise under-reports n_requests and shifts rates/p95
+    * with no signal). */
   final class Recorder(maxEntries: Int = 100000) {
     require(maxEntries >= 2, "recorder needs room for at least 2 entries")
     private val buf =
       scala.collection.mutable.ArrayBuffer[RequestMetric]()
+    private var droppedTotal: Long = 0L
     def record(m: RequestMetric): Unit = synchronized {
-      if (buf.size >= maxEntries) buf.remove(0, maxEntries / 2)
+      if (buf.size >= maxEntries) {
+        val evict = maxEntries / 2
+        buf.remove(0, evict)
+        droppedTotal += evict
+      }
       buf += m
     }
+    /** Rows evicted by the capacity bound since construction. */
+    def dropped: Long = synchronized(droppedTotal)
+    /** ts_ms of the oldest row still retained (None when empty) — with
+      * [[dropped]] > 0 this is the left edge of the surviving window. */
+    def oldestRetainedTsMs: Option[Long] =
+      synchronized(buf.headOption.map(_.ts_ms))
     def snapshot: Seq[RequestMetric] = synchronized(buf.toVector)
     def toDF(spark: SparkSession): DataFrame = {
       import spark.implicits._
@@ -52,7 +68,9 @@ object OpsMetrics {
 
   /**
    * The Grafana panel math per route: request count, success rate
-   * (status < 400), error rate (status >= 500), exact-p95 latency, and
+   * (2xx / total — the reference panel's `status=~"2.."` selector, so
+   * a redirect does NOT count as success), error rate (status >= 500),
+   * exact-p95 latency, and
    * total rows served. One aggregation pass + one window pass over the
    * log — both shuffle on `route` only (the label set, bounded by the
    * route-template count, never request cardinality).
@@ -70,7 +88,8 @@ object OpsMetrics {
       rows.cast("long").as("rows_served"), tiebreak.as("tb"))
     val aggs = base.groupBy("route").agg(
       count(lit(1)).as("n_requests"),
-      avg((col("status") < 400).cast("double")).as("success_rate"),
+      avg((col("status") >= 200 && col("status") < 300).cast("double"))
+        .as("success_rate"),
       avg((col("status") >= 500).cast("double")).as("error_rate"),
       sum("rows_served").as("rows_served"))
     val w = Window.partitionBy("route")
@@ -84,5 +103,41 @@ object OpsMetrics {
     aggs.join(p95, Seq("route"), "left")
       .select(col("route"), col("n_requests"), col("success_rate"),
         col("error_rate"), col("p95_latency_ms"), col("rows_served"))
+  }
+
+  /**
+   * Measured divergence between THIS rollup's exact-rank p95 and the
+   * mergeable `percentile_approx` sketch the streaming twin
+   * ([[graft.streaming.Streams.opsMetricsRollup]]) substitutes for it
+   * (exact rank needs a per-group global sort — fine on a bounded
+   * batch log, unbounded state on a stream). The fixture is a
+   * deterministic HEAVY-TAILED latency distribution (multiplicative-
+   * hash uniform raised to the 8th power: ~84% of mass below 250 ms,
+   * a steep tail to ~1000 ms right where p95 sits — the adversarial
+   * regime for a rank sketch), per route, at the shipped sketch
+   * accuracy. The `ops_p95_approx_rel_err` ledger golden and
+   * `OpsP95DivergenceSpec` pin the measured bound, so the documented
+   * substitution carries a NUMBER, not an assertion.
+   */
+  def p95ApproxDivergence(spark: SparkSession, n: Int = 50000,
+                          accuracy: Int = 10000): DataFrame = {
+    val log = spark.range(1, n + 1).select(
+      col("id").as("ts_ms"),
+      concat(lit("/r"), pmod(col("id"), lit(3))).as("route"),
+      lit(200).as("status"),
+      (lit(1.0) + lit(1000.0) * pow(
+        pmod(col("id") * lit(2654435761L), lit(1000003L)).cast("double") /
+          lit(1000003.0), lit(8.0))).as("latency_ms"),
+      lit(0L).as("rows"))
+    val exact = rollup(log)
+      .select(col("route"), col("p95_latency_ms").as("p95_exact"))
+    val approx = log.groupBy("route")
+      .agg(percentile_approx(col("latency_ms"), lit(0.95), lit(accuracy))
+        .as("p95_approx"))
+    exact.join(approx, "route")
+      .select(col("route"), col("p95_exact"), col("p95_approx"),
+        (abs(col("p95_approx") - col("p95_exact")) / col("p95_exact"))
+          .as("rel_err"))
+      .orderBy("route")
   }
 }

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 
 import graft.quality.Contracts
 
@@ -29,8 +29,14 @@ import graft.quality.Contracts
  *  3. **fill** — columns the generation predates are filled from
  *     `defaults` (else typed null), the `server_default` of an alembic
  *     `op.add_column`;
- *  4. **cast** — every column casts to the target type (a widened
- *     Integer→Long migration reads both generations losslessly).
+ *  4. **cast** — every column casts to the target type, and the cast
+ *     must be a PROVABLY LOSSLESS WIDENING ([[widensLosslessly]]: a
+ *     widened Integer→Long migration reads both generations exactly;
+ *     a Long→Int or String→Long generation FAILS the read, because
+ *     plain `Column.cast` under non-ANSI semantics silently
+ *     nulls/truncates exactly the rows a migration must not eat).
+ *     A deliberately lossy migration names its column in `allowLossy`
+ *     — an explicit, per-column, auditable opt-out.
  *
  * Scale shape: per generation this is one scan projection — no
  * shuffle, no driver data; the union is a plan-level concatenation, so
@@ -47,12 +53,53 @@ object SchemaEvolution {
   final case class Generation(path: String,
                               renames: Map[String, String] = Map.empty)
 
+  /** True when every value of `from` casts to `to` without loss —
+    * the ONLY casts the reader performs implicitly. The ladder is
+    * value-exact, not merely representable: Int→Float is REFUSED
+    * (24-bit mantissa), Long→Double is REFUSED (53-bit mantissa),
+    * Decimal→Double is REFUSED; integral→Decimal needs the digits
+    * (Long needs p−s ≥ 19). Atomic→String is lossless (decimal
+    * rendering round-trips); String→anything is not. Containers
+    * recurse; nullability may only widen. */
+  def widensLosslessly(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (f, t) if f == t => true
+      case (NullType, _) => true
+      case (BooleanType | ByteType | ShortType | IntegerType | LongType |
+            FloatType | DoubleType | _: DecimalType | DateType |
+            TimestampType | TimestampNTZType, StringType) => true
+      case (ByteType, ShortType | IntegerType | LongType |
+                      FloatType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | FloatType |
+                       DoubleType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (ByteType, d: DecimalType) => d.precision - d.scale >= 3
+      case (ShortType, d: DecimalType) => d.precision - d.scale >= 5
+      case (IntegerType, d: DecimalType) => d.precision - d.scale >= 10
+      case (LongType, d: DecimalType) => d.precision - d.scale >= 19
+      case (f: DecimalType, t: DecimalType) =>
+        t.precision - t.scale >= f.precision - f.scale && t.scale >= f.scale
+      case (DateType, TimestampType | TimestampNTZType) => true
+      case (ArrayType(fe, fn), ArrayType(te, tn)) =>
+        widensLosslessly(fe, te) && (tn || !fn)
+      case (MapType(fk, fv, fn), MapType(tk, tv, tn)) =>
+        widensLosslessly(fk, tk) && widensLosslessly(fv, tv) && (tn || !fn)
+      case (StructType(ff), StructType(tf)) =>
+        ff.length == tf.length && ff.zip(tf).forall { case (a, b) =>
+          a.name == b.name && widensLosslessly(a.dataType, b.dataType) &&
+            (b.nullable || !a.nullable)
+        }
+      case _ => false
+    }
+
   /** The DataFrame-level kernel (file-free, spec-testable): align each
     * generation frame to `target` per the class contract and union. */
   def alignGenerations(gens: Seq[(DataFrame, Map[String, String])],
                        target: StructType,
                        defaults: Map[String, Column] = Map.empty,
-                       dropped: Set[String] = Set.empty): DataFrame = {
+                       dropped: Set[String] = Set.empty,
+                       allowLossy: Set[String] = Set.empty): DataFrame = {
     require(gens.nonEmpty, "need at least one generation")
     val unknownDefaults = defaults.keySet -- target.fieldNames.toSet
     require(unknownDefaults.isEmpty,
@@ -88,9 +135,26 @@ object SchemaEvolution {
           "that are neither in the target schema, renamed into it, nor " +
           "declared dropped — refusing to silently discard data")
       val have = renamed.columns.toSet
+      val lossy = target.fields.toSeq.collect {
+        case f if have.contains(f.name) && !allowLossy.contains(f.name) &&
+          !widensLosslessly(renamed.schema(f.name).dataType, f.dataType) =>
+          s"${f.name} (${renamed.schema(f.name).dataType.simpleString} " +
+            s"-> ${f.dataType.simpleString})"
+      }
+      require(lossy.isEmpty,
+        s"generation $i requires lossy cast(s) ${lossy.mkString(", ")} — " +
+          "a narrowing cast silently nulls/truncates under non-ANSI " +
+          "semantics and crashes mid-read under ANSI; widen the target " +
+          "type, or name the column in allowLossy to opt out explicitly")
       renamed.select(target.fields.toSeq.map { f =>
-        if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-        else defaults.getOrElse(f.name, lit(null))
+        // an allowLossy column casts via try_cast — the opt-out means
+        // "tolerate and null", identical under ANSI and non-ANSI, never
+        // a mid-read crash on the first malformed legacy value
+        if (have.contains(f.name)) {
+          if (allowLossy.contains(f.name))
+            col(f.name).try_cast(f.dataType).as(f.name)
+          else col(f.name).cast(f.dataType).as(f.name)
+        } else defaults.getOrElse(f.name, lit(null))
           .cast(f.dataType).as(f.name)
       }: _*)
     }.reduce(_.unionByName(_))
@@ -104,7 +168,8 @@ object SchemaEvolution {
                   target: StructType,
                   defaults: Map[String, Column] = Map.empty,
                   dropped: Set[String] = Set.empty,
-                  contracts: Map[Int, Contracts.DataContract] = Map.empty)
+                  contracts: Map[Int, Contracts.DataContract] = Map.empty,
+                  allowLossy: Set[String] = Set.empty)
       : DataFrame = {
     val frames = gens.map(g => spark.read.parquet(g.path))
     contracts.foreach { case (i, c) =>
@@ -115,6 +180,6 @@ object SchemaEvolution {
           r.errors.mkString("; "))
     }
     alignGenerations(frames.zip(gens.map(_.renames)), target, defaults,
-      dropped)
+      dropped, allowLossy)
   }
 }

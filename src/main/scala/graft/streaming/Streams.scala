@@ -207,18 +207,24 @@ object Streams {
    * batch rollup's exact rank selection — the psiBins/psiBinsApprox
    * split: exact rank needs a per-group global sort (fine on a bounded
    * batch log, unbounded state on a stream); the sketch's rank error is
-   * immaterial against an alerting threshold. State per window = the
-   * route-template label set × one sketch, bounded by construction;
-   * the caller applies `withWatermark` on `ts` (repo-wide convention)
-   * so closed windows evict.
+   * immaterial against an alerting threshold (`OpsP95DivergenceSpec` +
+   * the `ops_p95_approx_rel_err` ledger golden bound it on a skewed
+   * latency fixture). State per window = the route-template label set
+   * × one sketch, bounded by construction; the `watermark` horizon is
+   * applied HERE on `ts` (the feedbackMetricsStream discipline — a
+   * caller cannot forget it and leak unbounded update-mode state), a
+   * no-op on a batch frame.
    */
   def opsMetricsRollup(reqs: DataFrame,
                        windowLength: String = "5 minutes",
-                       accuracy: Int = 10000): DataFrame =
+                       accuracy: Int = 10000,
+                       watermark: String = "1 hour"): DataFrame =
     reqs
+      .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLength), col("route"))
       .agg(count(lit(1)).as("n_requests"),
-        avg((col("status") < 400).cast("double")).as("success_rate"),
+        avg((col("status") >= 200 && col("status") < 300).cast("double"))
+          .as("success_rate"),
         avg((col("status") >= 500).cast("double")).as("error_rate"),
         percentile_approx(col("latency_ms"), lit(0.95), lit(accuracy))
           .as("p95_latency_ms"),

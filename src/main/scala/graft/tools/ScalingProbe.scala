@@ -45,7 +45,10 @@ object ScalingProbe {
     "q203_ann_operating_curve", // stored-index ANN curve (+ truth pass)
     "q200_bpe_byte_train",   // byte-level BPE training rounds
     "q204_ann_spilled_curve", // trained+spilled ANN curve (k-means fits)
-    "q208_microbatch_batch_twin") // micro-batch drain + forced replay
+    "q208_microbatch_batch_twin", // micro-batch drain + forced replay
+    // r17 hot families
+    "q211_ann_twostage_curve", // binary stage-0 + ADC + refine (+ truth)
+    "q212_funnel_evolved")     // schema-evolution ingest in composition
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/root/testdata")

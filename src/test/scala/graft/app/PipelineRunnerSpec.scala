@@ -40,6 +40,47 @@ class PipelineRunnerSpec extends SparkSpec {
     assert(log.filter(col("status") === "success").count() == 3)
   }
 
+  test("schema-evolution ingest: the pipeline spine runs over a " +
+      "two-generation staged table read through readEvolved — the " +
+      "alembic analog in composition, not just q205's standalone rollup") {
+    val accts = pipelineAccounts
+    val dir = java.nio.file.Files.createTempDirectory("graft-evo").toString
+    // v1: pre-migration column name (rev), predates the country column
+    accts.filter(col("employees") < 150)
+      .select(col("id"), col("org"), col("industry"), col("employees"),
+        col("created"), col("last_activity"), col("revenue").as("rev"))
+      .write.mode("overwrite").parquet(s"$dir/v1")
+    // v2: the current schema
+    accts.filter(col("employees") >= 150)
+      .write.mode("overwrite").parquet(s"$dir/v2")
+    val merged = graft.sources.SchemaEvolution.readEvolved(spark, Seq(
+        graft.sources.SchemaEvolution.Generation(s"$dir/v1",
+          renames = Map("rev" -> "revenue")),
+        graft.sources.SchemaEvolution.Generation(s"$dir/v2")),
+      accts.schema, defaults = Map("country" -> lit("UNKNOWN")))
+    val out = java.nio.file.Files.createTempDirectory("graft-pipe-evo").toString
+    val report = PipelineRunner.run(spark, merged,
+      java.sql.Date.valueOf("2024-01-01"), out, topK = 40)
+    assert(report.status == "success",
+      report.results.map(r => s"${r.stage}:${r.status}:${r.error}").mkString(" | "))
+    // every account from BOTH generations entered the spine
+    assert(report.results.find(_.stage == "validate").get.records ==
+      accts.count())
+    // the merged spine's output must be EXACTLY the single-frame run
+    // over the same logical content — v1 rows predate country, so the
+    // aligned baseline carries the declared default there too (the
+    // migration changes WHERE rows live, never what the spine computes)
+    val aligned = accts.withColumn("country",
+      when(col("employees") < 150, lit("UNKNOWN")).otherwise(col("country")))
+    val outBase = java.nio.file.Files.createTempDirectory("graft-pipe-base").toString
+    PipelineRunner.run(spark, aligned,
+      java.sql.Date.valueOf("2024-01-01"), outBase, topK = 40)
+    val evolved = spark.read.parquet(s"$out/recommendations")
+    val base = spark.read.parquet(s"$outBase/recommendations")
+    assert(evolved.except(base).isEmpty && base.except(evolved).isEmpty,
+      "evolved-ingest run must rank exactly the aligned baseline's rows")
+  }
+
   test("contract violation fails the validate stage and downstream skips") {
     val bad = pipelineAccounts.withColumn("revenue", lit(-5.0))
     val out = java.nio.file.Files.createTempDirectory("graft-pipe2").toString

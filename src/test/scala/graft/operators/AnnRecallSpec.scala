@@ -99,6 +99,36 @@ class AnnRecallSpec extends SparkSpec {
       "a 3x-deeper exact-re-ranked shortlist must not lose recall")
   }
 
+  private lazy val b2 = AnnRecall.twoStageCurve(spark).toMap
+  private lazy val opq = AnnRecall.opqGate(spark).toMap
+
+  test("two-stage binary serving hits the r16 #4 bar: recall >= 0.9 at " +
+      "ADC scanned_frac <= 0.25, and the curve is coherent in B") {
+    // measured: 0.90 @ 0.20 (bp20 rf3), 0.95 @ 0.30 (bp30 rf3) — vs
+    // the spilled IVF curve's 0.91 @ 0.465 / 0.94 @ 0.539. Floors
+    // carry golden-drift headroom under the exact ledger values.
+    info(b2.toSeq.sorted.map { case (k, v) => f"$k=$v%.3f" }.mkString(" "))
+    assert(b2("ann_b2_bp20_rf3_recall") >= 0.85,
+      "binary stage-0 at B=20% must keep recall >= 0.85 after ADC+refine")
+    assert(b2("ann_b2_bp20_rf3_scan") <= 0.25 + 1e-9,
+      "the r16 #4 scan budget")
+    assert(b2("ann_b2_bp30_rf3_recall") >= 0.90,
+      "the r16 #4 recall bar at the widest shortlist")
+    // recall never drops as the binary shortlist widens
+    assert(b2("ann_b2_bp10_rf3_recall") >= b2("ann_b2_bp5_rf3_recall") - 1e-9)
+    assert(b2("ann_b2_bp20_rf3_recall") >= b2("ann_b2_bp10_rf3_recall") - 1e-9)
+    assert(b2("ann_b2_bp30_rf3_recall") >= b2("ann_b2_bp20_rf3_recall") - 1e-9)
+  }
+
+  test("OPQ beats flat PQ at the same code budget on the anisotropic-" +
+      "mixed fixture (the Ge et al. claim, oracle-gated as q210)") {
+    info(f"flat=${opq("pq_flat_adc_recall")}%.3f opq=${opq("opq_adc_recall")}%.3f")
+    assert(opq("opq_adc_recall") > opq("pq_flat_adc_recall"),
+      "the learned rotation must recover codebook efficiency on " +
+        "anisotropic-mixed data")
+    assert(opq("opq_adc_recall") >= 0.65, "measured 0.73 — collapse floor")
+  }
+
   test("spilled multi-assignment beats the single-assign operating point " +
       "on BOTH axes (the r15 #2 bar: >= 0.9 recall at the old scan)") {
     // old operating point: single-assign kIvf=25, np10, rf3 — the 0.81

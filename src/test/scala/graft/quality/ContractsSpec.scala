@@ -146,6 +146,42 @@ class ContractsSpec extends SparkSpec {
     assert(r.getDouble(2) == 11.0, "price_legacy must carry the old values")
   }
 
+  test("schema evolution refuses lossy casts (Long→Int, String→Long) " +
+      "and honors the explicit allowLossy opt-out") {
+    import org.apache.spark.sql.types._
+    // Long source into an Int target: plain cast silently truncates
+    // (non-ANSI) — refused with both type names in the message
+    val narrow = StructType(Seq(StructField("id", IntegerType)))
+    val longs = Seq(java.lang.Long.valueOf(5000000000L)).toDF("id")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.sources.SchemaEvolution.alignGenerations(
+        Seq(longs -> Map.empty), narrow)
+    }
+    assert(e1.getMessage.contains("bigint -> int"))
+    // String source into a Long target: cast nulls non-numeric rows
+    val strTarget = StructType(Seq(StructField("id", LongType)))
+    val strs = Seq("7", "oops").toDF("id")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sources.SchemaEvolution.alignGenerations(
+        Seq(strs -> Map.empty), strTarget)
+    }
+    assert(e2.getMessage.contains("string -> bigint"))
+    // the explicit opt-out performs the lossy cast (audited, per-column)
+    val opted = graft.sources.SchemaEvolution.alignGenerations(
+      Seq(strs -> Map.empty), strTarget, allowLossy = Set("id"))
+    assert(opted.collect().map(r =>
+      if (r.isNullAt(0)) null else r.getLong(0)).toSet == Set(7L, null))
+    // the value-exact ladder: Int→Float (24-bit mantissa) is lossy,
+    // Int→Double and Decimal widening are not
+    import graft.sources.SchemaEvolution.widensLosslessly
+    assert(!widensLosslessly(IntegerType, FloatType))
+    assert(!widensLosslessly(LongType, DoubleType))
+    assert(widensLosslessly(IntegerType, DoubleType))
+    assert(widensLosslessly(DecimalType(10, 2), DecimalType(18, 4)))
+    assert(!widensLosslessly(DecimalType(18, 4), DecimalType(10, 2)))
+    assert(!widensLosslessly(DecimalType(10, 2), DoubleType))
+  }
+
   test("schema evolution: a generation failing its version's contract " +
       "fails the read loudly") {
     import org.apache.spark.sql.types._

@@ -67,7 +67,8 @@ class PlanLintSpec extends SparkSpec {
     "q202_curation_funnel" -> "the q194/q195 DSIR ratio build inside the selection stage: broadcast 1-row totals frame onto the bucket domain (numBuckets rows)",
     "q203_ann_operating_curve" -> "the instrument's broadcast query-batch joins: queries × centroid table (probe ranking), queries × PQ codebook (ADC lookup build), and queries × corpus for the ground-truth all-pairs pass — tuning harness contract like q185, never the serving path",
     "q204_ann_spilled_curve" -> "q203's instrument contract over the trained+spilled index: broadcast query batch × stored centroids/codebook, plus the contracted all-pairs ground-truth pass",
-    "q172_corpus_datasheet" -> "broadcast 1-row global-stats frame (the checkpointed multi-agg) crossJoined as the per-language denominator — the r16 zero-driver-read rewrite of the former .head() scalar pull")
+    "q172_corpus_datasheet" -> "broadcast 1-row global-stats frame (the checkpointed multi-agg) crossJoined as the per-language denominator — the r16 zero-driver-read rewrite of the former .head() scalar pull",
+    "q211_ann_twostage_curve" -> "the q203/q204 instrument contract for the binary two-stage curve: broadcast query batch × packed-code corpus (the deliberate stage-0 full scan at 1/32 bytes), broadcast config frame joined on the rh <= B(bpct) inequality (5 rows), and the contracted all-pairs ground-truth pass; the hamming rank itself is materialized (localCheckpoint), so only the tiny-side joins plan as BNLJ")
 
   /** Expand is legitimate only for SQL grouping sets. */
   private val expandAllowed: Map[String, String] = Map(

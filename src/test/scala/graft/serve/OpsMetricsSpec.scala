@@ -42,4 +42,27 @@ class OpsMetricsSpec extends SparkSpec {
     assert(snap.last.ts_ms == 15L)
     assert(snap.head.ts_ms > 1L)
   }
+
+  test("recorder truncation is not silent: dropped count + oldest " +
+      "retained ts let a consumer tell a bounded window from history") {
+    val rec = new OpsMetrics.Recorder(maxEntries = 10)
+    (1 to 9).foreach(i => rec.record(OpsMetrics.RequestMetric(
+      i.toLong, "/r", "GET", 200, 1.0, 0L)))
+    assert(rec.dropped == 0L && rec.oldestRetainedTsMs.contains(1L))
+    (10 to 15).foreach(i => rec.record(OpsMetrics.RequestMetric(
+      i.toLong, "/r", "GET", 200, 1.0, 0L)))
+    // capacity hit once at the 10th record: 5 evicted (maxEntries/2)
+    assert(rec.dropped == 5L)
+    assert(rec.oldestRetainedTsMs.contains(6L))
+  }
+
+  test("success_rate counts ONLY 2xx (the reference panel's " +
+      "status=~\"2..\") — a redirect is not a success") {
+    val log = Seq(
+      (1L, "/r", 200, 1.0, 0L), (2L, "/r", 204, 2.0, 0L),
+      (3L, "/r", 302, 3.0, 0L), (4L, "/r", 404, 4.0, 0L))
+      .toDF("ts_ms", "route", "status", "latency_ms", "rows")
+    assert(math.abs(OpsMetrics.rollup(log).head
+      .getAs[Double]("success_rate") - 0.5) < 1e-12)
+  }
 }

@@ -1407,8 +1407,8 @@ class StreamsSpec extends SparkSpec {
       "equal the batch twin; late row lands in ITS window") {
     val mem = MemoryStream[(Timestamp, String, Int, Double, Long)](spark)
     val out = Streams.opsMetricsRollup(
-      mem.toDF.toDF("ts", "route", "status", "latency_ms", "rows")
-        .withWatermark("ts", "1 hour"))
+      mem.toDF.toDF("ts", "route", "status", "latency_ms", "rows"),
+      watermark = "1 hour")
     val q = out.writeStream.format("memory")
       .queryName("ops_out").outputMode("update")
       .option("checkpointLocation", tmp("graft-ops-ckpt"))
