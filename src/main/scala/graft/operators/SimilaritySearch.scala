@@ -592,10 +592,16 @@ object SimilaritySearch {
     // 100 TB pass trainFrac so the sample, not the corpus, lands here
     df.repartition(4, key).sortWithinPartitions(key)
 
+  // maxIter/initMode exist for INSTRUMENT callers (q210 trains 24
+  // codebooks in one query — at a bounded 2k-row sample, k-means|| init
+  // + 20 Lloyd rounds is pure scheduler overhead: the job COUNT, not
+  // the row count, is the cost); every index-build path keeps the
+  // defaults, so existing goldens are untouched
   private def fitKMeans(train: DataFrame, featCol: String, k: Int,
-                        seed: Long): Array[Array[Double]] =
+                        seed: Long, maxIter: Int = 20,
+                        initMode: String = "k-means||"): Array[Array[Double]] =
     new org.apache.spark.ml.clustering.KMeans()
-      .setK(k).setSeed(seed).setInitMode("k-means||").setMaxIter(20)
+      .setK(k).setSeed(seed).setInitMode(initMode).setMaxIter(maxIter)
       .setTol(1e-6).setFeaturesCol(featCol)
       .fit(train)
       .clusterCenters.map(_.toArray)
@@ -730,7 +736,8 @@ object SimilaritySearch {
    */
   def pqCodebookSubKMeans(vecs: DataFrame, idCol: Column, vecCol: Column,
                           m: Int, subDim: Int, k: Int, seed: Long = 42L,
-                          trainFrac: Double = 1.0): DataFrame = {
+                          trainFrac: Double = 1.0, maxIter: Int = 20,
+                          initMode: String = "k-means||"): DataFrame = {
     val spark = vecs.sparkSession
     val e = vecs.select(idCol.as("id"),
       transform(vecCol, x => x.cast("double")).as("v"))
@@ -744,7 +751,7 @@ object SimilaritySearch {
           canon.withColumn("f", org.apache.spark.ml.functions.array_to_vector(
               slice(col("v"), s * subDim + 1, subDim)))
             .select("id", "f"),
-          "f", k, seed + s)
+          "f", k, seed + s, maxIter, initMode)
           .zipWithIndex.map { case (c, i) => (s, i.toLong, c.toSeq) }
       }
       finally canon.unpersist()
@@ -1011,8 +1018,24 @@ object SimilaritySearch {
    */
   def opqTrain(embs: DataFrame, idCol: Column, vecCol: Column,
                m: Int, subDim: Int, kSub: Int, iters: Int = 3,
-               seed: Long = 42L, trainFrac: Double = 1.0)
+               seed: Long = 42L, trainFrac: Double = 1.0,
+               fitMaxIter: Int = 20, fitInitMode: String = "k-means||")
       : (Seq[Seq[Double]], DataFrame) = {
+    val (r, cb, _) = opqTrainWithFlat(embs, idCol, vecCol, m, subDim,
+      kSub, iters, seed, trainFrac, fitMaxIter, fitInitMode)
+    (r, cb)
+  }
+
+  /** [[opqTrain]] exposing the FIRST alternation's codebook as well:
+    * iteration 0 rotates by the identity, so its codebook IS the flat
+    * per-subspace PQ codebook trained on the SAME sample with the SAME
+    * trainer — the comparison baseline (q210) at zero extra fits. */
+  def opqTrainWithFlat(embs: DataFrame, idCol: Column, vecCol: Column,
+                       m: Int, subDim: Int, kSub: Int, iters: Int = 3,
+                       seed: Long = 42L, trainFrac: Double = 1.0,
+                       fitMaxIter: Int = 20,
+                       fitInitMode: String = "k-means||")
+      : (Seq[Seq[Double]], DataFrame, DataFrame) = {
     require(iters >= 1, s"need at least one alternation (got $iters)")
     val d = m * subDim
     val spark = embs.sparkSession
@@ -1025,12 +1048,14 @@ object SimilaritySearch {
     var r: Seq[Seq[Double]] =
       Seq.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
     var cb: DataFrame = null
+    var cbFlat: DataFrame = null
     var it = 0
     while (it < iters) {
       val rot = train.select(col("id"), rotated(col("v"), r, d).as("v"))
         .localCheckpoint()
       cb = pqCodebookSubKMeans(rot, col("id"), col("v"), m, subDim, kSub,
-        seed)
+        seed, maxIter = fitMaxIter, initMode = fitInitMode)
+      if (it == 0) cbFlat = cb
       // last iteration: codebooks already match the final R — skip the
       // Procrustes update they would feed
       if (it < iters - 1) {
@@ -1061,7 +1086,7 @@ object SimilaritySearch {
       it += 1
     }
     org.apache.spark.sql.graftshim.GraftShim.freeLocalCheckpoint(train)
-    (r, cb)
+    (r, cb, cbFlat)
   }
 
   /** R·v as a column expression: R broadcast as literal rows, one dot
