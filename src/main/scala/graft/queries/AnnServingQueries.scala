@@ -65,7 +65,8 @@ object AnnServingQueries {
   private val B2M = 8
   private val B2SubDim = 8
   private val B2KSub = 256
-  private val B2Configs = Seq((5, 3), (10, 3), (20, 3), (20, 5), (30, 3))
+  private val B2Configs =
+    Seq((5, 3), (10, 3), (20, 3), (20, 5), (30, 3), (40, 5))
   private val B2MaxBpct = B2Configs.map(_._1).max
 
   private def l2(a: Column, b: Column): Column = VectorFunctions.sqDist(a, b)

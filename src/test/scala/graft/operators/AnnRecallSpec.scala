@@ -118,6 +118,17 @@ class AnnRecallSpec extends SparkSpec {
     assert(b2("ann_b2_bp10_rf3_recall") >= b2("ann_b2_bp5_rf3_recall") - 1e-9)
     assert(b2("ann_b2_bp20_rf3_recall") >= b2("ann_b2_bp10_rf3_recall") - 1e-9)
     assert(b2("ann_b2_bp30_rf3_recall") >= b2("ann_b2_bp20_rf3_recall") - 1e-9)
+    // FULL-curve dominance over the spilled IVF family: the widest
+    // config (bp40 rf5, measured 0.98 @ 0.40) beats the spilled
+    // curve's BEST point (np18 rf5, 0.97 @ 0.539) on both axes — so
+    // every q204 operating point is dominated by some q211 point
+    assert(b2("ann_b2_bp40_rf5_recall") >= 0.95, "measured 0.98 — floor")
+    assert(b2("ann_b2_bp40_rf5_recall") >=
+      r("ann_curve_spill_np18_rf5_recall") - 1e-9,
+      "the two-stage curve must not lose recall vs the spilled best")
+    assert(b2("ann_b2_bp40_rf5_scan") <=
+      r("ann_curve_spill_np18_rf5_scan") + 1e-9,
+      "…at no more ADC scan than the spilled best")
   }
 
   test("OPQ beats flat PQ at the same code budget on the anisotropic-" +
