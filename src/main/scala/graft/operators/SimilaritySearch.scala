@@ -745,14 +745,32 @@ object SimilaritySearch {
     val train = (if (trainFrac >= 1.0) e
       else e.filter(Sampling.hashUniform(col("id"), "pq-km") < trainFrac))
     val canon = canonForFit(train, col("id")).cache()
+    // the m fits are independent seeded jobs over the same 4-partition
+    // cached sample — at a bounded training sample the cost is job-count
+    // scheduler latency, not compute, so submit them CONCURRENTLY (the
+    // CrossValidator-parallelism mechanism; results are per-fit
+    // deterministic, assembled in subspace order). canon materializes
+    // once up front so the concurrent fits race on a warm cache, not on
+    // computing it.
     val rows =
-      try (0 until m).flatMap { s =>
-        fitKMeans(
-          canon.withColumn("f", org.apache.spark.ml.functions.array_to_vector(
-              slice(col("v"), s * subDim + 1, subDim)))
-            .select("id", "f"),
-          "f", k, seed + s, maxIter, initMode)
-          .zipWithIndex.map { case (c, i) => (s, i.toLong, c.toSeq) }
+      try {
+        canon.count()
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(m, 8))
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try Await.result(Future.sequence((0 until m).map { s => Future {
+            fitKMeans(
+              canon.withColumn("f",
+                  org.apache.spark.ml.functions.array_to_vector(
+                    slice(col("v"), s * subDim + 1, subDim)))
+                .select("id", "f"),
+              "f", k, seed + s, maxIter, initMode)
+              .zipWithIndex.map { case (c, i) => (s, i.toLong, c.toSeq) }
+          } }), Duration.Inf).flatten
+        finally pool.shutdown()
       }
       finally canon.unpersist()
     import spark.implicits._
