@@ -133,7 +133,11 @@ object Plans {
       "q206_export_roundtrip",   // export->read-back intersect, both serializers
       "q207_ops_metrics_rollup", // Grafana panel math: agg pass + exact-p95 window
       "q208_microbatch_batch_twin", // drained+replayed sink read (partition discovery)
-      "q209_binary_hamming_topk") // packed sign-bit projection + popcount TakeOrdered
+      "q209_binary_hamming_topk", // packed sign-bit projection + popcount TakeOrdered
+      "q210_opq_adc_recall",     // OPQ vs flat off stored artifacts: rotation projections + ADC aggs
+      "q211_ann_twostage_curve", // binary stage-0 rank + config-filtered ADC + exact refine
+      "q212_funnel_evolved",     // two-generation evolved read -> quality gate -> dedup -> rollup
+      "q213_er_block_stats")     // O(n) block budget: two aggs + key equi-join, no pair space
     // per-query reader notes where the right plan is easy to misread
     val notes = Map(
       "q128_sql_range_join" -> ("The user wrote the naive theta join " +
