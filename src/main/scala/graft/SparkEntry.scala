@@ -106,6 +106,8 @@ object SparkEntry {
       "q210_opq_adc_recall" ->
         ((s, dir) => graft.queries.AnnCurveQueries.assertEmbeddingsSound(s, dir)),
       "q211_ann_twostage_curve" ->
+        ((s, dir) => graft.queries.AnnCurveQueries.assertEmbeddingsSound(s, dir)),
+      "q214_binary_adc_serving" ->
         ((s, dir) => graft.queries.AnnCurveQueries.assertEmbeddingsSound(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

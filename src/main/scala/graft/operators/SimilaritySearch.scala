@@ -1186,6 +1186,52 @@ object SimilaritySearch {
       query, k)
   }
 
+  /**
+   * The THREE-stage binary serving composition whose operating curve
+   * q211 measures (0.95 recall@10 at a 0.30 ADC-scan; (bp40, rf5)
+   * reaches 0.98 at 0.40): stage-0 ranks EVERY corpus vector by
+   * xor/popcount over packed sign codes (8 B/vector — 1/32 of the raw
+   * float32 bytes) and keeps `candidates`; stage-1 re-ranks only those
+   * candidates by trained-PQ ADC against `codebookSub` (codes are
+   * computed here from the shortlist's raw vectors — a production
+   * deployment point-reads stored codes, the q143 layout note);
+   * stage-2 re-scores the `refineFactor`·k ADC survivors by exact
+   * cosine ([[refineTopK]]). No stage has a coverage ceiling — every
+   * vector is a stage-0 candidate — which is why the measured curve
+   * dominates the probed-IVF curve on both axes (q211 vs q204).
+   */
+  def binaryAdcRefinedTopK(embs: DataFrame, idCol: Column, vecCol: Column,
+                           codebookSub: DataFrame, m: Int, subDim: Int,
+                           query: Seq[Double], dims: Int, k: Int,
+                           candidates: Int, refineFactor: Int = 3)
+      : DataFrame = {
+    require(candidates >= 1, s"candidates must be >= 1 (got $candidates)")
+    require(refineFactor >= 1,
+      s"refineFactor must be >= 1 (got $refineFactor)")
+    val ev = embs.select(idCol.as("id"),
+      transform(vecCol, x => x.cast("double")).as("v"))
+    val short0 = binaryHammingTopK(ev, col("id"), col("v"), query, dims,
+      candidates)
+    val shortVecs = ev.join(broadcast(short0.select("id")), Seq("id"),
+      "left_semi")
+    val codes = pqCodesSub(shortVecs, col("id"), col("v"), codebookSub,
+      m, subDim).withColumnRenamed("cid", "code")
+    val qLit = array(query.map(lit): _*)
+    val qd = codebookSub.select(col("s"), col("cid").as("code"),
+      graft.functions.VectorFunctions.sqDist(
+        slice(qLit, col("s") * subDim + 1, lit(subDim)),
+        col("cvs")).as("dq"))
+    val dCols = (0 until m).map(i =>
+      max(when(col("s") === i, col("dq"))).as(s"d$i"))
+    val adc = codes.join(broadcast(qd), Seq("s", "code"))
+      .groupBy("id").agg(dCols.head, dCols.tail: _*)
+      .withColumn("adcd",
+        (0 until m).map(i => col(s"d$i")).reduce(_ + _))
+    val adcShort = TopK.globalTopK(adc.select(col("id"), col("adcd")),
+      Seq(col("adcd").asc, col("id").asc), refineFactor * k)
+    refineTopK(ev, col("id"), col("v"), adcShort, query, k)
+  }
+
   /** Per-list ADC tail shared by the trained residual path: join codes
     * (id, s, cid ← code, cid list) to per-(list, s, code) query-residual
     * distances, fixed-order sum, top-k. */

@@ -279,9 +279,44 @@ object AnnServingQueries {
       .orderBy("bpct", "refine_factor")
   }
 
+  // q214 operating point: the q211 curve's (bp20, rf3) row — measured
+  // recall@10 0.95 at a 0.30 ADC-scan fraction
+  private val ServeBpct = 20
+  private val ServeRf = 3
+
+  /**
+   * q214: the q211 operating point AS A SERVING CALL —
+   * [[SimilaritySearch.binaryAdcRefinedTopK]] (binary stage-0 →
+   * trained-PQ ADC → exact-cosine refine) answering one query vector
+   * off the stored trained codebook, gated row-for-row: the oracle
+   * replays the sign-mismatch rank, the ADC re-rank from the parquet
+   * codebook, and the exact-cosine top-k. The curve instrument proves
+   * the operating point; this gates the production entry a caller
+   * actually invokes.
+   */
+  def binaryAdcServe(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.loadSpread(s, dir, "embeddings")
+    val n = e.count()
+    val trainFrac = if (n <= 2048L) 1.0 else 2048.0 / n
+    val out = Scratch.oraclePath("q214", sfBase(dir))
+    SimilaritySearch.pqCodebookSubKMeans(e, col("vec_id"),
+        col("embedding"), B2M, B2SubDim, B2KSub, trainFrac = trainFrac)
+      .write.mode("overwrite").parquet(s"$out/codebook")
+    val cb = s.read.parquet(s"$out/codebook")
+    val q = e.filter(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Float](0).map(_.toDouble)
+    val candidates = math.ceil(n.toDouble * ServeBpct / 100.0).toInt
+    SimilaritySearch.binaryAdcRefinedTopK(e, col("vec_id"),
+        col("embedding"), cb, B2M, B2SubDim, q, Dim, K,
+        candidates, ServeRf)
+      .select(col("id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q210_opq_adc_recall" -> ((s, dir) => opqRecall(s, dir)),
-    "q211_ann_twostage_curve" -> ((s, dir) => twoStageCurve(s, dir)))
+    "q211_ann_twostage_curve" -> ((s, dir) => twoStageCurve(s, dir)),
+    "q214_binary_adc_serving" -> ((s, dir) => binaryAdcServe(s, dir)))
 
   val oracleSql: Map[String, String] = Map(
 
@@ -440,5 +475,51 @@ object AnnServingQueries {
         |LEFT JOIN scanned sc ON sc.bpct = c.bpct
         |  AND sc.refine_factor = c.refine_factor
         |ORDER BY c.bpct, c.refine_factor""".stripMargin
+    },
+
+    // Replays the three serving stages off the stored trained codebook:
+    // sign-mismatch count (≡ xor+popcount of the packed sign codes)
+    // ranked to the candidate budget, the ADC re-rank to rf·k, the
+    // exact-cosine top-k. Self-match included (rank 1), as in q209.
+    "q214_binary_adc_serving" -> {
+      val out = Scratch.oraclePath("q214", "sf0.01")
+      val sub = (v: String) =>
+        s"""list_sum([ ($v[cb.s*$B2SubDim+i] - cb.cvs[i])
+           |         * ($v[cb.s*$B2SubDim+i] - cb.cvs[i])
+           |           FOR i IN range(1, ${B2SubDim + 1}) ])""".stripMargin
+      val adcSum = (0 until B2M)
+        .map(i => s"max(CASE WHEN k.s = $i THEN d.dq END)")
+        .mkString("\n        |      + ")
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+        |    FROM embeddings),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+        |q AS (SELECT v AS qv FROM e WHERE id = 0),
+        |hr AS (SELECT e.id, e.v,
+        |    row_number() OVER (ORDER BY
+        |      list_sum([ CASE WHEN (e.v[i] > 0) <> (q.qv[i] > 0)
+        |        THEN 1 ELSE 0 END FOR i IN range(1, ${Dim + 1}) ]) ASC,
+        |      e.id ASC) AS rh
+        |  FROM e, q
+        |  QUALIFY rh <= (SELECT CAST(ceiling(nn.n * $ServeBpct / 100.0)
+        |    AS BIGINT) FROM nn)),
+        |cb AS (SELECT s, cid AS code, cvs
+        |  FROM read_parquet('$out/codebook/*.parquet')),
+        |codes AS (SELECT h.id, cb.s, cb.code FROM hr h, cb
+        |  QUALIFY row_number() OVER (PARTITION BY h.id, cb.s
+        |    ORDER BY ${sub("h.v")} ASC, cb.code ASC) = 1),
+        |dq AS (SELECT cb.s, cb.code, ${sub("q.qv")} AS dq FROM q, cb),
+        |adc AS (SELECT k.id, $adcSum AS adcd
+        |  FROM codes k JOIN dq d ON d.s = k.s AND d.code = k.code
+        |  GROUP BY k.id),
+        |short AS (SELECT id FROM adc
+        |  QUALIFY row_number() OVER (ORDER BY adcd ASC, id ASC)
+        |    <= ${ServeRf * K})
+        |SELECT e.id,
+        |  round(list_cosine_similarity(e.v, q.qv), 6) AS cosine,
+        |  CAST(row_number() OVER (ORDER BY
+        |    list_cosine_similarity(e.v, q.qv) DESC, e.id ASC)
+        |    AS INTEGER) AS rank
+        |FROM e JOIN short ss ON ss.id = e.id, q
+        |QUALIFY rank <= $K ORDER BY rank""".stripMargin
     })
 }

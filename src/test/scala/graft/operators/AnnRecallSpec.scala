@@ -131,6 +131,37 @@ class AnnRecallSpec extends SparkSpec {
       "…at no more ADC scan than the spilled best")
   }
 
+  test("binaryAdcRefinedTopK: degenerate budgets reduce to exact brute " +
+      "cosine top-k, and the q214 operating point keeps its recall") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.loadSpread(spark, AnnRecall.GateDir,
+      "embeddings")
+    val n = e.count().toInt
+    val cb = SimilaritySearch.pqCodebookSubKMeans(e, col("vec_id"),
+      col("embedding"), 8, 8, 256)
+    val q = e.filter(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Float](0).map(_.toDouble)
+    val brute = SimilaritySearch.bruteForceTopK(e, col("vec_id"),
+      col("embedding"), q, 10).select("id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    // candidates = n and rf·k >= n: every stage passes everything
+    // through, so the composition IS brute force
+    val exact = SimilaritySearch.binaryAdcRefinedTopK(e, col("vec_id"),
+      col("embedding"), cb, 8, 8, q, 64, 10,
+      candidates = n, refineFactor = (n + 9) / 10).select("id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(exact == brute,
+      "degenerate-budget three-stage serve must equal brute top-k")
+    // the q214 operating point (bp20, rf3): recall@10 vs brute
+    val served = SimilaritySearch.binaryAdcRefinedTopK(e, col("vec_id"),
+      col("embedding"), cb, 8, 8, q, 64, 10,
+      candidates = math.ceil(n * 0.20).toInt, refineFactor = 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val hits = brute.map(_._1).count(served.contains)
+    info(s"q214 operating point recall@10 = ${hits / 10.0}")
+    assert(hits >= 8, s"recall@10 ${hits / 10.0} < 0.8 floor at (bp20, rf3)")
+  }
+
   test("OPQ beats flat PQ at the same code budget on the anisotropic-" +
       "mixed fixture (the Ge et al. claim, oracle-gated as q210)") {
     info(f"flat=${opq("pq_flat_adc_recall")}%.3f opq=${opq("opq_adc_recall")}%.3f")
