@@ -138,7 +138,8 @@ object Plans {
       "q211_ann_twostage_curve", // binary stage-0 rank + config-filtered ADC + exact refine
       "q212_funnel_evolved",     // two-generation evolved read -> quality gate -> dedup -> rollup
       "q213_er_block_stats",     // O(n) block budget: two aggs + key equi-join, no pair space
-      "q214_binary_adc_serving") // 3-stage serve: hamming TakeOrdered -> semi-join ADC -> refine
+      "q214_binary_adc_serving", // 3-stage serve: hamming TakeOrdered -> semi-join ADC -> refine
+      "q215_index_erasure")      // remove_ids: deleteWhere rewrites + post-erasure stored serve
     // per-query reader notes where the right plan is easy to misread
     val notes = Map(
       "q128_sql_range_join" -> ("The user wrote the naive theta join " +

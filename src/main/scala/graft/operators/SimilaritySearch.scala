@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
@@ -1184,6 +1184,53 @@ object SimilaritySearch {
       binaryHammingTopK(embs, idCol, vecCol, query, dims,
         refineFactor * k),
       query, k)
+  }
+
+  /**
+   * FAISS `remove_ids` for the STORED index — the right-to-erasure
+   * path for serving artifacts ([[graft.app.CurationRunner]]'s
+   * physical-erasure contract applied to the index a corpus version
+   * ships): delete the subject vectors' rows from every id-keyed
+   * artifact under `indexDir` via the file-targeted
+   * [[graft.sources.Layout.deleteWhere]] rewrite — untouched files
+   * keep their bytes, and min/max pruning decides which files are
+   * read at all, so at 100 TB with id-sorted codes the rewrite
+   * touches O(subjects) files, never the corpus. Centroids and
+   * codebooks are TRAINED PARAMETERS, not rows about a subject: they
+   * keep their values (retrain at the next corpus version when the
+   * parameters themselves must forget — the same boundary as the
+   * erase() aggregated-derivatives note). Post-erasure serving is
+   * EXACT: assignment and encode are per-vector facts, so the erased
+   * store is row-identical to an index built over the complement
+   * corpus with the same parameters, and no erased id can be returned
+   * by any probe (spec-pinned; oracle-gated as q215).
+   *
+   * `frames` names the id-keyed artifacts to rewrite. A frame absent
+   * under `indexDir` is skipped only when `optional` names it — a
+   * missing REQUIRED frame is an error, because silently skipping
+   * `assignments` would report an erasure that never happened.
+   * Returns rows deleted per frame rewritten.
+   */
+  def eraseFromStoredIndex(spark: SparkSession, indexDir: String,
+                           ids: Seq[Long],
+                           frames: Seq[String] =
+                             Seq("assignments", "codes", "binary"),
+                           optional: Set[String] = Set("binary"))
+      : Map[String, Long] = {
+    require(ids.nonEmpty, "no subject ids to erase")
+    val conf = spark.sessionState.newHadoopConf()
+    frames.flatMap { name =>
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/$name")
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) {
+        require(optional.contains(name),
+          s"stored index at $indexDir has no '$name' frame — refusing " +
+            "to report an erasure that did not touch a required artifact")
+        None
+      } else
+        Some(name -> graft.sources.Layout.deleteWhere(spark, p.toString,
+          col("id").isin(ids: _*)).rowsDeleted)
+    }.toMap
   }
 
   /**

@@ -302,6 +302,50 @@ object PipelineQueries {
         .orderBy("rank")
     }),
 
+    "q215_index_erasure" -> ((s, dir) => {
+      // FAISS remove_ids over the stored q143 index (right-to-erasure
+      // for serving artifacts): build + persist, find the query's
+      // top-2 ADC neighbors (excluding the query itself), PHYSICALLY
+      // erase them from the stored assignments + codes
+      // (SimilaritySearch.eraseFromStoredIndex — file-targeted
+      // Layout.deleteWhere rewrites), then serve top-10 again FROM THE
+      // ERASED STORE. The oracle replays pre-erasure ADC top-2 →
+      // membership exclusion → post-erasure top-10: the subjects were
+      // the best-ranked rows, so a no-op erasure cannot hash-match.
+      // Centroids/codebook keep their trained values by contract
+      // (eraseFromStoredIndex scaladoc).
+      val e = Tables.loadSpread(s, dir, "embeddings")
+      val idx = SimilaritySearch.ivfPqIndex(e, col("vec_id"),
+        col("embedding"), ivfModulus = 200, pqModulus = 100, m = 4,
+        subDim = 16)
+      val out = Scratch.path(s, "q215")
+      idx.ivf.centroids.write.mode("overwrite").parquet(s"$out/centroids")
+      idx.ivf.assignments.write.mode("overwrite")
+        .parquet(s"$out/assignments")
+      idx.codebook.write.mode("overwrite").parquet(s"$out/codebook")
+      idx.codes.write.mode("overwrite").parquet(s"$out/codes")
+      def readIndex() = SimilaritySearch.IvfPqIndex(
+        SimilaritySearch.IvfIndex(
+          s.read.parquet(s"$out/centroids"),
+          s.read.parquet(s"$out/assignments")),
+        s.read.parquet(s"$out/codebook"),
+        s.read.parquet(s"$out/codes"))
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).map(_.toDouble)
+      // top-3 then drop the self-match: equals "top-2 excluding the
+      // query" whether or not the query ranks inside the top 3
+      val subjects = SimilaritySearch.ivfPqTopKFromIndex(readIndex(), q,
+          nprobe = 2, m = 4, subDim = 16, k = 3)
+        .filter(col("id") =!= 0).orderBy("rank").limit(2)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      SimilaritySearch.eraseFromStoredIndex(s, out, subjects)
+      SimilaritySearch.ivfPqTopKFromIndex(readIndex(), q, nprobe = 2,
+          m = 4, subDim = 16, k = 10)
+        .select(col("id"), col("c0"), col("c1"), col("c2"), col("c3"),
+          col("adc_dist"), col("rank").cast("bigint").as("rank"))
+        .orderBy("rank")
+    }),
+
     "q154_ann_refine" -> ((s, dir) => {
       // two-stage serving search (the FAISS IndexRefineFlat shape,
       // SimilaritySearch.refineTopK scaladoc): q141's IVF-PQ ADC pass
@@ -1043,7 +1087,48 @@ object PipelineQueries {
       |  row_number() OVER (ORDER BY d0 + d1 + d2 + d3, vec_id) AS rank
       |FROM adc QUALIFY rank <= 10 ORDER BY rank""".stripMargin
 
+  /** q215: the q141/q143 ADC replayed twice — pre-erasure to derive
+    * the two subjects (top-2 excluding the query itself), then
+    * post-erasure over the membership with those subjects excluded.
+    * `dq` (query-side lookup tables) is member-independent and shared;
+    * only the member-side dist/codes/adc recompute. */
+  private lazy val indexErasureSql: String =
+    s"""WITH $ivfPqAdcCte,
+      |erased AS (SELECT vec_id FROM adc WHERE vec_id <> 0
+      |  QUALIFY row_number() OVER (ORDER BY d0 + d1 + d2 + d3, vec_id)
+      |    <= 2),
+      |members2 AS (SELECT id FROM members
+      |  WHERE id NOT IN (SELECT vec_id FROM erased)),
+      |dist2 AS (
+      |  SELECT e.vec_id, sub.s, cent.cid,
+      |    list_sum([ (e.v[sub.s*16+i] - cent.cv[sub.s*16+i])
+      |             * (e.v[sub.s*16+i] - cent.cv[sub.s*16+i])
+      |               FOR i IN range(1, 17) ]) AS d
+      |  FROM e JOIN members2 mm ON e.vec_id = mm.id, sub, cent),
+      |codes2 AS (
+      |  SELECT vec_id, s, cid FROM dist2
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id, s
+      |    ORDER BY d, cid) = 1),
+      |adc2 AS (
+      |  SELECT c.vec_id,
+      |    max(CASE WHEN c.s = 0 THEN c.cid END) AS c0,
+      |    max(CASE WHEN c.s = 1 THEN c.cid END) AS c1,
+      |    max(CASE WHEN c.s = 2 THEN c.cid END) AS c2,
+      |    max(CASE WHEN c.s = 3 THEN c.cid END) AS c3,
+      |    max(CASE WHEN c.s = 0 THEN dq.dq END) AS d0,
+      |    max(CASE WHEN c.s = 1 THEN dq.dq END) AS d1,
+      |    max(CASE WHEN c.s = 2 THEN dq.dq END) AS d2,
+      |    max(CASE WHEN c.s = 3 THEN dq.dq END) AS d3
+      |  FROM codes2 c JOIN dq ON c.s = dq.s AND c.cid = dq.cid
+      |  GROUP BY c.vec_id)
+      |SELECT vec_id AS id, c0, c1, c2, c3,
+      |  round(d0 + d1 + d2 + d3, 6) AS adc_dist,
+      |  row_number() OVER (ORDER BY d0 + d1 + d2 + d3, vec_id) AS rank
+      |FROM adc2 QUALIFY rank <= 10 ORDER BY rank""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+
+    "q215_index_erasure" -> indexErasureSql,
 
     // the one-shot batch write the micro-batch drain + forced replay
     // must reproduce exactly — row count catches a duplicated replay,

@@ -287,6 +287,72 @@ class SimilaritySearchSpec extends SparkSpec {
       m = 4, subDim = 16, k = 10)) === inline)
   }
 
+  test("eraseFromStoredIndex: physical remove_ids — subjects gone from " +
+      "every id-keyed artifact, trained parameters untouched, serving " +
+      "equals the logically-filtered index") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val e = realEmbs
+    val idx = SimilaritySearch.ivfPqIndex(e, col("vec_id"),
+      col("embedding"), ivfModulus = 200, pqModulus = 100, m = 4,
+      subDim = 16)
+    val dir = java.nio.file.Files.createTempDirectory("idx-erase").toString
+    idx.ivf.centroids.write.parquet(s"$dir/centroids")
+    idx.ivf.assignments.write.parquet(s"$dir/assignments")
+    idx.codebook.write.parquet(s"$dir/codebook")
+    idx.codes.write.parquet(s"$dir/codes")
+    val centRowsBefore = spark.read.parquet(s"$dir/centroids").count()
+    val cbRowsBefore = spark.read.parquet(s"$dir/codebook").count()
+    // 200 is a centroid-source id: the VECTOR's rows erase, the trained
+    // centroid derived from it stays (the physical-erasure boundary)
+    val subjects = Seq(1L, 200L, 7L)
+    val deleted = SimilaritySearch.eraseFromStoredIndex(spark, dir,
+      subjects)
+    assert(deleted("assignments") === 3L)
+    assert(deleted("codes") === 12L, "m=4 code rows per erased vector")
+    assert(!deleted.contains("binary"), "absent optional frame skipped")
+    val aAfter = spark.read.parquet(s"$dir/assignments")
+    val cAfter = spark.read.parquet(s"$dir/codes")
+    assert(aAfter.filter(col("id").isin(subjects: _*)).count() === 0L)
+    assert(cAfter.filter(col("id").isin(subjects: _*)).count() === 0L)
+    // trained parameters keep their values — including the centroid
+    // whose source vector was just erased
+    assert(spark.read.parquet(s"$dir/centroids").count() === centRowsBefore)
+    assert(spark.read.parquet(s"$dir/codebook").count() === cbRowsBefore)
+    assert(spark.read.parquet(s"$dir/centroids")
+      .filter(col("cid") === 200).count() === 1L)
+    // serving off the erased store ≡ the logically-filtered index (the
+    // complement-corpus contract: assignment and encode are per-vector
+    // facts), and no erased id can surface
+    val q = e.filter(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Float](0).map(_.toDouble)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "adc_dist", "rank").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+        .sortBy(_._3)
+    val erasedStore = SimilaritySearch.IvfPqIndex(
+      SimilaritySearch.IvfIndex(
+        spark.read.parquet(s"$dir/centroids"), aAfter),
+      spark.read.parquet(s"$dir/codebook"), cAfter)
+    val logical = SimilaritySearch.IvfPqIndex(
+      SimilaritySearch.IvfIndex(idx.ivf.centroids,
+        idx.ivf.assignments.filter(!col("id").isin(subjects: _*))),
+      idx.codebook, idx.codes.filter(!col("id").isin(subjects: _*)))
+    val served = rows(SimilaritySearch.ivfPqTopKFromIndex(erasedStore, q,
+      nprobe = 2, m = 4, subDim = 16, k = 10))
+    assert(served === rows(SimilaritySearch.ivfPqTopKFromIndex(logical, q,
+      nprobe = 2, m = 4, subDim = 16, k = 10)))
+    assert(served.map(_._1).toSet.intersect(subjects.toSet).isEmpty)
+    // a missing REQUIRED frame fails loudly — a skipped `assignments`
+    // would report an erasure that never happened
+    val partial = java.nio.file.Files.createTempDirectory("idx-part")
+      .toString
+    idx.ivf.assignments.write.parquet(s"$partial/assignments")
+    val err = intercept[IllegalArgumentException] {
+      SimilaritySearch.eraseFromStoredIndex(spark, partial, Seq(1L))
+    }
+    assert(err.getMessage.contains("codes"))
+  }
+
   test("knnWithinBlock ranks neighbors per item within label") {
     val out = SimilaritySearch.knnWithinBlock(embs, col("vec_id"),
       col("embedding"), col("label"), 1).collect()
