@@ -49,12 +49,12 @@ object VectorFunctions {
       graft.functions.ArrayUnit(
         org.apache.spark.sql.graftshim.GraftShim.expr(a)))
 
-  /** Squared euclidean distance. */
+  /** Squared euclidean distance (codegen expression — see
+    * [[ArraySqDist]]). Bit-identical to the zip_with/aggregate HOF form
+    * it replaces (same element order, same left-fold double
+    * accumulation; KernelPropertiesSpec pins it) — the HOF was the r17
+    * profile's hottest interpreted expression (~50 CPU-s per PQ encode
+    * pass at sf0.1). */
   def sqDist(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => {
-        val diff = x.cast("double") - y.cast("double")
-        diff * diff
-      }),
-      lit(0.0), (acc, x) => acc + x)
+    GraftShim.column(ArraySqDist(GraftShim.expr(a), GraftShim.expr(b)))
 }
