@@ -43,9 +43,7 @@ object AnnRecall {
   private val K = 10
 
   private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => {
-      val d = x.cast("double") - y.cast("double"); d * d
-    }), lit(0.0), _ + _)
+    VectorFunctions.sqDist(a, b)
 
   /** All nine family recalls (five modulus twins + three trained + the
     * refined two-stage serving composition) as ledger rows. */

@@ -57,4 +57,16 @@ object VectorFunctions {
     * pass at sf0.1). */
   def sqDist(a: Column, b: Column): Column =
     GraftShim.column(ArraySqDist(GraftShim.expr(a), GraftShim.expr(b)))
+
+  /** Flattened outer product a·bᵀ, row-major (codegen expression — see
+    * [[ArrayOuterFlat]]) — the OPQ Procrustes scatter kernel.
+    * Bit-identical to `flatten(transform(a, h => transform(b, x =>
+    * h*x)))` (ArrayOuterFlatSpec pins it), including the HOF's one
+    * asymmetric null edge: an EMPTY `a` yields an empty array even when
+    * `b` is null, because the inner lambda is never evaluated — hence
+    * the size guard in front of the null-propagating kernel. */
+  def outerFlat(a: Column, b: Column): Column =
+    when(size(a) === 0, array().cast("array<double>"))
+      .otherwise(GraftShim.column(
+        ArrayOuterFlat(GraftShim.expr(a), GraftShim.expr(b))))
 }

@@ -648,7 +648,7 @@ object SimilaritySearch {
     // null vectors would crash the MLlib fit (the cosine twin filters
     // via unit()-null); drop them here the same way
     val e = embs.select(idCol.as("id"),
-      transform(vecCol, x => x.cast("double")).as("v"))
+      vecCol.cast("array<double>").as("v"))
       .filter(col("v").isNotNull)
     val train = if (trainFrac >= 1.0) e
       else e.filter(Sampling.hashUniform(col("id"), "ivf-km-l2") < trainFrac)
@@ -701,7 +701,7 @@ object SimilaritySearch {
                           a: Int): DataFrame = {
     require(a >= 1, s"multi-assignment width must be >= 1 (got $a)")
     val scored = embs.select(idCol.as("id"),
-        transform(vecCol, x => x.cast("double")).as("v"))
+        vecCol.cast("array<double>").as("v"))
       .filter(col("v").isNotNull)
       .join(broadcast(cents))
       .select(col("id"), col("cid"),
@@ -740,7 +740,7 @@ object SimilaritySearch {
                           initMode: String = "k-means||"): DataFrame = {
     val spark = vecs.sparkSession
     val e = vecs.select(idCol.as("id"),
-      transform(vecCol, x => x.cast("double")).as("v"))
+      vecCol.cast("array<double>").as("v"))
       .filter(col("v").isNotNull) // null vector = no trainable features
     val train = (if (trainFrac >= 1.0) e
       else e.filter(Sampling.hashUniform(col("id"), "pq-km") < trainFrac))
@@ -1058,7 +1058,7 @@ object SimilaritySearch {
     val d = m * subDim
     val spark = embs.sparkSession
     val e = embs.select(idCol.as("id"),
-        transform(vecCol, x => x.cast("double")).as("v"))
+        vecCol.cast("array<double>").as("v"))
       .filter(col("v").isNotNull)
     val train = (if (trainFrac >= 1.0) e
       else e.filter(Sampling.hashUniform(col("id"), "opq") < trainFrac))
@@ -1084,10 +1084,14 @@ object SimilaritySearch {
           .agg(flatten(array_sort(collect_list(struct(col("s"),
             col("cvs")))).getField("cvs")).as("xhat"))
         // scatter M = Σ x̂·xᵀ — d² cells via outer-product explode +
-        // per-cell partial sums; only the d² aggregates reach the driver
+        // per-cell partial sums; only the d² aggregates reach the driver.
+        // The outer product is the codegen ArrayOuterFlat kernel: same
+        // row-major products bit-for-bit as the nested transform HOF it
+        // replaces (4096 interpreted multiplies/row at d=64), so the
+        // explode positions and the per-cell sums are unchanged
         val cells = train.join(xhat, "id")
-          .select(posexplode(flatten(
-            transform(col("xhat"), h => transform(col("v"), x => h * x)))))
+          .select(posexplode(graft.functions.VectorFunctions.outerFlat(
+            col("xhat"), col("v"))))
           .groupBy("pos").agg(sum("col").as("c"))
           .collect().map(row => row.getInt(0) -> row.getDouble(1)).toMap
         val mMat = breeze.linalg.DenseMatrix.tabulate(d, d)(
@@ -1107,14 +1111,20 @@ object SimilaritySearch {
     (r, cb, cbFlat)
   }
 
-  /** R·v as a column expression: R broadcast as literal rows, one dot
-    * per output dimension. O(d²)/row — the once-per-corpus-version
-    * index-build pass, same order as the PQ encode argmin itself. */
+  /** R·v as a column expression — the codegen [[graft.functions.ArrayMatVec]]
+    * kernel (bit-identical to the nested transform/zip_with/aggregate
+    * HOF form it replaces; ArrayMatVecSpec pins it — the HOF interpreted
+    * ~3d² lambda frames per row, a dominant slice of q210's task time).
+    * O(d²)/row — the once-per-corpus-version index-build pass, same
+    * order as the PQ encode argmin itself. The coalesce preserves the
+    * HOF's null-input result (an array of d null elements). */
   def rotated(vecCol: Column, r: Seq[Seq[Double]], d: Int): Column = {
-    val rLit = array(r.map(row => array(row.map(lit): _*)): _*)
-    transform(sequence(lit(0), lit(d - 1)), i =>
-      aggregate(zip_with(element_at(rLit, i + 1), vecCol,
-        (a, b) => a * b.cast("double")), lit(0.0), _ + _))
+    require(r.length == d, s"rotation is ${r.length}x?, expected $d")
+    coalesce(
+      org.apache.spark.sql.graftshim.GraftShim.column(
+        graft.functions.ArrayMatVec(
+          org.apache.spark.sql.graftshim.GraftShim.expr(vecCol), r)),
+      array_repeat(lit(null).cast("double"), d))
   }
 
   /**
@@ -1141,11 +1151,16 @@ object SimilaritySearch {
   }
 
   /** Hamming distance between two packed code arrays: per-word
-    * xor+popcount, summed in word order. */
+    * xor+popcount, summed in word order — the codegen
+    * [[graft.functions.ArrayHammingSum]] kernel (exact integer math;
+    * replaces the interpreted zip_with/aggregate HOF: at 100 TB this is
+    * THE stage-0 expression, evaluated once per corpus vector per
+    * query). */
   def hammingDistance(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b,
-      (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
-      lit(0L), _ + _)
+    org.apache.spark.sql.graftshim.GraftShim.column(
+      graft.functions.ArrayHammingSum(
+        org.apache.spark.sql.graftshim.GraftShim.expr(a),
+        org.apache.spark.sql.graftshim.GraftShim.expr(b)))
 
   /** The driver-side twin of [[binarySignCode]] for a literal query
     * vector. */
@@ -1256,7 +1271,7 @@ object SimilaritySearch {
     require(refineFactor >= 1,
       s"refineFactor must be >= 1 (got $refineFactor)")
     val ev = embs.select(idCol.as("id"),
-      transform(vecCol, x => x.cast("double")).as("v"))
+      vecCol.cast("array<double>").as("v"))
     val short0 = binaryHammingTopK(ev, col("id"), col("v"), query, dims,
       candidates)
     val shortVecs = ev.join(broadcast(short0.select("id")), Seq("id"),

@@ -255,7 +255,7 @@ object AnnCurveQueries {
       VectorFunctions.sqDist(a, b)
     val q = e.filter(pmod(col("vec_id"), lit(50)) === 7)
       .select(col("vec_id").as("qid"),
-        transform(col("embedding"), x => x.cast("double")).as("qv"))
+        col("embedding").cast("array<double>").as("qv"))
     val nq = q.count()
     import s.implicits._
     val cfg = SpillConfigs.toDF("nprobe", "refine_factor")
@@ -283,7 +283,7 @@ object AnnCurveQueries {
     // exact-L2 ground truth (the metric PQ approximates) — the one
     // contracted all-pairs instrument pass
     val ev = e.select(col("vec_id").as("id"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
+      col("embedding").cast("array<double>").as("v"))
     val truth = ev.crossJoin(broadcast(q))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"), l2(col("v"), col("qv")).as("l2"))

@@ -188,7 +188,7 @@ object AnnServingQueries {
       .write.mode("overwrite").parquet(s"$out/codebook")
     val cb = s.read.parquet(s"$out/codebook")
     val ev = e.select(col("vec_id").as("id"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
+      col("embedding").cast("array<double>").as("v"))
     val q = ev.filter(pmod(col("id"), lit(50)) === 7)
       .select(col("id").as("qid"), col("v").as("qv"))
     val nq = q.count()

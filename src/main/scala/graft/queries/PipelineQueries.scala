@@ -895,9 +895,7 @@ object PipelineQueries {
       // engines; widen floats BEFORE subtraction (float−float stays
       // float32 and drifts off the double oracle)
       def l2sq(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => {
-          val d = x.cast("double") - y.cast("double"); d * d
-        }), lit(0.0), _ + _)
+        graft.functions.VectorFunctions.sqDist(a, b)
       def subv(v: Column): Column = slice(v, col("s") * 16 + 1, lit(16))
       val dist = e
         .select(col("vec_id"), col("embedding"),
