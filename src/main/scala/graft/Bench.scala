@@ -64,6 +64,29 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+      // r17 (guide §4): the generated-class cache default (100 entries)
+      // THRASHES under a 211-query suite — and under single queries with
+      // >100 codegen units (q210 has 692 stages): frame-sampled profiling
+      // showed 15% of warm-run task time inside CodeGenerator.compile,
+      // i.e. Janino recompiling evicted classes every run. 4096 entries
+      // holds the suite's working set (bounded: compiled-class cache
+      // keyed by source text — Spark's own mechanism, NOT result
+      // caching; identical on a production driver/executor JVM, where
+      // the same default bites any long-lived session). Static conf —
+      // must be set before the first codegen. Measured: q210 warm
+      // 27.5s → 20.9s alone, 14.0s with the shuffle knob below.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
+      // r17 (guide §2/§6): with shuffle.partitions=32 every SQL shuffle
+      // sits under the bypass-merge threshold (200), so each map task
+      // opens one file PER PARTITION (32 opens/task × 3748 tasks in
+      // q210) — ~10% of warm task time was open0/map0/unmap0 syscalls.
+      // 8 forces the serialized sort-shuffle path (one data+index file
+      // per map task) for everything bigger — exactly the writer a
+      // production job with partitions>200 uses anyway; local[*] with
+      // few partitions is the ONLY regime the default bypass hits.
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE", "8"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

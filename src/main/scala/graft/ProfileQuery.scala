@@ -90,8 +90,57 @@ object ProfileQuery {
     }
   }
 
+  /** Poor-man's sampling profiler: every `periodMs` tally the top
+    * "interesting" frame (graft / catalyst-expression / MLlib / parquet
+    * / shuffle) of every executor task thread. Attribution the stage
+    * callsite cannot give — AQE materializes all intermediate stages
+    * from the broadcast thread pool, so their stage names collapse to
+    * `withThreadLocalCaptured`. */
+  final class Sampler(periodMs: Long = 20L) {
+    private val counts =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+    @volatile private var running = true
+    private val t = new Thread(() => {
+      while (running) {
+        val all = Thread.getAllStackTraces
+        all.forEach { (th, frames) =>
+          if (th.getName.startsWith("Executor task launch worker")) {
+            val f = frames.find { fr =>
+              val c = fr.getClassName
+              (c.startsWith("graft.") && !c.contains("ProfileQuery")) ||
+                c.startsWith("org.apache.spark.sql.catalyst.expressions") ||
+                c.startsWith("org.apache.spark.mllib") ||
+                c.startsWith("org.apache.spark.ml.") ||
+                c.contains("parquet") ||
+                c.contains("GeneratedClass") ||
+                c.contains("codegen")
+            }.orElse(frames.headOption)
+            f.foreach { fr =>
+              val key = s"${fr.getClassName}.${fr.getMethodName}"
+              counts.merge(key, 1L, (a, b) => a + b)
+            }
+          }
+        }
+        Thread.sleep(periodMs)
+      }
+    })
+    t.setDaemon(true)
+    t.setName("graft-profile-sampler")
+    def start(): Unit = t.start()
+    def dump(top: Int): Unit = {
+      running = false
+      import scala.jdk.CollectionConverters._
+      val rows = counts.asScala.toSeq.sortBy(-_._2).take(top)
+      val tot = counts.asScala.values.map(_.toLong).sum.toDouble
+      rows.foreach { case (k, v) =>
+        println(f"[profile]   frame ${100.0 * v / tot}%5.1f%% (${v}) $k")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ProfileQuery qNNN [qNNN ...]")
+    val sampleFrames = sys.env.contains("SPARK_GRAFT_PROFILE_FRAMES")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.max(2, Runtime.getRuntime.availableProcessors()).toString)
@@ -101,6 +150,13 @@ object ProfileQuery {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+      // match Bench's r17 session tuning (defaults overridable for A/B:
+      // SPARK_GRAFT_CODEGEN_CACHE=100 SPARK_GRAFT_BYPASS_MERGE=200
+      // reproduces the pre-r17 session)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE", "8"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -113,6 +169,9 @@ object ProfileQuery {
       // two runs: run 1 pays codegen/JIT, run 2 is the bench's reported min
       (1 to 2).foreach { run =>
         acct.reset()
+        val sampler =
+          if (sampleFrames && run == 2) Some(new Sampler()) else None
+        sampler.foreach(_.start())
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val wallMs = (System.nanoTime() - t0) / 1e6
@@ -132,6 +191,7 @@ object ProfileQuery {
           f"shufR=${acct.shuffleReadB / 1e6}%.1fMB " +
           f"shufW=${acct.shuffleWriteB / 1e6}%.1fMB " +
           f"jobSpan=${jobSpanMs / 1000.0}%.2fs")
+        sampler.foreach(_.dump(25))
         if (run == 2) {
           val slow = acct.jobLog.sortBy(-_._2).take(12)
           slow.foreach { case (id, ms, cs) =>
