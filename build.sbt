@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver invokes `sbt "runMain graft.Bench"` and regexes stdout for the
+// one-line JSON contract. sbt's default LoggedOutput prefixes every forked
+// line with "[info] ", which made the driver's parser reject the line every
+// round (BENCH_r01..r17 all have parsed:null). StdoutOutput pipes the forked
+// JVM's stdout/stderr straight through, undecorated.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -597,14 +597,52 @@ object SimilaritySearch {
   // + 20 Lloyd rounds is pure scheduler overhead: the job COUNT, not
   // the row count, is the cost); every index-build path keeps the
   // defaults, so existing goldens are untouched
-  private def fitKMeans(train: DataFrame, featCol: String, k: Int,
-                        seed: Long, maxIter: Int = 20,
-                        initMode: String = "k-means||"): Array[Array[Double]] =
+
+  /** Row bound for the driver-local k-means replay
+    * ([[org.apache.spark.mllib.clustering.GraftLocalKMeans]] — the r18
+    * fix for the trained-ANN job storm: each MLlib fit over the bounded
+    * `trainFrac` sample ran ~12 Spark jobs of pure scheduler overhead).
+    * Training samples are ≤2048 rows by the 100 TB build contract;
+    * 65536 (32 MB of doubles at d=64) keeps comfortable driver headroom
+    * while any caller feeding an unbounded frame stays distributed.
+    * Env-overridable for A/B; 0 disables the local path entirely.
+    * Centers are bit-identical to the distributed fit (LocalKMeansSpec
+    * pins doubleToRawLongBits equality on every trained config). */
+  private val LocalKMeansMaxRows: Long =
+    sys.env.get("SPARK_GRAFT_LOCAL_KMEANS_MAX").map(_.toLong)
+      .getOrElse(65536L)
+
+  /** Partition-structured collect of a vector column — the exact rows,
+    * partition split and in-partition order the distributed MLlib fit
+    * would see from the same frame (both are narrow projections of the
+    * canonForFit exchange), so the local replay trains on identical
+    * input. ONE job. */
+  private def collectVectorParts(df: DataFrame, featCol: String)
+      : Array[Array[org.apache.spark.mllib.linalg.Vector]] =
+    df.select(featCol).rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        Iterator((i, it.map(r => org.apache.spark.mllib.linalg.Vectors.fromML(
+          r.getAs[org.apache.spark.ml.linalg.Vector](0))).toArray))
+      }
+      .collect().sortBy(_._1).map(_._2)
+
+  private def fitKMeansDistributed(train: DataFrame, featCol: String, k: Int,
+                                   seed: Long, maxIter: Int,
+                                   initMode: String): Array[Array[Double]] =
     new org.apache.spark.ml.clustering.KMeans()
       .setK(k).setSeed(seed).setInitMode(initMode).setMaxIter(maxIter)
       .setTol(1e-6).setFeaturesCol(featCol)
       .fit(train)
       .clusterCenters.map(_.toArray)
+
+  private def fitKMeans(train: DataFrame, featCol: String, k: Int,
+                        seed: Long, maxIter: Int = 20,
+                        initMode: String = "k-means||"): Array[Array[Double]] =
+    if (LocalKMeansMaxRows > 0 && train.count() <= LocalKMeansMaxRows)
+      org.apache.spark.mllib.clustering.GraftLocalKMeans.fit(
+        collectVectorParts(train, featCol), k, maxIter, 1e-6, seed, initMode)
+    else
+      fitKMeansDistributed(train, featCol, k, seed, maxIter, initMode)
 
   /**
    * TRAINED IVF coarse centroids — seeded spherical k-means over unit
@@ -744,35 +782,60 @@ object SimilaritySearch {
       .filter(col("v").isNotNull) // null vector = no trainable features
     val train = (if (trainFrac >= 1.0) e
       else e.filter(Sampling.hashUniform(col("id"), "pq-km") < trainFrac))
-    val canon = canonForFit(train, col("id")).cache()
-    // the m fits are independent seeded jobs over the same 4-partition
-    // cached sample — at a bounded training sample the cost is job-count
-    // scheduler latency, not compute, so submit them CONCURRENTLY (the
-    // CrossValidator-parallelism mechanism; results are per-fit
-    // deterministic, assembled in subspace order). canon materializes
-    // once up front so the concurrent fits race on a warm cache, not on
-    // computing it.
-    val rows =
-      try {
-        canon.count()
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration.Duration
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(m, 8))
-        implicit val ec: scala.concurrent.ExecutionContext =
-          scala.concurrent.ExecutionContext.fromExecutorService(pool)
-        try Await.result(Future.sequence((0 until m).map { s => Future {
-            fitKMeans(
-              canon.withColumn("f",
-                  org.apache.spark.ml.functions.array_to_vector(
-                    slice(col("v"), s * subDim + 1, subDim)))
-                .select("id", "f"),
-              "f", k, seed + s, maxIter, initMode)
-              .zipWithIndex.map { case (c, i) => (s, i.toLong, c.toSeq) }
-          } }), Duration.Inf).flatten
-        finally pool.shutdown()
+    val canon = canonForFit(train, col("id"))
+    // r18: at a bounded sample (the trainFrac contract) the m fits run
+    // entirely on the driver from ONE partition-structured collect —
+    // slice(v, s·subDim+1, subDim) + array_to_vector is replayed as a
+    // local copyOfRange over the same rows in the same order, so every
+    // subspace fit sees bit-identical input to the distributed form.
+    // TWO Spark jobs (count + collect) replace m × (count + init +
+    // Lloyd-rounds) — the q210/q204/q211/q214 job storm (452 jobs for
+    // q210) was ~60% k-means scheduler overhead over ≤2048 rows.
+    val rows: Seq[(Int, Long, Seq[Double])] =
+      if (LocalKMeansMaxRows > 0 && canon.count() <= LocalKMeansMaxRows) {
+        val parts: Array[Array[Array[Double]]] = canon.select("v").rdd
+          .mapPartitionsWithIndex { (i, it) =>
+            Iterator((i, it.map(_.getSeq[Double](0).toArray).toArray))
+          }
+          .collect().sortBy(_._1).map(_._2)
+        (0 until m).flatMap { s =>
+          val sliced = parts.map(_.map(v =>
+            org.apache.spark.mllib.linalg.Vectors.dense(
+              java.util.Arrays.copyOfRange(v, s * subDim, s * subDim + subDim))
+              : org.apache.spark.mllib.linalg.Vector))
+          org.apache.spark.mllib.clustering.GraftLocalKMeans
+            .fit(sliced, k, maxIter, 1e-6, seed + s, initMode)
+            .zipWithIndex.map { case (c, i) => (s, i.toLong, c.toSeq) }
+        }
+      } else {
+        // distributed path (unbounded caller): the m fits are
+        // independent seeded jobs over the same 4-partition cached
+        // sample — submit them CONCURRENTLY (the CrossValidator-
+        // parallelism mechanism; results are per-fit deterministic,
+        // assembled in subspace order). canon materializes once up
+        // front so the concurrent fits race on a warm cache.
+        val cached = canon.cache()
+        try {
+          cached.count()
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(m, 8))
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutorService(pool)
+          try Await.result(Future.sequence((0 until m).map { s => Future {
+              fitKMeansDistributed(
+                cached.withColumn("f",
+                    org.apache.spark.ml.functions.array_to_vector(
+                      slice(col("v"), s * subDim + 1, subDim)))
+                  .select("id", "f"),
+                "f", k, seed + s, maxIter, initMode)
+                .zipWithIndex.map { case (c, i) => (s, i.toLong, c.toSeq) }
+            } }), Duration.Inf).flatten
+          finally pool.shutdown()
+        }
+        finally cached.unpersist()
       }
-      finally canon.unpersist()
     import spark.implicits._
     rows.toDF("s", "cid", "cvs")
   }
